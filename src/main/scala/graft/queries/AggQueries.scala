@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY.md §2B "Aggregation"): group-by agg,
+  * count-distinct, approx-distinct (HLL++), rollup/cube/grouping sets.
+  * Generalizes the reference's R12 emptiness test (COUNT(*) = 0 —
+  * reference: mercadolibre_pipeline_dag.py:84-87).
+  *
+  * Scale notes: groupBy.agg compiles to partial (map-side) + final hash
+  * aggregation — the shuffle carries one row per group per partition,
+  * not the raw data. count(DISTINCT) expands to a two-phase aggregate;
+  * at 100 TB prefer approx_count_distinct (HLL++, fixed-size sketch,
+  * single pass) — q25 demonstrates it (excluded from the SQL oracle per
+  * contract; bounded-error property-tested instead).
+  * Float discipline: money sums go through DECIMAL(18,2) (associative,
+  * order-invariant under Spark's unordered partial aggregation) and are
+  * surfaced as DOUBLE; integer-valued doubles (l_quantity) sum exactly
+  * in IEEE double at these magnitudes, no cast needed.
+  */
+object AggQueries {
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 shape: the canonical partial+final hash aggregate.
+    "q20_agg_sum" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q21_count_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q22_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q23_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // GROUPING SETS via the engine's SQL surface (temp view + spark.sql).
+    "q24_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // HLL++ sketch — the 100 TB path for distinct counts. No SQL oracle
+    // (approx); ApproxDistinctSpec property-bounds the error vs exact.
+    "q25_approx_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .orderBy("l_returnflag")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_agg_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       avg(l_quantity) AS avg_qty,
+        |       min(l_quantity) AS min_qty,
+        |       max(l_quantity) AS max_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q21_count_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q22_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q23_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q24_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+  )
+}

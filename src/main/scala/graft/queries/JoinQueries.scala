@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2B "Joins"): equi inner/left/full,
+  * semi/anti, range. The reference avoids joins by denormalizing
+  * (product rows carry their category inline); at scale the relational
+  * form needs them.
+  *
+  * Scale notes:
+  *  - dimension tables (region/nation/customer/supplier at TPC-H ratios)
+  *    are `broadcast()` hinted: the fact side never shuffles for them.
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key — at
+  *    100 TB both sides would be bucketed on orderkey at write time so
+  *    the shuffle disappears; here AQE handles skew/coalescing.
+  *  - the range join is keyed by an equi condition (partkey) with the
+  *    range as a residual predicate, so it stays a hash/SMJ join, never
+  *    a cartesian BNLJ.
+  */
+object JoinQueries {
+
+  val queries: Map[String, Q] = Map(
+    // fact ⋈ fact equi inner join on the natural key.
+    "q10_join_inner" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 200000.0)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // left outer + aggregate: customers with their order count (0 kept).
+    "q11_join_left_agg" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // left semi = EXISTS. Builds only the key set on the right.
+    "q12_join_semi" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // left anti = NOT EXISTS (null-safe, unlike NOT IN).
+    "q13_join_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // range join: equi key + range residual — stays a hash join.
+    "q14_join_range" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(broadcast(p),
+          li("l_partkey") === p("p_partkey") &&
+          li("l_quantity").between(p("p_size"), p("p_size") + lit(10)))
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("p_partkey")
+    }),
+
+    // star join: fact + 4 broadcast dimensions, revenue per region.
+    // Exact money math: cast to decimal before summing (order-invariant),
+    // surface as double (deterministic decimal→double conversion).
+    "q15_join_star" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("r_name")
+    }),
+
+    // full outer between two aggregated sides (both may miss keys).
+    "q16_join_full" -> ((s, dir) => {
+      val byNationC = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_customers"))
+      val byNationS = Tables.supplier(s, dir)
+        .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_suppliers"))
+      byNationC.join(byNationS, Seq("nationkey"), "full")
+        .select(
+          col("nationkey"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+        .orderBy("nationkey")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q10_join_inner" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus, l_quantity
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 200000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q11_join_left_agg" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q12_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q13_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_join_range" ->
+      """SELECT p_partkey, count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  AND l_quantity BETWEEN p_size AND p_size + 10
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+    "q15_join_star" ->
+      """SELECT r_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey  = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q16_join_full" ->
+      """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |       COALESCE(c.n_customers, 0) AS n_customers,
+        |       COALESCE(s.n_suppliers, 0) AS n_suppliers
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+        |ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin,
+  )
+}

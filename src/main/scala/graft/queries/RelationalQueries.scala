@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Core relational operators (SURVEY.md §2B "Core relational"):
+  * scan/project/derive/filter/union/distinct/except/intersect/sort/limit.
+  * Generalizes the reference's R5 (projection), R8 (scan), R9 (computed
+  * filter — reference: mercadolibre_pipeline_dag.py:75 `price *
+  * sold_quantity >= 7000000`), R4 (union-all fold —
+  * mercadolibre_pipeline_dag.py:44-45).
+  *
+  * Scale notes: every query here is a narrow pipeline except the set ops
+  * (one shuffle each, unavoidable by semantics) and top-k (planned as
+  * TakeOrderedAndProject — per-partition heap, no full sort). Filters and
+  * projections are declarative so Catalyst pushes them into the parquet
+  * scan (PushedFilters / ReadSchema pruning) — verified in PlanShapeSpec.
+  */
+object RelationalQueries {
+
+  val queries: Map[String, Q] = Map(
+    // scan + projection: column pruning must reach the parquet reader.
+    "q01_scan_project" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // R9's computed-predicate filter at TPC-H shape: derive revenue,
+    // filter on it. Raw IEEE-754 product — bit-identical in any engine.
+    "q02_filter_compute" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .withColumn("revenue", col("l_extendedprice") * col("l_quantity"))
+        .filter(col("revenue") >= lit(3000000.0))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "revenue")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // R4's union-all fold, relationally: two disjoint slices reunited.
+    "q03_union" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val f = o.filter(col("o_orderstatus") === "F")
+      val p = o.filter(col("o_orderstatus") === "P")
+      f.unionByName(p)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    "q04_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // EXCEPT: customers that placed an order but are not in BUILDING.
+    "q05_except" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("custkey"))
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      o.except(c).orderBy("custkey")
+    }),
+
+    "q06_intersect" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("custkey"))
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      o.intersect(c).orderBy("custkey")
+    }),
+
+    // top-k by derived measure: orderBy.limit plans as
+    // TakeOrderedAndProject (per-partition heap + single reduce — no
+    // global sort, the only top-k that survives 100 TB).
+    "q07_topk" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .withColumn("revenue", col("l_extendedprice") * col("l_quantity"))
+        .select("l_orderkey", "l_linenumber", "revenue")
+        .orderBy(desc("revenue"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_filter_compute" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |       l_extendedprice * l_quantity AS revenue
+        |FROM lineitem WHERE l_extendedprice * l_quantity >= 3000000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_union" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q04_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q05_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY custkey""".stripMargin,
+    "q06_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY custkey""".stripMargin,
+    "q07_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice * l_quantity AS revenue
+        |FROM lineitem
+        |ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+  )
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY.md §2B "Window functions"): ranking,
+  * analytic lag/lead, running aggregates with ROWS and RANGE frames.
+  *
+  * Scale notes: a window over `partitionBy(k)` shuffles once on k then
+  * sorts within partitions — same cost envelope as a groupBy on k. The
+  * anti-pattern at 100 TB is a window with NO partitionBy (single-task
+  * global sort); none of these do that. Window order keys always extend
+  * to a unique tuple so results are deterministic under ties.
+  */
+object WindowQueries {
+
+  val queries: Map[String, Q] = Map(
+    // top-3 orders per customer by value: ranking + filter on rank.
+    "q30_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // running sum per supplier over ship order (ROWS frame).
+    // l_quantity is integer-valued → exact in double at any sum order.
+    "q31_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .withColumn("running_qty", sum(col("l_quantity")).over(w))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    // lag/lead analytics per customer over order date.
+    "q32_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "prev_price", "next_price")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // RANGE frame on a numeric ordering column: peers (equal keys) are
+    // included together — semantics identical across engines.
+    "q33_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_orderkey"))
+        .rangeBetween(-10L, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .withColumn("qty_in_range", sum(col("l_quantity")).over(w))
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "qty_in_range")
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q31_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q32_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       lag(o_totalprice, 1)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |       lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q33_window_range" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        |       sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_orderkey
+        |         RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS qty_in_range
+        |FROM lineitem ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+  )
+}
