@@ -36,7 +36,8 @@ object SparkEntry {
     JoinQueries.queries ++
     AggQueries.queries ++
     WindowQueries.queries ++
-    ScalarQueries.queries
+    ScalarQueries.queries ++
+    LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
     JoinQueries.oracles ++
     AggQueries.oracles ++
     WindowQueries.oracles ++
-    ScalarQueries.oracles
+    ScalarQueries.oracles ++
+    LlmQueries.oracles
 }

@@ -25,16 +25,21 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long (legacy conf) and convert to a
-    * micros TimestampType column. Integer `div` — a double division at
-    * 1e18-nanos magnitude would lose precision (53-bit mantissa). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Session conf every graft session needs at BUILD time (callers pass
+    * these to SparkSession.builder — never mutated mid-session):
+    * events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; `nanosAsLong` reads it as a long instead. */
+  val sessionConf: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Converts the nanos-long `ts` to a micros TimestampType column.
+    * Integer `div` — a double division at 1e18-nanos magnitude would
+    * lose precision (53-bit mantissa). Requires `sessionConf` to have
+    * been applied at session build (Verify/Bench/test fixtures do). */
+  def events(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (SURVEY.md §2B): media payloads as opaque
+  * binary columns with typed metadata, plus the documents ⋈ embeddings
+  * nested-row assembly.
+  *
+  * The actual image/audio decoders are NOT in this container, so the
+  * decode step is a clearly-marked deterministic STUB — but everything
+  * Spark-side (schema, join/partition shape, mapPartitions batching,
+  * encoder plumbing) is real and tested, and a real decoder drops into
+  * `extractFeatures` without touching any plan shape.
+  *
+  * Scale design: binary payloads never enter a shuffle here — feature
+  * extraction is mapPartitions (narrow), and the multimodal assembly
+  * join shuffles on the long id, carrying each payload exactly once.
+  * At 100 TB the payload column would live in its own parquet column
+  * chunk (columnar pruning means id-only queries never read bytes).
+  */
+object Multimodal {
+
+  /** One nested multimodal row per document: text + typed metadata +
+    * embedding vector. The struct nesting is the point — downstream
+    * consumers address `doc.meta.lang`, `vec.embedding` etc. */
+  def assemble(docs: DataFrame, emb: DataFrame): DataFrame =
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(
+        docs("doc_id"),
+        struct(
+          docs("text"),
+          struct(docs("lang"), docs("source"), docs("n_chars")).as("meta")).as("doc"),
+        struct(emb("embedding"), emb("label")).as("vec"))
+
+  /** Attach an opaque binary payload column + typed media metadata.
+    * The fixture corpus has no real media, so the payload is the UTF-8
+    * encoding of the text — the SCHEMA (binary + metadata struct) is
+    * what production code consumes. */
+  def withBinaryPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("mime"),
+        length(col("text")).cast("long").as("n_bytes")).as("media_meta"))
+
+  /** Typed per-media features produced by the (stubbed) decoder. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, checksum: Long,
+                           width: Int, height: Int)
+
+  implicit val mediaFeaturesEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+  private implicit val rowEnc: Encoder[(Long, Array[Byte])] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+
+  /** STUB decoder: a real implementation would decode image bytes and
+    * emit width/height/features; this container has no media libs, so
+    * dimensions are DERIVED DETERMINISTICALLY from a payload checksum
+    * (clearly fake, stable across runs). The mapPartitions shape is the
+    * real contract: batched, narrow (no shuffle), binary-in /
+    * struct-out. */
+  def extractFeatures(payloadDf: DataFrame): Dataset[MediaFeatures] =
+    payloadDf.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          var h = 1125899906842597L // FNV-style seed; deterministic
+          var i = 0
+          while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+          MediaFeatures(
+            doc_id = id,
+            n_bytes = bytes.length,
+            checksum = h,
+            width = 64 + (((h % 1024) + 1024) % 1024).toInt,
+            height = 64 + ((((h >>> 10) % 1024) + 1024) % 1024).toInt)
+        }
+      }
+
+  /** Frame-sampling analog: every k-th fixed-size slice of the payload
+    * (for video this would be every k-th frame). Row-local, emits an
+    * array column — demonstrates the batch shape without a codec. */
+  def sampleSlices(payloadDf: DataFrame, sliceBytes: Int, everyK: Int): DataFrame =
+    payloadDf.select(
+      col("doc_id"),
+      transform(
+        sequence(lit(0), greatest(ceil(length(col("payload")) / lit(sliceBytes * everyK)).cast("int") - 1, lit(0))),
+        i => col("payload").substr(lit(1) + i * (sliceBytes * everyK), lit(sliceBytes))
+      ).as("slices"))
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2B
+  * "LLM-data-pipeline extensions"): UDF-free vector math via
+  * higher-order functions, brute-force top-k as the exact baseline, and
+  * an IVF-style cell-probed variant as the scale path.
+  *
+  * Scale design:
+  *  - all vector math is built-in expressions (`zip_with` +
+  *    `aggregate`), accumulated in Double (SURVEY §7.4: float
+  *    accumulation drifts) — stays inside WholeStageCodegen.
+  *  - top-k is `orderBy.limit` → TakeOrderedAndProject: per-partition
+  *    bounded heap + single driver merge of k rows. Never a global sort.
+  *  - the query side of a search is a single broadcast row — fixed-size
+  *    at any corpus scale, so the broadcast hint is scale-safe.
+  *  - IVF: corpus partitioned once into C cells by nearest centroid
+  *    (write-time layout at 100 TB: partition directories by cell_id →
+  *    partition pruning makes a probe read only nProbe/C of the data).
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in Double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def normSq(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(normSq(a) * normSq(b))
+
+  /** Exact brute-force top-k by dot product against a one-row query
+    * DataFrame holding the query vector in `queryVecCol`. */
+  def topKDot(corpus: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, queryVecCol: String, k: Int): DataFrame =
+    corpus.crossJoin(broadcast(query))
+      .select(col(idCol), dot(col(vecCol), col(queryVecCol)).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+
+  /** Assign every corpus vector to its nearest centroid (max dot
+    * product). Centroids are a small fixed set → broadcast; the
+    * argmax is a window row_number over (id) — one shuffle, done ONCE
+    * at index-build time, amortized over all queries. */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .withColumn("__score", dot(col(vecCol), col("c_vec")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(desc("__score"), col("cell_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+  }
+
+  /** IVF probe: exact top-k restricted to the nProbe cells whose
+    * centroids score best against the query. The centroid ranking is a
+    * C-row computation (fixed size) and the corpus filter on cell_id is
+    * partition-prunable when the corpus is laid out by cell. */
+  def ivfTopK(indexedCorpus: DataFrame, idCol: String, vecCol: String,
+              centroids: DataFrame, query: DataFrame, queryVecCol: String,
+              k: Int, nProbe: Int): DataFrame = {
+    val probeCells = centroids.crossJoin(broadcast(query))
+      .select(col("cell_id"), dot(col("c_vec"), col(queryVecCol)).as("s"))
+      .orderBy(desc("s"), col("cell_id"))
+      .limit(nProbe)
+      .select("cell_id")
+    indexedCorpus
+      .join(broadcast(probeCells), Seq("cell_id"))
+      .crossJoin(broadcast(query))
+      .select(col(idCol), dot(col(vecCol), col(queryVecCol)).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+}

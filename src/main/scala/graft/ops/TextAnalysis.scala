@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for LLM training-data pipelines (SURVEY.md §2B):
+  * tokenization, per-document counts, quality scoring, tf-idf,
+  * language heuristics, fingerprinting.
+  *
+  * Scale design: per-document metrics (counts, ratios, fingerprints)
+  * are computed ROW-LOCAL with array higher-order functions — zero
+  * shuffles, full codegen. Only corpus-level statistics (document
+  * frequency for tf-idf, language distribution) aggregate, and those
+  * shuffle (token, count) pairs, never document text.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the fixture corpus is space-separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword-aware tokenizer: splits on word boundaries,
+    * punctuation runs, and digit runs (a regex approximation of the
+    * pre-tokenization step real BPE tokenizers apply). */
+  def regexTokens(text: Column): Column = {
+    val t = regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))
+    t
+  }
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Mean token length — row-local aggregate over the token array,
+    * accumulated in Double. */
+  def avgTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0.0), (acc, t) => acc + length(t)) /
+      size(tokens(text))
+
+  /** Fraction of tokens that appear in `stopwords` (quality signal:
+    * natural text has a stable stopword ratio; keyboard mash has ~0). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords)))
+      .cast("double") / size(tokens(text))
+
+  /** Type-token ratio (lexical diversity; near-0 = highly repetitive). */
+  def typeTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
+
+  /** Composite quality score in [0,1]: length band + lexical diversity.
+    * Deliberately simple and fully deterministic — the point is a
+    * row-local, codegen'd scoring pipeline, not linguistic accuracy. */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(tokenCount(text).between(20, 1000), lit(0.5)).otherwise(lit(0.0))
+    val diversity = least(typeTokenRatio(text), lit(1.0)) * 0.5
+    lenOk + diversity
+  }
+
+  /** Marker-word profiles for the n-gram/stopword language-ID
+    * heuristic. Public knowledge (common function words per language). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "es", "por"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+  )
+
+  /** Heuristic language ID: score = marker-hit count per language,
+    * argmax wins (struct-ordered, so ties break to the
+    * alphabetically-last language code — deterministic); "und"
+    * (undetermined) when nothing matches. Row-local, no shuffle, no UDF. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(size(filter(toks, t => t.isInCollection(markers))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*) // struct compare: hits first, then lang
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Order-invariant content fingerprint: md5 of the sorted distinct
+    * token bag — robust to token reordering, good as a cheap near-dup
+    * blocking key. Row-local. */
+  def bagFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Polynomial rolling hash over the raw characters, mod 1e9+7 at each
+    * step so the accumulator never overflows (DuckDB-portable
+    * semantics; Long wrap-around is JVM-specific). Row-local. */
+  def rollingHash(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => pmod(acc * 31L + ascii(c).cast("long"), lit(1000000007L)))
+
+  /** tf-idf over a corpus: tf = in-document term count, idf =
+    * ln(N / df). Two aggregations + one join on token; the shuffled
+    * payloads are (doc, token, count) triples — text never moves after
+    * the initial explode. */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(n)) // single fixed-size row at any scale
+      .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .select(col(idCol), col("token"), col("tfidf"))
+  }
+}

@@ -9,8 +9,12 @@ import org.apache.spark.sql.functions._
   * form needs them.
   *
   * Scale notes:
-  *  - dimension tables (region/nation/customer/supplier at TPC-H ratios)
-  *    are `broadcast()` hinted: the fact side never shuffles for them.
+  *  - only FIXED-SIZE dimensions (nation = 25 rows, region = 5 rows —
+  *    constant at every scale factor) carry a `broadcast()` hint. Tables
+  *    that grow with SF (customer 150k×SF, part 200k×SF) are left to
+  *    AQE / autoBroadcastJoinThreshold: at 100 TB a forced broadcast of
+  *    a multi-GB table OOMs executors, while AQE still broadcasts them
+  *    when they happen to be small.
   *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key — at
   *    100 TB both sides would be bucketed on orderkey at write time so
   *    the shuffle disappears; here AQE handles skew/coalescing.
@@ -59,10 +63,11 @@ object JoinQueries {
     }),
 
     // range join: equi key + range residual — stays a hash join.
+    // part scales with SF → no forced broadcast; AQE decides.
     "q14_join_range" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val p = Tables.part(s, dir)
-      li.join(broadcast(p),
+      li.join(p,
           li("l_partkey") === p("p_partkey") &&
           li("l_quantity").between(p("p_size"), p("p_size") + lit(10)))
         .groupBy(col("p_partkey"))
@@ -70,7 +75,9 @@ object JoinQueries {
         .orderBy("p_partkey")
     }),
 
-    // star join: fact + 4 broadcast dimensions, revenue per region.
+    // star join: fact + dimensions, revenue per region. Only the
+    // fixed-size dims (nation/region) are broadcast-hinted; customer
+    // grows with SF so its join picks broadcast vs shuffle at runtime.
     // Exact money math: cast to decimal before summing (order-invariant),
     // surface as double (deterministic decimal→double conversion).
     "q15_join_star" -> ((s, dir) => {
@@ -80,7 +87,7 @@ object JoinQueries {
       val n = Tables.nation(s, dir)
       val r = Tables.region(s, dir)
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
@@ -88,6 +95,17 @@ object JoinQueries {
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy("r_name")
+    }),
+
+    // right outer: every customer kept, order columns null when no
+    // high-value order exists. Null sort order made explicit (Spark
+    // defaults NULLS FIRST on ASC, DuckDB NULLS LAST).
+    "q17_join_right" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 450000.0)
+      val c = Tables.customer(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
     }),
 
     // full outer between two aggregated sides (both may miss keys).
@@ -138,6 +156,11 @@ object JoinQueries {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q17_join_right" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 450000.0) o
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
     "q16_join_full" ->
       """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
         |       COALESCE(c.n_customers, 0) AS n_customers,

@@ -1,0 +1,208 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators as oracle-checked queries (SURVEY.md §2B
+  * "LLM-data-pipeline extensions" — the mandate's north star): exact
+  * dedup, similarity search, multimodal assembly, text analysis.
+  * The non-SQL-expressible near-dup path (MinHash-LSH) lives in
+  * graft.ops.Dedup and is property-tested in DedupSpec instead.
+  *
+  * Scale notes are on the ops modules; every query here is either
+  * row-local (no shuffle) or shuffles fixed-size derived keys
+  * (hashes/tokens/ids), never raw document text beyond the first
+  * explode.
+  */
+object LlmQueries {
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup via content hash: group keys are 32-byte hashes, not
+    // raw text (the 100 TB shuffle-payload design).
+    "q50_exact_dedup" -> ((s, dir) => {
+      Dedup.dedupGroups(Tables.documents(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("content_hash"), col("n_copies"))
+        .orderBy("doc_id")
+    }),
+
+    // brute-force cosine/dot top-k: query vector = vec_id 0, scored
+    // against the rest of the corpus. One broadcast row + a
+    // TakeOrderedAndProject — no global sort, no all-pairs.
+    "q51_similarity_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_embedding"))
+      Similarity.topKDot(
+          e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          q, "q_embedding", 20)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+    }),
+
+    // multimodal row assembly: documents ⋈ embeddings into nested
+    // structs, then field projection (proves the nesting round-trips).
+    "q52_multimodal" -> ((s, dir) => {
+      Multimodal.assemble(Tables.documents(s, dir), Tables.embeddings(s, dir))
+        .select(
+          col("doc_id"),
+          col("doc.meta.lang").as("lang"),
+          col("doc.meta.source").as("source"),
+          col("doc.meta.n_chars").as("n_chars"),
+          col("vec.label").as("label"),
+          size(col("vec.embedding")).cast("long").as("n_dims"))
+        .orderBy("doc_id")
+    }),
+
+    // per-document token counts: ROW-LOCAL array ops — zero shuffles
+    // (the explode→groupBy shape would shuffle every token; counting
+    // inside the row is the 100 TB version).
+    "q53_token_counts" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.distinctTokenCount(col("text")).as("n_distinct"),
+          round(TextAnalysis.avgTokenLen(col("text")), 4).as("avg_token_len"))
+        .orderBy("doc_id")
+    }),
+
+    // tf-idf: two aggregations + a token join; df/N are corpus-global
+    // while the reported slice is doc_id < 30 (tf filtered early).
+    "q54_tfidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.tfIdf(docs, "doc_id", "text")
+        .filter(col("doc_id") < 30)
+        .select(col("doc_id"), col("token"), round(col("tfidf"), 4).as("tfidf"))
+        .orderBy("doc_id", "token")
+    }),
+
+    // quality scoring: length band, lexical diversity, stopword ratio —
+    // all row-local.
+    "q55_text_quality" -> ((s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to")
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          round(TextAnalysis.typeTokenRatio(col("text")), 4).as("type_token_ratio"),
+          round(TextAnalysis.stopwordRatio(col("text"), stop), 4).as("stopword_ratio"),
+          round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus language distribution: the one text-analysis op that MUST
+    // aggregate; shuffles one row per (lang) group per partition.
+    "q56_lang_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"))
+        .orderBy("lang")
+    }),
+
+    // n-gram Jaccard between adjacent doc pairs (id, id+1): shingle
+    // sets are row-local; the pairing is an equi self-join on id — a
+    // demonstration pairing that keeps the op linear, vs the banded LSH
+    // path in ops.Dedup for real near-dup discovery.
+    "q57_ngram_jaccard" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Dedup.shingles(TextAnalysis.tokens(col("text")), 2).as("sh"))
+      val a = sh.select(col("doc_id").as("pair_id"), col("sh").as("sh_a"))
+      val b = sh.select((col("doc_id") - 1).as("pair_id"), col("sh").as("sh_b"))
+      a.join(b, Seq("pair_id"))
+        .select(col("pair_id"),
+          round(Dedup.exactJaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        .orderBy("pair_id")
+    }),
+
+    // order-invariant document fingerprint (md5 of sorted distinct
+    // token bag) — row-local blocking key for dedup.
+    "q58_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.bagFingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q50_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash, count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+    "q51_similarity_topk" ->
+      """SELECT vec_id, round(raw_sim, 4) AS sim FROM (
+        |  SELECT e.vec_id,
+        |         list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                          CAST(q.embedding AS DOUBLE[])) AS raw_sim
+        |  FROM embeddings e,
+        |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0
+        |  ORDER BY raw_sim DESC, e.vec_id LIMIT 20) t
+        |ORDER BY sim DESC, vec_id""".stripMargin,
+    "q52_multimodal" ->
+      """SELECT doc_id, lang, source, n_chars, label,
+        |       CAST(len(embedding) AS BIGINT) AS n_dims
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+    "q53_token_counts" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |       round(list_sum(list_transform(string_split(text, ' '),
+        |               t -> CAST(len(t) AS DOUBLE)))
+        |             / len(string_split(text, ' ')), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q54_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM toks
+        |  WHERE doc_id < 30 GROUP BY doc_id, token),
+        |dfreq AS (
+        |  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.token,
+        |       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS tfidf
+        |FROM tf JOIN dfreq USING (token), n
+        |ORDER BY doc_id, token""".stripMargin,
+    "q55_text_quality" ->
+      """SELECT doc_id,
+        |       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |             / len(string_split(text, ' ')), 4) AS type_token_ratio,
+        |       round(CAST(len(list_filter(string_split(text, ' '),
+        |               t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |             / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        |       round(
+        |         (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+        |               THEN 0.5 ELSE 0.0 END)
+        |         + least(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |                 / len(string_split(text, ' ')), 1.0) * 0.5, 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q56_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       round(avg(n_chars), 2) AS avg_chars,
+        |       count(DISTINCT source) AS n_sources,
+        |       sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q57_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(len(string_split(text, ' ')), 1)),
+        |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS pair_id,
+        |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY pair_id""".stripMargin,
+    "q58_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -37,6 +37,10 @@ object RelationalQueries {
     }),
 
     // R4's union-all fold, relationally: two disjoint slices reunited.
+    // Deliberately written as two filtered scans + union to exercise the
+    // unionByName operator shape (the point of the demo); an equivalent
+    // single-scan isin("F","P") filter is what a user would write when
+    // union itself isn't the operator under test.
     "q03_union" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val f = o.filter(col("o_orderstatus") === "F")

@@ -84,6 +84,32 @@ object ScalarQueries {
         .orderBy("vec_id")
     }),
 
+    // R3's from_json into a dynamic MapType (schema-on-read for payloads
+    // whose key set isn't fixed) + map_keys/element_at.
+    "q46_json_map" -> ((s, dir) => {
+      val m = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType))
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          map_keys(m).as("prop_keys"),
+          element_at(m, "k").as("k_value"))
+        .orderBy("event_id")
+    }),
+
+    // R11's row → JSON struct encode (reference re-serializes query
+    // rows to a {"data":[...]} payload — mercadolibre_pipeline_dag.py:76-87).
+    "q47_to_json" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"))).as("payload"))
+        .orderBy("o_orderkey")
+    }),
+
     // R4's flatten as a lateral view: tokens exploded with row identity.
     "q45_explode_tokens" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -132,6 +158,17 @@ object ScalarQueries {
         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm_sq,
         |       CAST(embedding[1] AS DOUBLE) AS first_dim
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q46_json_map" ->
+      """SELECT event_id,
+        |       json_keys(props) AS prop_keys,
+        |       CAST(props->>'k' AS BIGINT) AS k_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q47_to_json" ->
+      """SELECT o_orderkey,
+        |       to_json({'o_orderkey': o_orderkey,
+        |                'o_orderstatus': o_orderstatus,
+        |                'o_orderpriority': o_orderpriority}) AS payload
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q45_explode_tokens" ->
       """SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |FROM documents WHERE doc_id < 100
