@@ -18,17 +18,29 @@ object SparkEntry {
     * (reference: mercadolibre_pipeline_dag.py:75), threshold filter,
     * report projection with dd-MM-yyyy date (R10). Driver smoke-checks
     * rows > 0 on sf0.001. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
+  def entry(spark: SparkSession): DataFrame =
+    flagshipReport(spark, "/root/testdata/sf0.001", 1000000.0)
+
+  /** The §2C report query, parameterized by fixture dir + threshold
+    * (threshold inversion gives the reference's forced-empty validation
+    * case, README.md:59-61). */
+  def flagshipReport(spark: SparkSession, dir: String, threshold: Double): DataFrame =
     Tables.lineitem(spark, dir)
       .withColumn("revenue", col("l_extendedprice") * col("l_quantity"))
-      .filter(col("revenue") >= lit(1000000.0))
+      .filter(col("revenue") >= lit(threshold))
       .select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("l_extendedprice"), col("revenue"),
         date_format(col("l_shipdate"), "dd-MM-yyyy").as("report_date"))
       .orderBy(desc("revenue"), col("l_orderkey"), col("l_linenumber"))
-  }
+
+  /** §2C end-to-end: query → emptiness short-circuit → HTML render →
+    * file sink (R8-R15). Returns true iff a report artifact was
+    * written; an empty result writes NOTHING (reference README.md:46-49). */
+  def runFlagship(spark: SparkSession, dir: String, threshold: Double,
+                  outPath: String): Boolean =
+    graft.pipeline.Report.writeReport(
+      flagshipReport(spark, dir, threshold), "high volume sales", outPath)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
@@ -37,7 +49,8 @@ object SparkEntry {
     AggQueries.queries ++
     WindowQueries.queries ++
     ScalarQueries.queries ++
-    LlmQueries.queries
+    LlmQueries.queries ++
+    EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +60,6 @@ object SparkEntry {
     AggQueries.oracles ++
     WindowQueries.oracles ++
     ScalarQueries.oracles ++
-    LlmQueries.oracles
+    LlmQueries.oracles ++
+    EventQueries.oracles
 }

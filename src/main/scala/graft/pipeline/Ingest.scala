@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's ingest pipeline R1-R7, Spark-native
+  * (reference: mercadolibre_pipeline_dag.py:18-65 — HTTP fetch per
+  * category, json.loads, list-concat flatten, 6-column projection,
+  * constant load timestamp, snapshot load with if_exists="replace").
+  *
+  * Spark redesign: the per-category payloads arrive as ROWS of raw JSON
+  * strings (one per fetch — in production a DataSource or a driver-side
+  * fetch into createDataFrame; in tests literal fixtures). Everything
+  * downstream is a single NARROW pipeline: from_json → explode →
+  * project → timestamp → write. No shuffle anywhere — at 100 TB this
+  * scales linearly with input splits.
+  *
+  * Schemas are DECLARED, never inferred (SURVEY.md §1.3): the reference
+  * lets pandas/SQLAlchemy infer column types from payload values, which
+  * silently drifts when the API changes; `from_json` against an
+  * explicit schema makes drift a visible null instead.
+  */
+object Ingest {
+
+  /** Search-response payload shape (R2 — reference :33 takes only
+    * `["results"]`): an object whose `results` field is an array of
+    * wide product objects. Only the projected fields are declared —
+    * from_json ignores the rest, mirroring the reference's projection
+    * (R5) at parse time so undeclared fields are never materialized. */
+  val searchPayloadSchema: StructType = StructType(Seq(
+    StructField("results", ArrayType(Tables.productSchema))))
+
+  /** R3+R4+R5+R6: raw payload strings → typed product rows.
+    * Corrupt payloads (from_json → null) and empty result arrays both
+    * contribute zero rows — `explode` of null/empty emits nothing,
+    * which is exactly the reference's list-concat behavior for an empty
+    * category. */
+  def normalize(payloads: DataFrame, payloadCol: String): DataFrame =
+    payloads
+      .select(from_json(col(payloadCol), searchPayloadSchema).as("p")) // R3
+      .select(explode(col("p.results")).as("r"))                      // R4
+      .select(                                                         // R5
+        col("r.id").as("id"),
+        col("r.site_id").as("site_id"),
+        col("r.title").as("title"),
+        col("r.price").as("price"),
+        col("r.sold_quantity").as("sold_quantity"),
+        col("r.thumbnail").as("thumbnail"))
+      .withColumn("created_date", current_timestamp())                 // R6
+
+  /** R7: snapshot load — full overwrite, the reference's
+    * if_exists="replace" idempotency story (README.md:37). At 100 TB
+    * the overwrite would target a date partition
+    * (.partitionBy("load_date")) rather than the whole table; the mode
+    * semantics are identical. */
+  def snapshotLoad(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** R1-R7 end to end. */
+  def run(payloads: DataFrame, payloadCol: String, outPath: String): Unit =
+    snapshotLoad(normalize(payloads, payloadCol), outPath)
+}
