@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup operator tests (SURVEY.md §5.2 #1/#3). The MinHash-LSH path is
+  * excluded from the SQL oracle by contract (SURVEY §2B: "verify by
+  * property: near-dup pairs ⊇ exact dups") — those properties live here.
+  */
+class DedupSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "completely different content about spark engines"), // exact dup of 4
+    (6L, "unrelated text with no overlap whatsoever here today"),
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps the min-key row per distinct text") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+    assert(out.select("doc_id").as[Long].collect().sorted === Seq(1L, 3L, 4L, 6L))
+    assert(out.columns.toSeq === Seq("doc_id", "text")) // helper cols dropped
+  }
+
+  test("exactDedup is idempotent") {
+    val once = Dedup.exactDedup(docs, "text", "doc_id")
+    val twice = Dedup.exactDedup(once, "text", "doc_id")
+    assert(twice.collect().toSet === once.collect().toSet)
+  }
+
+  test("exactDedup of an empty input is empty") {
+    val empty = docs.filter(lit(false))
+    assert(Dedup.exactDedup(empty, "text", "doc_id").isEmpty)
+  }
+
+  test("dedupGroups counts copies per distinct content") {
+    val out = Dedup.dedupGroups(docs, "text", "doc_id")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 2L, 3L -> 1L, 4L -> 2L, 6L -> 1L))
+  }
+
+  test("shingles: n-grams of a token array; shorter-than-n shingles to empty") {
+    val df = Seq("a b c d", "a b", "a").toDF("text")
+      .select(Dedup.shingles(split(col("text"), " "), 3).as("sh"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Nil) // 2 tokens < n=3
+    assert(got(2) === Nil)
+  }
+
+  test("identical texts get identical minhash signatures (est Jaccard = 1)") {
+    val sigs = docs.filter(col("doc_id").isin(1, 2))
+      .select(Dedup.minhashSignature(
+        Dedup.shingles(split(col("text"), " "), 2), 64).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs(0) === sigs(1))
+  }
+
+  test("minhash estimate tracks exact Jaccard within statistical tolerance") {
+    // k=128 hashes → σ = sqrt(J(1-J)/k) ≤ 0.045; assert within 4σ ≈ 0.18.
+    val k = 128
+    val sh = docs.select(col("doc_id"),
+      Dedup.shingles(split(col("text"), " "), 2).as("sh"),
+      Dedup.minhashSignature(Dedup.shingles(split(col("text"), " "), 2), k).as("sig"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b"))
+    val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(
+        Dedup.exactJaccard(col("sh_a"), col("sh_b")).as("exact"),
+        Dedup.estJaccard(col("sig_a"), col("sig_b"), k).as("est"))
+      .as[(Double, Double)].collect()
+    assert(pairs.nonEmpty)
+    for ((exact, est) <- pairs)
+      assert(math.abs(exact - est) <= 0.18, s"exact=$exact est=$est")
+  }
+
+  test("LSH candidate pairs contain every exact-duplicate pair (superset property)") {
+    val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // Exact dups always collide in EVERY band.
+    assert(cands.contains((1L, 2L)), s"missing exact-dup pair in $cands")
+    assert(cands.contains((4L, 5L)), s"missing exact-dup pair in $cands")
+  }
+
+  test("LSH finds the near-dup pair and scores it high; est Jaccard on dups is 1") {
+    val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 32) // r=2 → high recall
+      .select("id_a", "id_b", "est_jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(cands((1L, 2L)) === 1.0)
+    assert(cands((1L, 3L)) > 0.5, s"near-dup pair scored ${cands.get((1L, 3L))}")
+    // Unrelated doc 6 must not pair with doc 1's cluster at high score.
+    for (((x, y), j) <- cands if (x == 6L || y == 6L)) assert(j < 0.5)
+  }
+
+  test("LSH pair list is deduplicated across bands and ordered id_a < id_b") {
+    val rows = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(rows.length === rows.toSet.size)
+    for ((a, b) <- rows) assert(a < b)
+  }
+}

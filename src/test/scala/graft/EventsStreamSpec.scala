@@ -1,0 +1,167 @@
+package graft
+
+import graft.stream.Events
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+import java.time.Instant
+
+/** One event row for MemoryStream (top-level: encoders need a static
+  * case class, not an inner one). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Streaming tests (SURVEY.md §5.2 #4): MemoryStream in, memory/file
+  * sink out, NEVER wall-clock — watermark movement is driven entirely
+  * by event timestamps. Batch/stream equivalence is the core claim:
+  * q60-q62 run the same graft.stream.Events transforms in batch mode
+  * against DuckDB oracles; these tests prove the streaming path
+  * computes the same answers and that watermarks bound state/drop
+  * late data as designed. */
+class EventsStreamSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+  private def tmpDir(): Path = Files.createTempDirectory("graft-stream-")
+
+  private var nextQ = 0
+  private def queryName(): String = { nextQ += 1; s"graft_stream_q$nextQ" }
+
+  test("streaming tumbling agg (complete mode) equals the batch q60 transform") {
+    val rows = Seq(
+      Ev(1, t("2024-01-01T10:01:00Z"), 1, "click", 1.0),
+      Ev(2, t("2024-01-01T10:04:00Z"), 2, "click", 2.5),
+      Ev(3, t("2024-01-01T10:12:00Z"), 1, "view", 4.0),
+      Ev(4, t("2024-01-01T10:13:00Z"), 3, "click", 0.5),
+      Ev(5, t("2024-01-01T11:00:00Z"), 1, "view", 3.0))
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(rows)
+    val name = queryName()
+    val q = Events.tumbling(ms.toDF(), "10 minutes").writeStream
+      .format("memory").queryName(name).outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(name).collect().toSet
+      val batch = Events.tumbling(rows.toDF(), "10 minutes").collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("watermark finalizes windows in append mode and DROPS late rows behind it") {
+    val ms = MemoryStream[Ev](spark)
+    val name = queryName()
+    val q = Events.tumblingWithWatermark(ms.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // batch 1: two rows in window [10:00,10:10) plus an advancer at
+      // 10:20 — AFTER this batch the watermark is 10:20 − 5min = 10:15,
+      // which is past the 10:00 window's END (late-drop eligibility is
+      // window.end <= watermark, not row.ts <= watermark).
+      ms.addData(Seq(
+        Ev(1, t("2024-01-01T10:01:00Z"), 1, "click", 1.0),
+        Ev(2, t("2024-01-01T10:04:00Z"), 2, "click", 1.0),
+        Ev(3, t("2024-01-01T10:20:00Z"), 3, "click", 1.0)))
+      q.processAllAvailable()
+      // batch 2 runs with watermark 10:15: the [10:00,10:10) window is
+      // finalized with its batch-1 contents, and this batch's late row
+      // targeting it is DROPPED; 10:40 advances the watermark further.
+      ms.addData(Seq(
+        Ev(4, t("2024-01-01T10:01:30Z"), 4, "click", 100.0), // late — must not count
+        Ev(5, t("2024-01-01T10:40:00Z"), 5, "click", 1.0)))
+      q.processAllAvailable()
+      // batch 3: advance watermark past every remaining window end.
+      ms.addData(Seq(Ev(6, t("2024-01-01T11:30:00Z"), 6, "click", 1.0)))
+      q.processAllAvailable()
+
+      val out = spark.table(name)
+        .select("window_start", "n", "sum_value")
+        .as[(String, Long, Double)].collect()
+        .map { case (k, n, v) => k -> ((n, v)) }.toMap
+      // the 10:00 window holds ONLY the two batch-1 rows; the late row's
+      // value=100 never lands anywhere.
+      assert(out("2024-01-01 10:00:00") === ((2L, 2.0)))
+      assert(out("2024-01-01 10:20:00") === ((1L, 1.0)))
+      assert(out("2024-01-01 10:40:00") === ((1L, 1.0)))
+      assert(!out.values.exists(_._2 >= 100.0), s"late row leaked: $out")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark: duplicate event_ids within the horizon collapse") {
+    val ms = MemoryStream[Ev](spark)
+    val name = queryName()
+    val q = Events.dedupWithinWatermark(ms.toDF(), "1 hour")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      ms.addData(Seq(
+        Ev(1, t("2024-01-01T10:00:00Z"), 1, "click", 1.0),
+        Ev(1, t("2024-01-01T10:00:01Z"), 1, "click", 1.0), // same id, same batch
+        Ev(2, t("2024-01-01T10:05:00Z"), 2, "view", 2.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(
+        Ev(1, t("2024-01-01T10:20:00Z"), 1, "click", 1.0), // dup across batches
+        Ev(3, t("2024-01-01T10:21:00Z"), 3, "view", 3.0)))
+      q.processAllAvailable()
+      val ids = spark.table(name).select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("session windows: gap < 1h extends, gap >= 1h splits (batch semantics, q62 shape)") {
+    val rows = Seq(
+      Ev(1, t("2024-01-01T10:00:00Z"), 1, "click", 1.0),
+      Ev(2, t("2024-01-01T10:30:00Z"), 1, "click", 1.0), // 30min gap — same session
+      Ev(3, t("2024-01-01T11:31:00Z"), 1, "click", 1.0), // 61min gap — new session
+      Ev(4, t("2024-01-01T10:00:00Z"), 2, "view", 5.0))
+    val got = Events.sessions(rows.toDF(), "1 hour")
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set(
+      (1L, "2024-01-01 10:00:00", 2L),
+      (1L, "2024-01-01 11:31:00", 1L),
+      (2L, "2024-01-01 10:00:00", 1L)))
+  }
+
+  test("foreachBatch report sink: non-empty batch writes an artifact, empty stream writes none") {
+    val dir = tmpDir()
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(Seq(Ev(1, t("2024-01-01T10:00:00Z"), 1, "click", 1.0)))
+    val q = Events.reportSink(
+      Events.tumbling(ms.toDF(), "10 minutes"), dir.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(Files.exists(dir.resolve("report-0.html")),
+      s"missing report artifact in ${Files.list(dir).toArray.mkString(",")}")
+
+    // R12 per batch: an all-filtered (empty) stream leaves NO artifacts.
+    val dir2 = tmpDir()
+    val ms2 = MemoryStream[Ev](spark)
+    ms2.addData(Seq(Ev(1, t("2024-01-01T10:00:00Z"), 1, "click", 1.0)))
+    val q2 = Events.reportSink(
+      Events.tumbling(ms2.toDF().filter(lit(false)), "10 minutes"), dir2.toString).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(!Files.list(dir2).findAny().isPresent,
+      "empty batches must not write artifacts")
+  }
+
+  test("batch tumbling on the events fixture equals the streamed fixture (file-source replay)") {
+    // Replays the real fixture through the streaming engine: same rows,
+    // same transform, complete mode — must equal the batch q60 result.
+    val batchDf = Tables.events(spark, sfDir)
+    val rows = batchDf.select(
+        col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(rows)
+    val name = queryName()
+    val q = Events.tumbling(ms.toDF(), "1 day").writeStream
+      .format("memory").queryName(name).outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(name).collect().toSet
+      val batch = Events.tumbling(batchDf, "1 day").collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}

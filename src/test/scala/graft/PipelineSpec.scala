@@ -1,0 +1,85 @@
+package graft
+
+import graft.pipeline.{Ingest, Report}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+
+/** Golden end-to-end tests for the reference pipeline (SURVEY.md §5.2
+  * #5): ingest R1-R7 on literal payloads, report R11-R15 including the
+  * reference's inverted-predicate forced-empty validation
+  * (reference README.md:59-61 — empty result ⇒ NO artifact at all). */
+class PipelineSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def tmpDir(): Path = Files.createTempDirectory("graft-test-")
+
+  private val payloads = Seq(
+    // category 1: two products
+    """{"results":[
+      |{"id":"MLA1","site_id":"MLA","title":"Widget","price":100.5,"sold_quantity":80000,"thumbnail":"http://t/1"},
+      |{"id":"MLA2","site_id":"MLA","title":"Gadget","price":5.0,"sold_quantity":3,"thumbnail":"http://t/2"}]}""".stripMargin,
+    // category 2: empty results array (reference: empty category)
+    """{"results":[]}""",
+    // corrupt payload → from_json null → contributes no rows
+    """not json at all""",
+  ).toDF("payload")
+
+  test("ingest normalize: R3 decode + R4 flatten + R5 project + R6 timestamp") {
+    val out = Ingest.normalize(payloads, "payload")
+    assert(out.columns.toSeq === Seq("id", "site_id", "title", "price",
+      "sold_quantity", "thumbnail", "created_date"))
+    val rows = out.select("id", "price", "sold_quantity")
+      .as[(String, Double, Long)].collect().sortBy(_._1)
+    assert(rows === Seq(("MLA1", 100.5, 80000L), ("MLA2", 5.0, 3L)))
+    assert(out.filter(col("created_date").isNull).isEmpty)
+  }
+
+  test("ingest snapshot load is an idempotent overwrite (R7 if_exists=replace)") {
+    val dir = tmpDir().resolve("products").toString
+    Ingest.run(payloads, "payload", dir)
+    Ingest.run(payloads, "payload", dir) // second run replaces, not appends
+    assert(spark.read.parquet(dir).count() === 2)
+  }
+
+  test("report: threshold filter + render + sink writes one HTML artifact") {
+    val dir = tmpDir()
+    val products = Ingest.normalize(payloads, "payload")
+    val hv = Report.highVolumeSales(products, 7000000.0) // reference's ARS$7M
+    val out = dir.resolve("report.html")
+    assert(Report.writeReport(hv, "high volume sales", out.toString))
+    val html = Files.readString(out)
+    assert(html.contains("<h1>high volume sales</h1>"))
+    assert(html.contains("<td>MLA1</td>")) // 100.5 × 80000 = 8.04M ≥ 7M
+    assert(!html.contains("MLA2"))        // 15 < 7M — filtered out
+    // R10: created_date rendered dd-MM-yyyy
+    assert("<td>\\d{2}-\\d{2}-\\d{4}</td>".r.findFirstIn(html).isDefined)
+  }
+
+  test("report R12: empty result writes NO artifact (inverted predicate, README.md:59-61)") {
+    val dir = tmpDir()
+    val products = Ingest.normalize(payloads, "payload")
+    val none = Report.highVolumeSales(products, Double.MaxValue)
+    val out = dir.resolve("report.html")
+    assert(!Report.writeReport(none, "high volume sales", out.toString))
+    assert(!Files.exists(out), "empty result must not leave an artifact")
+  }
+
+  test("toJsonPayload: reference {\"data\":[...]} shape; None when empty (R11/R12)") {
+    val df = Seq(("MLA1", 2L)).toDF("id", "n")
+    val some = Report.toJsonPayload(df)
+    assert(some.exists(s => s.startsWith("{\"data\":[") && s.contains("\"id\":\"MLA1\"")))
+    assert(Report.toJsonPayload(df.filter(lit(false))).isEmpty)
+  }
+
+  test("flagship e2e on sf0.001: real threshold writes a report, inverted one does not") {
+    val dir = tmpDir()
+    val written = SparkEntry.runFlagship(spark, sfDir, 1000000.0,
+      dir.resolve("flagship.html").toString)
+    assert(written && Files.exists(dir.resolve("flagship.html")))
+
+    val empty = SparkEntry.runFlagship(spark, sfDir, Double.MaxValue,
+      dir.resolve("empty.html").toString)
+    assert(!empty && !Files.exists(dir.resolve("empty.html")))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guards (SURVEY.md §5.2 #6): the engine RELIES on Catalyst
+  * for pushdown/pruning/top-k/broadcast decisions instead of
+  * hand-scheduling them — these tests pin that reliance so a regression
+  * (e.g. an accidental UDF breaking pushdown, or a reintroduced forced
+  * broadcast of an SF-scaling table) fails the build, not the 100 TB
+  * deployment.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkFixture {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q01 column pruning reaches the parquet scan (ReadSchema excludes unused columns)") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("ReadSchema"))
+    // lineitem has 16 columns; the query projects 4. A scan that still
+    // reads l_comment would defeat columnar pruning at 100 TB.
+    assert(!p.contains("l_comment"), s"unpruned scan:\n$p")
+    assert(!p.contains("l_shipdate"), s"unpruned scan:\n$p")
+  }
+
+  test("q03 literal predicate is pushed into the parquet scan (PushedFilters)") {
+    val p = plan("q03_union")
+    assert(p.contains("PushedFilters: ["), s"no pushdown section:\n$p")
+    assert(p.contains("EqualTo(o_orderstatus"), s"o_orderstatus filter not pushed:\n$p")
+  }
+
+  test("q02 prunes columns even though the computed predicate itself cannot push") {
+    val p = plan("q02_filter_compute")
+    // revenue = price * qty is not a parquet-pushable predicate, but the
+    // scan must still read only the 4 referenced columns.
+    assert(!p.contains("l_comment"), s"unpruned scan:\n$p")
+    // The null guards on the multiplied columns DO push.
+    assert(p.contains("IsNotNull"), s"expected IsNotNull pushdown:\n$p")
+  }
+
+  test("top-k queries plan as TakeOrderedAndProject, never a global sort") {
+    for (q <- Seq("q07_topk", "q51_similarity_topk")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q lost the top-k plan:\n$p")
+    }
+  }
+
+  /** VERDICT r1 #2/#6: only FIXED-SIZE dims (nation 25 rows, region 5
+    * rows) may carry forced broadcast hints; customer/part grow with SF
+    * and must be left to AQE. With autoBroadcastJoinThreshold=-1 and AQE
+    * off, a BroadcastHashJoin can only appear where a hint forces it —
+    * so its presence/absence is exactly the hint audit. */
+  test("q15 hints broadcast only for fixed-size dims; q14 has no forced broadcast") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val star = plan("q15_join_star")
+      assert(star.contains("BroadcastHashJoin"),
+        s"nation/region broadcast hints missing in q15:\n$star")
+      // customer joins must NOT be broadcast under threshold=-1: count
+      // the forced broadcasts — exactly 2 (nation, region).
+      val forced = "BroadcastExchange".r.findAllIn(star).size
+      assert(forced == 2, s"expected exactly 2 forced broadcasts (nation, region), got $forced:\n$star")
+
+      val range = plan("q14_join_range")
+      assert(!range.contains("BroadcastHashJoin"),
+        s"q14 must not force-broadcast the SF-scaling part table:\n$range")
+    }
+  }
+
+  test("no Python/Scala UDF appears in any oracle query plan (codegen discipline)") {
+    for ((name, q) <- SparkEntry.queries) {
+      val p = q(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("BatchEvalPython") && !p.contains("UDF("),
+        s"$name contains a UDF — breaks whole-stage codegen:\n$p")
+    }
+  }
+
+  test("flagship entry smoke: rows > 0 on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

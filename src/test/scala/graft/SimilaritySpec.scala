@@ -1,0 +1,83 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Similarity-search tests: exact vector math on known values, top-k
+  * ordering, and the IVF cell-probe path (the 100 TB layout: partition
+  * by cell, probe a subset). */
+class SimilaritySpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("dot / normSq / cosine on known vectors") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, -5.0f, 6.0f)))
+      .toDF("a", "b")
+      .select(
+        Similarity.dot(col("a"), col("b")).as("dot"),
+        Similarity.normSq(col("a")).as("n2"),
+        Similarity.cosine(col("a"), col("a")).as("cos_self"))
+    val (dot, n2, cosSelf) = df.as[(Double, Double, Double)].head()
+    assert(dot === 1.0 * 4 - 2 * 5 + 3 * 6) // 12.0
+    assert(n2 === 14.0)
+    assert(math.abs(cosSelf - 1.0) < 1e-12)
+  }
+
+  test("topKDot returns exactly k best by dot product, ties broken by id") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.5f, 0.5f)), (4L, Seq(-1.0f, 0.0f)),
+      (5L, Seq(1.0f, 0.0f))) // tie with id 1
+      .toDF("vec_id", "embedding")
+    val query = Seq(Tuple1(Seq(1.0f, 0.0f))).toDF("q")
+    val got = Similarity.topKDot(corpus, "vec_id", "embedding", query, "q", 3)
+      .as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq(1L, 5L, 3L)) // 1.0, 1.0, 0.5
+    assert(got.map(_._2).toSeq === Seq(1.0, 1.0, 0.5))
+  }
+
+  test("assignCells puts each vector in its nearest centroid's cell") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("cell_id", "c_vec")
+    val cells = Similarity.assignCells(corpus, "vec_id", "embedding", centroids)
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    assert(cells === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("ivfTopK with full probe equals brute force; partial probe stays within probed cells") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("cell_id", "c_vec")
+    val indexed = Similarity.assignCells(corpus, "vec_id", "embedding", centroids)
+    val query = Seq(Tuple1(Seq(1.0f, 0.2f))).toDF("q")
+
+    val brute = Similarity.topKDot(corpus, "vec_id", "embedding", query, "q", 2)
+      .as[(Long, Double)].collect().toSeq
+    val full = Similarity.ivfTopK(indexed, "vec_id", "embedding",
+      centroids, query, "q", 2, nProbe = 2).as[(Long, Double)].collect().toSeq
+    assert(full === brute)
+
+    val oneProbe = Similarity.ivfTopK(indexed, "vec_id", "embedding",
+      centroids, query, "q", 2, nProbe = 1).as[(Long, Double)].collect().toSeq
+    // query leans to cell 0 → results come only from {1, 2}
+    assert(oneProbe.map(_._1).toSet.subsetOf(Set(1L, 2L)))
+  }
+
+  test("q51 on fixtures: top-1 by dot is the global argmax (brute-force check)") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val top = Similarity.topKDot(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, "q", 1)
+      .as[(Long, Double)].head()
+    val all = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(Similarity.dot(col("embedding"), col("q")).as("s"))
+      .agg(max("s")).as[Double].head()
+    assert(math.abs(top._2 - all) < 1e-9)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("token counts and average token length") {
+    val df = Seq("aa bb ccc").toDF("text").select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.distinctTokenCount(col("text")).as("d"),
+      TextAnalysis.avgTokenLen(col("text")).as("avg"))
+    val (n, d, avg) = df.as[(Long, Long, Double)].head()
+    assert(n === 3L && d === 3L)
+    assert(math.abs(avg - 7.0 / 3) < 1e-12)
+  }
+
+  test("regexTokens splits words, digit runs, and punctuation runs") {
+    val got = Seq("ab12,cd! x").toDF("text")
+      .select(TextAnalysis.regexTokens(col("text")).as("t"))
+      .as[Seq[String]].head()
+    assert(got === Seq("ab", "12", ",", "cd", "!", "x"))
+  }
+
+  test("stopword and type-token ratios") {
+    val df = Seq("the cat the dog").toDF("text").select(
+      TextAnalysis.stopwordRatio(col("text"), Seq("the", "a")).as("sw"),
+      TextAnalysis.typeTokenRatio(col("text")).as("ttr"))
+    val (sw, ttr) = df.as[(Double, Double)].head()
+    assert(sw === 0.5)  // 2 of 4
+    assert(ttr === 0.75) // 3 distinct of 4
+  }
+
+  test("qualityScore stays in [0,1] and rewards length band + diversity") {
+    val short = Seq("tiny text").toDF("text")
+      .select(TextAnalysis.qualityScore(col("text"))).as[Double].head()
+    val good = Seq(((1 to 50).map(i => s"w$i").mkString(" "))).toDF("text")
+      .select(TextAnalysis.qualityScore(col("text"))).as[Double].head()
+    assert(short >= 0.0 && short <= 1.0 && good >= 0.0 && good <= 1.0)
+    assert(good > short) // in-band + fully diverse beats short text
+    assert(good === 1.0)
+  }
+
+  test("langId picks the language whose markers dominate; und when none match") {
+    val got = Seq(
+      "the cat is in the house and it is warm",
+      "el gato es de la casa que es una maravilla por los dios",
+      "le chat est dans les maisons et la vie est une chose",
+      "der hund ist nicht das problem und die katze ist ein freund",
+      "zzz qqq xxx")
+      .toDF("text").select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(got === Seq("en", "es", "fr", "de", "und"))
+  }
+
+  test("bagFingerprint is order-invariant and duplicate-insensitive") {
+    val fp = Seq("b a c", "c b a", "a a b c c", "a b d")
+      .toDF("text").select(TextAnalysis.bagFingerprint(col("text"))).as[String].collect()
+    assert(fp(0) === fp(1))
+    assert(fp(0) === fp(2))
+    assert(fp(0) !== fp(3))
+  }
+
+  test("rollingHash matches a hand-rolled polynomial mod 1e9+7") {
+    val got = Seq("abc").toDF("text")
+      .select(TextAnalysis.rollingHash(col("text"))).as[Long].head()
+    val expect = "abc".foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    assert(got === expect)
+  }
+
+  test("tfIdf on a tiny corpus matches hand computation") {
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdf(docs, "doc_id", "text")
+      .select("doc_id", "token", "tfidf").as[(Long, String, Double)]
+      .collect().map { case (id, t, v) => (id, t) -> v }.toMap
+    // df(a)=2, df(b)=df(c)=1, N=2 → idf(a)=ln(1)=0, idf(b)=idf(c)=ln 2
+    assert(got((1L, "a")) === 0.0)
+    assert(math.abs(got((1L, "b")) - math.log(2.0)) < 1e-12)
+    assert(math.abs(got((2L, "c")) - math.log(2.0)) < 1e-12)
+  }
+}
