@@ -58,6 +58,27 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("cell_id"))
   }
 
+  /** Random-hyperplane (SimHash-for-cosine) LSH sketch: bit j of the
+    * sketch is the sign of v · r_j for a fixed pseudo-random hyperplane
+    * r_j. P[bit differs] = angle(a,b)/π, so Hamming distance estimates
+    * cosine distance. Hyperplanes are generated driver-side from a
+    * FIXED seed (deterministic across runs/executors) and inlined as
+    * literals — the whole sketch stays codegen'd, no UDF.
+    *
+    * Scale path for embedding near-dup: group by sketch (or by bands of
+    * it) and compare only within buckets — the cosine analog of
+    * Dedup.lshCandidatePairs; candidates then rescore with exact
+    * `cosine`. */
+  def cosineSketch(vec: Column, dims: Int, bits: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bits)(Array.fill(dims)(rnd.nextGaussian()))
+    val bitCols = planes.zipWithIndex.map { case (plane, j) =>
+      val planeLit = array(plane.map(lit): _*)
+      when(dot(vec, planeLit) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _) // disjoint bit positions — sum == bitwise OR
+  }
+
   /** IVF probe: exact top-k restricted to the nProbe cells whose
     * centroids score best against the query. The centroid ranking is a
     * C-row computation (fixed size) and the corpus filter on cell_id is

@@ -18,6 +18,31 @@ import org.apache.spark.sql.functions._
 object LlmQueries {
 
   val queries: Map[String, Q] = Map(
+    // embedding-cosine near-dup, brute force on a BOUNDED slice (the
+    // honest baseline; the scale path is Similarity.cosineSketch
+    // bucketing — same rescoring expression, sub-quadratic candidates).
+    "q48_cosine_pairs" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 80)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Similarity.cosine(col("va"), col("vb")).as("c"))
+        .filter(col("c") >= 0.2)
+        .select(col("id_a"), col("id_b"), round(col("c"), 4).as("cos_sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // language-ID: marker-word argmax heuristic, row-local, no UDF.
+    // The `lang` fixture column is ground truth; the query reports the
+    // detected language so the oracle pins the heuristic itself.
+    "q49_langid" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("detected"))
+        .orderBy("doc_id")
+    }),
+
     // exact dedup via content hash: group keys are 32-byte hashes, not
     // raw text (the 100 TB shuffle-payload design).
     "q50_exact_dedup" -> ((s, dir) => {
@@ -130,6 +155,35 @@ object LlmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q48_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 80 AND b.vec_id < 80
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+    // same marker-argmax heuristic, same tie-break (struct compare in
+    // Spark orders ties to the alphabetically-LAST language code, so
+    // the CASE chain tests fr, then es, then en, then de).
+    "q49_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que','los','una','es','por'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','et','les','des','est','une','dans'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+        |       WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |       WHEN s_en >= s_de THEN 'en'
+        |       ELSE 'de' END AS detected
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q50_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,

@@ -70,6 +70,33 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(oneProbe.map(_._1).toSet.subsetOf(Set(1L, 2L)))
   }
 
+  test("cosineSketch: identical vectors sketch identically; Hamming tracks cosine") {
+    val e = Tables.embeddings(spark, sfDir).limit(200)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.cosineSketch(col("embedding"), dims = 64, bits = 32).as("sk"))
+    // determinism + self-identity: recomputing yields the same sketch
+    val twice = e.withColumn("sk2",
+      Similarity.cosineSketch(col("embedding"), dims = 64, bits = 32))
+      .filter(col("sk") =!= col("sk2"))
+    assert(twice.isEmpty)
+
+    // random-hyperplane property: P[bit differs] = angle/π, so the
+    // Hamming distance of high-cosine pairs must undercut the mean of
+    // near-orthogonal pairs on average.
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"), col("sk").as("ska"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"), col("sk").as("skb"))
+    val pairs = a.join(b, col("ia") < col("ib"))
+      .select(
+        Similarity.cosine(col("va"), col("vb")).as("cos"),
+        bit_count(col("ska").bitwiseXOR(col("skb"))).cast("double").as("ham"))
+    val Array(hiHam, loHam) = pairs
+      .select(
+        avg(when(col("cos") > 0.2, col("ham"))),
+        avg(when(abs(col("cos")) < 0.05, col("ham"))))
+      .as[(Double, Double)].collect().map(t => Array(t._1, t._2)).head
+    assert(hiHam < loHam, s"high-cos pairs hamming $hiHam !< near-orthogonal $loHam")
+  }
+
   test("q51 on fixtures: top-1 by dot is the global argmax (brute-force check)") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
