@@ -144,6 +144,19 @@ object LlmQueries {
         .orderBy("pair_id")
     }),
 
+    // token counting under the BPE-ish regex pre-tokenizer (words /
+    // digit runs / punctuation runs) next to the whitespace count —
+    // row-local, the difference is the subword-split overhead a real
+    // BPE pass would amplify.
+    "q59_regex_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(TextAnalysis.regexTokens(col("text"))).cast("long").as("n_regex_tokens"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // order-invariant document fingerprint (md5 of sorted distinct
     // token bag) — row-local blocking key for dedup.
     "q58_fingerprint" -> ((s, dir) => {
@@ -254,6 +267,11 @@ object LlmQueries {
         |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY pair_id""".stripMargin,
+    "q59_regex_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_regex_tokens,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q58_fingerprint" ->
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
