@@ -1,10 +1,10 @@
 package graft.stream
 
 import graft.pipeline.Report
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
 
 /** Streaming operators over the events table (SURVEY.md §2B
   * "Streaming"): windowed aggregation, session windows, watermarked
@@ -23,6 +23,31 @@ import org.apache.spark.sql.Row
   * batch path gets partition pruning, and the streaming path would set
   * maxFilesPerTrigger for admission control. */
 object Events {
+
+  /** On-disk schema of the events fixture for the STREAMING file source
+    * (streaming reads cannot infer schema). `ts` is declared LongType
+    * because the file stores TIMESTAMP(NANOS), which the session reads
+    * as nanos-long under Tables.sessionConf — the conversion to a
+    * micros TimestampType happens below, identically to the batch
+    * loader Tables.events. */
+  private val fileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming file source over an events parquet directory — the
+    * production entry point (MemoryStream is test-only). New files
+    * appearing under `dir` become micro-batches; at 100 TB scale pair
+    * with maxFilesPerTrigger for admission control and a date-
+    * partitioned layout for pruning. */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(fileSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling window aggregation per event type (fixed, non-overlapping
     * buckets). Money-style exact sum: DECIMAL accumulate, DOUBLE out. */

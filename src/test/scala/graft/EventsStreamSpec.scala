@@ -145,6 +145,25 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
       "empty batches must not write artifacts")
   }
 
+  test("streaming FILE source over the events fixture equals the batch q60 result") {
+    // the streaming file source consumes a DIRECTORY — stage the single
+    // fixture file into one (read-only testdata stays untouched).
+    val stage = tmpDir()
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val name = queryName()
+    val q = Events.tumbling(
+        Events.readStream(spark, stage.toString), "1 day")
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(name).collect().toSet
+      val batch = Events.tumbling(Tables.events(spark, sfDir), "1 day").collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("batch tumbling on the events fixture equals the streamed fixture (file-source replay)") {
     // Replays the real fixture through the streaming engine: same rows,
     // same transform, complete mode — must equal the batch q60 result.
