@@ -10,6 +10,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
     Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
+    graft.expressions.VectorExpressions.register(spark)
+    spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct)
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: one trivial job + the flagship query spins up the
     // executor pool, whole-stage codegen compiler, and parquet reader

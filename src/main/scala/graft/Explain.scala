@@ -16,6 +16,8 @@ object Explain {
       .config("spark.ui.enabled", "false")
     Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
+    graft.expressions.VectorExpressions.register(spark)
+    spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct)
     spark.sparkContext.setLogLevel("ERROR")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if only.forall(_ == name)) {

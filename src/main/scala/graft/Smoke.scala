@@ -13,6 +13,8 @@ object Smoke {
       .config("spark.ui.enabled", "false")
     Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
+    graft.expressions.VectorExpressions.register(spark)
+    spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct)
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.entry(spark)
     val n = df.count()

@@ -14,6 +14,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
     Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
+    graft.expressions.VectorExpressions.register(spark)
+    spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

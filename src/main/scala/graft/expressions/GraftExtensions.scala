@@ -1,0 +1,21 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Config-time extension entry point:
+  *
+  *   spark.sql.extensions=graft.expressions.GraftExtensions
+  *
+  * installs the engine's native function surface (graft_dot) and the
+  * optimizer rewrite (declarative HOF dot product → fused expression)
+  * into every session of the application — the SparkSessionExtensions
+  * seam SURVEY.md §4.2 documents. Live sessions can instead call
+  * VectorExpressions.register + experimental.extraOptimizations. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+        VectorExpressions.dotInfo, VectorExpressions.dotBuilder))
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
+  }
+}

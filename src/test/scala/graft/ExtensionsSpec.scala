@@ -1,0 +1,83 @@
+package graft
+
+import graft.expressions.{DotProductF32, RewriteDotProduct, VectorExpressions}
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Catalyst extension seam: native expression (with codegen),
+  * optimizer rule, and function registration — each proved against the
+  * declarative Similarity.dot baseline it accelerates. */
+class ExtensionsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("graft_dot registers and equals the declarative zip_with/aggregate dot") {
+    VectorExpressions.register(spark)
+    val bad = Tables.embeddings(spark, sfDir).limit(200)
+      .select(
+        Similarity.dot(col("embedding"), col("embedding")).as("hof"),
+        call_function("graft_dot", col("embedding"), col("embedding")).as("native"))
+      .filter(abs(col("hof") - col("native")) > 1e-9)
+    assert(bad.isEmpty)
+  }
+
+  test("graft_dot null semantics: null array yields null; empty arrays yield 0") {
+    VectorExpressions.register(spark)
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),
+      (None, Some(Seq(1.0f))),
+      (Some(Seq.empty[Float]), Some(Seq.empty[Float])))
+      .toDF("a", "b")
+      .select(call_function("graft_dot", col("a"), col("b")).as("d"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq === Seq(Some(11.0), None, Some(0.0)))
+  }
+
+  test("graft_dot survives codegen and interpreted paths identically") {
+    VectorExpressions.register(spark)
+    def run(): Seq[Double] =
+      Tables.embeddings(spark, sfDir).limit(50)
+        .select(call_function("graft_dot", col("embedding"), col("embedding")))
+        .as[Double].collect().toSeq
+    val withCodegen = withConf("spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")(run())
+    val interpreted = withConf("spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(run())
+    assert(withCodegen === interpreted)
+  }
+
+  test("RewriteDotProduct swaps the HOF dot product for the fused native expression") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RewriteDotProduct
+    try {
+      val q = Tables.embeddings(spark, sfDir).limit(100)
+        .select(col("vec_id"),
+          Similarity.dot(col("embedding"), col("embedding")).as("d"))
+      val optimized = q.queryExecution.optimizedPlan
+      val rewritten = optimized.collect { case n => n.expressions }.flatten
+        .exists(_.exists(_.isInstanceOf[DotProductF32]))
+      assert(rewritten, s"rule did not fire:\n$optimized")
+
+      // results are identical with and without the rewrite
+      val withRule = q.as[(Long, Double)].collect().toSet
+      spark.experimental.extraOptimizations = prev
+      val withoutRule = q.as[(Long, Double)].collect().toSet
+      assert(withRule === withoutRule)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("rule conservatism: a non-dot aggregate(zip_with) is left untouched") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RewriteDotProduct
+    try {
+      // sum of element-wise MAX — same shape, different lambda: must not rewrite
+      val q = Tables.embeddings(spark, sfDir).limit(10)
+        .select(aggregate(
+          zip_with(col("embedding"), col("embedding"),
+            (x, y) => greatest(x.cast("double"), y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v).as("s"))
+      val touched = q.queryExecution.optimizedPlan
+        .collect { case n => n.expressions }.flatten
+        .exists(_.exists(_.isInstanceOf[DotProductF32]))
+      assert(!touched)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+}
