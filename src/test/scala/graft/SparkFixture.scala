@@ -16,6 +16,10 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // managed tables (WarehouseSpec bucketing) go to a temp dir, not
+      // a spark-warehouse/ directory inside the repo
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
     Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
