@@ -76,6 +76,23 @@ object Multimodal {
         }
       }
 
+  /** Resize analog (STUB — real codecs absent): keep every `stride`-th
+    * byte of the payload, the deterministic stand-in for image
+    * downsampling. Same mapPartitions contract as extractFeatures:
+    * batched, narrow, binary-in/binary-out — a real resampler swaps in
+    * without touching the plan. */
+  def resizePayload(payloadDf: DataFrame, stride: Int): Dataset[(Long, Array[Byte])] =
+    payloadDf.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val out = new Array[Byte]((bytes.length + stride - 1) / stride)
+          var i = 0
+          while (i < out.length) { out(i) = bytes(i * stride); i += 1 }
+          (id, out)
+        }
+      }
+
   /** Frame-sampling analog: every k-th fixed-size slice of the payload
     * (for video this would be every k-th frame). Row-local, emits an
     * array column — demonstrates the batch shape without a codec. */

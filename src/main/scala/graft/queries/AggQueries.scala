@@ -69,6 +69,17 @@ object AggQueries {
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     }),
 
+    // PIVOT: long → wide reshaping. Values are ENUMERATED explicitly —
+    // the implicit form runs a distinct-collection job first AND makes
+    // the output schema data-dependent, both wrong at 100 TB.
+    "q26_pivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))
+        .orderBy("l_returnflag")
+    }),
+
     // HLL++ sketch — the 100 TB path for distinct counts. No SQL oracle
     // (approx); ApproxDistinctSpec property-bounds the error vs exact.
     "q25_approx_distinct" -> ((s, dir) => {
@@ -80,6 +91,11 @@ object AggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q26_pivot" ->
+      """SELECT l_returnflag,
+        |       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F",
+        |       sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q20_agg_sum" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,

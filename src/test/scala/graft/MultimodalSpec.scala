@@ -49,6 +49,13 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("resizePayload (stub) keeps every stride-th byte, ceil-length output") {
+    val df = Seq((1L, "abcdefghij"), (2L, "xyz")).toDF("doc_id", "text")
+    val out = Multimodal.resizePayload(Multimodal.withBinaryPayload(df), 3)
+      .collect().map { case (id, b) => id -> new String(b, "UTF-8") }.toMap
+    assert(out === Map(1L -> "adgj", 2L -> "x"))
+  }
+
   test("sampleSlices emits fixed-size prefix slices of the payload") {
     val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
     val slices = Multimodal.sampleSlices(
