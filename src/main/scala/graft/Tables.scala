@@ -54,9 +54,6 @@ object Tables {
     StructField("props", StringType),
   ))
 
-  /** `events.props` payload schema for `from_json`. */
-  val propsSchema: StructType = StructType(Seq(StructField("k", LongType)))
-
   /** The reference's `products` table shape
     * (reference: mercadolibre_pipeline_dag.py:50-59). Used by the ingest
     * pipeline (graft.pipeline.Ingest). */

@@ -80,6 +80,46 @@ object AggQueries {
         .orderBy("l_returnflag")
     }),
 
+    // UNPIVOT (wide → long, pivot's inverse): ids stay, the enumerated
+    // value columns melt into (metric, value) rows. Row-local — no
+    // shuffle at all; output is exactly 2× the input rows.
+    "q27_unpivot" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select("p_partkey", "p_size", "p_retailprice")
+        .withColumn("p_size", col("p_size").cast("double"))
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")),
+          "metric", "value")
+        .orderBy("p_partkey", "metric")
+    }),
+
+    // deterministic string aggregation: collect_list is unordered by
+    // contract (partial agg merge order is nondeterministic), so the
+    // engine form is array_sort BEFORE join — order-stable at any
+    // parallelism.
+    "q28_string_agg" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // exact percentiles (linear interpolation — same definition as
+    // DuckDB quantile_cont). At 100 TB use approx_percentile: the exact
+    // form materializes per-group value buffers.
+    "q29_percentile" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .orderBy("l_returnflag")
+    }),
+
     // HLL++ sketch — the 100 TB path for distinct counts. No SQL oracle
     // (approx); ApproxDistinctSpec property-bounds the error vs exact.
     "q25_approx_distinct" -> ((s, dir) => {
@@ -91,6 +131,22 @@ object AggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q27_unpivot" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_retailprice', p_retailprice FROM part)
+        |ORDER BY p_partkey, metric""".stripMargin,
+    "q28_string_agg" ->
+      """SELECT o_orderpriority,
+        |       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q29_percentile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q26_pivot" ->
       """SELECT l_returnflag,
         |       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F",
