@@ -50,6 +50,22 @@ object Ingest {
         col("r.thumbnail").as("thumbnail"))
       .withColumn("created_date", current_timestamp())                 // R6
 
+  /** Corrupt-payload quarantine: rows whose payload is unparseable OR
+    * lacks the `results` field (PERMISSIVE from_json yields an
+    * all-null struct for malformed input, so the null `results` field
+    * — never null for a conforming payload, `[]` at worst — is the
+    * drift signal). The reference silently drops malformed payloads
+    * (json.loads would throw and kill the task); at 100 TB a pipeline
+    * must keep them — schema drift shows up HERE first, and quarantine
+    * row counts are the alert. Pair with `normalize`: good rows flow
+    * on, these land in a side table. */
+  def quarantine(payloads: DataFrame, payloadCol: String): DataFrame =
+    payloads
+      .withColumn("__parsed", from_json(col(payloadCol), searchPayloadSchema))
+      .filter(col(payloadCol).isNotNull && col("__parsed.results").isNull)
+      .select(col(payloadCol).as("raw_payload"),
+        current_timestamp().as("quarantined_at"))
+
   /** R7: snapshot load — full overwrite, the reference's
     * if_exists="replace" idempotency story (README.md:37). At 100 TB
     * the overwrite would target a date partition

@@ -65,6 +65,24 @@ object LlmQueries {
         .orderBy(desc("sim"), col("vec_id"))
     }),
 
+    // IVF-probed similarity search, FULL probe: with nProbe = all
+    // cells the probe must equal brute force exactly — which makes the
+    // brute-force SQL its oracle. The sub-linear partial-probe path
+    // (and cell assignment) is covered in SimilaritySpec; centroids
+    // here are the first 8 corpus vectors (deterministic).
+    "q71_ivf_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("c_vec"))
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val indexed = Similarity.assignCells(corpus, "vec_id", "embedding", centroids)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
+      Similarity.ivfTopK(indexed, "vec_id", "embedding", centroids,
+          q, "q_embedding", 10, nProbe = 8)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+    }),
+
     // multimodal row assembly: documents ⋈ embeddings into nested
     // structs, then field projection (proves the nesting round-trips).
     "q52_multimodal" -> ((s, dir) => {
@@ -222,6 +240,16 @@ object LlmQueries {
         |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |  WHERE e.vec_id <> 0
         |  ORDER BY raw_sim DESC, e.vec_id LIMIT 20) t
+        |ORDER BY sim DESC, vec_id""".stripMargin,
+    "q71_ivf_topk" ->
+      """SELECT vec_id, round(raw_sim, 4) AS sim FROM (
+        |  SELECT e.vec_id,
+        |         list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                          CAST(q.embedding AS DOUBLE[])) AS raw_sim
+        |  FROM embeddings e,
+        |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0
+        |  ORDER BY raw_sim DESC, e.vec_id LIMIT 10) t
         |ORDER BY sim DESC, vec_id""".stripMargin,
     "q52_multimodal" ->
       """SELECT doc_id, lang, source, n_chars, label,

@@ -35,6 +35,15 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(out.filter(col("created_date").isNull).isEmpty)
   }
 
+  test("ingest quarantine captures exactly the unparseable payloads") {
+    val bad = Ingest.quarantine(payloads, "payload")
+    assert(bad.count() === 1)
+    assert(bad.select("raw_payload").as[String].head() === "not json at all")
+    // good + quarantined partition the non-null inputs: 2 parseable
+    // payloads (one of them empty-results) + 1 quarantined = 3 rows in
+    assert(Ingest.normalize(payloads, "payload").count() === 2)
+  }
+
   test("ingest snapshot load is an idempotent overwrite (R7 if_exists=replace)") {
     val dir = tmpDir().resolve("products").toString
     Ingest.run(payloads, "payload", dir)
