@@ -129,6 +129,22 @@ object Dedup {
     * signature) would quadratic-blow a single task; AQE skew-join
     * splitting handles moderate skew, and boilerplate-document buckets
     * should be filtered by a bucket-size cap upstream in a real corpus. */
+  /** End-to-end near-dedup: keep only documents that are not the
+    * HIGHER-id member of any candidate pair at or above `threshold`.
+    * Greedy keep-lowest-id semantics: for a chain a~b, b~c the kept set
+    * is {a} even if a≁c — the standard one-pass approximation (exact
+    * canonical-per-component dedup needs iterative connected
+    * components; at 100 TB the greedy pass is what production corpus
+    * dedup ships). */
+  def nearDedup(df: DataFrame, idCol: String, textCol: String,
+                threshold: Double, shingleN: Int = 3, numHashes: Int = 64,
+                bands: Int = 16): DataFrame = {
+    val losers = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes, bands)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 64,
                         bands: Int = 16): DataFrame = {

@@ -1,10 +1,18 @@
 package graft.stream
 
 import graft.pipeline.Report
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+
+/** Typed row for the custom-state path (top-level for encoder
+  * derivation). */
+case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+
+/** Per-user running aggregate — both the state and the emitted row. */
+case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
 /** Streaming operators over the events table (SURVEY.md §2B
   * "Streaming"): windowed aggregation, session windows, watermarked
@@ -99,6 +107,52 @@ object Events {
   def dedupWithinWatermark(events: DataFrame, delay: String): DataFrame =
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom stateful operator via flatMapGroupsWithState (the seam for
+    * state no built-in aggregation expresses — SURVEY.md §2B last
+    * streaming row): per-user running totals that ACCUMULATE across
+    * micro-batches, emitted in Update mode each time a user's group
+    * receives data.
+    *
+    * State hygiene at stream scale: event-time timeout — a user idle
+    * past `idleGap` (by watermark time, never wall-clock) has their
+    * state emitted once more and REMOVED, so state size tracks active
+    * users, not all users ever seen. Without a timeout, custom state
+    * grows forever — the stateful analog of the missing-watermark
+    * mistake. */
+  def userRunningTotals(events: DataFrame, delay: String, idleGap: String)
+      : Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(idleGap))
+    val gapMillis = gapMs.months * 2592000000L + gapMs.days * 86400000L +
+      gapMs.microseconds / 1000L
+    events.withWatermark("ts", delay)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserTotal]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove() // idle user: final emit, state freed
+            Iterator(last)
+          } else {
+            val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+            var n = prev.n_events
+            var tot = prev.total_value
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              n += 1; tot += r.value
+              maxTs = math.max(maxTs, r.ts.getTime)
+            }
+            val cur = UserTotal(uid, n, tot)
+            state.update(cur)
+            state.setTimeoutTimestamp(maxTs + gapMillis)
+            Iterator(cur)
+          })
+  }
 
   /** R15 analog, streaming: per micro-batch, render an HTML report of
     * the batch rows and write it — SKIPPING empty batches entirely

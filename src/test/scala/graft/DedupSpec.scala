@@ -108,6 +108,14 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     for (((x, y), j) <- cands if (x == 6L || y == 6L)) assert(j < 0.5)
   }
 
+  test("nearDedup keeps the lowest-id representative of each near-dup cluster") {
+    val kept = Dedup.nearDedup(docs, "doc_id", "text", threshold = 0.5,
+      shingleN = 2, numHashes = 64, bands = 32)
+      .select("doc_id").as[Long].collect().sorted
+    // clusters: {1,2,3} (exact + near), {4,5} (exact), {6} — keep 1, 4, 6
+    assert(kept.toSeq === Seq(1L, 4L, 6L))
+  }
+
   test("LSH pair list is deduplicated across bands and ordered id_a < id_b") {
     val rows = Dedup.lshCandidatePairs(docs, "doc_id", "text",
       shingleN = 2, numHashes = 64, bands = 16)

@@ -124,6 +124,36 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
       (2L, "2024-01-01 10:00:00", 1L)))
   }
 
+  test("flatMapGroupsWithState: per-user totals accumulate across batches; idle state evicts") {
+    val ms = MemoryStream[Ev](spark)
+    val name = queryName()
+    val q = Events.userRunningTotals(ms.toDF(), "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    try {
+      ms.addData(Seq(
+        Ev(1, t("2024-01-01T10:00:00Z"), 1, "click", 2.0),
+        Ev(2, t("2024-01-01T10:01:00Z"), 1, "click", 3.0),
+        Ev(3, t("2024-01-01T10:02:00Z"), 2, "view", 7.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(
+        Ev(4, t("2024-01-01T10:05:00Z"), 1, "click", 5.0))) // user 1 continues
+      q.processAllAvailable()
+      // watermark jump far past user 2's idle gap → its state times out
+      ms.addData(Seq(
+        Ev(5, t("2024-01-01T12:00:00Z"), 3, "view", 1.0)))
+      q.processAllAvailable()
+
+      val rows = spark.table(name)
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect()
+      // batch 1 emitted (1,2,5.0); batch 2 accumulated ONTO it: (1,3,10.0)
+      assert(rows.contains((1L, 2L, 5.0)))
+      assert(rows.contains((1L, 3L, 10.0)), s"state did not carry across batches: ${rows.toSeq}")
+      // user 2's timeout emits its final state once more
+      assert(rows.count(_ == ((2L, 1L, 7.0))) === 2, s"idle eviction emit missing: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("foreachBatch report sink: non-empty batch writes an artifact, empty stream writes none") {
     val dir = tmpDir()
     val ms = MemoryStream[Ev](spark)
