@@ -55,25 +55,31 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature as a single Column: k independent hash functions
-    * simulated as xxhash64(shingle, seed_i); signature element i is the
-    * min over all shingles.
+  /** k pseudo-independent hash functions from ONE strong hash per
+    * shingle (standard MinHash practice): h_i(x) = xxhash64(base, i)
+    * where base = xxhash64(x). The variable-length string is hashed
+    * once; the k derived hashes each consume 12 fixed bytes. (A
+    * multiply-add permutation would be cheaper still, but its
+    * deliberate Long wrap-around trips ANSI overflow checking —
+    * Spark 4's default.)
     *
-    * ONLY for tiny inputs/tests: `shingleCol`'s whole expression tree is
-    * re-evaluated inside every one of the k outer-lambda iterations (no
-    * cross-iteration CSE in higher-order functions), so a non-trivial
-    * shingle expression costs k× per row. The corpus-scale path is
-    * `minhashSignatures` below — measured 70× faster at sf0.1. */
+    * `minhashSignature` (Column form) is ONLY for tiny inputs/tests:
+    * `shingleCol`'s whole expression tree is re-evaluated inside every
+    * one of the k outer-lambda iterations (no cross-iteration CSE in
+    * higher-order functions), so a non-trivial shingle expression
+    * costs k× per row. The corpus-scale path is `minhashSignatures`
+    * below — measured ~10× faster at sf0.1 even against the fixed
+    * explode+agg form with per-seed string hashing. */
   def minhashSignature(shingleCol: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingleCol, sh => xxhash64(sh, i))))
+      array_min(transform(shingleCol, sh => xxhash64(xxhash64(sh), i))))
 
-  /** Corpus-scale MinHash: explode shingles to rows, hash each shingle
-    * ONCE per seed, then a k-way min aggregation per document. The
-    * shuffle carries k longs per (partition, doc) thanks to map-side
-    * partial mins; shingle strings are hashed exactly k times each
-    * (inherent to MinHash) instead of k× re-building the whole shingle
-    * array per row as the Column form does.
+  /** Corpus-scale MinHash: explode shingles to rows, ONE string hash
+    * per shingle + k linear permutations of it, then a k-way min
+    * aggregation per document. The shuffle carries k longs per
+    * (partition, doc) thanks to map-side partial mins; each shingle
+    * string is hashed exactly once (vs k× re-building the whole
+    * shingle array per row in the Column form).
     *
     * Documents with no shingles (fewer than n tokens) have no rows
     * here, hence NO signature and no candidates — the explicit fix for
@@ -81,11 +87,22 @@ object Dedup {
     * pair every short document with every other. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, numHashes: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingles(split(col(textCol), " "), shingleN)).as("sh"))
-    val hashed = sh.select(col("id"),
-      transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(col("sh"), i)).as("h"))
-    val mins = (0 until numHashes).map(i => min(element_at(col("h"), i + 1)).as(s"m$i"))
+    // Materialize the token array in its OWN projection: `shingles`
+    // references its input ~3× per gram (element_at per n-gram slot),
+    // and an inlined split() would be re-evaluated at every reference —
+    // O(shingles × text_len) per row, measured 4.8 s just to shingle
+    // 5000 docs at sf0.1. A multi-referenced non-cheap alias is not
+    // collapsed into its consumer, so `toks` is computed once per row.
+    val sh = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .select(col("id"), explode(shingles(col("toks"), shingleN)).as("sh"))
+    // h0 is a separate projection so codegen evaluates the STRING hash
+    // once per shingle row; each h_i inside its min aggregate then
+    // hashes 12 fixed bytes — no intermediate array, no re-hashing of
+    // the string per i.
+    val hashed = sh.select(col("id"), xxhash64(col("sh")).as("h0"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("h0"), lit(i))).as(s"m$i"))
     hashed.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"),
@@ -156,8 +173,11 @@ object Dedup {
     val b = sigs.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      // estimate BEFORE the pair-dedup so its shuffle carries
+      // (id, id, double) rows, not two k-long signatures per row; the
+      // estimate is identical across a pair's band collisions.
       .select(col("id_a"), col("id_b"),
         estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
   }
 }
