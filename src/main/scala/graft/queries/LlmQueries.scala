@@ -151,9 +151,13 @@ object LlmQueries {
     // demonstration pairing that keeps the op linear, vs the banded LSH
     // path in ops.Dedup for real near-dup discovery.
     "q57_ngram_jaccard" -> ((s, dir) => {
+      // tokens materialized in their own projection — shingles()
+      // references its input per n-gram slot, and an inlined split()
+      // would be re-evaluated at every reference (see
+      // Dedup.minhashSignatures).
       val sh = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          Dedup.shingles(TextAnalysis.tokens(col("text")), 2).as("sh"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), Dedup.shingles(col("toks"), 2).as("sh"))
       val a = sh.select(col("doc_id").as("pair_id"), col("sh").as("sh_a"))
       val b = sh.select((col("doc_id") - 1).as("pair_id"), col("sh").as("sh_b"))
       a.join(b, Seq("pair_id"))
