@@ -46,7 +46,14 @@ object Dedup {
 
   /** Distinct word n-gram shingles of a token array. Documents shorter
     * than n shingle to the empty set (guarded: `sequence` would flip to
-    * a negative step otherwise). */
+    * a negative step otherwise).
+    *
+    * PASS A MATERIALIZED COLUMN, not an inline `split(...)`: `tokens`
+    * is referenced once per n-gram slot INSIDE the transform lambda,
+    * where no common-subexpression elimination applies — an inlined
+    * split would re-tokenize the document per reference,
+    * O(shingles × text_len) per row. Project the token array first
+    * (see minhashSignatures / q57). */
   def shingles(tokens: Column, n: Int): Column = {
     val starts = sequence(lit(0), size(tokens) - n)
     val grams = transform(starts, i =>
