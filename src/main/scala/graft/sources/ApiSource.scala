@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for the reference's ingest surface (R1/R2:
+  * per-category REST fetch — reference mercadolibre_pipeline_dag
+  * .py:18-33). The reference fetches categories SERIALLY in one
+  * process — its scalability ceiling; here each category is an
+  * InputPartition, so fetches run one-per-task across the cluster and
+  * scale with executors, not driver patience.
+  *
+  * The HTTP call itself is a clearly-marked deterministic STUB (this
+  * container has no egress): payload bytes are synthesized per
+  * (category, page) with a seeded generator. Everything AROUND the
+  * stub — the provider/table/scan plumbing, the partition-per-category
+  * parallelism, option handling, the (category, page, payload) row
+  * shape that Ingest.normalize consumes — is the real contract, and a
+  * real `http.get` drops into `ApiPartitionReader.fetch` without
+  * touching any of it.
+  *
+  * Usage:
+  *   spark.read.format("graft-api")
+  *     .option("categories", "MLA1,MLA2").option("pages", "2").load()
+  */
+class ApiSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-api"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ApiSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new ApiTable(new CaseInsensitiveStringMap(properties))
+}
+
+object ApiSource {
+  /** One row per fetched page: where it came from + the raw JSON
+    * payload (R2 keeps only the body; parsing is Ingest.normalize's
+    * job — source and parser stay independently testable). */
+  val schema: StructType = StructType(Seq(
+    StructField("category", StringType, nullable = false),
+    StructField("page", IntegerType, nullable = false),
+    StructField("payload", StringType, nullable = false)))
+}
+
+class ApiTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = "graft_api"
+  override def schema(): StructType = ApiSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val categories = Option(options.get("categories"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-api requires option 'categories' (comma-separated)"))
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    val pages = Option(options.get("pages")).map(_.toInt).getOrElse(1)
+    new ApiScanBuilder(categories, pages)
+  }
+}
+
+class ApiScanBuilder(categories: Array[String], pages: Int)
+    extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = ApiSource.schema
+  override def toBatch: Batch = this
+  // THE scale decision: one partition per category — the reference's
+  // serial loop, parallelized. (A real API source would also split hot
+  // categories by page range.)
+  override def planInputPartitions(): Array[InputPartition] =
+    categories.map(c => ApiInputPartition(c, pages): InputPartition)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ApiReaderFactory
+}
+
+case class ApiInputPartition(category: String, pages: Int) extends InputPartition
+
+class ApiReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ApiPartitionReader(p.asInstanceOf[ApiInputPartition])
+}
+
+class ApiPartitionReader(part: ApiInputPartition)
+    extends PartitionReader[InternalRow] {
+  private var page = 0
+  private var current: InternalRow = _
+
+  /** STUB of the HTTP GET (no egress in this container): synthesizes a
+    * deterministic search-response payload for (category, page) in the
+    * reference's shape — {"results":[{product}...]}. A real reader
+    * replaces this body with the network call and keeps the signature. */
+  private def fetch(category: String, page: Int): String = {
+    val rnd = new scala.util.Random(category.hashCode.toLong * 31 + page)
+    val items = (0 until 3).map { i =>
+      val id = s"${category}P$page$i"
+      val price = math.round(rnd.nextDouble() * 10000) / 100.0
+      val qty = rnd.nextInt(100000)
+      s"""{"id":"$id","site_id":"MLA","title":"item $id","price":$price,""" +
+        s""""sold_quantity":$qty,"thumbnail":"http://img/$id"}"""
+    }
+    items.mkString("""{"results":[""", ",", "]}")
+  }
+
+  override def next(): Boolean =
+    if (page >= part.pages) false
+    else {
+      current = InternalRow(
+        UTF8String.fromString(part.category),
+        page,
+        UTF8String.fromString(fetch(part.category, page)))
+      page += 1
+      true
+    }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
