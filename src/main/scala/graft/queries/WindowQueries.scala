@@ -29,9 +29,15 @@ object WindowQueries {
 
     // running sum per supplier over ship order (ROWS frame).
     // l_quantity is integer-valued → exact in double at any sum order.
+    // The window order MUST be total for a ROWS frame: the synthetic
+    // lineitem does NOT have unique (l_orderkey, l_linenumber) —
+    // sf0.1 contains one full tie on (suppkey, shipdate, orderkey,
+    // linenumber), which made the running sum engine- and
+    // run-nondeterministic until l_partkey extended the key.
     "q31_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, dir)
         .withColumn("running_qty", sum(col("l_quantity")).over(w))
@@ -73,7 +79,7 @@ object WindowQueries {
     "q31_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |       sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q32_window_lag" ->
