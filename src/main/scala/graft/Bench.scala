@@ -7,6 +7,9 @@ object Bench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same timezone as the correctness-gated Verify config — the
+      // benched plans for q40/q60-q62 must be the verified plans.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
@@ -19,9 +22,13 @@ object Bench {
     // warmup that has nothing to do with its plan.
     spark.range(1000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // noop-sink write, NOT count(): count lets Catalyst drop every
+    // unreferenced projection, flattering wide scalar queries — the
+    // noop write materializes all output columns without sink I/O.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

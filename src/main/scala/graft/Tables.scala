@@ -27,10 +27,17 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   /** Session conf every graft session needs at BUILD time (callers pass
     * these to SparkSession.builder — never mutated mid-session):
-    * events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; `nanosAsLong` reads it as a long instead. */
-  val sessionConf: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    *  - events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    *    reader rejects; `nanosAsLong` reads it as a long instead.
+    *  - AQE + skew-join pinned explicitly: the join/skew scale notes
+    *    (JoinQueries, ops.Skew, SCALE.md) rely on runtime re-planning;
+    *    default-on since Spark 3.2 but the reliance is config, not
+    *    assumption. */
+  val sessionConf: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+  )
 
   /** Converts the nanos-long `ts` to a micros TimestampType column.
     * Integer `div` — a double division at 1e18-nanos magnitude would

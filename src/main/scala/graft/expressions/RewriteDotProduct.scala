@@ -39,6 +39,19 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     case other => other
   }
 
+  /** The merge body must be exactly `acc + elem` (either order): two
+    * bare lambda variables covering BOTH of the merge lambda's exprIds
+    * distinctly — `(acc, v) -> acc + acc` must NOT match. */
+  private def isAddOfVars(x: Expression, y: Expression,
+      vars: Seq[NamedExpression]): Boolean =
+    (x, y) match {
+      case (xv: NamedLambdaVariable, yv: NamedLambdaVariable) =>
+        val ids = vars.map(_.exprId).toSet
+        xv.exprId != yv.exprId &&
+          ids.contains(xv.exprId) && ids.contains(yv.exprId)
+      case _ => false
+    }
+
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -53,9 +66,7 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
             LambdaFunction(finishBody, finishVars, _))
           if isFloatArray(a) && isFloatArray(b) &&
             isMulOfVars(mulBody, zipVars) &&
-            // merge is exactly acc + elem (either order)
-            Seq(accRef, elemRef).forall(e => e.isInstanceOf[NamedLambdaVariable] &&
-              mergeVars.map(_.exprId).contains(e.asInstanceOf[NamedLambdaVariable].exprId)) &&
+            isAddOfVars(accRef, elemRef, mergeVars) &&
             // finish is the identity lambda
             (finishBody match {
               case v: NamedLambdaVariable =>

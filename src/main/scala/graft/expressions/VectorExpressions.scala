@@ -17,11 +17,14 @@ import org.apache.spark.sql.types._
   * no per-element lambda dispatch — and `doGenCode` keeps it inside
   * WholeStageCodegen.
   *
-  * Null semantics: null input array ⇒ null (nullIntolerant); null
-  * ELEMENTS are treated as 0.0 contribution (embeddings never contain
-  * null elements; documented rather than branched in the hot loop).
-  * Length mismatch truncates to the shorter side, matching zip_with's
-  * null-padding followed by 0-contribution under the same element rule.
+  * Null semantics — exactly the HOF form's, so the rewrite is
+  * semantics-preserving on EVERY input, not just clean embeddings:
+  * null input array ⇒ null (nullIntolerant); length mismatch ⇒ null
+  * (zip_with null-pads the shorter side and `acc + null` poisons the
+  * fold); any null element in either array ⇒ null (null * y ⇒ null
+  * element, same poisoning). Equal-length null-free arrays ⇒ the sum
+  * of products accumulated in Double, in index order (same fold order
+  * as aggregate's left fold, so float rounding is bit-identical).
   */
 case class DotProductF32(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,17 +40,21 @@ case class DotProductF32(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // Nullable even for non-nullable inputs: length mismatch / null
+  // elements produce null (and ev.isNull must be assignable in codegen).
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i))
-        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
     acc
@@ -59,14 +66,22 @@ case class DotProductF32(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
          |  }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

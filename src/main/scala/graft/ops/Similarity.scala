@@ -79,6 +79,44 @@ object Similarity {
     bitCols.reduce(_ + _) // disjoint bit positions — sum == bitwise OR
   }
 
+  /** Embedding near-duplicate pairs via the banded cosine sketch — the
+    * scale path q48's bounded brute-force baseline points at.
+    *
+    * Bands the `bits`-bit hyperplane sketch into `bands` slices of
+    * bits/bands bits; two vectors become a candidate iff a full band
+    * matches (the Hamming analog of MinHash banding — near-identical
+    * vectors flip few sketch bits, so some band survives intact).
+    * Candidates are then rescored with EXACT cosine and thresholded, so
+    * banding affects recall only, never precision.
+    *
+    * Shuffle discipline: the band self-join carries (band-key, id) —
+    * never the vectors; vectors are fetched by two id-equi-joins only
+    * for the (sub-quadratic) candidate set. Deterministic: seeded
+    * hyperplanes, no rand(). */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         dims: Int, bits: Int, bands: Int, threshold: Double,
+                         seed: Long = 42L): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val r = bits / bands
+    val mask = (1L << r) - 1
+    val sk = df.select(col(idCol).as("id"),
+      cosineSketch(col(vecCol), dims, bits, seed).as("sk"))
+    val banded = sk.select(col("id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sk"), b * r).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+    val cand = banded.select(col("bk"), col("id").as("id_a"))
+      .join(banded.select(col("bk"), col("id").as("id_b")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val vecs = df.select(col(idCol), col(vecCol))
+    cand
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** IVF probe: exact top-k restricted to the nProbe cells whose
     * centroids score best against the query. The centroid ranking is a
     * C-row computation (fixed size) and the corpus filter on cell_id is

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.ops.Skew
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators (SURVEY.md §2B "Aggregation"): group-by agg,
@@ -120,6 +121,19 @@ object AggQueries {
         .orderBy("l_returnflag")
     }),
 
+    // salted two-phase aggregation through the ops.Skew seam: the
+    // explicit hot-key mitigation MUST produce exactly what the plain
+    // groupBy produces — which makes plain GROUP BY its oracle. Sums
+    // are integer-valued doubles (exact in IEEE at any merge order);
+    // the count partials merge as SUM.
+    "q35_salted_agg" -> ((s, dir) => {
+      Skew.saltedAgg(Tables.lineitem(s, dir),
+          key = col("l_returnflag"), tieBreak = col("l_orderkey"), buckets = 8,
+          partial = Seq(sum(col("l_quantity")).as("__ps"), count(lit(1)).as("__pc")),
+          merge = Seq(sum(col("__ps")).as("sum_qty"), sum(col("__pc")).as("n_rows")))
+        .orderBy("key")
+    }),
+
     // HLL++ sketch — the 100 TB path for distinct counts. No SQL oracle
     // (approx); ApproxDistinctSpec property-bounds the error vs exact.
     "q25_approx_distinct" -> ((s, dir) => {
@@ -131,6 +145,13 @@ object AggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the salted rewrite is invisible in the result — plain GROUP BY
+    // is the oracle. count(*) stays BIGINT (no sum-of-BIGINT HUGEINT
+    // drift — that was q56's round-3 failure mode).
+    "q35_salted_agg" ->
+      """SELECT l_returnflag AS key, sum(l_quantity) AS sum_qty,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY key""".stripMargin,
     "q27_unpivot" ->
       """SELECT p_partkey, metric, value FROM (
         |  SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part

@@ -192,6 +192,32 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // END-TO-END near-dedup keep-set (Dedup.nearDedup): greedy
+    // keep-lowest-id over the LSH candidate pairs at threshold 0.5.
+    // Rows-only by contract like q70 (hash-seed-dependent candidates);
+    // DedupSpec carries the keep-set properties (winners kept, exact
+    // duplicates always dropped).
+    "q72_near_dedup" -> ((s, dir) => {
+      Dedup.nearDedup(Tables.documents(s, dir), "doc_id", "text",
+          threshold = 0.5, shingleN = 3, numHashes = 64, bands = 16)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // embedding near-dup at scale: banded cosine-sketch candidates
+    // rescored with EXACT cosine (Similarity.cosineNearDupPairs) — the
+    // sub-quadratic path that replaces q48's bounded brute baseline.
+    // Rows-only by contract (candidate recall is sketch-seed-dependent;
+    // precision is exact). SimilaritySpec pins candidates ⊇ brute-force
+    // pairs at high thresholds.
+    "q73_cosine_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", dims = 64, bits = 32, bands = 8,
+          threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // order-invariant document fingerprint (md5 of sorted distinct
     // token bag) — row-local blocking key for dedup.
     "q58_fingerprint" -> ((s, dir) => {
@@ -298,7 +324,7 @@ object LlmQueries {
       """SELECT lang, count(*) AS n_docs,
         |       round(avg(n_chars), 2) AS avg_chars,
         |       count(DISTINCT source) AS n_sources,
-        |       sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q57_ngram_jaccard" ->
       """WITH sh AS (

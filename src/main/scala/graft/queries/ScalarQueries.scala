@@ -94,7 +94,10 @@ object ScalarQueries {
       Tables.events(s, dir)
         .select(
           col("event_id"),
-          map_keys(m).as("prop_keys"),
+          // sorted + joined to a scalar: the driver's pandas compare
+          // cannot sort raw array cells, and sorting also neutralizes
+          // engine key-order divergence.
+          array_join(array_sort(map_keys(m)), ",").as("prop_keys"),
           element_at(m, "k").as("k_value"))
         .orderBy("event_id")
     }),
@@ -160,7 +163,7 @@ object ScalarQueries {
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q46_json_map" ->
       """SELECT event_id,
-        |       json_keys(props) AS prop_keys,
+        |       array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
         |       CAST(props->>'k' AS BIGINT) AS k_value
         |FROM events ORDER BY event_id""".stripMargin,
     "q47_to_json" ->

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.ops.TopK
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -56,6 +57,17 @@ object WindowQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // grouped top-k through the ops.TopK seam (window form; TopKSpec's
+    // viaAgg≡viaWindow equivalence extends this oracle to the
+    // bounded-heap Aggregator that wins the shuffle-volume race at
+    // 100 TB). Ties broken by ascending id — deterministic.
+    "q34_grouped_topk" -> ((s, dir) => {
+      TopK.viaWindow(Tables.orders(s, dir),
+          groupCol = "o_custkey", orderCol = "o_totalprice",
+          idCol = "o_orderkey", k = 2)
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // RANGE frame on a numeric ordering column: peers (equal keys) are
     // included together — semantics identical across engines.
     "q33_window_range" -> ((s, dir) => {
@@ -87,6 +99,13 @@ object WindowQueries {
         |       lag(o_totalprice, 1)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
         |       lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q34_grouped_topk" ->
+      """SELECT o_custkey, o_totalprice, o_orderkey FROM (
+        |  SELECT o_custkey, o_totalprice, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q33_window_range" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber,
         |       sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_orderkey

@@ -33,6 +33,70 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq === Seq(Some(11.0), None, Some(0.0)))
   }
 
+  /** Hostile inputs where the HOF form goes null: length mismatch
+    * (zip_with null-pads → acc + null poisons the fold) and null
+    * elements (null * y → null element, same poisoning). The native
+    * expression must agree exactly, or RewriteDotProduct silently
+    * changes user results (VERDICT r3 "what's wrong" #3). */
+  private def hostileVectors = {
+    Seq(
+      (Seq[Option[Float]](Some(1.0f), Some(2.0f)),
+       Seq[Option[Float]](Some(3.0f), Some(4.0f))),   // clean → 11.0
+      (Seq[Option[Float]](Some(1.0f), Some(2.0f), Some(3.0f)),
+       Seq[Option[Float]](Some(1.0f), Some(1.0f))),   // length mismatch → null
+      (Seq[Option[Float]](Some(1.0f), None),
+       Seq[Option[Float]](Some(2.0f), Some(5.0f))),   // null element → null
+      (Seq[Option[Float]](None),
+       Seq[Option[Float]](None)))                     // all-null elements → null
+      .toDF("a", "b")
+      .select(col("a").cast("array<float>").as("a"), col("b").cast("array<float>").as("b"))
+  }
+
+  test("graft_dot matches HOF dot on length mismatch and null elements") {
+    VectorExpressions.register(spark)
+    val rows = hostileVectors
+      .select(
+        Similarity.dot(col("a"), col("b")).as("hof"),
+        call_function("graft_dot", col("a"), col("b")).as("native"))
+      .collect()
+    def cell(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val hof = rows.map(cell(_, 0)).toSeq
+    val native = rows.map(cell(_, 1)).toSeq
+    assert(hof === Seq(Some(11.0), None, None, None))
+    assert(native === hof)
+  }
+
+  test("rewritten plan equals unrewritten on hostile inputs (nulls preserved)") {
+    val prev = spark.experimental.extraOptimizations
+    def run(): Seq[Option[Double]] =
+      hostileVectors
+        .select(Similarity.dot(col("a"), col("b")).as("d"))
+        .collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    spark.experimental.extraOptimizations = prev :+ RewriteDotProduct
+    val withRule = try run() finally spark.experimental.extraOptimizations = prev
+    val withoutRule = run()
+    assert(withRule === withoutRule)
+    assert(withRule === Seq(Some(11.0), None, None, None))
+  }
+
+  test("rule conservatism: degenerate merge lambda (acc, v) -> acc + acc is left untouched") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RewriteDotProduct
+    try {
+      val q = Tables.embeddings(spark, sfDir).limit(10)
+        .select(aggregate(
+          zip_with(col("embedding"), col("embedding"),
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, _) => acc + acc).as("s"))
+      val touched = q.queryExecution.optimizedPlan
+        .collect { case n => n.expressions }.flatten
+        .exists(_.exists(_.isInstanceOf[DotProductF32]))
+      assert(!touched, "degenerate merge lambda must not be rewritten as a dot product")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("graft_dot survives codegen and interpreted paths identically") {
     VectorExpressions.register(spark)
     def run(): Seq[Double] =
