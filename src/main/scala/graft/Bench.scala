@@ -25,7 +25,14 @@ object Bench {
     // noop-sink write, NOT count(): count lets Catalyst drop every
     // unreferenced projection, flattering wide scalar queries — the
     // noop write materializes all output columns without sink I/O.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q55,q73 restricts the run for local iteration;
+    // the driver leaves it unset and benches everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(f => f.exists(name.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case _: Throwable => () }

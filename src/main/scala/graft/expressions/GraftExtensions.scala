@@ -16,6 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
         VectorExpressions.dotInfo, VectorExpressions.dotBuilder))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_band_keys"),
+        VectorExpressions.bandKeysInfo, VectorExpressions.bandKeysBuilder))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

@@ -90,6 +90,92 @@ case class DotProductF32(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All hyperplane band keys of an LSH cosine sketch, fused into ONE
+  * expression: key b packs the sign bits of vec · plane for that band's
+  * `bitsPerBand` hyperplanes (plane p belongs to band p/bitsPerBand,
+  * bit p%bitsPerBand). Returns array<long> of planes.length/bitsPerBand
+  * keys, indexed by band — pair with posexplode for LSH bucketing.
+  *
+  * Why native and fused: the declarative form is bands × bitsPerBand
+  * independent dot-product trees in one Project; at 128 planes the
+  * generated consume method is so large HotSpot refuses to JIT it and
+  * the stage runs as interpreted bytecode (measured 14× slowdown going
+  * 32 → 128 planes on identical per-plane work). One expression = one
+  * JIT-friendly loop nest over a constant float[][].
+  *
+  * Null semantics match DotProductF32: null vector ⇒ null; dims
+  * mismatch with the planes ⇒ null; any null element ⇒ null. */
+case class HyperplaneBandKeys(child: Expression, planes: Array[Array[Float]],
+                              bitsPerBand: Int) extends UnaryExpression {
+  require(planes.nonEmpty && planes.length % bitsPerBand == 0,
+    "planes must be a non-empty multiple of bitsPerBand")
+  require(bitsPerBand >= 1 && bitsPerBand <= 63, "band key packs into one Long")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_band_keys expects array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_band_keys"
+
+  /** Shared by interpreted eval and codegen (codegen calls it through a
+    * reference object — one real JVM method, JIT-compiled once). */
+  def compute(input: ArrayData): ArrayData = {
+    val dims = planes(0).length
+    if (input.numElements() != dims) return null
+    val vec = new Array[Double](dims)
+    var i = 0
+    while (i < dims) {
+      if (input.isNullAt(i)) return null
+      vec(i) = input.getFloat(i).toDouble
+      i += 1
+    }
+    val bands = planes.length / bitsPerBand
+    val keys = new Array[Long](bands)
+    var p = 0
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var j = 0
+      while (j < bitsPerBand) {
+        val plane = planes(p); p += 1
+        var acc = 0.0
+        var d = 0
+        while (d < dims) { acc += vec(d) * plane(d).toDouble; d += 1 }
+        if (acc >= 0.0) key |= (1L << j)
+        j += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val inst = ctx.addReferenceObj("sketcher", this, classOf[HyperplaneBandKeys].getName)
+    nullSafeCodeGen(ctx, ev, v => s"""
+      |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $inst.compute($v);
+      |${ev.isNull} = ${ev.value} == null;
+    """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBandKeys =
+    copy(child = newChild)
+}
+
+object HyperplaneBandKeys {
+  def matrixFromLiteral(l: Literal): Array[Array[Float]] = {
+    val ad = l.value.asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toFloatArray())
+  }
+}
+
 object VectorExpressions {
   val dotInfo = new ExpressionInfo(classOf[DotProductF32].getName, "graft_dot")
 
@@ -99,10 +185,27 @@ object VectorExpressions {
       s"graft_dot expects 2 arguments, got ${other.length}")
   }
 
+  val bandKeysInfo = new ExpressionInfo(classOf[HyperplaneBandKeys].getName, "graft_band_keys")
+
+  /** graft_band_keys(vec, planesLiteral, bitsPerBandLiteral) — the
+    * planes and band width must be literals (they parameterize the
+    * fused loop; Similarity.cosineBandKeys passes them via typedlit). */
+  val bandKeysBuilder: Seq[Expression] => Expression = {
+    case Seq(vec, planes: Literal, bpb: Literal) =>
+      HyperplaneBandKeys(vec, HyperplaneBandKeys.matrixFromLiteral(planes),
+        bpb.value.asInstanceOf[Int])
+    case other => throw new IllegalArgumentException(
+      "graft_band_keys expects (vec, planes LITERAL, bitsPerBand LITERAL), got " +
+        other.map(_.getClass.getSimpleName).mkString(", "))
+  }
+
   /** Runtime registration on a live session (the config-time path is
     * GraftExtensions via spark.sql.extensions). After this,
     * `call_function("graft_dot", a, b)` / SQL `graft_dot(a, b)` work. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_dot"), dotInfo, dotBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_band_keys"), bandKeysInfo, bandKeysBuilder)
+  }
 }

@@ -58,54 +58,79 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("cell_id"))
   }
 
+  /** Fixed seeded hyperplane matrix: bands × bitsPerBand rows of `dims`
+    * gaussians — deterministic across runs/executors, passed to the
+    * fused HyperplaneBandKeys expression as one constant Literal. */
+  private def planeMatrix(dims: Int, nPlanes: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    typedlit(Seq.fill(nPlanes)(Seq.fill(dims)(rnd.nextGaussian().toFloat)))
+  }
+
   /** Random-hyperplane (SimHash-for-cosine) LSH sketch: bit j of the
     * sketch is the sign of v · r_j for a fixed pseudo-random hyperplane
     * r_j. P[bit differs] = angle(a,b)/π, so Hamming distance estimates
-    * cosine distance. Hyperplanes are generated driver-side from a
-    * FIXED seed (deterministic across runs/executors) and inlined as
-    * literals — the whole sketch stays codegen'd, no UDF.
+    * cosine distance. Evaluated by the fused native HyperplaneBandKeys
+    * expression (expressions/VectorExpressions.scala) — one JIT-friendly
+    * loop per row, not `bits` separate dot-product trees.
     *
-    * Scale path for embedding near-dup: group by sketch (or by bands of
-    * it) and compare only within buckets — the cosine analog of
-    * Dedup.lshCandidatePairs; candidates then rescore with exact
-    * `cosine`. */
+    * Packs into one Long, so bits <= 63; for LSH banding (where total
+    * bits = bands × bitsPerBand wants to exceed 64) use
+    * `cosineBandKeys`. This form is for whole-sketch Hamming math
+    * (`bit_count(xor)`). Requires graft_band_keys registered
+    * (VectorExpressions.register / GraftExtensions). */
   def cosineSketch(vec: Column, dims: Int, bits: Int, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bits)(Array.fill(dims)(rnd.nextGaussian()))
-    val bitCols = planes.zipWithIndex.map { case (plane, j) =>
-      val planeLit = array(plane.map(lit): _*)
-      when(dot(vec, planeLit) >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _) // disjoint bit positions — sum == bitwise OR
+    require(bits <= 63, "cosineSketch packs into one Long; use cosineBandKeys for wider sketches")
+    element_at(
+      call_function("graft_band_keys", vec, planeMatrix(dims, bits, seed), lit(bits)),
+      1)
+  }
+
+  /** Banded hyperplane sketch for LSH bucketing: `bands` keys, each
+    * packing `bitsPerBand` sign bits from its own hyperplanes (total
+    * planes = bands × bitsPerBand — not limited to 64). Two vectors are
+    * LSH candidates iff some band position holds an equal key. Returns
+    * array<long> indexed by band — pair with `posexplode` so the join
+    * key is (band position, key).
+    *
+    * Shuffle discipline requires WIDE bands: uncorrelated vectors agree
+    * on one sign bit with p = 1/2, so a band of r bits collides with
+    * p = 2^-r and the expected all-pairs candidate fraction is
+    * ≤ bands · 2^-r. With r < 8 that fraction is large enough that the
+    * band self-join degenerates toward quadratic brute force —
+    * require()d away. (r = 8, bands = 16 ⇒ ≤ 6.3% of pairs; recall at
+    * cosine 0.9 is 1-(1-p_bit^8)^16 ≈ 0.998 with p_bit = 1-acos(.9)/π.) */
+  def cosineBandKeys(vec: Column, dims: Int, bands: Int, bitsPerBand: Int,
+                     seed: Long = 42L): Column = {
+    require(bitsPerBand >= 8,
+      s"bitsPerBand=$bitsPerBand: bands narrower than 8 bits collide on " +
+        "2^-bitsPerBand of ALL pairs — the self-join degenerates toward quadratic")
+    require(bitsPerBand <= 63, "band key packs into one Long")
+    call_function("graft_band_keys", vec,
+      planeMatrix(dims, bands * bitsPerBand, seed), lit(bitsPerBand))
   }
 
   /** Embedding near-duplicate pairs via the banded cosine sketch — the
     * scale path q48's bounded brute-force baseline points at.
     *
-    * Bands the `bits`-bit hyperplane sketch into `bands` slices of
-    * bits/bands bits; two vectors become a candidate iff a full band
-    * matches (the Hamming analog of MinHash banding — near-identical
-    * vectors flip few sketch bits, so some band survives intact).
-    * Candidates are then rescored with EXACT cosine and thresholded, so
-    * banding affects recall only, never precision.
+    * Two vectors become a candidate iff a full band of hyperplane sign
+    * bits matches (the Hamming analog of MinHash banding —
+    * near-identical vectors flip few sketch bits, so some band survives
+    * intact). Candidates are then rescored with EXACT cosine and
+    * thresholded, so banding affects recall only, never precision.
     *
-    * Shuffle discipline: the band self-join carries (band-key, id) —
+    * Shuffle discipline: the band self-join carries (band, key, id) —
     * never the vectors; vectors are fetched by two id-equi-joins only
-    * for the (sub-quadratic) candidate set. Deterministic: seeded
-    * hyperplanes, no rand(). */
+    * for the (sub-quadratic, see cosineBandKeys) candidate set.
+    * Deterministic: seeded hyperplanes, no rand(). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         dims: Int, bits: Int, bands: Int, threshold: Double,
-                         seed: Long = 42L): DataFrame = {
-    require(bits % bands == 0, "bands must divide bits")
-    val r = bits / bands
-    val mask = (1L << r) - 1
-    val sk = df.select(col(idCol).as("id"),
-      cosineSketch(col(vecCol), dims, bits, seed).as("sk"))
-    val banded = sk.select(col("id"), explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sk"), b * r).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
-    val cand = banded.select(col("bk"), col("id").as("id_a"))
-      .join(banded.select(col("bk"), col("id").as("id_b")), Seq("bk"))
+                         dims: Int, bands: Int, bitsPerBand: Int,
+                         threshold: Double, seed: Long = 42L): DataFrame = {
+    val banded = df.select(col(idCol).as("id"),
+      posexplode(cosineBandKeys(col(vecCol), dims, bands, bitsPerBand, seed))
+        .as(Seq("band", "key")))
+    val cand = banded.select(col("band"), col("key"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("key"), col("id").as("id_b")),
+        Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")

@@ -26,35 +26,56 @@ object TextAnalysis {
     t
   }
 
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  /** Token-ARRAY variants (`...Of`): every metric here is also exposed
+    * over a pre-tokenized column so a query computing several metrics
+    * tokenizes ONCE in its own projection. The text-column forms below
+    * inline `tokens(text)` per reference, and higher-order-function
+    * lambdas get no cross-expression CSE — q55 computes 5 metrics, so
+    * the inlined form re-splits every document ~8×. A multi-referenced
+    * non-cheap alias is not collapsed into its consumer (see
+    * Dedup.minhashSignatures), so the materialized projection is safe. */
+  def tokenCountOf(toks: Column): Column = size(toks).cast("long")
 
-  def distinctTokenCount(text: Column): Column =
-    size(array_distinct(tokens(text))).cast("long")
+  def distinctTokenCountOf(toks: Column): Column =
+    size(array_distinct(toks)).cast("long")
 
   /** Mean token length — row-local aggregate over the token array,
     * accumulated in Double. */
-  def avgTokenLen(text: Column): Column =
-    aggregate(tokens(text), lit(0.0), (acc, t) => acc + length(t)) /
-      size(tokens(text))
+  def avgTokenLenOf(toks: Column): Column =
+    aggregate(toks, lit(0.0), (acc, t) => acc + length(t)) / size(toks)
 
   /** Fraction of tokens that appear in `stopwords` (quality signal:
     * natural text has a stable stopword ratio; keyboard mash has ~0). */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isInCollection(stopwords)))
-      .cast("double") / size(tokens(text))
+  def stopwordRatioOf(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(stopwords)))
+      .cast("double") / size(toks)
 
   /** Type-token ratio (lexical diversity; near-0 = highly repetitive). */
-  def typeTokenRatio(text: Column): Column =
-    size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
+  def typeTokenRatioOf(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks)
 
   /** Composite quality score in [0,1]: length band + lexical diversity.
     * Deliberately simple and fully deterministic — the point is a
     * row-local, codegen'd scoring pipeline, not linguistic accuracy. */
-  def qualityScore(text: Column): Column = {
-    val lenOk = when(tokenCount(text).between(20, 1000), lit(0.5)).otherwise(lit(0.0))
-    val diversity = least(typeTokenRatio(text), lit(1.0)) * 0.5
+  def qualityScoreOf(toks: Column): Column = {
+    val lenOk = when(tokenCountOf(toks).between(20, 1000), lit(0.5)).otherwise(lit(0.0))
+    val diversity = least(typeTokenRatioOf(toks), lit(1.0)) * 0.5
     lenOk + diversity
   }
+
+  def tokenCount(text: Column): Column = tokenCountOf(tokens(text))
+
+  def distinctTokenCount(text: Column): Column =
+    distinctTokenCountOf(tokens(text))
+
+  def avgTokenLen(text: Column): Column = avgTokenLenOf(tokens(text))
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordRatioOf(tokens(text), stopwords)
+
+  def typeTokenRatio(text: Column): Column = typeTokenRatioOf(tokens(text))
+
+  def qualityScore(text: Column): Column = qualityScoreOf(tokens(text))
 
   /** Marker-word profiles for the n-gram/stopword language-ID
     * heuristic. Public knowledge (common function words per language). */
@@ -65,19 +86,21 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
   )
 
-  /** Heuristic language ID: score = marker-hit count per language,
-    * argmax wins (struct-ordered, so ties break to the
-    * alphabetically-last language code — deterministic); "und"
-    * (undetermined) when nothing matches. Row-local, no shuffle, no UDF. */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
+  /** Heuristic language ID over a pre-tokenized LOWERCASE token array:
+    * score = marker-hit count per language, argmax wins (struct-ordered,
+    * so ties break to the alphabetically-last language code —
+    * deterministic); "und" (undetermined) when nothing matches.
+    * Row-local, no shuffle, no UDF. */
+  def langIdOf(lowerToks: Column): Column = {
     val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      struct(size(filter(toks, t => t.isInCollection(markers))).as("hits"),
+      struct(size(filter(lowerToks, t => t.isInCollection(markers))).as("hits"),
         lit(lang).as("lang"))
     }
     val best = greatest(scored: _*) // struct compare: hits first, then lang
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  def langId(text: Column): Column = langIdOf(tokens(lower(text)))
 
   /** Order-invariant content fingerprint: md5 of the sorted distinct
     * token bag — robust to token reordering, good as a cheap near-dup

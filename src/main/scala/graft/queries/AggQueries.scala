@@ -113,11 +113,16 @@ object AggQueries {
     // DuckDB quantile_cont). At 100 TB use approx_percentile: the exact
     // form materializes per-group value buffers.
     "q29_percentile" -> ((s, dir) => {
+      // ONE percentile(array(...)) buffer, not one per quantile: the
+      // exact Percentile aggregate materializes a per-group value
+      // buffer, and two scalar calls would build (and shuffle) it
+      // twice for identical input.
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p50"),
+          round(element_at(col("ps"), 2), 4).as("p90"))
         .orderBy("l_returnflag")
     }),
 

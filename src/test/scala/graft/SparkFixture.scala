@@ -22,6 +22,10 @@ object TestSpark {
         java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
     Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val s = builder.getOrCreate()
+    // native function surface (graft_dot, graft_band_keys) — same
+    // registration Verify/Bench/Show/Explain apply; ops.Similarity's
+    // sketch path resolves graft_band_keys by name.
+    graft.expressions.VectorExpressions.register(s)
     s.sparkContext.setLogLevel("ERROR")
     s
   }
