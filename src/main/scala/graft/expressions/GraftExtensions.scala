@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_band_keys"),
         VectorExpressions.bandKeysInfo, VectorExpressions.bandKeysBuilder))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"),
+        VectorExpressions.simhashInfo, VectorExpressions.simhashBuilder))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

@@ -176,6 +176,84 @@ object HyperplaneBandKeys {
   }
 }
 
+/** 64-bit SimHash of a token array (Charikar 2002, "Similarity
+  * estimation techniques from rounding algorithms"): each token
+  * occurrence votes ±1 on every bit of its 64-bit hash; bit j of the
+  * result is the sign of vote j. Near-identical token bags differ in
+  * few bits, so Hamming distance tracks bag overlap — band the result
+  * for LSH bucketing exactly like a MinHash signature.
+  *
+  * Fused native expression for the same reason as HyperplaneBandKeys:
+  * the declarative form is 64 conditional aggregations per token —
+  * either a non-codegen HOF fold or a 64-column shuffle; this is one
+  * row-local loop, zero shuffle.
+  *
+  * Token hash is FNV-1a 64 over the token's UTF-8 bytes (public
+  * constants 0xcbf29ce484222325 / 0x100000001b3) — any well-mixed
+  * 64-bit hash works; the signature is only compared to signatures
+  * produced by the same function. Null array ⇒ null; null element ⇒
+  * null; EMPTY array ⇒ null (an all-zero vote vector would give every
+  * empty doc the same degenerate signature and pair them all). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash expects array<string>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  def compute(input: ArrayData): Any = {
+    val n = input.numElements()
+    if (n == 0) return null
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (input.isNullAt(i)) return null
+      val bytes = input.getUTF8String(i).getBytes
+      var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+      var b = 0
+      while (b < bytes.length) {
+        h = (h ^ (bytes(b) & 0xffL)) * 0x100000001b3L // FNV prime
+        b += 1
+      }
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val inst = ctx.addReferenceObj("simhasher", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, v => s"""
+      |Object r = $inst.compute($v);
+      |if (r == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = ((Long) r).longValue();
+      |}
+    """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   val dotInfo = new ExpressionInfo(classOf[DotProductF32].getName, "graft_dot")
 
@@ -199,6 +277,14 @@ object VectorExpressions {
         other.map(_.getClass.getSimpleName).mkString(", "))
   }
 
+  val simhashInfo = new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash")
+
+  val simhashBuilder: Seq[Expression] => Expression = {
+    case Seq(toks) => SimHash64(toks)
+    case other => throw new IllegalArgumentException(
+      s"graft_simhash expects 1 argument, got ${other.length}")
+  }
+
   /** Runtime registration on a live session (the config-time path is
     * GraftExtensions via spark.sql.extensions). After this,
     * `call_function("graft_dot", a, b)` / SQL `graft_dot(a, b)` work. */
@@ -207,5 +293,7 @@ object VectorExpressions {
       FunctionIdentifier("graft_dot"), dotInfo, dotBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_band_keys"), bandKeysInfo, bandKeysBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_simhash"), simhashInfo, simhashBuilder)
   }
 }

@@ -169,6 +169,52 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** 64-bit SimHash signature of a token array — the fused native
+    * SimHash64 expression (expressions/VectorExpressions.scala):
+    * row-local, zero shuffle, one loop per document. Null/empty token
+    * arrays signature to null (no degenerate all-empty bucket).
+    * Requires graft_simhash registered (VectorExpressions.register /
+    * GraftExtensions). */
+  def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
+
+  /** SimHash near-duplicate pairs: signature → `bands` key slices →
+    * self-join per (band, key) bucket → EXACT Hamming rescore
+    * (bit_count of xor) thresholded at `maxHamming`.
+    *
+    * Recall is DETERMINISTIC for close pairs, unlike MinHash banding:
+    * two signatures within Hamming distance bands-1 differ in fewer
+    * bits than there are bands, so by pigeonhole some full band is
+    * identical and the pair is ALWAYS a candidate. maxHamming <=
+    * bands-1 therefore gives exact results; above it, recall decays
+    * while precision stays exact (rescore is exact Hamming).
+    *
+    * Same shuffle discipline as lshCandidatePairs: the self-join
+    * carries (band, key, id, sig) — 4 fixed-size values, never text. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int, bands: Int = 8): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0, "bands must divide 64")
+    val r = 64 / bands
+    val mask = (1L << r) - 1
+    val sigs = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .select(col("id"), simhash(col("toks")).as("sig"))
+      .filter(col("sig").isNotNull)
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * r).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "key")))
+    val a = banded.select(col("band"), col("key"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 64,
                         bands: Int = 16): DataFrame = {

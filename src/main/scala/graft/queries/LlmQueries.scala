@@ -229,6 +229,20 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // SimHash near-dup candidate pairs (Dedup.simhashPairs): row-local
+    // 64-bit signatures via the native graft_simhash expression, banded
+    // 8×8 bits, exact-Hamming rescore. maxHamming = 7 = bands-1 keeps
+    // the result EXACT (pigeonhole: <8 flipped bits leave some band
+    // intact), so the only non-determinism is the signature function
+    // itself — rows-only by contract like q70/q73; DedupSpec pins the
+    // recall guarantee and near/far separation.
+    "q74_simhash_neardup" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = 7, bands = 8)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // order-invariant document fingerprint (md5 of sorted distinct
     // token bag) — row-local blocking key for dedup.
     "q58_fingerprint" -> ((s, dir) => {

@@ -123,4 +123,51 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(rows.length === rows.toSet.size)
     for ((a, b) <- rows) assert(a < b)
   }
+
+  test("simhash: identical token bags hash identically; empty array is null") {
+    val sigs = docs.select(col("doc_id"),
+        Dedup.simhash(split(col("text"), " ")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) === sigs(2L)) // exact dups
+    assert(sigs(4L) === sigs(5L))
+    assert(sigs(1L) !== sigs(6L)) // unrelated
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("toks")
+      .select(Dedup.simhash(col("toks")).as("sig"))
+    assert(empty.filter(col("sig").isNotNull).isEmpty)
+  }
+
+  test("simhash Hamming separates near from far token bags") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Array.tabulate(500)(i => s"w$i")
+    val baseToks = Array.fill(120)(vocab(rnd.nextInt(vocab.length)))
+    val near = baseToks.clone(); near(3) = "changed"; near(77) = "edited"
+    val far = Array.fill(120)(vocab(rnd.nextInt(vocab.length)) + "x")
+    val df = Seq((1L, baseToks.toSeq), (2L, near.toSeq), (3L, far.toSeq))
+      .toDF("id", "toks")
+      .select(col("id"), Dedup.simhash(col("toks")).as("sig"))
+    val s = df.as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(s(1L), s(2L)) < ham(s(1L), s(3L)),
+      s"near ${ham(s(1L), s(2L))} !< far ${ham(s(1L), s(3L))}")
+  }
+
+  test("simhashPairs equals brute-force Hamming join for maxHamming <= bands-1") {
+    // pigeonhole exactness: with 8 bands, any pair within Hamming 7
+    // shares a full band — banding must lose NOTHING at maxHamming 7.
+    val docs = Tables.documents(spark, sfDir).limit(300)
+    val sigs = docs.select(col("doc_id"),
+        Dedup.simhash(split(col("text"), " ")).as("sig"))
+      .filter(col("sig").isNotNull)
+    val a = sigs.select(col("doc_id").as("ia"), col("sig").as("sa"))
+    val b = sigs.select(col("doc_id").as("ib"), col("sig").as("sb"))
+    val brute = a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("h"))
+      .filter(col("h") <= 7)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 7, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded === brute)
+  }
 }

@@ -97,6 +97,40 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(hiHam < loHam, s"high-cos pairs hamming $hiHam !< near-orthogonal $loHam")
   }
 
+  test("cosineNearDupPairs: planted near-dups all recalled, precision exact") {
+    // 60 random base vectors + 20 planted near-duplicates (base + small
+    // noise, cosine ≈ 0.999). Deterministic seeds throughout. At q73's
+    // parameters (16 bands × 8 bits) banding recall at this cosine is
+    // ≈ 1 − (1 − p_bit^8)^16 with p_bit = 1 − acos(cos)/π ≈ 0.994, i.e.
+    // indistinguishable from 1 — so EVERY brute-force pair at the
+    // threshold must come back, and (exact rescoring) nothing else.
+    val dims = 32
+    val rnd = new scala.util.Random(7)
+    def randVec() = Array.fill(dims)(rnd.nextGaussian().toFloat)
+    val base = (0L until 60L).map(i => (i, randVec()))
+    val planted = (0L until 20L).map { i =>
+      (100L + i, base(i.toInt)._2.map(x => x + (rnd.nextGaussian() * 0.02).toFloat))
+    }
+    val df = (base ++ planted).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val threshold = 0.9
+
+    val a = df.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = df.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val truth = a.join(b, col("ia") < col("ib"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 20, s"fixture bug: only ${truth.size} true pairs planted")
+
+    val got = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+        dims, bands = 16, bitsPerBand = 8, threshold = threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(got),
+      s"recall miss: ${(truth -- got).take(5)} not returned")
+    assert(got.subsetOf(truth),
+      s"precision miss: ${(got -- truth).take(5)} below threshold")
+  }
+
   test("q51 on fixtures: top-1 by dot is the global argmax (brute-force check)") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
