@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"),
         VectorExpressions.simhashInfo, VectorExpressions.simhashBuilder))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
+        VectorExpressions.minhashInfo, VectorExpressions.minhashBuilder))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

@@ -176,6 +176,83 @@ object HyperplaneBandKeys {
   }
 }
 
+/** k-hash MinHash signature of a shingle array (Broder 1997, "On the
+  * resemblance and containment of documents"): one FNV-1a 64 base hash
+  * per shingle, k derived hashes via the SplitMix64 finalizer (Steele
+  * et al. 2014, public constants) over base + seed_i, per-position
+  * running min. P[min_i(A) = min_i(B)] = Jaccard(A, B), so the
+  * fraction of equal signature positions estimates Jaccard.
+  *
+  * Fused native expression: signature generation is ROW-LOCAL — no
+  * shingle explode, no k-column min aggregation, no shuffle at all
+  * (the previous explode+groupBy form shuffled k longs per doc and
+  * evaluated k derived hashes per exploded row). Duplicates in the
+  * input cannot affect minima, so upstream distinct is unnecessary.
+  *
+  * Null array ⇒ null; EMPTY array ⇒ null (a min-of-nothing signature
+  * would bucket every short document together); null element ⇒ null. */
+case class MinHashSig(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  require(k >= 1 && k <= 1024, "k out of range")
+
+  @transient private lazy val seeds: Array[Long] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(k)(rnd.nextLong())
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash expects array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  def compute(input: ArrayData): Any = {
+    val n = input.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (input.isNullAt(i)) return null
+      val bytes = input.getUTF8String(i).getBytes
+      var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+      var b = 0
+      while (b < bytes.length) {
+        h = (h ^ (bytes(b) & 0xffL)) * 0x100000001b3L // FNV prime
+        b += 1
+      }
+      var j = 0
+      while (j < k) {
+        var z = h + seeds(j) // SplitMix64 finalizer
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^= (z >>> 31)
+        if (z < mins(j)) mins(j) = z
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val inst = ctx.addReferenceObj("minhasher", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, v => s"""
+      |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $inst.compute($v);
+      |${ev.isNull} = ${ev.value} == null;
+    """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a token array (Charikar 2002, "Similarity
   * estimation techniques from rounding algorithms"): each token
   * occurrence votes ±1 on every bit of its 64-bit hash; bit j of the
@@ -277,6 +354,19 @@ object VectorExpressions {
         other.map(_.getClass.getSimpleName).mkString(", "))
   }
 
+  val minhashInfo = new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash")
+
+  /** graft_minhash(shingles, k LITERAL [, seed LITERAL]) — k and seed
+    * parameterize the fused loop. */
+  val minhashBuilder: Seq[Expression] => Expression = {
+    case Seq(toks, Literal(k: Int, IntegerType)) => MinHashSig(toks, k, 42L)
+    case Seq(toks, Literal(k: Int, IntegerType), Literal(s: Long, LongType)) =>
+      MinHashSig(toks, k, s)
+    case other => throw new IllegalArgumentException(
+      "graft_minhash expects (shingles, k LITERAL [, seed LITERAL]), got " +
+        other.map(_.getClass.getSimpleName).mkString(", "))
+  }
+
   val simhashInfo = new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash")
 
   val simhashBuilder: Seq[Expression] => Expression = {
@@ -295,5 +385,7 @@ object VectorExpressions {
       FunctionIdentifier("graft_band_keys"), bandKeysInfo, bandKeysBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_simhash"), simhashInfo, simhashBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_minhash"), minhashInfo, minhashBuilder)
   }
 }

@@ -62,58 +62,50 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** k pseudo-independent hash functions from ONE strong hash per
-    * shingle (standard MinHash practice): h_i(x) = xxhash64(base, i)
-    * where base = xxhash64(x). The variable-length string is hashed
-    * once; the k derived hashes each consume 12 fixed bytes. (A
-    * multiply-add permutation would be cheaper still, but its
-    * deliberate Long wrap-around trips ANSI overflow checking —
-    * Spark 4's default.)
-    *
-    * `minhashSignature` (Column form) is ONLY for tiny inputs/tests:
-    * `shingleCol`'s whole expression tree is re-evaluated inside every
-    * one of the k outer-lambda iterations (no cross-iteration CSE in
-    * higher-order functions), so a non-trivial shingle expression
-    * costs k× per row. The corpus-scale path is `minhashSignatures`
-    * below — measured ~10× faster at sf0.1 even against the fixed
-    * explode+agg form with per-seed string hashing. */
+  /** Declarative (built-ins-only) MinHash signature: k pseudo-
+    * independent hashes from ONE strong hash per shingle, h_i(x) =
+    * xxhash64(xxhash64(x), i). ONLY for tiny inputs/tests — the
+    * corpus-scale path is `minhashSignatures` below (fused native
+    * expression, row-local): here `shingleCol`'s whole expression tree
+    * is re-evaluated inside every one of the k outer-lambda iterations
+    * (no cross-iteration CSE in higher-order functions), so a
+    * non-trivial shingle expression costs k× per row. NOTE the two
+    * paths use different hash families (xxhash64 here, FNV+SplitMix64
+    * in MinHashSig) — signatures are comparable only within one path. */
   def minhashSignature(shingleCol: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), i =>
       array_min(transform(shingleCol, sh => xxhash64(xxhash64(sh), i))))
 
-  /** Corpus-scale MinHash: explode shingles to rows, ONE string hash
-    * per shingle + k linear permutations of it, then a k-way min
-    * aggregation per document. The shuffle carries k longs per
-    * (partition, doc) thanks to map-side partial mins; each shingle
-    * string is hashed exactly once (vs k× re-building the whole
-    * shingle array per row in the Column form).
+  /** Corpus-scale MinHash: ROW-LOCAL signature via the fused native
+    * MinHashSig expression (expressions/VectorExpressions.scala) — one
+    * FNV base hash per shingle + k SplitMix64-derived mins, all inside
+    * one loop per document. Zero shuffle (the previous explode +
+    * k-column min-aggregation form shuffled k longs per doc and paid a
+    * row per shingle; this pays nothing but the scan).
     *
-    * Documents with no shingles (fewer than n tokens) have no rows
-    * here, hence NO signature and no candidates — the explicit fix for
-    * the degenerate all-null-signature bucket that would otherwise
-    * pair every short document with every other. */
+    * Documents with no shingles (fewer than n tokens) signature to
+    * NULL — the degenerate all-equal-signature bucket that would pair
+    * every short document with every other cannot form. Null rows are
+    * NOT filtered here: a Filter(isNotNull(sig)) would be pushed below
+    * the projection with the alias substituted, re-evaluating the
+    * whole signature (with split() re-inlined per shingle reference)
+    * as a predicate — measured 4× on q70. Consumers drop nulls for
+    * free at the band-key explode (explode(null) emits no rows);
+    * anyone else filters AFTER a materialization barrier. Requires
+    * graft_minhash registered (VectorExpressions.register /
+    * GraftExtensions). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, numHashes: Int): DataFrame = {
-    // Materialize the token array in its OWN projection: `shingles`
+    // Token array materialized in its OWN projection: `shingles`
     // references its input ~3× per gram (element_at per n-gram slot),
     // and an inlined split() would be re-evaluated at every reference —
     // O(shingles × text_len) per row, measured 4.8 s just to shingle
     // 5000 docs at sf0.1. A multi-referenced non-cheap alias is not
     // collapsed into its consumer, so `toks` is computed once per row.
-    val sh = df
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
-      .select(col("id"), explode(shingles(col("toks"), shingleN)).as("sh"))
-    // h0 is a separate projection so codegen evaluates the STRING hash
-    // once per shingle row; each h_i inside its min aggregate then
-    // hashes 12 fixed bytes — no intermediate array, no re-hashing of
-    // the string per i.
-    val hashed = sh.select(col("id"), xxhash64(col("sh")).as("h0"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("h0"), lit(i))).as(s"m$i"))
-    hashed.groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .select(col("id"), shingles(col("toks"), shingleN).as("sh"))
       .select(col("id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+        call_function("graft_minhash", col("sh"), lit(numHashes)).as("sig"))
   }
 
   /** LSH band keys: the signature split into `bands` slices of
@@ -220,8 +212,16 @@ object Dedup {
                         bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // Null signatures (short docs) must NOT reach bandKeys: xxhash64 of
+    // a null slice is the seed, not null — every short doc would share
+    // one degenerate bucket. The when() guard turns a null signature
+    // into a null band array, and explode(null) emits no rows — the
+    // null-drop happens here, not via a pushdown-prone Filter (see
+    // minhashSignatures). sig is referenced 3× in this projection, so
+    // CollapseProject cannot inline the signature into the lambda.
     val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
-      .select(col("id"), col("sig"), explode(bandKeys(col("sig"), bands, r)).as("bk"))
+      .select(col("id"), col("sig"),
+        explode(when(col("sig").isNotNull, bandKeys(col("sig"), bands, r))).as("bk"))
     val a = sigs.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("bk"))

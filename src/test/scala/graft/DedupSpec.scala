@@ -60,14 +60,31 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(sigs(0) === sigs(1))
   }
 
-  test("distributed minhashSignatures equals the Column-form signature") {
-    val viaAgg = Dedup.minhashSignatures(docs, "doc_id", "text", 2, 32)
-      .select(col("id"), col("sig")).as[(Long, Seq[Long])].collect().toMap
-    val viaCol = docs.select(col("doc_id"),
-      Dedup.minhashSignature(
-        Dedup.shingles(split(col("text"), " "), 2), 32).as("sig"))
-      .as[(Long, Seq[Long])].collect().toMap
-    assert(viaAgg === viaCol) // every fixture doc has >= 2 tokens
+  test("minhashSignatures equals an independent driver-side reimplementation") {
+    // Oracle: recompute FNV-1a 64 + SplitMix64 + per-seed min in plain
+    // Scala from the same public constants and compare exactly.
+    val got = Dedup.minhashSignatures(docs, "doc_id", "text", 2, 32)
+      .select(col("id"), col("sig")).as[(Long, Option[Seq[Long]])].collect()
+      .collect { case (id, Some(sig)) => id -> sig }.toMap
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      for (b <- s.getBytes("UTF-8")) h = (h ^ (b & 0xffL)) * 0x100000001b3L
+      h
+    }
+    def mix(x: Long): Long = {
+      var z = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val seeds = { val r = new scala.util.Random(42L); Array.fill(32)(r.nextLong()) }
+    for ((id, text) <- docs.as[(Long, String)].collect()) {
+      val toks = text.split(" ")
+      if (toks.length >= 2) {
+        val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+        val expect = seeds.toSeq.map(s => grams.map(g => mix(fnv(g) + s)).min)
+        assert(got(id) === expect, s"doc $id")
+      } else assert(!got.contains(id))
+    }
   }
 
   test("minhash estimate tracks exact Jaccard within statistical tolerance") {
