@@ -97,6 +97,32 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(hiHam < loHam, s"high-cos pairs hamming $hiHam !< near-orthogonal $loHam")
   }
 
+  test("IVF corpus laid out by cell_id partition-prunes the partial probe scan") {
+    // The 100 TB claim behind ivfTopK: with the corpus written
+    // partitionBy(cell_id), a partial probe reads ONLY the probed
+    // cells' directories. Asserted on the executed plan, not prose:
+    // the cell_id membership predicate must appear as a
+    // PartitionFilters entry of the parquet scan.
+    val corpus = Tables.embeddings(spark, sfDir)
+    val centroids = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_vec"))
+    val indexed = graft.ops.Similarity.assignCells(
+      corpus.filter(col("vec_id") =!= 0), "vec_id", "embedding", centroids)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+    graft.pipeline.Warehouse.writePartitioned(indexed, dir, "cell_id")
+
+    val onDisk = spark.read.parquet(dir)
+    val query = corpus.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_embedding"))
+    val probe = graft.ops.Similarity.ivfTopK(onDisk, "vec_id", "embedding",
+      centroids, query, "q_embedding", k = 5, nProbe = 2)
+    probe.collect() // materialize so AQE finalizes the executed plan
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell_id".r.findFirstIn(plan).isDefined,
+      s"cell_id probe did not become a partition filter:\n$plan")
+    assert(probe.count() === 5)
+  }
+
   test("cosineNearDupPairs: planted near-dups all recalled, precision exact") {
     // 60 random base vectors + 20 planted near-duplicates (base + small
     // noise, cosine ≈ 0.999). Deterministic seeds throughout. At q73's
