@@ -38,16 +38,36 @@ object Report {
     if (rows.isEmpty) None else Some(rows.mkString("{\"data\":[", ",", "]}"))
   }
 
+  /** Minimal HTML escaping for text interpolated into markup: the five
+    * characters with syntactic meaning. Without this, a document cell
+    * containing `</table><script>` corrupts or injects into the
+    * artifact. */
+  private[pipeline] def escapeHtml(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case '\'' => "&#39;"
+      case c => c.toString
+    }
+
   /** R13: rows → HTML report (reference's inline Jinja template
     * :96-129 — header + one table row per product). Pure function of
-    * collected rows so it is trivially golden-testable. */
+    * collected rows so it is trivially golden-testable. Every
+    * interpolated value (title, column names, cells) is HTML-escaped;
+    * null cells render empty. */
   def renderHtml(title: String, columns: Seq[String], rows: Seq[Row]): String = {
-    val head = columns.map(c => s"<th>$c</th>").mkString
+    val t = escapeHtml(title)
+    val head = columns.map(c => s"<th>${escapeHtml(c)}</th>").mkString
     val body = rows.map { r =>
-      columns.indices.map(i => s"<td>${r.get(i)}</td>").mkString("<tr>", "", "</tr>")
+      columns.indices.map { i =>
+        val cell = Option(r.get(i)).map(v => escapeHtml(v.toString)).getOrElse("")
+        s"<td>$cell</td>"
+      }.mkString("<tr>", "", "</tr>")
     }.mkString("\n")
-    s"""<html><head><title>$title</title></head>
-       |<body><h1>$title</h1>
+    s"""<html><head><title>$t</title></head>
+       |<body><h1>$t</h1>
        |<table><tr>$head</tr>
        |$body
        |</table></body></html>""".stripMargin
@@ -55,11 +75,23 @@ object Report {
 
   /** R12+R13+R15: emptiness short-circuit, then render + file sink.
     * Returns true iff a report was written; empty input writes NOTHING
-    * (no file — the reference skips every downstream task). */
-  def writeReport(result: DataFrame, title: String, outPath: String): Boolean = {
+    * (no file — the reference skips every downstream task).
+    *
+    * The collect is BOUNDED: at most `maxRows` rows are rendered
+    * (reports are human-sized; the reference emails rows to a person),
+    * with a truncation marker row when the result has more — the
+    * limit(maxRows + 1) read is how the sink detects overflow without
+    * a second count job or an unbounded driver materialization. */
+  def writeReport(result: DataFrame, title: String, outPath: String,
+                  maxRows: Int = 10000): Boolean = {
     if (result.isEmpty) false // R12: short-circuit, no artifact
     else {
-      val html = renderHtml(title, result.columns.toSeq, result.collect().toSeq)
+      val collected = result.limit(maxRows + 1).collect().toSeq
+      val (shown, truncated) =
+        if (collected.length > maxRows) (collected.take(maxRows), true)
+        else (collected, false)
+      val html = renderHtml(title, result.columns.toSeq, shown) +
+        (if (truncated) s"\n<p>(truncated at $maxRows rows)</p>" else "")
       Option(Paths.get(outPath).getParent).foreach(Files.createDirectories(_))
       Files.writeString(Paths.get(outPath), html)
       true

@@ -65,6 +65,28 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert("<td>\\d{2}-\\d{2}-\\d{4}</td>".r.findFirstIn(html).isDefined)
   }
 
+  test("report escapes hostile cell content; large results truncate with a marker") {
+    val dir = tmpDir()
+    val hostile = Seq(
+      ("</table><script>alert(1)</script>", 1L),
+      ("a & b < c \"quoted\"", 2L))
+      .toDF("title", "n")
+    val out = dir.resolve("hostile.html")
+    assert(Report.writeReport(hostile, "x<y & \"z\"", out.toString))
+    val html = Files.readString(out)
+    assert(!html.contains("<script>"), "markup injected through a cell")
+    assert(html.contains("&lt;/table&gt;&lt;script&gt;alert(1)&lt;/script&gt;"))
+    assert(html.contains("a &amp; b &lt; c &quot;quoted&quot;"))
+    assert(html.contains("<h1>x&lt;y &amp; &quot;z&quot;</h1>"))
+
+    val big = spark.range(25).selectExpr("id", "concat('row', id) AS label")
+    val out2 = dir.resolve("big.html")
+    assert(Report.writeReport(big, "big", out2.toString, maxRows = 10))
+    val html2 = Files.readString(out2)
+    assert(html2.contains("(truncated at 10 rows)"))
+    assert("<tr><td>".r.findAllIn(html2).size === 10)
+  }
+
   test("report R12: empty result writes NO artifact (inverted predicate, README.md:59-61)") {
     val dir = tmpDir()
     val products = Ingest.normalize(payloads, "payload")
