@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — the point-in-time lookup (each left row
+  * matched to the LATEST right row with right.ts <= left.ts on the
+  * same key) that Spark has no built-in operator for. The mandate's
+  * custom-operator preference order applies: this is case (a),
+  * composition of existing operators — no custom plan node needed.
+  *
+  * Implementation is the union + running-last trick, NOT a range
+  * self-join:
+  *
+  *   1. tag right rows side=0 carrying their payload, left rows side=1
+  *      with a null payload slot;
+  *   2. union and run `last(payload, ignoreNulls) over (partition by
+  *      key order by ts, side rows unbounded preceding..current)`:
+  *      at a left row the running last is exactly the newest right
+  *      payload with right.ts <= left.ts (side 0 sorts before 1, so a
+  *      tie on ts matches — DuckDB ASOF `ON r.ts <= l.ts` semantics);
+  *   3. keep side=1 rows, project left columns + the matched payload.
+  *
+  * Scale shape: ONE shuffle on the key (same envelope as a groupBy),
+  * state is a single payload per partition-in-flight — vs the
+  * range-condition join Spark would otherwise plan (per-key cross
+  * product filtered after the fact). Unmatched left rows keep a null
+  * payload (left-outer semantics, `ASOF LEFT JOIN`).
+  *
+  * Determinism: right rows tied on (key, ts) are ordered by payload
+  * struct before `last` picks one (greatest payload wins) — callers
+  * with possibly-duplicated (key, ts) right rows get a deterministic
+  * result as long as `valueCols` are orderable types. */
+object AsOf {
+
+  /** @param valueCols right columns to attach; they appear in the
+    *                  output as `prefix + name` (left columns are
+    *                  never shadowed). */
+  def asofBackward(left: DataFrame, right: DataFrame,
+                   keyCol: String, tsCol: String,
+                   valueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    require(valueCols.nonEmpty, "valueCols must name at least one right column")
+    val r = right.select(
+      col(keyCol), col(tsCol),
+      struct(valueCols.map(col): _*).as("__rpay"),
+      lit(0).as("__side"))
+    val l = left
+      .withColumn("__rpay", lit(null).cast(r.schema("__rpay").dataType))
+      .withColumn("__side", lit(1))
+    val combined = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"), col("__rpay"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = combined
+      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    matched.select(
+      left.columns.map(col).toSeq ++
+        valueCols.map(c => col(s"__match.$c").as(prefix + c)): _*)
+  }
+}

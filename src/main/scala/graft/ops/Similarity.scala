@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (SURVEY.md §2B
@@ -44,19 +43,26 @@ object Similarity {
       .limit(k)
 
   /** Assign every corpus vector to its nearest centroid (max dot
-    * product). Centroids are a small fixed set → broadcast; the
-    * argmax is a window row_number over (id) — one shuffle, done ONCE
-    * at index-build time, amortized over all queries. */
+    * product; ties → lowest cell_id). Centroids are a small fixed set
+    * → broadcast; the argmax is a max_by AGGREGATION, not a window
+    * row_number: the window form shuffles all corpus × C scored rows
+    * and sorts them, while the partial-aggregated max_by combines the
+    * C candidates per vector map-side — the shuffle carries one row
+    * per vector regardless of C. Done ONCE at index-build time,
+    * amortized over all queries. */
   def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
-                  centroids: DataFrame): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .withColumn("__score", dot(col(vecCol), col("c_vec")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(desc("__score"), col("cell_id"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell_id"))
-  }
+                  centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol), col("cell_id"),
+        dot(col(vecCol), col("c_vec")).as("__score"))
+      .groupBy(col(idCol))
+      // struct compare is lexicographic: max (__score, -cell_id) =
+      // highest score, then LOWEST cell_id — deterministic under ties.
+      .agg(max_by(
+        struct(col(vecCol), col("cell_id")),
+        struct(col("__score"), -col("cell_id"))).as("__best"))
+      .select(col(idCol), col(s"__best.$vecCol").as(vecCol),
+        col("__best.cell_id").as("cell_id"))
 
   /** Fixed seeded hyperplane matrix: bands × bitsPerBand rows of `dims`
     * gaussians — deterministic across runs/executors, passed to the

@@ -25,6 +25,29 @@ import org.apache.spark.sql.functions._
 object JoinQueries {
 
   val queries: Map[String, Q] = Map(
+    // backward as-of join (ops.AsOf): each click matched to the user's
+    // latest purchase at or before it — the point-in-time lookup, via
+    // the union + running-last composition (one shuffle on user_id,
+    // never a per-key cross product). DuckDB's native ASOF LEFT JOIN
+    // is the oracle. Timestamps projected as epoch micros (lossless —
+    // the fixture is µs-exact) for dtype parity in the compare.
+    "q75_asof_join" -> ((s, dir) => {
+      import graft.ops.AsOf
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event"), col("value").as("p_value"))
+      AsOf.asofBackward(clicks, purchases, "user_id", "ts",
+          Seq("p_event", "p_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("asof_p_event").as("p_event"),
+          round(col("asof_p_value"), 4).as("p_value"))
+        .orderBy("event_id")
+    }),
+
     // fact ⋈ fact equi inner join on the natural key.
     "q10_join_inner" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -124,6 +147,13 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q75_asof_join" ->
+      """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |       p.event_id AS p_event, round(p.value, 4) AS p_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
     "q10_join_inner" ->
       """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus, l_quantity
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
