@@ -181,9 +181,17 @@ object Dedup {
     * while precision stays exact (rescore is exact Hamming).
     *
     * Same shuffle discipline as lshCandidatePairs: the self-join
-    * carries (band, key, id, sig) — 4 fixed-size values, never text. */
+    * carries (band, key, id, sig) — 4 fixed-size values, never text.
+    *
+    * Band-width trade (bands × r = 64 is FIXED for a 64-bit sketch):
+    * more bands widen the deterministic-recall radius (bands-1) but
+    * shrink the per-band key space to 2^r buckets, and the self-join
+    * generates ~n²/2^r pairs per band on an uncorrelated corpus —
+    * r = 8 (256 buckets) goes quadratic long before 100 TB. Default
+    * 4 × 16: 65k buckets, exact to Hamming 3 (the classic SimHash
+    * operating point). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int, bands: Int = 8): DataFrame = {
+                   maxHamming: Int, bands: Int = 4): DataFrame = {
     require(bands >= 2 && 64 % bands == 0, "bands must divide 64")
     val r = 64 / bands
     val mask = (1L << r) - 1

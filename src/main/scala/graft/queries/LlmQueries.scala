@@ -231,14 +231,17 @@ object LlmQueries {
 
     // SimHash near-dup candidate pairs (Dedup.simhashPairs): row-local
     // 64-bit signatures via the native graft_simhash expression, banded
-    // 8×8 bits, exact-Hamming rescore. maxHamming = 7 = bands-1 keeps
-    // the result EXACT (pigeonhole: <8 flipped bits leave some band
+    // 4×16 bits, exact-Hamming rescore. maxHamming = 3 = bands-1 keeps
+    // the result EXACT (pigeonhole: <4 flipped bits leave some band
     // intact), so the only non-determinism is the signature function
     // itself — rows-only by contract like q70/q73; DedupSpec pins the
-    // recall guarantee and near/far separation.
+    // recall guarantee and near/far separation. 16-bit band keys give
+    // 65k buckets — the bucket space, not the corpus, bounds the
+    // candidate blowup (8-bit keys = 256 buckets turn the self-join
+    // quadratic long before 100 TB).
     "q74_simhash_neardup" -> ((s, dir) => {
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
-          maxHamming = 7, bands = 8)
+          maxHamming = 3, bands = 4)
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy("id_a", "id_b")
     }),
