@@ -69,6 +69,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q75 as-of join plans as ONE key shuffle + window, never a cross product") {
+    val p = plan("q75_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of degenerated to a cross product:\n$p")
+    // exactly 2 exchanges: the key partition for the window + the
+    // final deterministic orderBy. A third would mean the union trick
+    // regressed to a join.
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
+    assert(p.contains("Window"), s"no window in as-of plan:\n$p")
+  }
+
   test("no Python/Scala UDF appears in any oracle query plan (codegen discipline)") {
     for ((name, q) <- SparkEntry.queries) {
       val p = q(spark, sfDir).queryExecution.executedPlan.toString
