@@ -128,6 +128,56 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("graft_band_keys null semantics: null vec, dims mismatch, null element all yield null") {
+    val planes = typedlit(Seq.fill(16)(Seq.fill(2)(0.5f)))
+    val df = Seq(
+      (1L, Some(Seq[Option[Float]](Some(1.0f), Some(2.0f)))), // clean → 2 keys
+      (2L, None),                                             // null vec
+      (3L, Some(Seq[Option[Float]](Some(1.0f)))),             // dims mismatch (1 vs 2)
+      (4L, Some(Seq[Option[Float]](Some(1.0f), None))))       // null element
+      .toDF("id", "v")
+      .select(col("id"),
+        call_function("graft_band_keys",
+          col("v").cast("array<float>"), planes, lit(8)).as("keys"))
+    val got = df.collect().map(r => r.getLong(0) -> !r.isNullAt(1)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    val keys = df.filter(col("id") === 1).select(size(col("keys"))).as[Int].head()
+    assert(keys === 2) // 16 planes / 8 bits per band
+  }
+
+  test("graft_minhash and graft_simhash survive codegen and interpreted paths identically") {
+    def run(): Seq[(Option[Seq[Long]], Option[Long])] =
+      Tables.documents(spark, sfDir).limit(50)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(
+          call_function("graft_minhash", col("toks"), lit(16)).as("mh"),
+          call_function("graft_simhash", col("toks")).as("sh"))
+        .as[(Option[Seq[Long]], Option[Long])].collect().toSeq
+    val withCodegen = withConf("spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")(run())
+    val interpreted = withConf("spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(run())
+    assert(withCodegen === interpreted)
+    assert(withCodegen.nonEmpty && withCodegen.forall { case (m, s) => m.isDefined && s.isDefined })
+  }
+
+  test("all four native functions are registered and SQL-callable") {
+    // (A true config-time session test needs its own JVM — one
+    // SparkContext per JVM, and getOrCreate would return the shared
+    // session with extensions unapplied. The fixture registers via
+    // VectorExpressions.register, which is the same wiring
+    // GraftExtensions injects; additionally the extension class must
+    // apply cleanly to a fresh SparkSessionExtensions.)
+    val names = Seq("graft_dot", "graft_band_keys", "graft_simhash", "graft_minhash")
+    for (n <- names)
+      assert(spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)),
+        s"$n not registered")
+    val d = spark.sql("SELECT graft_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
+      .collect()(0).getDouble(0)
+    assert(d === 11.0)
+    new graft.expressions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("rule conservatism: a non-dot aggregate(zip_with) is left untouched") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ RewriteDotProduct
