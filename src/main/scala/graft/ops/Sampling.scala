@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sampling and dataset-splitting operators for training-data
+  * pipelines: deterministic content-hash splits (train/eval membership
+  * must be a pure function of the example, never of row order,
+  * partitioning, or cluster size) and seeded stratified sampling.
+  *
+  * Scale design: the hash split is ROW-LOCAL (a codegen'd md5 compare
+  * — no shuffle, no state, reproducible on any engine that can md5);
+  * stratified sampling is Spark's per-stratum Bernoulli sampleBy —
+  * one scan, no shuffle, seed-deterministic. */
+object Sampling {
+
+  /** Split label as a pure function of a key column: "train" iff the
+    * md5 hex of the key sorts below the threshold prefix. Uniformity
+    * comes from md5; determinism from content addressing — appending,
+    * re-partitioning, or re-ordering the corpus never flips a row's
+    * split. `thresholdHex` sets the train fraction: each leading hex
+    * char ≈ 1/16 of mass (e.g. "cc" ≈ 204/256 ≈ 79.7% train).
+    *
+    * Engine-portable by construction (md5 + string compare exist
+    * everywhere) — which also makes it DuckDB-oracle-checkable. */
+  def hashSplitLabel(key: Column, thresholdHex: String): Column = {
+    require(thresholdHex.nonEmpty &&
+      thresholdHex.forall(c => "0123456789abcdef".contains(c)),
+      "thresholdHex must be lowercase hex")
+    when(substring(md5(key.cast("string")), 1, thresholdHex.length) < thresholdHex,
+      lit("train")).otherwise(lit("eval"))
+  }
+
+  def hashSplit(df: DataFrame, keyCol: String, thresholdHex: String,
+                labelCol: String = "split"): DataFrame =
+    df.withColumn(labelCol, hashSplitLabel(col(keyCol), thresholdHex))
+
+  /** Per-stratum CONTENT-ADDRESSED Bernoulli sample: a row is kept iff
+    * u(key) < fraction(stratum), with u a uniform derived from
+    * xxhash64(key, seed). Strata absent from `fractions` are dropped
+    * (null fraction ⇒ predicate null ⇒ filtered), matching sampleBy.
+    *
+    * Deliberately NOT DataFrameStatFunctions.sampleBy: that plans a
+    * `Filter UDF(strata, rand(seed))` — a codegen-breaking UDF whose
+    * rand() stream is per-PARTITION seeded, so the kept-set silently
+    * changes whenever the data is repartitioned. Hashing the key
+    * instead keeps the whole filter codegen'd and makes membership a
+    * pure function of the example — stable under reordering,
+    * repartitioning, and appends, exactly like `hashSplit`. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       fractions: Map[String, Double], seed: Long): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val frac = element_at(typedlit(fractions), col(strataCol))
+    val u = pmod(xxhash64(col(keyCol), lit(seed)), lit(1000000L))
+      .cast("double") / 1000000.0
+    df.filter(u < frac)
+  }
+}

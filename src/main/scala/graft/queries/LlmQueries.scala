@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operators as oracle-checked queries (SURVEY.md §2B
@@ -246,6 +246,33 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // deterministic content-hash train/eval split (ops.Sampling):
+    // membership is a pure function of the text — row-local, no
+    // shuffle, stable under reordering/repartitioning/appends. md5 +
+    // string compare exist in every engine, so DuckDB oracles the
+    // exact per-split counts.
+    "q76_hash_split" -> ((s, dir) => {
+      Sampling.hashSplit(Tables.documents(s, dir), "text", "cc")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("split")
+    }),
+
+    // seeded stratified sample by language (ops.Sampling): content-
+    // addressed per-stratum Bernoulli (xxhash64 of the doc id — no
+    // UDF, no rand(), kept-set invariant under repartitioning). The
+    // uniform is Spark's xxhash64, so rows-only by contract;
+    // SamplingSpec pins determinism, partition invariance, the subset
+    // property, and per-stratum fraction tolerance.
+    "q77_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
+          Map("en" -> 0.5, "es" -> 0.2, "fr" -> 0.2, "de" -> 0.1, "zh" -> 0.1),
+          seed = 7L)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
     // order-invariant document fingerprint (md5 of sorted distinct
     // token bag) — row-local blocking key for dedup.
     "q58_fingerprint" -> ((s, dir) => {
@@ -371,6 +398,11 @@ object LlmQueries {
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_regex_tokens,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q76_hash_split" ->
+      """SELECT CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+        |            ELSE 'eval' END AS split,
+        |       count(*) AS n_docs, count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
     "q58_fingerprint" ->
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint

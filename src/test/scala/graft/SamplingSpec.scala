@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.Sampling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sampling/splitting operators: content-addressed determinism,
+  * partition invariance, fraction tolerance. */
+class SamplingSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("hashSplit is a pure function of the key: known value, partition-invariant") {
+    // md5("a") = 0cc175b9... → "0c" < "cc" → train
+    val one = Seq(Tuple1("a")).toDF("k")
+    assert(Sampling.hashSplit(one, "k", "cc").select("split").as[String].head() === "train")
+
+    val docs = Tables.documents(spark, sfDir)
+    val base = Sampling.hashSplit(docs, "text", "cc")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val reparted = Sampling.hashSplit(docs.repartition(7), "text", "cc")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(base === reparted, "split labels must not depend on partitioning")
+  }
+
+  test("hashSplit train fraction tracks the threshold prefix mass") {
+    // "cc" → 204/256 ≈ 0.797; n = 500, σ ≈ 0.018 → assert within ±0.08.
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count().toDouble
+    val train = Sampling.hashSplit(docs, "text", "cc")
+      .filter(col("split") === "train").count().toDouble
+    assert(math.abs(train / n - 204.0 / 256.0) < 0.08,
+      s"train fraction ${train / n} far from ${204.0 / 256.0}")
+  }
+
+  test("hashSplit rejects non-hex thresholds") {
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplitLabel(col("x"), "CZ")
+    }
+  }
+
+  test("stratifiedSample: deterministic, partition-invariant, subset, fraction in tolerance") {
+    val docs = Tables.documents(spark, sfDir)
+    val fractions = Map("en" -> 0.5, "es" -> 0.2, "fr" -> 0.2, "de" -> 0.1, "zh" -> 0.1)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedSample(df, "lang", "doc_id", fractions, seed = 7L)
+        .select("doc_id").as[Long].collect().toSet
+    val a = run(docs)
+    assert(a === run(docs), "same seed must give the same kept-set")
+    assert(a === run(docs.repartition(7)),
+      "kept-set must not depend on partitioning (the sampleBy rand() trap)")
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(all))
+    val perLang = Sampling.stratifiedSample(docs, "lang", "doc_id", fractions, seed = 7L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    for ((lang, frac) <- fractions; total <- totals.get(lang)) {
+      val got = perLang.getOrElse(lang, 0L).toDouble / total
+      // Bernoulli: σ = sqrt(p(1-p)/n); strata are ~100 docs at sf0.001
+      // so allow a generous ±0.2 absolute.
+      assert(math.abs(got - frac) < 0.2, s"$lang sampled $got vs $frac")
+    }
+  }
+
+  test("stratifiedSample drops strata absent from the fractions map") {
+    val docs = Tables.documents(spark, sfDir)
+    val onlyEn = Sampling.stratifiedSample(docs, "lang", "doc_id",
+        Map("en" -> 1.0), seed = 7L)
+      .select("lang").distinct().as[String].collect().toSeq
+    assert(onlyEn === Seq("en"))
+  }
+}
