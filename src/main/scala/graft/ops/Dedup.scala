@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines
   * (SURVEY.md §2B "LLM-data-pipeline extensions"): exact content-hash
-  * dedup and MinHash-LSH near-dup detection.
+  * dedup, MinHash-LSH and SimHash near-dup detection.
   *
   * Scale design (the 100 TB rationale for each choice):
   *  - exact dedup shuffles a 32-byte content hash as the key, never raw
@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   *  - near-dup candidate generation is BANDED LSH: a self-join within
   *    band-hash buckets only. All-pairs comparison is O(n²) and dead at
   *    any scale; banding keeps it O(n·bands + candidate pairs).
-  *  - signatures use the built-in `xxhash64` (codegen'd Catalyst
-  *    expression) — no UDF anywhere, the whole signature pipeline stays
-  *    inside WholeStageCodegen.
+  *  - signatures (MinHash and SimHash) are ROW-LOCAL fused native
+  *    expressions (MinHashSig / SimHash64 — no UDF, one JIT-compiled
+  *    loop per doc, no shuffle); only band keys and id pairs ever
+  *    shuffle.
   */
 object Dedup {
 
