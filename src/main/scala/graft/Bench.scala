@@ -29,7 +29,10 @@ object Bench {
     // the driver leaves it unset and benches everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
+    // sorted order: Map iteration order is hash-arbitrary, which moves
+    // JIT/code-cache warmup between queries across code changes and
+    // makes per-query timings incomparable round-over-round.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(f => f.exists(name.startsWith))
     }
     val results = selected.map { case (name, fn) =>
@@ -40,7 +43,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

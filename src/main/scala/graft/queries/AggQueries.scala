@@ -126,6 +126,21 @@ object AggQueries {
         .orderBy("l_returnflag")
     }),
 
+    // approx_percentile sketch — the 100 TB path the exact q29 form
+    // points at (GK/KLL-style quantile summary: fixed-size state, no
+    // per-group value buffer). No SQL oracle (approx, sketch-
+    // implementation-defined); ApproxDistinctSpec property-bounds the
+    // rank error vs the exact percentile.
+    "q36_approx_percentile" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p50"),
+          round(element_at(col("ps"), 2), 4).as("p90"))
+        .orderBy("l_returnflag")
+    }),
+
     // salted two-phase aggregation through the ops.Skew seam: the
     // explicit hot-key mitigation MUST produce exactly what the plain
     // groupBy produces — which makes plain GROUP BY its oracle. Sums

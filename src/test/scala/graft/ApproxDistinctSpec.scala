@@ -38,4 +38,28 @@ class ApproxDistinctSpec extends AnyFunSuite with SparkFixture {
         s"${r.get(0)}: exact=$exact approx=$approx")
     }
   }
+
+  test("q36 approx_percentile within accuracy-bound rank error of exact per group") {
+    // accuracy = 1000 ⇒ guaranteed rank error ≤ n/1000 per group; the
+    // VALUE gap that rank slack allows is data-dependent, so assert on
+    // the rank of the approximate value, not the value itself.
+    val li = Tables.lineitem(spark, sfDir)
+    val rows = li.groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").as("approx"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val flag = r.getString(0)
+      val approx = r.getSeq[Double](1)
+      val n = r.getLong(2).toDouble
+      for ((q, a) <- Seq(0.5, 0.9).zip(approx)) {
+        val rank = li.filter(col("l_returnflag") === flag)
+          .filter(col("l_extendedprice") <= a).count().toDouble / n
+        assert(math.abs(rank - q) <= 2.0 / 1000 + 1.0 / n,
+          s"$flag q=$q: approx value $a sits at rank $rank")
+      }
+    }
+  }
 }
