@@ -105,11 +105,18 @@ case class DotProductF32(left: Expression, right: Expression)
   *
   * Null semantics match DotProductF32: null vector ⇒ null; dims
   * mismatch with the planes ⇒ null; any null element ⇒ null. */
-case class HyperplaneBandKeys(child: Expression, planes: Array[Array[Float]],
+case class HyperplaneBandKeys(child: Expression, planes: Seq[Seq[Float]],
                               bitsPerBand: Int) extends UnaryExpression {
   require(planes.nonEmpty && planes.length % bitsPerBand == 0,
     "planes must be a non-empty multiple of bitsPerBand")
   require(bitsPerBand >= 1 && bitsPerBand <= 63, "band key packs into one Long")
+
+  // planes is Seq-of-Seq (NOT Array) so case-class equality is
+  // structural — array fields compare by reference and would defeat
+  // semanticEquals/subexpression reuse for identically-seeded
+  // sketches. The hot loop runs over this flattened copy.
+  @transient private lazy val mat: Array[Array[Float]] =
+    planes.iterator.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -124,7 +131,7 @@ case class HyperplaneBandKeys(child: Expression, planes: Array[Array[Float]],
   /** Shared by interpreted eval and codegen (codegen calls it through a
     * reference object — one real JVM method, JIT-compiled once). */
   def compute(input: ArrayData): ArrayData = {
-    val dims = planes(0).length
+    val dims = mat(0).length
     if (input.numElements() != dims) return null
     val vec = new Array[Double](dims)
     var i = 0
@@ -133,7 +140,7 @@ case class HyperplaneBandKeys(child: Expression, planes: Array[Array[Float]],
       vec(i) = input.getFloat(i).toDouble
       i += 1
     }
-    val bands = planes.length / bitsPerBand
+    val bands = mat.length / bitsPerBand
     val keys = new Array[Long](bands)
     var p = 0
     var b = 0
@@ -141,7 +148,7 @@ case class HyperplaneBandKeys(child: Expression, planes: Array[Array[Float]],
       var key = 0L
       var j = 0
       while (j < bitsPerBand) {
-        val plane = planes(p); p += 1
+        val plane = mat(p); p += 1
         var acc = 0.0
         var d = 0
         while (d < dims) { acc += vec(d) * plane(d).toDouble; d += 1 }
@@ -170,9 +177,13 @@ case class HyperplaneBandKeys(child: Expression, planes: Array[Array[Float]],
 }
 
 object HyperplaneBandKeys {
-  def matrixFromLiteral(l: Literal): Array[Array[Float]] = {
-    val ad = l.value.asInstanceOf[ArrayData]
-    Array.tabulate(ad.numElements())(i => ad.getArray(i).toFloatArray())
+  /** Folds a constant array<array<float>> expression (a Literal from
+    * typedlit, or any foldable tree like SQL `array(array(...))` —
+    * constant folding runs AFTER function resolution, so the builder
+    * must evaluate foldables itself). */
+  def matrixFromConstant(e: Expression): Seq[Seq[Float]] = {
+    val ad = e.eval().asInstanceOf[ArrayData]
+    Seq.tabulate(ad.numElements())(i => ad.getArray(i).toFloatArray().toSeq)
   }
 }
 
@@ -342,28 +353,41 @@ object VectorExpressions {
 
   val bandKeysInfo = new ExpressionInfo(classOf[HyperplaneBandKeys].getName, "graft_band_keys")
 
-  /** graft_band_keys(vec, planesLiteral, bitsPerBandLiteral) — the
-    * planes and band width must be literals (they parameterize the
-    * fused loop; Similarity.cosineBandKeys passes them via typedlit). */
+  /** graft_band_keys(vec, planesConstant, bitsPerBandConstant) — the
+    * planes and band width must be CONSTANT (foldable) expressions:
+    * they parameterize the fused loop. Similarity.cosineBandKeys
+    * passes a typedlit; SQL callers can write array(array(...)). */
   val bandKeysBuilder: Seq[Expression] => Expression = {
-    case Seq(vec, planes: Literal, bpb: Literal) =>
-      HyperplaneBandKeys(vec, HyperplaneBandKeys.matrixFromLiteral(planes),
-        bpb.value.asInstanceOf[Int])
+    case Seq(vec, planes, bpb)
+        if planes.foldable && constLong(bpb).isDefined =>
+      HyperplaneBandKeys(vec, HyperplaneBandKeys.matrixFromConstant(planes),
+        constLong(bpb).get.toInt)
     case other => throw new IllegalArgumentException(
-      "graft_band_keys expects (vec, planes LITERAL, bitsPerBand LITERAL), got " +
+      "graft_band_keys expects (vec, planes CONSTANT, bitsPerBand CONSTANT), got " +
         other.map(_.getClass.getSimpleName).mkString(", "))
   }
 
   val minhashInfo = new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash")
 
-  /** graft_minhash(shingles, k LITERAL [, seed LITERAL]) — k and seed
-    * parameterize the fused loop. */
+  /** Folds a constant integral expression to Long (int or bigint —
+    * SQL integer literals parse as IntegerType). */
+  private def constLong(e: Expression): Option[Long] =
+    if (!e.foldable) None
+    else e.eval() match {
+      case i: java.lang.Integer => Some(i.longValue())
+      case l: java.lang.Long => Some(l)
+      case _ => None
+    }
+
+  /** graft_minhash(shingles, k CONSTANT [, seed CONSTANT]) — k and
+    * seed parameterize the fused loop. */
   val minhashBuilder: Seq[Expression] => Expression = {
-    case Seq(toks, Literal(k: Int, IntegerType)) => MinHashSig(toks, k, 42L)
-    case Seq(toks, Literal(k: Int, IntegerType), Literal(s: Long, LongType)) =>
-      MinHashSig(toks, k, s)
+    case Seq(toks, k) if constLong(k).isDefined =>
+      MinHashSig(toks, constLong(k).get.toInt, 42L)
+    case Seq(toks, k, s) if constLong(k).isDefined && constLong(s).isDefined =>
+      MinHashSig(toks, constLong(k).get.toInt, constLong(s).get)
     case other => throw new IllegalArgumentException(
-      "graft_minhash expects (shingles, k LITERAL [, seed LITERAL]), got " +
+      "graft_minhash expects (shingles, k CONSTANT [, seed CONSTANT]), got " +
         other.map(_.getClass.getSimpleName).mkString(", "))
   }
 

@@ -41,10 +41,23 @@ object AsOf {
                    keyCol: String, tsCol: String,
                    valueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
     require(valueCols.nonEmpty, "valueCols must name at least one right column")
-    val r = right.select(
-      col(keyCol), col(tsCol),
-      struct(valueCols.map(col): _*).as("__rpay"),
-      lit(0).as("__side"))
+    val internal = Set("__rpay", "__side", "__match")
+    val outputs = valueCols.map(prefix + _).toSet
+    val collisions = left.columns.toSet & (internal ++ outputs)
+    require(collisions.isEmpty,
+      s"left columns collide with as-of internals/outputs: ${collisions.mkString(", ")}")
+    // SQL join-equality semantics: a null key or null ts on the right
+    // matches NOTHING (`l.key = r.key AND r.ts <= l.ts` is never true
+    // for nulls) — but Window.partitionBy groups nulls together, so
+    // unfiltered null-key right rows would "match" null-key left rows.
+    // Null-key/ts LEFT rows need no filter: their running last sees no
+    // (filtered) right row and yields the correct null payload.
+    val r = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(
+        col(keyCol), col(tsCol),
+        struct(valueCols.map(col): _*).as("__rpay"),
+        lit(0).as("__side"))
     val l = left
       .withColumn("__rpay", lit(null).cast(r.schema("__rpay").dataType))
       .withColumn("__side", lit(1))

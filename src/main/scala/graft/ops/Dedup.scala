@@ -199,10 +199,15 @@ object Dedup {
     val sigs = df
       .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
       .select(col("id"), simhash(col("toks")).as("sig"))
-      .filter(col("sig").isNotNull)
+    // Null signatures (empty token arrays) drop via posexplode(null) —
+    // NOT via Filter(isNotNull(sig)), which Catalyst would push below
+    // the projection with the alias substituted, evaluating the whole
+    // tokenize+signature a second time as a predicate (the
+    // minhashSignatures pushdown trap; sig's 3 references here also
+    // keep CollapseProject from inlining it).
     val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("sig"), b * r).bitwiseAND(lit(mask))): _*))
+      posexplode(when(col("sig").isNotNull, array((0 until bands).map(b =>
+        shiftright(col("sig"), b * r).bitwiseAND(lit(mask))): _*)))
         .as(Seq("band", "key")))
     val a = banded.select(col("band"), col("key"),
       col("id").as("id_a"), col("sig").as("sig_a"))

@@ -57,7 +57,8 @@ object Report {
     * collected rows so it is trivially golden-testable. Every
     * interpolated value (title, column names, cells) is HTML-escaped;
     * null cells render empty. */
-  def renderHtml(title: String, columns: Seq[String], rows: Seq[Row]): String = {
+  def renderHtml(title: String, columns: Seq[String], rows: Seq[Row],
+                 footerHtml: String = ""): String = {
     val t = escapeHtml(title)
     val head = columns.map(c => s"<th>${escapeHtml(c)}</th>").mkString
     val body = rows.map { r =>
@@ -70,7 +71,7 @@ object Report {
        |<body><h1>$t</h1>
        |<table><tr>$head</tr>
        |$body
-       |</table></body></html>""".stripMargin
+       |</table>$footerHtml</body></html>""".stripMargin
   }
 
   /** R12+R13+R15: emptiness short-circuit, then render + file sink.
@@ -90,8 +91,8 @@ object Report {
       val (shown, truncated) =
         if (collected.length > maxRows) (collected.take(maxRows), true)
         else (collected, false)
-      val html = renderHtml(title, result.columns.toSeq, shown) +
-        (if (truncated) s"\n<p>(truncated at $maxRows rows)</p>" else "")
+      val footer = if (truncated) s"<p>(truncated at $maxRows rows)</p>" else ""
+      val html = renderHtml(title, result.columns.toSeq, shown, footer)
       Option(Paths.get(outPath).getParent).foreach(Files.createDirectories(_))
       Files.writeString(Paths.get(outPath), html)
       true

@@ -37,6 +37,25 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
     assert(out.count() === left.count())
   }
 
+  test("asofBackward: null keys/timestamps never match (SQL equality semantics)") {
+    // Window.partitionBy groups nulls together, so without the right-
+    // side null filter a null-key left row would "match" a null-key
+    // right row — which `l.key = r.key` in SQL never does.
+    val l = Seq(
+      (1L, Option("a"), Option(10L)),
+      (2L, Option.empty[String], Option(10L)), // null key → no match
+      (3L, Option("a"), Option.empty[Long]))   // null ts → no match
+      .toDF("id", "k", "ts")
+    val r = Seq(
+      (Option("a"), Option(5L), "ra"),
+      (Option.empty[String], Option(5L), "rnullk"), // unmatched by anyone
+      (Option("a"), Option.empty[Long], "rnullts")) // unmatched by anyone
+      .toDF("k", "ts", "v")
+    val got = AsOf.asofBackward(l, r, "k", "ts", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(1L -> Some("ra"), 2L -> None, 3L -> None))
+  }
+
   test("asofBackward picks the greatest payload among right rows tied on (key, ts)") {
     val dupRight = Seq(("a", 5L, "x"), ("a", 5L, "z"), ("a", 5L, "y"))
       .toDF("k", "ts", "v")

@@ -174,6 +174,19 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     val d = spark.sql("SELECT graft_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
       .collect()(0).getDouble(0)
     assert(d === 11.0)
+    // SQL callers pass plain constant trees, not pre-folded Literals
+    // (constant folding runs after function resolution): array(...) for
+    // planes, INT literals for band width / k / seed must all resolve.
+    val planesSql = Seq.fill(8)("array(0.5f, 0.5f)").mkString("array(", ", ", ")")
+    val keys = spark.sql(
+        s"SELECT graft_band_keys(array(1.0f, 2.0f), $planesSql, 8) AS k")
+      .collect()(0).getSeq[Long](0)
+    assert(keys === Seq(255L)) // every projection positive → all 8 bits set
+    val mh = spark.sql("SELECT graft_minhash(array('a', 'b'), 4, 7) AS m")
+      .collect()(0).getSeq[Long](0)
+    assert(mh.length === 4)
+    assert(!spark.sql("SELECT graft_simhash(array('a', 'b')) AS s")
+      .collect()(0).isNullAt(0))
     new graft.expressions.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
