@@ -273,6 +273,41 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // sequence packing by token offset: each document's start offset in
+    // its language's token stream (window cumsum) determines its
+    // training-sequence bin (floor(offset / seqLen)). Partitioned BY
+    // LANGUAGE deliberately — a single global cumsum is a one-task
+    // scan; per-stream packing is how the 100 TB version parallelizes
+    // (and how real pipelines pack per-source shards).
+    "q78_pack_offsets" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("start_offset",
+          coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+        .withColumn("seq_id", floor(col("start_offset") / 4096).cast("long"))
+        .select("doc_id", "lang", "n_tokens", "start_offset", "seq_id")
+        .orderBy("doc_id")
+    }),
+
+    // end-to-end corpus curation: quality-gate then exact-dedup, the
+    // canonical pre-training data pass composed from the operators
+    // this library ships (TextAnalysis.qualityScore + Dedup winner
+    // semantics) — and still fully oracle-expressible in SQL.
+    "q79_curation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"),
+          TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), col("text"), col("lang"),
+          round(TextAnalysis.qualityScoreOf(col("__toks")), 4).as("quality"))
+        .filter(col("quality") >= 0.7)
+      Dedup.exactDedup(docs, "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
     // order-invariant document fingerprint (md5 of sorted distinct
     // token bag) — row-local blocking key for dedup.
     "q58_fingerprint" -> ((s, dir) => {
@@ -398,6 +433,34 @@ object LlmQueries {
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_regex_tokens,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q78_pack_offsets" ->
+      """SELECT doc_id, lang,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(sum(len(string_split(text, ' ')))
+        |              OVER (PARTITION BY lang ORDER BY doc_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |            0) AS BIGINT) AS start_offset,
+        |       CAST(floor(coalesce(sum(len(string_split(text, ' ')))
+        |              OVER (PARTITION BY lang ORDER BY doc_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |            0) / 4096) AS BIGINT) AS seq_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q79_curation" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text, lang,
+        |         round(
+        |           (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+        |                 THEN 0.5 ELSE 0.0 END)
+        |           + least(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |                   / len(string_split(text, ' ')), 1.0) * 0.5, 4) AS quality
+        |  FROM documents),
+        |gated AS (SELECT * FROM scored WHERE quality >= 0.7),
+        |ranked AS (
+        |  SELECT doc_id, lang, quality,
+        |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM gated)
+        |SELECT doc_id, lang, quality FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "q76_hash_split" ->
       """SELECT CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
         |            ELSE 'eval' END AS split,
