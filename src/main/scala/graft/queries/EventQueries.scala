@@ -28,9 +28,35 @@ object EventQueries {
     "q62_session_window" -> ((s, dir) =>
       Events.sessions(Tables.events(s, dir), "1 hour")
         .orderBy("user_id", "session_start")),
+
+    // stream-stream join transform in batch mode: clicks matched to
+    // same-user purchases within 10 minutes AFTER the click (the
+    // time-bound condition that keeps streaming state finite —
+    // EventsStreamSpec proves the MemoryStream run emits the same
+    // pairs). Timestamps as epoch micros for compare-dtype parity.
+    "q63_stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Events.clickToPurchase(Tables.events(s, dir),
+          delay = "5 minutes", horizon = "10 minutes")
+        .select(col("click_id"), col("user_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          col("purchase_id"),
+          unix_micros(col("purchase_ts")).as("purchase_us"))
+        .orderBy("click_id", "purchase_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q63_stream_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |       epoch_us(c.ts) AS click_us,
+        |       p.event_id AS purchase_id,
+        |       epoch_us(p.ts) AS purchase_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '10 minutes'
+        |ORDER BY click_id, purchase_id""".stripMargin,
     // Spark's window() aligns buckets to the epoch, exactly like
     // DuckDB's time_bucket.
     "q60_window_tumbling" ->

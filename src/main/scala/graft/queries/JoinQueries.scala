@@ -48,6 +48,23 @@ object JoinQueries {
         .orderBy("event_id")
     }),
 
+    // salted skew-safe join through the ops.Skew seam: the explicit
+    // hot-key mitigation MUST produce exactly what the plain join
+    // produces — which makes the plain join its oracle (same contract
+    // as q35's salted agg). Deterministic salt from the fact row id;
+    // dim side exploded buckets×.
+    "q37_salted_join" -> ((s, dir) => {
+      import graft.ops.Skew
+      val li = Tables.lineitem(s, dir)
+      val supp = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      Skew.saltedJoin(li, supp, "l_suppkey",
+          factTieBreak = col("l_orderkey") * 10 + col("l_linenumber"), buckets = 8)
+        .groupBy(col("s_name"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("s_name")
+    }),
+
     // fact ⋈ fact equi inner join on the natural key.
     "q10_join_inner" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -147,6 +164,10 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q37_salted_join" ->
+      """SELECT s_name, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
     "q75_asof_join" ->
       """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
         |       p.event_id AS p_event, round(p.value, 4) AS p_value

@@ -154,6 +154,40 @@ object Events {
           })
   }
 
+  /** Stream-static enrichment join: each micro-batch of events joined
+    * against a STATIC dimension (user attributes, allow-lists). The
+    * static side is re-planned per batch, so broadcast/AQE decisions
+    * apply normally and no streaming state is kept — the cheapest
+    * streaming join, and the one to reach for whenever the right side
+    * isn't itself a stream. Works identically on batch DataFrames
+    * (EventsStreamSpec pins stream ≡ batch). */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(dim, Seq(key), "left")
+
+  /** Stream-stream join with bounded state: clicks matched to the same
+    * user's purchases within `horizon` AFTER the click. BOTH sides are
+    * watermarked and the join condition carries the time bound — the
+    * two things that let Spark discard state (an unbounded stream-
+    * stream join buffers both streams forever, the 100 TB-stream
+    * killer). Inner join: a click emits only once a qualifying
+    * purchase arrives. */
+  def clickToPurchase(events: DataFrame, delay: String, horizon: String): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
   /** R15 analog, streaming: per micro-batch, render an HTML report of
     * the batch rows and write it — SKIPPING empty batches entirely
     * (R12's empty ⇒ no artifact, per batch). Artifacts land at

@@ -154,6 +154,62 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch join; unmatched keys keep nulls") {
+    val rows = Seq(
+      Ev(1, t("2024-01-01T10:01:00Z"), 1, "click", 1.0),
+      Ev(2, t("2024-01-01T10:02:00Z"), 2, "click", 2.0),
+      Ev(3, t("2024-01-01T10:03:00Z"), 9, "view", 3.0)) // no dim row
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(rows)
+    val name = queryName()
+    val q = Events.enrichWithStatic(ms.toDF(), dim, "user_id").writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(name)
+        .select("event_id", "tier").as[(Long, Option[String])].collect().toSet
+      val batch = Events.enrichWithStatic(rows.toDF(), dim, "user_id")
+        .select("event_id", "tier").as[(Long, Option[String])].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+    } finally q.stop()
+  }
+
+  test("stream-stream click→purchase join matches within the horizon, state bounded by watermark") {
+    val ms = MemoryStream[Ev](spark)
+    val name = queryName()
+    val q = Events.clickToPurchase(ms.toDF(), delay = "5 minutes", horizon = "10 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      ms.addData(Seq(
+        Ev(1, t("2024-01-01T10:00:00Z"), 1, "click", 1.0),
+        Ev(2, t("2024-01-01T10:05:00Z"), 1, "purchase", 9.0), // within 10 min → match
+        Ev(3, t("2024-01-01T10:00:00Z"), 2, "click", 1.0),
+        Ev(4, t("2024-01-01T10:30:00Z"), 2, "purchase", 5.0), // 30 min later → no match
+        Ev(5, t("2024-01-01T09:55:00Z"), 3, "purchase", 2.0), // BEFORE its click → no match
+        Ev(6, t("2024-01-01T10:00:00Z"), 3, "click", 1.0)))
+      q.processAllAvailable()
+      // advance the watermark so joined results finalize in append mode
+      ms.addData(Seq(Ev(7, t("2024-01-01T11:00:00Z"), 99, "view", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(got === Set(1L -> 2L))
+      // batch equivalence: the same transform over the same rows as a DataFrame
+      val rows = Seq(
+        Ev(1, t("2024-01-01T10:00:00Z"), 1, "click", 1.0),
+        Ev(2, t("2024-01-01T10:05:00Z"), 1, "purchase", 9.0),
+        Ev(3, t("2024-01-01T10:00:00Z"), 2, "click", 1.0),
+        Ev(4, t("2024-01-01T10:30:00Z"), 2, "purchase", 5.0),
+        Ev(5, t("2024-01-01T09:55:00Z"), 3, "purchase", 2.0),
+        Ev(6, t("2024-01-01T10:00:00Z"), 3, "click", 1.0))
+      val batch = Events.clickToPurchase(rows.toDF(), "5 minutes", "10 minutes")
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("foreachBatch report sink: non-empty batch writes an artifact, empty stream writes none") {
     val dir = tmpDir()
     val ms = MemoryStream[Ev](spark)
