@@ -308,12 +308,15 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
-    // order-invariant document fingerprint (md5 of sorted distinct
-    // token bag) — row-local blocking key for dedup.
+    // document fingerprints, both kinds — order-invariant (md5 of the
+    // sorted distinct token bag; a near-dup blocking key) and
+    // order-SENSITIVE (polynomial rolling hash over the characters,
+    // mod 1e9+7 each step so the fold is engine-portable). Row-local.
     "q58_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          TextAnalysis.bagFingerprint(col("text")).as("fingerprint"))
+          TextAnalysis.bagFingerprint(col("text")).as("fingerprint"),
+          TextAnalysis.rollingHash(col("text")).as("rolling_fp"))
         .orderBy("doc_id")
     }),
   )
@@ -468,7 +471,10 @@ object LlmQueries {
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
     "q58_fingerprint" ->
       """SELECT doc_id,
-        |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
