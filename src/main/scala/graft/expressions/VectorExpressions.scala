@@ -187,24 +187,32 @@ object HyperplaneBandKeys {
   }
 }
 
-/** k-hash MinHash signature of a shingle array (Broder 1997, "On the
-  * resemblance and containment of documents"): one FNV-1a 64 base hash
-  * per shingle, k derived hashes via the SplitMix64 finalizer (Steele
-  * et al. 2014, public constants) over base + seed_i, per-position
-  * running min. P[min_i(A) = min_i(B)] = Jaccard(A, B), so the
-  * fraction of equal signature positions estimates Jaccard.
+/** k-hash MinHash signature of a token array's word n-grams (Broder
+  * 1997, "On the resemblance and containment of documents"): one
+  * FNV-1a 64 base hash per n-gram, k derived hashes via the SplitMix64
+  * finalizer (Steele et al. 2014, public constants) over base +
+  * seed_i, per-position running min. P[min_i(A) = min_i(B)] =
+  * Jaccard(A, B), so the fraction of equal signature positions
+  * estimates Jaccard.
   *
   * Fused native expression: signature generation is ROW-LOCAL — no
   * shingle explode, no k-column min aggregation, no shuffle at all
   * (the previous explode+groupBy form shuffled k longs per doc and
-  * evaluated k derived hashes per exploded row). Duplicates in the
-  * input cannot affect minima, so upstream distinct is unnecessary.
+  * evaluated k derived hashes per exploded row). The n-gram hash is
+  * computed INCREMENTALLY over the window's tokens with a 0x20
+  * separator — byte-identical to hashing the space-joined gram
+  * string, so no gram strings are ever materialized (with shingleN =
+  * 1 this degenerates to hashing each element, i.e. a pre-shingled
+  * array can be passed directly). Duplicate grams cannot affect
+  * minima, so no distinct is needed either.
   *
-  * Null array ⇒ null; EMPTY array ⇒ null (a min-of-nothing signature
-  * would bucket every short document together); null element ⇒ null. */
-case class MinHashSig(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression {
+  * Null array ⇒ null; FEWER THAN shingleN elements (incl. empty) ⇒
+  * null (a min-of-nothing signature would bucket every short document
+  * together); null element ⇒ null. */
+case class MinHashSig(child: Expression, k: Int, seed: Long,
+                      shingleN: Int = 1) extends UnaryExpression {
   require(k >= 1 && k <= 1024, "k out of range")
+  require(shingleN >= 1, "shingleN must be >= 1")
 
   @transient private lazy val seeds: Array[Long] = {
     val rnd = new scala.util.Random(seed)
@@ -223,17 +231,32 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
 
   def compute(input: ArrayData): Any = {
     val n = input.numElements()
-    if (n == 0) return null
-    val mins = Array.fill(k)(Long.MaxValue)
+    if (n < shingleN) return null
+    // one UTF8String→bytes conversion per token, reused across the
+    // shingleN windows that token participates in
+    val toks = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
       if (input.isNullAt(i)) return null
-      val bytes = input.getUTF8String(i).getBytes
+      toks(i) = input.getUTF8String(i).getBytes
+      i += 1
+    }
+    val mins = Array.fill(k)(Long.MaxValue)
+    var s = 0
+    while (s <= n - shingleN) {
+      // FNV-1a 64 over the window's tokens joined by 0x20 — the exact
+      // byte stream of the space-concatenated gram string
       var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
-      var b = 0
-      while (b < bytes.length) {
-        h = (h ^ (bytes(b) & 0xffL)) * 0x100000001b3L // FNV prime
-        b += 1
+      var w = 0
+      while (w < shingleN) {
+        if (w > 0) h = (h ^ 0x20L) * 0x100000001b3L
+        val bytes = toks(s + w)
+        var b = 0
+        while (b < bytes.length) {
+          h = (h ^ (bytes(b) & 0xffL)) * 0x100000001b3L // FNV prime
+          b += 1
+        }
+        w += 1
       }
       var j = 0
       while (j < k) {
@@ -244,7 +267,7 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
         if (z < mins(j)) mins(j) = z
         j += 1
       }
-      i += 1
+      s += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
@@ -379,15 +402,21 @@ object VectorExpressions {
       case _ => None
     }
 
-  /** graft_minhash(shingles, k CONSTANT [, seed CONSTANT]) — k and
-    * seed parameterize the fused loop. */
+  /** graft_minhash(tokens, k CONSTANT [, seed CONSTANT [, shingleN
+    * CONSTANT]]) — k, seed, and the n-gram width parameterize the
+    * fused loop (shingleN defaults to 1: hash each element as-is). */
   val minhashBuilder: Seq[Expression] => Expression = {
     case Seq(toks, k) if constLong(k).isDefined =>
       MinHashSig(toks, constLong(k).get.toInt, 42L)
     case Seq(toks, k, s) if constLong(k).isDefined && constLong(s).isDefined =>
       MinHashSig(toks, constLong(k).get.toInt, constLong(s).get)
+    case Seq(toks, k, s, n)
+        if constLong(k).isDefined && constLong(s).isDefined &&
+          constLong(n).isDefined =>
+      MinHashSig(toks, constLong(k).get.toInt, constLong(s).get,
+        constLong(n).get.toInt)
     case other => throw new IllegalArgumentException(
-      "graft_minhash expects (shingles, k CONSTANT [, seed CONSTANT]), got " +
+      "graft_minhash expects (tokens, k CONSTANT [, seed CONSTANT [, shingleN CONSTANT]]), got " +
         other.map(_.getClass.getSimpleName).mkString(", "))
   }
 

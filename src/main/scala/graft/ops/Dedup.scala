@@ -96,18 +96,14 @@ object Dedup {
     * graft_minhash registered (VectorExpressions.register /
     * GraftExtensions). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int, numHashes: Int): DataFrame = {
-    // Token array materialized in its OWN projection: `shingles`
-    // references its input ~3× per gram (element_at per n-gram slot),
-    // and an inlined split() would be re-evaluated at every reference —
-    // O(shingles × text_len) per row, measured 4.8 s just to shingle
-    // 5000 docs at sf0.1. A multi-referenced non-cheap alias is not
-    // collapsed into its consumer, so `toks` is computed once per row.
-    df.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
-      .select(col("id"), shingles(col("toks"), shingleN).as("sh"))
-      .select(col("id"),
-        call_function("graft_minhash", col("sh"), lit(numHashes)).as("sig"))
-  }
+                        shingleN: Int, numHashes: Int): DataFrame =
+    // Shingling happens INSIDE the fused expression (incremental
+    // n-gram hashing over the token windows — byte-identical to
+    // hashing the concat'd gram strings, which are therefore never
+    // materialized); the single split() is consumed natively once.
+    df.select(col(idCol).as("id"),
+      call_function("graft_minhash", split(col(textCol), " "),
+        lit(numHashes), lit(42L), lit(shingleN)).as("sig"))
 
   /** LSH band keys: the signature split into `bands` slices of
     * `rowsPerBand`, each hashed; a pair of documents lands in the same
