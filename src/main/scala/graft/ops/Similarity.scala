@@ -148,6 +148,27 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Lloyd/k-means centroid update — the other half of IVF index
+    * building (assignCells is the assignment step; alternate the two
+    * to refine centroids at scale instead of hand-picking them):
+    * element-wise mean of each cell's member vectors.
+    *
+    * Shuffle shape: posexplode to (cell, pos, x) then partial+final
+    * avg — map-side combine reduces each partition to cells × dims
+    * rows regardless of corpus size, and the collect_list that
+    * re-packs the means is bounded by dims per cell. Deterministic:
+    * means are order-insensitive up to float rounding, and the repack
+    * sorts by position. */
+  def updateCentroids(indexed: DataFrame, vecCol: String): DataFrame =
+    indexed
+      .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("cell_id"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cell_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell_id"),
+        transform(col("pm"), p => p.getField("m")).as("c_vec"))
+
   /** IVF probe: exact top-k restricted to the nProbe cells whose
     * centroids score best against the query. The centroid ranking is a
     * C-row computation (fixed size) and the corpus filter on cell_id is

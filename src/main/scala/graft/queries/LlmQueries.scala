@@ -87,6 +87,29 @@ object LlmQueries {
         .orderBy(desc("sim"), col("vec_id"))
     }),
 
+    // one Lloyd step of IVF index building: assign every vector to its
+    // nearest of the 8 seed centroids, then recompute each cell's
+    // centroid as the element-wise member mean
+    // (Similarity.updateCentroids). Flattened to (cell, pos, mean)
+    // scalars for the oracle compare (array cells don't hash — q46
+    // lesson); means rounded to 4 for float-order tolerance.
+    "q80_kmeans_step" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("c_vec"))
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val indexed = Similarity.assignCells(corpus, "vec_id", "embedding", centroids)
+      Similarity.updateCentroids(indexed, "embedding")
+        .select(col("cell_id"),
+          posexplode(col("c_vec")).as(Seq("pos", "m")))
+        // + 0.0 normalizes IEEE -0.0 to +0.0: the engines round a tiny
+        // negative mean to differently-signed zeros, which compare
+        // equal numerically but diverge under the driver's repr-sort.
+        .select(col("cell_id"), col("pos"),
+          (round(col("m"), 4) + lit(0.0)).as("mean_x"))
+        .orderBy("cell_id", "pos")
+    }),
+
     // multimodal row assembly: documents ⋈ embeddings into nested
     // structs, then field projection (proves the nesting round-trips).
     "q52_multimodal" -> ((s, dir) => {
@@ -374,6 +397,26 @@ object LlmQueries {
         |  WHERE e.vec_id <> 0
         |  ORDER BY raw_sim DESC, e.vec_id LIMIT 10) t
         |ORDER BY sim DESC, vec_id""".stripMargin,
+    "q80_kmeans_step" ->
+      """WITH centroids AS (
+        |  SELECT vec_id AS cell_id, embedding AS c_vec
+        |  FROM embeddings WHERE vec_id < 8),
+        |corpus AS (SELECT * FROM embeddings WHERE vec_id <> 0),
+        |scored AS (
+        |  SELECT c.vec_id, c.embedding, ct.cell_id,
+        |         list_dot_product(CAST(c.embedding AS DOUBLE[]),
+        |                          CAST(ct.c_vec AS DOUBLE[])) AS s
+        |  FROM corpus c CROSS JOIN centroids ct),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY s DESC, cell_id) AS rn
+        |    FROM scored) WHERE rn = 1)
+        |SELECT cell_id, CAST(i - 1 AS INT) AS pos,
+        |       round(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS mean_x
+        |FROM assigned, range(1, 65) t(i)
+        |GROUP BY cell_id, i
+        |ORDER BY cell_id, pos""".stripMargin,
     "q52_multimodal" ->
       """SELECT doc_id, lang, source, n_chars, label,
         |       CAST(len(embedding) AS BIGINT) AS n_dims

@@ -123,6 +123,16 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(probe.count() === 5)
   }
 
+  test("updateCentroids: element-wise member means, positions ordered, dims preserved") {
+    val indexed = Seq(
+      (1L, Seq(1.0f, 2.0f), 0L), (2L, Seq(3.0f, 4.0f), 0L),
+      (3L, Seq(10.0f, 20.0f), 1L))
+      .toDF("vec_id", "embedding", "cell_id")
+    val got = Similarity.updateCentroids(indexed, "embedding")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got === Map(0L -> Seq(2.0, 3.0), 1L -> Seq(10.0, 20.0)))
+  }
+
   test("cosineNearDupPairs: planted near-dups all recalled, precision exact") {
     // 60 random base vectors + 20 planted near-duplicates (base + small
     // noise, cosine ≈ 0.999). Deterministic seeds throughout. At q73's
