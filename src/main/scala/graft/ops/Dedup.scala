@@ -54,7 +54,8 @@ object Dedup {
     * where no common-subexpression elimination applies — an inlined
     * split would re-tokenize the document per reference,
     * O(shingles × text_len) per row. Project the token array first
-    * (see minhashSignatures / q57). */
+    * (see q57 in LlmQueries for the exemplar; minhashSignatures now
+    * shingles inside the fused native expression instead). */
   def shingles(tokens: Column, n: Int): Column = {
     val starts = sequence(lit(0), size(tokens) - n)
     val grams = transform(starts, i =>

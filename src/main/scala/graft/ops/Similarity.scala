@@ -166,8 +166,12 @@ object Similarity {
       .agg(avg(col("x")).as("m"))
       .groupBy(col("cell_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      // cast back to float: centroids must stay array<float> so the
+      // assignCells/updateCentroids alternation keeps hitting the
+      // native DotProductF32 path (its rewrite guards on float arrays)
+      // and refined centroids remain valid graft_* function inputs.
       .select(col("cell_id"),
-        transform(col("pm"), p => p.getField("m")).as("c_vec"))
+        transform(col("pm"), p => p.getField("m").cast("float")).as("c_vec"))
 
   /** IVF probe: exact top-k restricted to the nProbe cells whose
     * centroids score best against the query. The centroid ranking is a

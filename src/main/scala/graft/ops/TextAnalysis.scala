@@ -33,7 +33,8 @@ object TextAnalysis {
     * lambdas get no cross-expression CSE — q55 computes 5 metrics, so
     * the inlined form re-splits every document ~8×. A multi-referenced
     * non-cheap alias is not collapsed into its consumer (see
-    * Dedup.minhashSignatures), so the materialized projection is safe. */
+    * Dedup.shingles' scaladoc and q57), so the materialized projection
+    * is safe. */
   def tokenCountOf(toks: Column): Column = size(toks).cast("long")
 
   def distinctTokenCountOf(toks: Column): Column =

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operators as oracle-checked queries (SURVEY.md §2B
@@ -102,11 +103,13 @@ object LlmQueries {
       Similarity.updateCentroids(indexed, "embedding")
         .select(col("cell_id"),
           posexplode(col("c_vec")).as(Seq("pos", "m")))
+        // cast BEFORE rounding (round(float) stays float and the float
+        // widens back to an unrounded-looking double in the compare);
         // + 0.0 normalizes IEEE -0.0 to +0.0: the engines round a tiny
         // negative mean to differently-signed zeros, which compare
         // equal numerically but diverge under the driver's repr-sort.
         .select(col("cell_id"), col("pos"),
-          (round(col("m"), 4) + lit(0.0)).as("mean_x"))
+          (round(col("m").cast("double"), 4) + lit(0.0)).as("mean_x"))
         .orderBy("cell_id", "pos")
     }),
 
@@ -303,13 +306,17 @@ object LlmQueries {
     // scan; per-stream packing is how the 100 TB version parallelizes
     // (and how real pipelines pack per-source shards).
     "q78_pack_offsets" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      // sum over PRECEDING rows (not inclusive-sum minus own count):
+      // the two forms agree on non-null counts but diverge for a
+      // null-text row mid-partition, and the DuckDB oracle uses the
+      // preceding-rows frame — mirror it exactly.
+      val preceding = w.rowsBetween(Window.unboundedPreceding, -1)
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"))
         .withColumn("start_offset",
-          coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+          coalesce(sum(col("n_tokens")).over(preceding), lit(0L)))
         .withColumn("seq_id", floor(col("start_offset") / 4096).cast("long"))
         .select("doc_id", "lang", "n_tokens", "start_offset", "seq_id")
         .orderBy("doc_id")
@@ -321,8 +328,15 @@ object LlmQueries {
     // semantics) — and still fully oracle-expressible in SQL.
     "q79_curation" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+        // __barrier (nondeterministic) is a deliberate predicate-
+        // pushdown barrier: without it the quality filter is pushed
+        // below this projection with __toks substituted per reference,
+        // re-splitting every document ~3x inside the predicate — the
+        // documented Filter-below-Project trap. With it, the predicate
+        // evaluates against the ONE materialized token array.
         .select(col("doc_id"), col("text"), col("lang"),
-          TextAnalysis.tokens(col("text")).as("__toks"))
+          TextAnalysis.tokens(col("text")).as("__toks"),
+          monotonically_increasing_id().as("__barrier"))
         .select(col("doc_id"), col("text"), col("lang"),
           round(TextAnalysis.qualityScoreOf(col("__toks")), 4).as("quality"))
         .filter(col("quality") >= 0.7)
@@ -413,7 +427,8 @@ object LlmQueries {
         |                                 ORDER BY s DESC, cell_id) AS rn
         |    FROM scored) WHERE rn = 1)
         |SELECT cell_id, CAST(i - 1 AS INT) AS pos,
-        |       round(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS mean_x
+        |       round(CAST(CAST(avg(CAST(embedding[i] AS DOUBLE)) AS FLOAT)
+        |             AS DOUBLE), 4) + 0.0 AS mean_x
         |FROM assigned, range(1, 65) t(i)
         |GROUP BY cell_id, i
         |ORDER BY cell_id, pos""".stripMargin,

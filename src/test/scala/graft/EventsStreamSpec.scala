@@ -190,8 +190,14 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
         Ev(5, t("2024-01-01T09:55:00Z"), 3, "purchase", 2.0), // BEFORE its click → no match
         Ev(6, t("2024-01-01T10:00:00Z"), 3, "click", 1.0)))
       q.processAllAvailable()
-      // advance the watermark so joined results finalize in append mode
-      ms.addData(Seq(Ev(7, t("2024-01-01T11:00:00Z"), 99, "view", 0.0)))
+      // advance BOTH sides' watermarks (the event_type filters sit
+      // upstream of the withWatermark nodes, so only a click advances
+      // the click watermark and only a purchase the purchase one — a
+      // 'view' row would advance neither and be dead scaffolding);
+      // past-horizon state from batch 1 is then evictable.
+      ms.addData(Seq(
+        Ev(7, t("2024-01-01T11:00:00Z"), 99, "click", 0.0),
+        Ev(8, t("2024-01-01T11:00:00Z"), 98, "purchase", 0.0)))
       q.processAllAvailable()
       val got = spark.table(name)
         .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet

@@ -129,8 +129,17 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       (3L, Seq(10.0f, 20.0f), 1L))
       .toDF("vec_id", "embedding", "cell_id")
     val got = Similarity.updateCentroids(indexed, "embedding")
-      .as[(Long, Seq[Double])].collect().toMap
-    assert(got === Map(0L -> Seq(2.0, 3.0), 1L -> Seq(10.0, 20.0)))
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(got === Map(0L -> Seq(2.0f, 3.0f), 1L -> Seq(10.0f, 20.0f)))
+    // type-stable: refined centroids are array<float>, so a second
+    // assignCells round still hits the float-array native-dot path
+    val refined = Similarity.updateCentroids(indexed, "embedding")
+      .select(col("cell_id"), col("c_vec"))
+    assert(refined.schema("c_vec").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true))
+    val round2 = Similarity.assignCells(
+      indexed.select("vec_id", "embedding"), "vec_id", "embedding", refined)
+    assert(round2.count() === 3)
   }
 
   test("cosineNearDupPairs: planted near-dups all recalled, precision exact") {
