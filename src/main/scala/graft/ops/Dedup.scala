@@ -218,6 +218,72 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Connected components of an undirected pair graph by iterative
+    * min-label propagation (the standard MapReduce/Pregel formulation —
+    * Kiveris et al. 2014 "Connected Components in MapReduce and
+    * Beyond" analyze the family): every vertex starts labeled with its
+    * own id; each round it takes the min of its label and its
+    * neighbors' labels; at fixpoint every member of a component holds
+    * the component's minimum id.
+    *
+    * Converges in O(component diameter) rounds — near-dup clusters are
+    * shallow (a handful of rounds); `maxIter` bounds pathological
+    * chains. Each round: one join edges⋈labels + one min-aggregate,
+    * both keyed on vertex ids. The driver-side loop materializes each
+    * round via localCheckpoint — REQUIRED, not an optimization:
+    * iterative self-referential lineage otherwise grows exponentially
+    * and re-executes prior rounds on every action.
+    *
+    * Returns (id, component) for every vertex appearing in `pairs`. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("comp")), Seq("v"))
+        .groupBy(col("u").as("id"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = updated
+        .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .filter(col("comp") < col("prev"))
+        .isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
+  /** EXACT near-dedup: keep one representative (the minimum id) per
+    * connected component of the thresholded candidate-pair graph —
+    * the canonical-per-component semantics `nearDedup`'s one-pass
+    * greedy approximates. For a chain a~b, b~c the greedy pass keeps
+    * {a} while dropping c without ever comparing it to a; this keeps
+    * exactly one doc per transitive cluster. Costs O(diameter)
+    * join+agg rounds over the (small) pair graph — the corpus itself
+    * is touched once for candidates and once for the final anti-join. */
+  def nearDedupExact(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double, shingleN: Int = 3, numHashes: Int = 64,
+                     bands: Int = 16, maxIter: Int = 20): DataFrame = {
+    val pairs = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes, bands)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b")
+    val losers = connectedComponents(pairs, maxIter)
+      .filter(col("id") =!= col("comp")) // keep each component's min id
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 64,
                         bands: Int = 16): DataFrame = {

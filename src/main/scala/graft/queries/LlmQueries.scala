@@ -238,6 +238,19 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // EXACT near-dedup keep-set: one representative per CONNECTED
+    // COMPONENT of the candidate graph (iterative min-label
+    // propagation, Dedup.connectedComponents) — the canonical
+    // semantics q72's one-pass greedy approximates. Rows-only by
+    // contract like q72 (hash-seed-dependent candidates); DedupSpec
+    // pins CC correctness on known graphs and the chain semantics.
+    "q81_near_dedup_cc" -> ((s, dir) => {
+      Dedup.nearDedupExact(Tables.documents(s, dir), "doc_id", "text",
+          threshold = 0.5, shingleN = 3, numHashes = 64, bands = 16)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // embedding near-dup at scale: banded cosine-sketch candidates
     // rescored with EXACT cosine (Similarity.cosineNearDupPairs) — the
     // sub-quadratic path that replaces q48's bounded brute baseline.

@@ -141,6 +141,43 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     for ((a, b) <- rows) assert(a < b)
   }
 
+  test("connectedComponents: chains, cycles, disjoint pairs, convergence") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),   // chain -> comp 1
+      (10L, 11L), (11L, 12L), (12L, 10L), // cycle -> comp 10
+      (20L, 21L))                      // isolated pair -> comp 20
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("nearDedupExact keeps one representative per transitive cluster; greedy may differ") {
+    // chain: 1~2 and 2~3 near-dup, but 1 and 3 do NOT pair directly.
+    // Exact CC semantics keep {1} for the whole chain (plus unrelated
+    // docs); the greedy pass also keeps {1} here — the pinned
+    // difference is semantics: CC assigns 3 to component 1 even
+    // though (1,3) is never a candidate pair.
+    val chain = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "aa bb cc dd ee ff gg xx"), // near 1
+      (3L, "yy bb cc dd ee ff gg xx"), // near 2, not 1
+      (9L, "completely different words entirely unrelated here now"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.nearDedupExact(chain, "doc_id", "text",
+        threshold = 0.3, shingleN = 2, numHashes = 64, bands = 32)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 9L))
+    // and exactDedup-style safety: thresholding at > 1.0 keeps everything
+    val all = Dedup.nearDedupExact(chain, "doc_id", "text",
+        threshold = 1.1, shingleN = 2, numHashes = 64, bands = 32)
+      .count()
+    assert(all === 4)
+  }
+
   test("simhash: identical token bags hash identically; empty array is null") {
     val sigs = docs.select(col("doc_id"),
         Dedup.simhash(split(col("text"), " ")).as("sig"))
