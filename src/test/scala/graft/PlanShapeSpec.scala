@@ -89,6 +89,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("no CartesianProduct in any declared query plan (all-pairs discipline)") {
+    // BroadcastNestedLoopJoin with a one-row broadcast side is fine
+    // (topKDot's query vector, q48's bounded slice); an actual
+    // CartesianProduct means both sides scale and the query would go
+    // quadratic at 100 TB.
+    for ((name, q) <- SparkEntry.queries) {
+      val p = q(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$p")
+    }
+  }
+
   test("flagship entry smoke: rows > 0 on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
