@@ -228,11 +228,19 @@ object Dedup {
     *
     * Converges in O(component diameter) rounds — near-dup clusters are
     * shallow (a handful of rounds); `maxIter` bounds pathological
-    * chains. Each round: one join edges⋈labels + one min-aggregate,
-    * both keyed on vertex ids. The driver-side loop materializes each
-    * round via localCheckpoint — REQUIRED, not an optimization:
-    * iterative self-referential lineage otherwise grows exponentially
-    * and re-executes prior rounds on every action.
+    * chains, and hitting it THROWS rather than returning a silently
+    * under-merged labeling (the whole point of this function over the
+    * greedy pass is exactness). Each round: one join edges⋈labels +
+    * one min-aggregate, both keyed on vertex ids; the convergence test
+    * rides the same checkpointed frame (prev carried as a column), not
+    * an extra join. The driver-side loop materializes each round via
+    * localCheckpoint — REQUIRED, not an optimization: iterative
+    * self-referential lineage otherwise grows exponentially and
+    * re-executes prior rounds on every action. Superseded rounds'
+    * checkpoint blocks are reclaimed by the ContextCleaner once the
+    * driver drops the reference (the standard iterative-algorithm
+    * pattern; the tables involved are label/edge rows of the PAIR
+    * graph, not the corpus).
     *
     * Returns (id, component) for every vertex appearing in `pairs`. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
@@ -252,15 +260,17 @@ object Dedup {
         .agg(min(col("comp")).as("nbr_comp"))
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          col("comp").as("__prev"))
         .localCheckpoint(true)
-      converged = updated
-        .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .filter(col("comp") < col("prev"))
-        .isEmpty
-      labels = updated
+      converged = updated.filter(col("comp") < col("__prev")).isEmpty
+      labels = updated.drop("__prev")
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds — a component " +
+        "has eccentricity above the bound; raise maxIter (rounds needed = " +
+        "max distance from any vertex to its component's minimum id)")
     labels
   }
 

@@ -155,6 +155,18 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents throws (never silently under-merges) when maxIter is too low") {
+    // chain 1-2-3-4-5: min-label needs ~4 rounds to reach the far end
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2).collect()
+    }
+    // and with enough rounds the same graph converges to one component
+    val ok = Dedup.connectedComponents(chain, maxIter = 10)
+      .select("comp").distinct().as[Long].collect().toSeq
+    assert(ok === Seq(1L))
+  }
+
   test("nearDedupExact keeps one representative per transitive cluster; greedy may differ") {
     // chain: 1~2 and 2~3 near-dup, but 1 and 3 do NOT pair directly.
     // Exact CC semantics keep {1} for the whole chain (plus unrelated

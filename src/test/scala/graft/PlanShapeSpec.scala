@@ -81,21 +81,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("Window"), s"no window in as-of plan:\n$p")
   }
 
-  test("no Python/Scala UDF appears in any oracle query plan (codegen discipline)") {
-    for ((name, q) <- SparkEntry.queries) {
-      val p = q(spark, sfDir).queryExecution.executedPlan.toString
-      assert(!p.contains("BatchEvalPython") && !p.contains("UDF("),
-        s"$name contains a UDF — breaks whole-stage codegen:\n$p")
-    }
-  }
-
-  test("no CartesianProduct in any declared query plan (all-pairs discipline)") {
+  test("no UDF and no CartesianProduct in any declared query plan") {
+    // One pass over every declared query (building all 69 plans once —
+    // q81 eagerly executes its checkpointed CC rounds at construction,
+    // so don't duplicate this loop). Caveat the guard honestly: q81's
+    // internal LSH/CC round plans are erased behind checkpoint
+    // LogicalRDD nodes and only its final anti-join is visible here —
+    // the shared LSH pipeline is still fully inspected via q70/q72.
     // BroadcastNestedLoopJoin with a one-row broadcast side is fine
     // (topKDot's query vector, q48's bounded slice); an actual
     // CartesianProduct means both sides scale and the query would go
     // quadratic at 100 TB.
     for ((name, q) <- SparkEntry.queries) {
       val p = q(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("BatchEvalPython") && !p.contains("UDF("),
+        s"$name contains a UDF — breaks whole-stage codegen:\n$p")
       assert(!p.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n$p")
     }
