@@ -28,6 +28,19 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(back.schema === schema)
   }
 
+  test("orc sink + source round-trips exactly (columnar alternative to parquet)") {
+    val dir = Files.createTempDirectory("graft-orc-").toString + "/docs"
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.collect().toSet === docs.collect().toSet)
+    assert(back.schema.fieldNames.toSeq === schema.fieldNames.toSeq)
+    // pushdown parity with parquet: a literal predicate reaches the
+    // ORC scan as a pushed filter (same PlanShapeSpec discipline)
+    val q = spark.read.orc(dir).filter(col("doc_id") === 7L)
+    assert(q.queryExecution.executedPlan.toString.contains("PushedFilters: ["))
+    assert(q.count() === 1)
+  }
+
   test("csv sink + declared-schema source round-trips exactly (header on)") {
     val dir = Files.createTempDirectory("graft-csv-").toString + "/docs"
     docs.write.mode("overwrite").option("header", "true").csv(dir)
