@@ -335,6 +335,35 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // sequence ASSEMBLY — the step q78's bin assignment feeds: each
+    // (lang, seq_id) bin's documents concatenated in doc_id order into
+    // one training sequence. The verified columns are the sequence's
+    // doc count, token total, and the md5 of the assembled text (hash,
+    // not raw text — bounded output; the driver compare never ships
+    // megabyte strings). Order inside the concat is pinned by
+    // array_sort over (doc_id, text) structs — collect_list alone is
+    // assembly-order-nondeterministic.
+    "q82_pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val preceding = w.rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("start_offset",
+          coalesce(sum(col("n_tokens")).over(preceding), lit(0L)))
+        .withColumn("seq_id", floor(col("start_offset") / 4096).cast("long"))
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("seq_tokens"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => x.getField("text")),
+            " ")).as("content_md5"))
+        .orderBy("lang", "seq_id")
+    }),
+
     // end-to-end corpus curation: quality-gate then exact-dedup, the
     // canonical pre-training data pass composed from the operators
     // this library ships (TextAnalysis.qualityScore + Dedup winner
@@ -519,6 +548,21 @@ object LlmQueries {
         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |            0) / 4096) AS BIGINT) AS seq_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q82_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(coalesce(sum(len(string_split(text, ' ')))
+        |                OVER (PARTITION BY lang ORDER BY doc_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |              0) AS BIGINT) AS start_offset
+        |  FROM documents)
+        |SELECT lang, CAST(floor(start_offset / 4096) AS BIGINT) AS seq_id,
+        |       count(*) AS n_docs,
+        |       sum(n_tokens) AS seq_tokens,
+        |       md5(string_agg(text, ' ' ORDER BY doc_id)) AS content_md5
+        |FROM t GROUP BY lang, CAST(floor(start_offset / 4096) AS BIGINT)
+        |ORDER BY lang, seq_id""".stripMargin,
     "q79_curation" ->
       """WITH scored AS (
         |  SELECT doc_id, text, lang,
