@@ -103,6 +103,14 @@ object TextAnalysis {
 
   def langId(text: Column): Column = langIdOf(tokens(lower(text)))
 
+  /** Canonical text normalization for dedup hashing: lowercase,
+    * collapse whitespace runs to a single space, trim. The standard
+    * pre-hash pass — documents differing only in case or spacing
+    * dedup together instead of surviving as spurious "distinct"
+    * copies. Row-local, codegen'd built-ins. */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
   /** Order-invariant content fingerprint: md5 of the sorted distinct
     * token bag — robust to token reordering, good as a cheap near-dup
     * blocking key. Row-local. */

@@ -56,6 +56,19 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // exact dedup on NORMALIZED text (casefold + whitespace collapse —
+    // TextAnalysis.normalizeForDedup): the standard pre-hash pass that
+    // merges copies differing only in case/spacing. Same fixed-size-
+    // hash shuffle discipline as q50.
+    "q83_normalized_dedup" -> ((s, dir) => {
+      val normed = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.normalizeForDedup(col("text")).as("norm"))
+      Dedup.dedupGroups(normed, "norm", "doc_id")
+        .select(col("doc_id"), col("content_hash"), col("n_copies"))
+        .orderBy("doc_id")
+    }),
+
     // brute-force cosine/dot top-k: query vector = vec_id 0, scored
     // against the rest of the corpus. One broadcast row + a
     // TakeOrderedAndProject — no global sort, no all-pairs.
@@ -340,7 +353,9 @@ object LlmQueries {
     // one training sequence. The verified columns are the sequence's
     // doc count, token total, and the md5 of the assembled text (hash,
     // not raw text — bounded output; the driver compare never ships
-    // megabyte strings). Order inside the concat is pinned by
+    // megabyte strings). Assembly is the one dedup-family op that MUST
+    // shuffle document text (the output IS concatenated text) — once,
+    // keyed by (lang, seq_id). Order inside the concat is pinned by
     // array_sort over (doc_id, text) structs — collect_list alone is
     // assembly-order-nondeterministic.
     "q82_pack_sequences" -> ((s, dir) => {
@@ -433,6 +448,12 @@ object LlmQueries {
     "q50_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+    "q83_normalized_dedup" ->
+      """SELECT min(doc_id) AS doc_id,
+        |       sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+        |       count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 2 ORDER BY doc_id""".stripMargin,
     "q51_similarity_topk" ->
       """SELECT vec_id, round(raw_sim, 4) AS sim FROM (
         |  SELECT e.vec_id,

@@ -62,6 +62,17 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(fp(0) !== fp(3))
   }
 
+  test("normalizeForDedup merges case/whitespace variants, preserves content") {
+    val df = Seq(
+      "The Quick  Brown fox", "the quick brown fox ", "  THE QUICK BROWN FOX",
+      "the quick brown ox") // genuinely different
+      .toDF("text")
+      .select(TextAnalysis.normalizeForDedup(col("text")).as("n"))
+    val got = df.as[String].collect().toSeq
+    assert(got.take(3).toSet === Set("the quick brown fox"))
+    assert(got(3) === "the quick brown ox")
+  }
+
   test("rollingHash matches a hand-rolled polynomial mod 1e9+7") {
     val got = Seq("abc").toDF("text")
       .select(TextAnalysis.rollingHash(col("text"))).as[Long].head()
