@@ -580,7 +580,7 @@ object LlmQueries {
         |  FROM documents)
         |SELECT lang, CAST(floor(start_offset / 4096) AS BIGINT) AS seq_id,
         |       count(*) AS n_docs,
-        |       sum(n_tokens) AS seq_tokens,
+        |       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
         |       md5(string_agg(text, ' ' ORDER BY doc_id)) AS content_md5
         |FROM t GROUP BY lang, CAST(floor(start_offset / 4096) AS BIGINT)
         |ORDER BY lang, seq_id""".stripMargin,
