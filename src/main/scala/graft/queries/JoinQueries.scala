@@ -65,6 +65,22 @@ object JoinQueries {
         .orderBy("s_name")
     }),
 
+    // semi-join reduction (LIP): the selective dim predicate reaches
+    // the fact side BELOW its shuffle as a broadcast semi join on the
+    // distinct surviving keys, so only matching lineitem rows are
+    // shuffled into the (hinted shuffle-hash) main join. Exact rewrite
+    // ⇒ the plain join is the oracle; PlanShapeSpec pins the
+    // semi-before-shuffle shape.
+    "q84_lip_join" -> ((s, dir) => {
+      import graft.ops.JoinOpt
+      val p = Tables.part(s, dir).filter(col("p_size") <= 3)
+      val li = JoinOpt.semiReduce(Tables.lineitem(s, dir), p, "l_partkey", "p_partkey")
+      li.join(p.hint("shuffle_hash"), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    }),
+
     // fact ⋈ fact equi inner join on the natural key.
     "q10_join_inner" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -164,6 +180,11 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q84_lip_join" ->
+      """SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 3
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q37_salted_join" ->
       """SELECT s_name, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

@@ -69,6 +69,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  /** q84's contract is the PLAN, not just the result: the broadcast
+    * semi join (the LIP reduction) must sit below the fact shuffle of
+    * the hinted shuffle-hash main join. AQE off + threshold=-1 so the
+    * only broadcast that can appear is the one semiReduce forces. */
+  test("q84 semi-join reduction: broadcast LeftSemi below the shuffled main join") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val p = plan("q84_lip_join")
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+        s"LIP broadcast semi join missing:\n$p")
+      assert(p.contains("ShuffledHashJoin"),
+        s"main join lost the shuffle_hash hint:\n$p")
+      assert("BroadcastExchange".r.findAllIn(p).size == 1,
+        s"expected exactly 1 forced broadcast (the key set):\n$p")
+    }
+  }
+
   test("q75 as-of join plans as ONE key shuffle + window, never a cross product") {
     val p = plan("q75_asof_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
