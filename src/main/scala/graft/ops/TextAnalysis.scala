@@ -124,6 +124,61 @@ object TextAnalysis {
     aggregate(split(text, ""), lit(0L),
       (acc, c) => pmod(acc * 31L + ascii(c).cast("long"), lit(1000000007L)))
 
+  /** Overlapping token-window chunks — the context-window split every
+    * LLM data pipeline applies to long documents before tokenizer
+    * packing: chunk i covers tokens [i·stride, i·stride + window);
+    * the last chunk is the first one reaching the document's end, so
+    * nChunks = 1 + ceil(max(n − window, 0) / stride) and no chunk is
+    * ever empty or fully contained in its predecessor.
+    *
+    * Returns array<array<string>> (chunk i at index i) — pair with
+    * posexplode for (chunk_id, chunk) rows. Row-local: the ~window/
+    * stride× token amplification happens inside the row, nothing
+    * shuffles. Pass a PRE-TOKENIZED column (see the `...Of` note
+    * above) so multi-metric queries split once. */
+  def chunkSpansOf(toks: Column, window: Int, stride: Int): Column = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window (stride > window would drop tokens)")
+    val n = size(toks).cast("long")
+    val nChunks =
+      ceil(greatest(n - window, lit(0L)).cast("double") / stride).cast("long") + 1L
+    transform(sequence(lit(0L), nChunks - 1),
+      i => slice(toks, (i * stride + 1).cast("int"), lit(window)))
+  }
+
+  /** Frequency-ranked vocabulary: the top `vocabSize` tokens by
+    * (count DESC, token ASC — the tie-break makes ranking
+    * deterministic), token_id = 1-based rank. Returns (token,
+    * token_id: long).
+    *
+    * Scale shape: the corpus-wide token counts shuffle (token, count)
+    * pairs with map-side partial aggregation; the top-V selection
+    * plans as TakeOrderedAndProject (no global sort of the distinct-
+    * token set); only the final rank assignment is a single-partition
+    * window over the V surviving rows — bounded by the vocab size, not
+    * the corpus. */
+  def buildVocab(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col("freq").desc, col("token").asc)
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(order: _*).limit(vocabSize)
+      .select(col("token"),
+        row_number().over(Window.orderBy(order: _*)).cast("long").as("token_id"))
+  }
+
+  /** Token-ID encoding against a `buildVocab` vocabulary: one output
+    * row per token occurrence — (id, pos (1-based), token_id), with 0
+    * as the out-of-vocabulary id. The vocab is broadcast (it is
+    * vocab-sized by construction), so encoding is a narrow map over
+    * the exploded corpus: no shuffle of document text or token rows. */
+  def encodeTokens(docs: DataFrame, idCol: String, textCol: String,
+                   vocab: DataFrame): DataFrame =
+    docs.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos0", "token")))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+
   /** tf-idf over a corpus: tf = in-document term count, idf =
     * ln(N / df). Two aggregations + one join on token; the shuffled
     * payloads are (doc, token, count) triples — text never moves after

@@ -348,6 +348,34 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // overlapping context-window chunking (64-token windows, stride
+    // 48): the long-document split that precedes packing in an LLM
+    // data pipeline. Row-local array ops + posexplode; chunk text is
+    // verified as md5 (bounded compare payload, same policy as q82).
+    // __toks is materialized once and referenced thrice (size + the
+    // two uses inside chunkSpansOf) so CollapseProject keeps it.
+    "q85_chunking" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunkSpansOf(col("__toks"), 64, 48)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          size(col("col")).cast("long").as("n_chunk_tokens"),
+          md5(concat_ws(" ", col("col"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // vocabulary build + token-ID encoding: top-16 tokens by (freq
+    // DESC, token ASC) get ids 1..16, everything else encodes as the
+    // OOV id 0 (vocab 16 < the corpus' 31 distinct tokens, so the OOV
+    // path is genuinely exercised). One row per token occurrence.
+    "q86_vocab_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = TextAnalysis.buildVocab(docs, "text", 16)
+      TextAnalysis.encodeTokens(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id", "pos")
+    }),
+
     // sequence ASSEMBLY — the step q78's bin assignment feeds: each
     // (lang, seq_id) bin's documents concatenated in doc_id order into
     // one training sequence. The verified columns are the sequence's
@@ -569,6 +597,27 @@ object LlmQueries {
         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |            0) / 4096) AS BIGINT) AS seq_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q86_vocab_encode" ->
+      """WITH tok AS (
+        |  SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS token
+        |  FROM documents, unnest(range(1, len(string_split(text, ' ')) + 1)) AS u(i)),
+        |vocab AS (
+        |  SELECT token, row_number() OVER (ORDER BY count(*) DESC, token ASC) AS token_id
+        |  FROM tok GROUP BY token ORDER BY token_id LIMIT 16)
+        |SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS token_id
+        |FROM tok t LEFT JOIN vocab v ON t.token = v.token
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q85_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (
+        |  SELECT doc_id, i AS chunk_id,
+        |         least(64, n - i * 48) AS n_chunk_tokens,
+        |         md5(array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ')) AS chunk_md5
+        |  FROM t, unnest(range(0, CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT) + 1)) AS u(i))
+        |SELECT doc_id, chunk_id, n_chunk_tokens, chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q82_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang, text,

@@ -80,6 +80,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(got === expect)
   }
 
+  test("chunkSpansOf covers every token, ends at the end, and never emits a contained chunk") {
+    def chunks(n: Int, w: Int, s: Int): Seq[Seq[String]] =
+      Seq((1 to n).map(i => s"t$i")).toDF("toks")
+        .select(TextAnalysis.chunkSpansOf(col("toks"), w, s).as("c"))
+        .as[Seq[Seq[String]]].head()
+    // n < window → one whole-doc chunk; n == window → one full chunk
+    assert(chunks(5, 8, 4) === Seq((1 to 5).map(i => s"t$i")))
+    assert(chunks(8, 8, 4).map(_.size) === Seq(8))
+    // n == window + 1 → second chunk picks up the tail (with overlap)
+    assert(chunks(9, 8, 4).map(_.size) === Seq(8, 5))
+    // general: full coverage, last chunk reaches token n, every chunk
+    // adds at least one new token (no fully-contained chunk)
+    for ((n, w, s) <- Seq((20, 8, 4), (21, 8, 8), (100, 64, 48))) {
+      val cs = chunks(n, w, s)
+      assert(cs.flatten.toSet === (1 to n).map(i => s"t$i").toSet, s"coverage n=$n")
+      assert(cs.last.last === s"t$n", s"tail n=$n")
+      assert(cs.forall(_.nonEmpty) && cs.sliding(2).forall {
+        case Seq(a, b) => b.last.drop(1).toInt > a.last.drop(1).toInt
+        case _         => true
+      }, s"contained chunk n=$n")
+    }
+  }
+
   test("tfIdf on a tiny corpus matches hand computation") {
     val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
     val got = TextAnalysis.tfIdf(docs, "doc_id", "text")
