@@ -103,6 +103,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("buildVocab ranks by freq desc then token asc; encodeTokens maps OOV to 0") {
+    val docs = Seq((1L, "b b a c z"), (2L, "b a a")).toDF("doc_id", "text")
+    // freqs: a=3, b=3, c=1, z=1 → ids: a=1, b=2 (tie → token asc), c=3
+    val vocab = TextAnalysis.buildVocab(docs, "text", 3)
+    assert(vocab.orderBy("token_id").as[(String, Long)].collect().toSeq ===
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    val enc = TextAnalysis.encodeTokens(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(enc === Seq(
+      (1L, 1L, 2L), (1L, 2L, 2L), (1L, 3L, 1L), (1L, 4L, 3L), (1L, 5L, 0L),
+      (2L, 1L, 2L), (2L, 2L, 1L), (2L, 3L, 1L)))
+  }
+
   test("tfIdf on a tiny corpus matches hand computation") {
     val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
     val got = TextAnalysis.tfIdf(docs, "doc_id", "text")
