@@ -365,6 +365,27 @@ object LlmQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // symmetric int8 quantization of the embedding store (4× memory/IO
+    // at 100 TB): per-vector scale + quantized vector, verified via
+    // md5-of-ints checksum (raw arrays aren't pandas-comparable — q46
+    // lesson) plus the scale/2 error bound surfaced as max_err. The
+    // quantized ints are bit-reproducible across engines (double
+    // arithmetic + half-away-from-zero rounding), so this hash-matches.
+    "q87_quantize_int8" -> ((s, dir) => {
+      import graft.ops.Quantize
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          Quantize.int8Scale(col("embedding")).as("scale"))
+        .select(col("vec_id"), col("embedding"), col("scale"),
+          Quantize.quantizeInt8(col("embedding"), col("scale")).as("__q"))
+        .select(col("vec_id"), col("scale"),
+          size(col("__q")).cast("long").as("n_dims"),
+          aggregate(col("__q"), lit(0L), (a, v) => a + v).as("q_sum"),
+          md5(concat_ws(",", transform(col("__q"), _.cast("string")))).as("q_md5"),
+          Quantize.maxAbsError(col("embedding"), col("__q"), col("scale")).as("max_err"))
+        .orderBy("vec_id")
+    }),
+
     // vocabulary build + token-ID encoding: top-16 tokens by (freq
     // DESC, token ASC) get ids 1..16, everything else encodes as the
     // OOV id 0 (vocab 16 < the corpus' 31 distinct tokens, so the OOV
@@ -597,6 +618,22 @@ object LlmQueries {
         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |            0) / 4096) AS BIGINT) AS seq_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q87_quantize_int8" ->
+      """WITH t AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM t),
+        |q AS (
+        |  SELECT vec_id, e, scale,
+        |         CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+        |              ELSE list_transform(e, x -> CAST(round(x / scale) AS INTEGER)) END AS qv
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |       CAST(len(qv) AS BIGINT) AS n_dims,
+        |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |       md5(array_to_string(qv, ',')) AS q_md5,
+        |       list_max(list_transform(range(1, len(e) + 1), i -> abs(e[i] - qv[i] * scale))) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q86_vocab_encode" ->
       """WITH tok AS (
         |  SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS token
