@@ -14,6 +14,7 @@ object Bench {
     Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     graft.expressions.VectorExpressions.register(spark)
+    graft.expressions.TextExpressions.register(spark)
     spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct)
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: one trivial job + the flagship query spins up the

@@ -14,6 +14,7 @@ object Smoke {
     Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     graft.expressions.VectorExpressions.register(spark)
+    graft.expressions.TextExpressions.register(spark)
     spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct)
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.entry(spark)

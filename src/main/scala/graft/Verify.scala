@@ -15,6 +15,7 @@ object Verify {
     Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     graft.expressions.VectorExpressions.register(spark)
+    graft.expressions.TextExpressions.register(spark)
     spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

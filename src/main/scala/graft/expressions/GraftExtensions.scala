@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
         VectorExpressions.minhashInfo, VectorExpressions.minhashBuilder))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rolling_hash"),
+        TextExpressions.rollingHashInfo, TextExpressions.rollingHashBuilder))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

@@ -117,10 +117,21 @@ object TextAnalysis {
   def bagFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
-  /** Polynomial rolling hash over the raw characters, mod 1e9+7 at each
+  /** Polynomial rolling hash over the code points, mod 1e9+7 at each
     * step so the accumulator never overflows (DuckDB-portable
-    * semantics; Long wrap-around is JVM-specific). Row-local. */
+    * semantics; Long wrap-around is JVM-specific). Row-local.
+    *
+    * Dispatches to the fused native expression (graft_rolling_hash,
+    * registered by Verify/Bench/Smoke/GraftExtensions): the HOF form
+    * below materializes one single-char string PER CHARACTER per
+    * document. TextAnalysisSpec pins native ≡ HOF. */
   def rollingHash(text: Column): Column =
+    call_function("graft_rolling_hash", text)
+
+  /** The declarative reference form of [[rollingHash]] — kept as the
+    * equivalence-test witness (and for sessions without the graft
+    * function surface registered). */
+  def rollingHashHof(text: Column): Column =
     aggregate(split(text, ""), lit(0L),
       (acc, c) => pmod(acc * 31L + ascii(c).cast("long"), lit(1000000007L)))
 

@@ -26,6 +26,7 @@ object TestSpark {
     // registration Verify/Bench/Show/Explain apply; ops.Similarity's
     // sketch path resolves graft_band_keys by name.
     graft.expressions.VectorExpressions.register(s)
+    graft.expressions.TextExpressions.register(s)
     s.sparkContext.setLogLevel("ERROR")
     s
   }

@@ -80,6 +80,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(got === expect)
   }
 
+  test("native rollingHash ≡ the declarative HOF form, incl. multi-byte code points") {
+    // ASCII, 2-byte (é), 3-byte CJK, mixed, empty — the HOF witness is
+    // the SEMANTIC DEFINITION (split("") + ascii per element); the
+    // fused expression must agree everywhere, incl. empty ⇒ 0.
+    val texts = Seq("abc", "héllo wörld", "中文 文档 内容", "a中é!", "")
+    val rows = texts.toDF("text").select(
+      TextAnalysis.rollingHash(col("text")).as("native"),
+      TextAnalysis.rollingHashHof(col("text")).as("hof"))
+      .as[(Long, Long)].collect()
+    rows.zip(texts).foreach { case ((n, h), t) =>
+      assert(n === h, s"native != hof for '$t'")
+    }
+    assert(rows.last._1 === 0L)
+  }
+
   test("chunkSpansOf covers every token, ends at the end, and never emits a contained chunk") {
     def chunks(n: Int, w: Int, s: Int): Seq[Seq[String]] =
       Seq((1 to n).map(i => s"t$i")).toDF("toks")
