@@ -35,6 +35,33 @@ object Sampling {
                 labelCol: String = "split"): DataFrame =
     df.withColumn(labelCol, hashSplitLabel(col(keyCol), thresholdHex))
 
+  /** Deterministic k-per-group sample — the bounded, reproducible
+    * alternative to per-group reservoir sampling: rank rows inside
+    * each group by (md5 of the key, then the key itself as the total
+    * tie-break) and keep the first k. The md5 ranking is a uniform
+    * random order that is a pure function of content, so the kept set
+    * is invariant under row order, partitioning, and appends of
+    * NON-sampled rows — and reproducible by any engine with md5
+    * (hence DuckDB-oracle-checkable, q88, unlike an xxhash64 or
+    * rand() ranking).
+    *
+    * Scale shape: one shuffle on the group key; the per-group sort is
+    * a window over each group's rows. For groups large enough that
+    * even sorting them is hostile, compose with a pre-filter on the
+    * md5 prefix (hashSplitLabel) to cut each group to ~k·safety first
+    * — documented rather than automatic, because the prefix bound
+    * depends on the group-size floor. */
+  def groupSample(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Per-stratum CONTENT-ADDRESSED Bernoulli sample: a row is kept iff
     * u(key) < fraction(stratum), with u a uniform derived from
     * xxhash64(key, seed). Strata absent from `fractions` are dropped

@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
 object AggQueries {
 
   val queries: Map[String, Q] = Map(
+    // single-pass column profiling (ops.Profile): n / nulls / distinct
+    // / min / max for three columns in ONE scan + ONE aggregation,
+    // exploded to a row per column. String/integral columns only in
+    // the gated query — float/timestamp rendering is engine-specific.
+    "q89_profile" -> ((s, dir) => {
+      import graft.ops.Profile
+      Profile.profile(Tables.orders(s, dir),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+        .orderBy("col_name")
+    }),
+
     // TPC-H Q1 shape: the canonical partial+final hash aggregate.
     "q20_agg_sum" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -165,6 +176,22 @@ object AggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q89_profile" ->
+      """SELECT col_name, n, n_null, n_distinct, min_value, max_value FROM (
+        |  SELECT 'o_orderkey' AS col_name, count(*) AS n,
+        |         count(*) - count(o_orderkey) AS n_null,
+        |         count(DISTINCT o_orderkey) AS n_distinct,
+        |         CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+        |         CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |         count(DISTINCT o_custkey),
+        |         CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |         count(DISTINCT o_orderstatus),
+        |         CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM orders)
+        |ORDER BY col_name""".stripMargin,
     // the salted rewrite is invisible in the result — plain GROUP BY
     // is the oracle. count(*) stays BIGINT (no sum-of-BIGINT HUGEINT
     // drift — that was q56's round-3 failure mode).

@@ -325,6 +325,17 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // deterministic k-per-group sample (ops.Sampling.groupSample): the
+    // reproducible stand-in for per-group reservoir sampling — rank by
+    // md5(doc_id) inside each language, keep 5. Content-addressed like
+    // q76, so the kept set is partition-invariant AND the ranking is
+    // engine-portable: a real hash-matched oracle, not rows-only.
+    "q88_group_sample" -> ((s, dir) => {
+      Sampling.groupSample(Tables.documents(s, dir), "lang", "doc_id", 5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // sequence packing by token offset: each document's start offset in
     // its language's token stream (window cumsum) determines its
     // training-sequence bin (floor(offset / seqLen)). Partitioned BY
@@ -618,6 +629,13 @@ object LlmQueries {
         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |            0) / 4096) AS BIGINT) AS seq_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q88_group_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
     "q87_quantize_int8" ->
       """WITH t AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

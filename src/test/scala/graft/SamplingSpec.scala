@@ -61,6 +61,24 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("groupSample keeps exactly min(k, group size) rows, partition-invariant") {
+    val docs = Tables.documents(spark, sfDir)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.groupSample(df, "lang", "doc_id", 5)
+        .select("doc_id").as[Long].collect().toSet
+    val kept = run(docs)
+    assert(kept === run(docs.repartition(7)),
+      "kept-set must not depend on partitioning")
+    val perLang = Sampling.groupSample(docs, "lang", "doc_id", 5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    for ((lang, total) <- totals)
+      assert(perLang(lang) === math.min(5L, total), s"$lang")
+    // tiny-group edge: k larger than the group keeps the whole group
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "lang")
+    assert(Sampling.groupSample(tiny, "lang", "doc_id", 5).count() === 3L)
+  }
+
   test("stratifiedSample drops strata absent from the fractions map") {
     val docs = Tables.documents(spark, sfDir)
     val onlyEn = Sampling.stratifiedSample(docs, "lang", "doc_id",
