@@ -37,4 +37,29 @@ object Warehouse {
     df.write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Fixed-size training shards: ~`rowsPerShard` rows per output file,
+    * globally ordered by `orderCol` so shard N's key range precedes
+    * shard N+1's (range partition → maxRecordsPerFile split within
+    * each range). Training loaders want many same-sized files they can
+    * assign round-robin to data-loader workers; one giant file (or a
+    * long tail of tiny ones) serializes the input pipeline.
+    *
+    * `numShards` sets the range-partition fan-out — at 100 TB pick
+    * total_rows / rowsPerShard / ~4 so each task writes a few files;
+    * repartitionByRange samples the order key rather than sorting
+    * globally, and maxRecordsPerFile caps file size without a second
+    * pass. Determinism note: range boundaries come from reservoir
+    * sampling, so file ASSIGNMENT may vary run-to-run at boundaries —
+    * file CONTENT ordering within a shard is pinned by the sort. */
+  def writeShards(df: DataFrame, path: String, orderCol: String,
+                  rowsPerShard: Int, numShards: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(rowsPerShard >= 1 && numShards >= 1, "positive shard sizing")
+    df.repartitionByRange(numShards, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerShard.toLong)
+      .parquet(path)
+  }
 }

@@ -40,6 +40,31 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("writeShards caps rows per file and round-trips the data ordered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard-").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+    val n = docs.count()
+    Warehouse.writeShards(docs, dir, "doc_id", rowsPerShard = 100, numShards = 3)
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() === n, "shard write must be lossless")
+    // per-file row cap: no parquet part exceeds rowsPerShard
+    val perFile = back.groupBy(input_file_name()).count()
+      .select("count").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+    assert(perFile.forall(_ <= 100L), s"file over cap: ${perFile.mkString(",")}")
+    assert(perFile.length >= (n / 100).toInt, "expected at least ceil(n/cap) files")
+    // shards are range-disjoint on the order column: per-file
+    // [min,max] intervals must not overlap
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .orderBy("lo")
+      .select("lo", "hi").collect().map(r => (r.getLong(0), r.getLong(1)))
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, "overlapping shard ranges")
+      case _ =>
+    }
+  }
+
   test("partitioned layout prunes non-matching partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part-").toString
     val events = Tables.events(spark, sfDir)
