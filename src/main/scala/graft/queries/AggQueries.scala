@@ -34,6 +34,25 @@ object AggQueries {
         .orderBy("col_name")
     }),
 
+    // heavy hitters via the approx_top_k sketch (fixed-size state per
+    // partition — the 100 TB shape for "most frequent tokens": state
+    // is maxItemsTracked items regardless of corpus size, vs a full
+    // groupBy whose shuffle scales with DISTINCT tokens). Run UNDER
+    // capacity (64 ≥ the corpus' 31 distinct tokens at every SF) the
+    // sketch counts are exact, so the exact GROUP BY is a true oracle;
+    // OVER capacity only the estimate ordering survives — both modes
+    // are pinned in ApproxDistinctSpec. All 31 items are emitted and
+    // re-sorted by token: the top-k CUT at a count tie is
+    // sketch-internal-order-dependent, the tracked counts are not.
+    "q38_heavy_hitters" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .agg(expr("approx_top_k(token, 64, 64)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("token"), col("e.count").as("est_count"))
+        .orderBy("token")
+    }),
+
     // TPC-H Q1 shape: the canonical partial+final hash aggregate.
     "q20_agg_sum" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -176,6 +195,10 @@ object AggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q38_heavy_hitters" ->
+      """SELECT token, count(*) AS est_count
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY token""".stripMargin,
     "q89_profile" ->
       """SELECT col_name, n, n_null, n_distinct, min_value, max_value FROM (
         |  SELECT 'o_orderkey' AS col_name, count(*) AS n,

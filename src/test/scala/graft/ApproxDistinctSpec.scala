@@ -39,6 +39,25 @@ class ApproxDistinctSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q38 approx_top_k: exact under capacity; dominant item survives over capacity") {
+    import spark.implicits._
+    def topk(toks: Seq[String], k: Int, cap: Int): Map[String, Long] =
+      toks.toDF("t").agg(expr(s"approx_top_k(t, $k, $cap)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item"), col("e.count")).as[(String, Long)]
+        .collect().toMap
+    // UNDER capacity the sketch is a plain counting map — exact counts
+    // (q38's oracle-ability rests on this: 64 ≥ the corpus' 31 tokens).
+    val exact = topk(Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"), 10, 10)
+    assert(exact === Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
+    // OVER capacity: a dominant item must survive eviction pressure
+    // from 100 singletons with its estimate at or above its true count.
+    val skewed = Seq.fill(200)("hot") ++ (1 to 100).map(i => s"cold$i")
+    val r = topk(new scala.util.Random(1).shuffle(skewed), 5, 16)
+    assert(r.contains("hot"), s"dominant item evicted: $r")
+    assert(r("hot") >= 200L, s"estimate below true count: ${r("hot")}")
+  }
+
   test("q36 approx_percentile within accuracy-bound rank error of exact per group") {
     // accuracy = 1000 ⇒ guaranteed rank error ≤ n/1000 per group; the
     // VALUE gap that rank slack allows is data-dependent, so assert on
