@@ -143,7 +143,9 @@ object TextAnalysis {
     * ever empty or fully contained in its predecessor.
     *
     * Returns array<array<string>> (chunk i at index i) — pair with
-    * posexplode for (chunk_id, chunk) rows. Row-local: the ~window/
+    * posexplode for (chunk_id, chunk) rows; NULL input ⇒ NULL (so the
+    * explode emits nothing — without the guard, legacy size(null) = -1
+    * would yield a single [null] chunk). Row-local: the ~window/
     * stride× token amplification happens inside the row, nothing
     * shuffles. Pass a PRE-TOKENIZED column (see the `...Of` note
     * above) so multi-metric queries split once. */
@@ -153,8 +155,9 @@ object TextAnalysis {
     val n = size(toks).cast("long")
     val nChunks =
       ceil(greatest(n - window, lit(0L)).cast("double") / stride).cast("long") + 1L
-    transform(sequence(lit(0L), nChunks - 1),
-      i => slice(toks, (i * stride + 1).cast("int"), lit(window)))
+    when(toks.isNotNull,
+      transform(sequence(lit(0L), nChunks - 1),
+        i => slice(toks, (i * stride + 1).cast("int"), lit(window))))
   }
 
   /** Frequency-ranked vocabulary: the top `vocabSize` tokens by

@@ -105,6 +105,11 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(chunks(8, 8, 4).map(_.size) === Seq(8))
     // n == window + 1 → second chunk picks up the tail (with overlap)
     assert(chunks(9, 8, 4).map(_.size) === Seq(8, 5))
+    // null token array → NULL (posexplode then emits nothing), never
+    // a spurious [null] chunk from legacy size(null) = -1
+    val nullRow = Seq(Tuple1[Option[Seq[String]]](None)).toDF("toks")
+      .select(TextAnalysis.chunkSpansOf(col("toks"), 8, 4).as("c"))
+    assert(nullRow.filter(col("c").isNotNull).count() === 0L)
     // general: full coverage, last chunk reaches token n, every chunk
     // adds at least one new token (no fully-contained chunk)
     for ((n, w, s) <- Seq((20, 8, 4), (21, 8, 8), (100, 64, 48))) {
