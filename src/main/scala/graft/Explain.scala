@@ -17,6 +17,7 @@ object Explain {
     Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     graft.expressions.VectorExpressions.register(spark)
+    graft.expressions.TextExpressions.register(spark)
     spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct)
     spark.sparkContext.setLogLevel("ERROR")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
