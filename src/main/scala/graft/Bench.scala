@@ -15,7 +15,7 @@ object Bench {
     val spark = builder.getOrCreate()
     graft.expressions.VectorExpressions.register(spark)
     graft.expressions.TextExpressions.register(spark)
-    spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct)
+    spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct, graft.expressions.RewriteRollingHash)
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: one trivial job + the flagship query spins up the
     // executor pool, whole-stage codegen compiler, and parquet reader

@@ -18,7 +18,7 @@ object Explain {
     val spark = builder.getOrCreate()
     graft.expressions.VectorExpressions.register(spark)
     graft.expressions.TextExpressions.register(spark)
-    spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct)
+    spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct, graft.expressions.RewriteRollingHash)
     spark.sparkContext.setLogLevel("ERROR")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if only.forall(_ == name)) {

@@ -15,7 +15,7 @@ object Smoke {
     val spark = builder.getOrCreate()
     graft.expressions.VectorExpressions.register(spark)
     graft.expressions.TextExpressions.register(spark)
-    spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct)
+    spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct, graft.expressions.RewriteRollingHash)
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.entry(spark)
     val n = df.count()

@@ -29,5 +29,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rolling_hash"),
         TextExpressions.rollingHashInfo, TextExpressions.rollingHashBuilder))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectOptimizerRule(_ => RewriteRollingHash)
   }
 }

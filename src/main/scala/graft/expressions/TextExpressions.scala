@@ -72,6 +72,49 @@ case class RollingHashMod(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Optimizer rule (second instance of the Rule seam, alongside
+  * RewriteDotProduct): rewrites the declarative rolling-hash fold that
+  * TextAnalysis.rollingHashHof emits —
+  *
+  *   aggregate(split(text, ""), 0L,
+  *             (acc, c) -> pmod(acc * 31 + bigint(ascii(c)), 1000000007))
+  *
+  * — into the fused RollingHashMod. Unlike the dot-product rewrite
+  * (where zip_with's null-padding made equivalence subtle), this one
+  * is total: both forms are null ⇔ input null and agree on every
+  * string, including "" (spec-pinned). The match is still
+  * deliberately conservative — split on the empty pattern, zero 0L,
+  * exactly acc·31 + cast(ascii(elem)) under pmod by exactly 1e9+7,
+  * identity finish — so any other fold is left untouched. */
+object RewriteRollingHash
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            StringSplit(str, Literal(sep, StringType), Literal(-1, IntegerType)),
+            Literal(0L, LongType),
+            LambdaFunction(
+              Pmod(
+                Add(
+                  Multiply(acc: NamedLambdaVariable, Literal(31L, LongType), _),
+                  Cast(Ascii(elem: NamedLambdaVariable), LongType, _, _), _),
+                Literal(1000000007L, LongType), _),
+              mergeVars, _),
+            LambdaFunction(finishBody, finishVars, _))
+          if sep != null && sep.toString.isEmpty &&
+            mergeVars.map(_.exprId) == Seq(acc.exprId, elem.exprId) &&
+            (finishBody match {
+              case v: NamedLambdaVariable =>
+                finishVars.map(_.exprId).contains(v.exprId)
+              case _ => false
+            }) =>
+        RollingHashMod(str)
+    }
+}
+
 object TextExpressions {
   val rollingHashInfo =
     new ExpressionInfo(classOf[RollingHashMod].getName, "graft_rolling_hash")

@@ -128,6 +128,35 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("RewriteRollingHash swaps the HOF fold for RollingHashMod; equal results; conservative") {
+    import graft.expressions.{RewriteRollingHash, RollingHashMod}
+    import graft.ops.TextAnalysis
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RewriteRollingHash
+    try {
+      val q = Tables.documents(spark, sfDir).limit(50)
+        .select(col("doc_id"), TextAnalysis.rollingHashHof(col("text")).as("h"))
+      val fired = q.queryExecution.optimizedPlan
+        .collect { case n => n.expressions }.flatten
+        .exists(_.exists(_.isInstanceOf[RollingHashMod]))
+      assert(fired, s"rule did not fire:\n${q.queryExecution.optimizedPlan}")
+      val withRule = q.as[(Long, Long)].collect().toSet
+      spark.experimental.extraOptimizations = prev
+      val withoutRule = q.as[(Long, Long)].collect().toSet
+      assert(withRule === withoutRule)
+
+      // conservatism: a different modulus is NOT our hash — untouched
+      spark.experimental.extraOptimizations = prev :+ RewriteRollingHash
+      val other = Tables.documents(spark, sfDir).limit(5)
+        .select(aggregate(split(col("text"), ""), lit(0L),
+          (acc, c) => pmod(acc * 31L + ascii(c).cast("long"), lit(97L))).as("h"))
+      val touched = other.queryExecution.optimizedPlan
+        .collect { case n => n.expressions }.flatten
+        .exists(_.exists(_.isInstanceOf[RollingHashMod]))
+      assert(!touched, "fold with a different modulus must not be rewritten")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("graft_band_keys null semantics: null vec, dims mismatch, null element all yield null") {
     val planes = typedlit(Seq.fill(16)(Seq.fill(2)(0.5f)))
     val df = Seq(
@@ -159,14 +188,15 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(withCodegen.nonEmpty && withCodegen.forall { case (m, s) => m.isDefined && s.isDefined })
   }
 
-  test("all four native functions are registered and SQL-callable") {
+  test("all five native functions are registered and SQL-callable") {
     // (A true config-time session test needs its own JVM — one
     // SparkContext per JVM, and getOrCreate would return the shared
     // session with extensions unapplied. The fixture registers via
     // VectorExpressions.register, which is the same wiring
     // GraftExtensions injects; additionally the extension class must
     // apply cleanly to a fresh SparkSessionExtensions.)
-    val names = Seq("graft_dot", "graft_band_keys", "graft_simhash", "graft_minhash")
+    val names = Seq("graft_dot", "graft_band_keys", "graft_simhash",
+      "graft_minhash", "graft_rolling_hash")
     for (n <- names)
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)),
@@ -187,6 +217,10 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(mh.length === 4)
     assert(!spark.sql("SELECT graft_simhash(array('a', 'b')) AS s")
       .collect()(0).isNullAt(0))
+    // "abc" → ((0·31+97)·31+98)·31+99 mod 1e9+7
+    val rh = spark.sql("SELECT graft_rolling_hash('abc') AS h")
+      .collect()(0).getLong(0)
+    assert(rh === ((97L * 31 + 98) * 31 + 99) % 1000000007L)
     new graft.expressions.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
