@@ -4,9 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join — the point-in-time lookup (each left row
+/** As-of joins — the point-in-time lookups (backward: each left row
   * matched to the LATEST right row with right.ts <= left.ts on the
-  * same key) that Spark has no built-in operator for. The mandate's
+  * same key; forward: the EARLIEST right row with right.ts >= left.ts)
+  * that Spark has no built-in operator for. The mandate's
   * custom-operator preference order applies: this is case (a),
   * composition of existing operators — no custom plan node needed.
   *
@@ -39,7 +40,25 @@ object AsOf {
     *                  never shadowed). */
   def asofBackward(left: DataFrame, right: DataFrame,
                    keyCol: String, tsCol: String,
-                   valueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+                   valueCols: Seq[String], prefix: String = "asof_"): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, valueCols, prefix, forward = false)
+
+  /** Forward as-of join: each left row matched to the EARLIEST right
+    * row with right.ts >= left.ts on the same key (the "next event
+    * after" lookup — next maintenance after a failure, next purchase
+    * after a click). Same union + running-last composition scanned in
+    * DESCENDING timestamp order: at a left row the running last is the
+    * latest-scanned right row, i.e. the smallest right.ts >= left.ts.
+    * Ties on ts match (DuckDB ASOF `ON r.ts >= l.ts` semantics); same
+    * one-key-shuffle scale shape and null semantics as backward. */
+  def asofForward(left: DataFrame, right: DataFrame,
+                  keyCol: String, tsCol: String,
+                  valueCols: Seq[String], prefix: String = "asof_"): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, valueCols, prefix, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame,
+                       keyCol: String, tsCol: String, valueCols: Seq[String],
+                       prefix: String, forward: Boolean): DataFrame = {
     require(valueCols.nonEmpty, "valueCols must name at least one right column")
     val internal = Set("__rpay", "__side", "__match")
     val outputs = valueCols.map(prefix + _).toSet
@@ -62,8 +81,14 @@ object AsOf {
       .withColumn("__rpay", lit(null).cast(r.schema("__rpay").dataType))
       .withColumn("__side", lit(1))
     val combined = l.unionByName(r, allowMissingColumns = true)
+    // Backward scans ts ASC (running last = newest right <= l.ts);
+    // forward scans ts DESC (running last = earliest right >= l.ts).
+    // Either way side 0 sorts before 1 within a ts tie, so an equal
+    // timestamp matches, and right rows duplicated on (key, ts) are
+    // ordered by payload so `last` picks deterministically.
+    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__side"), col("__rpay"))
+      .orderBy(tsOrder, col("__side"), col("__rpay"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = combined
       .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))

@@ -48,6 +48,28 @@ object JoinQueries {
         .orderBy("event_id")
     }),
 
+    // forward as-of join: each click matched to the user's EARLIEST
+    // purchase at or after it — the "next event after" lookup, same
+    // union + running-last composition as q75 scanned in descending
+    // timestamp order. DuckDB's native ASOF LEFT JOIN with `>=` is
+    // the oracle.
+    "q90_asof_forward" -> ((s, dir) => {
+      import graft.ops.AsOf
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event"), col("value").as("p_value"))
+      AsOf.asofForward(clicks, purchases, "user_id", "ts",
+          Seq("p_event", "p_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("asof_p_event").as("p_event"),
+          round(col("asof_p_value"), 4).as("p_value"))
+        .orderBy("event_id")
+    }),
+
     // salted skew-safe join through the ops.Skew seam: the explicit
     // hot-key mitigation MUST produce exactly what the plain join
     // produces — which makes the plain join its oracle (same contract
@@ -189,6 +211,13 @@ object JoinQueries {
       """SELECT s_name, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "q90_asof_forward" ->
+      """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |       p.event_id AS p_event, round(p.value, 4) AS p_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts >= c.ts
+        |ORDER BY c.event_id""".stripMargin,
     "q75_asof_join" ->
       """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
         |       p.event_id AS p_event, round(p.value, 4) AS p_value

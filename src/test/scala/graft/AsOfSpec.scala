@@ -65,6 +65,45 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
     assert(got === "z") // max payload struct — deterministic
   }
 
+  test("asofForward: earliest-following semantics, inclusive ties, left-outer nulls") {
+    val got = AsOf.asofForward(left, right, "k", "ts", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(
+      1L -> Some("r20"), // earliest right >= 10
+      2L -> Some("r20"), // tie on ts matches (inclusive)
+      3L -> Some("r5"),  // earliest right >= 3
+      4L -> None,        // b's only right row is at 49 < 50
+      5L -> None))       // key with no right rows
+  }
+
+  test("asofForward picks the greatest payload among right rows tied on (key, ts)") {
+    val dupRight = Seq(("a", 50L, "x"), ("a", 50L, "z"), ("a", 50L, "y"))
+      .toDF("k", "ts", "v")
+    val got = AsOf.asofForward(left.filter(col("id") === 1), dupRight,
+        "k", "ts", Seq("v"))
+      .select("asof_v").as[String].head()
+    assert(got === "z")
+  }
+
+  test("asofForward ≡ independent range join + min_by on the events fixture") {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"))
+    val viaAsof = AsOf.asofForward(clicks, purchases.withColumnRenamed("p_user", "user_id")
+        .withColumnRenamed("p_ts", "ts"), "user_id", "ts", Seq("p_event"))
+      .select(col("event_id"), col("asof_p_event"))
+      .as[(Long, Option[Long])].collect().toMap
+    val viaJoin = clicks
+      .join(purchases, col("user_id") === col("p_user") && col("p_ts") >= col("ts"), "left")
+      .groupBy(col("event_id"))
+      .agg(min_by(col("p_event"), struct(col("p_ts"), negate(col("p_event")))).as("m"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(viaAsof === viaJoin)
+  }
+
   test("asofBackward matches DuckDB ASOF semantics on the events fixture shape") {
     // cross-check the q75 pipeline against an independent Spark
     // implementation: per click, the max-ts purchase with ts <= click.ts

@@ -87,16 +87,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("q75 as-of join plans as ONE key shuffle + window, never a cross product") {
-    val p = plan("q75_asof_join")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"as-of degenerated to a cross product:\n$p")
-    // exactly 2 exchanges: the key partition for the window + the
-    // final deterministic orderBy. A third would mean the union trick
-    // regressed to a join.
-    val exchanges = "Exchange".r.findAllIn(p).size
-    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
-    assert(p.contains("Window"), s"no window in as-of plan:\n$p")
+  test("as-of joins plan as ONE key shuffle + window, never a cross product") {
+    for (q <- Seq("q75_asof_join", "q90_asof_forward")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a cross product:\n$p")
+      // exactly 2 exchanges: the key partition for the window + the
+      // final deterministic orderBy. A third would mean the union trick
+      // regressed to a join.
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges == 2, s"$q: expected 2 exchanges, got $exchanges:\n$p")
+      assert(p.contains("Window"), s"no window in as-of plan for $q:\n$p")
+    }
   }
 
   test("no UDF and no CartesianProduct in any declared query plan") {
