@@ -58,6 +58,27 @@ class ApproxDistinctSpec extends AnyFunSuite with SparkFixture {
     assert(r("hot") >= 200L, s"estimate below true count: ${r("hot")}")
   }
 
+  test("count_min_sketch estimates are exact-or-over, within eps·N") {
+    import spark.implicits._
+    // The CMS guarantee: estimate >= true count always (hash collisions
+    // only ADD), and <= true + eps·N with probability `confidence`.
+    // Fixed seed ⇒ deterministic, so the bound is assertable outright.
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+    val eps = 0.001
+    val bytes = toks.agg(expr(s"count_min_sketch(token, CAST($eps AS DOUBLE), 0.99d, 42)"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val exact = toks.groupBy("token").count().as[(String, Long)].collect()
+    val n = exact.map(_._2).sum
+    for ((tok, cnt) <- exact) {
+      val est = cms.estimateCount(tok)
+      assert(est >= cnt, s"$tok: CMS under-counted ($est < $cnt)")
+      assert(est <= cnt + (eps * n).toLong + 1, s"$tok: est $est exceeds bound")
+    }
+  }
+
   test("q36 approx_percentile within accuracy-bound rank error of exact per group") {
     // accuracy = 1000 ⇒ guaranteed rank error ≤ n/1000 per group; the
     // VALUE gap that rank slack allows is data-dependent, so assert on
