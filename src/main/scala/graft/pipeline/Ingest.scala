@@ -77,4 +77,38 @@ object Ingest {
   /** R1-R7 end to end. */
   def run(payloads: DataFrame, payloadCol: String, outPath: String): Unit =
     snapshotLoad(normalize(payloads, payloadCol), outPath)
+
+  /** Incremental merge — the 100 TB successor to R7's full overwrite:
+    * key-matched rows take the UPDATE's values, unmatched existing
+    * rows survive, unmatched updates insert (classic MERGE/upsert,
+    * composed as one full outer join + per-column coalesce since plain
+    * parquet has no transactional MERGE).
+    *
+    * Rewriting 100 TB nightly to refresh 0.1% of rows is the snapshot
+    * pattern's scale failure; the merge touches one join's worth of
+    * work instead — shuffle both sides on the key (or neither, when
+    * both are bucketed on it via Warehouse.writeBucketed), then write.
+    * Precedence needs NO null-sentinel trickery: the join's match
+    * STRUCTURE (an update-side key column being non-null) decides,
+    * so genuinely-null update values overwrite too — pinned in
+    * PipelineSpec.
+    *
+    * Requires both frames to share the schema (checked) and `key` to
+    * be unique per side (a MERGE precondition; duplicate update keys
+    * would fan out like any join). */
+  def upsert(existing: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    require(existing.columns.toSeq == updates.columns.toSeq,
+      s"schema mismatch: ${existing.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+    require(existing.columns.contains(key), s"key $key not in schema")
+    val valueCols = existing.columns.filter(_ != key).toSeq
+    val e = existing.select(col(key) +: valueCols.map(c => col(c).as(s"__e_$c")): _*)
+    val u = updates.select(col(key).as("__u_key") +:
+      valueCols.map(c => col(c).as(s"__u_$c")): _*)
+    e.join(u, col(key) === col("__u_key"), "full")
+      .select(
+        coalesce(col(key), col("__u_key")).as(key) +:
+          valueCols.map(c =>
+            when(col("__u_key").isNotNull, col(s"__u_$c"))
+              .otherwise(col(s"__e_$c")).as(c)): _*)
+  }
 }

@@ -19,6 +19,29 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
 
   val queries: Map[String, Q] = Map(
+    // incremental MERGE/upsert (pipeline.Ingest.upsert) — the scale
+    // successor to R7's snapshot overwrite: updates (keys %100, status
+    // 'U', doubled price) win over existing rows, inserts (shifted
+    // keys, status 'N') append, everything else survives. Verified
+    // through a per-status aggregate of the merged table; the oracle
+    // constructs the same merge as a three-way UNION ALL.
+    "q91_upsert" -> ((s, dir) => {
+      import graft.pipeline.Ingest
+      val base = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val updates = base.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", lit("U"))
+      val inserts = base.filter(col("o_orderkey") % 500 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("o_orderstatus", lit("N"))
+      Ingest.upsert(base, updates.unionByName(inserts), "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // scan + projection: column pruning must reach the parquet reader.
     "q01_scan_project" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -87,6 +110,21 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q91_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 100 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'U', o_totalprice * 2
+        |  FROM base WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice
+        |  FROM base WHERE o_orderkey % 500 = 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

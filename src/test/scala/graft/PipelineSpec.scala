@@ -103,6 +103,35 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(Report.toJsonPayload(df.filter(lit(false))).isEmpty)
   }
 
+  test("upsert: updates win (including to null), existing survive, inserts append") {
+    val existing = Seq(
+      (1L, Option("a"), Option(10.0)),
+      (2L, Option("b"), Option(20.0)),
+      (3L, Option("c"), Option(30.0))).toDF("k", "s", "v")
+    val updates = Seq(
+      (2L, Option("B"), Option.empty[Double]), // match: overwrite, v → null
+      (4L, Option("d"), Option(40.0)))         // no match: insert
+      .toDF("k", "s", "v")
+    val got = Ingest.upsert(existing, updates, "k")
+      .orderBy("k").as[(Long, Option[String], Option[Double])].collect().toSeq
+    assert(got === Seq(
+      (1L, Some("a"), Some(10.0)),
+      (2L, Some("B"), None), // null update value overwrites — match
+                             // structure decides, not null-coalescing
+      (3L, Some("c"), Some(30.0)),
+      (4L, Some("d"), Some(40.0))))
+  }
+
+  test("upsert rejects mismatched schemas and missing keys") {
+    val a = Seq((1L, "x")).toDF("k", "s")
+    intercept[IllegalArgumentException] {
+      Ingest.upsert(a, Seq((1L, 2.0)).toDF("k", "v"), "k")
+    }
+    intercept[IllegalArgumentException] {
+      Ingest.upsert(a, a, "nope")
+    }
+  }
+
   test("flagship e2e on sf0.001: real threshold writes a report, inverted one does not") {
     val dir = tmpDir()
     val written = SparkEntry.runFlagship(spark, sfDir, 1000000.0,
