@@ -173,6 +173,46 @@ object Similarity {
       .select(col("cell_id"),
         transform(col("pm"), p => p.getField("m").cast("float")).as("c_vec"))
 
+  /** Quantized two-pass ANN — the production use of ops.Quantize: the
+    * first pass scores the WHOLE corpus with int8-quantized vectors
+    * (when the store is written quantized, the scan reads 4× fewer
+    * bytes and the dot is integer math), a TakeOrdered shortlist of
+    * `shortlist` candidates survives, and only those are rescored with
+    * the exact float dot. Recall loss is bounded by the quantization
+    * error (|approx − exact| ≤ per-element scale/2 effects); a
+    * shortlist a few × k recovers exact top-k in practice — and the
+    * whole pipeline is deterministic (q92 hash-matches a DuckDB oracle
+    * reproducing the identical arithmetic).
+    *
+    * Approximate score = int_dot(qa, qb) · scale_a · scale_b ≈ a·b,
+    * accumulated exactly (|int dot| ≤ dims · 127² ≪ 2⁵³). */
+  def quantizedTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                    query: DataFrame, queryVecCol: String,
+                    k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val qc = corpus
+      .select(col(idCol), col(vecCol),
+        Quantize.int8Scale(col(vecCol)).as("__scale"))
+      .select(col(idCol), col(vecCol), col("__scale"),
+        Quantize.quantizeInt8(col(vecCol), col("__scale")).as("__qv"))
+    val qq = query
+      .select(col(queryVecCol),
+        Quantize.int8Scale(col(queryVecCol)).as("__qscale"))
+      .select(col(queryVecCol), col("__qscale"),
+        Quantize.quantizeInt8(col(queryVecCol), col("__qscale")).as("__qqv"))
+    qc.crossJoin(broadcast(qq))
+      .select(col(idCol), col(vecCol), col(queryVecCol),
+        (aggregate(
+            zip_with(col("__qv"), col("__qqv"), (a, b) => (a * b).cast("long")),
+            lit(0L), (acc, x) => acc + x)
+          .cast("double") * col("__scale") * col("__qscale")).as("__approx"))
+      .orderBy(desc("__approx"), col(idCol))
+      .limit(shortlist)
+      .select(col(idCol), dot(col(vecCol), col(queryVecCol)).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF probe: exact top-k restricted to the nProbe cells whose
     * centroids score best against the query. The centroid ranking is a
     * C-row computation (fixed size) and the corpus filter on cell_id is

@@ -83,6 +83,23 @@ object LlmQueries {
         .orderBy(desc("sim"), col("vec_id"))
     }),
 
+    // quantized two-pass ANN (Similarity.quantizedTopK ∘ ops.Quantize):
+    // int8 first pass over the whole corpus → top-40 shortlist → exact
+    // float rescore → top-10. Every step is deterministic and the
+    // quantized ints are engine-reproducible (q87), so the DuckDB
+    // oracle replays the identical arithmetic — a hash gate on the
+    // full approximate-then-exact pipeline, not just its pieces.
+    "q92_quantized_ann" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_embedding"))
+      Similarity.quantizedTopK(
+          e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          q, "q_embedding", k = 10, shortlist = 40)
+        .select(col("vec_id"), round(col("sim"), 4).as("dot_sim"))
+        .orderBy("vec_id")
+    }),
+
     // IVF-probed similarity search, FULL probe: with nProbe = all
     // cells the probe must equal brute force exactly — which makes the
     // brute-force SQL its oracle. The sub-linear partial-probe path
@@ -629,6 +646,30 @@ object LlmQueries {
         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |            0) / 4096) AS BIGINT) AS seq_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q92_quantized_ann" ->
+      """WITH t AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM t),
+        |q AS (
+        |  SELECT vec_id, e, scale,
+        |         CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS DOUBLE))
+        |              ELSE list_transform(e, x -> CAST(CAST(round(x / scale) AS INTEGER) AS DOUBLE)) END AS qv
+        |  FROM s),
+        |qq AS (SELECT scale AS q_scale, qv AS q_qv, e AS q_e FROM q WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT q.vec_id, q.e,
+        |         list_dot_product(q.qv, qq.q_qv) * q.scale * qq.q_scale AS approx
+        |  FROM q, qq WHERE q.vec_id <> 0),
+        |shortlist AS (
+        |  SELECT vec_id, e FROM scored ORDER BY approx DESC, vec_id LIMIT 40),
+        |rescored AS (
+        |  SELECT sl.vec_id, list_dot_product(sl.e, qq.q_e) AS exact_dot
+        |  FROM shortlist sl, qq),
+        |topk AS (
+        |  SELECT vec_id, round(exact_dot, 4) AS dot_sim
+        |  FROM rescored ORDER BY exact_dot DESC, vec_id LIMIT 10)
+        |SELECT vec_id, dot_sim FROM topk ORDER BY vec_id""".stripMargin,
     "q88_group_sample" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

@@ -176,6 +176,19 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       s"precision miss: ${(got -- truth).take(5)} below threshold")
   }
 
+  test("quantizedTopK with a 4×k shortlist recovers the exact top-k on fixtures") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val exact = Similarity.topKDot(corpus, "vec_id", "embedding", q, "qv", 10)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = Similarity.quantizedTopK(corpus, "vec_id", "embedding", q, "qv",
+        k = 10, shortlist = 40)
+      .select("vec_id").as[Long].collect().toSet
+    assert(quant === exact,
+      s"quantized shortlist lost exact winners: missing ${exact -- quant}")
+  }
+
   test("q51 on fixtures: top-1 by dot is the global argmax (brute-force check)") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
