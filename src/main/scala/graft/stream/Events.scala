@@ -200,4 +200,49 @@ object Events {
           s"$outDir/report-$batchId.html")
         () // discard the Boolean — foreachBatch wants Unit
       }
+
+  /** Streaming MERGE sink — CDC compaction into a queryable parquet
+    * snapshot: each micro-batch keeps its latest row per key (greatest
+    * (orderCol, payload) — deterministic even when orderCol ties),
+    * upserts into the existing snapshot via `Ingest.upsert`, and
+    * replaces the snapshot via write-to-temp + rename so a concurrent
+    * reader never observes a half-written directory.
+    *
+    * Scale notes: the per-batch work is one join of (snapshot ×
+    * micro-batch) — at 100 TB the snapshot side would be bucketed on
+    * the key (Warehouse.writeBucketed) making the merge Exchange-free,
+    * and the swap would target a partition, not the whole table. The
+    * rename is atomic on HDFS-like filesystems; on object stores it is
+    * copy+delete — pair with a manifest there. Exactly-once: the merge
+    * is idempotent per key (re-applying a batch yields the same
+    * snapshot), so checkpoint replays converge. */
+  def mergeSink(updates: DataFrame, key: String, orderCol: String,
+                snapshotPath: String): DataStreamWriter[Row] =
+    updates.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val others = batch.columns.filter(c => c != key && c != orderCol)
+          val latest = batch.groupBy(col(key))
+            .agg(max_by(
+              struct((Seq(orderCol) ++ others).map(col): _*),
+              struct(col(orderCol) +: others.map(col): _*)).as("__r"))
+            .select(col(key) +:
+              (Seq(orderCol) ++ others).map(c => col(s"__r.$c").as(c)): _*)
+            .select(batch.columns.map(col): _*) // restore original order
+          val hadoopPath = new org.apache.hadoop.fs.Path(snapshotPath)
+          val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val merged =
+            if (fs.exists(hadoopPath))
+              graft.pipeline.Ingest.upsert(
+                spark.read.parquet(snapshotPath), latest, key)
+            else latest
+          val tmp = new org.apache.hadoop.fs.Path(s"$snapshotPath.tmp-$batchId")
+          merged.write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(hadoopPath, true)
+          if (!fs.rename(tmp, hadoopPath))
+            throw new java.io.IOException(s"snapshot swap failed for $snapshotPath")
+        }
+      }
 }

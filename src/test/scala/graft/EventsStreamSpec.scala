@@ -237,6 +237,33 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
       "empty batches must not write artifacts")
   }
 
+  test("mergeSink: micro-batches upsert into one snapshot; latest-per-key wins in and across batches") {
+    val snap = tmpDir().resolve("snapshot").toString
+    val ms = MemoryStream[Ev](spark)
+    val q = Events.mergeSink(ms.toDF(), "user_id", "ts", snap).start()
+    try {
+      // batch 0: two users insert
+      ms.addData(Seq(
+        Ev(1, t("2024-01-01T10:00:00Z"), 1, "click", 1.0),
+        Ev(2, t("2024-01-01T10:01:00Z"), 2, "click", 2.0)))
+      q.processAllAvailable()
+      // batch 1: user 2 updated TWICE in one batch (latest ts wins),
+      // user 3 inserts, user 1 untouched
+      ms.addData(Seq(
+        Ev(3, t("2024-01-01T10:05:00Z"), 2, "view", 5.0),
+        Ev(4, t("2024-01-01T10:09:00Z"), 2, "purchase", 9.0),
+        Ev(5, t("2024-01-01T10:02:00Z"), 3, "click", 3.0)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(snap)
+        .select("user_id", "event_type", "value")
+        .as[(Long, String, Double)].collect().toSet
+      assert(got === Set(
+        (1L, "click", 1.0),     // survived untouched
+        (2L, "purchase", 9.0),  // in-batch latest, then upserted over batch 0
+        (3L, "click", 3.0)))    // inserted
+    } finally q.stop()
+  }
+
   test("streaming FILE source over the events fixture equals the batch q60 result") {
     // the streaming file source consumes a DIRECTORY — stage the single
     // fixture file into one (read-only testdata stays untouched).
