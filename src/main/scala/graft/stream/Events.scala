@@ -206,7 +206,10 @@ object Events {
     * (orderCol, payload) — deterministic even when orderCol ties),
     * upserts into the existing snapshot via `Ingest.upsert`, and
     * replaces the snapshot via write-to-temp + rename so a concurrent
-    * reader never observes a half-written directory.
+    * reader never observes a HALF-WRITTEN directory. (It may race the
+    * swap itself and find the path momentarily absent — delete+rename
+    * is two operations; a manifest or view layer closes that gap on
+    * real deployments.)
     *
     * Scale notes: the per-batch work is one join of (snapshot ×
     * micro-batch) — at 100 TB the snapshot side would be bucketed on
