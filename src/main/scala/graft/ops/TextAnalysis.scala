@@ -193,6 +193,34 @@ object TextAnalysis {
       .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"),
         coalesce(col("token_id"), lit(0L)).as("token_id"))
 
+  /** PII patterns, deliberately restricted to the regex subset Java
+    * (Spark) and RE2 (DuckDB, Go scanners) interpret identically —
+    * char classes, bounded counts, \b, \d — so redaction is
+    * engine-portable and oracle-checkable. No lookbehind/backrefs
+    * (RE2 has neither). Pattern → replacement tag. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b" -> "[PHONE]")
+
+  /** PII scrubbing — the redaction pass an LLM training corpus gets
+    * before anything else sees it: every `piiPatterns` match replaced
+    * by its tag, applied in declaration order. Row-local, codegen'd
+    * regexp_replace chain, zero shuffle. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, tag)) =>
+      regexp_replace(c, p, tag)
+    }
+
+  /** Count of PII matches in the ORIGINAL text, summed across
+    * patterns (each pattern counted independently — a match consumed
+    * by an earlier pattern's redaction still counts once here). The
+    * corpus-level audit metric that decides whether a source is
+    * droppable vs redactable. */
+  def piiCount(text: Column): Column =
+    piiPatterns.map { case (p, _) =>
+      size(regexp_extract_all(text, lit(p), lit(0))).cast("long")
+    }.reduce(_ + _)
+
   /** tf-idf over a corpus: tf = in-document term count, idf =
     * ln(N / df). Two aggregations + one join on token; the shuffled
     * payloads are (doc, token, count) triples — text never moves after

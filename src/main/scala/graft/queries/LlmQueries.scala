@@ -342,6 +342,25 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // PII redaction pass (TextAnalysis.redactPii/piiCount): the
+    // fixture corpus is clean, so deterministic synthetic PII is
+    // planted first (emails on even doc_ids, phones on %3 == 0) —
+    // the op then finds and redacts exactly those. Patterns live in
+    // the Java ∩ RE2 regex subset, so DuckDB replays them verbatim.
+    "q93_pii_redact" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir)
+        .withColumn("__t", concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit(" call 555-123-4567"))
+            .otherwise(lit(""))))
+      planted.select(col("doc_id"),
+          TextAnalysis.piiCount(col("__t")).as("n_pii"),
+          md5(TextAnalysis.redactPii(col("__t"))).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic k-per-group sample (ops.Sampling.groupSample): the
     // reproducible stand-in for per-group reservoir sampling — rank by
     // md5(doc_id) inside each language, keep 5. Content-addressed like
@@ -646,6 +665,20 @@ object LlmQueries {
         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |            0) / 4096) AS BIGINT) AS seq_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q93_pii_redact" ->
+      """WITH t AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567' ELSE '' END AS tt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(tt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(tt, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS BIGINT) AS n_pii,
+        |  md5(regexp_replace(regexp_replace(tt,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |        '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '[PHONE]', 'g')) AS redacted_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q92_quantized_ann" ->
       """WITH t AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

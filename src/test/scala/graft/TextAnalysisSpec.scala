@@ -136,6 +136,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       (2L, 1L, 2L), (2L, 2L, 1L), (2L, 3L, 1L)))
   }
 
+  test("redactPii replaces emails and phones with tags; piiCount counts matches") {
+    val df = Seq(
+      "mail bob.smith+x@ex-ample.co.uk or call 555-123-4567 ok",
+      "two mails a@b.io c@d.org",
+      "no pii here 12345").toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("r"),
+        TextAnalysis.piiCount(col("text")).as("n"))
+    val got = df.as[(String, Long)].collect().toSeq
+    assert(got === Seq(
+      ("mail [EMAIL] or call [PHONE] ok", 2L),
+      ("two mails [EMAIL] [EMAIL]", 2L),
+      ("no pii here 12345", 0L)))
+  }
+
   test("tfIdf on a tiny corpus matches hand computation") {
     val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
     val got = TextAnalysis.tfIdf(docs, "doc_id", "text")
