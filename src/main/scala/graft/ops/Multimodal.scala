@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * binary columns with typed metadata, plus the documents ⋈ embeddings
   * nested-row assembly.
   *
-  * The actual image/audio decoders are NOT in this container, so the
-  * decode step is a clearly-marked deterministic STUB — but everything
-  * Spark-side (schema, join/partition shape, mapPartitions batching,
-  * encoder plumbing) is real and tested, and a real decoder drops into
-  * `extractFeatures` without touching any plan shape.
+  * Decoding: `decodePpm` is a REAL image decoder (binary PPM needs no
+  * codec library — pure byte arithmetic). Codec-dependent formats
+  * (JPEG/audio/video) are NOT decodable in this container, so that
+  * seam (`extractFeatures`) stays a clearly-marked deterministic STUB
+  * — everything Spark-side (schema, join/partition shape,
+  * mapPartitions batching, encoder plumbing) is real and tested, and
+  * a real codec drops in without touching any plan shape, exactly as
+  * `decodePpm` demonstrates.
   *
   * Scale design: binary payloads never enter a shuffle here — feature
   * extraction is mapPartitions (narrow), and the multimodal assembly
@@ -75,6 +78,68 @@ object Multimodal {
             height = 64 + ((((h >>> 10) % 1024) + 1024) % 1024).toInt)
         }
       }
+
+  /** Per-image features from a REAL decode of the PPM (P6) format. */
+  case class PpmFeatures(doc_id: Long, valid: Boolean, width: Int,
+                         height: Int, mean_r: Double, mean_g: Double,
+                         mean_b: Double)
+
+  implicit val ppmFeaturesEnc: Encoder[PpmFeatures] = Encoders.product[PpmFeatures]
+
+  /** REAL image decoder — no stub: binary PPM (P6) is codec-free
+    * (ASCII header `P6 <w> <h> <maxval>` with optional `#` comments,
+    * then w·h·3 raw RGB bytes), so it decodes with pure byte
+    * arithmetic. Emits dimensions + per-channel means; malformed or
+    * truncated payloads yield a `valid = false` row instead of a task
+    * failure (same quarantine philosophy as Ingest: at 100 TB a
+    * corrupt image is a countable row, not a dead executor). Narrow
+    * mapPartitions, binary never shuffles — the same contract the
+    * stubbed codec-format seam (`extractFeatures`) documents. */
+  def decodePpm(payloadDf: DataFrame): Dataset[PpmFeatures] =
+    payloadDf.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => parsePpm(id, bytes) })
+
+  private[ops] def parsePpm(id: Long, bytes: Array[Byte]): PpmFeatures = {
+    val invalid = PpmFeatures(id, valid = false, 0, 0, 0.0, 0.0, 0.0)
+    var i = 0
+    def skipSpaceAndComments(): Unit = {
+      var go = true
+      while (go && i < bytes.length) {
+        val c = bytes(i)
+        if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') i += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipSpaceAndComments()
+      var v = 0
+      var any = false
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1; any = true
+      }
+      if (!any) -1 else v
+    }
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return invalid
+    i = 2
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return invalid
+    i += 1 // exactly ONE whitespace byte separates header from raster
+    val need = w.toLong * h * 3
+    if (i + need > bytes.length) return invalid
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var p = 0L
+    while (p < need) {
+      val base = i + p.toInt
+      sr += bytes(base) & 0xff
+      sg += bytes(base + 1) & 0xff
+      sb += bytes(base + 2) & 0xff
+      p += 3
+    }
+    val n = (w.toLong * h).toDouble
+    PpmFeatures(id, valid = true, w, h, sr / n, sg / n, sb / n)
+  }
 
   /** Resize analog (STUB — real codecs absent): keep every `stride`-th
     * byte of the payload, the deterministic stand-in for image

@@ -4,9 +4,10 @@ import graft.ops.Multimodal
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Multimodal plumbing tests: the decoder itself is a documented STUB
-  * (no media libs in the container), so what's under test is the real
-  * contract — schema shape, binary round-trip, mapPartitions batching,
+/** Multimodal tests: decodePpm is a REAL image decode (codec-free
+  * format, exact channel means asserted); the codec-format seam stays
+  * a documented STUB, where what's under test is the real contract —
+  * schema shape, binary round-trip, mapPartitions batching,
   * determinism, slice sampling. */
 class MultimodalSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
@@ -54,6 +55,30 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     val out = Multimodal.resizePayload(Multimodal.withBinaryPayload(df), 3)
       .collect().map { case (id, b) => id -> new String(b, "UTF-8") }.toMap
     assert(out === Map(1L -> "adgj", 2L -> "x"))
+  }
+
+  test("decodePpm: real P6 decode — dims, channel means, comments; corrupt → invalid row") {
+    // 2×2 image, maxval 255, with a header comment. Pixels:
+    // (255,0,0) (0,255,0) / (0,0,255) (30,60,90)
+    val header = "P6\n# test image\n2 2\n255\n".getBytes("US-ASCII")
+    val raster = Array(
+      255, 0, 0, 0, 255, 0,
+      0, 0, 255, 30, 60, 90).map(_.toByte)
+    val good = header ++ raster
+    val truncated = good.dropRight(3)       // raster shorter than w·h·3
+    val notPpm = "hello world".getBytes("UTF-8")
+    val rows = Seq((1L, good), (2L, truncated), (3L, notPpm))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.decodePpm(rows).collect()
+      .map(f => f.doc_id -> f).toMap
+    val ok = got(1L)
+    assert(ok.valid && ok.width === 2 && ok.height === 2)
+    assert(ok.mean_r === (255 + 0 + 0 + 30) / 4.0)
+    assert(ok.mean_g === (0 + 255 + 0 + 60) / 4.0)
+    assert(ok.mean_b === (0 + 0 + 255 + 90) / 4.0)
+    assert(!got(2L).valid && !got(3L).valid,
+      "corrupt payloads must quarantine as invalid rows, not fail the task")
+    assert(got.size === 3, "every payload yields exactly one row")
   }
 
   test("sampleSlices emits fixed-size prefix slices of the payload") {
