@@ -125,7 +125,12 @@ object Multimodal {
     i = 2
     val w = readInt(); val h = readInt(); val maxval = readInt()
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return invalid
-    i += 1 // exactly ONE whitespace byte separates header from raster
+    // exactly ONE whitespace byte separates header from raster — a
+    // non-whitespace byte here means a malformed header, not a separator
+    if (i >= bytes.length ||
+        !(bytes(i) == ' ' || bytes(i) == '\t' || bytes(i) == '\r' || bytes(i) == '\n'))
+      return invalid
+    i += 1
     val need = w.toLong * h * 3
     if (i + need > bytes.length) return invalid
     var (sr, sg, sb) = (0L, 0L, 0L)

@@ -67,7 +67,9 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     val good = header ++ raster
     val truncated = good.dropRight(3)       // raster shorter than w·h·3
     val notPpm = "hello world".getBytes("UTF-8")
-    val rows = Seq((1L, good), (2L, truncated), (3L, notPpm))
+    // malformed: no whitespace separator after maxval
+    val badSep = "P6\n2 2\n255".getBytes("US-ASCII") ++ raster
+    val rows = Seq((1L, good), (2L, truncated), (3L, notPpm), (4L, badSep))
       .toDF("doc_id", "payload")
     val got = Multimodal.decodePpm(rows).collect()
       .map(f => f.doc_id -> f).toMap
@@ -76,9 +78,9 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(ok.mean_r === (255 + 0 + 0 + 30) / 4.0)
     assert(ok.mean_g === (0 + 255 + 0 + 60) / 4.0)
     assert(ok.mean_b === (0 + 0 + 255 + 90) / 4.0)
-    assert(!got(2L).valid && !got(3L).valid,
+    assert(!got(2L).valid && !got(3L).valid && !got(4L).valid,
       "corrupt payloads must quarantine as invalid rows, not fail the task")
-    assert(got.size === 3, "every payload yields exactly one row")
+    assert(got.size === 4, "every payload yields exactly one row")
   }
 
   test("sampleSlices emits fixed-size prefix slices of the payload") {
