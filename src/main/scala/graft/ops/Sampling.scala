@@ -63,9 +63,11 @@ object Sampling {
   }
 
   /** Per-stratum CONTENT-ADDRESSED Bernoulli sample: a row is kept iff
-    * u(key) < fraction(stratum), with u a uniform derived from
-    * xxhash64(key, seed). Strata absent from `fractions` are dropped
-    * (null fraction ⇒ predicate null ⇒ filtered), matching sampleBy.
+    * the 6-hex-char prefix of md5(key ":" seed) sorts below the
+    * stratum's threshold prefix (floor(fraction · 16^6) as 6 lowercase
+    * hex digits — granularity 1/16M, far below Bernoulli noise at any
+    * stratum size). Strata absent from `fractions` are dropped (null
+    * threshold ⇒ predicate null ⇒ filtered), matching sampleBy.
     *
     * Deliberately NOT DataFrameStatFunctions.sampleBy: that plans a
     * `Filter UDF(strata, rand(seed))` — a codegen-breaking UDF whose
@@ -73,14 +75,31 @@ object Sampling {
     * changes whenever the data is repartitioned. Hashing the key
     * instead keeps the whole filter codegen'd and makes membership a
     * pure function of the example — stable under reordering,
-    * repartitioning, and appends, exactly like `hashSplit`. */
+    * repartitioning, and appends, exactly like `hashSplit`. md5 + a
+    * string compare exist in every engine (unlike xxhash64's private
+    * seeding), so the kept-set is engine-portable and the per-stratum
+    * counts DuckDB-oracle-checkable (q77), same trick as q88's md5
+    * ranking. */
   def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
                        fractions: Map[String, Double], seed: Long): DataFrame = {
     require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
       "fractions must be in [0, 1]")
-    val frac = element_at(typedlit(fractions), col(strataCol))
-    val u = pmod(xxhash64(col(keyCol), lit(seed)), lit(1000000L))
-      .cast("double") / 1000000.0
-    df.filter(u < frac)
+    val thresholds = fractions.map { case (k, f) => k -> fractionHex(f) }
+    val threshold = element_at(typedlit(thresholds), col(strataCol))
+    val prefix = substring(
+      md5(concat(col(keyCol).cast("string"), lit(":"), lit(seed.toString))),
+      1, HexDigits)
+    df.filter(prefix < threshold)
   }
+
+  /** Hex digits of sampling-threshold precision (16^6 = 16,777,216). */
+  val HexDigits = 6
+
+  /** fraction → threshold prefix: floor(f · 16^6) as 6 lowercase hex
+    * digits. f = 1.0 would need a 7th digit ("1000000"), which a 6-char
+    * prefix compares char-wise as '<' FALSE against — so keep-all uses
+    * "g", which sorts above every hex char. */
+  private[graft] def fractionHex(f: Double): String =
+    if (f >= 1.0) "g"
+    else f"${(f * (1L << (4 * HexDigits))).toLong}%06x"
 }

@@ -329,11 +329,13 @@ object LlmQueries {
     }),
 
     // seeded stratified sample by language (ops.Sampling): content-
-    // addressed per-stratum Bernoulli (xxhash64 of the doc id — no
-    // UDF, no rand(), kept-set invariant under repartitioning). The
-    // uniform is Spark's xxhash64, so rows-only by contract;
-    // SamplingSpec pins determinism, partition invariance, the subset
-    // property, and per-stratum fraction tolerance.
+    // addressed per-stratum Bernoulli (md5-prefix threshold on the doc
+    // id — no UDF, no rand(), kept-set invariant under
+    // repartitioning). md5 + string compare exist in every engine, so
+    // — unlike the earlier xxhash64 uniform — the exact kept-set is
+    // engine-portable and the per-stratum counts hash-match the
+    // DuckDB oracle; SamplingSpec additionally pins determinism,
+    // partition invariance, subset, and fraction tolerance.
     "q77_stratified_sample" -> ((s, dir) => {
       Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
           Map("en" -> 0.5, "es" -> 0.2, "fr" -> 0.2, "de" -> 0.1, "zh" -> 0.1),
@@ -783,6 +785,18 @@ object LlmQueries {
         |            ELSE 'eval' END AS split,
         |       count(*) AS n_docs, count(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    // thresholds are floor(fraction * 16^6) as 6 lowercase hex digits,
+    // mirroring Sampling.fractionHex: 0.5→800000, 0.2→333333,
+    // 0.1→199999; the md5 input is key ":" seed with seed = 7.
+    "q77_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 6) <
+        |      CASE lang WHEN 'en' THEN '800000'
+        |                WHEN 'es' THEN '333333' WHEN 'fr' THEN '333333'
+        |                WHEN 'de' THEN '199999' WHEN 'zh' THEN '199999'
+        |      END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q58_fingerprint" ->
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
