@@ -79,6 +79,44 @@ object Multimodal {
         }
       }
 
+  /** Deterministic synthetic P6 payload for `doc_id` — the planted
+    * fixture that puts `decodePpm` under the driver's hash gate (q94).
+    * Every byte is a pure function of the id, mirrored EXACTLY by the
+    * q94 DuckDB oracle's arithmetic:
+    *
+    *  - width  = 4 + id % 5   (4..8)
+    *  - height = 3 + id % 4   (3..6)
+    *  - raster byte j (0-based, j = 3·pixel + channel):
+    *      (id·31 + j) mod 256
+    *  - id % 7 == 0  ⇒ the raster is TRUNCATED by one byte — the
+    *    planted corrupt payload; decodePpm must quarantine it as
+    *    valid = false, never fail the task.
+    *  - id % 5 == 0  ⇒ the header carries a `# planted` comment line,
+    *    exercising the comment-skip branch of the parser under the
+    *    gate (outputs are unaffected — comments are whitespace).
+    *
+    * So the gated query checks the WHOLE path: if either this
+    * generator or the decoder drifts from the documented arithmetic
+    * (header scan, comment skip, separator rule, channel sums), the
+    * oracle hash mismatches. */
+  def syntheticPpm(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    val header =
+      if (id % 5 == 0) s"P6\n# planted\n$w $h\n255\n" else s"P6\n$w $h\n255\n"
+    val hb = header.getBytes("US-ASCII")
+    val full = w * h * 3
+    val rasterLen = if (id % 7 == 0) full - 1 else full
+    val out = new Array[Byte](hb.length + rasterLen)
+    System.arraycopy(hb, 0, out, 0, hb.length)
+    var j = 0
+    while (j < rasterLen) {
+      out(hb.length + j) = ((id * 31 + j) % 256).toByte
+      j += 1
+    }
+    out
+  }
+
   /** Per-image features from a REAL decode of the PPM (P6) format. */
   case class PpmFeatures(doc_id: Long, valid: Boolean, width: Int,
                          height: Int, mean_r: Double, mean_g: Double,

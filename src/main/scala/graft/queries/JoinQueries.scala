@@ -199,9 +199,69 @@ object JoinQueries {
           coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
         .orderBy("nationkey")
     }),
+
+    // BUCKETED fact-fact join: lineitem ⋈ orders both bucketed (and
+    // sorted) on orderkey at write time (Warehouse.writeBucketed), so
+    // the join — and the groupBy on the same key — run with ZERO
+    // Exchange: the shuffle is paid once when the tables are written
+    // and amortized over every subsequent query, the core 100 TB
+    // warehouse layout claim. PlanShapeSpec pins the Exchange-free
+    // plan; this query pins the RESULTS read back through the bucketed
+    // layout against the plain-parquet DuckDB oracle. Aggregates are
+    // chosen order-invariant (counts, integer-valued sums, max) so the
+    // hash match is exact. Setup is once per session per fixture dir
+    // (catalog-guarded); the bucket write itself is spec'd Exchange-free
+    // in WarehouseSpec.
+    "q96_bucketed_join" -> ((s, dir) => {
+      val (lTbl, oTbl) = bucketedTables(s, dir)
+      val l = s.table(lTbl)
+      val o = s.table(oTbl)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(col("l_quantity")).as("sum_qty"),
+          max(col("o_totalprice")).as("o_totalprice"))
+        .orderBy("l_orderkey")
+    }),
   )
 
+  /** Once-per-session setup for q96: write lineitem/orders as bucketed
+    * + sorted managed tables on their join key. Table names carry the
+    * fixture dir (one pair per SF); `catalog.tableExists` makes the
+    * setup idempotent across repeated query invocations in one session.
+    * `repartition(buckets, key)` uses the same murmur3-pmod placement
+    * as the bucket spec, so each write task holds exactly one bucket →
+    * ONE file per bucket, which is what lets Spark trust the sortBy
+    * metadata at read time. */
+  private def bucketedTables(s: org.apache.spark.sql.SparkSession,
+                             dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val lTbl = s"graft_bkt_lineitem$tag"
+    val oTbl = s"graft_bkt_orders$tag"
+    this.synchronized {
+      if (!s.catalog.tableExists(lTbl))
+        graft.pipeline.Warehouse.writeBucketed(
+          Tables.lineitem(s, dir).repartition(8, col("l_orderkey")),
+          lTbl, "l_orderkey", 8)
+      if (!s.catalog.tableExists(oTbl))
+        graft.pipeline.Warehouse.writeBucketed(
+          Tables.orders(s, dir).repartition(8, col("o_orderkey")),
+          oTbl, "o_orderkey", 8)
+    }
+    (lTbl, oTbl)
+  }
+
   val oracles: Map[String, String] = Map(
+    // the oracle reads the PLAIN parquet — bucketing must change the
+    // plan (no Exchange), never the answer. sum(l_quantity) is an
+    // integer-valued double: exact at any accumulation order.
+    "q96_bucketed_join" ->
+      """SELECT l_orderkey, count(*) AS n_lines,
+        |       sum(l_quantity) AS sum_qty,
+        |       max(o_totalprice) AS o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q84_lip_join" ->
       """SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -483,20 +483,50 @@ object LlmQueries {
     // semantics) — and still fully oracle-expressible in SQL.
     "q79_curation" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-        // __barrier (nondeterministic) is a deliberate predicate-
-        // pushdown barrier: without it the quality filter is pushed
-        // below this projection with __toks substituted per reference,
-        // re-splitting every document ~3x inside the predicate — the
-        // documented Filter-below-Project trap. With it, the predicate
-        // evaluates against the ONE materialized token array.
+        // Predicate-pushdown barrier, PRUNE-PROOF edition: the filter
+        // evaluates __qgate = quality + rand(7)·0 — EXACTLY equal to
+        // quality (x + 0.0 is bit-identical, so the result is fully
+        // deterministic and the DuckDB oracle unchanged) but
+        // nondeterministic to Catalyst, so PushPredicateThroughNonJoin
+        // refuses to push the filter below the projection that computes
+        // it, and the predicate runs against the ONE materialized token
+        // array instead of re-splitting text per reference (the
+        // Filter-below-Project trap). An earlier UNREFERENCED
+        // monotonically_increasing_id barrier column was silently
+        // removed by ColumnPruning — restoring the pushdown — which is
+        // why the barrier must live inside the filtered column itself;
+        // PlanShapeSpec pins split-count == 1.
         .select(col("doc_id"), col("text"), col("lang"),
-          TextAnalysis.tokens(col("text")).as("__toks"),
-          monotonically_increasing_id().as("__barrier"))
+          TextAnalysis.tokens(col("text")).as("__toks"))
         .select(col("doc_id"), col("text"), col("lang"),
           round(TextAnalysis.qualityScoreOf(col("__toks")), 4).as("quality"))
-        .filter(col("quality") >= 0.7)
+        .withColumn("__qgate", col("quality") + rand(7) * lit(0.0))
+        .filter(col("__qgate") >= 0.7)
+        .drop("__qgate")
       Dedup.exactDedup(docs, "text", "doc_id")
         .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL image decode under the hash gate: deterministic synthetic
+    // P6 payloads (Multimodal.syntheticPpm — every byte a pure
+    // function of doc_id, one in 7 truncated-corrupt, one in 5 with a
+    // header comment) decoded by the REAL parser (Multimodal.decodePpm:
+    // header scan, comment skip, separator rule, channel means). The
+    // DuckDB oracle recomputes width/height/means from the same doc_id
+    // arithmetic, so a drift in EITHER generator or decoder mismatches.
+    // Both stages are narrow mapPartitions — binary never shuffles.
+    "q94_ppm_decode" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticPpm(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.decodePpm(payloads)
+        .select(col("doc_id"), col("valid"), col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
         .orderBy("doc_id")
     }),
 
@@ -797,6 +827,37 @@ object LlmQueries {
         |                WHEN 'de' THEN '199999' WHEN 'zh' THEN '199999'
         |      END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // mirrors Multimodal.syntheticPpm's arithmetic exactly: w = 4+id%5,
+    // h = 3+id%4, raster byte j = (id*31 + j) % 256 with channel c at
+    // j = 3*pixel + c; id % 7 == 0 is planted-corrupt (truncated) ⇒
+    // valid false with zeroed features. Integer sums are exact in both
+    // engines, so the one double division (the mean) is bit-identical.
+    "q94_ppm_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(4 + doc_id % 5 AS INTEGER) AS w,
+        |         CAST(3 + doc_id % 4 AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |         (doc_id * 31 + 3 * i) % 256 AS r,
+        |         (doc_id * 31 + 3 * i + 1) % 256 AS g,
+        |         (doc_id * 31 + 3 * i + 2) % 256 AS b
+        |  FROM d, unnest(range(0, w * h)) AS u(i)),
+        |m AS (
+        |  SELECT doc_id, w, h,
+        |         avg(CAST(r AS DOUBLE)) AS mr,
+        |         avg(CAST(g AS DOUBLE)) AS mg,
+        |         avg(CAST(b AS DOUBLE)) AS mb
+        |  FROM px GROUP BY doc_id, w, h)
+        |SELECT doc_id,
+        |       doc_id % 7 <> 0 AS valid,
+        |       CASE WHEN doc_id % 7 <> 0 THEN w ELSE 0 END AS width,
+        |       CASE WHEN doc_id % 7 <> 0 THEN h ELSE 0 END AS height,
+        |       CASE WHEN doc_id % 7 <> 0 THEN round(mr, 4) ELSE 0.0 END AS mean_r,
+        |       CASE WHEN doc_id % 7 <> 0 THEN round(mg, 4) ELSE 0.0 END AS mean_g,
+        |       CASE WHEN doc_id % 7 <> 0 THEN round(mb, 4) ELSE 0.0 END AS mean_b
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q58_fingerprint" ->
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,

@@ -68,6 +68,21 @@ object WindowQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // grouped top-k through the BOUNDED-HEAP AGGREGATOR (TopK.viaAgg) —
+    // the variant that wins at 100 TB (the shuffle carries at most
+    // k·groups·partitions (score, id) pairs instead of every row). Same
+    // grouping as q34, so the same row_number SQL oracles BOTH paths:
+    // the Aggregator's descending-score / ascending-id tie-break is
+    // deterministic, making this a full hash-match gate, not rows-only.
+    // The ONE intentional UDAF in a declared query (PlanShapeSpec
+    // exempts it by name and pins ObjectHashAggregate partial+final).
+    "q95_topk_agg" -> ((s, dir) => {
+      TopK.viaAgg(Tables.orders(s, dir),
+          groupCol = "o_custkey", orderCol = "o_totalprice",
+          idCol = "o_orderkey", k = 2)
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // RANGE frame on a numeric ordering column: peers (equal keys) are
     // included together — semantics identical across engines.
     "q33_window_range" -> ((s, dir) => {
@@ -100,6 +115,16 @@ object WindowQueries {
         |       lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q34_grouped_topk" ->
+      """SELECT o_custkey, o_totalprice, o_orderkey FROM (
+        |  SELECT o_custkey, o_totalprice, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // q95 = q34's semantics through the Aggregator path; o_totalprice
+    // and o_orderkey pass through viaAgg as double/bigint, which are
+    // their native types already — no casts needed on the SQL side.
+    "q95_topk_agg" ->
       """SELECT o_custkey, o_totalprice, o_orderkey FROM (
         |  SELECT o_custkey, o_totalprice, o_orderkey,
         |         row_number() OVER (PARTITION BY o_custkey

@@ -224,28 +224,48 @@ object Events {
     updates.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val others = batch.columns.filter(c => c != key && c != orderCol)
-          val latest = batch.groupBy(col(key))
-            .agg(max_by(
-              struct((Seq(orderCol) ++ others).map(col): _*),
-              struct(col(orderCol) +: others.map(col): _*)).as("__r"))
-            .select(col(key) +:
-              (Seq(orderCol) ++ others).map(c => col(s"__r.$c").as(c)): _*)
-            .select(batch.columns.map(col): _*) // restore original order
-          val hadoopPath = new org.apache.hadoop.fs.Path(snapshotPath)
-          val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val merged =
-            if (fs.exists(hadoopPath))
-              graft.pipeline.Ingest.upsert(
-                spark.read.parquet(snapshotPath), latest, key)
-            else latest
-          val tmp = new org.apache.hadoop.fs.Path(s"$snapshotPath.tmp-$batchId")
-          merged.write.mode("overwrite").parquet(tmp.toString)
-          fs.delete(hadoopPath, true)
-          if (!fs.rename(tmp, hadoopPath))
-            throw new java.io.IOException(s"snapshot swap failed for $snapshotPath")
-        }
+        mergeBatch(batch, key, orderCol, snapshotPath, batchId)
       }
+
+  /** One micro-batch of the MERGE sink, exposed for direct invocation
+    * so the checkpoint-replay contract is TESTABLE: after a crash
+    * between the sink commit and the offset commit, Structured
+    * Streaming re-runs foreachBatch with the SAME batch data and
+    * batchId — exactly a second `mergeBatch` call. The merge is
+    * idempotent per key (latest-per-key of the same rows upserts the
+    * same values), so the replay converges to the identical snapshot —
+    * EventsStreamSpec's chaos test pins this, plus restart-from-
+    * checkpoint continuation. */
+  def mergeBatch(batch: DataFrame, key: String, orderCol: String,
+                 snapshotPath: String, batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val others = batch.columns.filter(c => c != key && c != orderCol)
+      val latest = batch.groupBy(col(key))
+        .agg(max_by(
+          struct((Seq(orderCol) ++ others).map(col): _*),
+          struct(col(orderCol) +: others.map(col): _*)).as("__r"))
+        .select(col(key) +:
+          (Seq(orderCol) ++ others).map(c => col(s"__r.$c").as(c)): _*)
+        .select(batch.columns.map(col): _*) // restore original order
+      val hadoopPath = new org.apache.hadoop.fs.Path(snapshotPath)
+      val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // upsert returns key-first column order; restore the batch's
+      // order BEFORE writing, or the snapshot schema silently rotates
+      // after the first merge and the NEXT batch's upsert fails its
+      // schema check (found by the chaos replay test — the original
+      // two-batch spec never reached a third merge).
+      val merged =
+        if (fs.exists(hadoopPath))
+          graft.pipeline.Ingest.upsert(
+            spark.read.parquet(snapshotPath), latest, key)
+            .select(batch.columns.map(col): _*)
+        else latest
+      val tmp = new org.apache.hadoop.fs.Path(s"$snapshotPath.tmp-$batchId")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(hadoopPath, true)
+      if (!fs.rename(tmp, hadoopPath))
+        throw new java.io.IOException(s"snapshot swap failed for $snapshotPath")
+    }
+  }
 }

@@ -264,6 +264,50 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("mergeSink chaos: restart from checkpoint continues; a replayed batch converges") {
+    val base = tmpDir()
+    val snap = base.resolve("snapshot").toString
+    val ckpt = base.resolve("ckpt").toString
+    val ms = MemoryStream[Ev](spark)
+    // run 1: one batch, then the query is KILLED (stop between batches)
+    val q1 = Events.mergeSink(ms.toDF(), "user_id", "ts", snap)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      ms.addData(Seq(
+        Ev(1, t("2024-01-01T10:00:00Z"), 1, "click", 1.0),
+        Ev(2, t("2024-01-01T10:01:00Z"), 2, "click", 2.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // run 2: NEW query, same source + checkpoint — resumes past the
+    // committed batch (no double-apply of batch 0) and applies new data
+    val batch1 = Seq(
+      Ev(3, t("2024-01-01T10:05:00Z"), 2, "view", 5.0), // user 2 updated
+      Ev(4, t("2024-01-01T10:02:00Z"), 3, "click", 3.0)) // user 3 inserts
+    val q2 = Events.mergeSink(ms.toDF(), "user_id", "ts", snap)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      ms.addData(batch1)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    def snapshot(): Set[(Long, String, Double)] =
+      spark.read.parquet(snap).select("user_id", "event_type", "value")
+        .as[(Long, String, Double)].collect().toSet
+    val afterRestart = snapshot()
+    assert(afterRestart === Set(
+      (1L, "click", 1.0),   // batch 0 survived the restart exactly once
+      (2L, "view", 5.0),    // updated by the post-restart batch
+      (3L, "click", 3.0)))
+    // REPLAY: re-apply the last batch verbatim — precisely what
+    // foreachBatch does after a crash between sink commit and offset
+    // commit. The merge is idempotent per key ⇒ snapshot unchanged.
+    Events.mergeBatch(batch1.toDF(), "user_id", "ts", snap, batchId = 1L)
+    assert(snapshot() === afterRestart,
+      "replaying a committed batch must converge, not duplicate or regress")
+    // and a second replay of the same batch is still a fixpoint
+    Events.mergeBatch(batch1.toDF(), "user_id", "ts", snap, batchId = 1L)
+    assert(snapshot() === afterRestart)
+  }
+
   test("streaming FILE source over the events fixture equals the batch q60 result") {
     // the streaming file source consumes a DIRECTORY — stage the single
     // fixture file into one (read-only testdata stays untouched).

@@ -101,6 +101,52 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  /** VERDICT r7 #3: the bucketed-layout claim as a GATED PLAN FACT.
+    * With broadcast off and AQE off, a lineitem ⋈ orders equi join can
+    * only avoid an Exchange if both scans expose the bucketed
+    * hashpartitioning — and the groupBy on the same key rides it too.
+    * The ONLY Exchange in the whole plan is the final presentation
+    * orderBy (rangepartitioning). */
+  test("q96 bucketed join: zero shuffle Exchange — paid once at write time") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val p = plan("q96_bucketed_join")
+      assert(p.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$p")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges == 1, s"expected ONLY the final orderBy exchange, got $exchanges:\n$p")
+      assert(p.contains("rangepartitioning"),
+        s"the single exchange must be the presentation sort:\n$p")
+      assert(!p.contains("hashpartitioning"),
+        s"a hash exchange means the bucketed layout was not used:\n$p")
+    }
+  }
+
+  /** VERDICT r7 #2: the bounded-heap Aggregator path (q95) under the
+    * gate. The plan must show partial+final ObjectHashAggregate — the
+    * shuffle carries per-partition k-bounded buffers, not all rows
+    * (the 100 TB shuffle-volume win over q34's window form). */
+  test("q95 topk aggregator: partial ObjectHashAggregate before the exchange") {
+    val p = plan("q95_topk_agg")
+    assert(p.contains("ObjectHashAggregate"), s"Aggregator path lost:\n$p")
+    assert(p.contains("partial_topkagg"),
+      s"no map-side partial aggregation — shuffle carries raw rows:\n$p")
+  }
+
+  /** VERDICT r7 #6: q79's pushdown barrier pinned. The quality
+    * predicate must evaluate ABOVE the one materialized token array —
+    * if a Spark upgrade changes the nondeterministic-pushdown rule and
+    * the filter sinks below the projection, the predicate re-splits
+    * every document per reference and split() shows up once per
+    * reference instead of once. */
+  test("q79 pushdown barrier: text is split exactly once in the plan") {
+    val p = plan("q79_curation")
+    val splits = "split\\(".r.findAllIn(p).size
+    assert(splits == 1,
+      s"expected exactly 1 split() (the materialized token array), got $splits — " +
+        s"the quality predicate is re-tokenizing:\n$p")
+  }
+
   test("no UDF and no CartesianProduct in any declared query plan") {
     // One pass over every declared query (building all 69 plans once —
     // q81 eagerly executes its checkpointed CC rounds at construction,
