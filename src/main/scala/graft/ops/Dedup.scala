@@ -152,8 +152,18 @@ object Dedup {
     * dedup ships). */
   def nearDedup(df: DataFrame, idCol: String, textCol: String,
                 threshold: Double, shingleN: Int = 3, numHashes: Int = 64,
-                bands: Int = 16): DataFrame = {
-    val losers = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes, bands)
+                bands: Int = 16): DataFrame =
+    nearDedupFromPairs(df, idCol,
+      lshCandidatePairs(df, idCol, textCol, shingleN, numHashes, bands),
+      threshold)
+
+  /** `nearDedup` from PRECOMPUTED candidate pairs (id_a, id_b,
+    * est_jaccard). Lets one LSH candidate pass feed the greedy AND the
+    * connected-components dedup in the same session (q72 + q81 share a
+    * lazily checkpointed pass instead of shingling the corpus twice). */
+  def nearDedupFromPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+                         threshold: Double): DataFrame = {
+    val losers = pairs
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
@@ -284,11 +294,19 @@ object Dedup {
     * is touched once for candidates and once for the final anti-join. */
   def nearDedupExact(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double, shingleN: Int = 3, numHashes: Int = 64,
-                     bands: Int = 16, maxIter: Int = 20): DataFrame = {
-    val pairs = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes, bands)
+                     bands: Int = 16, maxIter: Int = 20): DataFrame =
+    nearDedupExactFromPairs(df, idCol,
+      lshCandidatePairs(df, idCol, textCol, shingleN, numHashes, bands),
+      threshold, maxIter)
+
+  /** `nearDedupExact` from PRECOMPUTED candidate pairs — see
+    * nearDedupFromPairs for why the pair pass is a parameter. */
+  def nearDedupExactFromPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+                              threshold: Double, maxIter: Int = 20): DataFrame = {
+    val p = pairs
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b")
-    val losers = connectedComponents(pairs, maxIter)
+    val losers = connectedComponents(p, maxIter)
       .filter(col("id") =!= col("comp")) // keep each component's min id
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -18,6 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries {
 
+  /** ONE MinHash-LSH candidate pass shared by q72 and q81 (VERDICT r7
+    * #5): both dedup variants consume the identical candidate pairs, so
+    * computing them twice in one session (shingle → signature → banded
+    * self-join, the expensive part of both queries) is pure waste. The
+    * pass is memoized per (application, fixture dir) and LAZILY
+    * local-checkpointed: the first action materializes it once, every
+    * later consumer reads the checkpointed blocks. q70 deliberately
+    * stays on the direct path so the full LSH pipeline remains visible
+    * to plan inspection (a checkpoint erases the plan behind a
+    * LogicalRDD — the caveat PlanShapeSpec documents for q81). */
+  private val lshShared =
+    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame]
+  private def sharedLshCandidates(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame =
+    lshShared.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      Dedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16)
+        .localCheckpoint(false))
+
   val queries: Map[String, Q] = Map(
     // embedding-cosine near-dup, brute force on a BOUNDED slice (the
     // honest baseline; the scale path is Similarity.cosineSketch
@@ -256,14 +275,14 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // END-TO-END near-dedup keep-set (Dedup.nearDedup): greedy
-    // keep-lowest-id over the LSH candidate pairs at threshold 0.5.
-    // Rows-only by contract like q70 (hash-seed-dependent candidates);
-    // DedupSpec carries the keep-set properties (winners kept, exact
-    // duplicates always dropped).
+    // END-TO-END near-dedup keep-set (Dedup.nearDedupFromPairs): greedy
+    // keep-lowest-id over the SHARED LSH candidate pass (computed once,
+    // reused by q81) at threshold 0.5. Rows-only by contract like q70
+    // (hash-seed-dependent candidates); DedupSpec carries the keep-set
+    // properties (winners kept, exact duplicates always dropped).
     "q72_near_dedup" -> ((s, dir) => {
-      Dedup.nearDedup(Tables.documents(s, dir), "doc_id", "text",
-          threshold = 0.5, shingleN = 3, numHashes = 64, bands = 16)
+      Dedup.nearDedupFromPairs(Tables.documents(s, dir), "doc_id",
+          sharedLshCandidates(s, dir), threshold = 0.5)
         .select(col("doc_id"))
         .orderBy("doc_id")
     }),
@@ -271,12 +290,14 @@ object LlmQueries {
     // EXACT near-dedup keep-set: one representative per CONNECTED
     // COMPONENT of the candidate graph (iterative min-label
     // propagation, Dedup.connectedComponents) — the canonical
-    // semantics q72's one-pass greedy approximates. Rows-only by
-    // contract like q72 (hash-seed-dependent candidates); DedupSpec
-    // pins CC correctness on known graphs and the chain semantics.
+    // semantics q72's one-pass greedy approximates, over the SAME
+    // shared candidate pass (no second shingle/signature/band-join).
+    // Rows-only by contract like q72 (hash-seed-dependent candidates);
+    // DedupSpec pins CC correctness on known graphs and the chain
+    // semantics.
     "q81_near_dedup_cc" -> ((s, dir) => {
-      Dedup.nearDedupExact(Tables.documents(s, dir), "doc_id", "text",
-          threshold = 0.5, shingleN = 3, numHashes = 64, bands = 16)
+      Dedup.nearDedupExactFromPairs(Tables.documents(s, dir), "doc_id",
+          sharedLshCandidates(s, dir), threshold = 0.5)
         .select(col("doc_id"))
         .orderBy("doc_id")
     }),
