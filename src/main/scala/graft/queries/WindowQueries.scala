@@ -74,8 +74,9 @@ object WindowQueries {
     // grouping as q34, so the same row_number SQL oracles BOTH paths:
     // the Aggregator's descending-score / ascending-id tie-break is
     // deterministic, making this a full hash-match gate, not rows-only.
-    // The ONE intentional UDAF in a declared query (PlanShapeSpec
-    // exempts it by name and pins ObjectHashAggregate partial+final).
+    // The ONE intentional typed Aggregator in a declared query — it
+    // plans as ObjectHashAggregate (partial+final pinned in
+    // PlanShapeSpec), not as the scala_udf node the no-UDF guard bans.
     "q95_topk_agg" -> ((s, dir) => {
       TopK.viaAgg(Tables.orders(s, dir),
           groupCol = "o_custkey", orderCol = "o_totalprice",

@@ -83,6 +83,26 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(got.size === 4, "every payload yields exactly one row")
   }
 
+  test("syntheticPpm round-trips through decodePpm per the q94 arithmetic contract") {
+    // the generator's documented arithmetic, recomputed independently:
+    // w = 4+id%5, h = 3+id%4, byte j = (id*31+j)%256; id%7==0 corrupt.
+    val rows = (0L to 40L).map(id => (id, Multimodal.syntheticPpm(id)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.decodePpm(rows).collect().map(f => f.doc_id -> f).toMap
+    for (id <- 0L to 40L) {
+      val f = got(id)
+      if (id % 7 == 0) assert(!f.valid, s"id $id planted-corrupt must be invalid")
+      else {
+        val (w, h) = ((4 + id % 5).toInt, (3 + id % 4).toInt)
+        assert(f.valid && f.width === w && f.height === h, s"dims wrong for id $id")
+        def mean(c: Int) =
+          (0 until w * h).map(p => (id * 31 + 3 * p + c) % 256).sum.toDouble / (w * h)
+        assert(f.mean_r === mean(0) && f.mean_g === mean(1) && f.mean_b === mean(2),
+          s"channel means wrong for id $id")
+      }
+    }
+  }
+
   test("sampleSlices emits fixed-size prefix slices of the payload") {
     val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
     val slices = Multimodal.sampleSlices(

@@ -147,13 +147,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
         s"the quality predicate is re-tokenizing:\n$p")
   }
 
+  /** q94's scale contract: generation and decode are both narrow
+    * mapPartitions — the binary payload NEVER enters a shuffle. The
+    * only Exchange is the final presentation orderBy, which runs on
+    * the small decoded-features projection, not the bytes. */
+  test("q94 ppm decode: payload bytes never shuffle (single presentation exchange)") {
+    val p = plan("q94_ppm_decode")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the final orderBy exchange, got $exchanges:\n$p")
+    assert(p.contains("rangepartitioning"), s"single exchange must be the sort:\n$p")
+  }
+
   test("no UDF and no CartesianProduct in any declared query plan") {
-    // One pass over every declared query (building all 69 plans once —
+    // One pass over every declared query (building every plan once —
     // q81 eagerly executes its checkpointed CC rounds at construction,
-    // so don't duplicate this loop). Caveat the guard honestly: q81's
-    // internal LSH/CC round plans are erased behind checkpoint
-    // LogicalRDD nodes and only its final anti-join is visible here —
-    // the shared LSH pipeline is still fully inspected via q70/q72.
+    // so don't duplicate this loop). Caveat the guard honestly: q72/q81
+    // read the SHARED lazily-checkpointed LSH candidate pass, so their
+    // internal LSH (and q81's CC round) plans are erased behind
+    // checkpoint LogicalRDD nodes and only the consuming joins are
+    // visible here — the full LSH pipeline remains inspected via q70,
+    // which deliberately stays on the direct path.
     // BroadcastNestedLoopJoin with a one-row broadcast side is fine
     // (topKDot's query vector, q48's bounded slice); an actual
     // CartesianProduct means both sides scale and the query would go
