@@ -50,7 +50,8 @@ object SparkEntry {
     WindowQueries.queries ++
     ScalarQueries.queries ++
     LlmQueries.queries ++
-    EventQueries.queries
+    EventQueries.queries ++
+    PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -61,5 +62,6 @@ object SparkEntry {
     WindowQueries.oracles ++
     ScalarQueries.oracles ++
     LlmQueries.oracles ++
-    EventQueries.oracles
+    EventQueries.oracles ++
+    PipelineQueries.oracles
 }
