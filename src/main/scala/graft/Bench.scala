@@ -11,12 +11,12 @@ object Bench {
       // benched plans for q40/q60-q62 must be the verified plans.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // managed tables (q96 bucketed setup) go to a temp dir, never a
-      // spark-warehouse/ in the process cwd. NOTE: q96's bench time
-      // includes the ONE-TIME bucketed write (by design — the "shuffle
-      // paid at write time" cost is real and should be visible once).
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
+      // managed tables (q96 bucketed setup) go to a self-cleaning temp
+      // dir, never a spark-warehouse/ in the process cwd. NOTE: q96's
+      // bench time includes the ONE-TIME bucketed write (by design —
+      // the "shuffle paid at write time" cost is real and should be
+      // visible once).
+      .config("spark.sql.warehouse.dir", TempDirs.scratch("graft-warehouse-"))
     Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     graft.expressions.VectorExpressions.register(spark)

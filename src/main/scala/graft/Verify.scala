@@ -12,10 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // managed tables (q96 bucketed setup) go to a temp dir, never a
-      // spark-warehouse/ in the process cwd
-      .config("spark.sql.warehouse.dir",
-        Files.createTempDirectory("graft-warehouse-").toString)
+      // managed tables (q96 bucketed setup) go to a self-cleaning temp
+      // dir, never a spark-warehouse/ in the process cwd
+      .config("spark.sql.warehouse.dir", TempDirs.scratch("graft-warehouse-"))
     Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     graft.expressions.VectorExpressions.register(spark)

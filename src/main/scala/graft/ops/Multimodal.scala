@@ -100,6 +100,12 @@ object Multimodal {
     * (header scan, comment skip, separator rule, channel sums), the
     * oracle hash mismatches. */
   def syntheticPpm(id: Long): Array[Byte] = {
+    // the raster byte formula matches the DuckDB oracle's
+    // (id*31 + 3j) % 256 ONLY for non-negative ids: the decoder reads
+    // bytes unsigned (& 0xff ⇒ mod-256 in 0..255) while SQL's % can go
+    // negative. The documents fixture uses doc_id ≥ 0 everywhere; make
+    // that domain assumption explicit instead of silently diverging.
+    require(id >= 0, s"syntheticPpm requires a non-negative id, got $id")
     val w = (4 + id % 5).toInt
     val h = (3 + id % 4).toInt
     val header =

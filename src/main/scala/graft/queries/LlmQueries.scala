@@ -27,15 +27,57 @@ object LlmQueries {
     * later consumer reads the checkpointed blocks. q70 deliberately
     * stays on the direct path so the full LSH pipeline remains visible
     * to plan inspection (a checkpoint erases the plan behind a
-    * LogicalRDD — the caveat PlanShapeSpec documents for q81). */
+    * LogicalRDD — the caveat PlanShapeSpec documents for q81).
+    *
+    * Eviction (ADVICE r8): inserting a new fixture dir evicts this
+    * app's other dirs — their checkpoint blocks are unpersisted so a
+    * multi-dir run (the test JVM) doesn't pin executor storage for the
+    * app's lifetime — and entries from stopped applications (one
+    * SparkContext per JVM ⇒ a different appId is always a dead one)
+    * are dropped so the map cannot grow across sessions.
+    *
+    * Executor-loss caveat: localCheckpoint TRUNCATES lineage, so on a
+    * real cluster losing an executor that holds checkpoint blocks
+    * makes q72/q81 fail rather than recompute; rerunning the query
+    * rebuilds the pass. At 100 TB, swap localCheckpoint for a reliable
+    * `spark.sparkContext.setCheckpointDir` + `.checkpoint()` to
+    * durable storage — same plan, recoverable blocks. In this
+    * single-JVM harness executor loss IS process death, so the cheap
+    * variant is the right local trade. */
   private val lshShared =
     scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame]
   private def sharedLshCandidates(s: org.apache.spark.sql.SparkSession,
                                   dir: String): org.apache.spark.sql.DataFrame =
-    lshShared.getOrElseUpdate((s.sparkContext.applicationId, dir),
-      Dedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text",
-          shingleN = 3, numHashes = 64, bands = 16)
-        .localCheckpoint(false))
+    lshShared.synchronized {
+      val appId = s.sparkContext.applicationId
+      lshShared.getOrElse((appId, dir), {
+        lshShared.keys.toSeq.foreach {
+          case k @ (`appId`, d) if d != dir =>
+            lshShared.remove(k).foreach(unpersistCheckpoint)
+          case k @ (app, _) if app != appId =>
+            lshShared.remove(k) // dead app: blocks died with its context
+          case _ => ()
+        }
+        val df = Dedup.lshCandidatePairs(
+            Tables.documents(s, dir), "doc_id", "text",
+            shingleN = 3, numHashes = 64, bands = 16)
+          .localCheckpoint(false)
+        lshShared.put((appId, dir), df)
+        df
+      })
+    }
+
+  /** Free a localCheckpoint's blocks: the checkpointed RDD sits behind
+    * the LogicalRDD node the checkpoint call returned (Dataset.unpersist
+    * only covers cacheManager entries, not checkpoint persistence).
+    * Best-effort — a lazy checkpoint never materialized has nothing to
+    * free, and failures only delay cleanup to context shutdown. */
+  private def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    try df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    } catch { case _: Throwable => () }
 
   val queries: Map[String, Q] = Map(
     // embedding-cosine near-dup, brute force on a BOUNDED slice (the

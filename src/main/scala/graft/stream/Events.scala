@@ -205,11 +205,15 @@ object Events {
     * snapshot: each micro-batch keeps its latest row per key (greatest
     * (orderCol, payload) — deterministic even when orderCol ties),
     * upserts into the existing snapshot via `Ingest.upsert`, and
-    * replaces the snapshot via write-to-temp + rename so a concurrent
-    * reader never observes a HALF-WRITTEN directory. (It may race the
-    * swap itself and find the path momentarily absent — delete+rename
-    * is two operations; a manifest or view layer closes that gap on
-    * real deployments.)
+    * replaces the snapshot via write-to-temp + rename-aside so a
+    * concurrent reader never observes a HALF-WRITTEN directory and a
+    * crash at ANY point never loses the snapshot: the old snapshot is
+    * renamed to `<path>.old-<batchId>` (not deleted) before the new
+    * one renames into place, and the replay of that batchId restores
+    * it if the second rename never ran. (A reader may still race the
+    * swap and find the path momentarily absent — two renames are two
+    * operations; a manifest or view layer closes that visibility gap
+    * on real deployments.)
     *
     * Scale notes: the per-batch work is one join of (snapshot ×
     * micro-batch) — at 100 TB the snapshot side would be bucketed on
@@ -250,6 +254,16 @@ object Events {
         .select(batch.columns.map(col): _*) // restore original order
       val hadoopPath = new org.apache.hadoop.fs.Path(snapshotPath)
       val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val aside = new org.apache.hadoop.fs.Path(s"$snapshotPath.old-$batchId")
+      // MID-SWAP RECOVERY (ADVICE r8): a crash after the aside-rename
+      // below but before the rename-into-place leaves the snapshot path
+      // absent with the pre-merge state preserved under the aside name
+      // for THIS batchId — Structured Streaming replays the same batch,
+      // so restoring it here hands the re-merge the pre-crash keys.
+      if (!fs.exists(hadoopPath) && fs.exists(aside) &&
+          !fs.rename(aside, hadoopPath))
+        throw new java.io.IOException(
+          s"snapshot recovery from $aside failed for $snapshotPath")
       // upsert returns key-first column order; restore the batch's
       // order BEFORE writing, or the snapshot schema silently rotates
       // after the first merge and the NEXT batch's upsert fails its
@@ -263,9 +277,21 @@ object Events {
         else latest
       val tmp = new org.apache.hadoop.fs.Path(s"$snapshotPath.tmp-$batchId")
       merged.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(hadoopPath, true)
+      // Swap via rename-aside, NEVER delete-then-rename: a crash
+      // between a delete and a rename would lose the snapshot outright
+      // (replay would rebuild from only the current batch). With the
+      // aside dance every crash point leaves the data recoverable —
+      // either the snapshot is intact, or the recovery branch above
+      // restores it from the aside on replay.
+      if (fs.exists(hadoopPath)) {
+        fs.delete(aside, true) // stale aside from a crash after a completed swap
+        if (!fs.rename(hadoopPath, aside))
+          throw new java.io.IOException(
+            s"snapshot aside-rename failed for $snapshotPath")
+      }
       if (!fs.rename(tmp, hadoopPath))
         throw new java.io.IOException(s"snapshot swap failed for $snapshotPath")
+      fs.delete(aside, true)
     }
   }
 }

@@ -308,6 +308,48 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
     assert(snapshot() === afterRestart)
   }
 
+  test("mergeSink chaos: a crash mid-swap (snapshot renamed aside) recovers on replay") {
+    val base = tmpDir()
+    val snap = base.resolve("snapshot").toString
+    def snapshot(): Set[(Long, String, Double)] =
+      spark.read.parquet(snap).select("user_id", "event_type", "value")
+        .as[(Long, String, Double)].collect().toSet
+    // batch 0 commits cleanly
+    Events.mergeBatch(Seq(
+      Ev(1, t("2024-01-01T10:00:00Z"), 1, "click", 1.0),
+      Ev(2, t("2024-01-01T10:01:00Z"), 2, "click", 2.0)).toDF(),
+      "user_id", "ts", snap, batchId = 0L)
+    // batch 1's swap CRASHES between the aside-rename and the
+    // rename-into-place: reconstruct that exact on-disk state — the
+    // snapshot path absent, the pre-merge state preserved under the
+    // aside name for batchId 1 (the worst window of the old
+    // delete-then-rename swap, which lost the snapshot here).
+    val hp = new org.apache.hadoop.fs.Path(snap)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(hp, new org.apache.hadoop.fs.Path(s"$snap.old-1")))
+    assert(!fs.exists(hp))
+    // Structured Streaming replays batch 1 after the crash: mergeBatch
+    // must restore the aside snapshot first, so user 1 (untouched by
+    // batch 1) survives and user 2's update still applies.
+    val batch1 = Seq(
+      Ev(3, t("2024-01-01T10:05:00Z"), 2, "view", 5.0),
+      Ev(4, t("2024-01-01T10:02:00Z"), 3, "click", 3.0))
+    Events.mergeBatch(batch1.toDF(), "user_id", "ts", snap, batchId = 1L)
+    assert(snapshot() === Set(
+      (1L, "click", 1.0),  // pre-crash key recovered from the aside
+      (2L, "view", 5.0),   // updated by the replayed batch
+      (3L, "click", 3.0))) // inserted by the replayed batch
+    // the swap cleaned up after itself: no aside or tmp dirs remain
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$snap.old-1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$snap.tmp-1")))
+    // and a clean follow-up batch still merges (schema/column order intact)
+    Events.mergeBatch(Seq(
+      Ev(5, t("2024-01-01T10:09:00Z"), 1, "purchase", 9.0)).toDF(),
+      "user_id", "ts", snap, batchId = 2L)
+    assert(snapshot() === Set(
+      (1L, "purchase", 9.0), (2L, "view", 5.0), (3L, "click", 3.0)))
+  }
+
   test("streaming FILE source over the events fixture equals the batch q60 result") {
     // the streaming file source consumes a DIRECTORY — stage the single
     // fixture file into one (read-only testdata stays untouched).

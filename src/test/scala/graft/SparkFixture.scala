@@ -16,10 +16,9 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // managed tables (WarehouseSpec bucketing) go to a temp dir, not
-      // a spark-warehouse/ directory inside the repo
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
+      // managed tables (WarehouseSpec bucketing) go to a self-cleaning
+      // temp dir, not a spark-warehouse/ directory inside the repo
+      .config("spark.sql.warehouse.dir", TempDirs.scratch("graft-warehouse-"))
     Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val s = builder.getOrCreate()
     // native function surface (graft_dot, graft_band_keys) — same
