@@ -304,6 +304,45 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // TRAIN/EVAL DECONTAMINATION — the pre-training hygiene pass: flag
+    // every train document sharing a distinct token trigram with the
+    // held-out eval slice (deterministic: doc_id % 50 == 0), with its
+    // distinct-overlap count. Shingles are array_distinct per doc and
+    // the eval gram set is globally distinct, so the post-join count
+    // IS the distinct shared-gram count — no second dedup. Scale: the
+    // eval side is benchmark-sized (thousands of docs), never
+    // corpus-sized, so its gram set BROADCASTS and the train side
+    // shuffles only (doc_id, count) partials; the corpus is scanned
+    // once and raw text never shuffles.
+    "q100_decontaminate" -> ((s, dir) => {
+      // tokens materialized in their OWN projection before shingles —
+      // the q57 CSE trap: inlining split() into the shingle lambda
+      // re-evaluates it per gram per referenced token (no cross-
+      // iteration CSE in higher-order functions), turning a linear
+      // pass quadratic (measured 12.5 s → 1.9 s at sf0.1).
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), Dedup.shingles(col("toks"), 3).as("sh"))
+      // explode_OUTER, deliberately: plain explode lets the optimizer
+      // infer `size(sh) > 0 AND isnotnull(sh)` and push it below the
+      // projections, inlining the interpreted shingle lambda into a
+      // per-row Filter that computes the whole array twice with
+      // split() re-evaluated per element — measured 7.1 s → 0.45 s at
+      // sf0.1 for the explode alone. Outer explode has no implicit
+      // predicate to infer; the null grams it emits die at the inner
+      // join (whose isnotnull(gram) sits ABOVE the Generate, where the
+      // gram column exists).
+      val evalGrams = sh.filter(col("doc_id") % 50 === 0)
+        .select(explode_outer(col("sh")).as("gram"))
+        .filter(col("gram").isNotNull).distinct()
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), explode_outer(col("sh")).as("gram"))
+        .join(broadcast(evalGrams), Seq("gram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash-LSH near-dup candidates over the corpus — banded
     // bucketing, never all-pairs (Dedup.lshCandidatePairs). No SQL
     // oracle by contract (hash-seed-dependent); driver records the
@@ -743,6 +782,22 @@ object LlmQueries {
         |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY pair_id""".stripMargin,
+    // trigram construction mirrors q57's bigram oracle pattern; the
+    // range upper bound is len-1 so i+2 never indexes past the list.
+    "q100_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i + 1] || ' ' ||
+        |         string_split(text, ' ')[i + 2])) AS s
+        |  FROM documents),
+        |ev AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT tr.doc_id, count(*) AS n_shared
+        |FROM tr JOIN ev USING (gram)
+        |GROUP BY tr.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q59_regex_tokens" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_regex_tokens,
