@@ -147,6 +147,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
         s"the quality predicate is re-tokenizing:\n$p")
   }
 
+  /** q100 rides explode_outer to keep InferFiltersFromGenerate from
+    * synthesizing `size(sh) > 0` predicates that push below the shingle
+    * projection and inline the interpreted trigram lambda into a
+    * per-row Filter (re-computing the whole array twice per row with
+    * split() re-evaluated per element — measured 12× on the explode at
+    * sf0.1). If a Spark upgrade changes the inference or pushdown
+    * rules, the lambda reappears inside a Filter condition and this
+    * fails the suite instead of silently regressing. */
+  test("q100 no inferred-filter shingle recompute: no lambda inside any Filter") {
+    val p = plan("q100_decontaminate")
+    val filterBlocks = p.linesIterator.filter(_.contains("Filter")).mkString("\n")
+    assert(!filterBlocks.contains("lambdafunction"),
+      s"shingle lambda leaked into a Filter condition:\n$p")
+    // the shingle transform must appear only in projections (train side,
+    // eval side), never more often — each extra occurrence is a full
+    // per-row recompute of the gram array.
+    val lambdas = "lambdafunction".r.findAllIn(p).size
+    assert(lambdas <= 2,
+      s"expected ≤2 shingle lambdas (train + eval projection), got $lambdas:\n$p")
+  }
+
   /** q94's scale contract: generation and decode are both narrow
     * mapPartitions — the binary payload NEVER enters a shuffle. The
     * only Exchange is the final presentation orderBy, which runs on
