@@ -78,6 +78,49 @@ object TextAnalysis {
 
   def qualityScore(text: Column): Column = qualityScoreOf(tokens(text))
 
+  /** RAW (non-distinct) adjacent bigrams — repetition signals need the
+    * multiplicity `Dedup.shingles` deliberately removes. Empty array
+    * below 2 tokens. Row-local. */
+  def rawBigramsOf(toks: Column): Column = {
+    val grams = transform(sequence(lit(0), size(toks) - 2), i =>
+      concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+    when(size(toks) >= 2, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** Mode frequency as a fraction: count of the most frequent element
+    * over the element count (null on empty input). The classic
+    * repetition-filter signal — boilerplate and degenerate generations
+    * have one token/bigram dominating the document. Row-local sort +
+    * single fold: the mode count IS the longest equal-adjacent run of
+    * the sorted array, so this is O(n log n) per row instead of the
+    * naive O(distinct · n) nested-lambda scan (which measured 3×
+    * slower at sf0.1 — interpreted HOF lambdas pay per invocation).
+    * Documents are bounded-length (chunking upstream enforces it), so
+    * row-local beats shuffling (doc, token, count) triples for a
+    * corpus-wide pass; for unbounded docs the explode + window form
+    * is the fallback. */
+  def topElementFractionOf(arr: Column): Column = {
+    val best = aggregate(
+      array_sort(arr),
+      struct(lit(null).cast("string").as("prev"),
+        lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(arr) > 0, best.cast("double") / size(arr))
+  }
+
+  /** Duplicate fraction: 1 − distinct/total (0.0 on empty input) —
+    * the "fraction of n-grams that are repeats" repetition rule. */
+  def dupFractionOf(arr: Column): Column =
+    when(size(arr) > 0,
+      lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr))
+      .otherwise(lit(0.0))
+
   /** Marker-word profiles for the n-gram/stopword language-ID
     * heuristic. Public knowledge (common function words per language). */
   val langMarkers: Map[String, Seq[String]] = Map(

@@ -343,6 +343,31 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // REPETITION SIGNALS — the Gopher-style repetition filters
+    // (dominant-token fraction, duplicate/top bigram fraction) that
+    // catch boilerplate and degenerate generations exact dedup
+    // misses. Entirely row-local over the materialized token/bigram
+    // arrays (documents are bounded-length), zero shuffle except the
+    // presentation sort; both arrays materialize ONCE (multi-reference
+    // projections survive CollapseProject — the q57/q100 CSE
+    // discipline).
+    "q101_repetition" -> ((s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          TextAnalysis.rawBigramsOf(col("toks")).as("bigrams"))
+      t.select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(TextAnalysis.topElementFractionOf(col("toks")), 4)
+          .as("top_token_frac"),
+        round(TextAnalysis.dupFractionOf(col("bigrams")), 4)
+          .as("dup_bigram_frac"),
+        round(TextAnalysis.topElementFractionOf(col("bigrams")), 4)
+          .as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash-LSH near-dup candidates over the corpus — banded
     // bucketing, never all-pairs (Dedup.lshCandidatePairs). No SQL
     // oracle by contract (hash-seed-dependent); driver records the
@@ -782,6 +807,27 @@ object LlmQueries {
         |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY pair_id""".stripMargin,
+    "q101_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks,
+        |         list_transform(range(1, greatest(len(toks), 1)),
+        |                        i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(list_max(list_transform(list_distinct(toks),
+        |          u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+        |        / len(toks), 4) AS top_token_frac,
+        |  round(CASE WHEN len(bigrams) > 0
+        |        THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+        |                   / len(bigrams)
+        |        ELSE 0.0 END, 4) AS dup_bigram_frac,
+        |  round(CAST(list_max(list_transform(list_distinct(bigrams),
+        |          u -> len(list_filter(bigrams, x -> x = u)))) AS DOUBLE)
+        |        / len(bigrams), 4) AS top_bigram_frac
+        |FROM b ORDER BY doc_id""".stripMargin,
     // trigram construction mirrors q57's bigram oracle pattern; the
     // range upper bound is len-1 so i+2 never indexes past the list.
     "q100_decontaminate" ->

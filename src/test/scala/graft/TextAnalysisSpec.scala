@@ -33,6 +33,35 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(ttr === 0.75) // 3 distinct of 4
   }
 
+  test("repetition signals: mode fraction via sorted-run fold, dup fraction, raw bigrams") {
+    def top(toks: Seq[String]): Double =
+      Seq(toks).toDF("toks")
+        .select(TextAnalysis.topElementFractionOf(col("toks")).as("f"))
+        .as[Double].head()
+    assert(top(Seq("a", "b", "a", "c", "a")) === 3.0 / 5) // mode a ×3
+    assert(top(Seq("x")) === 1.0)
+    assert(top(Seq("a", "b", "c")) === 1.0 / 3)           // all-distinct tie
+    // the sorted-run fold must not merge runs of DIFFERENT tokens
+    assert(top(Seq("b", "a", "b", "a")) === 0.5)
+
+    val (bigrams, dupF, topB) = Seq(Seq("a", "b", "a", "b"))
+      .toDF("toks")
+      .select(TextAnalysis.rawBigramsOf(col("toks")).as("b"),
+        TextAnalysis.dupFractionOf(TextAnalysis.rawBigramsOf(col("toks"))).as("d"),
+        TextAnalysis.topElementFractionOf(TextAnalysis.rawBigramsOf(col("toks"))).as("t"))
+      .as[(Seq[String], Double, Double)].head()
+    assert(bigrams === Seq("a b", "b a", "a b")) // raw, multiplicity kept
+    assert(math.abs(dupF - 1.0 / 3) < 1e-12)     // 2 distinct of 3
+    assert(math.abs(topB - 2.0 / 3) < 1e-12)     // "a b" ×2
+
+    // edges: below 2 tokens there are no bigrams; dupFraction is 0 there
+    val (emptyB, zeroDup) = Seq(Seq("solo")).toDF("toks")
+      .select(TextAnalysis.rawBigramsOf(col("toks")).as("b"),
+        TextAnalysis.dupFractionOf(TextAnalysis.rawBigramsOf(col("toks"))).as("d"))
+      .as[(Seq[String], Double)].head()
+    assert(emptyB.isEmpty && zeroDup === 0.0)
+  }
+
   test("qualityScore stays in [0,1] and rewards length band + diversity") {
     val short = Seq("tiny text").toDF("text")
       .select(TextAnalysis.qualityScore(col("text"))).as[Double].head()
