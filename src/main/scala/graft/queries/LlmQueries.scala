@@ -368,6 +368,30 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // CORPUS-LM QUALITY SCORING — the CCNet-style proxy: score each
+    // document by the mean log-probability of its tokens under the
+    // corpus's OWN unigram model (two passes: count, then score).
+    // Low-scoring docs are rare-token noise; degenerate docs score
+    // high on repetition — pair with q101's signals. The token-count
+    // join is deliberately UNHINTED: at fixture scale AQE broadcasts
+    // the small count table, at 100 TB an unbounded raw vocab may not
+    // fit and the join falls back to a co-partitioned shuffle on
+    // token — both plans are correct, and production would cap to a
+    // top-V vocab (q86) before forcing a broadcast.
+    "q102_unigram_logprob" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum("c").as("t"))
+      toks.join(counts, Seq("token"))
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(round(avg(log(col("c").cast("double") / col("t"))), 4)
+            .as("avg_logprob"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash-LSH near-dup candidates over the corpus — banded
     // bucketing, never all-pairs (Dedup.lshCandidatePairs). No SQL
     // oracle by contract (hash-seed-dependent); driver records the
@@ -807,6 +831,17 @@ object LlmQueries {
         |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY pair_id""".stripMargin,
+    "q102_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        |total AS (SELECT sum(c) AS t FROM counts)
+        |SELECT doc_id,
+        |       round(avg(ln(CAST(c AS DOUBLE) / t)), 4) AS avg_logprob,
+        |       count(*) AS n_tokens
+        |FROM toks JOIN counts USING (token), total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q101_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
