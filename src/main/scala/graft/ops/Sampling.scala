@@ -92,6 +92,44 @@ object Sampling {
     df.filter(prefix < threshold)
   }
 
+  /** Deterministic fractional UPSAMPLING — the data-mixing primitive
+    * (domain upweighting with fractional epochs, e.g. 2.5 "epochs" of
+    * a source): every row emits floor(w) copies, plus one more iff its
+    * content-addressed md5 prefix clears the fractional part — so
+    * weight 2.5 yields exactly 2 or exactly 3 copies per doc, the same
+    * count for the same doc forever (stable under repartitioning and
+    * appends, like `stratifiedSample`; pick a seed distinct from any
+    * concurrent down-sampling pass or the two coins correlate).
+    * Weights below 1 degenerate to stratified down-sampling
+    * (floor = 0); strata missing from the map take `defaultWeight`.
+    * The copy expansion is a row-local explode — no shuffle — and the
+    * copy index rides along so downstream packing can interleave
+    * epochs instead of emitting them back-to-back. Engine-portable
+    * (md5 + string compare), oracle-checked end-to-end (q103). */
+  def upsampleByWeight(df: DataFrame, strataCol: String, keyCol: String,
+                       weights: Map[String, Double], defaultWeight: Double,
+                       seed: Long): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0),
+      "weights must be >= 0")
+    def floorOf(w: Double) = math.floor(w).toLong
+    def fracHexOf(w: Double) = fractionHex(w - math.floor(w))
+    val base = coalesce(
+      element_at(typedlit(weights.map { case (k, w) => k -> floorOf(w) }),
+        col(strataCol)),
+      lit(floorOf(defaultWeight)))
+    val thr = coalesce(
+      element_at(typedlit(weights.map { case (k, w) => k -> fracHexOf(w) }),
+        col(strataCol)),
+      lit(fracHexOf(defaultWeight)))
+    val prefix = substring(
+      md5(concat(col(keyCol).cast("string"), lit(":"), lit(seed.toString))),
+      1, HexDigits)
+    val n = (base + when(prefix < thr, 1L).otherwise(0L)).cast("int")
+    df.withColumn("copy",
+      explode(when(n >= 1, sequence(lit(1), n))
+        .otherwise(array().cast("array<int>"))))
+  }
+
   /** Hex digits of sampling-threshold precision (16^6 = 16,777,216). */
   val HexDigits = 6
 

@@ -495,6 +495,20 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // DATA-MIXING UPSAMPLER (Sampling.upsampleByWeight): fractional
+    // per-source epochs — src0 at 2.5×, src1 at 1.25×, src2 DOWN to
+    // 0.4×, everything else 1.0×. The fractional copy rides the same
+    // content-addressed md5 coin as the samplers (distinct seed so the
+    // coins don't correlate with q77's keep-set); the full expanded
+    // (doc_id, copy) list is under the hash gate, not just counts.
+    "q103_upsample_mixture" -> ((s, dir) => {
+      Sampling.upsampleByWeight(Tables.documents(s, dir), "source", "doc_id",
+          Map("src0" -> 2.5, "src1" -> 1.25, "src2" -> 0.4),
+          defaultWeight = 1.0, seed = 11L)
+        .select(col("doc_id"), col("source"), col("copy").cast("long").as("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
     // PII redaction pass (TextAnalysis.redactPii/piiCount): the
     // fixture corpus is clean, so deterministic synthetic PII is
     // planted first (emails on even doc_ids, phones on %3 == 0) —
@@ -831,6 +845,23 @@ object LlmQueries {
         |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY pair_id""".stripMargin,
+    // thresholds are fractionHex of the fractional weight parts:
+    // 0.5 → 800000, 0.25 → 400000, 0.4 → 666666, 0.0 → 000000 (never
+    // clears — md5 prefixes are ≥ '000000').
+    "q103_upsample_mixture" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+        |                WHEN 'src2' THEN 0 ELSE 1 END
+        |    + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 6) <
+        |                CASE source WHEN 'src0' THEN '800000'
+        |                            WHEN 'src1' THEN '400000'
+        |                            WHEN 'src2' THEN '666666'
+        |                            ELSE '000000' END
+        |           THEN 1 ELSE 0 END AS n
+        |  FROM documents)
+        |SELECT doc_id, source, unnest(range(1, n + 1)) AS copy
+        |FROM w WHERE n >= 1 ORDER BY doc_id, copy""".stripMargin,
     "q102_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -32,6 +32,41 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
       s"train fraction ${train / n} far from ${204.0 / 256.0}")
   }
 
+  test("upsampleByWeight: copy counts bracket the weight, deterministic, partition-invariant") {
+    val docs = Tables.documents(spark, sfDir)
+    val weights = Map("src0" -> 2.5, "src1" -> 1.25, "src2" -> 0.4)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.upsampleByWeight(df, "source", "doc_id", weights,
+          defaultWeight = 1.0, seed = 11L)
+        .groupBy("doc_id", "source").agg(max("copy").as("n"))
+        .as[(Long, String, Int)].collect()
+    val rows = run(docs)
+    // every doc's copy count is floor(w) or floor(w)+1 for ITS source
+    rows.foreach { case (id, src, n) =>
+      val w = weights.getOrElse(src, 1.0)
+      val lo = math.floor(w).toInt
+      val hi = if (w == lo.toDouble) lo else lo + 1
+      assert(n == lo || n == hi, s"doc $id ($src, w=$w): got $n copies")
+    }
+    // unweighted sources get EXACTLY one copy; src2 (w=0.4) drops some
+    // docs entirely (count 0 rows are absent) but keeps at most 1
+    assert(rows.filter(r => !weights.contains(r._2)).forall(_._3 == 1))
+    // the copy index is a dense 1..n sequence, not just a count
+    val copies = Sampling.upsampleByWeight(docs, "source", "doc_id", weights,
+        defaultWeight = 1.0, seed = 11L)
+      .filter(col("source") === "src0")
+      .groupBy("doc_id").agg(sort_array(collect_list("copy")).as("cs"),
+        max("copy").as("n"))
+      .as[(Long, Seq[Int], Int)].collect()
+    copies.foreach { case (id, cs, n) =>
+      assert(cs == (1 to n), s"doc $id: copies $cs not dense 1..$n") }
+    // determinism + partition invariance (the content-addressed claim)
+    assert(run(docs).toSet === run(docs.repartition(7)).toSet)
+    // expansion factor tracks the mixture: src0 at 2.5× over 25 docs
+    val src0 = rows.filter(_._2 == "src0").map(_._3.toLong).sum.toDouble
+    assert(math.abs(src0 / 25.0 - 2.5) < 0.5, s"src0 expansion ${src0 / 25.0}")
+  }
+
   test("hashSplit rejects non-hex thresholds") {
     intercept[IllegalArgumentException] {
       Sampling.hashSplitLabel(col("x"), "CZ")
