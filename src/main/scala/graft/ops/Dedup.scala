@@ -301,14 +301,57 @@ object Dedup {
 
   /** `nearDedupExact` from PRECOMPUTED candidate pairs — see
     * nearDedupFromPairs for why the pair pass is a parameter. */
+  /** Thresholded candidate pairs → component labels — the shared
+    * intermediate both canonical-selection policies (min-id q81,
+    * best-quality q104) consume, so one CC run can feed both. */
+  def componentsFromPairs(pairs: DataFrame, threshold: Double,
+                          maxIter: Int = 20): DataFrame =
+    connectedComponents(
+      pairs.filter(col("est_jaccard") >= threshold).select("id_a", "id_b"),
+      maxIter)
+
   def nearDedupExactFromPairs(df: DataFrame, idCol: String, pairs: DataFrame,
-                              threshold: Double, maxIter: Int = 20): DataFrame = {
-    val p = pairs
-      .filter(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b")
-    val losers = connectedComponents(p, maxIter)
+                              threshold: Double, maxIter: Int = 20): DataFrame =
+    nearDedupExactFromComponents(df, idCol,
+      componentsFromPairs(pairs, threshold, maxIter))
+
+  /** Min-id keep-set from precomputed component labels. */
+  def nearDedupExactFromComponents(df: DataFrame, idCol: String,
+                                   comps: DataFrame): DataFrame = {
+    val losers = comps
       .filter(col("id") =!= col("comp")) // keep each component's min id
       .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** QUALITY-AWARE canonical selection: keep the BEST-scoring member
+    * of each near-dup cluster instead of the lowest id — when
+    * duplicates differ (truncation, OCR noise, boilerplate wrappers),
+    * min-id keeps an arbitrary copy; this keeps the one worth
+    * training on. Same connected components as `nearDedupExactFromPairs`;
+    * the winner per component is `max_by(id, (score, -id))` — highest
+    * score, ties to the lowest id, deterministic. Docs in no candidate
+    * pair keep themselves (they never enter the component join).
+    * Scale shape is unchanged from the min-id variant: CC over the
+    * candidate pair graph only, then one (id, score, comp) aggregation
+    * shuffling scalars — document text never moves. */
+  def nearDedupBestFromPairs(df: DataFrame, idCol: String, score: Column,
+                             pairs: DataFrame, threshold: Double,
+                             maxIter: Int = 20): DataFrame =
+    nearDedupBestFromComponents(df, idCol, score,
+      componentsFromPairs(pairs, threshold, maxIter))
+
+  /** Best-score keep-set from precomputed component labels. */
+  def nearDedupBestFromComponents(df: DataFrame, idCol: String,
+                                  score: Column,
+                                  comps: DataFrame): DataFrame = {
+    val members = df
+      .select(col(idCol), score.as("__score"))
+      .join(comps.select(col("id").as(idCol), col("comp")), Seq(idCol))
+    val winners = members.groupBy("comp")
+      .agg(max_by(col(idCol), struct(col("__score"), -col(idCol))).as(idCol))
+    val losers = members.select(col(idCol))
+      .join(winners.select(col(idCol)), Seq(idCol), "left_anti")
     df.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -45,26 +45,40 @@ object LlmQueries {
     * single-JVM harness executor loss IS process death, so the cheap
     * variant is the right local trade. */
   private val lshShared =
-    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame]
-  private def sharedLshCandidates(s: org.apache.spark.sql.SparkSession,
-                                  dir: String): org.apache.spark.sql.DataFrame =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), org.apache.spark.sql.DataFrame]
+  private def shared(s: org.apache.spark.sql.SparkSession, dir: String,
+                     kind: String)(build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
     lshShared.synchronized {
       val appId = s.sparkContext.applicationId
-      lshShared.getOrElse((appId, dir), {
+      lshShared.getOrElse((appId, dir, kind), {
         lshShared.keys.toSeq.foreach {
-          case k @ (`appId`, d) if d != dir =>
+          case k @ (`appId`, d, _) if d != dir =>
             lshShared.remove(k).foreach(unpersistCheckpoint)
-          case k @ (app, _) if app != appId =>
+          case k @ (app, _, _) if app != appId =>
             lshShared.remove(k) // dead app: blocks died with its context
           case _ => ()
         }
-        val df = Dedup.lshCandidatePairs(
-            Tables.documents(s, dir), "doc_id", "text",
-            shingleN = 3, numHashes = 64, bands = 16)
-          .localCheckpoint(false)
-        lshShared.put((appId, dir), df)
+        val df = build.localCheckpoint(false)
+        lshShared.put((appId, dir, kind), df)
         df
       })
+    }
+  private def sharedLshCandidates(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame =
+    shared(s, dir, "lsh") {
+      Dedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16)
+    }
+
+  /** ONE connected-components pass over the shared candidates at the
+    * q72/q81/q104 threshold — both canonical-selection policies
+    * (min-id q81, best-quality q104) read the same labels, so the
+    * iterative CC runs once per (application, fixture dir). */
+  private def sharedCcComponents(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame =
+    shared(s, dir, "cc") {
+      Dedup.componentsFromPairs(sharedLshCandidates(s, dir), threshold = 0.5)
     }
 
   /** Free a localCheckpoint's blocks: the checkpointed RDD sits behind
@@ -426,8 +440,24 @@ object LlmQueries {
     // DedupSpec pins CC correctness on known graphs and the chain
     // semantics.
     "q81_near_dedup_cc" -> ((s, dir) => {
-      Dedup.nearDedupExactFromPairs(Tables.documents(s, dir), "doc_id",
-          sharedLshCandidates(s, dir), threshold = 0.5)
+      Dedup.nearDedupExactFromComponents(Tables.documents(s, dir), "doc_id",
+          sharedCcComponents(s, dir))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // QUALITY-AWARE near-dedup keep-set: each candidate cluster keeps
+    // its BEST-quality member (Dedup.nearDedupBestFromPairs) instead
+    // of q81's lowest id — the curation-grade canonical choice when
+    // duplicates differ in truncation/boilerplate. Consumes the SAME
+    // shared LSH candidate pass AND the same component labels as q81
+    // (candidates computed once, iterative CC run once, per session).
+    // Rows-only by contract like q72/q81 (hash-seed-dependent
+    // candidates); DedupSpec pins winner selection on known graphs.
+    "q104_near_dedup_best" -> ((s, dir) => {
+      Dedup.nearDedupBestFromComponents(Tables.documents(s, dir), "doc_id",
+          TextAnalysis.qualityScore(col("text")),
+          sharedCcComponents(s, dir))
         .select(col("doc_id"))
         .orderBy("doc_id")
     }),

@@ -190,6 +190,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(all === 4)
   }
 
+  test("nearDedupBestFromPairs keeps the best-scoring cluster member; ties to lowest id") {
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9),  // cluster {1,2,3}: best score ties 2/3 → keep 2
+      (10L, 0.5), (11L, 0.1),           // cluster {10,11}: keep 10 (higher score)
+      (42L, 0.0))                       // singleton: always kept
+      .toDF("doc_id", "score")
+    val pairs = Seq(
+      (1L, 2L, 0.8), (2L, 3L, 0.8),     // chain — transitive cluster
+      (10L, 11L, 0.9),
+      (10L, 42L, 0.1))                  // below threshold — not an edge
+      .toDF("id_a", "id_b", "est_jaccard")
+    val kept = Dedup.nearDedupBestFromPairs(docs, "doc_id",
+        org.apache.spark.sql.functions.col("score"), pairs, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 10L, 42L))
+    // contrast with the min-id variant on the same pairs: keeps 1, not 2
+    val minId = Dedup.nearDedupExactFromPairs(docs, "doc_id", pairs, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(minId === Seq(1L, 10L, 42L))
+  }
+
   test("simhash: identical token bags hash identically; empty array is null") {
     val sigs = docs.select(col("doc_id"),
         Dedup.simhash(split(col("text"), " ")).as("sig"))
