@@ -525,6 +525,25 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // CURRICULUM BINNING: quality deciles WITHIN each language —
+    // ntile over (quality desc, doc_id) per lang partition, so a
+    // training scheduler can phase batches from decile 1 outward
+    // without a global sort (partitionBy keeps the window shuffle
+    // per-language — the engine's no-global-Window.orderBy rule).
+    // Ties break on doc_id, making the decile assignment fully
+    // deterministic and engine-portable.
+    "q105_quality_deciles" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"),
+          round(TextAnalysis.qualityScoreOf(col("toks")), 4).as("quality"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      docs.withColumn("decile", ntile(10).over(w).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // DATA-MIXING UPSAMPLER (Sampling.upsampleByWeight): fractional
     // per-source epochs — src0 at 2.5×, src1 at 1.25×, src2 DOWN to
     // 0.4×, everything else 1.0×. The fractional copy rides the same
@@ -875,6 +894,21 @@ object LlmQueries {
         |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY pair_id""".stripMargin,
+    // quality formula mirrors q55's oracle: 0.5 length-band bonus +
+    // capped type-token ratio × 0.5.
+    "q105_quality_deciles" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |         round(
+        |           (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+        |                 THEN 0.5 ELSE 0.0 END)
+        |           + least(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |                   / len(string_split(text, ' ')), 1.0) * 0.5, 4) AS quality
+        |  FROM documents)
+        |SELECT doc_id, lang, quality,
+        |       ntile(10) OVER (PARTITION BY lang
+        |                       ORDER BY quality DESC, doc_id) AS decile
+        |FROM q ORDER BY doc_id""".stripMargin,
     // thresholds are fractionHex of the fractional weight parts:
     // 0.5 → 800000, 0.25 → 400000, 0.4 → 666666, 0.0 → 000000 (never
     // clears — md5 prefixes are ≥ '000000').
