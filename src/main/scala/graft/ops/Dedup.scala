@@ -355,6 +355,81 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** SEGMENT-level exact dedup — the fixed-granularity analog of
+    * CCNet-style paragraph dedup (Wenzek et al. 2020 dedupe repeated
+    * paragraphs across a web corpus; boilerplate headers/footers repeat
+    * across documents that are NOT whole-document duplicates, so q50's
+    * document-hash dedup never sees them): split each document's token
+    * stream into consecutive `segTokens`-token segments, keep only the
+    * GLOBAL first occurrence of each distinct segment (minimum
+    * (id, seg_idx) over the whole corpus), and reconstruct the retained
+    * text per document.
+    *
+    * Returns one row per input document:
+    * (id, n_segments, n_kept, kept_text) — kept_text is the ordered
+    * join of surviving segments ('' when every segment was seen
+    * earlier, e.g. exact duplicates of an earlier document).
+    *
+    * Scale shape: winner selection is a min-over-window PARTITIONED BY
+    * the 32-byte segment hash — one shuffle of the segment stream,
+    * keyed fixed-size regardless of segment length, then one
+    * reconstruction shuffle keyed by doc id (which any rebuild of the
+    * documents must pay). Deliberately NOT a groupBy-winners + join
+    * back: the winner table is corpus-sized (one row per DISTINCT
+    * segment), so the join side cannot broadcast at scale and the
+    * groupBy form pays a second full segment pass plus a sort-merge
+    * join — the window form reuses the single hash-partitioned pass
+    * for both selection and the keep test. A boilerplate segment
+    * repeated across millions of docs is one window partition (a
+    * bounded sort, not a quadratic blowup). */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   segTokens: Int): DataFrame = {
+    require(segTokens >= 1, "segTokens must be positive")
+    // Token array materialized in its OWN projection (the q57/q100 CSE
+    // discipline: the slice lambda references it per segment slot, and
+    // higher-order lambdas get no cross-iteration CSE on an inlined
+    // split). posexplode_OUTER, not posexplode: plain explode lets
+    // InferFiltersFromGenerate push a size()>0 predicate below the
+    // projection, re-evaluating the interpreted segment lambda per row
+    // inside a Filter (the q100 trap).
+    val segs = df
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol),
+        when(size(col("__toks")) >= 1,
+          transform(
+            sequence(lit(0L), ceil(size(col("__toks")) / lit(segTokens.toDouble)) - 1),
+            i => array_join(
+              slice(col("__toks"), (i * segTokens + 1).cast("int"), lit(segTokens)),
+              " ")))
+          .otherwise(array().cast("array<string>")).as("__segs"))
+      .select(col(idCol),
+        posexplode_outer(col("__segs")).as(Seq("seg_idx", "seg")))
+      .filter(col("seg").isNotNull)
+      .withColumn("__h", contentHash(col("seg")))
+    // Global first occurrence per distinct segment: min (id, seg_idx)
+    // struct over the hash-partitioned window — lexicographic,
+    // deterministic, whole-partition frame (no orderBy, so no
+    // running-min semantics).
+    val w = Window.partitionBy(col("__h"))
+    segs
+      .withColumn("__keep",
+        struct(col(idCol), col("seg_idx")) ===
+          min(struct(col(idCol), col("seg_idx"))).over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("__keep").cast("long")).as("n_kept"),
+        // when() without otherwise is null on dropped segments and
+        // collect_list skips nulls; array_sort on (seg_idx, seg)
+        // structs restores document order deterministically.
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__keep"),
+              struct(col("seg_idx"), col("seg"))))),
+            p => p.getField("seg")),
+          " ").as("kept_text"))
+  }
+
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 64,
                         bands: Int = 16): DataFrame = {

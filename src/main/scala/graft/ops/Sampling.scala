@@ -130,6 +130,38 @@ object Sampling {
         .otherwise(array().cast("array<int>"))))
   }
 
+  /** Deterministic BALANCED shard assignment — the writer-side layout
+    * primitive for training shards: round-robin over `numShards` within
+    * each (groupCols, size-bucket) window, ordered by `idCol`. Docs in
+    * the same bucket are within `bucketWidth` size units of each other,
+    * so round-robin spreads each bucket's population to within one doc
+    * per shard and total shard sizes balance to within
+    * numShards · bucketWidth per group — no global sort, no greedy
+    * bin-packing (which is inherently sequential and
+    * ordering-dependent). Deterministic: a pure function of
+    * (group, bucket, id-order), stable across runs and partitionings.
+    *
+    * Scale shape: the only shuffle is the window's hash partition on
+    * (group, bucket) — each window holds one bucket's rows, NOT the
+    * whole corpus (never a global row_number). A single (group, bucket)
+    * cell can still be corpus-sized in a degenerate size distribution;
+    * production layouts then split the window further by a hash-prefix
+    * of the id (each sub-window still round-robins evenly) — documented
+    * rather than automatic since the sub-split factor depends on the
+    * cell-size ceiling. Downstream, `repartition(numShards, shard)` +
+    * sortWithinPartitions gives one writer task per shard. */
+  def balancedShards(df: DataFrame, idCol: String, sizeCol: String,
+                     numShards: Int, bucketWidth: Int,
+                     groupCols: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards >= 1 && bucketWidth >= 1,
+      "numShards and bucketWidth must be positive")
+    val bucket = floor(col(sizeCol) / lit(bucketWidth.toDouble))
+    val w = Window.partitionBy(groupCols :+ bucket: _*).orderBy(col(idCol))
+    df.withColumn("shard",
+      ((row_number().over(w) - 1) % numShards).cast("long"))
+  }
+
   /** Hex digits of sampling-threshold precision (16^6 = 16,777,216). */
   val HexDigits = 6
 

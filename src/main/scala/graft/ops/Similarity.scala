@@ -213,6 +213,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** SEMANTIC dedup (SemDeDup-style, Abbas et al. 2023): cluster the
+    * corpus by nearest centroid, then within each cluster drop every
+    * vector whose cosine similarity to a LOWER-id cluster member
+    * reaches `threshold` — semantic near-duplicates (same content,
+    * different surface form) that token-level MinHash/SimHash never
+    * pair. Keep policy is the same one-pass greedy keep-lowest-id as
+    * token near-dedup (Dedup.nearDedupFromPairs): drop b iff some a<b
+    * in b's cluster has cos(a,b) ≥ threshold, regardless of whether a
+    * itself survives.
+    *
+    * Returns the keep-set (id, cell_id), deterministic end to end:
+    * assignment ties break to the lowest cell (assignCells), cosine is
+    * double-accumulated, and the drop rule depends only on ids —
+    * which is what makes the full pipeline DuckDB-oracle-checkable
+    * (q109), unlike the seeded-LSH candidate paths.
+    *
+    * Scale shape: this is exactly SemDeDup's design point — the
+    * pairwise comparison is quadratic ONLY within a cluster, and the
+    * cluster count grows with the corpus (k ∝ n keeps expected cluster
+    * size constant, amortized by the one-shuffle assignCells pass).
+    * Vectors shuffle once, keyed by cell; the pair join is
+    * cell-co-partitioned. A skewed cell quadratic-blows one task —
+    * production caps cell population (re-split oversized cells with a
+    * secondary k-means round) before pairing. This composition
+    * references the assignment three times (both pair sides + the
+    * keep output), which Catalyst re-executes per branch; at scale,
+    * WRITE the assignCells output once first — it is the same
+    * clustered layout the IVF index (q80) stores, so the dedup pass
+    * reads the index rather than re-assigning. */
+  def semanticDedupKeep(corpus: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame, threshold: Double): DataFrame = {
+    val assigned = assignCells(corpus, idCol, vecCol, centroids)
+    val a = assigned.select(col("cell_id"), col(idCol).as("__id_a"),
+      col(vecCol).as("__va"))
+    val b = assigned.select(col("cell_id"), col(idCol).as("__id_b"),
+      col(vecCol).as("__vb"))
+    val drops = a.join(b, Seq("cell_id"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("__id_b").as(idCol)).distinct()
+    assigned.join(drops, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell_id"))
+  }
+
   /** IVF probe: exact top-k restricted to the nProbe cells whose
     * centroids score best against the query. The centroid ranking is a
     * C-row computation (fixed size) and the corpus filter on cell_id is

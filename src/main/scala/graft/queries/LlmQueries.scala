@@ -558,6 +558,84 @@ object LlmQueries {
         .orderBy("doc_id", "copy")
     }),
 
+    // SEGMENT-level exact dedup (Dedup.segmentDedup) — the CCNet
+    // paragraph-dedup analog at fixed 8-token granularity: only the
+    // global first occurrence of each distinct segment survives, and
+    // the retained text is reconstructed per document. Catches
+    // cross-document boilerplate that whole-document hashing (q50)
+    // never pairs; exact duplicates of an earlier doc reconstruct to
+    // ''. Winner selection groups on the 32-byte segment hash; the
+    // full reconstructed text is under the hash gate.
+    "q106_segment_dedup" -> ((s, dir) => {
+      Dedup.segmentDedup(Tables.documents(s, dir), "doc_id", "text", 8)
+        .orderBy("doc_id")
+    }),
+
+    // BALANCED training-shard assignment (Sampling.balancedShards):
+    // round-robin over 8 shards within (lang, 32-token size bucket)
+    // windows — shard token totals balance to within one bucket-width
+    // per window without a global sort or sequential bin-packing, and
+    // the assignment is a pure function of (lang, bucket, doc_id
+    // order): deterministic, partition-invariant, engine-portable.
+    "q107_shard_balance" -> ((s, dir) => {
+      Sampling.balancedShards(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("lang"),
+              TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", numShards = 8, bucketWidth = 32,
+          col("lang"))
+        .select("doc_id", "lang", "n_tokens", "shard")
+        .orderBy("doc_id")
+    }),
+
+    // EVAL-side contamination report — q100's complement: for each
+    // held-out eval document (doc_id % 50 == 0), the fraction of its
+    // distinct trigrams that appear anywhere in the train split. This
+    // is the benchmark-integrity number a release report quotes
+    // ("eval task X is N% contaminated"), where q100 flags the train
+    // docs to drop. Scale: both joins broadcast the benchmark-sized
+    // eval gram set; the corpus-sized train side is scanned once,
+    // reduced to its matching grams (bounded by the eval set) before
+    // the per-doc left join; raw text never shuffles.
+    "q108_eval_contamination" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), Dedup.shingles(col("toks"), 3).as("sh"))
+      val evalGrams = sh.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), explode_outer(col("sh")).as("gram"))
+        .filter(col("gram").isNotNull)
+      val trainHits = sh.filter(col("doc_id") % 50 =!= 0)
+        .select(explode_outer(col("sh")).as("gram"))
+        .join(broadcast(evalGrams.select("gram").distinct()), Seq("gram"))
+        .distinct()
+        .withColumn("__hit", lit(1L))
+      evalGrams.join(broadcast(trainHits), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_contaminated"))
+        .withColumn("contamination_rate",
+          round(col("n_contaminated").cast("double") / col("n_grams"), 4))
+        .orderBy("doc_id")
+    }),
+
+    // SEMANTIC dedup (Similarity.semanticDedupKeep — SemDeDup-style):
+    // nearest-centroid clustering (q80's centroid convention: vec_id
+    // < 8 seed the cells) bounds the pairwise cosine comparison to
+    // within-cluster, then greedy keep-lowest-id drops members with a
+    // lower-id neighbor at cosine ≥ 0.4 (below the fixture's max
+    // pairwise cosine, so drops actually occur). Fully deterministic —
+    // unlike the seeded-LSH candidate paths, the complete
+    // cluster-assign → pair → drop pipeline hash-matches a DuckDB
+    // oracle replaying the identical arithmetic.
+    "q109_semantic_dedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("c_vec"))
+      Similarity.semanticDedupKeep(e, "vec_id", "embedding",
+          centroids, threshold = 0.4)
+        .orderBy("vec_id")
+    }),
+
     // PII redaction pass (TextAnalysis.redactPii/piiCount): the
     // fixture corpus is clean, so deterministic synthetic PII is
     // planted first (emails on even doc_ids, phones on %3 == 0) —
@@ -974,6 +1052,91 @@ object LlmQueries {
         |FROM tr JOIN ev USING (gram)
         |GROUP BY tr.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // segment construction mirrors Dedup.segmentDedup: 8-token slices,
+    // winner = min (doc_id, seg_idx) per distinct segment via
+    // row_number; docs whose every segment was seen earlier reconstruct
+    // to '' (coalesce — string_agg over zero rows is NULL, Spark's
+    // array_join over an empty array is '').
+    "q106_segment_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS i
+        |  FROM t),
+        |segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |         array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') AS seg
+        |  FROM idx),
+        |rn AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |         row_number() OVER (PARTITION BY seg
+        |                            ORDER BY doc_id, seg_idx) AS r
+        |  FROM segs)
+        |SELECT doc_id, count(*) AS n_segments,
+        |       CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+        |                  FILTER (WHERE r = 1), '') AS kept_text
+        |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q107_shard_balance" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |       CAST((row_number() OVER (
+        |               PARTITION BY lang, CAST(floor(n_tokens / 32.0) AS BIGINT)
+        |               ORDER BY doc_id) - 1) % 8 AS BIGINT) AS shard
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // trigram CTE shared with q100's oracle; grams are distinct per
+    // doc, so count(*) per eval doc IS its distinct-gram count.
+    "q108_eval_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i + 1] || ' ' ||
+        |         string_split(text, ' ')[i + 2])) AS s
+        |  FROM documents),
+        |ev AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 50 = 0),
+        |hits AS (
+        |  SELECT DISTINCT tr.gram
+        |  FROM (SELECT unnest(s) AS gram FROM sh WHERE doc_id % 50 <> 0) tr
+        |  JOIN (SELECT DISTINCT gram FROM ev) e USING (gram))
+        |SELECT ev.doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN hits.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_contaminated,
+        |       round(CAST(sum(CASE WHEN hits.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / count(*), 4) AS contamination_rate
+        |FROM ev LEFT JOIN hits USING (gram)
+        |GROUP BY ev.doc_id ORDER BY doc_id""".stripMargin,
+    // centroid/assignment CTEs mirror q80's oracle (vec_id < 8 seed
+    // the cells; ties to the lowest cell_id); the drop rule replays
+    // semanticDedupKeep's greedy keep-lowest-id within each cell.
+    "q109_semantic_dedup" ->
+      """WITH centroids AS (
+        |  SELECT vec_id AS cell_id, embedding AS c_vec
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, ct.cell_id,
+        |         list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                          CAST(ct.c_vec AS DOUBLE[])) AS s
+        |  FROM embeddings e CROSS JOIN centroids ct),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY s DESC, cell_id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |drops AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.4)
+        |SELECT a.vec_id, a.cell_id
+        |FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
+        |WHERE d.vec_id IS NULL
+        |ORDER BY a.vec_id""".stripMargin,
     "q59_regex_tokens" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_regex_tokens,

@@ -257,4 +257,46 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(banded === brute)
   }
+
+  test("segmentDedup keeps global first occurrences and reconstructs text") {
+    val df = Seq(
+      (1L, "a b c d"),   // segs: "a b", "c d" — both first occurrences
+      (2L, "c d e f"),   // "c d" seen in doc 1 → dropped; "e f" kept
+      (3L, "a b c d"))   // exact dup of doc 1 → everything dropped
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "e f"),
+      (3L, 2L, 0L, "")))
+  }
+
+  test("segmentDedup dedups repeats WITHIN a document, preserving order") {
+    // segs: "x y", "x y", "z w" — the second "x y" is a later
+    // occurrence (same doc, higher seg_idx) and must drop.
+    val df = Seq((1L, "x y x y z w")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", 2)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq((1L, 3L, 2L, "x y z w")))
+  }
+
+  test("segmentDedup ragged tail forms its own (shorter) segment") {
+    val df = Seq((1L, "a b c"), (2L, "z c")).toDF("doc_id", "text")
+    // doc 1: "a b" + tail "c"; doc 2: "z c" (≠ segment "c" — no match)
+    val out = Dedup.segmentDedup(df, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq((1L, 2L, 2L, "a b c"), (2L, 1L, 1L, "z c")))
+  }
+
+  test("segmentDedup is partition-invariant") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val base = Dedup.segmentDedup(docs, "doc_id", "text", 8)
+      .collect().toSet
+    val repart = Dedup.segmentDedup(docs.repartition(7), "doc_id", "text", 8)
+      .collect().toSet
+    assert(base === repart)
+  }
 }

@@ -114,6 +114,36 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     assert(Sampling.groupSample(tiny, "lang", "doc_id", 5).count() === 3L)
   }
 
+  test("balancedShards: round-robin within (group, bucket), balanced, deterministic") {
+    // 20 same-size docs in one (lang, bucket) window: doc i → shard i % 4.
+    val uniform = (0 until 20).map(i => (i.toLong, "en", 10L))
+      .toDF("doc_id", "lang", "n_tokens")
+    val got = Sampling.balancedShards(uniform, "doc_id", "n_tokens",
+        numShards = 4, bucketWidth = 32, col("lang"))
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert((0 until 20).forall(i => got(i.toLong) === i % 4))
+    // mixed sizes + languages: every (lang, bucket) cell spreads to
+    // within one row per shard, and assignment is partition-invariant.
+    val mixed = (0 until 97).map(i =>
+      (i.toLong, if (i % 3 == 0) "en" else "de", (i * 7 % 200).toLong))
+      .toDF("doc_id", "lang", "n_tokens")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.balancedShards(df, "doc_id", "n_tokens",
+        numShards = 4, bucketWidth = 32, col("lang"))
+    val out = run(mixed)
+    val cellCounts = out
+      .groupBy(col("lang"), floor(col("n_tokens") / 32.0).as("bucket"), col("shard"))
+      .count().as[(String, Long, Long, Long)].collect()
+      .groupBy(t => (t._1, t._2)).values
+    for (cell <- cellCounts) {
+      val counts = cell.map(_._4)
+      assert(counts.max - counts.min <= 1,
+        s"cell ${cell.head._1}/${cell.head._2} unbalanced: ${counts.toSeq}")
+    }
+    assert(out.collect().toSet === run(mixed.repartition(7)).collect().toSet,
+      "shard assignment must not depend on partitioning")
+  }
+
   test("stratifiedSample drops strata absent from the fractions map") {
     val docs = Tables.documents(spark, sfDir)
     val onlyEn = Sampling.stratifiedSample(docs, "lang", "doc_id",

@@ -199,4 +199,53 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .agg(max("s")).as[Double].head()
     assert(math.abs(top._2 - all) < 1e-9)
   }
+
+  test("semanticDedupKeep: drops lower-id near-dups within a cell, keeps across cells") {
+    val centroids = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("cell_id", "c_vec")
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.01f)),   // cell 0, survives (lowest id in cell)
+      (2L, Seq(1.0f, 0.02f)),   // cell 0, cos ≈ 1 vs id 1 → dropped
+      (3L, Seq(0.01f, 1.0f)),   // cell 1, survives
+      (4L, Seq(0.02f, 1.0f)),   // cell 1, cos ≈ 1 vs id 3 → dropped
+      (5L, Seq(0.8f, -0.6f)))   // cell 0, cos vs id 1 ≈ 0.79 < τ → survives
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedupKeep(corpus, "vec_id", "embedding",
+        centroids, threshold = 0.95)
+      .as[(Long, Long)].collect().toMap
+    assert(kept.keySet === Set(1L, 3L, 5L))
+    assert(kept(1L) === 0L && kept(3L) === 1L && kept(5L) === 0L)
+  }
+
+  test("semanticDedupKeep is blind across cell boundaries (the SemDeDup trade)") {
+    // near-identical vectors straddling the diagonal assign to
+    // DIFFERENT cells and are never compared — both survive. This is
+    // the documented recall trade the cluster bound buys.
+    val centroids = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("cell_id", "c_vec")
+    val corpus = Seq(
+      (1L, Seq(0.71f, 0.70f)),  // cell 0
+      (2L, Seq(0.70f, 0.71f)))  // cell 1; cos(1,2) ≈ 0.9999 but cross-cell
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedupKeep(corpus, "vec_id", "embedding",
+        centroids, threshold = 0.95)
+      .as[(Long, Long)].collect().toMap
+    assert(kept === Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("semanticDedupKeep greedy drop: b drops on a lower-id neighbor even if that neighbor also drops") {
+    // chain 1~2, 2~3 with 1≁3 inside one cell: greedy drops BOTH 2 and
+    // 3 (each has a lower-id neighbor ≥ τ) — kept = {1}, matching
+    // Dedup.nearDedupFromPairs chain semantics.
+    val centroids = Seq((0L, Seq(1.0f, 0.0f))).toDF("cell_id", "c_vec")
+    val a = math.toRadians(0.0); val b = math.toRadians(16.0); val c = math.toRadians(32.0)
+    def v(t: Double) = Seq(math.cos(t).toFloat, math.sin(t).toFloat)
+    val corpus = Seq((1L, v(a)), (2L, v(b)), (3L, v(c)))
+      .toDF("vec_id", "embedding")
+    // cos(16°) ≈ 0.961 ≥ 0.95; cos(32°) ≈ 0.848 < 0.95
+    val kept = Similarity.semanticDedupKeep(corpus, "vec_id", "embedding",
+        centroids, threshold = 0.95)
+      .as[(Long, Long)].collect().toMap
+    assert(kept.keySet === Set(1L))
+  }
 }
