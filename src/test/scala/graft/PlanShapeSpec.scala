@@ -168,6 +168,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"expected ≤2 shingle lambdas (train + eval projection), got $lambdas:\n$p")
   }
 
+  /** q106 has the same InferFiltersFromGenerate exposure as q100 (a
+    * posexplode over an interpreted segment lambda) and additionally
+    * pins the one-pass winner selection: min-over-window partitioned
+    * by the segment hash, NOT a groupBy-winners + join back (whose
+    * corpus-sized build side can't broadcast at 100 TB and whose
+    * second segment pass re-reads the scan). */
+  test("q106 single scan, windowed winner, no lambda inside any Filter") {
+    val p = plan("q106_segment_dedup")
+    val filterBlocks = p.linesIterator.filter(_.contains("Filter")).mkString("\n")
+    assert(!filterBlocks.contains("lambdafunction"),
+      s"segment lambda leaked into a Filter condition:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected ONE documents scan, got $scans:\n$p")
+    assert(p.contains("Window"), s"winner selection must be a window:\n$p")
+    assert(!p.contains("Join"), s"winner join reappeared:\n$p")
+  }
+
   /** q94's scale contract: generation and decode are both narrow
     * mapPartitions — the binary payload NEVER enters a shuffle. The
     * only Exchange is the final presentation orderBy, which runs on
