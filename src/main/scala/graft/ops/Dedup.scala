@@ -355,6 +355,26 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** INCREMENTAL (cross-corpus) exact dedup: drop rows of `fresh`
+    * whose content already exists in `seen` — the dedup shape of a
+    * continuously-ingesting pipeline, where each new crawl batch
+    * dedupes against the accumulated corpus rather than re-deduping
+    * the world. Within-batch duplicates are NOT touched here (compose
+    * with `exactDedup` on the batch for that); membership is decided
+    * on the 32-byte content hash, so at scale `seen` can be a stored
+    * HASH INDEX (one column, 32 bytes/doc) instead of the corpus
+    * itself — the anti-join shuffles fresh hashes against index
+    * hashes, never document text, and AQE broadcasts the smaller
+    * side when one fits. */
+  def dedupAgainst(fresh: DataFrame, seen: DataFrame,
+                   textCol: String): DataFrame = {
+    val seenHashes = seen
+      .select(contentHash(col(textCol)).as("__h")).distinct()
+    fresh.withColumn("__h", contentHash(col(textCol)))
+      .join(seenHashes, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
   /** SEGMENT-level exact dedup — the fixed-granularity analog of
     * CCNet-style paragraph dedup (Wenzek et al. 2020 dedupe repeated
     * paragraphs across a web corpus; boilerplate headers/footers repeat

@@ -130,6 +130,41 @@ object Sampling {
         .otherwise(array().cast("array<int>"))))
   }
 
+  /** MIXTURE PLANNING — the sizing step that feeds `upsampleByWeight`
+    * / `stratifiedSample`: given target mixture weights and a total
+    * token budget, compute each stratum's sampling rate
+    * rate_s = min(1, budget · w_s / tokens_s) and its planned token
+    * yield. Rates cap at 1 (a stratum cannot yield more than it has
+    * without upsampling — a capped rate is the signal to hand that
+    * stratum to `upsampleByWeight` instead). Output is one row per
+    * stratum: (stratum, n_docs, n_tokens, weight, rate,
+    * planned_tokens).
+    *
+    * Scale shape: ONE partial-aggregated groupBy over the corpus
+    * (shuffles (stratum, count, sum) partials only), then row-local
+    * arithmetic on the stratum-sized result. The rate is rounded to 4
+    * decimals BEFORE computing planned_tokens so the plan is
+    * engine-portable (double ops + half-even rounding reproduce
+    * everywhere — DuckDB-oracle-checkable, q111). */
+  def mixturePlan(df: DataFrame, strataCol: String, sizeCol: String,
+                  weights: Map[String, Double], defaultWeight: Double,
+                  tokenBudget: Double): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0),
+      "weights must be >= 0")
+    df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(sizeCol)).cast("long").as("n_tokens"))
+      .withColumn("weight",
+        coalesce(element_at(typedlit(weights), col(strataCol)),
+          lit(defaultWeight)))
+      .withColumn("rate",
+        round(least(lit(1.0),
+          lit(tokenBudget) * col("weight") / col("n_tokens")), 4))
+      .withColumn("planned_tokens",
+        round(col("rate") * col("n_tokens")).cast("long"))
+  }
+
   /** Deterministic BALANCED shard assignment — the writer-side layout
     * primitive for training shards: round-robin over `numShards` within
     * each (groupCols, size-bucket) window, ordered by `idCol`. Docs in

@@ -636,6 +636,42 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // INCREMENTAL dedup (Dedup.dedupAgainst) — each new ingest batch
+    // dedupes against the accumulated corpus on content hash, never
+    // re-deduping the world. The fixture corpus has no natural
+    // cross-half duplicates, so the batch plants deterministic ones
+    // (shifted-id copies of every 5th seen doc — the q93 planting
+    // pattern): the anti-join must drop exactly the planted copies
+    // and keep every genuinely-new doc.
+    "q110_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val seen = docs.filter(col("doc_id") < 250)
+      val fresh = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"))
+        .unionByName(seen.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      Dedup.dedupAgainst(fresh, seen, "text")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // MIXTURE PLANNING (Sampling.mixturePlan) — the sizing pass that
+    // feeds q103's upsampler / q77's sampler: per-source sampling
+    // rates to hit a token budget under target mixture weights, rates
+    // capped at 1 (src0's high weight caps; default-weight sources
+    // land well below 1 — both branches exercised). One partial-
+    // aggregated groupBy over the corpus, then stratum-local math.
+    "q111_mixture_plan" -> ((s, dir) => {
+      Sampling.mixturePlan(
+          Tables.documents(s, dir)
+            .select(col("source"),
+              TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "source", "n_tokens",
+          Map("src0" -> 0.5, "src1" -> 0.2, "src2" -> 0.1),
+          defaultWeight = 0.02, tokenBudget = 10000.0)
+        .orderBy("source")
+    }),
+
     // PII redaction pass (TextAnalysis.redactPii/piiCount): the
     // fixture corpus is clean, so deterministic synthetic PII is
     // planted first (emails on even doc_ids, phones on %3 == 0) —
@@ -1052,6 +1088,35 @@ object LlmQueries {
         |FROM tr JOIN ev USING (gram)
         |GROUP BY tr.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q110_incremental_dedup" ->
+      """WITH seen AS (SELECT * FROM documents WHERE doc_id < 250),
+        |fresh AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000 AS doc_id, text FROM seen WHERE doc_id % 5 = 0)
+        |SELECT f.doc_id FROM fresh f
+        |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text = f.text)
+        |ORDER BY doc_id""".stripMargin,
+    // rate is rounded to 4 decimals BEFORE planned_tokens, mirroring
+    // Sampling.mixturePlan exactly.
+    "q111_mixture_plan" ->
+      """WITH agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT *, CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.2
+        |                             WHEN 'src2' THEN 0.1 ELSE 0.02 END
+        |            AS DOUBLE) AS weight
+        |  FROM agg),
+        |r AS (
+        |  SELECT *, round(least(CAST(1.0 AS DOUBLE),
+        |                        CAST(10000.0 AS DOUBLE) * weight / n_tokens),
+        |                  4) AS rate
+        |  FROM w)
+        |SELECT source, n_docs, n_tokens, weight, rate,
+        |       CAST(round(rate * n_tokens) AS BIGINT) AS planned_tokens
+        |FROM r ORDER BY source""".stripMargin,
     // segment construction mirrors Dedup.segmentDedup: 8-token slices,
     // winner = min (doc_id, seg_idx) per distinct segment via
     // row_number; docs whose every segment was seen earlier reconstruct

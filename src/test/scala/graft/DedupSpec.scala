@@ -258,6 +258,28 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(banded === brute)
   }
 
+  test("dedupAgainst drops only content present in the seen corpus") {
+    val seen = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha beta"),    // exact content match → dropped
+      (11L, "epsilon zeta"),  // new → kept
+      (12L, "epsilon zeta"),  // within-batch dup → BOTH kept (out of scope)
+      (13L, "gamma delta"))   // match → dropped
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(fresh, seen, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(11L, 12L))
+    // helper column dropped, schema preserved
+    assert(Dedup.dedupAgainst(fresh, seen, "text").columns.toSeq
+      === Seq("doc_id", "text"))
+  }
+
+  test("dedupAgainst with an empty seen corpus keeps everything") {
+    val seen = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val fresh = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Dedup.dedupAgainst(fresh, seen, "text").count() === 2L)
+  }
+
   test("segmentDedup keeps global first occurrences and reconstructs text") {
     val df = Seq(
       (1L, "a b c d"),   // segs: "a b", "c d" — both first occurrences

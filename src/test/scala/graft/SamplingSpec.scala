@@ -144,6 +144,25 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
       "shard assignment must not depend on partitioning")
   }
 
+  test("mixturePlan: rates cap at 1, planned tokens track budget·weight, defaults apply") {
+    val docs = Seq(
+      ("a", 10L), ("a", 10L),         // a: 20 tokens
+      ("b", 100L), ("b", 100L),       // b: 200 tokens
+      ("c", 50L))                     // c: 50 tokens, default weight
+      .toDF("source", "n_tokens")
+    val plan = Sampling.mixturePlan(docs, "source", "n_tokens",
+        Map("a" -> 0.5, "b" -> 0.5), defaultWeight = 0.1,
+        tokenBudget = 100.0)
+      .as[(String, Long, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // a: budget·w = 50 > 20 available → rate caps at 1, yields all 20
+    assert(plan("a") === ("a", 2L, 20L, 0.5, 1.0, 20L))
+    // b: 50 of 200 → rate 0.25 → 50 tokens
+    assert(plan("b") === ("b", 2L, 200L, 0.5, 0.25, 50L))
+    // c: default weight 0.1 → 10 of 50 → rate 0.2 → 10 tokens
+    assert(plan("c") === ("c", 1L, 50L, 0.1, 0.2, 10L))
+  }
+
   test("stratifiedSample drops strata absent from the fractions map") {
     val docs = Tables.documents(spark, sfDir)
     val onlyEn = Sampling.stratifiedSample(docs, "lang", "doc_id",
