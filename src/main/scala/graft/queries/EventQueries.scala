@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.stream.Events
+import org.apache.spark.sql.DataFrame
 
 /** Windowed event analytics as BATCH queries (SURVEY.md §2B
   * "Streaming" — oracle row: "✓ as batch SQL (time_bucket)"). These
@@ -79,9 +80,211 @@ object EventQueries {
           col("value").as("last_value"))
         .orderBy("user_id")
     }),
+
+    // FUNNEL ANALYSIS: furthest ordered stage per user through
+    // signup → view → click → purchase, where each stage must happen
+    // STRICTLY AFTER the previous one (the classic product-analytics
+    // funnel, e.g. Amplitude/Mixpanel semantics). Implemented as a
+    // cascade of min-aggregations — stage k is min(ts) over events of
+    // type k later than the user's stage-(k-1) time — rather than a
+    // per-user sort-and-fold: every aggregation and join keys on
+    // user_id, so the shuffle partitioning is computed once and
+    // reused (Exchange reuse), each stage table shrinks monotonically
+    // (it's a funnel), and everything stays inside whole-stage
+    // codegen. At 100 TB the stage tables are bounded by
+    // distinct-users and AQE flips the joins to broadcast as they
+    // shrink. Stage times reported as epoch micros (q63 convention).
+    "q112_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+      def minAfter(typ: String, prev: DataFrame, prevCol: String,
+                   outCol: String): DataFrame =
+        ev.filter(col("event_type") === typ)
+          .join(prev.select("user_id", prevCol), Seq("user_id"))
+          .filter(col("ts") > col(prevCol))
+          .groupBy("user_id").agg(min("ts").as(outCol))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = minAfter("view", s1, "t1", "t2")
+      val s3 = minAfter("click", s2, "t2", "t3")
+      val s4 = minAfter("purchase", s3, "t3", "t4")
+      ev.select("user_id").distinct()
+        .join(s1, Seq("user_id"), "left")
+        .join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .join(s4, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (when(col("t4").isNotNull, 4).when(col("t3").isNotNull, 3)
+            .when(col("t2").isNotNull, 2).when(col("t1").isNotNull, 1)
+            .otherwise(0)).as("stage"),
+          unix_micros(col("t1")).as("signup_us"),
+          unix_micros(col("t2")).as("view_us"),
+          unix_micros(col("t3")).as("click_us"),
+          unix_micros(col("t4")).as("purchase_us"))
+        .orderBy("user_id")
+    }),
+
+    // COHORT RETENTION: users cohorted by the Monday-aligned week of
+    // their first event; for each (cohort_week, week_offset) count the
+    // distinct users active that week (the standard weekly-retention
+    // triangle). Two aggregations, both keyed on user_id first — the
+    // per-user first-event agg and the per-user-week distinct reuse
+    // one shuffle; the final (cohort, offset) agg is over a result
+    // bounded by users × weeks, tiny relative to the event log.
+    "q113_retention" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+      val cohort = ev.groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).as("cohort_wk"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      active.join(cohort, Seq("user_id"))
+        .groupBy(
+          date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("int")
+            .as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // BATCH GAP SESSIONIZATION (gaps-and-islands): a session breaks
+    // when ≥ 30 minutes pass between a user's consecutive events;
+    // per-session ordinal, event count, duration, and value sum. This
+    // is the WINDOW-FUNCTION form (lag → boundary flag → running sum
+    // → groupBy), complementing q62 which runs the same semantics
+    // through Spark's streaming session_window operator. One shuffle
+    // on user_id feeds both windows and the final agg; no global
+    // sort. Decimal-summed value for float-order insensitivity.
+    "q114_gap_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val flagged = Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") >= 1800L,
+            1).otherwise(0))
+        .withColumn("sid", sum("new_s")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged.groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"),
+          unix_micros(min("ts")).as("start_us"),
+          unix_micros(max("ts")).as("end_us"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .select(col("user_id"), col("sid").as("session_seq"),
+          col("n_events"), col("start_us"), col("end_us"),
+          col("sum_value"))
+        .orderBy("user_id", "session_seq")
+    }),
+
+    // EVENT-TYPE TRANSITION MATRIX (first-order Markov): for each
+    // consecutive pair of a user's events, count (src → dst)
+    // transitions and the conditional probability p(dst | src). The
+    // lead() window and the aggregation both fit one user_id shuffle;
+    // the transition matrix is |types|² rows — driver-tiny at any
+    // scale. p is an exact int/int division, so it is deterministic
+    // and hash-comparable.
+    "q115_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Tables.events(s, dir)
+        .withColumn("dst_type", lead("event_type", 1).over(w))
+        .filter(col("dst_type").isNotNull)
+        .select(col("event_type").as("src_type"), col("dst_type"))
+      val counted = pairs.groupBy("src_type", "dst_type")
+        .agg(count(lit(1)).as("n"))
+      val totals = Window.partitionBy("src_type")
+      counted
+        .withColumn("p", col("n").cast("double") /
+          sum("n").over(totals).cast("double"))
+        .orderBy("src_type", "dst_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // funnel cascade: stage-k time = min ts of the stage event type
+    // STRICTLY AFTER the stage-(k-1) time. Timestamps are unique per
+    // user at microsecond granularity, so > vs >= cannot diverge.
+    "q112_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1),
+        |s4 AS (
+        |  SELECT e.user_id, min(e.ts) AS t4 FROM events e
+        |  JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1)
+        |SELECT u.user_id,
+        |       CASE WHEN t4 IS NOT NULL THEN 4
+        |            WHEN t3 IS NOT NULL THEN 3
+        |            WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+        |       epoch_us(t1) AS signup_us, epoch_us(t2) AS view_us,
+        |       epoch_us(t3) AS click_us, epoch_us(t4) AS purchase_us
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN s1 ON u.user_id = s1.user_id
+        |LEFT JOIN s2 ON u.user_id = s2.user_id
+        |LEFT JOIN s3 ON u.user_id = s3.user_id
+        |LEFT JOIN s4 ON u.user_id = s4.user_id
+        |ORDER BY u.user_id""".stripMargin,
+    // weekly retention: date_trunc('week', …) is Monday-aligned in
+    // both engines; offsets are exact multiples of 7 days.
+    "q113_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+        |  FROM events GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |  FROM events)
+        |SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+        |       CAST(datediff('day', c.cohort_wk, a.wk) / 7 AS INT)
+        |         AS week_offset,
+        |       count(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    // gaps-and-islands with a 30-minute boundary; the gap compares
+    // whole seconds (epoch-second cast) exactly as the Spark side.
+    "q114_gap_sessions" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 >= 1800
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_s) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_seq, count(*) AS n_events,
+        |       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "q115_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS src_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS dst_type
+        |  FROM events),
+        |counted AS (
+        |  SELECT src_type, dst_type, count(*) AS n FROM pairs
+        |  WHERE dst_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT src_type, dst_type, n,
+        |       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src_type) AS DOUBLE) AS p
+        |FROM counted ORDER BY src_type, dst_type""".stripMargin,
     // merge compaction ≡ latest-per-key over the whole table: ties in
     // ts cannot cross batch boundaries (same ts ⇒ same time partition),
     // and within a batch mergeBatch's max_by struct breaks them by
