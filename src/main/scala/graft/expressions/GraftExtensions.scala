@@ -26,6 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
         VectorExpressions.minhashInfo, VectorExpressions.minhashBuilder))
     ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_agg"),
+        VectorExpressions.bloomAggInfo, VectorExpressions.bloomAggBuilder))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_contains"),
+        VectorExpressions.bloomContainsInfo, VectorExpressions.bloomContainsBuilder))
+    ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rolling_hash"),
         TextExpressions.rollingHashInfo, TextExpressions.rollingHashBuilder))
     ext.injectOptimizerRule(_ => RewriteDotProduct)

@@ -428,6 +428,39 @@ object VectorExpressions {
       s"graft_simhash expects 1 argument, got ${other.length}")
   }
 
+  /** graft_bloom_agg(keyLong, expectedItems CONSTANT, numBits CONSTANT)
+    * — Spark's own runtime-filter build aggregate
+    * (BloomFilterAggregate, the codegen'd machinery behind
+    * spark.sql.optimizer.runtimeFilter.bloomFilter), surfaced as a
+    * session function so operators can build persistent/broadcastable
+    * Bloom sketches without private-API Column plumbing. The analyzer
+    * wraps the returned AggregateFunction exactly as it does sum(). */
+  val bloomAggInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+    "graft_bloom_agg")
+
+  val bloomAggBuilder: Seq[Expression] => Expression = {
+    case Seq(key, items, bits) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        key, items, bits)
+    case other => throw new IllegalArgumentException(
+      s"graft_bloom_agg expects (key, expectedItems, numBits), got ${other.length} args")
+  }
+
+  /** graft_bloom_contains(sketch CONSTANT BINARY, keyLong) — probe side
+    * (BloomFilterMightContain); the sketch must be foldable, which is
+    * the broadcast-as-literal deployment shape. */
+  val bloomContainsInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+    "graft_bloom_contains")
+
+  val bloomContainsBuilder: Seq[Expression] => Expression = {
+    case Seq(sketch, key) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(sketch, key)
+    case other => throw new IllegalArgumentException(
+      s"graft_bloom_contains expects (sketch, key), got ${other.length} args")
+  }
+
   /** Runtime registration on a live session (the config-time path is
     * GraftExtensions via spark.sql.extensions). After this,
     * `call_function("graft_dot", a, b)` / SQL `graft_dot(a, b)` work. */
@@ -440,5 +473,9 @@ object VectorExpressions {
       FunctionIdentifier("graft_simhash"), simhashInfo, simhashBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_minhash"), minhashInfo, minhashBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, bloomAggBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_bloom_contains"), bloomContainsInfo, bloomContainsBuilder)
   }
 }

@@ -655,6 +655,77 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // BLOOM-FILTER incremental dedup (Dedup.bloomDedupAgainst) — the
+    // constant-memory scale successor to q110's anti-join, built on
+    // Spark's own runtime-filter expressions. Same planted-duplicate
+    // setup as q110: every planted copy MUST be dropped (bloom filters
+    // have no false negatives); a ~fpp sliver of genuinely-new docs may
+    // be falsely dropped, which is why this is rows-only by contract
+    // (the filter's bit layout rides Spark-private xxhash64 seeding) —
+    // DedupSpec pins keep ⊆ exact-keep, the planted-drop guarantee,
+    // and the observed false-positive cost.
+    "q116_bloom_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val seen = docs.filter(col("doc_id") < 250)
+      val fresh = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"))
+        .unionByName(seen.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      Dedup.bloomDedupAgainst(fresh, seen, "text",
+          expectedItems = 100000L, fpp = 0.01)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // IVF RECALL EVALUATION — the measurement loop every ANN deployment
+    // needs: recall@10 of the PARTIAL-probe IVF search (nProbe=2 of 8
+    // cells, the sub-linear configuration q71 can't oracle-check
+    // because its full probe degenerates to brute force) against the
+    // brute-force ground truth, per query. Everything is deterministic
+    // (q80's centroid convention, double-accumulated dots, id
+    // tie-breaks), so the WHOLE eval — assignment, probe selection,
+    // both top-k's, the overlap count — sits under the DuckDB hash
+    // gate. Scale: ground truth is the one quadratic pass (that's what
+    // "eval on a sampled query set" is for); the IVF side scans only
+    // probed cells; all small sides broadcast.
+    "q117_ivf_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      val corpus = e.filter(col("vec_id") >= 5)
+      val centroids = e.filter(col("vec_id") >= 5 && col("vec_id") < 13)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("c_vec"))
+      val indexed = Similarity.assignCells(corpus, "vec_id", "embedding", centroids)
+      val perQuery = Window.partitionBy("query_id")
+        .orderBy(desc("sim"), col("vec_id"))
+      val brute = corpus.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("vec_id"),
+          Similarity.dot(col("embedding"), col("q_vec")).as("sim"))
+        .withColumn("__rn", row_number().over(perQuery))
+        .filter(col("__rn") <= 10).select("query_id", "vec_id")
+      val probes = centroids.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("cell_id"),
+          Similarity.dot(col("c_vec"), col("q_vec")).as("sim"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("sim"), col("cell_id"))))
+        .filter(col("__rn") <= 2).select("query_id", "cell_id")
+      val ivf = indexed.join(broadcast(probes), Seq("cell_id"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          Similarity.dot(col("embedding"), col("q_vec")).as("sim"))
+        .withColumn("__rn", row_number().over(perQuery))
+        .filter(col("__rn") <= 10).select("query_id", "vec_id")
+      brute.join(ivf.withColumn("__hit", lit(1)),
+          Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_true").cast("double"))
+            .as("recall"))
+        .orderBy("query_id")
+    }),
+
     // MIXTURE PLANNING (Sampling.mixturePlan) — the sizing pass that
     // feeds q103's upsampler / q77's sampler: per-source sampling
     // rates to hit a token budget under target mixture weights, rates
@@ -1097,6 +1168,52 @@ object LlmQueries {
         |SELECT f.doc_id FROM fresh f
         |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text = f.text)
         |ORDER BY doc_id""".stripMargin,
+    // recall eval: assignment/probe/top-k tie-breaks all mirror the
+    // Spark side (score DESC, then lowest id/cell — q80's convention);
+    // dots are double-accumulated in both engines, proven order-
+    // compatible by q51/q71.
+    "q117_ivf_recall" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 5),
+        |cents AS (
+        |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id >= 5 AND vec_id < 13),
+        |assigned AS (
+        |  SELECT vec_id, v, cell_id FROM (
+        |    SELECT c.vec_id, c.v, ct.cell_id,
+        |           row_number() OVER (PARTITION BY c.vec_id
+        |             ORDER BY list_dot_product(c.v, ct.cv) DESC, ct.cell_id) AS rn
+        |    FROM corpus c CROSS JOIN cents ct) WHERE rn = 1),
+        |brute AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY q.query_id
+        |             ORDER BY list_dot_product(c.v, q.qv) DESC, c.vec_id) AS rn
+        |    FROM corpus c CROSS JOIN q) WHERE rn <= 10),
+        |probes AS (
+        |  SELECT query_id, cell_id FROM (
+        |    SELECT q.query_id, ct.cell_id,
+        |           row_number() OVER (PARTITION BY q.query_id
+        |             ORDER BY list_dot_product(ct.cv, q.qv) DESC, ct.cell_id) AS rn
+        |    FROM cents ct CROSS JOIN q) WHERE rn <= 2),
+        |ivf AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT p.query_id, a.vec_id,
+        |           row_number() OVER (PARTITION BY p.query_id
+        |             ORDER BY list_dot_product(a.v, q.qv) DESC, a.vec_id) AS rn
+        |    FROM assigned a
+        |    JOIN probes p ON a.cell_id = p.cell_id
+        |    JOIN q ON q.query_id = p.query_id) WHERE rn <= 10)
+        |SELECT b.query_id,
+        |       CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+        |       CAST(count(i.vec_id) AS DOUBLE) / count(*) AS recall
+        |FROM brute b
+        |LEFT JOIN ivf i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+        |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
     // rate is rounded to 4 decimals BEFORE planned_tokens, mirroring
     // Sampling.mixturePlan exactly.
     "q111_mixture_plan" ->

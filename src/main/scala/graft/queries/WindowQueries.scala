@@ -95,6 +95,30 @@ object WindowQueries {
         .select("l_returnflag", "l_orderkey", "l_linenumber", "qty_in_range")
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
     }),
+
+    // TIME-RANGE rolling aggregate — q33's frame family applied to
+    // event time: per user, for every event, the count and mean value
+    // over the trailing hour (RANGE BETWEEN 3599 PRECEDING AND CURRENT
+    // ROW on floor-epoch-seconds, so same-second peers land in one
+    // frame identically in both engines). Decimal-summed then ONE
+    // double division — frame content is a set, so no float-order
+    // sensitivity. One user_id shuffle; the frame is evaluated with a
+    // sliding two-pointer over each sorted partition, NOT a per-row
+    // rescan.
+    "q118_rolling_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("es"))
+        .rangeBetween(-3599L, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("es", col("ts").cast("long"))
+        .withColumn("n_hour", count(lit(1)).over(w))
+        .withColumn("sum_hour",
+          sum(col("value").cast("decimal(18,2)")).over(w))
+        .select(col("event_id"), col("user_id"), col("es"),
+          col("n_hour"),
+          (col("sum_hour").cast("double") / col("n_hour").cast("double"))
+            .as("avg_hour"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -137,5 +161,20 @@ object WindowQueries {
         |       sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_orderkey
         |         RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS qty_in_range
         |FROM lineitem ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+    // trailing-hour frame on floor-epoch-seconds (epoch_us // 1e6 ≡
+    // Spark's timestamp→long cast); decimal window sum ÷ count.
+    "q118_rolling_avg" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |         epoch_us(ts) // 1000000 AS es
+        |  FROM events)
+        |SELECT event_id, user_id, es,
+        |       count(*) OVER w AS n_hour,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |            / CAST(count(*) OVER w AS DOUBLE) AS DOUBLE) AS avg_hour
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
   )
 }

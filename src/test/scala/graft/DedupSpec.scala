@@ -280,6 +280,45 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(Dedup.dedupAgainst(fresh, seen, "text").count() === 2L)
   }
 
+  test("bloomDedupAgainst never keeps a true duplicate (no false negatives)") {
+    val docs = Tables.documents(spark, sfDir)
+    val seen = docs.filter($"doc_id" < 250)
+    val fresh = docs.filter($"doc_id" >= 250)
+      .select($"doc_id", $"text")
+      .unionByName(seen.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 1000).as("doc_id"), $"text"))
+    val bloomKept = Dedup.bloomDedupAgainst(fresh, seen, "text",
+        expectedItems = 100000L, fpp = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    // every planted copy of seen content is dropped, guaranteed
+    assert(bloomKept.forall(_ < 1000L))
+    // keep-set ⊆ the exact anti-join's keep-set: bloom drops a
+    // SUPERSET of the true duplicates (its only error is false drops)
+    val exactKept = Dedup.dedupAgainst(fresh, seen, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomKept.subsetOf(exactKept))
+    // at this filter size the false-drop cost on the fixture is ~0
+    assert(bloomKept.size >= (exactKept.size * 0.95).toInt)
+  }
+
+  test("bloomDedupAgainst under a deliberately tiny filter still drops all dups") {
+    // 64 bits for 250 seen hashes → saturated filter, many false
+    // positives; the no-false-negative guarantee must survive.
+    val docs = Tables.documents(spark, sfDir)
+    val seen = docs.filter($"doc_id" < 250)
+    val fresh = docs.filter($"doc_id" >= 250)
+      .select($"doc_id", $"text")
+      .unionByName(seen.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 1000).as("doc_id"), $"text"))
+    val kept = Dedup.bloomDedupAgainst(fresh, seen, "text",
+        expectedItems = 1L, fpp = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.forall(_ < 1000L))
+    val exactKept = Dedup.dedupAgainst(fresh, seen, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(exactKept))
+  }
+
   test("segmentDedup keeps global first occurrences and reconstructs text") {
     val df = Seq(
       (1L, "a b c d"),   // segs: "a b", "c d" — both first occurrences
