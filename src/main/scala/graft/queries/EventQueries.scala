@@ -85,34 +85,38 @@ object EventQueries {
     // signup → view → click → purchase, where each stage must happen
     // STRICTLY AFTER the previous one (the classic product-analytics
     // funnel, e.g. Amplitude/Mixpanel semantics). Implemented as a
-    // cascade of min-aggregations — stage k is min(ts) over events of
-    // type k later than the user's stage-(k-1) time — rather than a
-    // per-user sort-and-fold: every aggregation and join keys on
-    // user_id, so the shuffle partitioning is computed once and
-    // reused (Exchange reuse), each stage table shrinks monotonically
-    // (it's a funnel), and everything stays inside whole-stage
-    // codegen. At 100 TB the stage tables are bounded by
-    // distinct-users and AQE flips the joins to broadcast as they
-    // shrink. Stage times reported as epoch micros (q63 convention).
+    // WINDOWED STATE MACHINE — four stacked running-min windows over
+    // one (user_id, ts)-sorted pass: t_kr at a row is the earliest
+    // stage-k time among rows up to it, and a stage-(k+1) event is
+    // eligible iff t_kr < its ts (ties impossible at µs granularity),
+    // so min(eligible ts) per user is exactly "first stage-k+1 event
+    // after the stage-k time". The naive cascade of per-stage
+    // min-aggs + joins re-computes stage k for every later stage —
+    // a triangular ~10 filtered scans of the event log at 4 stages;
+    // this form is ONE scan, ONE user_id shuffle, ONE sort (all four
+    // Window nodes and the final groupBy share the partitioning —
+    // PlanShapeSpec pins scan-count=1, join-count=0). Stage times
+    // reported as epoch micros (q63 convention).
     "q112_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
-      val ev = Tables.events(s, dir)
-      def minAfter(typ: String, prev: DataFrame, prevCol: String,
-                   outCol: String): DataFrame =
-        ev.filter(col("event_type") === typ)
-          .join(prev.select("user_id", prevCol), Seq("user_id"))
-          .filter(col("ts") > col(prevCol))
-          .groupBy("user_id").agg(min("ts").as(outCol))
-      val s1 = ev.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min("ts").as("t1"))
-      val s2 = minAfter("view", s1, "t1", "t2")
-      val s3 = minAfter("click", s2, "t2", "t3")
-      val s4 = minAfter("purchase", s3, "t3", "t4")
-      ev.select("user_id").distinct()
-        .join(s1, Seq("user_id"), "left")
-        .join(s2, Seq("user_id"), "left")
-        .join(s3, Seq("user_id"), "left")
-        .join(s4, Seq("user_id"), "left")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val staged = Tables.events(s, dir)
+        .withColumn("t1r",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("e2",
+          when(col("event_type") === "view" && col("t1r") < col("ts"), col("ts")))
+        .withColumn("t2r", min(col("e2")).over(w))
+        .withColumn("e3",
+          when(col("event_type") === "click" && col("t2r") < col("ts"), col("ts")))
+        .withColumn("t3r", min(col("e3")).over(w))
+        .withColumn("e4",
+          when(col("event_type") === "purchase" && col("t3r") < col("ts"), col("ts")))
+      staged.groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+          min("e2").as("t2"), min("e3").as("t3"), min("e4").as("t4"))
         .select(col("user_id"),
           (when(col("t4").isNotNull, 4).when(col("t3").isNotNull, 3)
             .when(col("t2").isNotNull, 2).when(col("t1").isNotNull, 1)

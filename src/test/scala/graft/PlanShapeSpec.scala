@@ -185,6 +185,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join"), s"winner join reappeared:\n$p")
   }
 
+  /** q112's scale contract: the funnel is a windowed state machine —
+    * one events scan, the stacked running-min Windows and the final
+    * per-user aggregate all sharing ONE user_id hash partitioning
+    * (exactly two Exchanges total: that one + the presentation sort),
+    * and NO joins. The naive per-stage min-agg + join cascade this
+    * replaced paid a triangular ~10 filtered scans of the log. */
+  test("q112 funnel: single scan, windowed state machine, no joins") {
+    val p = plan("q112_funnel")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected ONE events scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"stage-join cascade reappeared:\n$p")
+    assert(p.contains("Window"), s"running-min windows missing:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"expected user_id shuffle + presentation sort only, got $exchanges:\n$p")
+  }
+
   /** q94's scale contract: generation and decode are both narrow
     * mapPartitions — the binary payload NEVER enters a shuffle. The
     * only Exchange is the final presentation orderBy, which runs on
