@@ -398,20 +398,44 @@ object Dedup {
     * (numBits/8 bytes, ~1.2 MB at fpp 1% per 10⁶ items) — the same
     * bounded driver hop Spark's InjectRuntimeFilter pays for its
     * bloom subquery, and the reason this stays honest at 100 TB: the
-    * filter size is set by `expectedItems`, not the corpus byte size.
+    * filter size is set by `expectedItems`, not the corpus byte size
+    * (the session's bloom-filter caps are raised below to honor the
+    * requested sizing — BloomFilterAggregate otherwise Math.min-clamps
+    * to spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits,
+    * 4M items / 64 Mbit by default, silently saturating past ~4M seen).
     * Probed values are xxhash64 of the 32-byte content hash, so the
-    * filter cost is independent of document length too. */
+    * filter cost is independent of document length too.
+    *
+    * Null handling: rows with a null `textCol` in `fresh` are KEPT,
+    * matching `dedupAgainst` (whose anti-join never matches a null
+    * key); null-text rows in `seen` contribute nothing to the sketch.
+    * An empty `seen` keeps all of `fresh` (the aggregate yields a null
+    * sketch at zero input rows; guarded explicitly). */
   def bloomDedupAgainst(fresh: DataFrame, seen: DataFrame, textCol: String,
                         expectedItems: Long, fpp: Double): DataFrame = {
+    require(expectedItems > 0, "expectedItems must be positive")
+    require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0, 1)")
     // standard sizing: m = -n·ln(p)/ln²2 bits
     val numBits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // Raise the session caps to the requested sizing BEFORE the build:
+    // BloomFilterAggregate clamps both arguments to these confs, so a
+    // request above the defaults would otherwise build a saturating
+    // filter whose false-drop rate silently blows past `fpp`.
+    val conf = seen.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (conf.get(itemsKey).toLong < expectedItems) conf.set(itemsKey, expectedItems)
+    if (conf.get(bitsKey).toLong < numBits) conf.set(bitsKey, numBits)
     def probeKey = xxhash64(contentHash(col(textCol)))
     val sketch = seen
+      .filter(col(textCol).isNotNull)
       .select(call_function("graft_bloom_agg", probeKey,
         lit(expectedItems), lit(numBits)).as("__bf"))
       .head().getAs[Array[Byte]](0)
-    fresh.filter(!call_function("graft_bloom_contains", lit(sketch), probeKey))
+    if (sketch == null) fresh
+    else fresh.filter(col(textCol).isNull ||
+      !call_function("graft_bloom_contains", lit(sketch), probeKey))
   }
 
   /** SEGMENT-level exact dedup — the fixed-granularity analog of

@@ -319,6 +319,51 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(kept.subsetOf(exactKept))
   }
 
+  test("bloomDedupAgainst with an empty seen corpus keeps everything") {
+    // BloomFilterAggregate yields a null sketch at zero input rows;
+    // the bootstrap increment must keep all of fresh, like dedupAgainst.
+    val seen = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val fresh = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Dedup.bloomDedupAgainst(fresh, seen, "text",
+      expectedItems = 1000L, fpp = 0.01).count() === 2L)
+  }
+
+  test("bloomDedupAgainst keeps null-text rows, matching dedupAgainst") {
+    val seen = Seq((1L, Option("a")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val fresh = Seq((10L, Option("a")), (11L, Option("b")),
+      (12L, Option.empty[String])).toDF("doc_id", "text")
+    val bloomKept = Dedup.bloomDedupAgainst(fresh, seen, "text",
+        expectedItems = 1000L, fpp = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    val exactKept = Dedup.dedupAgainst(fresh, seen, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactKept === Set(11L, 12L))
+    assert(bloomKept === exactKept)
+  }
+
+  test("bloomDedupAgainst raises the session bloom caps to the requested size") {
+    // Above the 4M-item default cap BloomFilterAggregate would silently
+    // clamp and saturate; the op must raise the caps so sizing holds.
+    val docs = Tables.documents(spark, sfDir)
+    val seen = docs.filter($"doc_id" < 100)
+    val fresh = docs.filter($"doc_id" >= 100 && $"doc_id" < 150)
+      .select($"doc_id", $"text")
+      .unionByName(seen.limit(10).select(($"doc_id" + 1000).as("doc_id"), $"text"))
+    val requestedItems = 5000000L
+    val kept = Dedup.bloomDedupAgainst(fresh, seen, "text",
+        expectedItems = requestedItems, fpp = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.forall(_ < 1000L))
+    val itemsCap = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val bitsCap = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    assert(itemsCap >= requestedItems)
+    // m = -n·ln(p)/ln²2 ≈ 9.585 bits/item at fpp 1%
+    assert(bitsCap >= (requestedItems * 9.5).toLong)
+  }
+
   test("segmentDedup keeps global first occurrences and reconstructs text") {
     val df = Seq(
       (1L, "a b c d"),   // segs: "a b", "c d" — both first occurrences
