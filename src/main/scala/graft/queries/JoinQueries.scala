@@ -200,6 +200,44 @@ object JoinQueries {
         .orderBy("nationkey")
     }),
 
+    // COMPOSITE analytics pipeline (the TPC-H Q3 shape, composed from
+    // the reference's R8-R10 query pattern at warehouse scale:
+    // mercadolibre_pipeline_dag.py:75): segment-filtered customer ⋈
+    // date-filtered orders ⋈ ship-after lineitem → per-order revenue
+    // agg → top-10. This is the first query where join ordering, AQE
+    // broadcast selection, partial aggregation, and top-k pushdown all
+    // interact in ONE plan — every other query gates one operator.
+    // Scale shape: both selective filters push into the scans; the
+    // SF-scaling customer side carries NO forced broadcast (AQE
+    // broadcasts the filtered segment when it fits, shuffles when it
+    // doesn't); the orderkey agg rides the lineitem ⋈ orders join key;
+    // the top-10 plans as TakeOrderedAndProject (per-partition heaps +
+    // driver merge, never a global sort). Exact money math: per-row
+    // revenue cast to decimal before the order-invariant sum, surfaced
+    // as double. PlanShapeSpec pins broadcast-on-customer and the
+    // TakeOrderedAndProject.
+    "q119_composite_topk" -> ((s, dir) => {
+      // the date columns read as TIMESTAMP_NTZ; an NTZ-typed literal
+      // keeps the comparison cast-free on the COLUMN side so both date
+      // predicates push into the parquet scans (a to_timestamp literal
+      // would wrap the columns in casts and defeat pushdown).
+      val cutoff = lit("1995-06-01 00:00:00").cast("timestamp_ntz")
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+      val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+          col("o_orderpriority"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }),
+
     // BUCKETED fact-fact join: lineitem ⋈ orders both bucketed (and
     // sorted) on orderkey at write time (Warehouse.writeBucketed), so
     // the join — and the groupBy on the same key — run with ZERO
@@ -253,6 +291,18 @@ object JoinQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q119_composite_topk" ->
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-06-01'
+        |  AND l_shipdate > TIMESTAMP '1995-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     // the oracle reads the PLAIN parquet — bucketing must change the
     // plan (no Exchange), never the answer. sum(l_quantity) is an
     // integer-valued double: exact at any accumulation order.

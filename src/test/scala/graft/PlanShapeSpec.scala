@@ -87,6 +87,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  /** VERDICT r9 #2: the composite join→agg→topk pipeline must come out
+    * of the optimizer with (a) both selective filters pushed into the
+    * scans, (b) the filtered customer side broadcast (by SIZE — it
+    * carries no hint; a forced broadcast of an SF-scaling table is
+    * exactly what the q15 audit forbids), (c) the top-10 as
+    * TakeOrderedAndProject, and (d) no cross product anywhere. */
+  test("q119 composite: pushed filters, size-based customer broadcast, top-k plan") {
+    val p = plan("q119_composite_topk")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"customer segment filter not pushed to the scan:\n$p")
+    assert(p.contains("LessThan(o_orderdate") && p.contains("GreaterThan(l_shipdate"),
+      s"date filters not pushed to the scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"filtered customer side should broadcast by size:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 lost the TakeOrderedAndProject plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"composite degenerated to a cross product:\n$p")
+    // under threshold=-1 + AQE off NO broadcast may remain — proves the
+    // customer broadcast above is size-based, not a hint.
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val cold = plan("q119_composite_topk")
+      assert(!cold.contains("BroadcastExchange"),
+        s"q119 must not force-broadcast any side:\n$cold")
+    }
+  }
+
   test("as-of joins plan as ONE key shuffle + window, never a cross product") {
     for (q <- Seq("q75_asof_join", "q90_asof_forward")) {
       val p = plan(q)
