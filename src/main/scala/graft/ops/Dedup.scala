@@ -539,4 +539,66 @@ object Dedup {
         estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** PERSISTED LSH band index (VERDICT r9 #3) — the incremental
+    * near-dedup layout at 100 TB. The in-session candidate pass
+    * (lshCandidatePairs, memoized per session by LlmQueries) recomputes
+    * shingle → signature → band keys every session; at corpus scale
+    * that pass IS the dominant cost, and it is the same for every
+    * consumer. This writes the exploded band rows ONCE as a bucketed +
+    * sorted warehouse table keyed on (band, bucket) — after which every
+    * candidate pass (including each day's incremental batch banded with
+    * the same parameters and bucketed the same way) joins against the
+    * index with ZERO Exchange: the band shuffle is paid at write time
+    * and amortized over the index's lifetime, the q96 discipline
+    * applied to near-dedup.
+    *
+    * Layout: one row per (band, bucket, id, sig). The signature rides
+    * every band row (bands× duplication, ≈ bands·k·8 B per doc) so the
+    * Jaccard rescore needs no second join back to a signature table —
+    * the candidate join's probe side carries everything. The
+    * alternative layout (separate sig table, join back per rescore
+    * side) cuts storage ~bands× but adds two corpus-keyed joins per
+    * candidate pass; for k=64/bands=16 the duplication is ~8 KB/doc,
+    * cheap against document text.
+    *
+    * `repartition(buckets, band, bucket)` before the write uses the
+    * same murmur3-pmod placement as the bucket spec, so each task holds
+    * exactly one bucket → ONE file per bucket, which is what lets the
+    * read side trust the sortBy metadata (no Sort before the merge
+    * join). */
+  def writeLshIndex(df: DataFrame, idCol: String, textCol: String,
+                    table: String, shingleN: Int = 3, numHashes: Int = 64,
+                    bands: Int = 16, buckets: Int = 8): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val rows = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+      .select(col("id"), col("sig"),
+        explode(when(col("sig").isNotNull, bandKeys(col("sig"), bands, r))).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+        col("id"), col("sig"))
+      .repartition(buckets, col("band"), col("bucket"))
+    graft.pipeline.Warehouse.writeBucketed(rows, table, Seq("band", "bucket"), buckets)
+  }
+
+  /** Candidate pairs from a PERSISTED band index: the same band-bucket
+    * self-join + signature rescore as lshCandidatePairs, but both sides
+    * scan the bucketed table — no shingling, no signatures, and (plan-
+    * asserted in PlanShapeSpec) no Exchange below the join. The only
+    * shuffle left is the pair-key dropDuplicates, which carries
+    * (id, id, double) rows. Output is identical to the in-memory pass
+    * that built the index (DedupSpec pins the equivalence). */
+  def lshCandidatePairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                 table: String, numHashes: Int = 64): DataFrame = {
+    val idx = spark.table(table)
+    val a = idx.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = idx.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+  }
 }

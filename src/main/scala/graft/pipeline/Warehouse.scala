@@ -23,11 +23,19 @@ object Warehouse {
     * Requires saveAsTable (bucket metadata lives in the catalog; plain
     * .parquet(path) cannot record it). */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    writeBucketed(df, table, Seq(key), buckets)
+
+  /** Multi-column bucket key variant (e.g. the LSH band index bucketed
+    * on (band, bucket)): joins on the full key column set run
+    * Exchange-free, same as the single-key form. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
+    require(keys.nonEmpty, "at least one bucket key")
     df.write.mode("overwrite")
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Directory-partitioned parquet: the partition-pruning layout.
     * Partition columns must be low-cardinality (each value = one

@@ -93,6 +93,22 @@ object LlmQueries {
       case _ => ()
     } catch { case _: Throwable => () }
 
+  /** Once-per-session setup for q120: persist the LSH band index as a
+    * bucketed table (same parameters as the in-session shared pass).
+    * Table name carries the fixture dir; catalog.tableExists makes the
+    * write idempotent across invocations in one session. */
+  private def lshIndexTable(s: org.apache.spark.sql.SparkSession,
+                            dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_lsh_index$tag"
+    this.synchronized {
+      if (!s.catalog.tableExists(tbl))
+        Dedup.writeLshIndex(Tables.documents(s, dir), "doc_id", "text", tbl,
+          shingleN = 3, numHashes = 64, bands = 16, buckets = 8)
+    }
+    tbl
+  }
+
   val queries: Map[String, Q] = Map(
     // embedding-cosine near-dup, brute force on a BOUNDED slice (the
     // honest baseline; the scale path is Similarity.cosineSketch
@@ -458,6 +474,27 @@ object LlmQueries {
       Dedup.nearDedupBestFromComponents(Tables.documents(s, dir), "doc_id",
           TextAnalysis.qualityScore(col("text")),
           sharedCcComponents(s, dir))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // INDEX-BACKED exact near-dedup keep-set: identical semantics to
+    // q81 (CC over thresholded candidates, min-id canonical), but the
+    // candidate pass reads the PERSISTED bucketed band index
+    // (Dedup.writeLshIndex, written once per session per fixture —
+    // catalog-guarded like q96's bucketed tables) instead of
+    // re-shingling the corpus: the incremental near-dedup shape at
+    // 100 TB, where the index outlives sessions and each new batch
+    // joins against it Exchange-free (plan pinned in PlanShapeSpec).
+    // Rows-only by contract like q72/q81; DedupSpec pins
+    // index-pass ≡ in-memory-pass equivalence, which transitively
+    // makes this query's output q81's output. Bench note: the first
+    // invocation pays the one-time index write (the q96 discipline —
+    // the write cost is real and should be visible once).
+    "q120_lsh_index_dedup" -> ((s, dir) => {
+      Dedup.nearDedupExactFromPairs(Tables.documents(s, dir), "doc_id",
+          Dedup.lshCandidatePairsFromIndex(s, lshIndexTable(s, dir)),
+          threshold = 0.5)
         .select(col("doc_id"))
         .orderBy("doc_id")
     }),

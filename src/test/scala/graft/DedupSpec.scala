@@ -364,6 +364,22 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(bitsCap >= (requestedItems * 9.5).toLong)
   }
 
+  test("persisted LSH index candidate pass equals the in-memory pass") {
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = "graft_lsh_index_spec"
+    try {
+      Dedup.writeLshIndex(docs, "doc_id", "text", tbl,
+        shingleN = 3, numHashes = 64, bands = 16, buckets = 8)
+      def pairSet(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val fromIndex = pairSet(Dedup.lshCandidatePairsFromIndex(spark, tbl))
+      val inMemory = pairSet(Dedup.lshCandidatePairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16))
+      assert(fromIndex === inMemory)
+      assert(fromIndex.nonEmpty)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("segmentDedup keeps global first occurrences and reconstructs text") {
     val df = Seq(
       (1L, "a b c d"),   // segs: "a b", "c d" — both first occurrences

@@ -151,6 +151,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  /** VERDICT r9 #3: the persisted LSH band index as a GATED PLAN FACT.
+    * With broadcast and AQE off, the (band, bucket) self-join over the
+    * bucketed index can only avoid an Exchange if both scans expose the
+    * bucketed hashpartitioning — proving the candidate pass's band
+    * shuffle is paid once at index-write time. The ONLY Exchange left
+    * is the pair-key dropDuplicates, which carries (id, id, double). */
+  test("q120 index candidate pass: band self-join is Exchange-free") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val tbl = "graft_lsh_index_planspec"
+      try {
+        graft.ops.Dedup.writeLshIndex(Tables.documents(spark, sfDir),
+          "doc_id", "text", tbl, shingleN = 3, numHashes = 64,
+          bands = 16, buckets = 8)
+        val p = graft.ops.Dedup.lshCandidatePairsFromIndex(spark, tbl)
+          .queryExecution.executedPlan.toString
+        assert(p.contains("SortMergeJoin"),
+          s"expected SMJ over bucketed index scans:\n$p")
+        val exchanges = "Exchange".r.findAllIn(p).size
+        assert(exchanges == 1,
+          s"expected ONLY the dropDuplicates exchange, got $exchanges:\n$p")
+        assert(!p.contains("hashpartitioning(band"),
+          s"a band-key exchange means the bucketed index was not used:\n$p")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   /** VERDICT r7 #2: the bounded-heap Aggregator path (q95) under the
     * gate. The plan must show partial+final ObjectHashAggregate — the
     * shuffle carries per-partition k-bounded buffers, not all rows
