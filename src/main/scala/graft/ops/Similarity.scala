@@ -173,6 +173,29 @@ object Similarity {
       .select(col("cell_id"),
         transform(col("pm"), p => p.getField("m").cast("float")).as("c_vec"))
 
+  /** Multi-iteration Lloyd k-means build (VERDICT r9 #6): alternate
+    * assignCells / updateCentroids for a FIXED number of iterations
+    * from the given seed centroids — deterministic (no random init, no
+    * convergence-epsilon float race), which is what makes the whole
+    * build oracle-able (q121 replays it as unrolled SQL CTEs).
+    *
+    * Per iteration the corpus is scanned once, scored against the
+    * broadcast centroids, and reduced map-side to one row per vector
+    * (assignCells) then to cells × dims scalars (updateCentroids) —
+    * the corpus never shuffles; only the C × dims centroid frame moves
+    * between iterations. The unrolled declarative plan embeds `iters`
+    * corpus passes in one DAG, which is Lloyd's inherent cost; cells
+    * that lose all members drop out (standard empty-cell behavior —
+    * the refined centroid set may shrink). */
+  def kmeansBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                  seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "at least one Lloyd iteration")
+    var centroids = seeds
+    for (_ <- 1 to iters)
+      centroids = updateCentroids(assignCells(corpus, idCol, vecCol, centroids), vecCol)
+    centroids
+  }
+
   /** Quantized two-pass ANN — the production use of ops.Quantize: the
     * first pass scores the WHOLE corpus with int8-quantized vectors
     * (when the store is written quantized, the scan reads 4× fewer

@@ -234,6 +234,28 @@ object LlmQueries {
         .orderBy("cell_id", "pos")
     }),
 
+    // FULL k-means index build (VERDICT r9 #6): THREE deterministic
+    // Lloyd iterations from the 8 seed centroids
+    // (Similarity.kmeansBuild) — q80 gates one step; this gates the
+    // convergence behavior of the whole build under the hash oracle
+    // (unrolled CTE replay in DuckDB). Cross-engine determinism hinges
+    // on the float cast in updateCentroids: casting each refined mean
+    // to float32 quantizes away both engines' summation-order noise
+    // (≪ one float ulp), so the centroids entering each next iteration
+    // are BIT-IDENTICAL across engines and every argmax agrees.
+    "q121_kmeans_build" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("c_vec"))
+      val corpus = e.filter(col("vec_id") =!= 0)
+      Similarity.kmeansBuild(corpus, "vec_id", "embedding", seeds, iters = 3)
+        .select(col("cell_id"),
+          posexplode(col("c_vec")).as(Seq("pos", "m")))
+        .select(col("cell_id"), col("pos"),
+          (round(col("m").cast("double"), 4) + lit(0.0)).as("mean_x"))
+        .orderBy("cell_id", "pos")
+    }),
+
     // multimodal row assembly: documents ⋈ embeddings into nested
     // structs, then field projection (proves the nesting round-trips).
     "q52_multimodal" -> ((s, dir) => {
@@ -1057,6 +1079,61 @@ object LlmQueries {
         |       round(CAST(CAST(avg(CAST(embedding[i] AS DOUBLE)) AS FLOAT)
         |             AS DOUBLE), 4) + 0.0 AS mean_x
         |FROM assigned, range(1, 65) t(i)
+        |GROUP BY cell_id, i
+        |ORDER BY cell_id, pos""".stripMargin,
+    // q121: q80's one step unrolled THREE times. Each iteration's
+    // refined centroid elements are cast to FLOAT (exactly as the
+    // Spark side does) before feeding the next round's dot products —
+    // the quantization that keeps both engines' centroids bit-equal.
+    "q121_kmeans_build" ->
+      """WITH c0 AS (
+        |  SELECT vec_id AS cell_id, embedding AS c_vec
+        |  FROM embeddings WHERE vec_id < 8),
+        |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+        |s1 AS (
+        |  SELECT c.vec_id, c.embedding, ct.cell_id,
+        |         list_dot_product(CAST(c.embedding AS DOUBLE[]),
+        |                          CAST(ct.c_vec AS DOUBLE[])) AS s
+        |  FROM corpus c CROSS JOIN c0 ct),
+        |a1 AS (
+        |  SELECT vec_id, embedding, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY s DESC, cell_id) AS rn
+        |    FROM s1) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cell_id, list(m ORDER BY i) AS c_vec FROM (
+        |    SELECT cell_id, i, CAST(avg(CAST(embedding[i] AS DOUBLE)) AS FLOAT) AS m
+        |    FROM a1, range(1, 65) t(i) GROUP BY cell_id, i)
+        |  GROUP BY cell_id),
+        |s2 AS (
+        |  SELECT c.vec_id, c.embedding, ct.cell_id,
+        |         list_dot_product(CAST(c.embedding AS DOUBLE[]),
+        |                          CAST(ct.c_vec AS DOUBLE[])) AS s
+        |  FROM corpus c CROSS JOIN c1 ct),
+        |a2 AS (
+        |  SELECT vec_id, embedding, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY s DESC, cell_id) AS rn
+        |    FROM s2) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT cell_id, list(m ORDER BY i) AS c_vec FROM (
+        |    SELECT cell_id, i, CAST(avg(CAST(embedding[i] AS DOUBLE)) AS FLOAT) AS m
+        |    FROM a2, range(1, 65) t(i) GROUP BY cell_id, i)
+        |  GROUP BY cell_id),
+        |s3 AS (
+        |  SELECT c.vec_id, c.embedding, ct.cell_id,
+        |         list_dot_product(CAST(c.embedding AS DOUBLE[]),
+        |                          CAST(ct.c_vec AS DOUBLE[])) AS s
+        |  FROM corpus c CROSS JOIN c2 ct),
+        |a3 AS (
+        |  SELECT vec_id, embedding, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY s DESC, cell_id) AS rn
+        |    FROM s3) WHERE rn = 1)
+        |SELECT cell_id, CAST(i - 1 AS INT) AS pos,
+        |       round(CAST(CAST(avg(CAST(embedding[i] AS DOUBLE)) AS FLOAT)
+        |             AS DOUBLE), 4) + 0.0 AS mean_x
+        |FROM a3, range(1, 65) t(i)
         |GROUP BY cell_id, i
         |ORDER BY cell_id, pos""".stripMargin,
     "q52_multimodal" ->
