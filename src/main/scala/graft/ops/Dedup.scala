@@ -412,31 +412,68 @@ object Dedup {
     * An empty `seen` keeps all of `fresh` (the aggregate yields a null
     * sketch at zero input rows; guarded explicitly). */
   def bloomDedupAgainst(fresh: DataFrame, seen: DataFrame, textCol: String,
-                        expectedItems: Long, fpp: Double): DataFrame = {
+                        expectedItems: Long, fpp: Double): DataFrame =
+    bloomFilterFresh(fresh, textCol,
+      buildBloomSketch(seen, textCol, expectedItems, fpp))
+
+  /** Fold `df`'s content-hash keys into a serialized Bloom sketch — the
+    * build half of `bloomDedupAgainst`, exposed so the streaming sink
+    * (stream.Events.bloomDedupSink) can persist and merge sketches
+    * across micro-batches. Returns null when `df` has no non-null-text
+    * rows (BloomFilterAggregate yields null at zero input). Raises the
+    * session bloom caps to the requested sizing first:
+    * BloomFilterAggregate clamps both arguments to
+    * spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits, so
+    * a request above the defaults would otherwise silently build a
+    * saturating filter whose false-drop rate blows past `fpp`. */
+  def buildBloomSketch(df: DataFrame, textCol: String,
+                       expectedItems: Long, fpp: Double): Array[Byte] = {
     require(expectedItems > 0, "expectedItems must be positive")
     require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0, 1)")
     // standard sizing: m = -n·ln(p)/ln²2 bits
     val numBits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    // Raise the session caps to the requested sizing BEFORE the build:
-    // BloomFilterAggregate clamps both arguments to these confs, so a
-    // request above the defaults would otherwise build a saturating
-    // filter whose false-drop rate silently blows past `fpp`.
-    val conf = seen.sparkSession.conf
+    val conf = df.sparkSession.conf
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     if (conf.get(itemsKey).toLong < expectedItems) conf.set(itemsKey, expectedItems)
     if (conf.get(bitsKey).toLong < numBits) conf.set(bitsKey, numBits)
-    def probeKey = xxhash64(contentHash(col(textCol)))
-    val sketch = seen
-      .filter(col(textCol).isNotNull)
-      .select(call_function("graft_bloom_agg", probeKey,
+    df.filter(col(textCol).isNotNull)
+      .select(call_function("graft_bloom_agg",
+        xxhash64(contentHash(col(textCol))),
         lit(expectedItems), lit(numBits)).as("__bf"))
       .head().getAs[Array[Byte]](0)
+  }
+
+  /** Bitwise-OR merge of two serialized Bloom sketches (either may be
+    * null = empty). Both must come from the same (expectedItems, fpp)
+    * sizing — spark-sketch's mergeInPlace rejects incompatible layouts.
+    * Driver-side and bounded: two numBits/8-byte arrays, the same hop
+    * `buildBloomSketch`'s head() pays. */
+  def mergeBloomSketches(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    (Option(a), Option(b)) match {
+      case (None, y) => y.orNull
+      case (x, None) => x.orNull
+      case (Some(x), Some(y)) =>
+        val fa = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(x))
+        val fb = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(y))
+        fa.mergeInPlace(fb)
+        val out = new java.io.ByteArrayOutputStream()
+        fa.writeTo(out)
+        out.toByteArray
+    }
+
+  /** The probe half of `bloomDedupAgainst`: drop every `fresh` row the
+    * sketch claims to have seen. Null sketch (empty seen corpus) and
+    * null-text rows keep everything/the row, matching `dedupAgainst`. */
+  def bloomFilterFresh(fresh: DataFrame, textCol: String,
+                       sketch: Array[Byte]): DataFrame =
     if (sketch == null) fresh
     else fresh.filter(col(textCol).isNull ||
-      !call_function("graft_bloom_contains", lit(sketch), probeKey))
-  }
+      !call_function("graft_bloom_contains", lit(sketch),
+        xxhash64(contentHash(col(textCol)))))
 
   /** SEGMENT-level exact dedup — the fixed-granularity analog of
     * CCNet-style paragraph dedup (Wenzek et al. 2020 dedupe repeated

@@ -231,6 +231,95 @@ object Events {
         mergeBatch(batch, key, orderCol, snapshotPath, batchId)
       }
 
+  /** Cross-batch streaming Bloom dedup (VERDICT r9 #4): the true
+    * incremental-corpus shape of `Dedup.bloomDedupAgainst` — the seen
+    * set is a Bloom sketch CARRIED ACROSS micro-batches, persisted
+    * beside the checkpoint, so each batch dedupes against everything
+    * every earlier batch saw at constant memory (the sketch, ~1.2 MB
+    * per 10⁶ expected items, is the only cross-batch state — the
+    * accumulated corpus itself is never re-read, never shuffled).
+    *
+    * Per batch: load the latest persisted sketch from a batch id
+    * STRICTLY BELOW the current one, drop rows it claims seen, write
+    * survivors to `<outDir>/batch-<id>`, fold the batch's own keys
+    * into a new sketch, OR-merge it with the prior, and persist as
+    * `<sketchDir>/sketch-<id>` (write-to-tmp + rename). Semantics
+    * match bloomDedupAgainst: no false negatives ever; ~fpp of
+    * genuinely-new rows falsely dropped; within-batch duplicates
+    * untouched (compose with exactDedup); null-text rows kept and
+    * never inserted.
+    *
+    * Exactly-once via determinism, same contract as `mergeSink`: a
+    * replayed batch id re-loads the sketch state from BEFORE that
+    * batch (the strictly-below rule), recomputes the identical keep
+    * set, OVERWRITES the same output directory, and re-persists the
+    * identical merged sketch — convergent at every crash point
+    * (EventsStreamSpec chaos-pins replay and restart-from-
+    * checkpoint). Sketches older than the one generation a replay can
+    * need are pruned. */
+  def bloomDedupSink(docs: DataFrame, textCol: String, expectedItems: Long,
+                     fpp: Double, outDir: String, sketchDir: String)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        bloomDedupBatch(batch, textCol, expectedItems, fpp,
+          outDir, sketchDir, batchId)
+      }
+
+  /** One micro-batch of the Bloom dedup sink, exposed for direct
+    * invocation so the replay contract is testable (the mergeBatch
+    * pattern). */
+  def bloomDedupBatch(batch: DataFrame, textCol: String, expectedItems: Long,
+                      fpp: Double, outDir: String, sketchDir: String,
+                      batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(sketchDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // latest sketch from a PRIOR batch — never this batch's own (a
+    // replay must not dedupe the batch against itself)
+    val priorId: Option[Long] =
+      if (!fs.exists(dir)) None
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.matches("sketch-\\d+") =>
+          n.stripPrefix("sketch-").toLong }
+        .filter(_ < batchId) match {
+          case Seq() => None
+          case ids => Some(ids.max)
+        }
+    val prior: Array[Byte] = priorId.map { id =>
+      val p = new org.apache.hadoop.fs.Path(dir, s"sketch-$id")
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      buf
+    }.orNull
+    graft.ops.Dedup.bloomFilterFresh(batch, textCol, prior)
+      .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+    val merged = graft.ops.Dedup.mergeBloomSketches(prior,
+      graft.ops.Dedup.buildBloomSketch(batch, textCol, expectedItems, fpp))
+    if (merged != null) {
+      fs.mkdirs(dir)
+      val tmp = new org.apache.hadoop.fs.Path(dir, s"sketch-$batchId.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(merged) finally out.close()
+      val dest = new org.apache.hadoop.fs.Path(dir, s"sketch-$batchId")
+      fs.delete(dest, false) // replay overwrites its own generation
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(s"sketch persist failed for $dest")
+      // prune: a replay can only target THIS batch (earlier ids are
+      // offset-committed), which needs only the prior generation.
+      fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.matches("sketch-\\d+") =>
+          n.stripPrefix("sketch-").toLong }
+        .filter(id => id < batchId && !priorId.contains(id))
+        .foreach(id => fs.delete(
+          new org.apache.hadoop.fs.Path(dir, s"sketch-$id"), false))
+    }
+  }
+
   /** One micro-batch of the MERGE sink, exposed for direct invocation
     * so the checkpoint-replay contract is TESTABLE: after a crash
     * between the sink commit and the offset commit, Structured

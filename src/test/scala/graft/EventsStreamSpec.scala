@@ -13,6 +13,9 @@ import java.time.Instant
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
+/** One document row for the streaming Bloom dedup sink tests. */
+case class DocRow(doc_id: Long, text: String)
+
 /** Streaming tests (SURVEY.md §5.2 #4): MemoryStream in, memory/file
   * sink out, NEVER wall-clock — watermark movement is driven entirely
   * by event timestamps. Batch/stream equivalence is the core claim:
@@ -306,6 +309,74 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
     // and a second replay of the same batch is still a fixpoint
     Events.mergeBatch(batch1.toDF(), "user_id", "ts", snap, batchId = 1L)
     assert(snapshot() === afterRestart)
+  }
+
+  test("bloomDedupSink: the sketch carries across batches AND across a restart") {
+    val base = tmpDir()
+    val out = base.resolve("out").toString
+    val sk = base.resolve("sketch").toString
+    val ckpt = base.resolve("ckpt").toString
+    def kept(batch: Long): Set[Long] =
+      spark.read.parquet(s"$out/batch-$batch")
+        .select("doc_id").as[Long].collect().toSet
+    val ms = MemoryStream[DocRow](spark)
+    val q1 = Events.bloomDedupSink(ms.toDF(), "text", 10000L, 0.01, out, sk)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      ms.addData(DocRow(1, "alpha"), DocRow(2, "beta"))
+      q1.processAllAvailable()
+      // batch 1 repeats alpha from batch 0 — the cross-batch drop
+      ms.addData(DocRow(3, "alpha"), DocRow(4, "gamma"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(kept(0) === Set(1L, 2L))
+    assert(kept(1) === Set(4L), "doc 3 repeats batch 0's alpha and must drop")
+    // RESTART: new query, same checkpoint — the persisted sketch (not
+    // any in-memory state) must still know batch 0/1's content
+    val q2 = Events.bloomDedupSink(ms.toDF(), "text", 10000L, 0.01, out, sk)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      ms.addData(DocRow(5, "beta"), DocRow(6, "delta"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(kept(2) === Set(6L),
+      "doc 5 repeats pre-restart content and must drop — sketch survived the restart")
+  }
+
+  test("bloomDedupSink chaos: a replayed batch converges (no self-dedup, no dup output)") {
+    val base = tmpDir()
+    val out = base.resolve("out").toString
+    val sk = base.resolve("sketch").toString
+    def kept(batch: Long): Set[Long] =
+      spark.read.parquet(s"$out/batch-$batch")
+        .select("doc_id").as[Long].collect().toSet
+    val b0 = Seq(DocRow(1, "a"), DocRow(2, "b")).toDF()
+    val b1 = Seq(DocRow(3, "a"), DocRow(4, "c")).toDF()
+    Events.bloomDedupBatch(b0, "text", 1000L, 0.01, out, sk, batchId = 0L)
+    Events.bloomDedupBatch(b1, "text", 1000L, 0.01, out, sk, batchId = 1L)
+    assert(kept(0) === Set(1L, 2L))
+    assert(kept(1) === Set(4L))
+    // REPLAY batch 1 verbatim (crash between sink commit and offset
+    // commit). The strictly-below prior rule must hand it the sketch
+    // state from BEFORE batch 1 — a naive "latest sketch" would dedupe
+    // the batch against itself and emit nothing.
+    Events.bloomDedupBatch(b1, "text", 1000L, 0.01, out, sk, batchId = 1L)
+    assert(kept(1) === Set(4L),
+      "replaying a batch must converge to the same keep set")
+    // and a second replay is still a fixpoint
+    Events.bloomDedupBatch(b1, "text", 1000L, 0.01, out, sk, batchId = 1L)
+    assert(kept(1) === Set(4L))
+    // the chain continues: batch 2 drops content from BOTH earlier
+    // batches and the replay didn't corrupt the sketch
+    val b2 = Seq(DocRow(5, "b"), DocRow(6, "c"), DocRow(7, "d")).toDF()
+    Events.bloomDedupBatch(b2, "text", 1000L, 0.01, out, sk, batchId = 2L)
+    assert(kept(2) === Set(7L))
+    // pruning kept exactly the replay-reachable generations (1 and 2)
+    val fs = new org.apache.hadoop.fs.Path(sk)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(sk))
+      .map(_.getPath.getName).filter(_.matches("sketch-\\d+")).toSet
+    assert(gens === Set("sketch-1", "sketch-2"))
   }
 
   test("mergeSink chaos: a crash mid-swap (snapshot renamed aside) recovers on replay") {
