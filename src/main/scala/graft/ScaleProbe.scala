@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off scale probe (VERDICT r9 #5): run the heavy dedup family at
+  * sf0.1 and at a DERIVED 10× corpus ("sf1") and measure wall time +
+  * shuffle/spill bytes per query, turning SCALE.md's analytical
+  * shuffle-volume claims into measured numbers. NOT part of the driver
+  * contract (not in SparkEntry.queries) — a measurement harness.
+  *
+  * The sf1 corpus is derived from the sf0.1 fixtures, NOT synthesized
+  * fresh, so the per-copy duplicate structure matches the real fixture:
+  *  - documents ×N: copy c keeps doc order but suffixes every token
+  *    with "_c" (c>0), so copies share NO shingles — corpus-internal
+  *    near-dup rate per copy is exactly the fixture's, cluster sizes
+  *    unchanged, corpus 10×. (Un-suffixed copies would make every doc
+  *    a 10-member near-dup cluster — a different, artificial workload.)
+  *  - embeddings ×N: copy c rotates each vector by 6·c positions —
+  *    norms preserved, copies decorrelated, cell populations grow 10×.
+  *
+  * Usage: runMain graft.ScaleProbe [baseDir] [derivedDir] [factor]
+  * Prints one line per (sf, query): seconds, shuffle read/write MB,
+  * disk+memory spill MB. Listener totals are process-wide per query
+  * (the probe runs queries serially, nothing else in flight).
+  */
+object ScaleProbe {
+
+  private final class MetricsAcc extends SparkListener {
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+      }
+    }
+    def reset(): Unit = { shufRead.set(0); shufWrite.set(0); spill.set(0) }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val derived = if (args.length > 1) args(1) else "/tmp/graft-sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", TempDirs.scratch("graft-warehouse-"))
+    Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    graft.expressions.VectorExpressions.register(spark)
+    graft.expressions.TextExpressions.register(spark)
+    spark.experimental.extraOptimizations ++=
+      Seq(graft.expressions.RewriteDotProduct, graft.expressions.RewriteRollingHash)
+    spark.sparkContext.setLogLevel("WARN")
+
+    deriveIfAbsent(spark, base, derived, factor)
+
+    val acc = new MetricsAcc
+    spark.sparkContext.addSparkListener(acc)
+    val family = Seq("q70_lsh_neardup", "q72_near_dedup", "q81_near_dedup_cc",
+      "q106_segment_dedup", "q109_semantic_dedup")
+    // warmup (JIT/codegen/parquet paths), untimed
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for (dir <- Seq(base, derived); name <- family) {
+      // settle the async listener bus, then zero the counters
+      Thread.sleep(1000); acc.reset()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // let straggler task-end events drain
+      println(f"[probe] dir=$dir query=$name sec=$sec%.2f " +
+        f"shuffle_read_mb=${acc.shufRead.get / 1e6}%.1f " +
+        f"shuffle_write_mb=${acc.shufWrite.get / 1e6}%.1f " +
+        f"spill_mb=${acc.spill.get / 1e6}%.1f")
+    }
+    spark.stop()
+  }
+
+  /** Build the derived corpus once; skip when already on disk. */
+  private def deriveIfAbsent(spark: SparkSession, base: String,
+                             derived: String, factor: Int): Unit = {
+    val done = new org.apache.hadoop.fs.Path(s"$derived/_DERIVED")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(done)) return
+    val docs = Tables.documents(spark, base)
+    val nDocs = docs.count()
+    val copies = spark.range(factor).select(col("id").cast("int").as("__c"))
+    docs.crossJoin(copies)
+      .withColumn("doc_id", col("doc_id") + col("__c") * nDocs)
+      .withColumn("text",
+        when(col("__c") === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              t => concat(t, lit("_"), col("__c"))), " ")))
+      .drop("__c")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$derived/documents.parquet")
+    val emb = Tables.embeddings(spark, base)
+    val nVec = emb.count()
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    emb.crossJoin(copies)
+      .withColumn("vec_id", col("vec_id") + col("__c") * nVec)
+      .withColumn("embedding", concat(
+        slice(col("embedding"), col("__c") * 6 + 1, lit(dims)),
+        slice(col("embedding"), lit(1), col("__c") * 6)))
+      .drop("__c")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$derived/embeddings.parquet")
+    fs.create(done, true).close()
+  }
+}
