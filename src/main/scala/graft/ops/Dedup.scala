@@ -604,16 +604,26 @@ object Dedup {
     * exactly one bucket → ONE file per bucket, which is what lets the
     * read side trust the sortBy metadata (no Sort before the merge
     * join). */
-  def writeLshIndex(df: DataFrame, idCol: String, textCol: String,
-                    table: String, shingleN: Int = 3, numHashes: Int = 64,
-                    bands: Int = 16, buckets: Int = 8): Unit = {
+  /** Exploded band rows (band, bucket, id, sig) for a corpus — the
+    * common projection behind the persisted index's write side AND the
+    * probe side of an incremental batch (both must band with identical
+    * parameters or buckets never collide). Null signatures (short
+    * docs) drop at the explode, as in lshCandidatePairs. */
+  private def bandRows(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val rows = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+    minhashSignatures(df, idCol, textCol, shingleN, numHashes)
       .select(col("id"), col("sig"),
         explode(when(col("sig").isNotNull, bandKeys(col("sig"), bands, r))).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
         col("id"), col("sig"))
+  }
+
+  def writeLshIndex(df: DataFrame, idCol: String, textCol: String,
+                    table: String, shingleN: Int = 3, numHashes: Int = 64,
+                    bands: Int = 16, buckets: Int = 8): Unit = {
+    val rows = bandRows(df, idCol, textCol, shingleN, numHashes, bands)
       .repartition(buckets, col("band"), col("bucket"))
     graft.pipeline.Warehouse.writeBucketed(rows, table, Seq("band", "bucket"), buckets)
   }
@@ -637,5 +647,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** INCREMENTAL near-dedup against the persisted index — the daily-
+    * batch flow at 100 TB: band the fresh batch with the index's own
+    * parameters, join its band rows against the bucketed index, and
+    * drop every fresh doc whose estimated Jaccard against ANY indexed
+    * doc reaches `threshold`. The accumulated corpus never re-shingles
+    * and never shuffles: the only Exchange in the candidate join is
+    * the FRESH side hashing into the index's bucket layout
+    * (PlanShapeSpec pins exactly one band-key exchange), so per-batch
+    * cost tracks the batch, not the corpus — the LSH analog of
+    * `dedupAgainst`'s hash-index anti-join, with `bloomDedupAgainst`
+    * beyond it when even band rows outgrow a join side.
+    *
+    * Fresh docs with a null signature (shorter than the shingle width)
+    * are kept, like every other consumer of the null-signature rule.
+    * After accepting a batch, append its band rows to the index (same
+    * write path) so the next batch dedupes against it too. */
+  def nearDedupAgainstIndex(fresh: DataFrame, idCol: String, textCol: String,
+                            table: String, threshold: Double,
+                            shingleN: Int = 3, numHashes: Int = 64,
+                            bands: Int = 16): DataFrame = {
+    val idx = fresh.sparkSession.table(table)
+      .select(col("band"), col("bucket"), col("sig").as("sig_seen"))
+    val losers = bandRows(fresh, idCol, textCol, shingleN, numHashes, bands)
+      .join(idx, Seq("band", "bucket"))
+      .filter(estJaccard(col("sig"), col("sig_seen"), numHashes) >= threshold)
+      .select(col("id").as(idCol)).distinct()
+    fresh.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -521,6 +521,31 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL near-dedup against the persisted index — the daily-
+    // batch flow (Dedup.nearDedupAgainstIndex): a synthetic fresh
+    // batch of near-variants (corpus docs + one trailing token ⇒
+    // shingle-set Jaccard near 1, must drop) and genuinely-novel docs
+    // (every token suffixed ⇒ zero shared shingles, must keep) is
+    // deduped against q120's index. The corpus never re-shingles and
+    // never shuffles — the only band-key Exchange is the FRESH side
+    // hashing into the index's bucket layout (plan pinned). Rows-only
+    // by contract (hash-family candidates); DedupSpec pins the
+    // drop-set ≡ the in-memory cross-pair formulation.
+    "q122_incremental_index_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val variants = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" graftprobe")).as("text"))
+      val novel = docs.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("_x"))), " ").as("text"))
+      Dedup.nearDedupAgainstIndex(variants.unionByName(novel),
+          "doc_id", "text", lshIndexTable(s, dir), threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // embedding near-dup at scale: banded cosine-sketch candidates
     // rescored with EXACT cosine (Similarity.cosineNearDupPairs) — the
     // sub-quadratic path that replaces q48's bounded brute baseline.

@@ -380,6 +380,40 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("nearDedupAgainstIndex drop-set equals the in-memory cross-pair formulation") {
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = "graft_lsh_index_incr_spec"
+    try {
+      Dedup.writeLshIndex(docs, "doc_id", "text", tbl,
+        shingleN = 3, numHashes = 64, bands = 16, buckets = 8)
+      // fresh = near-variants (one appended token ⇒ must drop) +
+      // novel docs (every token suffixed ⇒ must keep); ids offset
+      // above the corpus so cross pairs are exactly id_a < 10000 <= id_b
+      val variants = docs.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 10000).as("doc_id"),
+          concat($"text", lit(" graftprobe")).as("text"))
+      val novel = docs.filter($"doc_id" % 5 === 1)
+        .select(($"doc_id" + 20000).as("doc_id"),
+          array_join(transform(split($"text", " "),
+            t => concat(t, lit("_x"))), " ").as("text"))
+      val fresh = variants.unionByName(novel)
+      val keptIdx = Dedup.nearDedupAgainstIndex(fresh, "doc_id", "text",
+          tbl, threshold = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      // oracle formulation: one in-memory candidate pass over corpus ∪
+      // fresh; a fresh doc drops iff it pairs at >= 0.5 with a CORPUS doc
+      val expectedLosers = Dedup.lshCandidatePairs(
+          docs.select($"doc_id", $"text").unionByName(fresh),
+          "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16)
+        .filter($"est_jaccard" >= 0.5 && $"id_a" < 10000 && $"id_b" >= 10000)
+        .select($"id_b").as[Long].collect().toSet
+      val freshIds = fresh.select("doc_id").as[Long].collect().toSet
+      assert(keptIdx === (freshIds -- expectedLosers))
+      assert(expectedLosers.nonEmpty, "variants must actually drop")
+      assert(keptIdx.exists(_ >= 20000L), "novel docs must survive")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("segmentDedup keeps global first occurrences and reconstructs text") {
     val df = Seq(
       (1L, "a b c d"),   // segs: "a b", "c d" — both first occurrences

@@ -179,6 +179,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  /** The incremental flow's scale claim as a plan fact: in q122's
+    * candidate join, ONLY the fresh batch may shuffle into the index's
+    * bucket layout — the corpus-sized index side reads bucketed with
+    * no Exchange. Exactly one band-key hashpartitioning in the whole
+    * plan = the fresh side's. */
+  test("q122 incremental index dedup: only the fresh side shuffles on band keys") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val p = plan("q122_incremental_index_dedup")
+      val bandExchanges = "hashpartitioning\\(band".r.findAllIn(p).size
+      assert(bandExchanges == 1,
+        s"expected exactly 1 band-key exchange (the fresh side), got $bandExchanges:\n$p")
+      assert(p.contains("SortMergeJoin"),
+        s"candidate join should merge against the bucketed index scan:\n$p")
+    }
+  }
+
   /** VERDICT r7 #2: the bounded-heap Aggregator path (q95) under the
     * gate. The plan must show partial+final ObjectHashAggregate — the
     * shuffle carries per-partition k-bounded buffers, not all rows
