@@ -173,6 +173,44 @@ object Similarity {
       .select(col("cell_id"),
         transform(col("pm"), p => p.getField("m").cast("float")).as("c_vec"))
 
+  /** Persist the IVF index as a CELL-PARTITIONED parquet layout — the
+    * storage half of the IVF story (assignCells computes the
+    * assignment; this writes it so queries stop recomputing it): one
+    * directory per cell_id, so a probe that touches nProbe cells lists
+    * and reads ONLY those directories. The 100 TB ANN read path is
+    * exactly this — the index is big (it IS the corpus + assignment),
+    * the probe is small, and partition pruning is what connects them. */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, path: String): Unit =
+    graft.pipeline.Warehouse.writePartitioned(
+      assignCells(corpus, idCol, vecCol, centroids), path, "cell_id")
+
+  /** ANN top-k over the PERSISTED index: rank the C centroids against
+    * the query (fixed-size computation), collect the nProbe winning
+    * cell ids — a driver hop bounded by nProbe longs, the same bounded
+    * hop the bloom sketch pays, and what turns the probe into a
+    * LITERAL IN predicate on the partition column — then scan only the
+    * probed cell directories (PlanShapeSpec pins the PartitionFilters)
+    * and rescore exactly. Same arithmetic as ivfTopK, so the same
+    * DuckDB oracle gates it end-to-end. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       idCol: String, vecCol: String, centroids: DataFrame,
+                       query: DataFrame, queryVecCol: String,
+                       k: Int, nProbe: Int): DataFrame = {
+    val probeCells = centroids.crossJoin(broadcast(query))
+      .select(col("cell_id"), dot(col("c_vec"), col(queryVecCol)).as("s"))
+      .orderBy(desc("s"), col("cell_id"))
+      .limit(nProbe)
+      .select("cell_id")
+      .collect().map(_.getLong(0))
+    spark.read.parquet(path)
+      .filter(col("cell_id").isin(probeCells: _*))
+      .crossJoin(broadcast(query))
+      .select(col(idCol), dot(col(vecCol), col(queryVecCol)).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
   /** Multi-iteration Lloyd k-means build (VERDICT r9 #6): alternate
     * assignCells / updateCentroids for a FIXED number of iterations
     * from the given seed centroids — deterministic (no random init, no

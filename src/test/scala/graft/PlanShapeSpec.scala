@@ -197,6 +197,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  /** The persisted-IVF read path as a plan fact: the probe must reach
+    * the index scan as a PARTITION filter on cell_id (a literal IN of
+    * the nProbe collected ids) — only the probed cell directories are
+    * read. A plan where cell_id shows up only as a data filter would
+    * scan the whole index and filter rows after the fact. */
+  test("q123 persisted IVF: the probe prunes the cell partitions at the scan") {
+    val p = plan("q123_ivf_index_topk")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("cell_id") && (pf.contains(" IN ") || pf.contains("isin")),
+      s"probe cells not applied as partition filters:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k lost the TakeOrderedAndProject plan:\n$p")
+  }
+
   /** VERDICT r7 #2: the bounded-heap Aggregator path (q95) under the
     * gate. The plan must show partial+final ObjectHashAggregate — the
     * shuffle carries per-partition k-bounded buffers, not all rows
