@@ -197,6 +197,63 @@ object Sampling {
       ((row_number().over(w) - 1) % numShards).cast("long"))
   }
 
+  /** Deterministic TRAINING-ORDER SHUFFLE: the global random
+    * permutation a training run wants, as a pure function of content —
+    * shard = (md5 coin of the id) mod numShards, within-shard order =
+    * the remaining hex of the same coin. Writing with
+    * repartition(numShards, shard) + sortWithinPartitions(shuffle_key)
+    * materializes the layout with ONE shuffle and NO global sort — a
+    * global row_number permutation would funnel the corpus through one
+    * window partition, the classic scale killer, while this is
+    * row-local until the write. Stable under row order, partitioning,
+    * and appends (an appended doc lands at its content-addressed
+    * position without moving anyone else); engine-portable md5, so
+    * oracle-checkable end-to-end (q124). */
+  def trainingShuffle(df: DataFrame, idCol: String, seed: Long,
+                      numShards: Int): DataFrame = {
+    require(numShards >= 1, "numShards must be positive")
+    val h = md5(concat(col(idCol).cast("string"), lit(":"), lit(seed.toString)))
+    df.withColumn("shard",
+        conv(substring(h, 1, 6), 16, 10).cast("long") % numShards)
+      .withColumn("shuffle_key", substring(h, 7, 26))
+  }
+
+  /** TEMPERATURE-SCALED mixture plan — the multilingual-LM sampling
+    * rule (mT5 / XLM-R style): stratum weight ∝ p_s^α where p_s is the
+    * stratum's token share and α ∈ (0, 1] the temperature. α = 1 is
+    * proportional (natural) sampling; lowering α flattens the mixture,
+    * upweighting low-resource strata without the hand-tuned weight map
+    * `mixturePlan` takes. Output mirrors mixturePlan plus (p, weight):
+    * (stratum, n_docs, n_tokens, p, weight, rate, planned_tokens).
+    *
+    * Scale shape: ONE partial-aggregated groupBy over the corpus; the
+    * share/normalization math runs on the stratum-sized frame (two
+    * broadcast one-row joins for the totals). weight is rounded to 6
+    * before the rate so the plan is engine-portable despite pow()'s
+    * last-ulp wiggle (q125's oracle replays the same rounding). */
+  def temperatureMixture(df: DataFrame, strataCol: String, sizeCol: String,
+                         alpha: Double, tokenBudget: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val sizes = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(sizeCol)).cast("long").as("n_tokens"))
+    val total = sizes.agg(sum(col("n_tokens")).cast("double").as("__total"))
+    val withP = sizes.crossJoin(broadcast(total))
+      .withColumn("__p_raw", col("n_tokens") / col("__total"))
+      .withColumn("__pa", pow(col("__p_raw"), lit(alpha)))
+    val z = withP.agg(sum(col("__pa")).as("__z"))
+    withP.crossJoin(broadcast(z))
+      .withColumn("p", round(col("__p_raw"), 6))
+      .withColumn("weight", round(col("__pa") / col("__z"), 6))
+      .withColumn("rate",
+        round(least(lit(1.0),
+          lit(tokenBudget) * col("weight") / col("n_tokens")), 4))
+      .withColumn("planned_tokens",
+        round(col("rate") * col("n_tokens")).cast("long"))
+      .drop("__total", "__p_raw", "__pa", "__z")
+  }
+
   /** Hex digits of sampling-threshold precision (16^6 = 16,777,216). */
   val HexDigits = 6
 

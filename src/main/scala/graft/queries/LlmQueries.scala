@@ -856,6 +856,30 @@ object LlmQueries {
     // capped at 1 (src0's high weight caps; default-weight sources
     // land well below 1 — both branches exercised). One partial-
     // aggregated groupBy over the corpus, then stratum-local math.
+    // deterministic training-order shuffle (Sampling.trainingShuffle):
+    // shard + within-shard position from one md5 coin — row-local, no
+    // window, no global sort; the physical layout is one
+    // repartition-by-shard write. Content-addressed ⇒ the whole
+    // permutation is engine-portable and under the hash gate.
+    "q124_training_shuffle" -> ((s, dir) => {
+      Sampling.trainingShuffle(
+          Tables.documents(s, dir).select(col("doc_id")),
+          "doc_id", seed = 7, numShards = 8)
+        .orderBy("doc_id")
+    }),
+
+    // temperature-scaled mixture (Sampling.temperatureMixture): weights
+    // ∝ (token share)^0.3 — the multilingual-LM flattening rule that
+    // upweights low-resource strata; rate/planned tokens as in q111.
+    "q125_temperature_mixture" -> ((s, dir) => {
+      Sampling.temperatureMixture(
+          Tables.documents(s, dir)
+            .select(col("source"),
+              TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "source", "n_tokens", alpha = 0.3, tokenBudget = 10000.0)
+        .orderBy("source")
+    }),
+
     "q111_mixture_plan" -> ((s, dir) => {
       Sampling.mixturePlan(
           Tables.documents(s, dir)
@@ -1425,6 +1449,35 @@ object LlmQueries {
         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
     // rate is rounded to 4 decimals BEFORE planned_tokens, mirroring
     // Sampling.mixturePlan exactly.
+    "q124_training_shuffle" ->
+      """SELECT doc_id,
+        |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 6))
+        |            AS BIGINT) % 8 AS shard,
+        |       substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 7, 26) AS shuffle_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // weight rounded to 6 BEFORE the rate, exactly as the Spark side
+    // does — pow()'s last-ulp wiggle must not reach the rate math.
+    "q125_temperature_mixture" ->
+      """WITH agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM agg),
+        |pa AS (
+        |  SELECT a.*, a.n_tokens / t.total AS p_raw,
+        |         pow(a.n_tokens / t.total, 0.3) AS pav
+        |  FROM agg a, tot t),
+        |z AS (SELECT sum(pav) AS zv FROM pa),
+        |w AS (
+        |  SELECT pa.*, round(pa.pav / z.zv, 6) AS weight FROM pa, z),
+        |r AS (
+        |  SELECT *, round(least(CAST(1.0 AS DOUBLE),
+        |                        CAST(10000.0 AS DOUBLE) * weight / n_tokens),
+        |                  4) AS rate
+        |  FROM w)
+        |SELECT source, n_docs, n_tokens, round(p_raw, 6) AS p, weight, rate,
+        |       CAST(round(rate * n_tokens) AS BIGINT) AS planned_tokens
+        |FROM r ORDER BY source""".stripMargin,
     "q111_mixture_plan" ->
       """WITH agg AS (
         |  SELECT source, count(*) AS n_docs,

@@ -163,6 +163,55 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     assert(plan("c") === ("c", 1L, 50L, 0.1, 0.2, 10L))
   }
 
+  test("trainingShuffle: partition-invariant, balanced shards, key decorrelates from id order") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val base = Sampling.trainingShuffle(docs, "doc_id", seed = 7, numShards = 8)
+      .select("doc_id", "shard", "shuffle_key")
+      .as[(Long, Long, String)].collect()
+    val reparted = Sampling.trainingShuffle(docs.repartition(13), "doc_id",
+        seed = 7, numShards = 8)
+      .select("doc_id", "shard", "shuffle_key")
+      .as[(Long, Long, String)].collect()
+    assert(base.toSet === reparted.toSet, "assignment must be content-addressed")
+    // md5 uniformity: every shard within ±40% of n/8 on the fixture
+    val n = base.length
+    val byShard = base.groupBy(_._2).view.mapValues(_.length)
+    assert(byShard.keys.toSet.subsetOf((0L until 8L).toSet))
+    assert(byShard.values.forall(c =>
+      c > n / 8 * 0.6 && c < n / 8 * 1.4), s"unbalanced shards: ${byShard.toMap}")
+    // the permutation actually shuffles: within a shard, ordering by
+    // shuffle_key must not be the id ordering
+    val oneShard = base.filter(_._2 == base.head._2)
+    val byKey = oneShard.sortBy(_._3).map(_._1).toSeq
+    assert(byKey !== byKey.sorted, "shuffle_key order degenerated to id order")
+    // a different seed is a different permutation
+    val reseeded = Sampling.trainingShuffle(docs, "doc_id", seed = 8, numShards = 8)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    val moved = base.count { case (id, sh, _) => reseeded(id) != sh }
+    assert(moved > n / 2, "reseeding must reassign most rows")
+  }
+
+  test("temperatureMixture: alpha=1 is proportional; lower alpha flattens toward uniform") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), length(col("text")).as("n_tokens"))
+    def weights(alpha: Double): Map[String, Double] =
+      Sampling.temperatureMixture(docs, "source", "n_tokens", alpha, 10000.0)
+        .select("source", "weight").as[(String, Double)].collect().toMap
+    val w1 = weights(1.0)
+    val p = Sampling.temperatureMixture(docs, "source", "n_tokens", 1.0, 10000.0)
+      .select("source", "p").as[(String, Double)].collect().toMap
+    // alpha = 1: weight == p (both rounded to 6)
+    w1.foreach { case (s, w) => assert(math.abs(w - p(s)) < 2e-6, s"$s: $w vs ${p(s)}") }
+    assert(math.abs(w1.values.sum - 1.0) < 1e-4)
+    // alpha < 1 flattens: the smallest stratum gains, the largest loses
+    val w3 = weights(0.3)
+    val smallest = p.minBy(_._2)._1
+    val largest = p.maxBy(_._2)._1
+    assert(w3(smallest) > w1(smallest), "low-resource stratum must upweight")
+    assert(w3(largest) < w1(largest), "dominant stratum must downweight")
+    assert(math.abs(w3.values.sum - 1.0) < 1e-4)
+  }
+
   test("stratifiedSample drops strata absent from the fractions map") {
     val docs = Tables.documents(spark, sfDir)
     val onlyEn = Sampling.stratifiedSample(docs, "lang", "doc_id",
