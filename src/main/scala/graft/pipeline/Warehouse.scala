@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Write-side storage layout for the 100 TB deployment (SURVEY.md §4
   * "partitioned Parquet layout", prompt mandate "co-locate joins via
@@ -45,6 +45,40 @@ object Warehouse {
     df.write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Z-ORDER (Morton) key: interleave the low `bitsPer` bits of two
+    * non-negative integer columns — the multi-dimensional data-skipping
+    * layout. Sorting/range-partitioning files by the z key keeps BOTH
+    * columns' per-file min/max spans narrow simultaneously, so scans
+    * filtered on EITHER dimension skip most files via parquet
+    * min/max stats; a single-column sort clusters that column only and
+    * leaves the other's spans at the full range (WarehouseSpec
+    * measures exactly this on the lineitem fixture).
+    *
+    * Declarative bit fold (aggregate over bit positions, floor-div
+    * arithmetic — `functions.shiftright` takes only literal shifts) —
+    * codegen'd, no UDF, and engine-portable: q126 hash-matches the
+    * same arithmetic in DuckDB. Values must lie in [0, 2^bitsPer);
+    * all intermediates stay integral and far below 2^53, so the
+    * double-arithmetic fold is exact.
+    *
+    * NORMALIZE FIRST: interleaving only clusters both dimensions when
+    * they occupy comparable bit widths — a 7-bit column interleaved
+    * with a 14-bit one leaves the top z bits owned entirely by the
+    * wide column and the layout degenerates to a single-column sort.
+    * Scale each dim to the full [0, 2^bitsPer) range first (min/max
+    * scaling off a one-row broadcast aggregate, or rank scaling);
+    * WarehouseSpec measures the clustering with and without. */
+  def zOrderKey(x: Column, y: Column, bitsPer: Int): Column = {
+    import org.apache.spark.sql.functions._
+    require(bitsPer >= 1 && bitsPer <= 26, "bitsPer must be in [1, 26]")
+    def bit(c: Column, i: Column) =
+      pmod(floor(c.cast("double") / pow(lit(2.0), i)), lit(2.0))
+    aggregate(
+      sequence(lit(0), lit(bitsPer - 1)), lit(0.0),
+      (acc, i) => acc + (bit(x, i) + bit(y, i) * 2.0) * pow(lit(4.0), i))
+      .cast("long")
+  }
 
   /** Fixed-size training shards: ~`rowsPerShard` rows per output file,
     * globally ordered by `orderCol` so shard N's key range precedes

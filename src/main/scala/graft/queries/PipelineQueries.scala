@@ -66,6 +66,23 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // Z-ORDER layout key (Warehouse.zOrderKey): Morton-interleave
+    // (l_partkey, l_suppkey) — the multi-dimensional data-skipping
+    // sort key. The KEY ARITHMETIC is what's gated here (bit fold,
+    // engine-portable); the layout payoff (both dims' per-file spans
+    // narrow under a z sort, vs one dim under a plain sort) is
+    // measured in WarehouseSpec on this same fixture.
+    "q126_zorder_key" -> ((s, dir) => {
+      import graft.pipeline.Warehouse
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          Warehouse.zOrderKey(col("l_partkey"), col("l_suppkey"), 16)
+            .as("z_key"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Quarantine capture, content-addressed: categories 1/4/7 carry
     // malformed payloads; the quarantine filter (parsed results IS
     // NULL on a non-null payload) must capture EXACTLY those three —
@@ -80,6 +97,16 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same floor-div bit fold; every intermediate is integral and
+    // < 2^53, so the double arithmetic is exact in both engines.
+    "q126_zorder_key" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       CAST(list_sum(list_transform(range(0, 16), i ->
+        |         (CAST(floor(l_partkey / 2 ** i) AS BIGINT) % 2
+        |          + 2 * (CAST(floor(l_suppkey / 2 ** i) AS BIGINT) % 2))
+        |         * (4 ** i))) AS BIGINT) AS z_key
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // relational recomputation — the oracle never parses JSON, so the
     // Spark-side parse path is what is actually under test.
     "q97_ingest_normalize" ->

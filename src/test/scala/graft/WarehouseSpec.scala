@@ -65,6 +65,42 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("z-order layout clusters BOTH dims; a single-column sort clusters one") {
+    val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey")
+    val mm = li.agg(
+      min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).head()
+    val (pMin, pMax, sMin, sMax) =
+      (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+    // normalize both dims to 8 bits (the zOrderKey docstring contract)
+    def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      floor((c - lit(lo)).cast("double") * 255.0 / (hi - lo).toDouble).cast("long")
+    val withKeys = li
+      .withColumn("z", Warehouse.zOrderKey(
+        norm(col("l_partkey"), pMin, pMax), norm(col("l_suppkey"), sMin, sMax), 8))
+    // avg per-bucket span of each dim under a 16-way range layout
+    def spans(df: org.apache.spark.sql.DataFrame,
+              key: String): (Double, Double) = {
+      val r = df.repartitionByRange(16, col(key))
+        .withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max("l_partkey") - min("l_partkey")).as("ps"),
+          (max("l_suppkey") - min("l_suppkey")).as("ss"))
+        .agg(avg("ps"), avg("ss")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val pRange = (pMax - pMin).toDouble
+    val sRange = (sMax - sMin).toDouble
+    // single-column layout: partkey tightly clustered, suppkey ~unclustered
+    val (sp, ss) = spans(withKeys, "l_partkey")
+    assert(sp < pRange * 0.2, s"partkey span $sp under its own sort")
+    assert(ss > sRange * 0.8, s"suppkey should be unclustered under partkey sort, span $ss")
+    // z layout: BOTH dims well below the full range — the skipping win
+    val (zp, zs) = spans(withKeys, "z")
+    assert(zp < pRange * 0.5, s"partkey span $zp under z layout")
+    assert(zs < sRange * 0.5, s"suppkey span $zs under z layout")
+  }
+
   test("partitioned layout prunes non-matching partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part-").toString
     val events = Tables.events(spark, sfDir)
