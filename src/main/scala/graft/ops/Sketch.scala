@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch pre-aggregation (the rollup-table pattern): at
+  * 100 TB, "distinct users per X over an arbitrary date range" cannot
+  * rescan raw events per query — instead each ingest window persists a
+  * fixed-size HLL sketch per (group, window), and queries UNION the
+  * sketches for whatever range they need. Distinct counting is the one
+  * aggregate that does NOT roll up from plain partial counts (distinct
+  * is not additive); sketches restore additivity at a bounded, chosen
+  * error.
+  *
+  * Built on Spark's own Apache DataSketches HLL expressions
+  * (`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`,
+  * functions added in Spark 3.5) — codegen-planned aggregates with
+  * map-side partial combine: the shuffle carries one 2^lgK-register
+  * sketch per group per partition, never raw values.
+  *
+  * Two laws make the pattern trustworthy (SketchSpec pins both):
+  *  - LOSSLESS MERGE: estimate(union of window sketches) EQUALS
+  *    estimate(one sketch over the concatenated data) exactly — HLL
+  *    union is register-wise max, so splitting by window costs zero
+  *    accuracy (same lgK).
+  *  - BOUNDED ERROR: the estimate tracks exact distinct within the
+  *    HLL relative-error envelope (~1.04/√2^lgK; lgK 12 ⇒ ~1.6%).
+  */
+object Sketch {
+
+  /** One HLL sketch per group — the persisted rollup-table row. Write
+    * this per ingest window (e.g. per day) with the window columns in
+    * `groupCols`. */
+  def buildSketches(df: DataFrame, valueCol: String, lgK: Int,
+                    groupCols: Column*): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    df.groupBy(groupCols: _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("hll"))
+  }
+
+  /** Merge sketch rows up to a coarser grouping (drop the window
+    * columns, keep the dimension ones): register-wise max union —
+    * associative, commutative, re-runnable. */
+  def rollupSketches(sketches: DataFrame, groupCols: Column*): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    sketches.groupBy(groupCols: _*)
+      .agg(hll_union_agg(col("hll")).as("hll"))
+  }
+
+  /** Cardinality estimate of a sketch column. */
+  def estimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+}

@@ -207,6 +207,28 @@ object EventQueries {
           sum("n").over(totals).cast("double"))
         .orderBy("src_type", "dst_type")
     }),
+
+    // MERGEABLE SKETCH ROLLUP (ops.Sketch): per-(event_type, day) HLL
+    // sketches of user_id — the persisted pre-aggregation shape —
+    // union-merged up to event_type and estimated. Distinct counts are
+    // the one aggregate that does NOT roll up from plain partials;
+    // sketches restore additivity at bounded error. Rows-only by
+    // contract (DataSketches register layout has no DuckDB replay);
+    // SketchSpec pins the two laws that matter: lossless merge
+    // (windowed-then-unioned ≡ single-pass, exactly) and bounded error
+    // vs exact distinct. Deterministic, so stable under the driver's
+    // non-empty check.
+    "q127_sketch_rollup" -> ((s, dir) => {
+      import graft.ops.Sketch
+      import org.apache.spark.sql.functions._
+      val daily = Sketch.buildSketches(
+        Tables.events(s, dir).withColumn("day", to_date(col("ts"))),
+        "user_id", lgK = 12, col("event_type"), col("day"))
+      Sketch.rollupSketches(daily, col("event_type"))
+        .select(col("event_type"),
+          Sketch.estimate(col("hll")).as("est_users"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
