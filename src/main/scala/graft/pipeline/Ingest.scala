@@ -111,4 +111,47 @@ object Ingest {
             when(col("__u_key").isNotNull, col(s"__u_$c"))
               .otherwise(col(s"__e_$c")).as(c)): _*)
   }
+
+  /** SCD TYPE-2 dimension build from a change log — the warehouse-side
+    * complement of the as-of join (ops.AsOf answers "which version was
+    * live at time t"; this MATERIALIZES the version intervals so any
+    * engine can answer it with a plain range predicate):
+    *
+    *  1. CHANGE DETECTION: a log row opens a new version only when
+    *     `attrCol` differs from the key's previous row (lag over the
+    *     (orderCol, tieCol) order) — repeated writes of the same value
+    *     are no-ops and collapse away, so interval count tracks real
+    *     transitions, not log volume.
+    *  2. INTERVAL ASSIGNMENT: effective_from = the change row's
+    *     orderCol; effective_to = the NEXT change's orderCol (null on
+    *     the open/current version); is_current flags it.
+    *
+    * Scale shape: ONE shuffle on the key feeds both windows (same
+    * partitioning, same ordering — Spark evaluates them in one Window
+    * operator chain without re-sorting), and the change filter runs
+    * between them, so the interval window sorts only surviving change
+    * rows. `tieCol` must make (orderCol, tieCol) unique per key or
+    * version order is undefined — the standard CDC sequencing
+    * requirement. */
+  def scd2(changes: DataFrame, keyCol: String, orderCol: String,
+           tieCol: String, attrCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val logOrder = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(tieCol))
+    val detected = changes
+      .withColumn("__rn", row_number().over(logOrder))
+      .withColumn("__prev", lag(col(attrCol), 1).over(logOrder))
+      // null-safe inequality so a null↔non-null transition IS a
+      // change; the explicit first-row test keeps a key whose FIRST
+      // attribute is null (lag's null is indistinguishable from a real
+      // null prev, and <=> would wrongly collapse that opening row)
+      .filter(col("__rn") === 1 || !(col(attrCol) <=> col("__prev")))
+      .drop("__rn", "__prev")
+    val versionOrder = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(tieCol))
+    detected
+      .withColumn("effective_from", col(orderCol))
+      .withColumn("effective_to", lead(col(orderCol), 1).over(versionOrder))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
 }

@@ -229,9 +229,52 @@ object EventQueries {
           Sketch.estimate(col("hll")).as("est_users"))
         .orderBy("event_type")
     }),
+
+    // SCD TYPE-2 dimension build (pipeline.Ingest.scd2): the purchase
+    // log as a change stream of each user's spend tier — consecutive
+    // same-tier purchases collapse (change detection), surviving rows
+    // get [effective_from, effective_to) intervals and a current
+    // flag. One user_id shuffle feeds both windows. The as-of join
+    // (q75) answers point-in-time lookups from the raw log; this
+    // materializes the intervals so a plain range predicate answers
+    // them from the dimension table.
+    "q128_scd2_build" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val purchases = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") / 20).cast("long").as("tier"))
+      graft.pipeline.Ingest.scd2(purchases, "user_id", "ts", "event_id", "tier")
+        .select(col("user_id"), col("event_id"), col("tier"),
+          unix_micros(col("effective_from")).as("from_us"),
+          unix_micros(col("effective_to")).as("to_us"),
+          col("is_current"))
+        .orderBy("user_id", "from_us")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // change detection via IS DISTINCT FROM (the <=> mirror), first
+    // row kept explicitly; intervals from lead over the same order.
+    "q128_scd2_build" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(floor(value / 20) AS BIGINT) AS tier
+        |  FROM events WHERE event_type = 'purchase'),
+        |d AS (
+        |  SELECT *, row_number() OVER w AS rn, lag(tier) OVER w AS prev
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT user_id, ts, event_id, tier FROM d
+        |  WHERE rn = 1 OR tier IS DISTINCT FROM prev),
+        |v AS (
+        |  SELECT *, lead(ts) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS eff_to
+        |  FROM c)
+        |SELECT user_id, event_id, tier,
+        |       epoch_us(ts) AS from_us, epoch_us(eff_to) AS to_us,
+        |       eff_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, from_us""".stripMargin,
     // funnel cascade: stage-k time = min ts of the stage event type
     // STRICTLY AFTER the stage-(k-1) time. Timestamps are unique per
     // user at microsecond granularity, so > vs >= cannot diverge.

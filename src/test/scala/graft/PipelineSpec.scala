@@ -122,6 +122,34 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       (4L, Some("d"), Some(40.0))))
   }
 
+  test("scd2: collapses no-change rows, intervals chain, null-first opens a version") {
+    val log = Seq(
+      // key 1: a→a (collapse)→b→b (collapse)→a : three versions
+      (1L, 10L, 100L, Option("a")),
+      (1L, 20L, 101L, Option("a")),
+      (1L, 30L, 102L, Option("b")),
+      (1L, 40L, 103L, Option("b")),
+      (1L, 50L, 104L, Option("a")),
+      // key 2: null-first opens, null→x is a change, x→null is a change
+      (2L, 10L, 200L, Option.empty[String]),
+      (2L, 20L, 201L, Option("x")),
+      (2L, 30L, 202L, Option.empty[String])
+    ).toDF("k", "seq", "tie", "attr")
+    val out = Ingest.scd2(log, "k", "seq", "tie", "attr")
+      .select("k", "seq", "attr", "effective_from", "effective_to", "is_current")
+      .as[(Long, Long, Option[String], Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(out === Seq(
+      (1L, 10L, Some("a"), 10L, Some(30L), false),
+      (1L, 30L, Some("b"), 30L, Some(50L), false),
+      (1L, 50L, Some("a"), 50L, None, true),
+      (2L, 10L, None, 10L, Some(20L), false),
+      (2L, 20L, Some("x"), 20L, Some(30L), false),
+      (2L, 30L, None, 30L, None, true)))
+    // exactly one current version per key
+    assert(out.filter(_._6).map(_._1) === Seq(1L, 2L))
+  }
+
   test("upsert rejects mismatched schemas and missing keys") {
     val a = Seq((1L, "x")).toDF("k", "s")
     intercept[IllegalArgumentException] {
