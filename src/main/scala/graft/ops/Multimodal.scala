@@ -190,6 +190,106 @@ object Multimodal {
     PpmFeatures(id, valid = true, w, h, sr / n, sg / n, sb / n)
   }
 
+  /** Deterministic synthetic WAV (RIFF/PCM16 mono) payload for
+    * `doc_id` — the audio analog of `syntheticPpm`: PCM WAV needs no
+    * codec library (RIFF chunk walk + little-endian int16 reads), so
+    * the audio decode seam can be REAL, not stubbed. Every byte is a
+    * pure function of the id, mirrored exactly by q129's oracle:
+    *
+    *  - sample_rate = 8000 + (id % 4)·4000   (8/12/16/20 kHz)
+    *  - n_samples   = 50 + id % 32
+    *  - sample k (int16) = (id·7 + k·13) mod 2001 − 1000   (±1000)
+    *  - id % 7 == 0 ⇒ the data chunk is TRUNCATED by one byte — the
+    *    planted corrupt payload; decodeWav must quarantine it as
+    *    valid = false, never fail the task. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    require(id >= 0, s"syntheticWav requires a non-negative id, got $id")
+    val sampleRate = (8000 + (id % 4) * 4000).toInt
+    val n = (50 + id % 32).toInt
+    val dataLen = if (id % 7 == 0) n * 2 - 1 else n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var k = 0
+    while (k < n) {
+      val s = ((id * 7 + k * 13) % 2001 - 1000).toShort
+      if (44 + k * 2 + 1 < bb.capacity) bb.putShort(s)
+      else bb.put((s & 0xff).toByte) // truncated final sample (corrupt)
+      k += 1
+    }
+    bb.array()
+  }
+
+  /** Per-clip features from a REAL decode of RIFF/PCM16 WAV. */
+  case class WavFeatures(doc_id: Long, valid: Boolean, sample_rate: Int,
+                         n_samples: Long, mean: Double, rms: Double)
+
+  implicit val wavFeaturesEnc: Encoder[WavFeatures] = Encoders.product[WavFeatures]
+
+  /** REAL audio decoder — no stub: RIFF/PCM16 needs only a chunk walk
+    * and little-endian int16 reads. Requires PCM (format 1), mono,
+    * 16-bit; anything else — or a data chunk that overruns the
+    * payload — quarantines as valid = false (the Ingest philosophy: a
+    * corrupt clip is a countable row, not a dead executor). Emits
+    * sample count, mean, and RMS; sums accumulate in exact longs so
+    * the double math is engine-portable (q129 hash-matches the DuckDB
+    * replay). Narrow mapPartitions; binary never shuffles. */
+  def decodeWav(payloadDf: DataFrame): Dataset[WavFeatures] =
+    payloadDf.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => parseWav(id, bytes) })
+
+  private[graft] def parseWav(id: Long, bytes: Array[Byte]): WavFeatures = {
+    val invalid = WavFeatures(id, valid = false, 0, 0L, 0.0, 0.0)
+    def ascii(off: Int, s: String): Boolean =
+      off + s.length <= bytes.length &&
+        s.indices.forall(j => bytes(off + j) == s.charAt(j))
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (bytes.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return invalid
+    var off = 12
+    var fmtOk = false
+    var sampleRate = 0
+    var dataOff = -1
+    var dataLen = 0L
+    while (off + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
+      val size = u32(off + 4)
+      // a declared size beyond the payload is malformed, and would
+      // wrap the offset into a scan loop — quarantine, don't spin
+      if (size < 0 || size > bytes.length) return invalid
+      if (ascii(off, "fmt ") && off + 8 + 16 <= bytes.length) {
+        fmtOk = u16(off + 8) == 1 && u16(off + 10) == 1 && u16(off + 22) == 16
+        sampleRate = u32(off + 12).toInt
+      } else if (ascii(off, "data")) {
+        dataOff = off + 8
+        dataLen = size
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (!fmtOk || dataOff < 0 || dataLen % 2 != 0 ||
+        dataOff + dataLen > bytes.length || dataLen == 0) return invalid
+    val n = (dataLen / 2).toInt
+    var (sum, sumSq) = (0L, 0L)
+    var k = 0
+    while (k < n) {
+      val s = u16(dataOff + 2 * k).toShort.toInt
+      sum += s; sumSq += s.toLong * s
+      k += 1
+    }
+    WavFeatures(id, valid = true, sampleRate, n.toLong,
+      sum.toDouble / n, math.sqrt(sumSq.toDouble / n))
+  }
+
   /** Resize analog (STUB — real codecs absent): keep every `stride`-th
     * byte of the payload, the deterministic stand-in for image
     * downsampling. Same mapPartitions contract as extractFeatures:

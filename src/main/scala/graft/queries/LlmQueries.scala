@@ -1077,6 +1077,27 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL audio decode under the hash gate — the WAV analog of q94:
+    // synthetic RIFF/PCM16 payloads (every byte a pure function of
+    // doc_id, one in seven truncated ⇒ quarantined valid=false), real
+    // chunk-walk decoder, mean/RMS from exact integer sums. The
+    // DuckDB oracle recomputes everything from the same arithmetic,
+    // so drift in EITHER generator or decoder mismatches. Both stages
+    // narrow mapPartitions — binary never shuffles.
+    "q129_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.decodeWav(payloads)
+        .select(col("doc_id"), col("valid"), col("sample_rate"),
+          col("n_samples"),
+          (round(col("mean"), 4) + lit(0.0)).as("mean"),
+          (round(col("rms"), 4) + lit(0.0)).as("rms"))
+        .orderBy("doc_id")
+    }),
+
     // document fingerprints, both kinds — order-invariant (md5 of the
     // sorted distinct token bag; a near-dup blocking key) and
     // order-SENSITIVE (polynomial rolling hash over the characters,
@@ -1758,6 +1779,37 @@ object LlmQueries {
         |       CASE WHEN doc_id % 7 <> 0 THEN round(mr, 4) ELSE 0.0 END AS mean_r,
         |       CASE WHEN doc_id % 7 <> 0 THEN round(mg, 4) ELSE 0.0 END AS mean_g,
         |       CASE WHEN doc_id % 7 <> 0 THEN round(mb, 4) ELSE 0.0 END AS mean_b
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // mirrors Multimodal.syntheticWav's arithmetic: sample k =
+    // (id·7 + k·13) % 2001 − 1000 over n = 50 + id%32 samples at
+    // 8000 + (id%4)·4000 Hz; id % 7 == 0 is planted-corrupt
+    // (truncated data chunk) ⇒ valid false with zeroed features.
+    // Integer sums are exact and sqrt is IEEE-correctly-rounded, so
+    // the doubles are bit-identical across engines.
+    "q129_wav_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sr,
+        |         CAST(50 + doc_id % 32 AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, sr, n,
+        |         (doc_id * 7 + k * 13) % 2001 - 1000 AS v
+        |  FROM d, unnest(range(0, n)) AS u(k)),
+        |m AS (
+        |  SELECT doc_id, sr, n,
+        |         sum(v) AS sv, sum(v * v) AS svv
+        |  FROM s GROUP BY doc_id, sr, n)
+        |SELECT doc_id,
+        |       doc_id % 7 <> 0 AS valid,
+        |       CASE WHEN doc_id % 7 <> 0 THEN sr ELSE 0 END AS sample_rate,
+        |       CASE WHEN doc_id % 7 <> 0 THEN n ELSE 0 END AS n_samples,
+        |       CASE WHEN doc_id % 7 <> 0
+        |            THEN round(CAST(sv AS DOUBLE) / n, 4) + 0.0
+        |            ELSE 0.0 END AS mean,
+        |       CASE WHEN doc_id % 7 <> 0
+        |            THEN round(sqrt(CAST(svv AS DOUBLE) / n), 4) + 0.0
+        |            ELSE 0.0 END AS rms
         |FROM m ORDER BY doc_id""".stripMargin,
     "q58_fingerprint" ->
       """SELECT doc_id,

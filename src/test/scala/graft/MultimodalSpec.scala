@@ -103,6 +103,42 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("syntheticWav round-trips through decodeWav per the q129 arithmetic contract") {
+    val rows = (0L to 40L).map(id => (id, Multimodal.syntheticWav(id)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.decodeWav(rows).collect().map(f => f.doc_id -> f).toMap
+    for (id <- 0L to 40L) {
+      val f = got(id)
+      if (id % 7 == 0) assert(!f.valid, s"id $id planted-corrupt must be invalid")
+      else {
+        val n = (50 + id % 32).toInt
+        val samples = (0 until n).map(k => (id * 7 + k * 13) % 2001 - 1000)
+        assert(f.valid && f.sample_rate === (8000 + (id % 4) * 4000).toInt
+          && f.n_samples === n.toLong, s"header wrong for id $id")
+        assert(f.mean === samples.sum.toDouble / n, s"mean wrong for id $id")
+        assert(f.rms === math.sqrt(samples.map(s => s * s).sum.toDouble / n),
+          s"rms wrong for id $id")
+      }
+    }
+  }
+
+  test("decodeWav quarantines non-PCM, stereo, and size-overrun payloads") {
+    def mutate(id: Long)(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = Multimodal.syntheticWav(id)
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      f(bb); b
+    }
+    val cases = Seq(
+      "non-pcm" -> mutate(1)(_.putShort(20, 3.toShort)),    // format = IEEE float
+      "stereo" -> mutate(1)(_.putShort(22, 2.toShort)),     // channels = 2
+      "overrun" -> mutate(1)(_.putInt(40, 1 << 20)),        // data size > payload
+      "not-riff" -> "JUNKJUNKJUNK".getBytes("US-ASCII"))
+    for ((name, bytes) <- cases)
+      assert(!Multimodal.parseWav(9L, bytes).valid, s"$name must quarantine")
+    // and an untouched payload still decodes (the mutations were the cause)
+    assert(Multimodal.parseWav(1L, Multimodal.syntheticWav(1L)).valid)
+  }
+
   test("sampleSlices emits fixed-size prefix slices of the payload") {
     val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
     val slices = Multimodal.sampleSlices(
