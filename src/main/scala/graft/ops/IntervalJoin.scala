@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval OVERLAP join — two tables of half-open intervals
+  * [start, end) matched where they intersect (ad attribution windows,
+  * session × campaign, genomic ranges). The naive join condition
+  * `ls < re AND rs < le` has no equi component, so Spark plans a
+  * BroadcastNestedLoopJoin — quadratic once neither side fits a
+  * broadcast, the classic interval-join scale trap.
+  *
+  * The scale-correct shape is BIN-AND-RESIDUAL: replicate each
+  * interval into every fixed-width bin it touches (explode — row-local
+  * fan-out of ceil(len/width)+1 rows), equi-join on (keys…, bin), then
+  * apply the exact overlap predicate as a residual filter and collapse
+  * the multi-bin duplicates (a pair overlapping across k shared bins
+  * matches k times) by the id pair. The join is a plain hash/SMJ join
+  * on fixed-size keys; PlanShapeSpec pins that no nested-loop join
+  * survives anywhere in q130's plan.
+  *
+  * Bin width tunes the replication-vs-selectivity trade: width ≈ the
+  * TYPICAL interval length gives ~2 bins per row; much smaller widths
+  * blow up the fan-out, much larger ones degrade the bin key's
+  * selectivity toward per-key cross products. Degenerate-skew caveat:
+  * all intervals overlapping one hot (key, bin) cell still meet in one
+  * task — AQE skew-join splits moderate cases, and a production
+  * deployment caps pathological cells upstream (same discipline as the
+  * LSH bucket-size cap).
+  *
+  * Bounds are LONGS (e.g. epoch micros; floor-div via SQL `div` keeps
+  * the bin math exact — double division of large epochs rounds).
+  * Intervals must be non-empty (start < end). */
+object IntervalJoin {
+
+  def overlapJoin(left: DataFrame, leftId: String, ls: String, le: String,
+                  right: DataFrame, rightId: String, rs: String, re: String,
+                  keyCols: Seq[String], binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, s: String, e: String) =
+      df.withColumn("__bin", explode(sequence(
+        expr(s"$s div $binWidth"), expr(s"($e - 1) div $binWidth"))))
+    val lb = binned(left, ls, le)
+    val rb = binned(right, rs, re)
+    lb.join(rb, keyCols :+ "__bin")
+      .filter(col(ls) < col(re) && col(rs) < col(le))
+      .dropDuplicates(leftId, rightId)
+      .drop("__bin")
+  }
+}

@@ -230,6 +230,34 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // INTERVAL OVERLAP JOIN (ops.IntervalJoin): purchase attribution
+    // windows [ts, ts+1h) × click windows [ts, ts+10min) per user,
+    // matched where they intersect — via bin-and-residual (equi join
+    // on (user_id, 30-min bin) + exact residual + pair dedup), NEVER
+    // the BroadcastNestedLoopJoin the raw inequality condition plans
+    // (PlanShapeSpec pins no nested-loop join in this plan). The
+    // oracle is DuckDB's plain inequality join — an independent
+    // formulation, so the hash match proves the binning is lossless.
+    "q130_interval_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.ops.IntervalJoin
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event"),
+          unix_micros(col("ts")).as("p_start"))
+        .withColumn("p_end", col("p_start") + lit(3600000000L))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_event"),
+          unix_micros(col("ts")).as("c_start"))
+        .withColumn("c_end", col("c_start") + lit(600000000L))
+      IntervalJoin.overlapJoin(
+          purchases, "p_event", "p_start", "p_end",
+          clicks, "c_event", "c_start", "c_end",
+          keyCols = Seq("user_id"), binWidth = 1800000000L)
+        .select(col("user_id"), col("p_event"), col("c_event"))
+        .orderBy("user_id", "p_event", "c_event")
+    }),
+
     // SCD TYPE-2 dimension build (pipeline.Ingest.scd2): the purchase
     // log as a change stream of each user's spend tier — consecutive
     // same-tier purchases collapse (change detection), surviving rows
@@ -254,6 +282,22 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the INDEPENDENT formulation: a plain inequality join (fine at
+    // fixture scale in DuckDB) — the Spark side must reproduce it
+    // through binning exactly.
+    "q130_interval_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_event, epoch_us(ts) AS p_start,
+        |         epoch_us(ts) + 3600000000 AS p_end
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS c_event, epoch_us(ts) AS c_start,
+        |         epoch_us(ts) + 600000000 AS c_end
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.user_id AS user_id, p_event, c_event
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND p_start < c_end AND c_start < p_end
+        |ORDER BY p.user_id, p_event, c_event""".stripMargin,
     // change detection via IS DISTINCT FROM (the <=> mirror), first
     // row kept explicitly; intervals from lead over the same order.
     "q128_scd2_build" ->

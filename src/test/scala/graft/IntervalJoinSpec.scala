@@ -1,0 +1,53 @@
+package graft
+
+import graft.ops.IntervalJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bin-and-residual interval join: losslessness vs the naive theta
+  * join, multi-bin pair dedup, and half-open boundary semantics. */
+class IntervalJoinSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("overlapJoin equals the naive inequality join on the events fixture") {
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_event"),
+        unix_micros($"ts").as("p_start"))
+      .withColumn("p_end", $"p_start" + 3600000000L)
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("c_event"),
+        unix_micros($"ts").as("c_start"))
+      .withColumn("c_end", $"c_start" + 600000000L)
+    val binned = IntervalJoin.overlapJoin(p, "p_event", "p_start", "p_end",
+        c, "c_event", "c_start", "c_end", Seq("user_id"), 1800000000L)
+      .select("p_event", "c_event").as[(Long, Long)].collect().toSet
+    val naive = p.join(c.withColumnRenamed("user_id", "cu"),
+        $"user_id" === $"cu" && $"p_start" < $"c_end" && $"c_start" < $"p_end")
+      .select("p_event", "c_event").as[(Long, Long)].collect().toSet
+    assert(binned === naive)
+    assert(binned.nonEmpty)
+  }
+
+  test("a pair overlapping across many shared bins emits exactly one row") {
+    // both intervals span 10 bins of width 10 → they meet in every bin
+    val l = Seq((1L, "k", 0L, 100L)).toDF("lid", "k", "ls", "le")
+    val r = Seq((2L, "k", 5L, 95L)).toDF("rid", "k", "rs", "re")
+    val out = IntervalJoin.overlapJoin(l, "lid", "ls", "le",
+      r, "rid", "rs", "re", Seq("k"), binWidth = 10L)
+    assert(out.count() === 1L)
+  }
+
+  test("half-open semantics: touching endpoints do not overlap; keys partition") {
+    val l = Seq((1L, "a", 0L, 10L), (2L, "a", 50L, 60L)).toDF("lid", "k", "ls", "le")
+    val r = Seq(
+      (10L, "a", 10L, 20L),  // starts exactly at l1's end → NO overlap
+      (11L, "a", 9L, 12L),   // overlaps l1's last unit
+      (12L, "b", 0L, 100L)   // right key, wrong partition → never joins
+    ).toDF("rid", "k", "rs", "re")
+    val out = IntervalJoin.overlapJoin(l, "lid", "ls", "le",
+        r, "rid", "rs", "re", Seq("k"), binWidth = 16L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 11L)))
+  }
+}

@@ -116,6 +116,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  /** The interval join's whole reason to exist: the raw inequality
+    * condition plans a nested-loop join; the bin-and-residual form
+    * must plan a proper equi join on (user_id, bin) with the overlap
+    * predicate as a residual. */
+  test("q130 interval join: equi join on the bin key, never a nested loop") {
+    val p = plan("q130_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degenerated to a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi join in the plan:\n$p")
+  }
+
   test("as-of joins plan as ONE key shuffle + window, never a cross product") {
     for (q <- Seq("q75_asof_join", "q90_asof_forward")) {
       val p = plan(q)
