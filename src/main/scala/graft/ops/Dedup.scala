@@ -649,6 +649,29 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Append a batch's band rows to the persisted index — the ACCEPT
+    * half of the incremental loop (dedupe the batch with
+    * `nearDedupAgainstIndex`, then append the SURVIVORS here so the
+    * next batch sees them). Append-mode saveAsTable validates the
+    * bucket spec against the existing table and buckets the new files
+    * identically, so the candidate join stays Exchange-free. What
+    * appends DO cost: each bucket now holds multiple files, so the
+    * read side stops trusting the sortBy metadata and re-sorts before
+    * the merge join (still no shuffle — sort is partition-local).
+    * Periodic compaction (rewrite via `writeLshIndex`'s
+    * one-file-per-bucket discipline) restores the sort-free read; the
+    * standard LSM-ish trade. */
+  def appendLshIndex(df: DataFrame, idCol: String, textCol: String,
+                     table: String, shingleN: Int = 3, numHashes: Int = 64,
+                     bands: Int = 16, buckets: Int = 8): Unit =
+    bandRows(df, idCol, textCol, shingleN, numHashes, bands)
+      .repartition(buckets, col("band"), col("bucket"))
+      .write.mode("append")
+      .bucketBy(buckets, "band", "bucket")
+      .sortBy("band", "bucket")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** INCREMENTAL near-dedup against the persisted index — the daily-
     * batch flow at 100 TB: band the fresh batch with the index's own
     * parameters, join its band rows against the bucketed index, and

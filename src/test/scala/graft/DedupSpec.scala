@@ -414,6 +414,38 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("appendLshIndex: appended batch is visible to the next batch's dedup") {
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = "graft_lsh_index_append_spec"
+    try {
+      // index the corpus, then ACCEPT a novel batch by appending it
+      Dedup.writeLshIndex(docs, "doc_id", "text", tbl,
+        shingleN = 3, numHashes = 64, bands = 16, buckets = 8)
+      val batch1 = docs.filter($"doc_id" % 5 === 1)
+        .select(($"doc_id" + 20000).as("doc_id"),
+          array_join(transform(split($"text", " "),
+            t => concat(t, lit("_x"))), " ").as("text"))
+      assert(Dedup.nearDedupAgainstIndex(batch1, "doc_id", "text", tbl, 0.5)
+        .count() === batch1.count(), "novel batch must fully survive")
+      Dedup.appendLshIndex(batch1, "doc_id", "text", tbl)
+      // batch 2 repeats batch 1's content (new ids) → dropped ONLY if
+      // the append actually reached the index
+      val batch2 = batch1.select(($"doc_id" + 10000).as("doc_id"), $"text")
+      assert(Dedup.nearDedupAgainstIndex(batch2, "doc_id", "text", tbl, 0.5)
+        .count() === 0L, "replayed content must drop against the appended index")
+      // and the candidate join over the appended table is STILL
+      // Exchange-free on the index side (one band-key exchange = fresh)
+      withConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val p = Dedup.nearDedupAgainstIndex(batch2, "doc_id", "text", tbl, 0.5)
+          .queryExecution.executedPlan.toString
+        assert("hashpartitioning\\(band".r.findAllIn(p).size == 1,
+          s"append broke the bucketed index read:\n$p")
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("segmentDedup keeps global first occurrences and reconstructs text") {
     val df = Seq(
       (1L, "a b c d"),   // segs: "a b", "c d" — both first occurrences
