@@ -109,9 +109,11 @@ object ScaleProbe {
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
     emb.crossJoin(copies)
       .withColumn("vec_id", col("vec_id") + col("__c") * nVec)
+      // modulo keeps the rotation meaningful at ANY factor (a raw
+      // __c*6 shift beyond dims would slice to an unrotated copy)
       .withColumn("embedding", concat(
-        slice(col("embedding"), col("__c") * 6 + 1, lit(dims)),
-        slice(col("embedding"), lit(1), col("__c") * 6)))
+        slice(col("embedding"), pmod(col("__c") * 6, lit(dims)) + 1, lit(dims)),
+        slice(col("embedding"), lit(1), pmod(col("__c") * 6, lit(dims)))))
       .drop("__c")
       .repartition(8)
       .write.mode("overwrite").parquet(s"$derived/embeddings.parquet")

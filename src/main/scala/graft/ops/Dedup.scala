@@ -433,16 +433,31 @@ object Dedup {
     // standard sizing: m = -n·ln(p)/ln²2 bits
     val numBits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // Raise the caps ONLY for the duration of the build (restore in
+    // finally): BloomFilterAggregate clamps its arguments to these
+    // confs at evaluation time, but the same confs also size Spark's
+    // own InjectRuntimeFilter blooms — leaving a multi-GB cap behind
+    // would silently re-size runtime filters for every unrelated join
+    // in the session. The raise-eval-restore window is synchronized so
+    // concurrent builds with different sizes don't race the pair.
     val conf = df.sparkSession.conf
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    if (conf.get(itemsKey).toLong < expectedItems) conf.set(itemsKey, expectedItems)
-    if (conf.get(bitsKey).toLong < numBits) conf.set(bitsKey, numBits)
-    df.filter(col(textCol).isNotNull)
-      .select(call_function("graft_bloom_agg",
-        xxhash64(contentHash(col(textCol))),
-        lit(expectedItems), lit(numBits)).as("__bf"))
-      .head().getAs[Array[Byte]](0)
+    Dedup.synchronized {
+      val (itemsSaved, bitsSaved) = (conf.get(itemsKey), conf.get(bitsKey))
+      try {
+        if (itemsSaved.toLong < expectedItems) conf.set(itemsKey, expectedItems)
+        if (bitsSaved.toLong < numBits) conf.set(bitsKey, numBits)
+        df.filter(col(textCol).isNotNull)
+          .select(call_function("graft_bloom_agg",
+            xxhash64(contentHash(col(textCol))),
+            lit(expectedItems), lit(numBits)).as("__bf"))
+          .head().getAs[Array[Byte]](0)
+      } finally {
+        conf.set(itemsKey, itemsSaved)
+        conf.set(bitsKey, bitsSaved)
+      }
+    }
   }
 
   /** Bitwise-OR merge of two serialized Bloom sketches (either may be
@@ -626,6 +641,28 @@ object Dedup {
     val rows = bandRows(df, idCol, textCol, shingleN, numHashes, bands)
       .repartition(buckets, col("band"), col("bucket"))
     graft.pipeline.Warehouse.writeBucketed(rows, table, Seq("band", "bucket"), buckets)
+    // record the banding parameters as table properties: a read or
+    // append with different parameters would produce silently-wrong
+    // est_jaccard values (or an incompatible banding) — the props turn
+    // that into a fast require() failure instead.
+    df.sparkSession.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
+      s"'graft.lsh.shingleN'='$shingleN'," +
+      s"'graft.lsh.numHashes'='$numHashes','graft.lsh.bands'='$bands')")
+  }
+
+  /** Validate a caller's banding parameters against the ones the index
+    * was written with (absent properties = not a graft LSH index). */
+  private def requireLshParams(spark: org.apache.spark.sql.SparkSession,
+                               table: String, expected: (String, Int)*): Unit = {
+    val props = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).properties
+    expected.foreach { case (name, value) =>
+      val stored = props.get(s"graft.lsh.$name")
+      require(stored.contains(value.toString),
+        s"$table was written with $name=${stored.getOrElse("<absent>")}, " +
+          s"caller expects $value — re-band with matching parameters " +
+          "or rebuild the index")
+    }
   }
 
   /** Candidate pairs from a PERSISTED band index: the same band-bucket
@@ -637,6 +674,7 @@ object Dedup {
     * that built the index (DedupSpec pins the equivalence). */
   def lshCandidatePairsFromIndex(spark: org.apache.spark.sql.SparkSession,
                                  table: String, numHashes: Int = 64): DataFrame = {
+    requireLshParams(spark, table, "numHashes" -> numHashes)
     val idx = spark.table(table)
     val a = idx.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))
@@ -658,12 +696,19 @@ object Dedup {
     * appends DO cost: each bucket now holds multiple files, so the
     * read side stops trusting the sortBy metadata and re-sorts before
     * the merge join (still no shuffle — sort is partition-local).
-    * Periodic compaction (rewrite via `writeLshIndex`'s
-    * one-file-per-bucket discipline) restores the sort-free read; the
-    * standard LSM-ish trade. */
+    *
+    * NOT replay-idempotent: a crash between this append's job commit
+    * and the caller's offset commit duplicates the batch's rows on
+    * replay. Query RESULTS stay correct (every consumer collapses by
+    * pair/id), but the index grows and the join fans out over the
+    * duplicates — run `compactLshIndex` periodically, which drops
+    * replayed rows AND restores the one-file-per-bucket sort-free
+    * read; the standard LSM-ish trade. */
   def appendLshIndex(df: DataFrame, idCol: String, textCol: String,
                      table: String, shingleN: Int = 3, numHashes: Int = 64,
-                     bands: Int = 16, buckets: Int = 8): Unit =
+                     bands: Int = 16, buckets: Int = 8): Unit = {
+    requireLshParams(df.sparkSession, table, "shingleN" -> shingleN,
+      "numHashes" -> numHashes, "bands" -> bands)
     bandRows(df, idCol, textCol, shingleN, numHashes, bands)
       .repartition(buckets, col("band"), col("bucket"))
       .write.mode("append")
@@ -671,6 +716,30 @@ object Dedup {
       .sortBy("band", "bucket")
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Compact the band index: drop duplicate (band, bucket, id) rows —
+    * replayed appends; sig is a function of id, so the id key is the
+    * whole identity — and rewrite one-file-per-bucket, restoring the
+    * sort-free bucketed read `writeLshIndex` established. The
+    * localCheckpoint materializes the survivors BEFORE the overwrite
+    * (Spark refuses to overwrite a table its plan still reads);
+    * overwrite recreates the table, so the banding properties are
+    * re-applied from the pre-compact metadata. */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+                      table: String, buckets: Int = 8): Unit = {
+    val props = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).properties
+    val rows = spark.table(table)
+      .dropDuplicates("band", "bucket", "id")
+      .repartition(buckets, col("band"), col("bucket"))
+      .localCheckpoint(true)
+    graft.pipeline.Warehouse.writeBucketed(rows, table, Seq("band", "bucket"), buckets)
+    val kept = Seq("shingleN", "numHashes", "bands")
+      .flatMap(k => props.get(s"graft.lsh.$k").map(v => s"'graft.lsh.$k'='$v'"))
+    if (kept.nonEmpty)
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES(${kept.mkString(",")})")
+  }
 
   /** INCREMENTAL near-dedup against the persisted index — the daily-
     * batch flow at 100 TB: band the fresh batch with the index's own
@@ -692,6 +761,8 @@ object Dedup {
                             table: String, threshold: Double,
                             shingleN: Int = 3, numHashes: Int = 64,
                             bands: Int = 16): DataFrame = {
+    requireLshParams(fresh.sparkSession, table, "shingleN" -> shingleN,
+      "numHashes" -> numHashes, "bands" -> bands)
     val idx = fresh.sparkSession.table(table)
       .select(col("band"), col("bucket"), col("sig").as("sig_seen"))
     val losers = bandRows(fresh, idCol, textCol, shingleN, numHashes, bands)

@@ -28,18 +28,28 @@ import org.apache.spark.sql.functions._
   * deployment caps pathological cells upstream (same discipline as the
   * LSH bucket-size cap).
   *
-  * Bounds are LONGS (e.g. epoch micros; floor-div via SQL `div` keeps
-  * the bin math exact — double division of large epochs rounds).
-  * Intervals must be non-empty (start < end). */
+  * Bounds are LONGS (e.g. epoch micros; bin math is exact long
+  * arithmetic — double division of large epochs rounds — with a
+  * true-floor correction so negative-coordinate domains bin at
+  * uniform width). Intervals must be non-empty (start < end). */
 object IntervalJoin {
 
   def overlapJoin(left: DataFrame, leftId: String, ls: String, le: String,
                   right: DataFrame, rightId: String, rs: String, re: String,
                   keyCols: Seq[String], binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // true FLOOR division in exact long arithmetic: SQL `div` truncates
+    // toward zero, which would make bin 0 span (-w, +w) — double width,
+    // concentrating every near-origin interval of a signed domain into
+    // one hot cell. Backticked names so dotted/spaced columns parse.
+    def floorDiv(name: String) = {
+      val d = expr(s"`$name` div $binWidth")
+      when(col(name) < 0 && col(name) % binWidth =!= 0, d - 1).otherwise(d)
+    }
     def binned(df: DataFrame, s: String, e: String) =
-      df.withColumn("__bin", explode(sequence(
-        expr(s"$s div $binWidth"), expr(s"($e - 1) div $binWidth"))))
+      df.withColumn("__e1", col(e) - 1)
+        .withColumn("__bin", explode(sequence(floorDiv(s), floorDiv("__e1"))))
+        .drop("__e1")
     val lb = binned(left, ls, le)
     val rb = binned(right, rs, re)
     lb.join(rb, keyCols :+ "__bin")

@@ -147,11 +147,9 @@ object Ingest {
       // null prev, and <=> would wrongly collapse that opening row)
       .filter(col("__rn") === 1 || !(col(attrCol) <=> col("__prev")))
       .drop("__rn", "__prev")
-    val versionOrder = Window.partitionBy(col(keyCol))
-      .orderBy(col(orderCol), col(tieCol))
     detected
       .withColumn("effective_from", col(orderCol))
-      .withColumn("effective_to", lead(col(orderCol), 1).over(versionOrder))
+      .withColumn("effective_to", lead(col(orderCol), 1).over(logOrder))
       .withColumn("is_current", col("effective_to").isNull)
   }
 }

@@ -850,12 +850,6 @@ object LlmQueries {
         .orderBy("query_id")
     }),
 
-    // MIXTURE PLANNING (Sampling.mixturePlan) — the sizing pass that
-    // feeds q103's upsampler / q77's sampler: per-source sampling
-    // rates to hit a token budget under target mixture weights, rates
-    // capped at 1 (src0's high weight caps; default-weight sources
-    // land well below 1 — both branches exercised). One partial-
-    // aggregated groupBy over the corpus, then stratum-local math.
     // deterministic training-order shuffle (Sampling.trainingShuffle):
     // shard + within-shard position from one md5 coin — row-local, no
     // window, no global sort; the physical layout is one
@@ -880,6 +874,12 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // MIXTURE PLANNING (Sampling.mixturePlan) — the sizing pass that
+    // feeds q103's upsampler / q77's sampler: per-source sampling
+    // rates to hit a token budget under target mixture weights, rates
+    // capped at 1 (src0's high weight caps; default-weight sources
+    // land well below 1 — both branches exercised). One partial-
+    // aggregated groupBy over the corpus, then stratum-local math.
     "q111_mixture_plan" -> ((s, dir) => {
       Sampling.mixturePlan(
           Tables.documents(s, dir)

@@ -342,26 +342,25 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(bloomKept === exactKept)
   }
 
-  test("bloomDedupAgainst raises the session bloom caps to the requested size") {
+  test("bloom build honors above-cap sizing AND restores the session caps after") {
     // Above the 4M-item default cap BloomFilterAggregate would silently
-    // clamp and saturate; the op must raise the caps so sizing holds.
-    val docs = Tables.documents(spark, sfDir)
-    val seen = docs.filter($"doc_id" < 100)
-    val fresh = docs.filter($"doc_id" >= 100 && $"doc_id" < 150)
-      .select($"doc_id", $"text")
-      .unionByName(seen.limit(10).select(($"doc_id" + 1000).as("doc_id"), $"text"))
+    // clamp and saturate; the op must raise the caps for the build —
+    // and restore them, or every later InjectRuntimeFilter in the
+    // session inherits a multi-GB ceiling.
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (itemsBefore, bitsBefore) = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
+    val seen = Tables.documents(spark, sfDir).filter($"doc_id" < 100)
     val requestedItems = 5000000L
-    val kept = Dedup.bloomDedupAgainst(fresh, seen, "text",
-        expectedItems = requestedItems, fpp = 0.01)
-      .select("doc_id").as[Long].collect().toSet
-    assert(kept.forall(_ < 1000L))
-    val itemsCap = spark.conf
-      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
-    val bitsCap = spark.conf
-      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
-    assert(itemsCap >= requestedItems)
-    // m = -n·ln(p)/ln²2 ≈ 9.585 bits/item at fpp 1%
-    assert(bitsCap >= (requestedItems * 9.5).toLong)
+    val sketch = Dedup.buildBloomSketch(seen, "text",
+      expectedItems = requestedItems, fpp = 0.01)
+    // the serialized filter carries numBits/8 bytes of registers:
+    // ~9.585 bits/item at fpp 1% ⇒ ≥ 5.9 MB — proof the 64 Mbit
+    // default cap did NOT clamp the build
+    assert(sketch.length > (requestedItems * 9.5 / 8).toLong,
+      s"sketch ${sketch.length} B — the default cap clamped the build")
+    assert(spark.conf.get(itemsKey) === itemsBefore, "items cap must be restored")
+    assert(spark.conf.get(bitsKey) === bitsBefore, "bits cap must be restored")
   }
 
   test("persisted LSH index candidate pass equals the in-memory pass") {
@@ -442,6 +441,25 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
           .queryExecution.executedPlan.toString
         assert("hashpartitioning\\(band".r.findAllIn(p).size == 1,
           s"append broke the bucketed index read:\n$p")
+      }
+      // REPLAY the append (crash between append commit and offset
+      // commit — the documented non-idempotent window), then compact:
+      // the duplicate band rows must disappear and results still hold
+      val before = spark.table(tbl).count()
+      Dedup.appendLshIndex(batch1, "doc_id", "text", tbl)
+      assert(spark.table(tbl).count() > before, "replay should duplicate rows")
+      Dedup.compactLshIndex(spark, tbl)
+      assert(spark.table(tbl).count() === before,
+        "compaction must drop the replayed duplicates")
+      assert(Dedup.nearDedupAgainstIndex(batch2, "doc_id", "text", tbl, 0.5)
+        .count() === 0L, "compacted index must still drop replayed content")
+      // mismatched banding parameters fail fast instead of silently
+      // producing wrong estimates
+      intercept[IllegalArgumentException] {
+        Dedup.lshCandidatePairsFromIndex(spark, tbl, numHashes = 128)
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.nearDedupAgainstIndex(batch2, "doc_id", "text", tbl, 0.5, bands = 8)
       }
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }

@@ -38,6 +38,26 @@ class IntervalJoinSpec extends AnyFunSuite with SparkFixture {
     assert(out.count() === 1L)
   }
 
+  test("negative coordinates bin at uniform width (true floor, not truncation)") {
+    // with trunc-div, both of these land in 'bin 0' spanning (-10, 10)
+    // and would pair; with true floor they sit in bins -1 and 0 and
+    // the residual keeps them apart — but genuinely-overlapping pairs
+    // across the origin still match.
+    val l = Seq((1L, "k", -9L, -1L), (2L, "k", -3L, 4L)).toDF("lid", "k", "ls", "le")
+    val r = Seq((10L, "k", 1L, 9L), (11L, "k", -5L, 2L)).toDF("rid", "k", "rs", "re")
+    val out = IntervalJoin.overlapJoin(l, "lid", "ls", "le",
+        r, "rid", "rs", "re", Seq("k"), binWidth = 10L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    // (1,-9..-1) × (10,1..9): disjoint. (1) × (11,-5..2): overlap.
+    // (2,-3..4) × both: overlap.
+    assert(out === Set((1L, 11L), (2L, 10L), (2L, 11L)))
+    // and equivalence with the naive join on a negative-heavy fixture
+    val naive = l.join(r.withColumnRenamed("k", "k2"),
+        $"k" === $"k2" && $"ls" < $"re" && $"rs" < $"le")
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(out === naive)
+  }
+
   test("half-open semantics: touching endpoints do not overlap; keys partition") {
     val l = Seq((1L, "a", 0L, 10L), (2L, "a", 50L, 60L)).toDF("lid", "k", "ls", "le")
     val r = Seq(
