@@ -66,7 +66,12 @@ object ScaleProbe {
     val acc = new MetricsAcc
     spark.sparkContext.addSparkListener(acc)
     val family = Seq("q70_lsh_neardup", "q72_near_dedup", "q81_near_dedup_cc",
-      "q106_segment_dedup", "q109_semantic_dedup")
+      "q106_segment_dedup", "q109_semantic_dedup",
+      // the round-10 persisted-index paths: q120 pays the one-time
+      // index write at each scale, q122/q123 read the persisted
+      // band/cell layouts — the incremental shapes the docs argue
+      "q120_lsh_index_dedup", "q122_incremental_index_dedup",
+      "q123_ivf_index_topk")
     // warmup (JIT/codegen/parquet paths), untimed
     spark.range(1000).selectExpr("sum(id)").collect()
     for (dir <- Seq(base, derived); name <- family) {
