@@ -258,6 +258,35 @@ object EventQueries {
         .orderBy("user_id", "p_event", "c_event")
     }),
 
+    // TIME-WEIGHTED AVERAGE over irregular samples (the telemetry/
+    // finance aggregate): each purchase value is held until the user's
+    // next purchase; TWAP = Σ value·duration / Σ duration over the
+    // user's observation span. A plain avg() answers a different
+    // question — it weights by SAMPLE COUNT, overweighting bursts of
+    // short-lived values. One user_id shuffle feeds the lead() and the
+    // aggregation. Exact cross-engine math: value cast to decimal
+    // BEFORE the duration product, so the weighted sum is
+    // order-invariant decimal arithmetic; the single double division
+    // happens once at the end.
+    "q131_twap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withColumn("dur_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .filter(col("dur_us").isNotNull) // the last sample has no hold period
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          sum(col("dur_us")).as("span_us"),
+          round((sum(col("value").cast("decimal(18,2)") * col("dur_us"))
+            / sum(col("dur_us"))).cast("double"), 4).as("twap"))
+        .orderBy("user_id")
+    }),
+
     // SCD TYPE-2 dimension build (pipeline.Ingest.scd2): the purchase
     // log as a change stream of each user's spend tier — consecutive
     // same-tier purchases collapse (change detection), surviving rows
@@ -298,6 +327,24 @@ object EventQueries {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND p_start < c_end AND c_start < p_end
         |ORDER BY p.user_id, p_event, c_event""".stripMargin,
+    // decimal-weighted sum mirrors the Spark cast-before-product
+    // discipline; the one double division happens identically last.
+    "q131_twap" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |d AS (
+        |  SELECT user_id,
+        |         lead(ts_us) OVER (PARTITION BY user_id
+        |                           ORDER BY ts_us, event_id) - ts_us AS dur_us,
+        |         value
+        |  FROM p)
+        |SELECT user_id, count(*) AS n_intervals,
+        |       CAST(sum(dur_us) AS BIGINT) AS span_us,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2)) * dur_us)
+        |                  / sum(dur_us) AS DOUBLE), 4) AS twap
+        |FROM d WHERE dur_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // change detection via IS DISTINCT FROM (the <=> mirror), first
     // row kept explicitly; intervals from lead over the same order.
     "q128_scd2_build" ->
