@@ -254,6 +254,33 @@ object Sampling {
       .drop("__total", "__p_raw", "__pa", "__z")
   }
 
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES,
+    * "Weighted random sampling with a reservoir", IPL 2006): each row
+    * draws u ~ U(0,1) and keeps key = −ln(u)/w; the k SMALLEST keys
+    * are the sample, selected with probability proportional to weight
+    * (sequentially, without replacement). The classic use: sample a
+    * token-budget-proportional or quality-weighted document subset.
+    *
+    * The uniform draw is CONTENT-ADDRESSED — 13 md5 hex chars of
+    * (id, seed) parsed as an integer over 16^13 (= 2^52, exact in
+    * doubles) — so the sample is a pure function of content: stable
+    * under reordering/repartitioning, reproducible cross-engine
+    * (DuckDB-oracle-checkable, q132), and reseedable. Selection is
+    * orderBy(key).limit(k) — TakeOrderedAndProject (per-partition
+    * heaps + driver merge of k rows), never a global sort. Weights
+    * must be strictly positive. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     k: Int, seed: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val v = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 13),
+      16, 10).cast("double")
+    val u = (v + lit(0.5)) / lit(math.pow(16, 13))
+    df.withColumn("es_key", -log(u) / weight)
+      .orderBy(col("es_key"), col(idCol))
+      .limit(k)
+  }
+
   /** Hex digits of sampling-threshold precision (16^6 = 16,777,216). */
   val HexDigits = 6
 

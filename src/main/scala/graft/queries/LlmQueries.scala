@@ -850,6 +850,20 @@ object LlmQueries {
         .orderBy("query_id")
     }),
 
+    // weighted sampling without replacement (Efraimidis-Spirakis,
+    // Sampling.weightedSample): 50 docs selected with probability
+    // proportional to length — the token-budget-proportional subset.
+    // Content-addressed coin ⇒ the whole sample (and its keys) is
+    // under the hash gate; selection is TakeOrderedAndProject.
+    "q132_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", col("n_chars").cast("double"), k = 50, seed = 11L)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("es_key") * 1000, 6).as("es_key_m"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic training-order shuffle (Sampling.trainingShuffle):
     // shard + within-shard position from one md5 coin — row-local, no
     // window, no global sort; the physical layout is one
@@ -1470,6 +1484,19 @@ object LlmQueries {
         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
     // rate is rounded to 4 decimals BEFORE planned_tokens, mirroring
     // Sampling.mixturePlan exactly.
+    // 16^13 = 2^52 = 4503599627370496: the 13-hex-char draw is exact
+    // in doubles; key scaled x1000 before the round so the milli-key
+    // keeps ~6 significant digits through the compare.
+    "q132_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 13))
+        |              AS BIGINT) + 0.5) / 4503599627370496.0)
+        |         / CAST(n_chars AS DOUBLE) AS es_key
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, round(es_key * 1000, 6) AS es_key_m
+        |FROM (SELECT * FROM k ORDER BY es_key, doc_id LIMIT 50) t
+        |ORDER BY doc_id""".stripMargin,
     "q124_training_shuffle" ->
       """SELECT doc_id,
         |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 6))

@@ -212,6 +212,29 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(w3.values.sum - 1.0) < 1e-4)
   }
 
+  test("weightedSample: partition-invariant, k respected, biased toward heavy rows") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+    def sample(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Sampling.weightedSample(df, "doc_id", col("n_chars").cast("double"),
+          k = 50, seed = 11L)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+    val base = sample(docs)
+    assert(base.length === 50)
+    assert(sample(docs.repartition(13)) === base, "content-addressed ⇒ partition-invariant")
+    // P(selected) ∝ n_chars: the sample's mean length must exceed the
+    // corpus mean by a comfortable statistical margin
+    val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
+    val sampleMean = docs.filter(col("doc_id").isin(base: _*))
+      .agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean * 1.05,
+      s"weighting has no effect: sample $sampleMean vs corpus $corpusMean")
+    // reseeding draws a substantially different sample
+    val reseeded = Sampling.weightedSample(docs, "doc_id",
+        col("n_chars").cast("double"), k = 50, seed = 12L)
+      .select("doc_id").as[Long].collect().toSet
+    assert((reseeded -- base.toSet).size > 10)
+  }
+
   test("stratifiedSample drops strata absent from the fractions map") {
     val docs = Tables.documents(spark, sfDir)
     val onlyEn = Sampling.stratifiedSample(docs, "lang", "doc_id",
