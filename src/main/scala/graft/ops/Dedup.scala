@@ -440,6 +440,14 @@ object Dedup {
     // would silently re-size runtime filters for every unrelated join
     // in the session. The raise-eval-restore window is synchronized so
     // concurrent builds with different sizes don't race the pair.
+    // RESIDUAL ASSUMPTION (single-threaded session): an UNRELATED
+    // query planned on another thread of this session during the
+    // window still sees the raised caps and may size its own runtime
+    // filter by them (bounded by expectedItems, so oversize not
+    // unsound — a larger-than-default runtime bloom, never a
+    // saturating one). Sessions that plan queries concurrently with
+    // sketch builds should clone a session for the build
+    // (spark.newSession() shares the catalog but not the conf).
     val conf = df.sparkSession.conf
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
@@ -725,11 +733,18 @@ object Dedup {
     * localCheckpoint materializes the survivors BEFORE the overwrite
     * (Spark refuses to overwrite a table its plan still reads);
     * overwrite recreates the table, so the banding properties are
-    * re-applied from the pre-compact metadata. */
+    * re-applied from the pre-compact metadata. The bucket count comes
+    * from the table's OWN catalog bucket spec — a caller-supplied
+    * count that disagreed with the existing layout would silently
+    * rewrite the index with a different file topology than its
+    * consumers were told to expect. */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
-                      table: String, buckets: Int = 8): Unit = {
-    val props = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table)).properties
+                      table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val props = meta.properties
+    val buckets = meta.bucketSpec.getOrElse(sys.error(
+      s"$table has no bucket spec — not a graft LSH index")).numBuckets
     val rows = spark.table(table)
       .dropDuplicates("band", "bucket", "id")
       .repartition(buckets, col("band"), col("bucket"))

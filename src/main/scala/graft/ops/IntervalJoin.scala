@@ -31,7 +31,13 @@ import org.apache.spark.sql.functions._
   * Bounds are LONGS (e.g. epoch micros; bin math is exact long
   * arithmetic — double division of large epochs rounds — with a
   * true-floor correction so negative-coordinate domains bin at
-  * uniform width). Intervals must be non-empty (start < end). */
+  * uniform width). Intervals must be non-empty (start < end):
+  * degenerate rows (start >= end — empty or inverted) are DROPPED
+  * before binning, because half-open semantics say they overlap
+  * nothing, while mechanically they would still emit rows — sequence()
+  * on an inverted bin range generates a DESCENDING sequence, and a
+  * zero-length [s, s) passes the residual against any interval
+  * straddling s. */
 object IntervalJoin {
 
   def overlapJoin(left: DataFrame, leftId: String, ls: String, le: String,
@@ -47,7 +53,8 @@ object IntervalJoin {
       when(col(name) < 0 && col(name) % binWidth =!= 0, d - 1).otherwise(d)
     }
     def binned(df: DataFrame, s: String, e: String) =
-      df.withColumn("__e1", col(e) - 1)
+      df.filter(col(s) < col(e))
+        .withColumn("__e1", col(e) - 1)
         .withColumn("__bin", explode(sequence(floorDiv(s), floorDiv("__e1"))))
         .drop("__e1")
     val lb = binned(left, ls, le)

@@ -268,7 +268,11 @@ object Sampling {
     * (DuckDB-oracle-checkable, q132), and reseedable. Selection is
     * orderBy(key).limit(k) — TakeOrderedAndProject (per-partition
     * heaps + driver merge of k rows), never a global sort. Weights
-    * must be strictly positive. */
+    * must be strictly positive: null/zero/negative-weight rows are
+    * DROPPED before keying — a null weight yields a null es_key and
+    * ascending order puts NULLS FIRST, and a negative weight flips the
+    * key's sign, so either would silently preempt the whole sample
+    * instead of erroring. */
   def weightedSample(df: DataFrame, idCol: String, weight: Column,
                      k: Int, seed: Long): DataFrame = {
     require(k >= 1, "k must be >= 1")
@@ -276,7 +280,8 @@ object Sampling {
       md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 13),
       16, 10).cast("double")
     val u = (v + lit(0.5)) / lit(math.pow(16, 13))
-    df.withColumn("es_key", -log(u) / weight)
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("es_key", -log(u) / weight)
       .orderBy(col("es_key"), col(idCol))
       .limit(k)
   }

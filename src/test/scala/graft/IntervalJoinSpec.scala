@@ -70,4 +70,19 @@ class IntervalJoinSpec extends AnyFunSuite with SparkFixture {
       .select("lid", "rid").as[(Long, Long)].collect().toSet
     assert(out === Set((1L, 11L)))
   }
+
+  test("degenerate intervals (empty or inverted) are dropped, both sides") {
+    // [5,5) is empty; [9,3) is inverted — half-open semantics say both
+    // overlap nothing, but without the guard the empty one would pass
+    // the residual against any interval straddling 5 and the inverted
+    // one would explode a DESCENDING bin sequence.
+    val l = Seq((1L, "k", 5L, 5L), (2L, "k", 9L, 3L), (3L, "k", 0L, 10L))
+      .toDF("lid", "k", "ls", "le")
+    val r = Seq((10L, "k", 2L, 8L), (11L, "k", 7L, 7L))
+      .toDF("rid", "k", "rs", "re")
+    val out = IntervalJoin.overlapJoin(l, "lid", "ls", "le",
+        r, "rid", "rs", "re", Seq("k"), binWidth = 4L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(out === Set((3L, 10L)))
+  }
 }

@@ -235,6 +235,19 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     assert((reseeded -- base.toSet).size > 10)
   }
 
+  test("weightedSample: null/zero/negative weights cannot preempt the sample") {
+    // null es_key sorts NULLS FIRST and a negative weight flips the key
+    // sign — without the guard these three rows would occupy the whole
+    // k=2 sample regardless of the honest rows' weights.
+    val df = Seq(
+      (1L, Some(10.0)), (2L, Some(20.0)),
+      (3L, None), (4L, Some(0.0)), (5L, Some(-7.0))
+    ).toDF("doc_id", "w")
+    val kept = Sampling.weightedSample(df, "doc_id", col("w"), k = 2, seed = 3L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L))
+  }
+
   test("stratifiedSample drops strata absent from the fractions map") {
     val docs = Tables.documents(spark, sfDir)
     val onlyEn = Sampling.stratifiedSample(docs, "lang", "doc_id",
