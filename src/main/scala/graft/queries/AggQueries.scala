@@ -53,6 +53,42 @@ object AggQueries {
         .orderBy("token")
     }),
 
+    // FULL TPC-H Q1 (pricing summary report, VERDICT r10 #6): q20
+    // gates the bare grouped-aggregate shape; this gates the classic
+    // full-width composite — pushed date predicate + eight aggregates
+    // per group including the compound disc-price/charge expressions.
+    // Scale shape: the widest partial-aggregate row this engine ships
+    // (2 keys × 8 buffers) still map-side combines to ~4 rows per
+    // partition before the shuffle — partial-agg width costs buffer
+    // memory, never shuffle volume. Money math follows the q119
+    // convention: per-row double product cast to decimal BEFORE the
+    // order-invariant sum, surfaced as double; averages divide the
+    // exact decimal sum by the group count instead of avg()'s
+    // order-dependent double accumulation (l_quantity is
+    // integer-valued, so its plain avg is exact everywhere).
+    "q135_pricing_summary" -> ((s, dir) => {
+      val cutoff = lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= cutoff)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax")))
+            .cast("decimal(18,6)")).cast("double").as("sum_charge"),
+          avg(col("l_quantity")).as("avg_qty"),
+          (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / count(lit(1))).as("avg_price"),
+          (sum(col("l_discount").cast("decimal(18,2)")).cast("double")
+            / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // TPC-H Q1 shape: the canonical partial+final hash aggregate.
     "q20_agg_sum" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -195,6 +231,20 @@ object AggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q135_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |       avg(l_quantity) AS avg_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q38_heavy_hitters" ->
       """SELECT token, count(*) AS est_count
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

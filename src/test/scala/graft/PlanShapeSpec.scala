@@ -209,6 +209,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  /** VERDICT r10 #2: dynamic partition pruning as a GATED PLAN FACT.
+    * q133 joins a month-partitioned lineitem against a date-filtered
+    * dim whose join key is the partition column; the month set is only
+    * known at runtime, so the fact scan must carry a
+    * dynamicpruningexpression partition filter (the runtime subquery
+    * that lists only matching month directories). A plan where
+    * ship_month appears only as a data filter would read all ~84
+    * month directories of the 7-year corpus and drop rows afterwards. */
+  test("q133 DPP: the runtime month set prunes the fact scan's partitions") {
+    val p = plan("q133_dpp_join")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("dynamicpruningexpression"),
+      s"no dynamic pruning on the partitioned fact scan:\n$p")
+    assert(pf.contains("ship_month"),
+      s"dynamic pruning is not on the partition column:\n$p")
+    // the dim side's selective date predicates must still push
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("LessThan(o_orderdate"),
+      s"dim date filters not pushed to the orders scan:\n$p")
+  }
+
   /** The persisted-IVF read path as a plan fact: the probe must reach
     * the index scan as a PARTITION filter on cell_id (a literal IN of
     * the nProbe collected ids) — only the probed cell directories are
