@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   * blow up the fan-out, much larger ones degrade the bin key's
   * selectivity toward per-key cross products. Degenerate-skew caveat:
   * all intervals overlapping one hot (key, bin) cell still meet in one
-  * task — AQE skew-join splits moderate cases, and a production
-  * deployment caps pathological cells upstream (same discipline as the
-  * LSH bucket-size cap).
+  * task — AQE skew-join splits moderate cases (VERIFIED: SkewSpec
+  * plants a hot key and pins (skew=true) in the final adaptive plan),
+  * and a production deployment caps pathological cells upstream (same
+  * discipline as the LSH bucket-size cap).
   *
   * Bounds are LONGS (e.g. epoch micros; bin math is exact long
   * arithmetic — double division of large epochs rounds — with a
