@@ -230,6 +230,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"dim date filters not pushed to the orders scan:\n$p")
   }
 
+  /** q134's read path: the day range must apply as a STATIC partition
+    * filter on the day-partitioned sketch table — only the matching
+    * day directories are listed; the raw events are never rescanned
+    * (no events parquet in the plan at all). */
+  test("q134 persisted sketch rollup: day range prunes partitions, no events rescan") {
+    val p = plan("q134_sketch_rollup_persisted")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("day"), s"day range not applied as a partition filter:\n$p")
+    assert(!p.contains("events.parquet"),
+      s"rollup read must not rescan the raw events:\n$p")
+  }
+
   /** The persisted-IVF read path as a plan fact: the probe must reach
     * the index scan as a PARTITION filter on cell_id (a literal IN of
     * the nProbe collected ids) — only the probed cell directories are

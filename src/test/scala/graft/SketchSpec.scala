@@ -28,6 +28,41 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
     assert(rolled.nonEmpty)
   }
 
+  /** VERDICT r10 #4: the pattern's deployment shape closed end to end —
+    * sketch rows PERSISTED day-partitioned, read back in a fresh plan,
+    * range-filtered, unioned — must equal the in-session single pass
+    * over the same range EXACTLY (the binary sketch column must
+    * round-trip parquet bit-identically for register-max union to be
+    * lossless through storage). */
+  test("persisted rollup table: read-back union equals single-pass over the range") {
+    val path = TempDirs.scratch("graft-sketch-spec-")
+    graft.pipeline.Warehouse.writePartitioned(
+      Sketch.buildSketches(events, "user_id", lgK = 12,
+        col("event_type"), col("day")),
+      path, "day")
+    val cutoff = lit("2024-01-16").cast("date")
+    val persisted = Sketch.rollupSketches(
+        spark.read.parquet(path).filter(col("day") < cutoff),
+        col("event_type"))
+      .select(col("event_type"), Sketch.estimate(col("hll")).as("est"))
+      .as[(String, Long)].collect().toMap
+    val singlePass = Sketch.buildSketches(
+        events.filter(col("day") < cutoff), "user_id", lgK = 12,
+        col("event_type"))
+      .select(col("event_type"), Sketch.estimate(col("hll")).as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(persisted === singlePass)
+    assert(persisted.nonEmpty)
+    // the range filter must genuinely subset the sketch table (the
+    // ESTIMATES may legitimately coincide — every fixture user is
+    // active in both halves of the month at tiny SF — but the filtered
+    // row count cannot equal the full table's)
+    val all = spark.read.parquet(path).count()
+    val filtered = spark.read.parquet(path).filter(col("day") < cutoff).count()
+    assert(filtered > 0 && filtered < all,
+      s"range filter had no effect ($filtered of $all) — test is vacuous")
+  }
+
   test("rollup estimate tracks exact distinct within the lgK error envelope") {
     val est = Sketch.rollupSketches(
         Sketch.buildSketches(events, "user_id", lgK = 12,
