@@ -65,13 +65,22 @@ object ScaleProbe {
 
     val acc = new MetricsAcc
     spark.sparkContext.addSparkListener(acc)
-    val family = Seq("q70_lsh_neardup", "q72_near_dedup", "q81_near_dedup_cc",
+    val all = Seq("q70_lsh_neardup", "q72_near_dedup", "q81_near_dedup_cc",
       "q106_segment_dedup", "q109_semantic_dedup",
       // the round-10 persisted-index paths: q120 pays the one-time
       // index write at each scale, q122/q123 read the persisted
       // band/cell layouts — the incremental shapes the docs argue
       "q120_lsh_index_dedup", "q122_incremental_index_dedup",
       "q123_ivf_index_topk")
+    // SPARK_GRAFT_PROBE_ONLY=q106,q120 restricts the family — the
+    // 30–50× runs target just the linear-growth outliers rather than
+    // paying the whole family at a corpus 3–5× the 10× one.
+    val family = sys.env.get("SPARK_GRAFT_PROBE_ONLY") match {
+      case Some(csv) =>
+        val want = csv.split(',').map(_.trim).filter(_.nonEmpty)
+        all.filter(q => want.exists(q.startsWith))
+      case None => all
+    }
     // warmup (JIT/codegen/parquet paths), untimed
     spark.range(1000).selectExpr("sum(id)").collect()
     for (dir <- Seq(base, derived); name <- family) {
