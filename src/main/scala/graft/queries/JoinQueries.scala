@@ -238,6 +238,73 @@ object JoinQueries {
         .limit(10)
     }),
 
+    // HAVING-QUALIFIED JOIN-BACK (the TPC-H Q18 "large volume
+    // customer" shape): filter a fact table by ITS OWN aggregate —
+    // orders whose total lineitem quantity exceeds a threshold, joined
+    // back to orders + customer for presentation, top-100 by price.
+    // Scale shape: the qualifying set comes from a partial-aggregating
+    // groupBy on l_orderkey (one fixed-size row per order map-side —
+    // lineitem bytes never shuffle), and the HAVING keeps only the
+    // heavy tail, so the join-back runs against a tiny aggregate side
+    // that AQE broadcasts into orders; customer (SF-scaling) carries
+    // no forced broadcast per the file-header rule; the top-100 plans
+    // as TakeOrderedAndProject. The naive alternative — joining
+    // lineitem to orders FIRST and aggregating the joined width —
+    // would shuffle the whole fact twice; aggregating first is the
+    // canonical pre-aggregation pushdown this query gates.
+    "q136_having_join_back" -> ((s, dir) => {
+      val qualifying = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      qualifying.join(o, qualifying("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"),
+          col("l_orderkey").as("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // CORRELATED-SUBQUERY DECORRELATION (the TPC-H Q17 shape):
+    // lineitems below half their part's average quantity, for one
+    // brand — the classic "compare each row to its group's aggregate"
+    // semantic that arrives as a correlated scalar subquery. The
+    // textbook decorrelation self-joins the fact against a per-part
+    // aggregate: two full fact scans and two fact shuffles — dead at
+    // 100 TB. This plan instead (1) broadcast-reduces lineitem by the
+    // selective brand dim FIRST (partkey is the part table's key, so
+    // the filter removes no lineitems OF a qualifying part — the
+    // per-part average over the reduced set is identical to the
+    // correlated subquery's), then (2) computes the average as a
+    // window over l_partkey and (3) reuses that same hash partitioning
+    // for the final per-part groupBy — ONE shuffle of the ~1/25
+    // reduced set, one fact scan. PlanShapeSpec pins the single
+    // l_partkey Exchange. Averages of integer-valued quantities are
+    // exact in double at any accumulation order; revenue follows the
+    // q135 decimal-before-sum convention.
+    "q137_correlated_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#13")
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, dir)
+      val reduced = li.join(p, li("l_partkey") === p("p_partkey"))
+      val w = Window.partitionBy(col("l_partkey"))
+      reduced
+        .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .groupBy(col("l_partkey"))
+        .agg(
+          count(lit(1)).as("n_small"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("small_revenue"))
+        .orderBy("l_partkey")
+    }),
+
     // BUCKETED fact-fact join: lineitem ⋈ orders both bucketed (and
     // sorted) on orderkey at write time (Warehouse.writeBucketed), so
     // the join — and the groupBy on the same key — run with ZERO
@@ -357,6 +424,29 @@ object JoinQueries {
         |  AND l_shipdate > TIMESTAMP '1995-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q136_having_join_back" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       epoch_us(o_orderdate) AS o_orderdate_us,
+        |       o_totalprice, total_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 250) q
+        |JOIN orders   ON q.l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    // the INDEPENDENT formulation: DuckDB evaluates the genuine
+    // correlated scalar subquery; the Spark side must reproduce it
+    // through the broadcast-reduce + window decorrelation.
+    "q137_correlated_avg" ->
+      """SELECT l_partkey, count(*) AS n_small,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS small_revenue
+        |FROM lineitem l JOIN part p ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#13'
+        |  AND l_quantity < 0.5 * (SELECT avg(li.l_quantity)
+        |                          FROM lineitem li
+        |                          WHERE li.l_partkey = l.l_partkey)
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
     // the oracle reads the PLAIN parquet — bucketing must change the
     // plan (no Exchange), never the answer. sum(l_quantity) is an
     // integer-valued double: exact at any accumulation order.

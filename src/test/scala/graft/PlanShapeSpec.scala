@@ -116,6 +116,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  /** q136's whole point is aggregation-before-join: the qualifying set
+    * must come from a partial-aggregating groupBy on l_orderkey (so
+    * lineitem bytes never shuffle), the heavy-tail aggregate side must
+    * broadcast BY SIZE into the join-back, and the top-100 must plan
+    * as TakeOrderedAndProject. */
+  test("q136 having join-back: partial agg before the join, top-k plan") {
+    val p = plan("q136_having_join_back")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 lost the TakeOrderedAndProject plan:\n$p")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"qualifying aggregate lost map-side partial aggregation:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"tiny qualifying set should broadcast by size into the join-back:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"join-back degenerated to a cross product:\n$p")
+  }
+
+  /** q137's decorrelation claim as a plan fact: ONE hash Exchange on
+    * l_partkey, shared by the window (per-part average) and the final
+    * per-part aggregate — the textbook self-join decorrelation would
+    * show two fact shuffles. The brand dim must broadcast. */
+  test("q137 correlated-avg: one l_partkey shuffle shared by window and agg") {
+    val p = plan("q137_correlated_avg")
+    val partkeyExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(l_partkey"))
+      .size
+    assert(partkeyExchanges == 1,
+      s"expected exactly ONE l_partkey hash Exchange (window + agg share it), got $partkeyExchanges:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"selective brand dim should broadcast-reduce the fact first:\n$p")
+    assert(p.contains("Window"), s"per-part average lost the window form:\n$p")
+  }
+
   /** The interval join's whole reason to exist: the raw inequality
     * condition plans a nested-loop join; the bin-and-residual form
     * must plan a proper equi join on (user_id, bin) with the overlap
