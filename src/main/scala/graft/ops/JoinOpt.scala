@@ -22,10 +22,15 @@ import org.apache.spark.sql.functions._
   *  - Spark's runtime bloom filter (`spark.sql.optimizer.runtime.
   *    bloomFilter.enabled`, default on since 3.4) injects an
   *    approximate version automatically, but only when size thresholds
-  *    (`creationSideThreshold`, 10 MB default) and cost heuristics
-  *    line up — and never through seams the optimizer can't see
-  *    through (custom sources, checkpoints). `semiReduce` is the
-  *    explicit, exact form for when the rewrite must be guaranteed.
+  *    (`creationSideThreshold`, 10 MB default; application-side scan
+  *    ≥ 10 GB) and cost heuristics line up — and never through seams
+  *    the optimizer can't see through (custom sources, checkpoints).
+  *    That injection is pinned as a tested fact in PlanShapeSpec
+  *    ("runtime bloom filter injects..."): with the thresholds in
+  *    range, a selective dim predicate plants a `bloom_filter_agg` →
+  *    `might_contain` pre-filter below the fact shuffle. `semiReduce`
+  *    is the explicit, exact form for when the rewrite must be
+  *    guaranteed.
   *
   * Exactness: a semi join keeps precisely the fact rows with a join
   * partner, so `semiReduce(fact, dim, k).join(dim, k)` ≡

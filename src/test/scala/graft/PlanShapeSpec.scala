@@ -149,6 +149,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("Window"), s"per-part average lost the window form:\n$p")
   }
 
+  /** Companion to the q84 semi-join-reduction audit: Spark's OWN
+    * automatic version — InjectRuntimeFilter planting a bloom
+    * pre-filter on the fact side of a shuffle join whose dim carries a
+    * selective predicate (`ops.JoinOpt`'s scaladoc leans on this for
+    * the "when thresholds line up" case; here it is pinned as a fact,
+    * not an assumption). The application-side scan threshold (10 GB in
+    * production — a fact side smaller than that isn't worth the bloom
+    * build) is dropped into fixture range; the MECHANISM is identical:
+    * the dim's join keys aggregate into a bloom filter that filters
+    * the fact BELOW its shuffle. semiReduce remains the explicit exact
+    * form for seams the optimizer can't see through. */
+  test("runtime bloom filter injects on a selective dim join (InjectRuntimeFilter)") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1024") {
+      import org.apache.spark.sql.functions.col
+      val li = Tables.lineitem(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"), col("o_orderpriority"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"InjectRuntimeFilter did not plant a bloom on the fact side:\n$p")
+      assert(p.contains("bloom_filter_agg"),
+        s"no bloom aggregate over the dim join keys on the creation side:\n$p")
+    }
+  }
+
   /** The interval join's whole reason to exist: the raw inequality
     * condition plans a nested-loop join; the bin-and-residual form
     * must plan a proper equi join on (user_id, bin) with the overlap
