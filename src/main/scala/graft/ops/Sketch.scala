@@ -49,4 +49,23 @@ object Sketch {
 
   /** Cardinality estimate of a sketch column. */
   def estimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+
+  /** Rolling union over a sliding index window — "distinct users in
+    * the trailing N windows" (rolling 7-day actives, 30-day MAU)
+    * computed entirely over the tiny sketch table: the window frame
+    * unions N fixed-size sketches per row, never revisits raw events,
+    * and the lossless-merge law means the result is EXACTLY the
+    * sketch that a direct pass over the N windows' raw data would
+    * build. `orderIdx` must be a numeric window index (epoch days for
+    * daily sketches) so the RANGE frame covers gaps: a missing day
+    * contributes nothing rather than silently widening the window the
+    * way a ROWS frame would. */
+  def rollingUnion(sketch: Column, partition: Seq[Column],
+                   orderIdx: Column, windows: Int): Column = {
+    require(windows >= 1, s"window count must be >= 1, got $windows")
+    import org.apache.spark.sql.expressions.Window
+    hll_union_agg(sketch).over(
+      Window.partitionBy(partition: _*).orderBy(orderIdx)
+        .rangeBetween(-(windows - 1).toLong, 0L))
+  }
 }

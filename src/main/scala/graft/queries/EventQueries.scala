@@ -255,6 +255,37 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // ROLLING DISTINCT FROM DAILY SKETCHES (Sketch.rollingUnion):
+    // trailing-7-day distinct users per event type — the rolling
+    // MAU/WAU shape. Exact rolling distinct is the canonical
+    // 100 TB-killer: distinct does not roll up, so the naive form
+    // rescans 7 days of raw events PER output day (or self-joins the
+    // corpus). Here raw events are scanned ONCE into per-(type, day)
+    // sketches — the same groupBy partial-agg shape as q127, shuffle
+    // carries one 4 KB sketch per group — and the 7-day union runs as
+    // a RANGE-frame window over the tiny sketch table (|days|×|types|
+    // rows), unioning 7 fixed-size sketches per output row. The frame
+    // is keyed on epoch days so calendar gaps stay gaps (a ROWS frame
+    // would silently widen the window). Rows-only by contract
+    // (DataSketches layout); SketchSpec pins the law that each rolling
+    // estimate EQUALS the single-pass sketch over that window's raw
+    // events, and tracks exact distinct within the lgK envelope.
+    "q138_sliding_distinct" -> ((s, dir) => {
+      import graft.ops.Sketch
+      import org.apache.spark.sql.functions._
+      val daily = Sketch.buildSketches(
+        Tables.events(s, dir).withColumn("day", to_date(col("ts"))),
+        "user_id", lgK = 12, col("event_type"), col("day"))
+      daily
+        .withColumn("day_idx",
+          datediff(col("day"), lit("1970-01-01").cast("date")))
+        .withColumn("hll7", Sketch.rollingUnion(col("hll"),
+          Seq(col("event_type")), col("day_idx"), windows = 7))
+        .select(col("event_type"), col("day"),
+          Sketch.estimate(col("hll7")).as("est_users_7d"))
+        .orderBy("event_type", "day")
+    }),
+
     // INTERVAL OVERLAP JOIN (ops.IntervalJoin): purchase attribution
     // windows [ts, ts+1h) × click windows [ts, ts+10min) per user,
     // matched where they intersect — via bin-and-residual (equi join

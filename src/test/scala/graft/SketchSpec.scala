@@ -63,6 +63,36 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
       s"range filter had no effect ($filtered of $all) — test is vacuous")
   }
 
+  /** q138's law: the RANGE-frame rolling union over daily sketches is
+    * the SAME sketch a direct single pass over that window's raw
+    * events would build — per (type, day), exactly — and its estimate
+    * tracks the exact trailing-7-day distinct within the envelope. */
+  test("rolling 7-day union equals single-pass per window; tracks exact distinct") {
+    val rolling = SparkEntry.queries("q138_sliding_distinct")(spark, sfDir)
+      .as[(String, java.sql.Date, Long)].collect()
+      .map { case (t, d, e) => (t, d.toString) -> e }.toMap
+    assert(rolling.nonEmpty)
+    // spot-check a handful of (type, day) windows against a direct
+    // sketch built from the raw events of exactly that 7-day range —
+    // lossless merge means EXACT estimate equality, not approximate
+    val picks = rolling.keys.toSeq.sortBy(identity).zipWithIndex
+      .filter(_._2 % 7 == 3).map(_._1).take(6)
+    for ((tpe, day) <- picks) {
+      val direct = Sketch.buildSketches(
+          events.filter(col("event_type") === tpe &&
+            col("day").between(date_sub(lit(day).cast("date"), 6), lit(day).cast("date"))),
+          "user_id", lgK = 12, col("event_type"))
+        .select(Sketch.estimate(col("hll"))).as[Long].head()
+      assert(rolling((tpe, day)) === direct,
+        s"($tpe, $day): rolling ${rolling((tpe, day))} != single-pass $direct")
+      val exact = events.filter(col("event_type") === tpe &&
+          col("day").between(date_sub(lit(day).cast("date"), 6), lit(day).cast("date")))
+        .select(countDistinct("user_id")).as[Long].head()
+      val rel = math.abs(rolling((tpe, day)) - exact).toDouble / exact
+      assert(rel < 0.05, s"($tpe, $day): est ${rolling((tpe, day))} vs exact $exact")
+    }
+  }
+
   test("rollup estimate tracks exact distinct within the lgK error envelope") {
     val est = Sketch.rollupSketches(
         Sketch.buildSketches(events, "user_id", lgK = 12,
