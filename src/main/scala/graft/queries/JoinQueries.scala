@@ -305,6 +305,29 @@ object JoinQueries {
         .orderBy("l_partkey")
     }),
 
+    // DISTRIBUTION-OF-COUNTS (the TPC-H Q13 "customer distribution"
+    // shape): how many customers placed exactly k orders, INCLUDING
+    // k=0 — the double aggregation whose outer key is the inner
+    // aggregate's value. The zero bucket forces an outer join (an
+    // inner join silently drops order-less customers — the classic
+    // Q13 bug). Scale shape: orders pre-aggregates to one count per
+    // custkey BEFORE the join (map-side partial, orders bytes never
+    // shuffle — the q136 aggregation-pushdown theme), customer left
+    // joins the count table on the shared custkey shuffle, and the
+    // second aggregate runs over the tiny count domain. The oracle
+    // evaluates the textbook join-then-count formulation — the
+    // pre-aggregation must be invisible in the answer.
+    "q139_custdist" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val cnt = Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      c.join(cnt, c("c_custkey") === cnt("o_custkey"), "left_outer")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
     // BUCKETED fact-fact join: lineitem ⋈ orders both bucketed (and
     // sorted) on orderkey at write time (Warehouse.writeBucketed), so
     // the join — and the groupBy on the same key — run with ZERO
@@ -424,6 +447,14 @@ object JoinQueries {
         |  AND l_shipdate > TIMESTAMP '1995-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    // the INDEPENDENT formulation: the textbook left-join-then-count;
+    // the Spark side's pre-aggregation must not change the answer.
+    "q139_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q136_having_join_back" ->
       """SELECT c_name, c_custkey, o_orderkey,
         |       epoch_us(o_orderdate) AS o_orderdate_us,

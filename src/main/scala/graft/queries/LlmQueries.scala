@@ -381,6 +381,49 @@ object LlmQueries {
         .orderBy("pair_id")
     }),
 
+    // BM25 RETRIEVAL SCORING (Robertson/Spärck Jones; k1=1.2, b=0.75):
+    // rank documents against a fixed term set — the lexical-retrieval
+    // op a training-data pipeline runs for targeted corpus queries and
+    // retrieval-baseline evals. Scale shape: term frequencies come
+    // from explode→filter→groupBy where the isin filter drops every
+    // non-query token IN THE SAME CODEGEN STAGE as the explode, so the
+    // shuffle carries only (doc_id, term, count) partials for the |Q|
+    // query terms — document text never shuffles; document frequencies
+    // aggregate those partials (|Q| rows) and broadcast back; the
+    // corpus-wide (N, avgdl) one-row aggregate broadcasts as a cross
+    // join. Float determinism: each per-term contribution is one
+    // fixed-shape double expression tree (libm ln parity with DuckDB
+    // holds — q132 precedent), rounded to decimal(18,6) BEFORE the
+    // order-invariant sum, surfaced as double.
+    "q140_bm25" -> ((s, dir) => {
+      val terms = Seq("spark", "join", "window")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          log((col("n_docs") - col("df") + lit(0.5))
+              / (col("df") + lit(0.5)) + lit(1.0))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75)
+                + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("contrib").cast("decimal(18,6)"))
+          .cast("double").as("bm25"))
+        .orderBy("doc_id")
+    }),
+
     // token counting under the BPE-ish regex pre-tokenizer (words /
     // digit runs / punctuation runs) next to the whitespace count —
     // row-local, the difference is the subword-split overhead a real
@@ -1335,6 +1378,30 @@ object LlmQueries {
         |       count(DISTINCT source) AS n_sources,
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // the oracle mirrors the exact double expression tree (libm ln
+    // parity, decimal-before-sum) — see the q140 scaladoc.
+    "q140_bm25" ->
+      """WITH dl AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+        |  WHERE term IN ('spark', 'join', 'window')
+        |  GROUP BY doc_id, dl, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+        |SELECT doc_id,
+        |       CAST(sum(CAST(
+        |         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |           * (tf * 2.2)
+        |           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |         AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        |FROM tf JOIN df USING (term) CROSS JOIN stats
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q57_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,
