@@ -328,6 +328,38 @@ object JoinQueries {
         .orderBy(desc("custdist"), desc("c_count"))
     }),
 
+    // SCALAR-THRESHOLD + ANTI-JOIN (the TPC-H Q22 "global sales
+    // opportunity" shape): above-average-balance customers LAPSED
+    // since 1999 (no order on/after the cutoff), per nation — the
+    // remaining classic subquery pair after q137: a scalar subquery
+    // threshold (decorrelates to a one-row aggregate broadcast via
+    // cross join) and a correlated NOT EXISTS (decorrelates to a
+    // left-anti join). Scale shape: the threshold side is one row; the
+    // date predicate pushes into the orders scan BEFORE the anti join,
+    // which then pre-distincts to one 8-byte key per recent customer
+    // (map-side partial) — the network never carries order rows; anti
+    // semantics ignore multiplicity, making the dedup free of risk.
+    // Money math per the q135 convention (decimal-before-sum; the
+    // average divides the exact decimal sum by the count).
+    "q141_anti_exists" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("avg_bal"))
+      val cutoff = lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+      val ordered = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= cutoff)
+        .select(col("o_custkey")).distinct()
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(ordered, c("c_custkey") === ordered("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").as("total_bal"))
+        .orderBy("c_nationkey")
+    }),
+
     // BUCKETED fact-fact join: lineitem ⋈ orders both bucketed (and
     // sorted) on orderkey at write time (Warehouse.writeBucketed), so
     // the join — and the groupBy on the same key — run with ZERO
@@ -447,6 +479,21 @@ object JoinQueries {
         |  AND l_shipdate > TIMESTAMP '1995-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    // the INDEPENDENT formulation: the genuine scalar subquery and
+    // correlated NOT EXISTS — the Spark side's broadcast + anti-join
+    // decorrelation must reproduce it.
+    "q141_anti_exists" ->
+      """SELECT c_nationkey, count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |                          / count(*)
+        |                   FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c.c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // the INDEPENDENT formulation: the textbook left-join-then-count;
     // the Spark side's pre-aggregation must not change the answer.
     "q139_custdist" ->
