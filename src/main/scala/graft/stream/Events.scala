@@ -100,6 +100,28 @@ object Events {
   def tumblingWithWatermark(events: DataFrame, width: String, delay: String): DataFrame =
     tumbling(events.withWatermark("ts", delay), width)
 
+  /** Streaming distinct-per-window via mergeable HLL sketches — the
+    * streaming face of the q127/q134/q138 rollup-table pattern. Exact
+    * streaming count-distinct would keep EVERY value id in the state
+    * store (state ∝ distinct users per window — unbounded at stream
+    * scale); here the streaming aggregation's state IS the fixed
+    * 2^lgK-register sketch buffer per (window, type), merged
+    * incrementally across micro-batches by the same register-max union
+    * the batch rollup uses. Emits the estimate AND the sketch bytes:
+    * a sink persisting these rows day-partitioned yields exactly the
+    * rollup table q134/q138 query (arbitrary-range / trailing-window
+    * unions) without ever rescanning the stream. */
+  def distinctPerWindow(events: DataFrame, width: String, delay: String,
+                        lgK: Int = 12): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("hll"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"),
+        hll_sketch_estimate(col("hll")).as("est_users"),
+        col("hll"))
+
   /** Stateful exact-once dedup by event_id within the watermark
     * horizon: state for an id is dropped once the watermark passes it,
     * so state stays bounded while duplicates inside the lateness window

@@ -92,6 +92,43 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("distinctPerWindow: sketch state merges across micro-batches; estimate exact at test scale") {
+    val b1 = Seq(
+      Ev(1, t("2024-01-01T10:01:00Z"), 1, "click", 1.0),
+      Ev(2, t("2024-01-01T10:02:00Z"), 2, "click", 1.0),
+      Ev(3, t("2024-01-01T10:03:00Z"), 1, "click", 1.0), // dup user in-batch
+      Ev(4, t("2024-01-01T10:04:00Z"), 7, "view", 1.0))
+    val b2 = Seq(
+      Ev(5, t("2024-01-01T10:06:00Z"), 1, "click", 1.0), // dup user CROSS-batch
+      Ev(6, t("2024-01-01T10:07:00Z"), 3, "click", 1.0),
+      Ev(7, t("2024-01-01T10:21:00Z"), 1, "click", 1.0)) // next window
+    val ms = MemoryStream[Ev](spark)
+    val name = queryName()
+    val q = Events.distinctPerWindow(ms.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val got = spark.table(name)
+        .select("window_start", "event_type", "est_users")
+        .as[(String, String, Long)].collect().toSet
+      // HLL is exact at these cardinalities (sparse mode), so the
+      // cross-batch register merge must produce the exact distincts:
+      // user 1 counted ONCE in 10:00 despite appearing in both batches
+      assert(got === Set(
+        ("2024-01-01 10:00:00", "click", 3L), // users 1,2,3
+        ("2024-01-01 10:00:00", "view", 1L),
+        ("2024-01-01 10:20:00", "click", 1L)))
+      // and the emitted sketch BYTES round-trip: estimating them
+      // directly equals the streamed estimate column
+      val viaBytes = spark.table(name)
+        .select(col("window_start"), col("event_type"),
+          expr("hll_sketch_estimate(hll)").as("e"))
+        .as[(String, String, Long)].collect().toSet
+      assert(viaBytes === got)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark: duplicate event_ids within the horizon collapse") {
     val ms = MemoryStream[Ev](spark)
     val name = queryName()
