@@ -40,9 +40,24 @@ object Warehouse {
   /** Directory-partitioned parquet: the partition-pruning layout.
     * Partition columns must be low-cardinality (each value = one
     * directory; a high-cardinality partition key is the classic
-    * small-files trap). */
+    * small-files trap).
+    *
+    * Rows are REPARTITIONED on the partition columns before the write:
+    * without it, every write task sees rows of every partition value
+    * and emits one file per (task × value) — tasks × directories tiny
+    * files, the OTHER small-files trap, which at warehouse scale
+    * multiplies NameNode/listing load and per-file open cost on every
+    * later read. Co-locating first bounds the count at one file per
+    * populated directory (hash collisions can still co-locate several
+    * values in one task — still one file per directory). At true
+    * 100 TB a single hot partition value may then exceed one task's
+    * comfort; that case wants an additional within-partition salt
+    * column in the repartition key, which callers can do themselves —
+    * the fixture months are uniform, so the simple form is right
+    * here. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
-    df.write.mode("overwrite")
+    df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
