@@ -424,6 +424,33 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // INVERTED INDEX BUILD (q140's layout counterpart: the index a
+    // lexical retrieval system queries instead of re-scoring the
+    // corpus): term → document frequency, total term frequency, and
+    // the doc_id-sorted posting list. Scale shape: (term, doc_id, tf)
+    // partial-aggregates map-side before the term shuffle — document
+    // text never shuffles, the wire carries one row per distinct
+    // (term, doc) pair; the posting ARRAY is per-term, so its size is
+    // the term's df — fine for body terms, and the known skew seam for
+    // stopword-grade terms, where a production layout shards hot
+    // posting lists into fixed-size blocks (block id ⊂ sort key) the
+    // same way q120 buckets LSH bands; the fixture vocabulary (~60
+    // terms × ≤500 docs) sits far below that threshold so the
+    // single-row-per-term form is the honest one here. sort_array
+    // makes the list deterministic for the hash gate.
+    "q142_inverted_index" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("term"))
+        .agg(
+          count(lit(1)).as("df"),
+          sum(col("tf")).as("total_tf"),
+          sort_array(collect_list(col("doc_id"))).as("postings"))
+        .orderBy("term")
+    }),
+
     // token counting under the BPE-ish regex pre-tokenizer (words /
     // digit runs / punctuation runs) next to the whitespace count —
     // row-local, the difference is the subword-split overhead a real
@@ -1378,6 +1405,15 @@ object LlmQueries {
         |       count(DISTINCT source) AS n_sources,
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q142_inverted_index" ->
+      """WITH tf AS (
+        |  SELECT term, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY term, doc_id)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+        |       list_sort(list(doc_id)) AS postings
+        |FROM tf GROUP BY term ORDER BY term""".stripMargin,
     // the oracle mirrors the exact double expression tree (libm ln
     // parity, decimal-before-sum) — see the q140 scaladoc.
     "q140_bm25" ->
