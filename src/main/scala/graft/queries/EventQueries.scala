@@ -286,6 +286,30 @@ object EventQueries {
         .orderBy("event_type", "day")
     }),
 
+    // PERSISTED TOP-K SKETCH ROLLUP (q134's discipline applied to
+    // HEAVY HITTERS): per-day approx_top_k_accumulate sketches written
+    // day-partitioned, then a fresh plan range-filters the days
+    // (static partition pruning), approx_top_k_combine-merges and
+    // estimates — "top items over an arbitrary date range" without
+    // rescanning raw events, the second aggregate family (after
+    // distinct counts) that does NOT roll up from plain partials.
+    // The fixture's 6 event types sit far under the 64-slot capacity,
+    // so the estimate is EXACT (q38's argument) and the query runs
+    // under the full hash gate against exact DuckDB counts — the
+    // sketch lifecycle must be invisible in the answer at
+    // under-capacity cardinalities.
+    "q143_topk_sketch_rollup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val path = topkSketchTablePath(s, dir)
+      s.read.parquet(path)
+        .filter(col("day") < lit("2024-01-16").cast("date"))
+        .agg(expr("approx_top_k_combine(sk, 64)").as("csk"))
+        .select(explode(expr("approx_top_k_estimate(csk, 6)")).as("e"))
+        .select(col("e.item").as("event_type"),
+          col("e.count").as("n_events"))
+        .orderBy("event_type")
+    }),
+
     // INTERVAL OVERLAP JOIN (ops.IntervalJoin): purchase attribution
     // windows [ts, ts+1h) × click windows [ts, ts+10min) per user,
     // matched where they intersect — via bin-and-residual (equi join
@@ -388,7 +412,35 @@ object EventQueries {
       })
     }
 
+  /** Once-per-session setup for q143: per-day approx_top_k sketches
+    * persisted day-partitioned — the heavy-hitter face of the q134
+    * rollup table. Memoized per (application, fixture dir). */
+  private val topkSketchPaths =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def topkSketchTablePath(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): String =
+    topkSketchPaths.synchronized {
+      topkSketchPaths.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+        import org.apache.spark.sql.functions._
+        val path = graft.TempDirs.scratch("graft-topk-sketch-")
+        graft.pipeline.Warehouse.writePartitioned(
+          Tables.events(s, dir)
+            .withColumn("day", to_date(col("ts")))
+            .groupBy(col("day"))
+            .agg(expr("approx_top_k_accumulate(event_type, 64)").as("sk")),
+          path, "day")
+        path
+      })
+    }
+
   val oracles: Map[String, String] = Map(
+    // exact counts: 6 event types < 64 sketch slots ⇒ the sketch
+    // estimate is exact and the whole persisted lifecycle hash-gates.
+    "q143_topk_sketch_rollup" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events
+        |WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the INDEPENDENT formulation: a plain inequality join (fine at
     // fixture scale in DuckDB) — the Spark side must reproduce it
     // through binning exactly.

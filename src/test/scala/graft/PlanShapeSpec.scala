@@ -299,11 +299,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     * day directories are listed; the raw events are never rescanned
     * (no events parquet in the plan at all). */
   test("q134 persisted sketch rollup: day range prunes partitions, no events rescan") {
-    val p = plan("q134_sketch_rollup_persisted")
-    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
-    assert(pf.contains("day"), s"day range not applied as a partition filter:\n$p")
-    assert(!p.contains("events.parquet"),
-      s"rollup read must not rescan the raw events:\n$p")
+    for (q <- Seq("q134_sketch_rollup_persisted", "q143_topk_sketch_rollup")) {
+      val p = plan(q)
+      val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+      assert(pf.contains("day"), s"$q: day range not applied as a partition filter:\n$p")
+      assert(!p.contains("events.parquet"),
+        s"$q: rollup read must not rescan the raw events:\n$p")
+    }
   }
 
   /** The persisted-IVF read path as a plan fact: the probe must reach
