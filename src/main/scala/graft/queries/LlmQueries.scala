@@ -424,6 +424,52 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // DUPLICATED-SUBSTRING SPAN EXTRACTION (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better" —
+    // the exact-substring pass their suffix-array tool runs, here as
+    // the distributed n-gram seed-and-merge equivalent): per document,
+    // the MAXIMAL token spans covered by 16-grams that also occur in
+    // another document. Three stages, each with one bounded shuffle:
+    // (1) positional 16-gram md5 keys (row-local; 16 bytes shuffle per
+    // gram, never the text); (2) cross-doc test as min(doc)≠max(doc)
+    // over a window partitioned by gram key — ONE gram-key shuffle,
+    // where the naive countDistinct-then-join-back pays two, and
+    // intra-doc repeats correctly do NOT count; (3) overlap-or-adjacent
+    // span merge via gaps-and-islands (the q114 machinery) on the
+    // doc_id shuffle: a new span starts where pos > prev_pos + 16.
+    // Output: spans and duplicated-token coverage per affected doc —
+    // what the removal pass consumes.
+    "q144_dup_spans" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = 16
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= n) // sequence() must not run backwards
+      val grams = toks.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), size(col("t")) - n),
+            i => md5(array_join(slice(col("t"), i + 1, lit(n)), " ")))))
+        .toDF("doc_id", "pos", "g")
+      val wG = Window.partitionBy("g")
+      val dup = grams
+        .withColumn("cross",
+          min(col("doc_id")).over(wG) =!= max(col("doc_id")).over(wG))
+        .filter(col("cross"))
+        .select(col("doc_id"), col("pos"))
+      val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+      val lagPos = lag(col("pos"), 1).over(wOrd)
+      val spans = dup
+        .withColumn("f",
+          when(lagPos.isNull || col("pos") > lagPos + n, 1).otherwise(0))
+        .withColumn("island", sum(col("f")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("island"))
+        .agg((max(col("pos")) - min(col("pos")) + n).as("span_tokens"))
+      spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_tokens")).as("dup_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // INVERTED INDEX BUILD (q140's layout counterpart: the index a
     // lexical retrieval system queries instead of re-scoring the
     // corpus): term → document frequency, total term frequency, and
@@ -1405,6 +1451,37 @@ object LlmQueries {
         |       count(DISTINCT source) AS n_sources,
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // same md5 gram keys, same min≠max cross-doc test, same
+    // gaps-and-islands merge — replayed in DuckDB's window dialect.
+    "q144_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 16),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         md5(array_to_string(t[i:i+15], ' ')) AS g
+        |  FROM toks, unnest(range(1, len(t) - 14)) AS r(i)),
+        |dup AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |           min(doc_id) OVER (PARTITION BY g) AS mn,
+        |           max(doc_id) OVER (PARTITION BY g) AS mx
+        |    FROM grams) WHERE mn <> mx),
+        |flag AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER w IS NULL
+        |                OR pos > lag(pos) OVER w + 16 THEN 1 ELSE 0 END AS f
+        |  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |isl AS (
+        |  SELECT doc_id, pos, sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+        |                                   ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flag),
+        |spans AS (
+        |  SELECT doc_id, island, max(pos) - min(pos) + 16 AS span_tokens
+        |  FROM isl GROUP BY doc_id, island)
+        |SELECT doc_id, count(*) AS n_spans,
+        |       CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q142_inverted_index" ->
       """WITH tf AS (
         |  SELECT term, doc_id, count(*) AS tf
