@@ -786,4 +786,56 @@ object Dedup {
       .select(col("id").as(idCol)).distinct()
     fresh.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** EXACT set-similarity self-join via prefix filtering (Chaudhuri,
+    * Ganti & Kaushik, "A Primitive Operator for Similarity Joins",
+    * ICDE 2006; Bayardo, Ma & Srikant, "Scaling Up All Pairs
+    * Similarity Search", WWW 2007): every UNordered pair (a, b) with
+    * Jaccard(set_a, set_b) >= t — no false negatives AND no false
+    * positives, unlike the probabilistic MinHash-LSH path above.
+    *
+    * The filter: order every token by a GLOBAL canonical order
+    * (ascending document frequency, ties by token — rarest first, the
+    * All-Pairs fan-out minimizer); a set of size s keeps only its
+    * first  s - ceil(t·s) + 1  tokens as its PREFIX. If J(a,b) >= t,
+    * the prefixes of a and b must intersect (take the globally
+    * smallest common token w: were it past either prefix, that set
+    * would have at most ceil(t·s) - 1 tokens at-or-after w, too few to
+    * hold the >= ceil(t·s) common tokens that all sort at-or-after w).
+    * So the prefix-prefix equi join generates a candidate superset,
+    * and the exact-Jaccard verify keeps truth only.
+    *
+    * Scale shape: three bounded shuffles — token df (map-side combined
+    * counts), the per-set rank/prefix groupBy on the id key, and the
+    * candidate equi join keyed on PREFIX tokens only (wire carries
+    * (token, id), never sets); the full arrays re-join only the
+    * candidate PAIRS (LSH-candidate-sized, not corpus-sized) for the
+    * verify. The df lookup join is vocab-keyed — Spark broadcasts it
+    * under the threshold and shuffle-joins above, both fine; the
+    * rarest-first order keeps stopword-grade tokens out of prefixes,
+    * which is what bounds candidate fan-out on skewed vocabularies. */
+  def prefixSimilarityJoin(df: DataFrame, idCol: String, setCol: String,
+                           threshold: Double): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), col(setCol).as("toks"))
+      .withColumn("sz", size(col("toks"))).filter(col("sz") > 0)
+    val toks = sets.select(col("id"), col("sz"), explode(col("toks")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefix = toks.join(dfreq, Seq("tok"))
+      .groupBy("id", "sz")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ranked"))
+      .select(col("id"), explode(slice(
+        transform(col("ranked"), r => r.getField("tok")),
+        lit(1),
+        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as("tok"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("toks").as("set_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("toks").as("set_b")), Seq("id_b"))
+      .withColumn("jaccard", exactJaccard(col("set_a"), col("set_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }

@@ -497,6 +497,52 @@ object LlmQueries {
         .orderBy("term")
     }),
 
+    // BPE MERGE-STEP PAIR COUNTING (Sennrich, Haddow & Birch 2016,
+    // "Neural Machine Translation of Rare Words with Subword Units" —
+    // one training iteration of byte-pair encoding): corpus-wide
+    // adjacent-symbol-pair frequencies, the table whose argmax is the
+    // iteration's merge. Computed the way the reference algorithm
+    // does: collapse the corpus to the WORD-FREQUENCY table first
+    // (one word shuffle, map-side combined — the corpus-sized pass),
+    // then explode each DISTINCT word's adjacent character pairs
+    // weighted by its count (vocabulary-sized, corpus-free). At 100 TB
+    // the second stage touches |vocab| rows no matter the corpus size —
+    // this two-stage shape IS the reason real BPE trainers count words
+    // first. Top-20 by (count desc, pair) via TakeOrderedAndProject.
+    "q145_bpe_pair_step" -> ((s, dir) => {
+      val wordFreq = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      wordFreq
+        .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"), col("wc"))
+        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+        .orderBy(desc("cnt"), col("pair"))
+        .limit(20)
+    }),
+
+    // EXACT SET-SIMILARITY SELF-JOIN via prefix filtering
+    // (ops/Dedup.prefixSimilarityJoin — SSJoin/All-Pairs): ALL document
+    // pairs with 3-gram shingle-set Jaccard >= 0.5, exactly — the
+    // deterministic counterpart of the MinHash-LSH candidate path
+    // (q70/q72), for when the pipeline needs no-false-negative
+    // guarantees (contamination audits, eval-set isolation proofs).
+    // The DuckDB oracle is the NAIVE QUADRATIC formulation (every pair,
+    // exact Jaccard) — an independent algorithm, so the hash match
+    // proves the prefix filter candidate-lossless, not just
+    // self-consistent. Jaccard surfaces rounded to 4dp (exact integer
+    // ratio in doubles; rounding only normalizes display width).
+    "q147_prefix_simjoin" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val sets = toks.select(col("doc_id"), Dedup.shingles(col("t"), 3).as("sh"))
+      Dedup.prefixSimilarityJoin(sets, "doc_id", "sh", 0.5)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // token counting under the BPE-ish regex pre-tokenizer (words /
     // digit runs / punctuation runs) next to the whitespace count —
     // row-local, the difference is the subword-split overhead a real
@@ -1271,6 +1317,35 @@ object LlmQueries {
         |       WHEN s_en >= s_de THEN 'en'
         |       ELSE 'de' END AS detected
         |FROM s ORDER BY doc_id""".stripMargin,
+    // word-frequency table first, then pairs weighted by count — the
+    // same two-stage shape; list comprehension = the transform lambda.
+    "q145_bpe_pair_step" ->
+      """WITH wf AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |p AS (
+        |  SELECT unnest([substr(w, i, 2) FOR i IN range(1, length(w))]) AS pair, c
+        |  FROM wf)
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    // the NAIVE all-pairs formulation — independent of the prefix
+    // filter, so a candidate lost to a wrong prefix length or a
+    // non-canonical order hash-mismatches here.
+    "q147_prefix_simjoin" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        FOR i IN range(1, len(toks)-1)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+        |  WHERE len(toks) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q50_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
