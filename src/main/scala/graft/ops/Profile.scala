@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the data-quality pass a pipeline runs before
@@ -42,5 +42,69 @@ object Profile {
         col(s"__${c}__max").as("max_value"))
     }
     row.select(explode(array(perCol: _*)).as("p")).select("p.*")
+  }
+
+  /** Constraint-suite validation (the Deequ/Great-Expectations pattern,
+    * declarative): each check is (name, metric aggregate → double,
+    * minimum passing value); ALL metrics evaluate in ONE aggregation
+    * over ONE scan (the per-check-loop shape scans N times), then the
+    * single result row explodes into (check_name, metric, threshold,
+    * passed) — the gate a pipeline evaluates before promoting a new
+    * drop of upstream data, and the audit row it archives either way.
+    *
+    * Engine-portable metrics are RATIOS of counts (count_if/count,
+    * countDistinct/count): exact integer-over-integer IEEE division,
+    * so the pass/fail booleans and the metric doubles hash-compare
+    * across engines. Mixed countDistinct + conditional counts plan as
+    * the standard single Expand + aggregate (q89 precedent). */
+  def audit(df: DataFrame, checks: Seq[(String, Column, Double)]): DataFrame = {
+    require(checks.nonEmpty, "audit needs at least one check")
+    val aggs = checks.zipWithIndex.map { case ((_, m, _), i) =>
+      m.cast("double").as(s"__m$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perCheck = checks.zipWithIndex.map { case ((name, _, min), i) =>
+      struct(
+        lit(name).as("check_name"),
+        col(s"__m$i").as("metric"),
+        lit(min).as("threshold"),
+        (col(s"__m$i") >= lit(min)).as("passed"))
+    }
+    row.select(explode(array(perCheck: _*)).as("c")).select("c.*")
+  }
+
+  /** Equi-depth histogram over ONE column, k buckets, at DISTINCT-VALUE
+    * granularity: a value never splits across buckets (the principled
+    * tie rule — row-level ntile splits equal values by arbitrary row
+    * order), so bucket populations are as equal as the value
+    * multiplicities allow. The optimizer-statistics / data-skipping
+    * primitive.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-VALUE frequency
+    * table first (one map-side-combined shuffle — the only corpus-
+    * sized pass); the cumulative position then needs a TOTAL ORDER
+    * over distinct values, which is a single-partition window — the
+    * honest seam, O(distinct values) not O(rows), same class as
+    * q142's posting lists (fine up to ~10M distincts; above that,
+    * range-partition the frequency table and two-phase the running
+    * sum). The row total broadcasts as a one-row cross join, never a
+    * second table-wide window. Bucket id = floor(k × start_position /
+    * total) on exact integer counts cast to double — identical IEEE
+    * arithmetic in any engine below 2^53. */
+  def equiDepthHistogram(df: DataFrame, c: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.filter(col(c).isNotNull)
+      .groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    freq
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy("v")))
+      .crossJoin(broadcast(total))
+      .withColumn("bucket",
+        floor(((col("cum") - col("cnt")) * k).cast("double") / col("total"))
+          .cast("bigint"))
+      .groupBy("bucket")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("cnt")).as("n_rows"))
+      .orderBy("bucket")
   }
 }

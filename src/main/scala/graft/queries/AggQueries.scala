@@ -34,6 +34,41 @@ object AggQueries {
         .orderBy("col_name")
     }),
 
+    // CONSTRAINT-SUITE VALIDATION (ops/Profile.audit — the Deequ /
+    // Great-Expectations gate): six declarative checks over orders in
+    // ONE aggregation over ONE scan, exploded to (check, metric,
+    // threshold, passed). unique_custkey is EXPECTED to fail (repeat
+    // customers) — the suite must report failure, not mask it; the
+    // oracle recomputes every ratio relationally, so a drifted metric
+    // OR a flipped pass/fail hash-mismatches.
+    "q146_quality_audit" -> ((s, dir) => {
+      import graft.ops.Profile
+      val n = count(lit(1)).cast("double")
+      Profile.audit(Tables.orders(s, dir), Seq(
+        ("complete_custkey", count(col("o_custkey")) / n, 1.0),
+        ("nonneg_totalprice",
+          count(when(col("o_totalprice") >= 0, 1)) / n, 1.0),
+        ("recent_orderdate",
+          count(when(col("o_orderdate") >= lit("1993-01-01").cast("date"), 1)) / n, 0.5),
+        ("unique_custkey", countDistinct(col("o_custkey")) / n, 1.0),
+        ("unique_orderkey", countDistinct(col("o_orderkey")) / n, 1.0),
+        ("valid_status",
+          count(when(col("o_orderstatus").isin("O", "F", "P"), 1)) / n, 1.0)))
+        .orderBy("check_name")
+    }),
+
+    // EQUI-DEPTH HISTOGRAM (ops/Profile.equiDepthHistogram): 8 buckets
+    // over l_extendedprice at distinct-value granularity — a value
+    // never splits, so the bucket rule is deterministic without a
+    // row-level tiebreak (the ntile trap). The corpus collapses to the
+    // value-frequency table before the single-partition cumulative
+    // window (O(distinct), documented seam); the total broadcasts as a
+    // one-row cross join.
+    "q148_equi_depth_hist" -> ((s, dir) => {
+      import graft.ops.Profile
+      Profile.equiDepthHistogram(Tables.lineitem(s, dir), "l_extendedprice", 8)
+    }),
+
     // heavy hitters via the approx_top_k sketch (fixed-size state per
     // partition — the 100 TB shape for "most frequent tokens": state
     // is maxItemsTracked items regardless of corpus size, vs a full
@@ -265,6 +300,40 @@ object AggQueries {
         |         count(DISTINCT o_orderstatus),
         |         CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM orders)
         |ORDER BY col_name""".stripMargin,
+    // every ratio recomputed relationally; thresholds cast to DOUBLE
+    // (a bare 1.0 literal is DECIMAL in DuckDB and would type-drift).
+    "q146_quality_audit" ->
+      """WITH m AS (
+        |  SELECT count(*)::DOUBLE AS n,
+        |         count(o_custkey)::DOUBLE AS nn_cust,
+        |         count(CASE WHEN o_totalprice >= 0 THEN 1 END)::DOUBLE AS nonneg,
+        |         count(CASE WHEN o_orderdate >= DATE '1993-01-01' THEN 1 END)::DOUBLE AS recent,
+        |         count(DISTINCT o_custkey)::DOUBLE AS d_cust,
+        |         count(DISTINCT o_orderkey)::DOUBLE AS d_ok,
+        |         count(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END)::DOUBLE AS valid
+        |  FROM orders)
+        |SELECT check_name, metric, threshold, metric >= threshold AS passed FROM (
+        |  SELECT 'complete_custkey' AS check_name, nn_cust / n AS metric,
+        |         1.0::DOUBLE AS threshold FROM m
+        |  UNION ALL SELECT 'nonneg_totalprice', nonneg / n, 1.0::DOUBLE FROM m
+        |  UNION ALL SELECT 'recent_orderdate', recent / n, 0.5::DOUBLE FROM m
+        |  UNION ALL SELECT 'unique_custkey', d_cust / n, 1.0::DOUBLE FROM m
+        |  UNION ALL SELECT 'unique_orderkey', d_ok / n, 1.0::DOUBLE FROM m
+        |  UNION ALL SELECT 'valid_status', valid / n, 1.0::DOUBLE FROM m) u
+        |ORDER BY check_name""".stripMargin,
+    // same distinct-value CDF bucket rule; the window sum is HUGEINT
+    // in DuckDB, so every count is pinned back to BIGINT before the
+    // double division.
+    "q148_equi_depth_hist" ->
+      """WITH f AS (
+        |  SELECT l_extendedprice AS v, count(*) AS cnt FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM f),
+        |c AS (SELECT v, cnt,
+        |             CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM f)
+        |SELECT CAST(floor(((cum - cnt) * 8)::DOUBLE / total) AS BIGINT) AS bucket,
+        |       min(v) AS lo, max(v) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows
+        |FROM c, t GROUP BY 1 ORDER BY 1""".stripMargin,
     // the salted rewrite is invisible in the result — plain GROUP BY
     // is the oracle. count(*) stays BIGINT (no sum-of-BIGINT HUGEINT
     // drift — that was q56's round-3 failure mode).
