@@ -208,6 +208,70 @@ object EventQueries {
         .orderBy("src_type", "dst_type")
     }),
 
+    // ROBUST OUTLIER DETECTION (median + MAD, the Hampel/robust-z
+    // rule): per event_type, flag events with |value − median| >
+    // 3 · 1.4826 · MAD — the metric-anomaly gate that, unlike
+    // mean/stddev z-scores, outliers cannot poison (50% breakdown
+    // point vs 0%). Exact two-level medians take two grouped
+    // percentile passes plus the flag scan — inherent to exact MAD;
+    // the one-pass 100 TB variant swaps percentile → approx_percentile
+    // (q36's path) with the same downstream shape. Median and MAD are
+    // quantized to 4dp (q29's proven cross-engine percentile parity
+    // envelope) BEFORE the z computation, so the boundary comparison
+    // is identical IEEE arithmetic in both engines; per-type rows
+    // broadcast back. z surfaces rounded; the filter uses the
+    // unrounded-but-deterministic value in both engines.
+    "q149_robust_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+      val med = ev.groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+      val mad = ev.join(broadcast(med), Seq("event_type"))
+        .groupBy("event_type", "med")
+        .agg(round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+      ev.join(broadcast(mad), Seq("event_type"))
+        .filter(col("mad") > 0)
+        .withColumn("z",
+          abs(col("value") - col("med")) / (lit(1.4826) * col("mad")))
+        .filter(col("z") > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 4).as("z"))
+        .orderBy("event_id")
+    }),
+
+    // FIRST-TOUCH ATTRIBUTION: sessionize (q114's 1800 s gap rule and
+    // machinery — lag/flag/running-sum on ONE user_id shuffle), take
+    // each session's FIRST event type via min(struct(ts, event_id,
+    // type)) — no second window pass — and attribute the session's
+    // purchase value to it. The session aggregate and the window share
+    // the same user_id partitioning; the final per-type rollup is
+    // |types| rows. Purchase sums accumulate as decimal(18,2) —
+    // order-invariant exact — and surface as double (q114 precedent).
+    "q152_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val flagged = Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") >= 1800L,
+            1).otherwise(0))
+        .withColumn("sid", sum("new_s")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val sessions = flagged.groupBy("user_id", "sid")
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("event_type")))
+            .getField("event_type").as("first_touch"),
+          sum(when(col("event_type") === "purchase",
+              col("value").cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("pv"))
+      sessions.groupBy("first_touch")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("pv")).cast("double").as("attributed_value"))
+        .orderBy("first_touch")
+    }),
+
     // MERGEABLE SKETCH ROLLUP (ops.Sketch): per-(event_type, day) HLL
     // sketches of user_id — the persisted pre-aggregation shape —
     // union-merged up to event_type and estimated. Distinct counts are
@@ -563,6 +627,46 @@ object EventQueries {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_seq""".stripMargin,
+    // med/mad quantized at 4dp first (q29's parity envelope), then the
+    // z arithmetic is identical IEEE in both engines.
+    "q149_robust_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type,
+        |         round(quantile_cont(abs(e.value - med), 0.5), 4) AS mad
+        |  FROM events e JOIN med USING (event_type) GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       round(abs(e.value - med) / (1.4826 * mad), 4) AS z
+        |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+        |WHERE mad > 0 AND abs(e.value - med) / (1.4826 * mad) > 3.0
+        |ORDER BY event_id""".stripMargin,
+    // q114's sessionization replayed, then ordered-first aggregate per
+    // session; decimal accumulation before the double surface.
+    "q152_attribution" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 >= 1800
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         sum(new_s) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, sid,
+        |         first(event_type ORDER BY ts, event_id) AS first_touch,
+        |         sum(CASE WHEN event_type = 'purchase'
+        |                  THEN CAST(value AS DECIMAL(18,2))
+        |                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS pv
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT first_touch, count(*) AS n_sessions,
+        |       CAST(sum(pv) AS DOUBLE) AS attributed_value
+        |FROM g GROUP BY first_touch ORDER BY first_touch""".stripMargin,
     "q115_transitions" ->
       """WITH pairs AS (
         |  SELECT event_type AS src_type,
