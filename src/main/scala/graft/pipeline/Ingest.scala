@@ -152,4 +152,61 @@ object Ingest {
       .withColumn("effective_to", lead(col(orderCol), 1).over(logOrder))
       .withColumn("is_current", col("effective_to").isNull)
   }
+
+  /** Snapshot reconciliation diff — classify every key across two
+    * snapshot versions as added / removed / changed / unchanged (the
+    * audit a pipeline runs between yesterday's and today's load, and
+    * the primitive behind data-reconciliation reports). Change
+    * detection is null-safe (<=>) over EVERY non-key column, so a
+    * null↔value flip counts as a change and null↔null does not.
+    *
+    * Scale shape: ONE full-outer join keyed on `key` — both snapshots
+    * shuffle once on the same key (bucketed snapshots make it
+    * Exchange-free, the q96 discipline); the wide columns travel only
+    * to their own join and collapse to a one-string status on the way
+    * out. Requires `key` unique per snapshot (same precondition as
+    * upsert). */
+  def tableDiff(oldDf: DataFrame, newDf: DataFrame, key: String): DataFrame = {
+    require(oldDf.columns.toSeq == newDf.columns.toSeq,
+      s"schema mismatch: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
+    require(oldDf.columns.contains(key), s"key $key not in schema")
+    val valueCols = oldDf.columns.filter(_ != key).toSeq
+    val o = oldDf.select(col(key).as("__o_key") +:
+      valueCols.map(c => col(c).as(s"__o_$c")): _*)
+    val n = newDf.select(col(key).as("__n_key") +:
+      valueCols.map(c => col(c).as(s"__n_$c")): _*)
+    val same = valueCols.map(c => col(s"__o_$c") <=> col(s"__n_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    o.join(n, col("__o_key") === col("__n_key"), "full")
+      .select(
+        coalesce(col("__o_key"), col("__n_key")).as(key),
+        when(col("__o_key").isNull, "added")
+          .when(col("__n_key").isNull, "removed")
+          .when(same, "unchanged")
+          .otherwise("changed").as("diff_status"))
+  }
+
+  /** Per-key ALGEBRAIC aggregate state (count / decimal sum / min /
+    * max) — the mergeable-partials counterpart of the HLL sketch table
+    * (ops.Sketch): these four are exactly the aggregates whose partials
+    * roll up losslessly, so a stored state table plus a fresh batch's
+    * partials re-aggregate to the full-history answer WITHOUT
+    * rescanning history. The sum accumulates as decimal — exact and
+    * order-invariant — so state ∘ merge is bit-equal to a single pass
+    * at any batch split (the property q151 puts under the hash gate,
+    * THROUGH a parquet write/read round trip). */
+  def aggState(df: DataFrame, key: String, valueCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("sum"),
+        min(col(valueCol)).as("mn"),
+        max(col(valueCol)).as("mx"))
+
+  /** Merge aggregate states: count and sum add, min/max fold — one
+    * key shuffle over state-sized (not history-sized) inputs. */
+  def mergeAggState(state: DataFrame, batch: DataFrame, key: String): DataFrame =
+    state.unionByName(batch)
+      .groupBy(col(key))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum")).as("sum"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
 }

@@ -94,6 +94,54 @@ object PipelineQueries {
         .select(md5(col("raw_payload")).as("payload_md5"))
         .orderBy("payload_md5")
     }),
+
+    // SNAPSHOT RECONCILIATION DIFF (Ingest.tableDiff): two derived
+    // snapshot versions of orders (old = keys %7≠0; new = keys %5≠0
+    // with price bumped on %3=0) classified added / removed / changed
+    // via ONE full-outer key join with null-safe change detection over
+    // every non-key column. Unchanged rows — the overwhelming bulk in
+    // a real diff — are dropped before the sink. The oracle replays
+    // the same derivation + full join relationally.
+    "q150_snapshot_diff" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val oldSnap = orders.filter(col("o_orderkey") % 7 =!= 0)
+      val newSnap = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+      Ingest.tableDiff(oldSnap, newSnap, "o_orderkey")
+        .filter(col("diff_status") =!= "unchanged")
+        .orderBy("o_orderkey")
+    }),
+
+    // INCREMENTAL ALGEBRAIC AGGREGATE MAINTENANCE (Ingest.aggState /
+    // mergeAggState — the q134 sketch-table discipline applied to the
+    // aggregates that need no sketch): per-customer count/sum/min/max
+    // state over history (orderdate < 1995-06-01) is built, WRITTEN to
+    // parquet, read back in a fresh plan, and merged with the fresh
+    // batch's partials — full-history answers with only the batch
+    // rescanned. Decimal sums make state∘merge bit-equal to the
+    // single-pass oracle (which recomputes over ALL orders — so a
+    // lossy merge, a dropped key, or a decimal→double shortcut
+    // hash-mismatches). avg derives at read time: sum/cnt in double,
+    // identical arithmetic both engines.
+    "q151_agg_maintenance" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val cut = lit("1995-06-01").cast("date")
+      val hist = Ingest.aggState(
+        orders.filter(col("o_orderdate") < cut), "o_custkey", "o_totalprice")
+      val path = graft.TempDirs.scratch("graft-aggstate-") + "/state"
+      hist.write.mode("overwrite").parquet(path)
+      val stored = s.read.parquet(path)
+      val batch = Ingest.aggState(
+        orders.filter(col("o_orderdate") >= cut), "o_custkey", "o_totalprice")
+      Ingest.mergeAggState(stored, batch, "o_custkey")
+        .select(col("o_custkey"), col("cnt").as("n_orders"),
+          col("sum").cast("double").as("total_price"),
+          col("mn").as("min_price"), col("mx").as("max_price"),
+          (col("sum").cast("double") / col("cnt")).as("avg_price"))
+        .orderBy("o_custkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -124,5 +172,38 @@ object PipelineQueries {
         |FROM (SELECT DISTINCT p_partkey % 10 AS cat FROM part
         |      WHERE (p_partkey % 10) % 3 = 1) t
         |ORDER BY payload_md5""".stripMargin,
+    // IS NOT DISTINCT FROM = the null-safe <=> over every non-key col.
+    "q150_snapshot_diff" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+        |n AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+        |                  ELSE o_totalprice END AS o_totalprice,
+        |             o_orderdate, o_orderpriority
+        |      FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |            WHEN n.o_orderkey IS NULL THEN 'removed'
+        |            WHEN o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+        |             AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        |             AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+        |             AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+        |             AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority
+        |            THEN 'unchanged' ELSE 'changed' END AS diff_status
+        |FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey
+        |WHERE NOT (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+        |           AND o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+        |           AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        |           AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+        |           AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+        |           AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
+    // single-pass full recompute — the state∘merge lifecycle must be
+    // invisible against it.
+    "q151_agg_maintenance" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
   )
 }
