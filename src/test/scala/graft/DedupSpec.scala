@@ -505,4 +505,36 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       .collect().toSet
     assert(base === repart)
   }
+
+  test("prefixSimilarityJoin finds exactly the pairs at/above threshold") {
+    import org.apache.spark.sql.functions._
+    // sets: 1={a,b,c,d}, 2={a,b,c,e} (J=3/5=0.6), 3={a,b,c,d} (J(1,3)=1,
+    // J(2,3)=0.6), 4={x,y} (disjoint), 5={c,d} (J(1,5)=J(3,5)=2/4=0.5 —
+    // exactly AT the threshold, must be kept)
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")), (2L, Seq("a", "b", "c", "e")),
+      (3L, Seq("a", "b", "c", "d")), (4L, Seq("x", "y")),
+      (5L, Seq("c", "d"))).toDF("id", "toks")
+    val out = Dedup.prefixSimilarityJoin(df, "id", "toks", 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out === Set(
+      (1L, 2L, 0.6), (1L, 3L, 1.0), (2L, 3L, 0.6),
+      (1L, 5L, 0.5), (3L, 5L, 0.5)))
+  }
+
+  test("prefixSimilarityJoin is candidate-lossless vs the naive all-pairs join") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).limit(120)
+      .select(col("doc_id"), Dedup.shingles(split(col("text"), " "), 3).as("sh"))
+    val fast = Dedup.prefixSimilarityJoin(docs, "doc_id", "sh", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val naive = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
+      .filter(Dedup.exactJaccard(col("sh_a"), col("sh_b")) >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fast === naive)
+  }
 }

@@ -160,6 +160,46 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tableDiff: added/removed/changed/unchanged, null-safe on every column") {
+    val oldDf = Seq(
+      (1L, Option("a"), Option(1.0)),  // unchanged
+      (2L, Option("b"), Option(2.0)),  // changed (value)
+      (3L, Option.empty[String], Option(3.0)), // unchanged (null == null)
+      (4L, Option("d"), Option(4.0)),  // changed (value → null)
+      (5L, Option("e"), Option(5.0))   // removed
+    ).toDF("k", "s", "v")
+    val newDf = Seq(
+      (1L, Option("a"), Option(1.0)),
+      (2L, Option("B"), Option(2.0)),
+      (3L, Option.empty[String], Option(3.0)),
+      (4L, Option("d"), Option.empty[Double]),
+      (6L, Option("f"), Option(6.0))   // added
+    ).toDF("k", "s", "v")
+    val got = Ingest.tableDiff(oldDf, newDf, "k")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, "unchanged"), (2L, "changed"), (3L, "unchanged"),
+      (4L, "changed"), (5L, "removed"), (6L, "added")))
+    intercept[IllegalArgumentException] {
+      Ingest.tableDiff(oldDf, Seq((1L, "x")).toDF("k", "s"), "k")
+    }
+  }
+
+  test("aggState ∘ mergeAggState equals a single pass at any batch split") {
+    val rows = Seq(
+      (1L, Option(10.0)), (1L, Option(0.5)), (1L, Option.empty[Double]),
+      (2L, Option(-3.25)), (2L, Option(7.0)), (3L, Option(0.0)))
+      .toDF("k", "v")
+    val single = Ingest.aggState(rows, "k", "v")
+    for (splitAt <- Seq(0.0, 1.0, 8.0)) {
+      val merged = Ingest.mergeAggState(
+        Ingest.aggState(rows.filter(col("v").isNull || col("v") < splitAt), "k", "v"),
+        Ingest.aggState(rows.filter(col("v") >= splitAt), "k", "v"), "k")
+      assert(merged.orderBy("k").collect().toSeq ===
+        single.orderBy("k").collect().toSeq, s"split at $splitAt")
+    }
+  }
+
   test("flagship e2e on sf0.001: real threshold writes a report, inverted one does not") {
     val dir = tmpDir()
     val written = SparkEntry.runFlagship(spark, sfDir, 1000000.0,

@@ -24,4 +24,53 @@ class ProfileSpec extends AnyFunSuite with SparkFixture {
     assert("FileScan".r.findAllIn(plan).size == 1,
       s"expected exactly one file scan:\n$plan")
   }
+
+  test("audit evaluates all checks in one scan and reports failures honestly") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Option("a")), (2L, None), (3L, Option("b")), (4L, Option("a")))
+      .toDF("id", "s")
+    val n = count(lit(1)).cast("double")
+    val out = Profile.audit(df, Seq(
+      ("complete_s", count(col("s")) / n, 1.0),     // 0.75 → fail
+      ("unique_id", countDistinct(col("id")) / n, 1.0))) // 1.0 → pass
+      .orderBy("check_name")
+      .as[(String, Double, Double, Boolean)].collect()
+    assert(out === Array(
+      ("complete_s", 0.75, 1.0, false),
+      ("unique_id", 1.0, 1.0, true)))
+    val plan = Profile.audit(Tables.orders(spark, sfDir), Seq(
+      ("c", count(col("o_custkey")) / count(lit(1)).cast("double"), 1.0)))
+      .queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(plan).size == 1,
+      s"expected exactly one file scan:\n$plan")
+  }
+
+  test("audit rejects an empty check suite") {
+    intercept[IllegalArgumentException] {
+      Profile.audit(Seq(1).toDF("x"), Seq.empty)
+    }
+  }
+
+  test("equi-depth histogram: buckets partition all rows, never split a value") {
+    // 0..99 uniform ⇒ 4 buckets of exactly 25; a massive tie at one
+    // value must land in ONE bucket even though it overflows the depth
+    val uniform = (0 until 100).map(i => i.toLong).toDF("v")
+    val h1 = Profile.equiDepthHistogram(uniform, "v", 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(h1.map(_._4).toSeq === Seq(25L, 25L, 25L, 25L))
+    assert(h1.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    // 60 copies of value 5 + 40 distinct others: the tie overflows its
+    // bucket but never splits; totals still partition
+    val skewed = ((1 to 60).map(_ => 5L) ++ (100L until 140L)).toDF("v")
+    val h2 = Profile.equiDepthHistogram(skewed, "v", 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(h2.map(_._4).sum === 100L)
+    assert(h2.count(r => r._2 <= 5L && 5L <= r._3) === 1,
+      "the tied value must appear in exactly one bucket's range")
+    // nulls are excluded, not a bucket
+    val withNulls = Seq(Option(1L), None, Option(2L), Option(3L), None).toDF("v")
+    val h3 = Profile.equiDepthHistogram(withNulls, "v", 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(h3.map(_._4).sum === 3L)
+  }
 }
