@@ -95,10 +95,15 @@ object Profile {
     import org.apache.spark.sql.expressions.Window
     val freq = df.filter(col(c).isNotNull)
       .groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
-    val total = freq.agg(sum(col("cnt")).as("total"))
+    // cum AND total from ONE Window pass (same partition/order spec,
+    // two frames → one WindowExec, one sort): a separate total
+    // aggregate branch would RE-SCAN the table — the first cut of this
+    // operator did exactly that, two full scans per histogram.
+    val ord = Window.orderBy("v")
     freq
-      .withColumn("cum", sum(col("cnt")).over(Window.orderBy("v")))
-      .crossJoin(broadcast(total))
+      .withColumn("cum", sum(col("cnt")).over(ord))
+      .withColumn("total", sum(col("cnt")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("bucket",
         floor(((col("cum") - col("cnt")) * k).cast("double") / col("total"))
           .cast("bigint"))
@@ -106,5 +111,46 @@ object Profile {
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
         sum(col("cnt")).as("n_rows"))
       .orderBy("bucket")
+  }
+
+  /** Distributed running total — the two-phase prefix sum that removes
+    * the single-partition global-window funnel when the ordered domain
+    * is too large for one task (equiDepthHistogram's documented seam;
+    * also the general cumulative-metric primitive):
+    *
+    *  1. range-partition on `orderCol` (equal keys co-locate; the
+    *     partitioner's sampled boundaries only place rows, they never
+    *     appear in the result);
+    *  2. per-partition totals collapse to `partitions` rows whose
+    *     exclusive running sum — a window over that TINY table — is
+    *     each partition's OFFSET, broadcast back;
+    *  3. a per-partition window (parallel across partitions) adds the
+    *     local prefix sum to the offset.
+    *
+    * Wall-clock is one range shuffle + one parallel local sort —
+    * O(n/p) memory per task instead of O(n) in one task.
+    *
+    * The partition-id column is evaluated in two branches (offsets and
+    * probe); both hang off the SAME range exchange, which Spark
+    * deduplicates (ReuseExchange / AQE stage cache) so the sampled
+    * boundaries are computed once and the ids agree — pinned in
+    * ProfileSpec alongside result equality with the single-window
+    * form. Requires a non-null `orderCol`; `valueCol` nulls sum as
+    * zero (SQL sum semantics). */
+  def runningTotalByRange(df: DataFrame, orderCol: String, valueCol: String,
+                          partitions: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(partitions, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val offsets = ranged.groupBy("__pid").agg(sum(col(valueCol)).as("__ptot"))
+      .withColumn("__off", coalesce(sum(col("__ptot")).over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0)))
+      .select(col("__pid"), col("__off"))
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("running_total",
+        sum(col(valueCol)).over(
+          Window.partitionBy("__pid").orderBy(orderCol)) + col("__off"))
+      .drop("__pid")
   }
 }

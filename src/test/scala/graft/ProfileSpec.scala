@@ -73,4 +73,38 @@ class ProfileSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long, Long, Long)].collect()
     assert(h3.map(_._4).sum === 3L)
   }
+
+  test("equi-depth histogram scans the table once (total rides the cum window)") {
+    val plan = Profile.equiDepthHistogram(
+        Tables.lineitem(spark, sfDir), "l_extendedprice", 8)
+      .queryExecution.executedPlan.toString
+    assert("FileScan|Scan parquet".r.findAllIn(plan).size == 1,
+      s"expected exactly one scan:\n$plan")
+  }
+
+  test("runningTotalByRange equals the single-partition window, ids agree via exchange reuse") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // values deliberately unsorted and duplicated across input partitions
+    val rows = (0 until 997).map(i => ((i * 7919) % 499).toLong -> 1L)
+    val df = rows.toDF("k", "n").repartition(13)
+    // single-window truth at DISTINCT-key granularity (equal keys
+    // co-locate under range partitioning, so compare on the collapsed
+    // frequency table where the running total is well-defined)
+    val freq = df.groupBy("k").agg(sum("n").as("n"))
+    val truth = freq
+      .withColumn("running_total", sum(col("n")).over(Window.orderBy("k")))
+      .orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    val fast = Profile.runningTotalByRange(freq, "k", "n", 8)
+      .select("k", "n", "running_total")
+      .orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    assert(fast === truth)
+    // the two __pid branches must hang off ONE range exchange
+    val q = Profile.runningTotalByRange(freq, "k", "n", 8)
+    q.collect()
+    val finalPlan = q.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange") ||
+           finalPlan.contains("ShuffleQueryStage"),
+      s"expected the range exchange to be shared:\n$finalPlan")
+  }
 }
