@@ -84,6 +84,58 @@ object WindowQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // ARGMIN VIA SINGLE-SHUFFLE AGGREGATION: the cheapest supplier per
+    // part as min(struct(price, suppkey)) — ONE map-side-combined
+    // groupBy shuffle carrying one struct per (partition, part),
+    // where the window top-1 form (q34's shape at k=1) sorts and
+    // shuffles EVERY row. The struct's field order IS the tie-break
+    // (price, then suppkey) — deterministic. The oracle is the
+    // row_number formulation, an independent algorithm, so the hash
+    // match proves argmin-by-struct ≡ window-top-1.
+    "q153_argmin_supplier" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("best"))
+        .select(col("l_partkey"),
+          col("best.l_suppkey").as("best_suppkey"),
+          col("best.l_extendedprice").as("best_price"))
+        .orderBy("l_partkey")
+    }),
+
+    // EVENT DEBOUNCE (burst collapse): keep an event only when the
+    // SAME (user, type) has been quiet for >= 600 s — telemetry
+    // retry/double-fire suppression. A burst extends while inter-event
+    // gaps stay under the threshold (islands semantics, exactly
+    // q114's gap rule scoped per type), so a chain 0s/300s/600s keeps
+    // only its head. One (user_id, event_type) shuffle; gap compare on
+    // floor-epoch-seconds in both engines (q114 precedent).
+    "q154_debounce" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .filter(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") >= 600L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy("event_id")
+    }),
+
+    // PER-GROUP PERCENTILE-RANK NORMALIZATION: n_chars → [0,1] within
+    // each language — the score-normalization pass mixture/curriculum
+    // builders run before comparing quality across languages (q105's
+    // decile binning is this at coarse grain). Ordering is made TOTAL
+    // with the id tie-break, so rank = row_number and percent_rank is
+    // the exact integer ratio (rank−1)/(n−1) in both engines. One
+    // lang shuffle.
+    "q155_percent_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      Tables.documents(s, dir)
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .select("doc_id", "lang", "n_chars", "pr")
+        .orderBy("doc_id")
+    }),
+
     // RANGE frame on a numeric ordering column: peers (equal keys) are
     // included together — semantics identical across engines.
     "q33_window_range" -> ((s, dir) => {
@@ -122,6 +174,31 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the INDEPENDENT window-top-1 formulation of the argmin aggregate
+    "q153_argmin_supplier" ->
+      """SELECT l_partkey, l_suppkey AS best_suppkey,
+        |       l_extendedprice AS best_price FROM (
+        |  SELECT l_partkey, l_suppkey, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_partkey
+        |           ORDER BY l_extendedprice, l_suppkey) AS rn
+        |  FROM lineitem) t
+        |WHERE rn = 1 ORDER BY l_partkey""".stripMargin,
+    "q154_debounce" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM (
+        |  SELECT event_id, user_id, event_type, ts,
+        |         lag(ts) OVER (PARTITION BY user_id, event_type
+        |           ORDER BY ts, event_id) AS prev_ts
+        |  FROM events) t
+        |WHERE prev_ts IS NULL
+        |   OR epoch_us(ts) // 1000000 - epoch_us(prev_ts) // 1000000 >= 600
+        |ORDER BY event_id""".stripMargin,
+    // total order via the id tie-break ⇒ rank = row_number and
+    // percent_rank is an exact integer ratio in both engines
+    "q155_percent_rank" ->
+      """SELECT doc_id, lang, n_chars,
+        |       round(percent_rank() OVER (PARTITION BY lang
+        |         ORDER BY n_chars, doc_id), 6) AS pr
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q30_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
