@@ -208,6 +208,64 @@ object EventQueries {
         .orderBy("src_type", "dst_type")
     }),
 
+    // TIME-SERIES GAP FILL (LOCF — last observation carried forward):
+    // resample each user's irregular observations onto a regular
+    // hourly grid, carrying the latest value at-or-before each grid
+    // point — the regularization pass feature pipelines run before
+    // windowed models. Composition, not new machinery: per-(user,
+    // second) max collapses as-of ties deterministically, the grid
+    // explodes from per-user [floor(min), floor(max)] hour bounds
+    // (sequence — row-local), and ops.AsOf's union + running-last
+    // backward join fills values on ONE user_id shuffle (never a
+    // per-key cross product). Grid points before a user's first
+    // observation stay honestly null. DuckDB's native ASOF LEFT JOIN
+    // is the independent oracle (q75 precedent).
+    "q156_gap_fill" -> ((s, dir) => {
+      import graft.ops.AsOf
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("long").as("es"), col("value"))
+      val obs = ev.groupBy("user_id", "es").agg(max("value").as("value"))
+      val grid = ev.groupBy("user_id")
+        .agg((floor(min(col("es")) / 3600) * 3600).cast("long").as("t0"),
+          (floor(max(col("es")) / 3600) * 3600).cast("long").as("t1"))
+        .select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"), lit(3600L))).as("es"))
+      AsOf.asofBackward(grid, obs, "user_id", "es", Seq("value"))
+        .select(col("user_id"), col("es").as("grid_s"),
+          round(col("asof_value"), 4).as("filled_value"))
+        .orderBy("user_id", "grid_s")
+    }),
+
+    // CHI-SQUARE ASSOCIATION TEST CELLS (lang × source contingency):
+    // observed vs expected-under-independence counts and the per-cell
+    // χ² contribution — the drift/association scan a corpus pipeline
+    // runs to catch source-language coupling shifts. Margins are two
+    // tiny aggregates broadcast into a full cross of cells (zero-
+    // observed cells INCLUDED — dropping them understates χ²), the
+    // observed table left-joins in. Expected and contrib are exact
+    // integer-derived double arithmetic ((o−e)·(o−e)/e — no pow(),
+    // whose libm rounding need not match across engines).
+    "q157_chi_square" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = Tables.documents(s, dir)
+      val obs = d.groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+      val rowm = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val colm = d.groupBy("source").agg(count(lit(1)).as("n_source"))
+      val tot = d.agg(count(lit(1)).as("n"))
+      rowm.crossJoin(broadcast(colm)).crossJoin(broadcast(tot))
+        .join(obs, Seq("lang", "source"), "left")
+        .withColumn("o", coalesce(col("obs"), lit(0L)))
+        .withColumn("e",
+          (col("n_lang") * col("n_source")).cast("double") / col("n"))
+        .withColumn("contrib",
+          (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+        .select(col("lang"), col("source"), col("o").as("observed"),
+          round(col("e"), 4).as("expected"),
+          round(col("contrib"), 6).as("contrib"))
+        .orderBy("lang", "source")
+    }),
+
     // ROBUST OUTLIER DETECTION (median + MAD, the Hampel/robust-z
     // rule): per event_type, flag events with |value − median| >
     // 3 · 1.4826 · MAD — the metric-anomaly gate that, unlike
@@ -627,6 +685,39 @@ object EventQueries {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_seq""".stripMargin,
+    // per-second max collapses ties before DuckDB's native ASOF join,
+    // so both engines fill from a unique observation.
+    "q156_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS es, max(value) AS value
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT user_id, (min(es) // 3600) * 3600 AS t0,
+        |         (max(es) // 3600) * 3600 AS t1
+        |  FROM ev GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(range(t0, t1 + 1, 3600)) AS grid_s FROM b)
+        |SELECT g.user_id, g.grid_s, round(e.value, 4) AS filled_value
+        |FROM grid g ASOF LEFT JOIN ev e
+        |  ON g.user_id = e.user_id AND e.es <= g.grid_s
+        |ORDER BY g.user_id, g.grid_s""".stripMargin,
+    // zero-observed cells materialize from the margin cross join; the
+    // contrib expression is written out so both engines run the same
+    // multiply-divide tree.
+    "q157_chi_square" ->
+      """WITH obs AS (SELECT lang, source, count(*) AS obs
+        |             FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+        |c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM documents)
+        |SELECT r.lang, c.source, coalesce(obs.obs, 0) AS observed,
+        |       round((n_lang * n_source)::DOUBLE / n, 4) AS expected,
+        |       round((coalesce(obs.obs, 0) - (n_lang * n_source)::DOUBLE / n)
+        |             * (coalesce(obs.obs, 0) - (n_lang * n_source)::DOUBLE / n)
+        |             / ((n_lang * n_source)::DOUBLE / n), 6) AS contrib
+        |FROM r CROSS JOIN c CROSS JOIN t
+        |LEFT JOIN obs ON obs.lang = r.lang AND obs.source = c.source
+        |ORDER BY r.lang, c.source""".stripMargin,
     // med/mad quantized at 4dp first (q29's parity envelope), then the
     // z arithmetic is identical IEEE in both engines.
     "q149_robust_outliers" ->
