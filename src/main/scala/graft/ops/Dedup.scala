@@ -813,28 +813,64 @@ object Dedup {
     * verify. The df lookup join is vocab-keyed — Spark broadcasts it
     * under the threshold and shuffle-joins above, both fine; the
     * rarest-first order keeps stopword-grade tokens out of prefixes,
-    * which is what bounds candidate fan-out on skewed vocabularies. */
+    * which is what bounds candidate fan-out on skewed vocabularies.
+    *
+    * `setCol` must hold DISTINCT elements per row (shingles() output
+    * qualifies) — duplicates would inflate sizes and df counts, and
+    * the prefix-length lemma is a SET statement; empty sets drop (they
+    * overlap nothing at any t > 0). */
   def prefixSimilarityJoin(df: DataFrame, idCol: String, setCol: String,
                            threshold: Double): DataFrame = {
     val sets = df.select(col(idCol).as("id"), col(setCol).as("toks"))
-      .withColumn("sz", size(col("toks"))).filter(col("sz") > 0)
-    val toks = sets.select(col("id"), col("sz"), explode(col("toks")).as("tok"))
+    // Two measured traps, operator-side (q147 at sf0.1: 33 s → ~5 s
+    // warm / ~12 s single-shot-with-JIT, combined):
+    //  1. The q57/q100 CSE trap: a size(toks) > 0 filter — or the one
+    //     plain explode() lets the optimizer infer — is pushed below
+    //     the projection with the set expression INLINED, re-evaluating
+    //     the caller's shingle lambda per reference. explode_outer
+    //     infers nothing, and the null-tok filter sits on the GENERATOR
+    //     OUTPUT, which nothing can push below. Empty sets vanish here
+    //     and cannot reach candidates — correct at any t > 0.
+    //  2. The token table feeds FIVE plan branches (df, ranks, both
+    //     candidate sides, both verify sides); without a barrier each
+    //     branch re-runs the caller's set expression over the corpus
+    //     (narrow lineage — no exchange to reuse). One lazy local
+    //     checkpoint (the q104/LSH shared-pass discipline) materializes
+    //     the tokens once; it is id+token-sized, never document-sized.
+    val toks = sets.select(col("id"), explode_outer(col("toks")).as("tok"))
+      .filter(col("tok").isNotNull)
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Rank tokens per set with a WINDOW over the token table (fully
+    // codegen'd sort) rather than collect_list + sort_array + explode
+    // (ObjectHashAggregate + Generate — measured slower both cold and
+    // warm). sz rides the same partitioning as an unordered count —
+    // never a size(toks) expression that could be pushed around.
+    import org.apache.spark.sql.expressions.Window
+    val wId = Window.partitionBy("id")
     val prefix = toks.join(dfreq, Seq("tok"))
-      .groupBy("id", "sz")
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ranked"))
-      .select(col("id"), explode(slice(
-        transform(col("ranked"), r => r.getField("tok")),
-        lit(1),
-        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as("tok"))
+      .withColumn("rn", row_number().over(wId.orderBy("df", "tok")))
+      .withColumn("sz", count(lit(1)).over(wId))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("id"), col("tok"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    cand
-      .join(sets.select(col("id").as("id_a"), col("toks").as("set_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("toks").as("set_b")), Seq("id_b"))
-      .withColumn("jaccard", exactJaccard(col("set_a"), col("set_b")))
+    // Verify WITHOUT carrying set arrays through joins: |a ∩ b| is a
+    // count over the token table restricted to candidate pairs (three
+    // codegen'd hash joins on narrow rows), and |a ∪ b| derives from
+    // the sizes — the exactJaccard(array, array) form would re-join the
+    // full arrays to every pair and pay the set expression again.
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(toks.select(col("id").as("id_a"), col("tok")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

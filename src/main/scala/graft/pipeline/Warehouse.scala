@@ -119,4 +119,25 @@ object Warehouse {
       .option("maxRecordsPerFile", rowsPerShard.toLong)
       .parquet(path)
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1998): shard(key) = argmax over s of h(key, s) — the
+    * consistent-hashing rule for assigning rows to a RESIZABLE set of
+    * shards/workers. Under mod-hashing, growing N → N+1 remaps ~N/(N+1)
+    * of all keys (a full reshuffle of the training corpus); under HRW
+    * exactly the keys whose NEW shard's hash wins move — ~1/(N+1) — and
+    * every mover lands ON the new shard (the property WarehouseSpec
+    * pins, and the q158 gate exercises cross-engine).
+    *
+    * Row-local and codegen'd: `shards` md5 evaluations per row, no
+    * shuffle, no coordination state — the whole point vs a lookup
+    * table. md5 (not xxhash64) so any engine replays the assignment
+    * bit-for-bit; hex strings compare lexicographically. */
+  def rendezvousShard(key: Column, shards: Int): Column = {
+    import org.apache.spark.sql.functions._
+    require(shards >= 1, "need at least one shard")
+    val hashes = transform(sequence(lit(0), lit(shards - 1)),
+      s => md5(concat(key.cast("string"), lit(":"), s.cast("string"))))
+    (array_position(hashes, array_max(hashes)) - 1).cast("int")
+  }
 }

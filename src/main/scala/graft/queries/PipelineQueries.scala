@@ -114,6 +114,23 @@ object PipelineQueries {
         .orderBy("o_orderkey")
     }),
 
+    // RENDEZVOUS-HASH SHARD REBALANCING (Warehouse.rendezvousShard —
+    // HRW/consistent hashing): every document's shard under 8 and
+    // under 9 shards, with its moved flag. The operational claim under
+    // the gate: growing the shard set moves ~1/9 of keys (vs ~8/9
+    // under mod-hashing), and every mover lands ON the new shard —
+    // WarehouseSpec asserts both; here the full assignment is
+    // cross-engine bit-checked (md5 argmax, row-local, zero shuffle).
+    "q158_rendezvous_shards" -> ((s, dir) => {
+      import graft.pipeline.Warehouse
+      val s8 = Warehouse.rendezvousShard(col("doc_id"), 8)
+      val s9 = Warehouse.rendezvousShard(col("doc_id"), 9)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), s8.as("shard_before"), s9.as("shard_after"),
+          (s8 =!= s9).as("moved"))
+        .orderBy("doc_id")
+    }),
+
     // INCREMENTAL ALGEBRAIC AGGREGATE MAINTENANCE (Ingest.aggState /
     // mergeAggState — the q134 sketch-table discipline applied to the
     // aggregates that need no sketch): per-customer count/sum/min/max
@@ -197,6 +214,24 @@ object PipelineQueries {
         |           AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
         |           AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
         |ORDER BY o_orderkey""".stripMargin,
+    // same md5-argmax; h8 is a prefix of h9, so the moved flag is the
+    // pure growth delta.
+    "q158_rendezvous_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 8),
+        |      s -> md5(doc_id::VARCHAR || ':' || s)) AS h8,
+        |    list_transform(range(0, 9),
+        |      s -> md5(doc_id::VARCHAR || ':' || s)) AS h9
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_position(h8, list_aggregate(h8, 'max')) - 1 AS INT)
+        |    AS shard_before,
+        |  CAST(list_position(h9, list_aggregate(h9, 'max')) - 1 AS INT)
+        |    AS shard_after,
+        |  list_position(h8, list_aggregate(h8, 'max'))
+        |    <> list_position(h9, list_aggregate(h9, 'max')) AS moved
+        |FROM h ORDER BY doc_id""".stripMargin,
     // single-pass full recompute — the state∘merge lifecycle must be
     // invisible against it.
     "q151_agg_maintenance" ->
