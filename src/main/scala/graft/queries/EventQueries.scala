@@ -330,6 +330,47 @@ object EventQueries {
         .orderBy("first_touch")
     }),
 
+    // LINEAR MULTI-TOUCH ATTRIBUTION (q152's other half): each
+    // purchase's value splits EQUALLY across the session's touchpoints
+    // strictly before it; a purchase with no priors credits itself
+    // (direct conversion). Same single user_id shuffle for
+    // sessionization + ordinal; the credit join fans out per purchase ×
+    // prior-touches — bounded by session length (inherent to linear
+    // attribution, not a corpus-scaling axis). Per-credit amounts
+    // quantize to decimal(18,6) (double division first — identical
+    // IEEE; then the same HALF_UP cast both engines, q114 precedent)
+    // so the rollup sum is order-invariant exact.
+    "q159_linear_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val flagged = Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") >= 1800L,
+            1).otherwise(0))
+        .withColumn("sid", sum("new_s")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ordered = flagged.withColumn("ord", row_number().over(
+        Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")))
+      val purchases = ordered.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("sid"), col("ord").as("p_ord"),
+          (col("ord") - 1).as("n_prior"), col("value").as("p_value"))
+      val touches = ordered
+        .select(col("user_id"), col("sid"), col("ord"), col("event_type"))
+      purchases.join(touches, Seq("user_id", "sid"))
+        .filter(col("ord") < col("p_ord") ||
+          (col("n_prior") === 0 && col("ord") === col("p_ord")))
+        .withColumn("credit",
+          (col("p_value") / greatest(col("n_prior"), lit(1)))
+            .cast("decimal(18,6)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit")).cast("double").as("credited_value"))
+        .orderBy("event_type")
+    }),
+
     // MERGEABLE SKETCH ROLLUP (ops.Sketch): per-(event_type, day) HLL
     // sketches of user_id — the persisted pre-aggregation shape —
     // union-merged up to event_type and estimated. Distinct counts are
@@ -733,6 +774,37 @@ object EventQueries {
         |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
         |WHERE mad > 0 AND abs(e.value - med) / (1.4826 * mad) > 3.0
         |ORDER BY event_id""".stripMargin,
+    // q114's sessionization + per-session ordinal, purchase-to-prior
+    // credit join, decimal-quantized equal split.
+    "q159_linear_attribution" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 >= 1800
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         sum(new_s) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |o AS (
+        |  SELECT user_id, sid, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id, sid
+        |           ORDER BY ts, event_id) AS ord
+        |  FROM s),
+        |p AS (SELECT user_id, sid, ord AS p_ord, ord - 1 AS n_prior,
+        |             value AS p_value
+        |      FROM o WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT t.event_type,
+        |         CAST(p.p_value / greatest(p.n_prior, 1) AS DECIMAL(18,6)) AS credit
+        |  FROM p JOIN o t ON t.user_id = p.user_id AND t.sid = p.sid
+        |   AND (t.ord < p.p_ord OR (p.n_prior = 0 AND t.ord = p.p_ord)))
+        |SELECT event_type, count(*) AS n_touches,
+        |       CAST(sum(credit) AS DOUBLE) AS credited_value
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q114's sessionization replayed, then ordered-first aggregate per
     // session; decimal accumulation before the double surface.
     "q152_attribution" ->

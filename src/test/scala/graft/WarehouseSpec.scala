@@ -123,4 +123,29 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     val expected = events.filter(col("event_date") === dates.head).count()
     assert(q.count() === expected && q.count() > 0)
   }
+
+  test("rendezvous shards: growth moves ~1/(N+1) of keys, every mover lands on the new shard") {
+    import spark.implicits._
+    val keys = (0L until 2000L).toDF("k")
+    val assigned = keys.select(
+        col("k"),
+        Warehouse.rendezvousShard(col("k"), 8).as("s8"),
+        Warehouse.rendezvousShard(col("k"), 9).as("s9"))
+      .as[(Long, Int, Int)].collect()
+    // shards are all in range and all used
+    assert(assigned.forall(r => r._2 >= 0 && r._2 < 8 && r._3 >= 0 && r._3 < 9))
+    assert(assigned.map(_._3).distinct.length === 9)
+    // HRW growth property: a key either keeps its shard or moves to
+    // the NEW shard 8 — never between old shards (h9 extends h8, so
+    // the old argmax only loses to the new hash)
+    val movers = assigned.filter(r => r._2 != r._3)
+    assert(movers.forall(_._3 === 8),
+      s"movers must land on the new shard: ${movers.take(5).toSeq}")
+    // expected move fraction 1/9 ≈ 222 of 2000; allow generous slack
+    assert(movers.length > 120 && movers.length < 340,
+      s"move fraction ${movers.length}/2000 far from 1/9")
+    intercept[IllegalArgumentException] {
+      Warehouse.rendezvousShard(col("k"), 0)
+    }
+  }
 }
