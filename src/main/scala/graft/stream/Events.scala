@@ -176,6 +176,53 @@ object Events {
           })
   }
 
+  /** Streaming DEBOUNCE — q154's burst-collapse rule as a stateful
+    * stream operator: emit an event only when its (user, type) key has
+    * been quiet for >= `quietSec` since the PREVIOUS RAW event (the
+    * previous event always advances the clock, kept or not — islands
+    * semantics, identical to the batch lag rule). State per key is ONE
+    * long (last raw event-time second) — constant, vs the
+    * dropDuplicates state that grows with distinct ids — and
+    * event-time timeout frees keys idle past `idleGap`.
+    *
+    * Ordering contract: rows are sorted by (ts, event_id) WITHIN each
+    * micro-batch (flatMapGroupsWithState hands them over unordered);
+    * across batches the operator assumes per-key event-time-ordered
+    * arrival — the standard debounce-stream assumption; a late event
+    * older than the stored clock is simply judged against it.
+    * EventsStreamSpec pins stream ≡ batch-q154 on in-order input. */
+  def debounce(events: DataFrame, delay: String, quietSec: Long,
+               idleGap: String): Dataset[EventRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gap = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(idleGap))
+    val gapMillis = gap.months * 2592000000L + gap.days * 86400000L +
+      gap.microseconds / 1000L
+    events.withWatermark("ts", delay)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[EventRow]
+      .groupByKey(r => (r.user_id, r.event_type))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Long, String), rows: Iterator[EventRow], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle key: nothing buffered, just free state
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+            var lastRawSec = state.getOption.getOrElse(Long.MinValue)
+            val kept = sorted.filter { r =>
+              val sec = r.ts.getTime / 1000L
+              val keep = lastRawSec == Long.MinValue || sec - lastRawSec >= quietSec
+              lastRawSec = sec // raw events always advance the clock
+              keep
+            }
+            state.update(lastRawSec)
+            state.setTimeoutTimestamp(sorted.last.ts.getTime + gapMillis)
+            kept.iterator
+          })
+  }
+
   /** Stream-static enrichment join: each micro-batch of events joined
     * against a STATIC dimension (user attributes, allow-lists). The
     * static side is re-planned per batch, so broadcast/AQE decisions

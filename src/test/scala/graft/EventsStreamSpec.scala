@@ -194,6 +194,52 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming debounce: bursts collapse across micro-batches, clock advances on raw events") {
+    val ms = MemoryStream[Ev](spark)
+    val name = queryName()
+    val q = Events.debounce(ms.toDF(), "10 minutes", 600L, "2 hours")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // batch 1: head kept; +300s dropped; +300s more dropped even
+      // though it is 600s after the HEAD (raw events advance the clock)
+      ms.addData(Seq(
+        Ev(1, t("2024-01-01T10:00:00Z"), 1, "click", 1.0),
+        Ev(2, t("2024-01-01T10:05:00Z"), 1, "click", 1.0),
+        Ev(3, t("2024-01-01T10:10:00Z"), 1, "click", 1.0)))
+      q.processAllAvailable()
+      // batch 2: the burst clock (10:10) carries ACROSS batches —
+      // 10:15 is 300s after it → dropped; 10:30 is 900s → kept.
+      // A different type for the same user is its own key → kept.
+      ms.addData(Seq(
+        Ev(4, t("2024-01-01T10:15:00Z"), 1, "click", 1.0),
+        Ev(5, t("2024-01-01T10:30:00Z"), 1, "click", 1.0),
+        Ev(6, t("2024-01-01T10:16:00Z"), 1, "view", 1.0)))
+      q.processAllAvailable()
+
+      val kept = spark.table(name).select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(kept === Seq(1L, 5L, 6L), s"got $kept")
+
+      // batch ≡ stream on the same (in-order) input, q154's lag rule
+      val all = Seq(
+        (1L, t("2024-01-01T10:00:00Z"), 1L, "click"),
+        (2L, t("2024-01-01T10:05:00Z"), 1L, "click"),
+        (3L, t("2024-01-01T10:10:00Z"), 1L, "click"),
+        (4L, t("2024-01-01T10:15:00Z"), 1L, "click"),
+        (5L, t("2024-01-01T10:30:00Z"), 1L, "click"),
+        (6L, t("2024-01-01T10:16:00Z"), 1L, "view"))
+        .toDF("event_id", "ts", "user_id", "event_type")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      val batchKept = all
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .filter(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") >= 600L)
+        .select("event_id").as[Long].collect().sorted.toSeq
+      assert(batchKept === kept, "stream and batch debounce disagree")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch join; unmatched keys keep nulls") {
     val rows = Seq(
       Ev(1, t("2024-01-01T10:01:00Z"), 1, "click", 1.0),

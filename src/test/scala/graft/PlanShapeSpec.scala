@@ -333,6 +333,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"no map-side partial aggregation — shuffle carries raw rows:\n$p")
   }
 
+  test("q153 argmin-by-struct: partial min before the exchange, no Window") {
+    val p = plan("q153_argmin_supplier")
+    assert(p.contains("partial_min"),
+      s"no map-side partial min — shuffle carries raw rows:\n$p")
+    assert(!p.contains("Window"),
+      s"argmin must aggregate, not sort every row through a window:\n$p")
+  }
+
+  test("q145 BPE step: the pair explode runs over the AGGREGATED word table") {
+    // the Generate (pair explode) must sit ABOVE the word-count
+    // aggregate — exploding pairs from raw corpus rows would make the
+    // second stage corpus-sized instead of vocabulary-sized
+    val p = plan("q145_bpe_pair_step")
+    val gen = p.indexOf("Generate explode")
+    val firstAgg = p.lastIndexOf("HashAggregate")
+    assert(gen >= 0, s"pair explode missing:\n$p")
+    assert(gen < firstAgg,
+      s"pair explode must consume the aggregated word table (Generate above, aggregates below):\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+  }
+
   /** VERDICT r7 #6: q79's pushdown barrier pinned. The quality
     * predicate must evaluate ABOVE the one materialized token array —
     * if a Spark upgrade changes the nondeterministic-pushdown rule and
