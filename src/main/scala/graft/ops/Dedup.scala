@@ -831,14 +831,20 @@ object Dedup {
     //     infers nothing, and the null-tok filter sits on the GENERATOR
     //     OUTPUT, which nothing can push below. Empty sets vanish here
     //     and cannot reach candidates — correct at any t > 0.
-    //  2. The token table feeds FIVE plan branches (df, ranks, both
-    //     candidate sides, both verify sides); without a barrier each
-    //     branch re-runs the caller's set expression over the corpus
-    //     (narrow lineage — no exchange to reuse). One lazy local
-    //     checkpoint (the q104/LSH shared-pass discipline) materializes
-    //     the tokens once; it is id+token-sized, never document-sized.
+    //  2. The token table feeds SIX plan branches (df, ranks, sizes,
+    //     both candidate sides, both verify sides); without a barrier
+    //     each branch re-runs the caller's set expression over the
+    //     corpus (narrow lineage — no exchange to reuse). persist()
+    //     materializes the id+token table once (never the documents).
+    //     At fixture scale this measures neutral (stage-JIT dominates
+    //     a single run); at corpus scale six scans vs one
+    //     materialization is the difference that matters — same
+    //     shared-pass reasoning as the q104 LSH checkpoint, but
+    //     persist keeps lineage + stats so join-strategy estimation
+    //     still sees real sizes.
     val toks = sets.select(col("id"), explode_outer(col("toks")).as("tok"))
       .filter(col("tok").isNotNull)
+      .persist()
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     // Rank tokens per set with a WINDOW over the token table (fully
     // codegen'd sort) rather than collect_list + sort_array + explode

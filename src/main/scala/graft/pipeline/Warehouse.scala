@@ -132,7 +132,9 @@ object Warehouse {
     * Row-local and codegen'd: `shards` md5 evaluations per row, no
     * shuffle, no coordination state — the whole point vs a lookup
     * table. md5 (not xxhash64) so any engine replays the assignment
-    * bit-for-bit; hex strings compare lexicographically. */
+    * bit-for-bit; hex strings compare lexicographically. A null key
+    * yields a null shard (md5(null) propagates) — callers route null
+    * keys explicitly rather than silently pinning them to one shard. */
   def rendezvousShard(key: Column, shards: Int): Column = {
     import org.apache.spark.sql.functions._
     require(shards >= 1, "need at least one shard")
