@@ -57,6 +57,30 @@ object AggQueries {
         .orderBy("check_name")
     }),
 
+    // EMPIRICAL CDF VIA THE TWO-PHASE RANGE PREFIX SUM — this query
+    // puts Profile.runningTotalByRange itself under the DuckDB hash
+    // gate (ProfileSpec pins it ≡ the single-window form; here an
+    // independent engine recomputes the running sums): per distinct
+    // price, cumulative count / total. NO single-partition window
+    // anywhere in the plan — the range-partitioned prefix sum carries
+    // the global order, the only funnel being the partitions-sized
+    // offset table. The result is invariant to the sampled range
+    // boundaries by construction (offsets correct for whatever
+    // placement was realized), which is exactly what the cross-engine
+    // hash match certifies.
+    "q160_empirical_cdf" -> ((s, dir) => {
+      import graft.ops.Profile
+      val freq = Tables.lineitem(s, dir)
+        .filter(col("l_extendedprice").isNotNull)
+        .groupBy(col("l_extendedprice").as("v")).agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum("cnt").as("total"))
+      Profile.runningTotalByRange(freq, "v", "cnt", 16)
+        .crossJoin(broadcast(total))
+        .select(col("v"), col("cnt"),
+          (col("running_total").cast("double") / col("total")).as("cdf"))
+        .orderBy("v")
+    }),
+
     // EQUI-DEPTH HISTOGRAM (ops/Profile.equiDepthHistogram): 8 buckets
     // over l_extendedprice at distinct-value granularity — a value
     // never splits, so the bucket rule is deterministic without a
@@ -321,6 +345,17 @@ object AggQueries {
         |  UNION ALL SELECT 'unique_orderkey', d_ok / n, 1.0::DOUBLE FROM m
         |  UNION ALL SELECT 'valid_status', valid / n, 1.0::DOUBLE FROM m) u
         |ORDER BY check_name""".stripMargin,
+    // the plain single-window running sum — the independent engine's
+    // recomputation of the two-phase range prefix sum.
+    "q160_empirical_cdf" ->
+      """WITH f AS (
+        |  SELECT l_extendedprice AS v, count(*) AS cnt FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM f)
+        |SELECT v, cnt,
+        |       CAST(CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS DOUBLE)
+        |         / total AS cdf
+        |FROM f, t ORDER BY v""".stripMargin,
     // same distinct-value CDF bucket rule; the window sum is HUGEINT
     // in DuckDB, so every count is pinned back to BIGINT before the
     // double division.
