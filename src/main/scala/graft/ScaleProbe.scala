@@ -71,7 +71,12 @@ object ScaleProbe {
       // index write at each scale, q122/q123 read the persisted
       // band/cell layouts — the incremental shapes the docs argue
       "q120_lsh_index_dedup", "q122_incremental_index_dedup",
-      "q123_ivf_index_topk")
+      "q123_ivf_index_topk",
+      // round-11: the exact prefix-filtered similarity join — the
+      // candidate count tracks the corpus' near-dup structure (the
+      // derived corpus preserves it per copy), so growth should be
+      // linear like the LSH family, with zero spill
+      "q147_prefix_simjoin")
     // SPARK_GRAFT_PROBE_ONLY=q106,q120 restricts the family — the
     // 30–50× runs target just the linear-growth outliers rather than
     // paying the whole family at a corpus 3–5× the 10× one.
