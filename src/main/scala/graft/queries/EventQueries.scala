@@ -551,6 +551,41 @@ object EventQueries {
           col("is_current"))
         .orderBy("user_id", "from_us")
     }),
+
+    // EFFECTIVE-DATED DIMENSION LOOKUP (q128's deployment face): each
+    // click event resolved to the spend tier EFFECTIVE AT its
+    // timestamp against the SCD2 dimension q128 builds. Because SCD2
+    // versions tile each key's timeline contiguously ([from, to) with
+    // to = next from), "the version valid at ts" ≡ "the LATEST version
+    // with effective_from <= ts" — so the lookup is the as-of backward
+    // composition (AsOf.asofBackward), NOT a range join: one user_id
+    // shuffle, zero Join operators in the plan (pinned in
+    // PlanShapeSpec), state = one version in flight per key. The
+    // DuckDB oracle is the INDEPENDENT formulation — the SCD2 CTE plus
+    // the textbook `from <= ts AND (to IS NULL OR ts < to)` range
+    // predicate — so the hash match proves the as-of collapse is
+    // lossless against real interval semantics, boundary rows
+    // included (a click AT a purchase instant gets the NEW tier:
+    // inclusive from, exclusive to, matching the as-of tie rule).
+    // Clicks before a user's first purchase keep a null tier
+    // (left-outer semantics both sides).
+    "q161_scd2_lookup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val purchases = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") / 20).cast("long").as("tier"))
+      val dim = graft.pipeline.Ingest.scd2(
+          purchases, "user_id", "ts", "event_id", "tier")
+        .select(col("user_id"), col("effective_from").as("ts"), col("tier"))
+      val clicks = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.AsOf.asofBackward(clicks, dim, "user_id", "ts", Seq("tier"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("asof_tier").as("tier"))
+        .orderBy("event_id")
+    }),
   )
 
   /** Once-per-session setup for q134: the per-(event_type, day) sketch
@@ -659,6 +694,30 @@ object EventQueries {
         |       epoch_us(ts) AS from_us, epoch_us(eff_to) AS to_us,
         |       eff_to IS NULL AS is_current
         |FROM v ORDER BY user_id, from_us""".stripMargin,
+    // INDEPENDENT formulation of the effective-dated lookup: the q128
+    // SCD2 CTE plus the textbook range predicate. The Spark side is a
+    // joinless as-of composition; equality here proves the collapse.
+    "q161_scd2_lookup" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(floor(value / 20) AS BIGINT) AS tier
+        |  FROM events WHERE event_type = 'purchase'),
+        |d AS (
+        |  SELECT *, row_number() OVER w AS rn, lag(tier) OVER w AS prev
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT user_id, ts, event_id, tier FROM d
+        |  WHERE rn = 1 OR tier IS DISTINCT FROM prev),
+        |v AS (
+        |  SELECT *, lead(ts) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS eff_to
+        |  FROM c)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, v.tier
+        |FROM events e LEFT JOIN v
+        |  ON v.user_id = e.user_id AND v.ts <= e.ts
+        |     AND (v.eff_to IS NULL OR e.ts < v.eff_to)
+        |WHERE e.event_type = 'click'
+        |ORDER BY e.event_id""".stripMargin,
     // funnel cascade: stage-k time = min ts of the stage event type
     // STRICTLY AFTER the stage-(k-1) time. Timestamps are unique per
     // user at microsecond granularity, so > vs >= cannot diverge.

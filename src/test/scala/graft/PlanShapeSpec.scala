@@ -206,6 +206,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  /** q161's contract: the effective-dated SCD2 lookup is the as-of
+    * composition, NOT a range join — zero Join operators; exactly 3
+    * exchanges (the scd2 build's user_id shuffle, the as-of union's
+    * user_id shuffle — union output partitioning is unknown to Spark
+    * so the window above it must re-exchange — and the presentation
+    * sort); both event_type filters pushed into the events scans. */
+  test("q161 scd2 lookup: joinless as-of plan, filters pushed") {
+    val p = plan("q161_scd2_lookup")
+    assert(!p.contains("Join"), s"range join reappeared in the SCD2 lookup:\n$p")
+    assert(p.contains("Window"), s"as-of running-last window missing:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 3,
+      s"expected scd2 + union + presentation exchanges only, got $exchanges:\n$p")
+    assert(p.contains("EqualTo(event_type,click)") &&
+      p.contains("EqualTo(event_type,purchase)"),
+      s"event_type filters not pushed to the scans:\n$p")
+  }
+
   /** VERDICT r7 #3: the bucketed-layout claim as a GATED PLAN FACT.
     * With broadcast off and AQE off, a lineitem ⋈ orders equi join can
     * only avoid an Exchange if both scans expose the bucketed
