@@ -279,6 +279,48 @@ object AggQueries {
         .orderBy("key")
     }),
 
+    // MARKET-BASKET PAIRWISE LIFT (co-occurrence mining): for brand
+    // pairs bought together in >= 10 orders, lift = N·c(a,b) /
+    // (c(a)·c(b)). Scale shape: pair generation is ROW-LOCAL — one
+    // l_orderkey shuffle collects each basket's distinct brands
+    // (basket size is bounded by lines-per-order, ~7, NOT by SF), then
+    // a sorted higher-order-function comprehension emits the a < b
+    // pairs in place; the naive self-join-per-basket the oracle uses
+    // would shuffle the item table twice and explode skewed baskets
+    // quadratically in the join. The per-brand and total-basket counts
+    // are domain-bounded (25 brands / one row) — broadcast by
+    // construction. Lift arithmetic: exact long products, ONE double
+    // division, round 6 (q131 discipline).
+    "q162_basket_lift" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")).distinct()
+      val baskets = items.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
+      val pairCounts = baskets
+        .select(explode(flatten(expr(
+          """transform(bs, (x, i) ->
+            |  transform(slice(bs, i + 2, size(bs)),
+            |            y -> struct(x AS a, y AS b)))""".stripMargin))).as("p"))
+        .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 10)
+      val singles = items.groupBy(col("p_brand")).agg(count(lit(1)).as("c"))
+      pairCounts
+        .join(broadcast(singles.select(
+          col("p_brand").as("brand_a"), col("c").as("c_a"))), "brand_a")
+        .join(broadcast(singles.select(
+          col("p_brand").as("brand_b"), col("c").as("c_b"))), "brand_b")
+        .crossJoin(broadcast(nBaskets))
+        .select(col("brand_a"), col("brand_b"), col("n_ab"),
+          round((col("n_baskets") * col("n_ab")).cast("double")
+            / (col("c_a") * col("c_b")).cast("double"), 6).as("lift"))
+        .orderBy("brand_a", "brand_b")
+    }),
+
     // HLL++ sketch — the 100 TB path for distinct counts. No SQL oracle
     // (approx); ApproxDistinctSpec property-bounds the error vs exact.
     "q25_approx_distinct" -> ((s, dir) => {
@@ -290,6 +332,30 @@ object AggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // INDEPENDENT formulation: the naive per-basket self-join (fine at
+    // fixture scale in DuckDB); the Spark side's row-local pair
+    // comprehension must reproduce it exactly.
+    "q162_basket_lift" ->
+      """WITH ib AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM ib),
+        |ca AS (SELECT p_brand, count(*) AS c FROM ib GROUP BY p_brand),
+        |pc AS (
+        |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |         count(*) AS n_ab
+        |  FROM ib a JOIN ib b
+        |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        |  GROUP BY 1, 2)
+        |SELECT pc.brand_a, pc.brand_b, pc.n_ab,
+        |       round(CAST(nb.n * pc.n_ab AS DOUBLE)
+        |             / CAST(ca1.c * ca2.c AS DOUBLE), 6) AS lift
+        |FROM pc
+        |CROSS JOIN nb
+        |JOIN ca ca1 ON ca1.p_brand = pc.brand_a
+        |JOIN ca ca2 ON ca2.p_brand = pc.brand_b
+        |WHERE pc.n_ab >= 10
+        |ORDER BY brand_a, brand_b""".stripMargin,
     "q135_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,
