@@ -880,4 +880,54 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** EXACT edit-distance-1 similarity join (deletion-neighborhood
+    * blocking — the FastSS scheme, Bocek et al. 2007): every unordered
+    * pair (a, b) with levenshtein(s_a, s_b) <= 1, no false negatives.
+    *
+    * The filter: each string's candidate signature set is itself plus
+    * every single-character deletion. If ed(u, v) <= 1 the sets
+    * intersect — equal strings share u; an insertion v = u+c has
+    * v-del-c = u; a substitution at position i has u-del-i = v-del-i.
+    * The converse does NOT hold (u="ab", v="ba" share "b" at ed 2), so
+    * a row-local `levenshtein` verify runs on the deduped candidate
+    * pairs — filter-and-verify, same discipline as the Jaccard join
+    * above.
+    *
+    * Scale shape: fan-out per string is len+1 signatures (length-
+    * bounded, NOT corpus-bounded); the wire carries (md5(signature),
+    * id) — 16-byte keys, never the strings — through ONE equi join;
+    * the strings rejoin only the candidate PAIRS for the verify. The
+    * naive formulation (the DuckDB oracle) is the quadratic
+    * levenshtein cross join this blocking exists to kill: candidates
+    * here are |pairs sharing a signature| ≈ true pairs + the bounded
+    * ed-2 collisions, not n²/2.
+    *
+    * Generalizing to ed <= k needs k-deletion neighborhoods (fan-out
+    * C(len, k)) — the k=1 case is the common fuzzy-key-join shape
+    * (typo'd identifiers, OCR'd codes). Null/empty strings drop: a
+    * null matches nothing in SQL join semantics, and "" still emits
+    * its identity signature. */
+  def editOneJoin(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val base = df
+      .filter(col(idCol).isNotNull && col(strCol).isNotNull)
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+    val sigs = base
+      .select(col("id"), col("s"), explode(array_distinct(concat(
+        array(col("s")),
+        expr("""transform(sequence(1, length(s)),
+               |  i -> concat(substring(s, 1, i - 1), substring(s, i + 1)))"""
+          .stripMargin)))).as("sig"))
+      .select(col("id"), md5(col("sig")).as("sh"))
+    val cand = sigs.as("a")
+      .join(sigs.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

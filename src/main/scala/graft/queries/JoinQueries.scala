@@ -418,6 +418,18 @@ object JoinQueries {
             .cast("decimal(18,4)")).cast("double").as("revenue"))
         .orderBy("ship_month")
     }),
+
+    // EDIT-DISTANCE-1 SIMILARITY JOIN (ops.Dedup.editOneJoin): all
+    // customer-name pairs within one typo of each other — the fuzzy
+    // key join (deletion-neighborhood blocking + levenshtein verify).
+    // The DuckDB oracle is the NAIVE quadratic cross join, so the hash
+    // match proves the deletion-signature candidate set is LOSSLESS,
+    // exactly the q147 discipline.
+    "q164_edit_join" -> ((s, dir) => {
+      graft.ops.Dedup.editOneJoin(
+          Tables.customer(s, dir), "c_custkey", "c_name")
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   /** Once-per-session setup for q133: lineitem re-written
@@ -467,6 +479,15 @@ object JoinQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the INDEPENDENT formulation: the quadratic levenshtein cross
+    // join the deletion-neighborhood blocking exists to kill.
+    "q164_edit_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "q119_composite_topk" ->
       """SELECT l_orderkey,
         |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

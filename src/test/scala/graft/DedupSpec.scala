@@ -537,4 +537,36 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(fast === naive)
   }
+
+  test("editOneJoin: adversarial shapes — empty, transposition, repeats, nulls") {
+    val df = Seq(
+      (1L, "abc"),  (2L, "abd"),   // substitution  -> ed 1
+      (3L, "abcd"), (4L, "ab"),    // 3~1 deletion ed 1; 4~1 ed 1
+      (5L, "ba"),                  // vs "ab": TRANSPOSITION ed 2 — shares
+                                   // a deletion sig, the verify must kill it
+      (6L, ""),     (7L, "a"),     // empty vs one char -> ed 1
+      (8L, "aaa"),  (9L, "aa"),    // repeated chars: duplicate deletion
+                                   // sigs must not duplicate the pair
+      (10L, null.asInstanceOf[String]), // null drops entirely
+      (11L, "zzzz")                // isolated
+    ).toDF("id", "s")
+    val got = Dedup.editOneJoin(df, "id", "s")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // independent brute force over the non-null rows
+    val base = df.filter(col("s").isNotNull)
+    val naive = base.select(col("id").as("id_a"), col("s").as("s_a"))
+      .crossJoin(base.select(col("id").as("id_b"), col("s").as("s_b")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === naive)
+    assert(got.contains((1L, 3L)) && got.contains((6L, 7L)) &&
+      got.contains((8L, 9L)))
+    assert(!got.exists(p => p._1 == 10L || p._2 == 10L))
+    assert(!got.contains((4L, 5L)), "transposition at ed 2 must be verified away")
+    // exactly-once per pair even when deletion signatures collide
+    val rows = Dedup.editOneJoin(df, "id", "s")
+      .groupBy("id_a", "id_b").count().filter(col("count") > 1).count()
+    assert(rows === 0)
+  }
 }
