@@ -67,4 +67,46 @@ object TopK {
       .select(col(groupCol), explode(col("top")).as("t"))
       .select(col(groupCol),
         col("t._1").as(orderCol), col("t._2").as(idCol))
+
+  /** 2-D SKYLINE (Pareto frontier): rows where no other row is at
+    * least as good on both axes and strictly better on one —
+    * minimize `minCol`, maximize `maxCol` (dominance: b ≺ a iff
+    * b.min <= a.min AND b.max >= a.max AND one strict). Exact ties on
+    * both axes survive together (neither dominates).
+    *
+    * The naive formulation is the quadratic NOT EXISTS self-join (the
+    * DuckDB oracle). This runs on the DOMAIN instead: a row is on the
+    * frontier iff (1) its `maxCol` equals its `minCol`-group's max —
+    * any same-min higher-max row strictly dominates — and (2) that
+    * group max strictly exceeds the running max over all STRICTLY
+    * smaller `minCol` groups — a smaller-min, >=-max row dominates
+    * via the strict min. So: one map-side-combined groupBy(minCol)
+    * for per-group maxes, a running max over the GROUP table (domain-
+    * sized — the global window runs on |distinct minCol| rows, never
+    * the corpus; same discipline as runningTotalByRange's offsets
+    * table), and one broadcast join back. The corpus is scanned once
+    * and never sorted globally.
+    *
+    * Null on either axis drops the row: dominance comparisons are
+    * three-valued and a null row can neither dominate nor defensibly
+    * survive.
+    *
+    * `minCol` must be a bounded-domain axis (a size, a grade, a
+    * bucketed measure): the group table and the broadcast are
+    * |distinct minCol|-sized. A continuous axis needs bucketing
+    * first (equiDepthHistogram gives the cuts). */
+  def skyline2d(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+    val rows = df.filter(col(minCol).isNotNull && col(maxCol).isNotNull)
+    val groupMax = rows.groupBy(col(minCol))
+      .agg(max(col(maxCol)).as("__gmax"))
+    val frontier = groupMax
+      .withColumn("__m", max(col("__gmax")).over(
+        Window.orderBy(col(minCol))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("__m").isNull || col("__gmax") > col("__m"))
+      .select(col(minCol).as("__fmin"), col("__gmax"))
+    rows.join(broadcast(frontier),
+        col(minCol) === col("__fmin") && col(maxCol) === col("__gmax"))
+      .drop("__fmin", "__gmax")
+  }
 }

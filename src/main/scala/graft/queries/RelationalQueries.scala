@@ -107,9 +107,32 @@ object RelationalQueries {
         .orderBy(desc("revenue"), col("l_orderkey"), col("l_linenumber"))
         .limit(100)
     }),
+
+    // 2-D SKYLINE (ops.TopK.skyline2d): parts on the Pareto frontier
+    // of (minimize p_size, maximize p_retailprice) — cheapest-to-ship
+    // best-value parts no other part beats on both axes. The DuckDB
+    // oracle is the quadratic NOT EXISTS; the Spark side answers from
+    // the size-domain group table + one broadcast join (the corpus is
+    // scanned once, never self-joined, never globally sorted).
+    "q166_skyline" -> ((s, dir) => {
+      graft.ops.TopK.skyline2d(
+          Tables.part(s, dir).select("p_partkey", "p_size", "p_retailprice"),
+          "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // the INDEPENDENT formulation: textbook dominance NOT EXISTS.
+    "q166_skyline" ->
+      """SELECT p_partkey, p_size, p_retailprice
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_size <= a.p_size
+        |    AND b.p_retailprice >= a.p_retailprice
+        |    AND (b.p_size < a.p_size OR b.p_retailprice > a.p_retailprice))
+        |ORDER BY p_partkey""".stripMargin,
     "q91_upsert" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),

@@ -36,4 +36,30 @@ class TopKSpec extends AnyFunSuite with SparkFixture {
     assert(canon(a) === Set(("x", 5.0, 1L), ("x", 5.0, 2L), ("y", 1.0, 4L)))
     assert(TopK.viaAgg(df.filter(lit(false)), "g", "score", "id", 2).isEmpty)
   }
+
+  test("skyline2d: dominance, both-axis ties survive, nulls drop, brute-force equal") {
+    val df = Seq(
+      (1L, 1, 10.0),  // frontier (smallest size, decent price)
+      (2L, 1, 10.0),  // exact tie with 1 — BOTH survive (no strict edge)
+      (3L, 1, 9.0),   // same size, lower price: dominated by 1
+      (4L, 2, 10.0),  // bigger size, equal price: dominated by 1 (strict size)
+      (5L, 2, 15.0),  // frontier (pays for its size with a better price)
+      (6L, 3, 15.0),  // bigger size, equal price vs 5: dominated
+      (7L, 4, 20.0),  // frontier
+      (8L, 9, 1.0)    // dominated by everything
+    ).toDF("id", "sz", "price")
+      .union(Seq((9L, null.asInstanceOf[java.lang.Integer], 99.0))
+        .toDF("id", "sz", "price"))
+    val got = TopK.skyline2d(df, "sz", "price")
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 5L, 7L))
+    // independent brute force (anti-join on the dominance predicate)
+    val base = df.filter(col("sz").isNotNull && col("price").isNotNull)
+    val naive = base.as("a").join(base.as("b"),
+        col("b.sz") <= col("a.sz") && col("b.price") >= col("a.price") &&
+          (col("b.sz") < col("a.sz") || col("b.price") > col("a.price")),
+        "left_anti")
+      .select("id").as[Long].collect().toSet
+    assert(got === naive)
+  }
 }
