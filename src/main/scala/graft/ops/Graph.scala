@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms as dataframe loops (the q121 k-means
+  * discipline applied to link analysis). Spark has no built-in graph
+  * operators; the classic formulation (Page et al. 1999; the Pregel
+  * join-shuffle loop of Malewicz et al. 2010) maps directly onto
+  * join + groupBy per superstep.
+  */
+object Graph {
+
+  /** FIXED-POINT PAGERANK, fixed iteration count, on an edge list
+    * (src, dst): r'(v) = (1-d)/N + d·Σ_{u→v} r(u)/deg(u) from 1/N.
+    *
+    * PRECONDITION: every node that appears anywhere must have
+    * out-degree >= 1 (no dangling mass — a symmetrized edge list
+    * satisfies this by construction). Dangling-node redistribution
+    * (adding Σ_dangling r/N each step) is a one-row broadcast seam on
+    * top of this loop; the fixture graphs don't need it.
+    *
+    * Determinism discipline: ranks are BIGINT fixed-point in units of
+    * 1e-12 and every step is INTEGER arithmetic — `div` for r/deg and
+    * for the damping (d = 85/100), long sums for Σ. Floating point
+    * appears nowhere, so there is nothing to round: no
+    * order-dependent double accumulation, and none of the
+    * round-half-boundary divergence that floating PageRank hits when
+    * 0.85 × an exact decimal lands on a rounding tie (observed at 8dp
+    * on the sf0.01 graph — engines resolve double ties differently).
+    * Any engine with 64-bit integers replays the whole build
+    * bit-identically; the DuckDB oracle does. Each floor division
+    * leaks < 1e-12 of mass per term per step — immaterial against
+    * PageRank's own iteration truncation, and a fair trade for exact
+    * cross-engine determinism. Overflow headroom: total mass <= 1e12,
+    * so 85·Σ <= 8.5e13 ≪ 2^63.
+    *
+    * Scale shape per iteration: one equi join of edges (partitioned
+    * on src) against the rank table (node-sized, ≪ edges) and one
+    * map-side-combined groupBy(dst) — the Pregel superstep. The edge
+    * list is reused every iteration: callers at scale should persist
+    * (or bucket — Warehouse.writeBucketed on src) so it is scanned
+    * once, and checkpoint ranks every few supersteps to cap plan
+    * depth; the 3-iteration gated query keeps the plan lazy end to
+    * end so the whole build stays under the hash oracle.
+    *
+    * Output: (node, deg, pr_fp BIGINT) — pr_fp / 1e12 is the rank. */
+  def pageRank(edges: DataFrame, iterations: Int,
+               dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, "iterations must be positive")
+    require(dampingPct > 0 && dampingPct < 100, "dampingPct in (0, 100)")
+    val scaleFp = 1000000000000L // 1e-12 units
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nTotal = deg.agg(count(lit(1)).as("n_nodes"))
+    var ranks = deg.crossJoin(broadcast(nTotal))
+      .select(col("src").as("node"), col("deg"),
+        expr(s"${scaleFp}L div n_nodes").as("pr_fp"))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst"), expr("pr_fp div deg").as("c"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = deg.join(sums, deg("src") === sums("dst"), "left")
+        .crossJoin(broadcast(nTotal))
+        .select(col("src").as("node"), col("deg"),
+          expr(s"((100 - $dampingPct) * ${scaleFp}L) div (100 * n_nodes) + " +
+            s"($dampingPct * coalesce(s, 0L)) div 100").as("pr_fp"))
+    }
+    ranks
+  }
+}

@@ -430,6 +430,31 @@ object JoinQueries {
           Tables.customer(s, dir), "c_custkey", "c_name")
         .orderBy("id_a", "id_b")
     }),
+
+    // PAGERANK, 3 supersteps (ops.Graph.pageRank), over the
+    // SYMMETRIZED customer–supplier trade graph (node = 2·custkey /
+    // 2·suppkey+1 — disjoint key spaces; symmetrization guarantees
+    // out-degree >= 1, the no-dangling precondition). The WHOLE
+    // 3-iteration FIXED-POINT build sits under the hash gate — the
+    // DuckDB oracle unrolls the same three supersteps as CTEs in the
+    // same 1e-12-unit integer arithmetic, so every join, every floor
+    // division, and every long sum must be bit-identical (the q121
+    // multi-iteration discipline applied to link analysis; a floating
+    // formulation was tried first and diverged on a round-half
+    // boundary at sf0.01 — see the op scaladoc).
+    "q163_pagerank" -> ((s, dir) => {
+      val eb = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s1"))
+        .distinct()
+      val edges = eb.select(col("c").as("src"), col("s1").as("dst"))
+        .unionByName(eb.select(col("s1").as("src"), col("c").as("dst")))
+      graft.ops.Graph.pageRank(edges, iterations = 3)
+        .orderBy("node")
+    }),
   )
 
   /** Once-per-session setup for q133: lineitem re-written
@@ -488,6 +513,44 @@ object JoinQueries {
         |  ON a.c_custkey < b.c_custkey
         | AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    // the three supersteps unrolled as CTEs, in the SAME 1e-12-unit
+    // integer arithmetic as the Spark side (`//` here ≡ `div` there —
+    // truncating division, identical on the all-positive ranks; long
+    // sums are exact, so there is no rounding anywhere to diverge).
+    "q163_pagerank" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT 2*o_custkey AS c, 2*l_suppkey + 1 AS s1
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s1 AS dst FROM eb
+        |      UNION ALL SELECT s1 AS src, c AS dst FROM eb),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |n AS (SELECT count(*) AS nn FROM d),
+        |r0 AS (SELECT d.src AS node, d.deg,
+        |              1000000000000 // n.nn AS pr_fp
+        |       FROM d CROSS JOIN n),
+        |c1 AS (SELECT e.dst, r.pr_fp // r.deg AS cb
+        |       FROM e JOIN r0 r ON e.src = r.node),
+        |s1x AS (SELECT dst, sum(cb) AS sm FROM c1 GROUP BY dst),
+        |r1 AS (SELECT d.src AS node, d.deg,
+        |              (15 * 1000000000000) // (100 * n.nn)
+        |              + (85 * coalesce(s1x.sm, 0)) // 100 AS pr_fp
+        |       FROM d LEFT JOIN s1x ON d.src = s1x.dst CROSS JOIN n),
+        |c2 AS (SELECT e.dst, r.pr_fp // r.deg AS cb
+        |       FROM e JOIN r1 r ON e.src = r.node),
+        |s2x AS (SELECT dst, sum(cb) AS sm FROM c2 GROUP BY dst),
+        |r2 AS (SELECT d.src AS node, d.deg,
+        |              (15 * 1000000000000) // (100 * n.nn)
+        |              + (85 * coalesce(s2x.sm, 0)) // 100 AS pr_fp
+        |       FROM d LEFT JOIN s2x ON d.src = s2x.dst CROSS JOIN n),
+        |c3 AS (SELECT e.dst, r.pr_fp // r.deg AS cb
+        |       FROM e JOIN r2 r ON e.src = r.node),
+        |s3x AS (SELECT dst, sum(cb) AS sm FROM c3 GROUP BY dst),
+        |r3 AS (SELECT d.src AS node, d.deg,
+        |              (15 * 1000000000000) // (100 * n.nn)
+        |              + (85 * coalesce(s3x.sm, 0)) // 100 AS pr_fp
+        |       FROM d LEFT JOIN s3x ON d.src = s3x.dst CROSS JOIN n)
+        |SELECT node, deg, CAST(pr_fp AS BIGINT) AS pr_fp
+        |FROM r3 ORDER BY node""".stripMargin,
     "q119_composite_topk" ->
       """SELECT l_orderkey,
         |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -1,0 +1,46 @@
+package graft
+
+import graft.ops.Graph
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("pageRank: one superstep on a symmetrized star matches hand arithmetic") {
+    // 1↔2, 1↔3: deg(1)=2, deg(2)=deg(3)=1, N=3, all in 1e-12 units.
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iterations = 1)
+      .select("node", "pr_fp").as[(Long, Long)].collect().toMap
+    // pr0 = 1e12 div 3 = 333333333333 each; base = 15e12 div 300 = 5e10
+    // pr1(1) = 5e10 + (85 * (2*333333333333)) div 100 = 616666666666
+    // pr1(2) = pr1(3) = 5e10 + (85 * (333333333333 div 2)) div 100
+    assert(got === Map(
+      1L -> 616666666666L, 2L -> 191666666666L, 3L -> 191666666666L))
+  }
+
+  test("pageRank: mass is conserved up to the documented floor leak") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
+      (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    for (iters <- Seq(1, 3)) {
+      val total = Graph.pageRank(edges, iters)
+        .agg(sum("pr_fp")).as[Long].head()
+      // each floor division leaks < 1 unit per term; a handful of terms
+      assert(total <= 1000000000000L && total > 1000000000000L - 100L,
+        s"iters=$iters total=$total")
+    }
+  }
+
+  test("pageRank: the hub of a larger star outranks the leaves; determinism across runs") {
+    val leaves = (2L to 20L)
+    val edges = (leaves.map(l => (1L, l)) ++ leaves.map(l => (l, 1L))).toDF("src", "dst")
+    val r = Graph.pageRank(edges, 3)
+    val hub = r.filter(col("node") === 1L).select("pr_fp").as[Long].head()
+    val maxLeaf = r.filter(col("node") =!= 1L)
+      .agg(max("pr_fp")).as[Long].head()
+    assert(hub > maxLeaf * 5, s"hub=$hub maxLeaf=$maxLeaf")
+    val again = Graph.pageRank(edges.repartition(7), 3)
+      .select("node", "pr_fp").as[(Long, Long)].collect().toSet
+    assert(again === r.select("node", "pr_fp").as[(Long, Long)].collect().toSet)
+  }
+}
