@@ -209,4 +209,36 @@ object Ingest {
       .groupBy(col(key))
       .agg(sum(col("cnt")).as("cnt"), sum(col("sum")).as("sum"),
         min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+
+  /** INCREMENTAL JOIN-VIEW MAINTENANCE (insert-only IVM; the q151
+    * aggregate-maintenance discipline applied to a two-table equi
+    * join): with both sides arriving in batches, the new matches a
+    * batch (ΔL, ΔR) contributes to M = L ⋈ R are exactly
+    *
+    *   ΔM = ΔL ⋈ R_acc  ∪  L_acc ⋈ ΔR  ∪  ΔL ⋈ ΔR
+    *
+    * (accumulated sides BEFORE this batch — every cross-batch pair is
+    * produced once: the pair (l, r) with l in batch i, r in batch j
+    * appears in exactly the max(i,j) step). Appending ΔM to the view
+    * and the deltas to their accumulators maintains M without ever
+    * recomputing old matches — the deployment shape where both fact
+    * feeds land continuously and the joined view is served
+    * downstream.
+    *
+    * Scale shape per batch: the deltas shuffle at BATCH size; the
+    * accumulated sides at 100 TB are bucketed on the key
+    * (Warehouse.writeBucketed) so their side of each join is
+    * Exchange-free — the q122 incremental-index shape. Insert-only by
+    * design; updates/deletes need keyed retraction rows (the
+    * upsert/tableDiff machinery) before the join algebra applies.
+    *
+    * Returns ΔM for this batch; the caller appends it to the view. */
+  def joinViewDelta(lAcc: DataFrame, rAcc: DataFrame,
+                    dL: DataFrame, dR: DataFrame,
+                    key: String): DataFrame = {
+    val newOld = dL.join(rAcc, Seq(key))
+    val oldNew = lAcc.join(dR, Seq(key))
+    val newNew = dL.join(dR, Seq(key))
+    newOld.unionByName(oldNew).unionByName(newNew)
+  }
 }

@@ -159,9 +159,59 @@ object PipelineQueries {
           (col("sum").cast("double") / col("cnt")).as("avg_price"))
         .orderBy("o_custkey")
     }),
+
+    // INCREMENTAL JOIN-VIEW MAINTENANCE (Ingest.joinViewDelta): both
+    // lineitem and orders arrive in 3 key-split batches; each step
+    // appends ΔM = ΔL⋈R_acc ∪ L_acc⋈ΔR ∪ ΔL⋈ΔR to the persisted
+    // view and the deltas to the persisted accumulators. Because the
+    // delta algebra produces every cross-batch pair exactly once, the
+    // read-back view must equal the one-shot join — which is exactly
+    // the plain-join DuckDB oracle, so batch-split invariance is what
+    // the hash match proves (q99/q151 lineage). Aggregated per
+    // orderstatus to keep the gated payload small; PipelineSpec pins
+    // the row-level equality. The two sides are split by UNRELATED
+    // criteria (key residue vs order month) so every one of the three
+    // delta terms carries real rows — a same-key split would make the
+    // cross-batch terms vacuously empty and prove nothing.
+    "q167_join_view" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val ords = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"),
+          col("o_orderdate"))
+      val base = graft.TempDirs.scratch("graft-ivm-")
+      val (mPath, lPath, rPath) = (base + "/view", base + "/lacc", base + "/racc")
+      for (i <- 0 to 2) {
+        val dL = li.filter(col("l_orderkey") % 3 === i)
+        val dR = ords.filter(month(col("o_orderdate")) % 3 === i)
+          .drop("o_orderdate")
+        val (lAcc, rAcc) =
+          if (i == 0) (dL.limit(0), dR.limit(0))
+          else (s.read.parquet(lPath), s.read.parquet(rPath))
+        Ingest.joinViewDelta(lAcc, rAcc, dL, dR, "l_orderkey")
+          .write.mode("append").parquet(mPath)
+        dL.write.mode("append").parquet(lPath)
+        dR.write.mode("append").parquet(rPath)
+      }
+      s.read.parquet(mPath)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // the one-shot join the incremental view must reproduce exactly.
+    "q167_join_view" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // same floor-div bit fold; every intermediate is integral and
     // < 2^53, so the double arithmetic is exact in both engines.
     "q126_zorder_key" ->

@@ -210,4 +210,30 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       dir.resolve("empty.html").toString)
     assert(!empty && !Files.exists(dir.resolve("empty.html")))
   }
+
+  test("joinViewDelta: maintained view equals the one-shot join row-for-row; all three delta terms fire") {
+    import spark.implicits._
+    val l = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e"))
+      .toDF("k", "lv")
+    val r = Seq((1L, 10), (2L, 20), (2L, 21), (4L, 40)).toDF("k", "rv")
+    // batches split by UNRELATED criteria so cross terms carry rows
+    val lB = Seq(l.filter(col("lv").isin("a", "c")),
+      l.filter(col("lv").isin("b", "d")), l.filter(col("lv") === "e"))
+    val rB = Seq(r.filter(col("rv") === 21), r.filter(col("rv").isin(10, 40)),
+      r.filter(col("rv") === 20))
+    var (lAcc, rAcc) = (l.limit(0), r.limit(0))
+    var view = l.join(r, Seq("k")).limit(0)
+    var crossRows = 0L
+    for (i <- 0 to 2) {
+      val d = Ingest.joinViewDelta(lAcc, rAcc, lB(i), rB(i), "k")
+      crossRows += lB(i).join(rAcc, Seq("k")).count() +
+        lAcc.join(rB(i), Seq("k")).count()
+      view = view.unionByName(d)
+      lAcc = lAcc.unionByName(lB(i)); rAcc = rAcc.unionByName(rB(i))
+    }
+    assert(crossRows > 0, "batch split failed to exercise the cross-batch terms")
+    val got = view.as[(Long, String, Int)].collect().sorted.toSeq
+    val exp = l.join(r, Seq("k")).as[(Long, String, Int)].collect().sorted.toSeq
+    assert(got === exp)
+  }
 }
