@@ -137,6 +137,37 @@ object Profile {
     * ProfileSpec alongside result equality with the single-window
     * form. Requires a non-null `orderCol`; `valueCol` nulls sum as
     * zero (SQL sum semantics). */
+  /** ORDER-INVARIANT GROUP CHECKSUM — the replication/migration audit
+    * primitive: fingerprint a table (per group) WITHOUT moving its
+    * rows, so two replicas — or two ENGINES, this one and the oracle —
+    * can be compared by exchanging a handful of (group, n_rows,
+    * checksum) triples. Each row's canonical representation hashes to
+    * md5, the first 14 hex digits (56 bits) parse to an integer, and
+    * the group checksum is the exact DECIMAL(38,0) SUM — commutative
+    * and associative, so the result is independent of row order,
+    * partitioning, and merge shape (the property a naive "hash of
+    * concatenated rows" lacks), and any engine with md5 + 64-bit hex
+    * parsing replays it bit-identically.
+    *
+    * Multiset semantics: duplicate rows add twice — intentional (a
+    * replica that doubled a row must NOT checksum-match). Detection
+    * only, not adversarial integrity: 56-bit terms make accidental
+    * corruption collisions ~2^-56 per group but an adversary could
+    * craft compensating rows; use a MAC'd canonical column for that.
+    * Scale shape: the signature is scan-local (codegen'd md5 + conv);
+    * the only shuffle is the domain-sized group agg.
+    *
+    * `canonical` must render every column deterministically across
+    * engines — integers and strings compose safely with concat_ws;
+    * cast integer-valued doubles to BIGINT first (double→string
+    * formatting is engine-specific). */
+  def groupChecksum(df: DataFrame, groupCol: String,
+                    canonical: Column): DataFrame =
+    df.withColumn("__sig",
+        conv(substring(md5(canonical), 1, 14), 16, 10).cast("decimal(38,0)"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__sig")).as("checksum"))
+
   def runningTotalByRange(df: DataFrame, orderCol: String, valueCol: String,
                           partitions: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

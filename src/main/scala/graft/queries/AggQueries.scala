@@ -321,6 +321,21 @@ object AggQueries {
         .orderBy("brand_a", "brand_b")
     }),
 
+    // ORDER-INVARIANT GROUP CHECKSUM (ops.Profile.groupChecksum):
+    // fingerprint lineitem per returnflag so replicas/engines compare
+    // by exchanging 3 triples instead of 600k rows. The DuckDB oracle
+    // recomputes the same content-addressed sum INDEPENDENTLY — the
+    // hash match is literally the operator doing its job across two
+    // engines. l_quantity is integer-valued; it rides as BIGINT
+    // because double→string rendering is engine-specific.
+    "q165_group_checksum" -> ((s, dir) => {
+      graft.ops.Profile.groupChecksum(
+          Tables.lineitem(s, dir), "l_returnflag",
+          concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("bigint"), col("l_linestatus")))
+        .orderBy("l_returnflag")
+    }),
+
     // HLL++ sketch — the 100 TB path for distinct counts. No SQL oracle
     // (approx); ApproxDistinctSpec property-bounds the error vs exact.
     "q25_approx_distinct" -> ((s, dir) => {
@@ -332,6 +347,16 @@ object AggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same content-addressed sum, recomputed from scratch: 14 hex
+    // digits of md5 parse via the 0x-cast (q124 idiom), sum exactly.
+    "q165_group_checksum" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |       CAST(sum(CAST(('0x' || substr(md5(
+        |         l_orderkey || '|' || l_linenumber || '|' ||
+        |         CAST(l_quantity AS BIGINT) || '|' || l_linestatus),
+        |         1, 14)) AS BIGINT)) AS DECIMAL(38,0)) AS checksum
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // INDEPENDENT formulation: the naive per-basket self-join (fine at
     // fixture scale in DuckDB); the Spark side's row-local pair
     // comprehension must reproduce it exactly.

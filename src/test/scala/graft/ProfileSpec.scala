@@ -107,4 +107,25 @@ class ProfileSpec extends AnyFunSuite with SparkFixture {
            finalPlan.contains("ShuffleQueryStage"),
       s"expected the range exchange to be shared:\n$finalPlan")
   }
+
+  test("groupChecksum: order/partitioning-invariant, row-change and dup sensitive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws, desc}
+    val df = Seq(("g", 1L, "x"), ("g", 2L, "y"), ("h", 3L, "z"))
+      .toDF("grp", "id", "v")
+    def sums(d: org.apache.spark.sql.DataFrame) =
+      Profile.groupChecksum(d, "grp", concat_ws("|", col("id"), col("v")))
+        .select("grp", "n_rows", "checksum")
+        .as[(String, Long, java.math.BigDecimal)].collect().toSet
+    val base = sums(df)
+    assert(sums(df.repartition(5).sortWithinPartitions(desc("v"))) === base)
+    // one changed byte flips the group's checksum, leaves the other alone
+    val mutated = sums(Seq(("g", 1L, "x"), ("g", 2L, "Y"), ("h", 3L, "z"))
+      .toDF("grp", "id", "v"))
+    assert(mutated !== base)
+    assert(mutated.filter(_._1 == "h") === base.filter(_._1 == "h"))
+    // a doubled row must NOT checksum-match (multiset semantics)
+    val doubled = sums(df.unionAll(df.filter(col("id") === 1L)))
+    assert(doubled.filter(_._1 == "g") !== base.filter(_._1 == "g"))
+  }
 }
