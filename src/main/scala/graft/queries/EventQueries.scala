@@ -266,6 +266,82 @@ object EventQueries {
         .orderBy("lang", "source")
     }),
 
+    // MUTUAL INFORMATION between lang and source (q157's chi-square
+    // companion — the information-theoretic association measure, the
+    // feature-selection primitive): I = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))),
+    // reported as per-lang partial sums. Same domain-bounded cell
+    // cross as q157. Parity discipline: the log's argument is built
+    // from EXACT integer products (c_xy·n and c_x·c_y — no
+    // intermediate quotients whose rounding could drift), ONE double
+    // division feeds ln (libm parity per q132), and each cell term is
+    // quantized to DECIMAL(24,10) so the per-lang sums are
+    // order-invariant. Zero cells contribute 0 by the p·ln p
+    // convention and are simply absent from the groupBy.
+    "q168_mutual_info" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = Tables.documents(s, dir)
+      val obs = d.groupBy("lang", "source").agg(count(lit(1)).as("c_xy"))
+      val rowm = d.groupBy("lang").agg(count(lit(1)).as("c_x"))
+      val colm = d.groupBy("source").agg(count(lit(1)).as("c_y"))
+      val tot = d.agg(count(lit(1)).as("n"))
+      obs.join(broadcast(rowm), Seq("lang"))
+        .join(broadcast(colm), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .withColumn("term",
+          (col("c_xy").cast("double") / col("n").cast("double")) *
+            log((col("c_xy") * col("n")).cast("double") /
+              (col("c_x") * col("c_y")).cast("double")))
+        .withColumn("tq", round(col("term"), 10).cast("decimal(24,10)"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("tq")).cast("double").as("mi_part"))
+        .orderBy("lang")
+    }),
+
+    // WELCH TWO-SAMPLE T-TEST per event type (the A/B experiment
+    // readout): users assigned to arms by the content-addressed md5
+    // coin (q76 discipline — reproducible, partition-invariant), then
+    // t and the Welch–Satterthwaite df from per-arm moments. Parity
+    // discipline: values quantize to DECIMAL(18,4) at the scan, Σv
+    // and Σv² accumulate as EXACT decimals (v·v is an exact scale-8
+    // decimal product — order-invariant under partial aggregation),
+    // and the mean/variance/t/df recombination is ONE fixed IEEE
+    // sequence on the cast-to-double sums, identical in any engine.
+    // var uses the sum-of-squares identity on exact sums, so the
+    // usual catastrophic-cancellation objection to that identity does
+    // not apply (nothing was rounded before the subtraction).
+    "q169_welch_ttest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .withColumn("arm",
+          when(substring(md5(concat(col("user_id").cast("string"),
+            lit(":13"))), 1, 2) < "80", "a").otherwise("b"))
+        .withColumn("v", round(col("value"), 4).cast("decimal(18,4)"))
+      val st = ev.groupBy(col("event_type"), col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+          sum(col("v") * col("v")).as("sxx"))
+      def side(a: String) = st.filter(col("arm") === a)
+        .select(col("event_type"), col("n").as(s"n_$a"),
+          col("sx").cast("double").as(s"sx_$a"),
+          col("sxx").cast("double").as(s"sxx_$a"))
+      def m(a: String) = col(s"sx_$a") / col(s"n_$a")
+      def s2(a: String) =
+        (col(s"sxx_$a") - col(s"sx_$a") * col(s"sx_$a") / col(s"n_$a")) /
+          (col(s"n_$a") - 1)
+      val se2 = s2("a") / col("n_a") + s2("b") / col("n_b")
+      side("a").join(side("b"), Seq("event_type"))
+        .filter(col("n_a") >= 2 && col("n_b") >= 2)
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round(m("a"), 4).as("mean_a"), round(m("b"), 4).as("mean_b"),
+          round((m("a") - m("b")) / sqrt(se2), 6).as("t_stat"),
+          round(se2 * se2 /
+            ((s2("a") / col("n_a")) * (s2("a") / col("n_a")) / (col("n_a") - 1) +
+             (s2("b") / col("n_b")) * (s2("b") / col("n_b")) / (col("n_b") - 1)),
+            4).as("df"))
+        .orderBy("event_type")
+    }),
+
     // ROBUST OUTLIER DETECTION (median + MAD, the Hampel/robust-z
     // rule): per event_type, flag events with |value − median| >
     // 3 · 1.4826 · MAD — the metric-anomaly gate that, unlike
@@ -818,6 +894,54 @@ object EventQueries {
         |FROM r CROSS JOIN c CROSS JOIN t
         |LEFT JOIN obs ON obs.lang = r.lang AND obs.source = c.source
         |ORDER BY r.lang, c.source""".stripMargin,
+    // integer products inside ln, one division, 10dp decimal terms —
+    // the exact mirror of the Spark side's parity discipline.
+    "q168_mutual_info" ->
+      """WITH obs AS (SELECT lang, source, count(*) AS c_xy
+        |             FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, count(*) AS c_x FROM documents GROUP BY 1),
+        |c AS (SELECT source, count(*) AS c_y FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM documents)
+        |SELECT obs.lang, count(*) AS n_cells,
+        |       CAST(sum(CAST(round(
+        |         (c_xy::DOUBLE / n::DOUBLE) *
+        |         ln((c_xy * n)::DOUBLE / (c_x * c_y)::DOUBLE), 10)
+        |         AS DECIMAL(24,10))) AS DOUBLE) AS mi_part
+        |FROM obs JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+        |GROUP BY obs.lang ORDER BY lang""".stripMargin,
+    // same md5 arm coin, same exact decimal moments, same fixed IEEE
+    // recombination order — term for term.
+    "q169_welch_ttest" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':13'), 1, 2)
+        |              < '80' THEN 'a' ELSE 'b' END AS arm,
+        |         CAST(round(value, 4) AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT event_type, arm, count(*) AS n,
+        |         sum(v) AS sx, sum(v * v) AS sxx
+        |  FROM ev GROUP BY 1, 2),
+        |w AS (
+        |  SELECT a.event_type,
+        |         a.n AS n_a, b.n AS n_b,
+        |         CAST(a.sx AS DOUBLE) AS sxa, CAST(a.sxx AS DOUBLE) AS sxxa,
+        |         CAST(b.sx AS DOUBLE) AS sxb, CAST(b.sxx AS DOUBLE) AS sxxb
+        |  FROM st a JOIN st b ON a.event_type = b.event_type
+        |  WHERE a.arm = 'a' AND b.arm = 'b' AND a.n >= 2 AND b.n >= 2),
+        |k AS (
+        |  SELECT *,
+        |         (sxxa - sxa * sxa / n_a) / (n_a - 1) AS s2a,
+        |         (sxxb - sxb * sxb / n_b) / (n_b - 1) AS s2b
+        |  FROM w)
+        |SELECT event_type, n_a, n_b,
+        |       round(sxa / n_a, 4) AS mean_a, round(sxb / n_b, 4) AS mean_b,
+        |       round((sxa / n_a - sxb / n_b)
+        |             / sqrt(s2a / n_a + s2b / n_b), 6) AS t_stat,
+        |       round((s2a / n_a + s2b / n_b) * (s2a / n_a + s2b / n_b)
+        |             / ((s2a / n_a) * (s2a / n_a) / (n_a - 1)
+        |                + (s2b / n_b) * (s2b / n_b) / (n_b - 1)), 4) AS df
+        |FROM k ORDER BY event_type""".stripMargin,
     // med/mad quantized at 4dp first (q29's parity envelope), then the
     // z arithmetic is identical IEEE in both engines.
     "q149_robust_outliers" ->
