@@ -279,4 +279,79 @@ object TextAnalysis {
       .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
       .select(col(idCol), col("token"), col("tfidf"))
   }
+
+  /** BPE MERGE TRAINING, `numMerges` iterations (Sennrich et al.
+    * 2016 — the q145 pair-count step iterated to an actual merge
+    * table): start from character symbols per distinct word, and per
+    * round (1) count adjacent symbol pairs weighted by word frequency,
+    * (2) take the most frequent pair (count desc, ties by pair string
+    * — deterministic), (3) merge its occurrences in every word
+    * LEFT-TO-RIGHT, NON-OVERLAPPING, the standard convention.
+    *
+    * The merge application is a row-local `aggregate` fold over the
+    * symbol array: append each symbol unless the accumulator's last
+    * element is `left` and the symbol is `right`, in which case the
+    * two collapse into the merged symbol. A fold that just merged
+    * cannot immediately re-merge (the collapsed symbol is the
+    * concatenation, not `left` — "a a a" under (a,a) correctly gives
+    * ["aa","a"]), which is exactly the non-overlapping scan.
+    *
+    * Scale shape (the q145 analysis carried through the loop): the
+    * corpus is read ONCE into the word-frequency table (one map-side-
+    * combined shuffle); every round after that is VOCABULARY-sized —
+    * pair explode over distinct words, one pair shuffle, a 1-row
+    * argmax driver hop (the q121/q123 per-iteration pattern), and a
+    * row-local rewrite of the word table, re-persisted per round so
+    * round k+1 does not replay round k's fold.
+    *
+    * No SQL oracle: the left-to-right fold needs either lookahead
+    * regex or a list fold, neither replayable in the oracle dialect —
+    * rows-only by contract; TextAnalysisSpec pins the whole loop
+    * against an independent sequential reference implementation.
+    *
+    * Returns (step, left, right, merged, cnt). */
+  def bpeTrain(docs: DataFrame, textCol: String,
+               numMerges: Int): DataFrame = {
+    require(numMerges >= 1, "numMerges must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    var words = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(expr("split(w, '')").as("syms"), col("wc"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (step <- 1 to numMerges) {
+      val best = words
+        .select(explode(expr(
+          """transform(slice(syms, 1, size(syms) - 1),
+            |  (x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))"""
+            .stripMargin)).as("p"), col("wc"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(desc("cnt"), col("l"), col("r"))
+        .limit(1)
+        .as[(String, String, Long)].collect()
+      if (best.nonEmpty) {
+        val (l, r, cnt) = best.head
+        merges += ((step, l, r, l + r, cnt))
+        val (le, re, me) = (esc(l), esc(r), esc(l + r))
+        val next = words.select(expr(
+          s"""aggregate(syms, cast(array() as array<string>),
+             |  (acc, x) -> case
+             |    when size(acc) > 0 and element_at(acc, -1) = '$le'
+             |         and x = '$re'
+             |    then concat(slice(acc, 1, size(acc) - 1), array('$me'))
+             |    else concat(acc, array(x)) end)""".stripMargin).as("syms"),
+          col("wc")).persist()
+        next.count() // materialize before dropping the previous round
+        words.unpersist()
+        words = next
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("step", "left", "right", "merged", "cnt")
+  }
 }

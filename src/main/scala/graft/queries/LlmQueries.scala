@@ -522,6 +522,19 @@ object LlmQueries {
         .limit(20)
     }),
 
+    // FULL BPE MERGE TRAINING, 5 iterations (ops.TextAnalysis
+    // .bpeTrain — q145's pair count driven through the actual train
+    // loop: argmax pair, left-to-right non-overlapping merge across
+    // the vocabulary, recount). Rows-only by contract: the merge fold
+    // has no oracle-dialect replay (needs list folding or lookahead
+    // regex); TextAnalysisSpec pins the loop against an independent
+    // sequential reference implementation, and determinism comes from
+    // integer counts + the (count desc, pair asc) tie-break.
+    "q170_bpe_train" -> ((s, dir) => {
+      graft.ops.TextAnalysis.bpeTrain(Tables.documents(s, dir), "text", 5)
+        .orderBy("step")
+    }),
+
     // EXACT SET-SIMILARITY SELF-JOIN via prefix filtering
     // (ops/Dedup.prefixSimilarityJoin — SSJoin/All-Pairs): ALL document
     // pairs with 3-gram shingle-set Jaccard >= 0.5, exactly — the

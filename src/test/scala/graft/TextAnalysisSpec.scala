@@ -189,4 +189,62 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(got((1L, "b")) - math.log(2.0)) < 1e-12)
     assert(math.abs(got((2L, "c")) - math.log(2.0)) < 1e-12)
   }
+
+  /** Independent sequential BPE reference: plain Scala collections,
+    * written from the Sennrich et al. 2016 description, sharing no
+    * code with the operator. */
+  private def bpeReference(texts: Seq[String], numMerges: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    var words: Map[Vector[String], Long] = texts
+      .flatMap(_.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, c) => w.split("").toVector -> c }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    for (step <- 1 to numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (counts.nonEmpty) {
+        val ((l, r), cnt) = counts.toSeq
+          .minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((step, l, r, l + r, cnt))
+        words = words.map { case (syms, c) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              acc += l + r; i += 2 // left-to-right, non-overlapping
+            } else { acc += syms(i); i += 1 }
+          }
+          acc.toVector -> c
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain matches the sequential reference, including the a-a-a overlap rule") {
+    // 'aaab' forces the (a,a) overlap decision; repeated words weight counts
+    val texts = Seq("aaab aaab low lower", "low lowest aaab", "newer newer wider")
+    val got = TextAnalysis.bpeTrain(
+        texts.toDF("text"), "text", numMerges = 4)
+      .select("step", "left", "right", "merged", "cnt")
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === bpeReference(texts, 4))
+    // the first merge must be (a,a) with LEFT-TO-RIGHT counting: 'aaab'
+    // contributes 2 (a,a) pairs per occurrence (positions 0-1, 1-2)
+    assert(got.head._2 == "a" && got.head._3 == "a")
+  }
+
+  test("bpeTrain on fixture documents matches the reference end-to-end") {
+    val docs = Tables.documents(spark, sfDir).limit(40)
+    val texts = docs.select("text").as[String].collect().toSeq
+    val got = TextAnalysis.bpeTrain(docs, "text", numMerges = 3)
+      .select("step", "left", "right", "merged", "cnt")
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === bpeReference(texts, 3))
+  }
 }
