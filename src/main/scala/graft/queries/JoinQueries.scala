@@ -455,6 +455,24 @@ object JoinQueries {
       graft.ops.Graph.pageRank(edges, iterations = 3)
         .orderBy("node")
     }),
+
+    // TRIANGLE COUNTING (ops.Graph.triangleCounts) on the part
+    // co-purchase graph (parts bought together in an order) — the
+    // clustering/community primitive. The Spark side runs the
+    // DEGREE-ORIENTED compact-forward enumeration (hub fan-out
+    // bounded by the arboricity); the DuckDB oracle enumerates via
+    // the INDEPENDENT id-ordered triple join — the hash match proves
+    // the orientation loses and double-counts nothing.
+    "q171_triangles" -> ((s, dir) => {
+      val ib = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = ib.as("a")
+        .join(ib.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      graft.ops.Graph.triangleCounts(edges).orderBy("node")
+    }),
   )
 
   /** Once-per-session setup for q133: lineitem re-written
@@ -551,6 +569,24 @@ object JoinQueries {
         |       FROM d LEFT JOIN s3x ON d.src = s3x.dst CROSS JOIN n)
         |SELECT node, deg, CAST(pr_fp AS BIGINT) AS pr_fp
         |FROM r3 ORDER BY node""".stripMargin,
+    // the INDEPENDENT id-ordered enumeration (u<v<w triple join) —
+    // a different total order than the Spark side's degree one, so
+    // agreement is a real cross-check of the enumeration itself.
+    "q171_triangles" ->
+      """WITH ib AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM ib a JOIN ib b
+        |        ON a.l_orderkey = b.l_orderkey
+        |       AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1
+        |        JOIN e e2 ON e1.v = e2.u
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (SELECT a AS node FROM tri
+        |            UNION ALL SELECT b FROM tri
+        |            UNION ALL SELECT c FROM tri)
+        |SELECT node, count(*) AS n_triangles
+        |FROM corners GROUP BY node ORDER BY node""".stripMargin,
     "q119_composite_topk" ->
       """SELECT l_orderkey,
         |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -43,4 +43,32 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       .select("node", "pr_fp").as[(Long, Long)].collect().toSet
     assert(again === r.select("node", "pr_fp").as[(Long, Long)].collect().toSet)
   }
+
+  test("triangleCounts: K4, a hanging edge, an isolated edge, reversed input rows") {
+    // K4 on 1-4 (4 triangles, 3 per node), edge 4-5 (in none),
+    // disjoint edge 6-7; some rows deliberately given high-before-low
+    val edges = Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L),
+      (3L, 4L), (4L, 5L), (7L, 6L)).toDF("u", "v")
+    val got = Graph.triangleCounts(edges)
+      .select("node", "n_triangles").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts matches a brute-force enumeration on a random-ish graph") {
+    // deterministic pseudo-random graph on 30 nodes
+    val pairs = for {
+      a <- 1L to 30L; b <- (a + 1) to 30L
+      if (a * 31 + b * 17) % 5 < 2
+    } yield (a, b)
+    val got = Graph.triangleCounts(pairs.toDF("u", "v"))
+      .select("node", "n_triangles").as[(Long, Long)].collect().toMap
+    val es = pairs.toSet
+    def adj(a: Long, b: Long) = es((a min b, a max b))
+    val brute = (for {
+      a <- 1L to 30L; b <- (a + 1) to 30L; c <- (b + 1) to 30L
+      if adj(a, b) && adj(b, c) && adj(a, c)
+      n <- Seq(a, b, c)
+    } yield n).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got === brute)
+  }
 }
