@@ -298,6 +298,36 @@ object EventQueries {
         .orderBy("lang")
     }),
 
+    // DAILY COVERAGE / GAP AUDIT per user (the data-completeness
+    // monitor an ingest pipeline runs per partition key): active-day
+    // count, calendar span, missing-day count, and the LONGEST gap in
+    // consecutive active days. One distinct day-grid pass, then the
+    // lag-window gap and the aggregate share a single user_id shuffle.
+    // All-integer arithmetic (datediff), so nothing can drift between
+    // engines; dates surface as yyyy-MM-dd strings for dtype parity.
+    // At 100 TB the day grid is |keys|·|days| — already the reduced
+    // table; the raw events collapse at the scan via the map-side
+    // partial distinct.
+    "q173_coverage_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days
+        .withColumn("gap", datediff(col("day"), lag(col("day"), 1).over(w)) - 1)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_active_days"),
+          date_format(min(col("day")), "yyyy-MM-dd").as("first_day"),
+          date_format(max(col("day")), "yyyy-MM-dd").as("last_day"),
+          (datediff(max(col("day")), min(col("day"))) + 1).as("span_days"),
+          (datediff(max(col("day")), min(col("day"))) + 1 - count(lit(1)))
+            .as("n_missing"),
+          max(coalesce(col("gap"), lit(0))).as("longest_gap"))
+        .orderBy("user_id")
+    }),
+
     // WELCH TWO-SAMPLE T-TEST per event type (the A/B experiment
     // readout): users assigned to arms by the content-addressed md5
     // coin (q76 discipline — reproducible, partition-invariant), then
@@ -909,6 +939,25 @@ object EventQueries {
         |         AS DECIMAL(24,10))) AS DOUBLE) AS mi_part
         |FROM obs JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
         |GROUP BY obs.lang ORDER BY lang""".stripMargin,
+    // same distinct day grid, same integer datediff arithmetic.
+    "q173_coverage_audit" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |           FROM events),
+        |g AS (SELECT user_id, day,
+        |             datediff('day', lag(day) OVER (PARTITION BY user_id
+        |                                            ORDER BY day), day) - 1
+        |               AS gap
+        |      FROM d)
+        |SELECT user_id,
+        |       count(*) AS n_active_days,
+        |       strftime(min(day), '%Y-%m-%d') AS first_day,
+        |       strftime(max(day), '%Y-%m-%d') AS last_day,
+        |       CAST(datediff('day', min(day), max(day)) + 1 AS INT)
+        |         AS span_days,
+        |       CAST(datediff('day', min(day), max(day)) + 1 - count(*) AS BIGINT)
+        |         AS n_missing,
+        |       CAST(max(coalesce(gap, 0)) AS INT) AS longest_gap
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     // same md5 arm coin, same exact decimal moments, same fixed IEEE
     // recombination order — term for term.
     "q169_welch_ttest" ->

@@ -535,6 +535,32 @@ object LlmQueries {
         .orderBy("step")
     }),
 
+    // POSITIONAL PHRASE SEARCH (the q142 inverted index extended with
+    // positions — the IR adjacency query): documents containing the
+    // exact phrase "part filter", with occurrence counts. The Spark
+    // side is the POSTING-LIST formulation: posexplode to (term, doc,
+    // pos) rows, keep ONLY the two query terms (Catalyst pushes the
+    // IN right above the generate — grep-shaped scans never leave the
+    // stage), then an equi join on (doc_id, pos+1). At scale the
+    // postings are a persisted term-bucketed table and the two terms'
+    // rows are all that is read; the join wire carries (doc, pos)
+    // pairs for TWO terms, never the corpus. The DuckDB oracle scans
+    // positions row-locally (list comprehension) — an independent
+    // formulation, so the hash match checks the adjacency semantics.
+    "q172_phrase_search" -> ((s, dir) => {
+      val posts = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .filter(col("term").isin("part", "filter"))
+      val a = posts.filter(col("term") === "part")
+        .select(col("doc_id"), col("pos"))
+      val b = posts.filter(col("term") === "filter")
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      a.join(b, Seq("doc_id", "pos"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
     // EXACT SET-SIMILARITY SELF-JOIN via prefix filtering
     // (ops/Dedup.prefixSimilarityJoin — SSJoin/All-Pairs): ALL document
     // pairs with 3-gram shingle-set Jaccard >= 0.5, exactly — the
@@ -1342,6 +1368,17 @@ object LlmQueries {
         |  FROM wf)
         |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
         |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    // row-local position scan — independent of the posting-list join.
+    "q172_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |h AS (SELECT doc_id,
+        |             len([i FOR i IN range(1, len(toks))
+        |                  IF toks[i] = 'part' AND toks[i+1] = 'filter'])
+        |               AS n_hits
+        |      FROM t)
+        |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
+        |FROM h WHERE n_hits > 0 ORDER BY doc_id""".stripMargin,
     // the NAIVE all-pairs formulation — independent of the prefix
     // filter, so a candidate lost to a wrong prefix length or a
     // non-canonical order hash-mismatches here.
