@@ -298,6 +298,17 @@ object EventQueries {
         .orderBy("lang")
     }),
 
+    // OHLC BARS (Events.ohlcBars): daily open/high/low/close/volume
+    // per event type — time-series downsampling with DETERMINISTIC
+    // open/close (min_by/max_by on the (ts, event_id) total order;
+    // `first`/`last` would be arrival-order-dependent and unmergeable).
+    // Streaming equivalence pinned in EventsStreamSpec; the oracle
+    // replays open/close via row_number over the same total order —
+    // an independent formulation.
+    "q174_ohlc_bars" -> ((s, dir) =>
+      Events.ohlcBars(Tables.events(s, dir), "1 day")
+        .orderBy("window_start", "event_type")),
+
     // DAILY COVERAGE / GAP AUDIT per user (the data-completeness
     // monitor an ingest pipeline runs per partition key): active-day
     // count, calendar span, missing-day count, and the LONGEST gap in
@@ -939,6 +950,25 @@ object EventQueries {
         |         AS DECIMAL(24,10))) AS DOUBLE) AS mi_part
         |FROM obs JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
         |GROUP BY obs.lang ORDER BY lang""".stripMargin,
+    // open/close via row_number over the (ts, event_id) total order —
+    // independent of min_by/max_by.
+    "q174_ohlc_bars" ->
+      """WITH b AS (
+        |  SELECT strftime(time_bucket(INTERVAL '1 day', ts),
+        |                  '%Y-%m-%d %H:%M:%S') AS window_start,
+        |         event_type, value,
+        |         row_number() OVER w AS rn_open,
+        |         row_number() OVER (PARTITION BY time_bucket(INTERVAL '1 day', ts), event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_close
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY time_bucket(INTERVAL '1 day', ts), event_type
+        |               ORDER BY ts, event_id))
+        |SELECT window_start, event_type, count(*) AS n,
+        |       max(CASE WHEN rn_open = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_close = 1 THEN value END) AS close
+        |FROM b GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
     // same distinct day grid, same integer datediff arithmetic.
     "q173_coverage_audit" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

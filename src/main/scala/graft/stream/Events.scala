@@ -94,6 +94,30 @@ object Events {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** OHLC BARS (open/high/low/close + volume) per (window, type) — the
+    * time-series downsampling shape (market candlesticks, metric
+    * rollups). DETERMINISM: `first`/`last` are arrival-order-dependent
+    * and therefore wrong in any distributed or streaming aggregation;
+    * open/close are `min_by`/`max_by` keyed on the TOTAL order
+    * (ts, event_id), which merge associatively — the same rows give
+    * the same bars under any partitioning, any micro-batching (the
+    * batch ≡ stream law EventsStreamSpec pins). Works unchanged as a
+    * streaming aggregation: the state per open bar is two (key,
+    * value) pairs + min/max/count. */
+  def ohlcBars(events: DataFrame, width: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("open"), col("high"),
+        col("low"), col("close"))
+
   /** Watermarked tumbling agg for streaming: rows later than `delay`
     * behind the max seen ts are dropped and their windows finalized.
     * (Watermark BEFORE groupBy — after it, it wouldn't bound state.) */

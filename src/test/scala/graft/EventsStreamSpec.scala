@@ -53,6 +53,32 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming OHLC bars equal batch across micro-batches; open/close follow event time, not arrival") {
+    // batch 2 delivers an EARLIER event (id 6) than batch 1's — if
+    // open were `first` (arrival order) the streamed bar would differ
+    val b1 = Seq(
+      Ev(1, t("2024-01-01T10:01:00Z"), 1, "click", 5.0),
+      Ev(2, t("2024-01-01T10:04:00Z"), 2, "click", 2.5),
+      Ev(3, t("2024-01-01T10:07:00Z"), 1, "click", 9.0))
+    val b2 = Seq(
+      Ev(6, t("2024-01-01T10:00:30Z"), 3, "click", 1.5), // true open
+      Ev(7, t("2024-01-01T10:09:00Z"), 1, "click", 4.0)) // true close
+    val ms = MemoryStream[Ev](spark)
+    val name = queryName()
+    val q = Events.ohlcBars(ms.toDF(), "10 minutes").writeStream
+      .format("memory").queryName(name).outputMode("complete").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val streamed = spark.table(name).collect().toSet
+      val batch = Events.ohlcBars((b1 ++ b2).toDF(), "10 minutes").collect().toSet
+      assert(streamed === batch)
+      val bar = spark.table(name)
+        .select("open", "close").as[(Double, Double)].head()
+      assert(bar === ((1.5, 4.0)))
+    } finally q.stop()
+  }
+
   test("watermark finalizes windows in append mode and DROPS late rows behind it") {
     val ms = MemoryStream[Ev](spark)
     val name = queryName()
