@@ -298,6 +298,111 @@ object EventQueries {
         .orderBy("lang")
     }),
 
+    // PER-KEY LINEAR TREND (grouped least squares — the metric-drift
+    // slope every monitoring pipeline fits): per user over purchases,
+    // y = value against x = days-since-epoch-start, closed form from
+    // ONE aggregation of the four moments. q169 discipline: x is an
+    // exact integer, y quantizes to DECIMAL(18,4), Σy/Σxy accumulate
+    // as exact decimals (int×decimal products), Σx/Σx² as longs, and
+    // slope/intercept are one fixed IEEE sequence on the cast sums.
+    // Degenerate keys (n < 2 or a single distinct x) drop — slope
+    // undefined.
+    "q175_trend_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val p = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("x"),
+          round(col("value"), 4).cast("decimal(18,4)").as("y"))
+      val m = p.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+      val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val slope = (col("n").cast("double") * col("sxy") -
+        col("sx").cast("double") * col("sy")) / den
+      m.filter(col("n") >= 2 &&
+          col("n") * col("sxx") - col("sx") * col("sx") =!= 0)
+        .select(col("user_id"), col("n"),
+          round(slope, 6).as("slope"),
+          round((col("sy") - slope * col("sx").cast("double")) /
+            col("n").cast("double"), 6).as("intercept"))
+        .orderBy("user_id")
+    }),
+
+    // TWO-SAMPLE KOLMOGOROV-SMIRNOV per event type (q169's
+    // distribution-shape companion): D = max |F_a - F_b| over the
+    // pooled sample, arms from the same md5 coin. The CDFs are
+    // RANGE-frame running counts (ties enter together — a ROWS frame
+    // would evaluate mid-tie and overstate D), shared on ONE
+    // event_type shuffle; counts are integers, each F is one
+    // division, D one max of absolute differences. Engine-invariant
+    // because the max over finitely many exactly-computed doubles
+    // has no accumulation order.
+    "q176_ks_test" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .withColumn("arm",
+          when(substring(md5(concat(col("user_id").cast("string"),
+            lit(":13"))), 1, 2) < "80", 1).otherwise(0))
+      val counts = ev.groupBy(col("event_type")).agg(
+        sum(col("arm")).as("n_a"),
+        sum(lit(1) - col("arm")).as("n_b"))
+      val w = Window.partitionBy("event_type").orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("ca", sum(col("arm")).over(w))
+        .withColumn("cb", sum(lit(1) - col("arm")).over(w))
+        .join(broadcast(counts), Seq("event_type"))
+        .groupBy(col("event_type"), col("n_a"), col("n_b"))
+        .agg(round(max(abs(
+          col("ca").cast("double") / col("n_a").cast("double") -
+          col("cb").cast("double") / col("n_b").cast("double"))), 6)
+          .as("ks_d"))
+        .orderBy("event_type")
+    }),
+
+    // POPULATION STABILITY INDEX per event type (the drift monitor
+    // between scoring periods): value-bucket shares of the first half
+    // of January vs the second, PSI = Σ (p−q)·ln(p/q) over buckets
+    // populated in BOTH periods (the standard convention; one-sided
+    // buckets are reported via the n_dropped count rather than an
+    // epsilon fudge). q168 discipline: integer products inside ln,
+    // two share divisions, DECIMAL(24,10)-quantized terms summed
+    // order-invariantly.
+    "q177_psi" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .withColumn("bucket", floor(col("value") / 10).cast("long"))
+        .withColumn("period",
+          when(to_date(col("ts")) < lit("2024-01-16").cast("date"), 1)
+            .otherwise(2))
+      val cells = ev.groupBy(col("event_type"), col("bucket")).agg(
+        sum(when(col("period") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("period") === 2, 1L).otherwise(0L)).as("c2"))
+      val totals = ev.groupBy(col("event_type")).agg(
+        sum(when(col("period") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("period") === 2, 1L).otherwise(0L)).as("n2"))
+      cells.join(broadcast(totals), Seq("event_type"))
+        .withColumn("term",
+          when(col("c1") > 0 && col("c2") > 0,
+            round((col("c1").cast("double") / col("n1").cast("double") -
+              col("c2").cast("double") / col("n2").cast("double")) *
+              log((col("c1") * col("n2")).cast("double") /
+                (col("c2") * col("n1")).cast("double")), 10)
+              .cast("decimal(24,10)")))
+        .groupBy(col("event_type"))
+        .agg(
+          count(col("term")).as("n_buckets"),
+          (count(lit(1)) - count(col("term"))).as("n_dropped"),
+          sum(col("term")).cast("double").as("psi"))
+        .orderBy("event_type")
+    }),
+
     // OHLC BARS (Events.ohlcBars): daily open/high/low/close/volume
     // per event type — time-series downsampling with DETERMINISTIC
     // open/close (min_by/max_by on the (ts, event_id) total order;
@@ -950,6 +1055,82 @@ object EventQueries {
         |         AS DECIMAL(24,10))) AS DOUBLE) AS mi_part
         |FROM obs JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
         |GROUP BY obs.lang ORDER BY lang""".stripMargin,
+    // same integer x, same decimal moments, same IEEE recombination.
+    "q175_trend_slope" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |              AS BIGINT) AS x,
+        |         CAST(round(value, 4) AS DECIMAL(18,4)) AS y
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM p GROUP BY user_id)
+        |SELECT user_id, n,
+        |       round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+        |             / ((n * sxx - sx * sx)::DOUBLE), 6) AS slope,
+        |       round((sy - (n::DOUBLE * sxy - sx::DOUBLE * sy)
+        |                   / ((n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+        |             / n::DOUBLE, 6) AS intercept
+        |FROM m WHERE n >= 2 AND n * sxx - sx * sx <> 0
+        |ORDER BY user_id""".stripMargin,
+    // RANGE-frame running counts so ties enter together, mirrored.
+    "q176_ks_test" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |         CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':13'), 1, 2)
+        |              < '80' THEN 1 ELSE 0 END AS arm
+        |  FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT event_type, CAST(sum(arm) AS BIGINT) AS n_a,
+        |             CAST(sum(1 - arm) AS BIGINT) AS n_b
+        |      FROM ev GROUP BY 1),
+        |c AS (
+        |  SELECT event_type,
+        |         sum(arm) OVER w AS ca, sum(1 - arm) OVER w AS cb
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value
+        |               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT c.event_type, n.n_a, n.n_b,
+        |       round(max(abs(ca::DOUBLE / n_a::DOUBLE
+        |                     - cb::DOUBLE / n_b::DOUBLE)), 6) AS ks_d
+        |FROM c JOIN n USING (event_type)
+        |GROUP BY c.event_type, n.n_a, n.n_b
+        |ORDER BY event_type""".stripMargin,
+    // both-sided buckets only; integer products inside ln; 10dp
+    // decimal terms.
+    "q177_psi" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(floor(value / 10) AS BIGINT) AS bucket,
+        |         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |              THEN 1 ELSE 2 END AS period
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (
+        |  SELECT event_type, bucket,
+        |         CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM ev GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM ev GROUP BY 1),
+        |terms AS (
+        |  SELECT cells.event_type,
+        |         CASE WHEN c1 > 0 AND c2 > 0 THEN
+        |           CAST(round((c1::DOUBLE / n1::DOUBLE - c2::DOUBLE / n2::DOUBLE)
+        |                * ln((c1 * n2)::DOUBLE / (c2 * n1)::DOUBLE), 10)
+        |                AS DECIMAL(24,10))
+        |         END AS term
+        |  FROM cells JOIN t USING (event_type))
+        |SELECT event_type, count(term) AS n_buckets,
+        |       count(*) - count(term) AS n_dropped,
+        |       CAST(sum(term) AS DOUBLE) AS psi
+        |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
     // open/close via row_number over the (ts, event_id) total order —
     // independent of min_by/max_by.
     "q174_ohlc_bars" ->
