@@ -61,7 +61,12 @@ object ScaleProbe {
       Seq(graft.expressions.RewriteDotProduct, graft.expressions.RewriteRollingHash)
     spark.sparkContext.setLogLevel("WARN")
 
-    deriveIfAbsent(spark, base, derived, factor)
+    // SPARK_GRAFT_PROBE_DIRS=/a,/b probes REAL fixture dirs (e.g.
+    // sf0.01 vs sf0.1 — a natural 10×) and skips the derived-corpus
+    // build; without it, the documents/embeddings derivation runs.
+    val probeDirs = sys.env.get("SPARK_GRAFT_PROBE_DIRS")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    if (probeDirs.isEmpty) deriveIfAbsent(spark, base, derived, factor)
 
     val acc = new MetricsAcc
     spark.sparkContext.addSparkListener(acc)
@@ -76,7 +81,14 @@ object ScaleProbe {
       // candidate count tracks the corpus' near-dup structure (the
       // derived corpus preserves it per copy), so growth should be
       // linear like the LSH family, with zero spill
-      "q147_prefix_simjoin")
+      "q147_prefix_simjoin",
+      // round-11 fourth wave (probed across REAL fixture pairs via
+      // SPARK_GRAFT_PROBE_DIRS below — these are lineitem/customer
+      // shapes, not documents, so the derived corpus doesn't apply):
+      // the Pregel loop, the deletion-neighborhood join, the
+      // degree-oriented triangles, the basket-pair mining
+      "q162_basket_lift", "q163_pagerank", "q164_edit_join",
+      "q171_triangles")
     // SPARK_GRAFT_PROBE_ONLY=q106,q120 restricts the family — the
     // 30–50× runs target just the linear-growth outliers rather than
     // paying the whole family at a corpus 3–5× the 10× one.
@@ -88,7 +100,7 @@ object ScaleProbe {
     }
     // warmup (JIT/codegen/parquet paths), untimed
     spark.range(1000).selectExpr("sum(id)").collect()
-    for (dir <- Seq(base, derived); name <- family) {
+    for (dir <- probeDirs.getOrElse(Seq(base, derived)); name <- family) {
       // settle the async listener bus, then zero the counters
       Thread.sleep(1000); acc.reset()
       val t0 = System.nanoTime()
