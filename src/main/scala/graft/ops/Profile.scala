@@ -160,7 +160,10 @@ object Profile {
     * `canonical` must render every column deterministically across
     * engines — integers and strings compose safely with concat_ws;
     * cast integer-valued doubles to BIGINT first (double→string
-    * formatting is engine-specific). */
+    * formatting is engine-specific). NULL DISCIPLINE: concat_ws skips
+    * nulls, so a null and an empty string render identically — for
+    * nullable columns wrap each in coalesce(col, '<sentinel>') or two
+    * replicas differing only in null-ness would checksum-match. */
   def groupChecksum(df: DataFrame, groupCol: String,
                     canonical: Column): DataFrame =
     df.withColumn("__sig",

@@ -236,6 +236,11 @@ object Ingest {
   def joinViewDelta(lAcc: DataFrame, rAcc: DataFrame,
                     dL: DataFrame, dR: DataFrame,
                     key: String): DataFrame = {
+    // a shared non-key name would make every delta join emit ambiguous
+    // duplicate columns that only fail later, at the view write
+    val shared = (dL.columns.toSet & dR.columns.toSet) - key
+    require(shared.isEmpty,
+      s"non-key columns must be disjoint across the join sides: ${shared.mkString(", ")}")
     val newOld = dL.join(rAcc, Seq(key))
     val oldNew = lAcc.join(dR, Seq(key))
     val newNew = dL.join(dR, Seq(key))

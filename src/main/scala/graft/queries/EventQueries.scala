@@ -340,7 +340,11 @@ object EventQueries {
     // event_type shuffle; counts are integers, each F is one
     // division, D one max of absolute differences. Engine-invariant
     // because the max over finitely many exactly-computed doubles
-    // has no accumulation order.
+    // has no accumulation order. Scale seam: the per-type CDF needs a
+    // per-type total order, so window parallelism is |types|; with
+    // billions of rows per type the two-phase range-partitioned
+    // prefix sum (Profile.runningTotalByRange, q160) applied per type
+    // replaces the window — same numbers, partitions-wide parallelism.
     "q176_ks_test" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
@@ -357,6 +361,9 @@ object EventQueries {
       ev.withColumn("ca", sum(col("arm")).over(w))
         .withColumn("cb", sum(lit(1) - col("arm")).over(w))
         .join(broadcast(counts), Seq("event_type"))
+        // a type whose rows all landed in one arm has no two-sample
+        // comparison — drop it rather than divide by zero
+        .filter(col("n_a") > 0 && col("n_b") > 0)
         .groupBy(col("event_type"), col("n_a"), col("n_b"))
         .agg(round(max(abs(
           col("ca").cast("double") / col("n_a").cast("double") -
@@ -1098,6 +1105,7 @@ object EventQueries {
         |       round(max(abs(ca::DOUBLE / n_a::DOUBLE
         |                     - cb::DOUBLE / n_b::DOUBLE)), 6) AS ks_d
         |FROM c JOIN n USING (event_type)
+        |WHERE n_a > 0 AND n_b > 0
         |GROUP BY c.event_type, n.n_a, n.n_b
         |ORDER BY event_type""".stripMargin,
     // both-sided buckets only; integer products inside ln; 10dp

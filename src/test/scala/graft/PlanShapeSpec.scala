@@ -224,6 +224,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"event_type filters not pushed to the scans:\n$p")
   }
 
+  /** q171's wedge join carries the orientation-order inequality as a
+    * RESIDUAL on the source-key equi join — if a refactor ever turns
+    * the struct comparison into the join condition proper, Spark
+    * plans a nested loop and the wedge stage goes quadratic. */
+  test("q171 triangles: every join is an equi join, never a nested loop") {
+    val p = plan("q171_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"wedge/closing join degenerated to a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"no shuffled equi join in the triangle plan:\n$p")
+  }
+
   /** VERDICT r7 #3: the bucketed-layout claim as a GATED PLAN FACT.
     * With broadcast off and AQE off, a lineitem ⋈ orders equi join can
     * only avoid an Exchange if both scans expose the bucketed
