@@ -68,4 +68,19 @@ object Sketch {
       Window.partitionBy(partition: _*).orderBy(orderIdx)
         .rangeBetween(-(windows - 1).toLong, 0L))
   }
+
+  /** Overlap estimate between two sketches by inclusion-exclusion:
+    * |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B). The union rides the
+    * lossless-merge law, so the only error is the three estimates' —
+    * which CANCELS poorly when the true overlap is small relative to
+    * the sets (the relative error applies to the big terms, the
+    * result is their difference; can go slightly negative, clamped at
+    * 0). Use for audience-overlap / cross-corpus-contamination
+    * triage, not as an exact gate — the exact gates are the anti-join
+    * (q110) and decontamination (q100/q108) paths. SketchSpec bounds
+    * the behavior on planted overlaps. */
+  def estimateIntersection(a: Column, b: Column): Column =
+    greatest(lit(0.0),
+      hll_sketch_estimate(a) + hll_sketch_estimate(b) -
+        hll_sketch_estimate(hll_union(a, b)))
 }

@@ -111,4 +111,21 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
       assert(rel < 0.05, s"$k: est ${est(k)} vs exact $n (rel $rel)")
     }
   }
+
+  test("estimateIntersection tracks a planted overlap; disjoint sets clamp to ~0") {
+    // A = 0..3999, B = 3000..6999 → true overlap 1000
+    val a = spark.range(0, 4000).agg(expr("hll_sketch_agg(id, 12)").as("ha"))
+    val b = spark.range(3000, 7000).agg(expr("hll_sketch_agg(id, 12)").as("hb"))
+    val inter = a.crossJoin(b)
+      .select(Sketch.estimateIntersection(col("ha"), col("hb")).as("i"))
+      .as[Double].head()
+    // inclusion-exclusion compounds three ~1.6% errors on 4k-sized
+    // terms → absolute slack ~3*64 ≈ 200 on a true 1000
+    assert(math.abs(inter - 1000.0) < 250, s"overlap estimate $inter")
+    val dis = spark.range(0, 4000).agg(expr("hll_sketch_agg(id, 12)").as("ha"))
+      .crossJoin(spark.range(10000, 14000).agg(expr("hll_sketch_agg(id, 12)").as("hb")))
+      .select(Sketch.estimateIntersection(col("ha"), col("hb")).as("i"))
+      .as[Double].head()
+    assert(dis < 250, s"disjoint estimate should be near zero, got $dis")
+  }
 }
