@@ -336,6 +336,34 @@ object AggQueries {
         .orderBy("l_returnflag")
     }),
 
+    // WEIGHTED MEDIAN per group (the robust-aggregation primitive
+    // plain percentile_approx cannot express — each row counts with
+    // its weight): smallest price whose running weight reaches half
+    // the group total, quantity-weighted over lineitem. Exact integer
+    // weight sums on ONE (group, order) window; the qualifying set is
+    // a suffix of the order, so min(price) over it IS the threshold
+    // row's price — no second window. Same |groups|-parallelism seam
+    // as q176: at billions of rows per group the per-group total
+    // order moves to the two-phase range prefix sum (q160 machinery).
+    "q178_weighted_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.lineitem(s, dir).select(
+        col("l_returnflag"), col("l_extendedprice").as("p"),
+        col("l_quantity").cast("bigint").as("q"),
+        col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("p", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = b.groupBy(col("l_returnflag"))
+        .agg(sum(col("q")).as("total_weight"))
+      b.withColumn("cum", sum(col("q")).over(w))
+        .join(broadcast(tot), Seq("l_returnflag"))
+        .filter(col("cum") * 2 >= col("total_weight"))
+        .groupBy(col("l_returnflag"), col("total_weight"))
+        .agg(min(col("p")).as("wmedian"))
+        .orderBy("l_returnflag")
+    }),
+
     // HLL++ sketch — the 100 TB path for distinct counts. No SQL oracle
     // (approx); ApproxDistinctSpec property-bounds the error vs exact.
     "q25_approx_distinct" -> ((s, dir) => {
@@ -347,6 +375,25 @@ object AggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same running weight sums over the same total order.
+    "q178_weighted_median" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS rf, l_extendedprice AS p,
+        |         CAST(l_quantity AS BIGINT) AS q,
+        |         l_orderkey AS ok, l_linenumber AS ln
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT rf, p,
+        |         sum(q) OVER (PARTITION BY rf ORDER BY p, ok, ln
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND CURRENT ROW) AS cum
+        |  FROM b),
+        |t AS (SELECT rf, CAST(sum(q) AS BIGINT) AS tot FROM b GROUP BY rf)
+        |SELECT c.rf AS l_returnflag, t.tot AS total_weight,
+        |       min(p) AS wmedian
+        |FROM c JOIN t ON c.rf = t.rf
+        |WHERE 2 * cum >= tot
+        |GROUP BY c.rf, t.tot ORDER BY l_returnflag""".stripMargin,
     // the same content-addressed sum, recomputed from scratch: 14 hex
     // digits of md5 parse via the 0x-cast (q124 idiom), sum exactly.
     "q165_group_checksum" ->
