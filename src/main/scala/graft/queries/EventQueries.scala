@@ -298,6 +298,57 @@ object EventQueries {
         .orderBy("lang")
     }),
 
+    // RFM SEGMENTATION (recency / frequency / monetary quintiles —
+    // the classic customer-value composite): per user over purchases,
+    // days-since-last vs the corpus reference date, purchase count,
+    // decimal-exact spend; each dimension scored 1-5 by DETERMINISTIC
+    // integer rank bucketing (row_number under a total order, then
+    // 5 - ((rank-1)*5) div n — ntile's tie placement is
+    // order-dependent and never enters). The three windows run over
+    // the USER-sized aggregate, not the event log; the reference date
+    // is a one-row broadcast. Everything after the groupBy is integer
+    // arithmetic, so both engines replay it exactly.
+    "q179_rfm_segments" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val p = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+      val ref = p.agg(max(to_date(col("ts"))).as("ref_date"))
+      val base = p.groupBy(col("user_id"))
+        .agg(max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("f"),
+          sum(col("value").cast("decimal(18,2)")).as("m"))
+        .crossJoin(broadcast(ref))
+        .select(col("user_id"),
+          datediff(col("ref_date"), col("last_day")).as("r_days"),
+          col("f"), col("m"))
+      val n = base.agg(count(lit(1)).as("n_users"))
+      val scored = base
+        .withColumn("__rk", row_number().over(
+          Window.orderBy(col("r_days"), col("user_id"))))
+        .crossJoin(broadcast(n))
+        .withColumn("r_score", lit(5) - expr("((__rk - 1) * 5) div n_users"))
+        .drop("__rk", "n_users")
+        .withColumn("__rk", row_number().over(
+          Window.orderBy(desc("f"), col("user_id"))))
+        .crossJoin(broadcast(n))
+        .withColumn("f_score", lit(5) - expr("((__rk - 1) * 5) div n_users"))
+        .drop("__rk", "n_users")
+        .withColumn("__rk", row_number().over(
+          Window.orderBy(desc("m"), col("user_id"))))
+        .crossJoin(broadcast(n))
+        .withColumn("m_score", lit(5) - expr("((__rk - 1) * 5) div n_users"))
+        .drop("__rk", "n_users")
+      scored.select(col("user_id"), col("r_days"), col("f"),
+          col("m").cast("double").as("m"),
+          col("r_score").cast("int").as("r_score"),
+          col("f_score").cast("int").as("f_score"),
+          col("m_score").cast("int").as("m_score"),
+          concat(lit("R"), col("r_score"), lit("F"), col("f_score"),
+            lit("M"), col("m_score")).as("segment"))
+        .orderBy("user_id")
+    }),
+
     // PER-KEY LINEAR TREND (grouped least squares — the metric-drift
     // slope every monitoring pipeline fits): per user over purchases,
     // y = value against x = days-since-epoch-start, closed form from
@@ -1062,6 +1113,35 @@ object EventQueries {
         |         AS DECIMAL(24,10))) AS DOUBLE) AS mi_part
         |FROM obs JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
         |GROUP BY obs.lang ORDER BY lang""".stripMargin,
+    // same total orders, same integer rank bucketing.
+    "q179_rfm_segments" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS d, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |ref AS (SELECT max(d) AS ref_date FROM p),
+        |b AS (
+        |  SELECT user_id,
+        |         CAST(datediff('day', max(d), ref_date) AS INT) AS r_days,
+        |         count(*) AS f,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS m
+        |  FROM p CROSS JOIN ref
+        |  GROUP BY user_id, ref_date),
+        |n AS (SELECT count(*) AS n_users FROM b),
+        |s AS (
+        |  SELECT user_id, r_days, f, m,
+        |         5 - ((row_number() OVER (ORDER BY r_days, user_id) - 1) * 5)
+        |             // n_users AS r_score,
+        |         5 - ((row_number() OVER (ORDER BY f DESC, user_id) - 1) * 5)
+        |             // n_users AS f_score,
+        |         5 - ((row_number() OVER (ORDER BY m DESC, user_id) - 1) * 5)
+        |             // n_users AS m_score
+        |  FROM b CROSS JOIN n)
+        |SELECT user_id, r_days, CAST(f AS BIGINT) AS f,
+        |       CAST(m AS DOUBLE) AS m,
+        |       CAST(r_score AS INT) AS r_score,
+        |       CAST(f_score AS INT) AS f_score,
+        |       CAST(m_score AS INT) AS m_score,
+        |       'R' || r_score || 'F' || f_score || 'M' || m_score AS segment
+        |FROM s ORDER BY user_id""".stripMargin,
     // same integer x, same decimal moments, same IEEE recombination.
     "q175_trend_slope" ->
       """WITH p AS (
