@@ -364,6 +364,48 @@ object AggQueries {
         .orderBy("l_returnflag")
     }),
 
+    // PAIRWISE CORRELATION MATRIX in ONE aggregation (profiling
+    // depth — the multivariate companion of q175): Pearson r for all
+    // three pairs among quantity/price/discount per returnflag, from
+    // exact DECIMAL(18,4) moment sums (ten moments, one scan, one
+    // map-side-combined shuffle — built-in corr() is
+    // merge-order-dependent in its float accumulation and is exactly
+    // what this formulation replaces). The closed form runs once per
+    // GROUP on cast-to-double exact sums — q169's discipline, so the
+    // sum-of-squares identity is safe here too.
+    "q181_corr_matrix" -> ((s, dir) => {
+      val b = Tables.lineitem(s, dir).select(
+        col("l_returnflag"),
+        col("l_quantity").cast("decimal(19,4)").as("x"),
+        col("l_extendedprice").cast("decimal(19,4)").as("y"),
+        col("l_discount").cast("decimal(19,4)").as("z"))
+      val m = b.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("z")).cast("double").as("sz"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("z") * col("z")).cast("double").as("szz"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("z")).cast("double").as("sxz"),
+        sum(col("y") * col("z")).cast("double").as("syz"))
+      def corr2(sab: org.apache.spark.sql.Column,
+                sa: org.apache.spark.sql.Column, sb: org.apache.spark.sql.Column,
+                saa: org.apache.spark.sql.Column, sbb: org.apache.spark.sql.Column) =
+        round((col("n").cast("double") * sab - sa * sb) /
+          sqrt((col("n").cast("double") * saa - sa * sa) *
+               (col("n").cast("double") * sbb - sb * sb)), 6)
+      m.select(col("l_returnflag"), col("n"),
+          corr2(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+            .as("corr_qty_price"),
+          corr2(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+            .as("corr_qty_disc"),
+          corr2(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+            .as("corr_price_disc"))
+        .orderBy("l_returnflag")
+    }),
+
     // HLL++ sketch — the 100 TB path for distinct counts. No SQL oracle
     // (approx); ApproxDistinctSpec property-bounds the error vs exact.
     "q25_approx_distinct" -> ((s, dir) => {
@@ -375,6 +417,34 @@ object AggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same ten exact decimal moments, same closed form, same order.
+    "q181_corr_matrix" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS rf,
+        |         CAST(l_quantity AS DECIMAL(19,4)) AS x,
+        |         CAST(l_extendedprice AS DECIMAL(19,4)) AS y,
+        |         CAST(l_discount AS DECIMAL(19,4)) AS z
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT rf, count(*) AS n,
+        |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(z) AS DOUBLE) AS sz,
+        |         CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy,
+        |         CAST(sum(z*z) AS DOUBLE) AS szz,
+        |         CAST(sum(x*y) AS DOUBLE) AS sxy, CAST(sum(x*z) AS DOUBLE) AS sxz,
+        |         CAST(sum(y*z) AS DOUBLE) AS syz
+        |  FROM b GROUP BY rf)
+        |SELECT rf AS l_returnflag, n,
+        |       round((n::DOUBLE * sxy - sx * sy)
+        |             / sqrt((n::DOUBLE * sxx - sx * sx)
+        |                    * (n::DOUBLE * syy - sy * sy)), 6) AS corr_qty_price,
+        |       round((n::DOUBLE * sxz - sx * sz)
+        |             / sqrt((n::DOUBLE * sxx - sx * sx)
+        |                    * (n::DOUBLE * szz - sz * sz)), 6) AS corr_qty_disc,
+        |       round((n::DOUBLE * syz - sy * sz)
+        |             / sqrt((n::DOUBLE * syy - sy * sy)
+        |                    * (n::DOUBLE * szz - sz * sz)), 6) AS corr_price_disc
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     // same running weight sums over the same total order.
     "q178_weighted_median" ->
       """WITH b AS (

@@ -298,6 +298,37 @@ object EventQueries {
         .orderBy("lang")
     }),
 
+    // SESSION PATH MINING (the Sankey/flow feed): top 20 ordered
+    // event-type paths over gap-sessionized activity (1-hour
+    // inactivity splits, q114's rule). The path string is built from
+    // a sort_array over (ts, event_id, type) structs — collect_list
+    // order is nondeterministic under parallel merge, the sort makes
+    // it a pure function of the set — then one vocabulary-sized path
+    // count with TakeOrderedAndProject for the top slice. One user_id
+    // shuffle for sessionization + collection; path strings are
+    // session-length-bounded, never corpus-length.
+    "q180_session_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = Tables.events(s, dir)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_s",
+          when(col("gap_us").isNull || col("gap_us") >= 3600000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(array_join(expr(
+          "transform(sort_array(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
+          ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), col("path"))
+        .limit(20)
+    }),
+
     // RFM SEGMENTATION (recency / frequency / monetary quintiles —
     // the classic customer-value composite): per user over purchases,
     // days-since-last vs the corpus reference date, purchase count,
@@ -1113,6 +1144,27 @@ object EventQueries {
         |         AS DECIMAL(24,10))) AS DOUBLE) AS mi_part
         |FROM obs JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
         |GROUP BY obs.lang ORDER BY lang""".stripMargin,
+    // same gap rule; string_agg with ORDER BY replays the sorted path.
+    "q180_session_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN gap_us IS NULL OR gap_us >= 3600000000
+        |                     THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS session_id
+        |  FROM g),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     // same total orders, same integer rank bucketing.
     "q179_rfm_segments" ->
       """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS d, value
