@@ -930,4 +930,54 @@ object Dedup {
       .filter(col("dist") <= 1)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** CONTENT-DEFINED CHUNKING dedup (the LBFS/rsync idea, Muthitacharoen
+    * et al. 2001; fixed-window hash-boundary variant): cut each
+    * document where the hash of the trailing `window` characters lands
+    * in a 1-in-16^maskHex.length mask, hash the chunks, and count
+    * copies — duplicate SPANS dedup even when the documents around
+    * them differ, and an insertion only reshapes the chunks it touches
+    * (boundaries are content-addressed, not offset-addressed — the
+    * property fixed-size blocks lack). Complements q144's exact
+    * positional n-gram spans: CDC finds shared spans at chunk
+    * granularity with one row-local pass and ONE chunk-hash shuffle,
+    * no positional gram join.
+    *
+    * Everything before the final groupBy is row-local higher-order
+    * functions (boundary scan, cut, substring), and the shuffle
+    * carries 32-char chunk hashes + ids — never text. Expected chunk
+    * length is 16^len(maskHex); tune maskHex to the dedup granularity
+    * wanted. Documents shorter than `window` form a single chunk.
+    * Engine-replayable: boundaries are md5-prefix tests on exact
+    * substrings, so any engine cuts identically (the DuckDB oracle
+    * does). */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                window: Int = 16, maskHex: String = "00"): DataFrame = {
+    require(window >= 2 && maskHex.nonEmpty, "window >= 2, non-empty mask")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        length(col(textCol)).cast("long").as("len"))
+    val bounds = base.withColumn("bounds",
+      when(col("len") >= window, expr(
+        s"""filter(transform(sequence(${window}L, len),
+           |  i -> IF(substring(md5(substring(t, cast(i - ${window - 1} as int), $window)),
+           |          1, ${maskHex.length}) = '$maskHex', i, CAST(null AS BIGINT))),
+           |  x -> x is not null)""".stripMargin))
+      .otherwise(expr("cast(array() as array<bigint>)")))
+    val chunks = bounds
+      .withColumn("cuts",
+        concat(array(lit(0L)), col("bounds"), array(col("len"))))
+      .select(col("id"), explode(expr(
+        """transform(sequence(1, size(cuts) - 1),
+          |  j -> substring(t, cast(element_at(cuts, j) + 1 as int),
+          |                 cast(element_at(cuts, j + 1) - element_at(cuts, j) as int)))"""
+          .stripMargin)).as("chunk"))
+      .filter(length(col("chunk")) > 0)
+    chunks.withColumn("h", md5(col("chunk")))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("id")).as("n_docs"),
+        min(col("id")).as("first_doc"),
+        min(length(col("chunk"))).as("chunk_len"))
+  }
 }

@@ -535,6 +535,21 @@ object LlmQueries {
         .orderBy("step")
     }),
 
+    // CONTENT-DEFINED CHUNKING DEDUP (ops.Dedup.cdcChunks): duplicate
+    // spans across documents at hash-boundary chunk granularity — the
+    // storage/rsync-style sub-document dedup pass (q144's positional
+    // exact-substring analysis, done with one row-local cut + one
+    // chunk-hash shuffle instead of a positional gram join). The
+    // fixture's planted near-dups share long spans, so their chunks
+    // collide across doc_ids. The DuckDB oracle re-cuts every document
+    // from scratch with the same boundary rule — identical substrings
+    // hash identically, so the whole chunking must agree byte-for-byte.
+    "q182_cdc_dedup" -> ((s, dir) => {
+      graft.ops.Dedup.cdcChunks(Tables.documents(s, dir), "doc_id", "text")
+        .filter(col("n_copies") >= 2)
+        .orderBy("first_doc", "h")
+    }),
+
     // POSITIONAL PHRASE SEARCH (the q142 inverted index extended with
     // positions — the IR adjacency query): documents containing the
     // exact phrase "part filter", with occurrence counts. The Spark
@@ -1368,6 +1383,35 @@ object LlmQueries {
         |  FROM wf)
         |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
         |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    // the same boundary rule replayed with list comprehensions.
+    "q182_cdc_dedup" ->
+      """WITH d AS (SELECT doc_id, text,
+        |                  CAST(length(text) AS BIGINT) AS len
+        |           FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, text, len,
+        |        CASE WHEN len >= 16 THEN
+        |          [CAST(i AS BIGINT) FOR i IN range(16, len + 1)
+        |           IF substr(md5(substr(text, CAST(i - 15 AS INT), 16)), 1, 2)
+        |              = '00']
+        |        ELSE CAST([] AS BIGINT[]) END AS bounds
+        |      FROM d),
+        |c AS (SELECT doc_id, text,
+        |        list_concat(list_concat(CAST([0] AS BIGINT[]), bounds),
+        |                    [len]) AS cuts
+        |      FROM b),
+        |ch AS (SELECT doc_id,
+        |         unnest([substr(text, CAST(cuts[j] + 1 AS INT),
+        |                        CAST(cuts[j+1] - cuts[j] AS INT))
+        |                 FOR j IN range(1, len(cuts))]) AS chunk
+        |       FROM c),
+        |agg AS (SELECT md5(chunk) AS h, count(*) AS n_copies,
+        |               count(DISTINCT doc_id) AS n_docs,
+        |               min(doc_id) AS first_doc,
+        |               CAST(min(length(chunk)) AS INT) AS chunk_len
+        |        FROM ch WHERE length(chunk) > 0 GROUP BY 1)
+        |SELECT h, n_copies, n_docs, first_doc, chunk_len
+        |FROM agg WHERE n_copies >= 2
+        |ORDER BY first_doc, h""".stripMargin,
     // row-local position scan — independent of the posting-list join.
     "q172_phrase_search" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -569,4 +569,30 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       .groupBy("id_a", "id_b").count().filter(col("count") > 1).count()
     assert(rows === 0)
   }
+
+  test("cdcChunks: chunks survive a prefix insertion (the fixed-block failure mode)") {
+    // deterministic 2000-char text from an md5 chain
+    val text = Iterator.iterate("seed")(s =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString)
+      .drop(1).take(63).mkString
+    val shifted = "inserted prefix " + text
+    def chunkSet(id: Long, t: String) = Dedup.cdcChunks(
+        Seq((id, t)).toDF("doc_id", "text"), "doc_id", "text",
+        window = 16, maskHex = "0")
+      .select("h").as[String].collect().toSet
+    val a = chunkSet(1L, text)
+    val b = chunkSet(2L, shifted)
+    assert(a.size >= 3, s"need several chunks to make the claim, got ${a.size}")
+    // every chunk after the first boundary is content-addressed, so
+    // only the leading chunk can differ
+    assert((a intersect b).size >= a.size - 1,
+      s"insertion destroyed chunk identity: ${a.size} vs shared ${(a intersect b).size}")
+    // reconstruction sanity: copies × length covers the doc exactly
+    // (identical chunks share a hash group — weight by n_copies)
+    val chunks = Dedup.cdcChunks(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", 16, "0")
+    assert(chunks.agg(sum(col("chunk_len") * col("n_copies")))
+      .as[Long].head() === text.length.toLong)
+  }
 }
