@@ -535,6 +535,47 @@ object LlmQueries {
         .orderBy("step")
     }),
 
+    // CONTRASTIVE PAIR GENERATION (the embedding-training dataset
+    // constructor): positives = consecutive-by-id pairs inside each
+    // BAG-OF-WORDS-duplicate cluster (q58's sorted-distinct-token
+    // fingerprint — same content up to word order and repetition, the
+    // hard-positive definition that actually fires at every fixture
+    // SF; byte-exact sha256 clusters only exist at sf0.1); negatives
+    // = the
+    // content-addressed RING pairing (each doc to its successor in
+    // md5(doc_id:seed) order — deterministic, partition-invariant,
+    // uniformly scrambled), with accidental same-content pairs
+    // filtered. One content-hash shuffle + SHARD-LOCAL md5-order
+    // windows (the chain runs inside each of 256 md5-prefix shards —
+    // a global-order window would be the single-partition funnel this
+    // repo keeps killing; the cost is one fewer negative per shard
+    // than the global chain would give). No rand(), no self-join;
+    // pair ids canonicalized a < b.
+    "q183_contrastive_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(
+            split(col("text"), " "))), " ")).as("ch"))
+      val wPos = Window.partitionBy("ch").orderBy("doc_id")
+      val pos = d.withColumn("nxt", lead(col("doc_id"), 1).over(wPos))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id").as("id_a"), col("nxt").as("id_b"),
+          lit(1).as("label"))
+      val keyed = d.withColumn("rk",
+          md5(concat(col("doc_id").cast("string"), lit(":29"))))
+        .withColumn("shard", substring(col("rk"), 1, 2))
+      val wRing = Window.partitionBy("shard").orderBy("rk", "doc_id")
+      val ring = keyed
+        .withColumn("nxt", lead(col("doc_id"), 1).over(wRing))
+        .withColumn("nxt_ch", lead(col("ch"), 1).over(wRing))
+        .filter(col("nxt").isNotNull && col("ch") =!= col("nxt_ch"))
+        .select(least(col("doc_id"), col("nxt")).as("id_a"),
+          greatest(col("doc_id"), col("nxt")).as("id_b"),
+          lit(0).as("label"))
+      pos.unionByName(ring).orderBy("label", "id_a", "id_b")
+    }),
+
     // CONTENT-DEFINED CHUNKING DEDUP (ops.Dedup.cdcChunks): duplicate
     // spans across documents at hash-boundary chunk granularity — the
     // storage/rsync-style sub-document dedup pass (q144's positional
@@ -1383,6 +1424,33 @@ object LlmQueries {
         |  FROM wf)
         |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
         |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    // same cluster chains, same shard-local ring, same canonical ids.
+    "q183_contrastive_pairs" ->
+      """WITH d AS (SELECT doc_id,
+        |                  md5(array_to_string(list_sort(list_distinct(
+        |                    string_split(text, ' '))), ' ')) AS ch
+        |           FROM documents),
+        |pos AS (
+        |  SELECT doc_id AS id_a,
+        |         lead(doc_id) OVER (PARTITION BY ch ORDER BY doc_id) AS id_b,
+        |         1 AS label
+        |  FROM d),
+        |k AS (SELECT doc_id, ch,
+        |             md5(CAST(doc_id AS VARCHAR) || ':29') AS rk
+        |      FROM d),
+        |r AS (
+        |  SELECT doc_id, ch,
+        |         lead(doc_id) OVER w AS nxt, lead(ch) OVER w AS nxt_ch
+        |  FROM k
+        |  WINDOW w AS (PARTITION BY substr(rk, 1, 2) ORDER BY rk, doc_id)),
+        |neg AS (
+        |  SELECT least(doc_id, nxt) AS id_a, greatest(doc_id, nxt) AS id_b,
+        |         0 AS label
+        |  FROM r WHERE nxt IS NOT NULL AND ch <> nxt_ch)
+        |SELECT id_a, id_b, label FROM pos WHERE id_b IS NOT NULL
+        |UNION ALL
+        |SELECT id_a, id_b, label FROM neg
+        |ORDER BY label, id_a, id_b""".stripMargin,
     // the same boundary rule replayed with list comprehensions.
     "q182_cdc_dedup" ->
       """WITH d AS (SELECT doc_id, text,
