@@ -82,6 +82,10 @@ object ScaleProbe {
       // derived corpus preserves it per copy), so growth should be
       // linear like the LSH family, with zero spill
       "q147_prefix_simjoin",
+      // CDC chunking: row-local cut + hash shuffle — the derived
+      // corpus preserves per-copy span-dup structure (suffixed copies
+      // chunk independently), so growth should be linear
+      "q182_cdc_dedup",
       // round-11 fourth wave (probed across REAL fixture pairs via
       // SPARK_GRAFT_PROBE_DIRS below — these are lineitem/customer
       // shapes, not documents, so the derived corpus doesn't apply):

@@ -224,6 +224,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"event_type filters not pushed to the scans:\n$p")
   }
 
+  /** q182's scale contract: chunking is entirely row-local — ONE
+    * documents scan, no join; the shuffles are the chunk-hash
+    * aggregation (TWO exchanges — count(DISTINCT id) expands to the
+    * partial-distinct-on-(h,id) + final-on-h two-phase pair) and the
+    * presentation sort. Text never leaves its partition. */
+  test("q182 CDC dedup: single scan, no joins, distinct-expansion exchanges only") {
+    val p = plan("q182_cdc_dedup")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected ONE documents scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 3,
+      s"expected distinct-pair aggs + presentation sort only, got $exchanges:\n$p")
+  }
+
   /** q171's wedge join carries the orientation-order inequality as a
     * RESIDUAL on the source-key equi join — if a refactor ever turns
     * the struct comparison into the join condition proper, Spark
