@@ -39,14 +39,29 @@ object Tables {
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
   )
 
-  /** Converts the nanos-long `ts` to a micros TimestampType column.
-    * Integer `div` — a double division at 1e18-nanos magnitude would
-    * lose precision (53-bit mantissa). Requires `sessionConf` to have
-    * been applied at session build (Verify/Bench/test fixtures do). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  /** Normalizes `ts` to a micros TimestampType column whatever the
+    * file encodes — the fixture generation has shipped BOTH shapes
+    * across rounds (TIMESTAMP(NANOS), which the session reads as a
+    * nanos long under `sessionConf`, through round 10; plain
+    * TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ, from
+    * round 11), so the loader branches on the observed type instead
+    * of assuming one. Nanos path: integer `div` — a double division
+    * at 1e18-nanos magnitude would lose precision (53-bit mantissa).
+    * NTZ path: cast under the session's pinned UTC zone, which maps
+    * the naive wall-clock to the same UTC instant the nanos path
+    * produced (and that the DuckDB oracle sees). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

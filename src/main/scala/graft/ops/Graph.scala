@@ -70,6 +70,45 @@ object Graph {
     ranks
   }
 
+  /** ADAMIC–ADAR shared-neighbor scores (Adamic & Adar 2003, the
+    * link-prediction / entity-resolution classic): for every pair of
+    * nodes (a, b) sharing at least one neighbor z, score =
+    * Σ_z 1 / ln(deg(z)) — rare shared neighbors count for more than
+    * promiscuous ones. Input: one (node, nbr) row per adjacency
+    * (bipartite or a directed view of an undirected graph); deg(z) =
+    * number of distinct NODES adjacent to z.
+    *
+    * Determinism discipline: each z's term is ln of an exact integer
+    * degree (libm parity, q140/q132 precedent), quantized to
+    * DECIMAL(18,10) BEFORE the per-pair sum, so the aggregation is
+    * order/partition-invariant and the DuckDB oracle replays it
+    * bit-identically (q185). Only z with deg >= 2 can appear in a
+    * wedge, so ln(deg) >= ln 2 — no zero division.
+    *
+    * Scale shape: the wedge self-join on z fans out Σ_z deg(z)² pairs
+    * — the inherent cost of enumerating 2-hop pairs. ORIENT the input
+    * so the wedge-center side has the SMALL fan-out (q185 centers on
+    * customers at deg ~35, not suppliers at deg ~500: 23M wedge terms
+    * at sf0.1 instead of 345M); above that, cap or shard hub centers
+    * (the q142 hot-term discipline) — a degree cap is the standard
+    * approximation and changes scores only for pairs sharing a hub. */
+  def adamicAdar(adj: DataFrame): DataFrame = {
+    val e = adj.select(col("node"), col("nbr"))
+      .filter(col("node").isNotNull && col("nbr").isNotNull)
+      .distinct()
+    val deg = e.groupBy(col("nbr")).agg(count(lit(1)).as("deg"))
+    val term = e.join(deg, Seq("nbr"))
+      .select(col("nbr"), col("node"),
+        round(lit(1.0) / log(col("deg").cast("double")), 10)
+          .cast("decimal(18,10)").as("term"))
+    term.as("x").join(term.as("y"),
+        col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
+      .select(col("x.node").as("a"), col("y.node").as("b"),
+        col("x.term").as("term"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("term")).as("aa_score"))
+  }
+
   /** PER-NODE TRIANGLE COUNTS via DEGREE-ORIENTED compact-forward
     * (Latapy 2008; the Cohen MapReduce formulation): orient every
     * undirected edge from its lower-(degree, id) endpoint to the

@@ -41,6 +41,44 @@ import org.apache.spark.sql.functions._
   * straddling s. */
 object IntervalJoin {
 
+  /** INTERVAL COALESCING (union of half-open intervals per key — the
+    * gaps-and-islands merge): overlapping OR touching [s, e) intervals
+    * collapse into one maximal interval; a gap (next start strictly
+    * greater than the running max end) opens a new island. Touching
+    * merges because [a, b) ∪ [b, c) = [a, c) under half-open
+    * semantics. The availability/uptime/exposure primitive — and the
+    * normalization pass that bounds overlapJoin's per-cell fan-out.
+    *
+    * Shape: ONE shuffle on the key columns feeds both windows (running
+    * max of prior ends → island flag → running island id) and the
+    * island aggregate — q114's sessionization machinery generalized
+    * to intervals that OUTLAST their successors' starts (a plain
+    * lag(end) would split an island whose first interval covers the
+    * rest; the running max does not). Bounds are longs (epoch micros);
+    * island boundaries are exact integer compares, so the whole pass
+    * is engine-replayable (q187). Degenerate rows (start >= end) are
+    * dropped, same contract as overlapJoin. Output: one row per
+    * merged interval — (keys…, start, end, n_merged). */
+  def coalesceIntervals(df: DataFrame, keyCols: Seq[String],
+                        s: String, e: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(s), col(e))
+    val prevMax = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(s), col(e))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = df.filter(col(s) < col(e))
+      .withColumn("__pmax", max(col(e)).over(prevMax))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col(s) > col("__pmax"), 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy((keyCols.map(col) :+ col("__island")): _*)
+      .agg(min(col(s)).as("start"), max(col(e)).as("end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__island")
+  }
+
   def overlapJoin(left: DataFrame, leftId: String, ls: String, le: String,
                   right: DataFrame, rightId: String, rs: String, re: String,
                   keyCols: Seq[String], binWidth: Long): DataFrame = {

@@ -144,8 +144,10 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => parsePpm(id, bytes) })
 
-  private[ops] def parsePpm(id: Long, bytes: Array[Byte]): PpmFeatures = {
-    val invalid = PpmFeatures(id, valid = false, 0, 0, 0.0, 0.0, 0.0)
+  /** P6 header walk shared by every PPM consumer: returns
+    * (width, height, raster offset) for a well-formed header whose full
+    * raster fits the payload, null otherwise. */
+  private[ops] def ppmHeader(bytes: Array[Byte]): (Int, Int, Int) = {
     var i = 0
     def skipSpaceAndComments(): Unit = {
       var go = true
@@ -165,22 +167,29 @@ object Multimodal {
       }
       if (!any) -1 else v
     }
-    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return invalid
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return null
     i = 2
     val w = readInt(); val h = readInt(); val maxval = readInt()
-    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return invalid
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return null
     // exactly ONE whitespace byte separates header from raster — a
     // non-whitespace byte here means a malformed header, not a separator
     if (i >= bytes.length ||
         !(bytes(i) == ' ' || bytes(i) == '\t' || bytes(i) == '\r' || bytes(i) == '\n'))
-      return invalid
+      return null
     i += 1
+    if (i + w.toLong * h * 3 > bytes.length) return null
+    (w, h, i)
+  }
+
+  private[ops] def parsePpm(id: Long, bytes: Array[Byte]): PpmFeatures = {
+    val hd = ppmHeader(bytes)
+    if (hd == null) return PpmFeatures(id, valid = false, 0, 0, 0.0, 0.0, 0.0)
+    val (w, h, off) = hd
     val need = w.toLong * h * 3
-    if (i + need > bytes.length) return invalid
     var (sr, sg, sb) = (0L, 0L, 0L)
     var p = 0L
     while (p < need) {
-      val base = i + p.toInt
+      val base = off + p.toInt
       sr += bytes(base) & 0xff
       sg += bytes(base + 1) & 0xff
       sb += bytes(base + 2) & 0xff
@@ -188,6 +197,55 @@ object Multimodal {
     }
     val n = (w.toLong * h).toDouble
     PpmFeatures(id, valid = true, w, h, sr / n, sg / n, sb / n)
+  }
+
+  /** Downsampled-image features (REAL resize math on the REAL decode —
+    * the codec-free format is what makes the whole resize path
+    * testable, not a stub like the byte-stride `resizePayload`). */
+  case class PpmThumb(doc_id: Long, valid: Boolean, out_w: Int, out_h: Int,
+                      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  implicit val ppmThumbEnc: Encoder[PpmThumb] = Encoders.product[PpmThumb]
+
+  /** NEAREST-NEIGHBOR DOWNSAMPLE of a P6 raster by an integer factor:
+    * output pixel (x, y) = input pixel (factor·x, factor·y), output
+    * dims ceil(w/factor) × ceil(h/factor) — the standard training-
+    * pipeline thumbnail pass (resize-before-embed), decode and resample
+    * fused in ONE pass over the raster with per-channel means from
+    * exact integer sums over the SAMPLED pixels only. Malformed or
+    * truncated payloads quarantine as valid = false (the Ingest
+    * philosophy). Narrow mapPartitions; binary never shuffles; q192
+    * hash-matches a DuckDB replay of the same grid arithmetic on the
+    * synthetic payloads. */
+  def downsamplePpm(payloadDf: DataFrame, factor: Int): Dataset[PpmThumb] = {
+    require(factor >= 1, "factor must be positive")
+    payloadDf.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => parsePpmThumb(id, bytes, factor) })
+  }
+
+  private[ops] def parsePpmThumb(id: Long, bytes: Array[Byte],
+                                 factor: Int): PpmThumb = {
+    val hd = ppmHeader(bytes)
+    if (hd == null) return PpmThumb(id, valid = false, 0, 0, 0.0, 0.0, 0.0)
+    val (w, h, off) = hd
+    val ow = (w + factor - 1) / factor
+    val oh = (h + factor - 1) / factor
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val base = off + 3 * ((y * factor) * w + x * factor)
+        sr += bytes(base) & 0xff
+        sg += bytes(base + 1) & 0xff
+        sb += bytes(base + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = (ow.toLong * oh).toDouble
+    PpmThumb(id, valid = true, ow, oh, sr / n, sg / n, sb / n)
   }
 
   /** Deterministic synthetic WAV (RIFF/PCM16 mono) payload for
@@ -245,8 +303,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => parseWav(id, bytes) })
 
-  private[graft] def parseWav(id: Long, bytes: Array[Byte]): WavFeatures = {
-    val invalid = WavFeatures(id, valid = false, 0, 0L, 0.0, 0.0)
+  /** RIFF/PCM16-mono chunk walk shared by every WAV consumer: returns
+    * (sampleRate, data offset, sample count) for a well-formed payload,
+    * null for anything to quarantine (non-PCM, non-mono, truncated or
+    * size-overrunning chunks, odd data length). */
+  private[graft] def wavPcmData(bytes: Array[Byte]): (Int, Int, Int) = {
     def ascii(off: Int, s: String): Boolean =
       off + s.length <= bytes.length &&
         s.indices.forall(j => bytes(off + j) == s.charAt(j))
@@ -255,7 +316,7 @@ object Multimodal {
     def u32(off: Int): Long =
       (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
         ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
-    if (bytes.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return invalid
+    if (bytes.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return null
     var off = 12
     var fmtOk = false
     var sampleRate = 0
@@ -265,7 +326,7 @@ object Multimodal {
       val size = u32(off + 4)
       // a declared size beyond the payload is malformed, and would
       // wrap the offset into a scan loop — quarantine, don't spin
-      if (size < 0 || size > bytes.length) return invalid
+      if (size < 0 || size > bytes.length) return null
       if (ascii(off, "fmt ") && off + 8 + 16 <= bytes.length) {
         fmtOk = u16(off + 8) == 1 && u16(off + 10) == 1 && u16(off + 22) == 16
         sampleRate = u32(off + 12).toInt
@@ -277,17 +338,84 @@ object Multimodal {
       off += 8 + size.toInt + (size.toInt & 1)
     }
     if (!fmtOk || dataOff < 0 || dataLen % 2 != 0 ||
-        dataOff + dataLen > bytes.length || dataLen == 0) return invalid
-    val n = (dataLen / 2).toInt
+        dataOff + dataLen > bytes.length || dataLen == 0) return null
+    (sampleRate, dataOff, (dataLen / 2).toInt)
+  }
+
+  /** Little-endian int16 sample k of a located data chunk. */
+  @inline private[graft] def pcmSample(bytes: Array[Byte], dataOff: Int,
+                                       k: Int): Int =
+    (((bytes(dataOff + 2 * k) & 0xff) |
+      ((bytes(dataOff + 2 * k + 1) & 0xff) << 8)).toShort).toInt
+
+  private[graft] def parseWav(id: Long, bytes: Array[Byte]): WavFeatures = {
+    val pcm = wavPcmData(bytes)
+    if (pcm == null) return WavFeatures(id, valid = false, 0, 0L, 0.0, 0.0)
+    val (sampleRate, dataOff, n) = pcm
     var (sum, sumSq) = (0L, 0L)
     var k = 0
     while (k < n) {
-      val s = u16(dataOff + 2 * k).toShort.toInt
+      val s = pcmSample(bytes, dataOff, k)
       sum += s; sumSq += s.toLong * s
       k += 1
     }
     WavFeatures(id, valid = true, sampleRate, n.toLong,
       sum.toDouble / n, math.sqrt(sumSq.toDouble / n))
+  }
+
+  /** Per-clip frame-energy features — the audio analog of the image
+    * thumbnail: silence detection / voice-activity triage over FIXED
+    * frames (the standard pre-ASR segmentation pass). */
+  case class WavFrames(doc_id: Long, valid: Boolean, n_frames: Long,
+                       n_silent: Long, max_rms: Double)
+
+  implicit val wavFramesEnc: Encoder[WavFrames] = Encoders.product[WavFrames]
+
+  /** FRAME ENERGY over non-overlapping `frameSize`-sample frames of the
+    * REAL PCM decode: per frame, RMS from an exact integer Σs² —
+    * quantized to 6dp BEFORE the per-clip aggregates (count of silent
+    * frames below `silenceRms`, max RMS), so count/max are order-free
+    * and the whole pass is engine-replayable (q193 hash-matches a
+    * DuckDB replay of the same frame grid on the synthetic payloads).
+    * An incomplete tail frame is dropped (documented — a partial
+    * window's RMS is not comparable). Corrupt payloads quarantine as
+    * valid = false. Narrow mapPartitions; binary never shuffles. */
+  def audioFrameEnergy(payloadDf: DataFrame, frameSize: Int,
+                       silenceRms: Double): Dataset[WavFrames] = {
+    require(frameSize >= 1, "frameSize must be positive")
+    payloadDf.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseWavFrames(id, bytes, frameSize, silenceRms)
+      })
+  }
+
+  private[graft] def parseWavFrames(id: Long, bytes: Array[Byte],
+                                    frameSize: Int,
+                                    silenceRms: Double): WavFrames = {
+    val pcm = wavPcmData(bytes)
+    if (pcm == null) return WavFrames(id, valid = false, 0L, 0L, 0.0)
+    val (_, dataOff, n) = pcm
+    val nFrames = n / frameSize
+    var silent = 0L
+    var maxRms = 0.0
+    var f = 0
+    while (f < nFrames) {
+      var sumSq = 0L
+      var k = 0
+      while (k < frameSize) {
+        val s = pcmSample(bytes, dataOff, f * frameSize + k)
+        sumSq += s.toLong * s
+        k += 1
+      }
+      // same quantization the oracle applies: round(sqrt(Σs²/F), 6)
+      val rms = BigDecimal(math.sqrt(sumSq.toDouble / frameSize))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (rms < silenceRms) silent += 1
+      if (rms > maxRms) maxRms = rms
+      f += 1
+    }
+    WavFrames(id, valid = true, nFrames.toLong, silent, maxRms)
   }
 
   /** Resize analog (STUB — real codecs absent): keep every `stride`-th

@@ -171,6 +171,90 @@ object Profile {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"), sum(col("__sig")).as("checksum"))
 
+  /** BENFORD FIRST-DIGIT AUDIT (Benford 1938; the fraud/corruption
+    * screen for financial and telemetry columns): observed leading-
+    * digit shares vs the Benford expectation log10(1 + 1/d), one row
+    * per digit 1–9 with the chi-square contribution. A clean organic
+    * amount column tracks the curve; fabricated or truncated data
+    * shows up as a fat digit.
+    *
+    * Determinism discipline: the leading digit is the first character
+    * of floor(x) rendered as a BIGINT string — floor never changes the
+    * leading digit of an x >= 1, and integer rendering is identical in
+    * every engine — NOT floor(x/10^floor(log10 x)), whose libm log10
+    * can land exactly-on-power-of-ten values in the wrong decade, and
+    * not decimal rendering, whose rounding at the cast is engine-
+    * specific. Requires values >= 1 (rows below are excluded; callers
+    * with sub-unit domains should pre-scale). p_obs is exact int/int
+    * IEEE division; chi terms are one fixed IEEE tree on exact counts,
+    * rounded at 8.
+    *
+    * Scale shape: ONE narrow scan collapses to at most 9 counter rows
+    * (map-side combine); the expected-share math runs on the 9-row
+    * frame with the total as a one-row broadcast. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val obs = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val total = obs.agg(sum(col("n_obs")).as("n_total"))
+    val domain = obs.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    domain.join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("p_exp", log10(lit(1.0) + lit(1.0) / col("digit")))
+      .withColumn("p_obs",
+        col("n_obs").cast("double") / col("n_total").cast("double"))
+      .withColumn("chi_term",
+        round(col("n_total").cast("double") *
+          (col("p_obs") - col("p_exp")) * (col("p_obs") - col("p_exp")) /
+          col("p_exp"), 8))
+      .select(col("digit"), col("n_obs"), round(col("p_obs"), 8).as("p_obs"),
+        round(col("p_exp"), 8).as("p_exp"), col("chi_term"))
+  }
+
+  /** GINI COEFFICIENT per group (the concentration/inequality measure
+    * — revenue concentration per region, token-share skew per source)
+    * by the exact rank formula on the sorted sample:
+    * G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx), i = 1-based rank.
+    *
+    * Determinism discipline: x quantizes to DECIMAL(18,2) up front;
+    * the rank is row_number under the TOTAL order (x, id) — ties get
+    * consecutive ranks, and the formula's Σ i·x_i is tie-order-
+    * invariant because equal x's swap ranks without changing the sum.
+    * Σ i·x_i accumulates as exact long×decimal products; the final G
+    * is one fixed IEEE tree, rounded at 6 — engine-replayable (q191).
+    * Requires non-negative values: negatives make G ill-defined and
+    * are dropped (documented, standard practice); a group with Σx = 0
+    * returns null.
+    *
+    * Scale shape: one key shuffle feeds the per-group rank window and
+    * the moment aggregation — no global sort. The window is
+    * O(group size) per task, q176/q178's per-group-order seam. */
+  def gini(df: DataFrame, groupCols: Seq[String], valueCol: String,
+           idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = round(col(valueCol), 2).cast("decimal(18,2)")
+    val ranked = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .withColumn("__x", x)
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(col("__x"), col(idCol))).cast("long"))
+    ranked.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__i")).as("__six"))
+      .withColumn("gini",
+        when(col("__sx") === 0, lit(null).cast("double")).otherwise(
+          round((lit(2.0) * col("__six").cast("double") -
+            (col("n") + 1).cast("double") * col("__sx").cast("double")) /
+            (col("n").cast("double") * col("__sx").cast("double")), 6)))
+      .drop("__sx", "__six")
+  }
+
   def runningTotalByRange(df: DataFrame, orderCol: String, valueCol: String,
                           partitions: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -69,6 +69,62 @@ object Sketch {
         .rangeBetween(-(windows - 1).toLong, 0L))
   }
 
+  /** COUNT-MIN SKETCH bucket: row r's hash of a key, content-addressed
+    * through md5 (q76/q124 discipline) — 6 hex chars (24 bits) parse
+    * exactly into a long, mod width. Deterministic, partition-
+    * invariant, and replayable by any engine with md5 + hex parsing —
+    * which is what lets the WHOLE sketch lifecycle run under the
+    * DuckDB hash gate (q184), unlike opaque-layout sketches (q127's
+    * DataSketches registers) that need rows-only checks. */
+  def cmBucket(key: Column, row: Column, width: Int, seed: Long): Column =
+    conv(substring(md5(concat_ws(":",
+      row.cast("string"), lit(seed.toString), key.cast("string"))), 1, 6),
+      16, 10).cast("long") % width
+
+  /** COUNT-MIN SKETCH build (Cormode & Muthukrishnan 2005): depth×width
+    * integer counters; every occurrence of a key increments one counter
+    * per row r at cmBucket(key, r). Output (r, bucket, cnt) — at most
+    * depth·width rows REGARDLESS of corpus size, the whole point: the
+    * shuffle carries map-side-combined counter partials, never keys,
+    * and the result is a fixed-size frequency summary with one-sided
+    * error (estimates never undercount; overcounts bounded by
+    * 2n/width per row w.p. 1/2 each, so min over depth rows
+    * concentrates — SketchSpec pins the never-undercount law).
+    *
+    * Mergeable: counters from disjoint batches ADD (countMinMerge), so
+    * per-window sketch tables roll up like q127/q134's HLL rows. */
+  def countMinBuild(df: DataFrame, keyCol: String, depth: Int, width: Int,
+                    seed: Long): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be positive")
+    df.select(col(keyCol).cast("string").as("__k"))
+      .withColumn("r", explode(array((0 until depth).map(i => lit(i)): _*)))
+      .groupBy(col("r"), cmBucket(col("__k"), col("r"), width, seed).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Sum counter tables from disjoint batches — the additive
+    * counterpart of HLL's register-max union. */
+  def countMinMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("r"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates for `keys` (one column `keyCol`,
+    * distinct): est(k) = min over rows r of counter[r][cmBucket(k,r)].
+    * The counter table is depth·width rows — broadcast — so the probe
+    * is one narrow join however many keys are queried. Keys absent
+    * from the build read counters that other keys may have bumped:
+    * still >= 0 = their true count (the one-sided error law). */
+  def countMinEstimate(counters: DataFrame, keys: DataFrame, keyCol: String,
+                       depth: Int, width: Int, seed: Long): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be positive")
+    keys.select(col(keyCol))
+      .withColumn("r", explode(array((0 until depth).map(i => lit(i)): _*)))
+      .withColumn("bucket", cmBucket(col(keyCol), col("r"), width, seed))
+      .join(broadcast(counters), Seq("r", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+  }
+
   /** Overlap estimate between two sketches by inclusion-exclusion:
     * |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B). The union rides the
     * lossless-merge law, so the only error is the three estimates' —

@@ -114,6 +114,40 @@ object TextAnalysis {
     when(size(arr) > 0, best.cast("double") / size(arr))
   }
 
+  /** Row-local UNIGRAM-ENTROPY moments: run lengths c_i of the sorted
+    * token array (the q101 run-fold technique, expressed positionally:
+    * run starts = positions whose token differs from the previous,
+    * run lengths = consecutive start deltas), then the Shannon sum
+    * Σ c_i·ln(c_i) with each term quantized to DECIMAL(28,10) BEFORE
+    * the fold add — the fold visits runs in sorted-token order while
+    * a relational replay (the q189 oracle) sums them in arbitrary
+    * order, and only exact decimal terms make those agree. Entropy
+    * itself is H = ln(n) − Σ/n, left to the caller as one fixed IEEE
+    * recombination of the exact moments (q169 discipline).
+    *
+    * Returns struct(n_tokens, n_distinct, sum_clnc); zero-row struct
+    * on an empty array (sequence(1, 0) would descend). Zero shuffle —
+    * the text-quality companion of topElementFractionOf: low entropy
+    * flags templated/repetitive documents that length filters miss. */
+  def tokenEntropyOf(arr: Column): Column = {
+    val s = array_sort(arr)
+    val n = size(s)
+    val starts = filter(sequence(lit(1), n),
+      i => (i === 1) || !(element_at(s, i) <=> element_at(s, i - 1)))
+    val ends = concat(
+      slice(starts, lit(2), greatest(size(starts) - 1, lit(0))), array(n + 1))
+    val runs = zip_with(starts, ends, (a, b) => b - a)
+    val sumq = aggregate(runs, lit(0).cast("decimal(28,10)"),
+      (acc, c) => (acc + round(c.cast("double") * log(c.cast("double")), 10)
+        .cast("decimal(28,10)")).cast("decimal(28,10)"))
+    when(n > 0,
+      struct(n.cast("long").as("n_tokens"),
+        size(starts).cast("long").as("n_distinct"),
+        sumq.as("sum_clnc")))
+      .otherwise(struct(lit(0L).as("n_tokens"), lit(0L).as("n_distinct"),
+        lit(0).cast("decimal(28,10)").as("sum_clnc")))
+  }
+
   /** Duplicate fraction: 1 − distinct/total (0.0 on empty input) —
     * the "fraction of n-grams that are repeats" repetition rule. */
   def dupFractionOf(arr: Column): Column =

@@ -414,9 +414,79 @@ object AggQueries {
         .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
         .orderBy("l_returnflag")
     }),
+
+    // BENFORD FIRST-DIGIT AUDIT (ops.Profile.benford) over extended
+    // price — the fraud/quality screen for amount columns: observed
+    // leading-digit shares vs log10(1+1/d), with per-digit chi-square
+    // contributions. TPC-H prices are uniform-ish, NOT Benford — the
+    // audit correctly reporting a violation is itself under the gate
+    // (q146's deliberately-failing-check discipline). Leading digit
+    // via exact integer rendering of floor(x), never libm log10; one
+    // narrow scan collapsing to 9 counter rows.
+    "q188_benford" -> ((s, dir) => {
+      graft.ops.Profile.benford(Tables.lineitem(s, dir), "l_extendedprice")
+        .orderBy("digit")
+    }),
+
+    // GINI COEFFICIENT per nation (ops.Profile.gini) over non-negative
+    // customer balances — the concentration measure on the exact rank
+    // formula: G = (2Σi·x_i − (n+1)Σx)/(nΣx). Ranks from row_number
+    // under the (x, custkey) total order (tie-swap-invariant sum);
+    // Σi·x_i as exact long×decimal products; one nationkey shuffle
+    // feeds window + aggregate.
+    "q191_gini" -> ((s, dir) => {
+      graft.ops.Profile.gini(Tables.customer(s, dir),
+          Seq("c_nationkey"), "c_acctbal", "c_custkey")
+        .orderBy("c_nationkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // same integer digit rendering, same unrounded chi tree, rounded
+    // only at the output columns.
+    "q188_benford" ->
+      """WITH v AS (
+        |  SELECT l_extendedprice AS x FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1),
+        |o AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(x) AS BIGINT) AS VARCHAR), 1, 1)
+        |              AS INT) AS digit,
+        |         count(*) AS n_obs
+        |  FROM v GROUP BY 1),
+        |t AS (SELECT sum(n_obs) AS n_total FROM o),
+        |d AS (SELECT CAST(r + 1 AS INT) AS digit FROM range(9) t(r)),
+        |j AS (
+        |  SELECT d.digit, coalesce(o.n_obs, 0) AS n_obs, t.n_total,
+        |         coalesce(o.n_obs, 0)::DOUBLE / t.n_total::DOUBLE AS p_obs,
+        |         log10(1::DOUBLE + 1::DOUBLE / d.digit::DOUBLE) AS p_exp
+        |  FROM d LEFT JOIN o USING (digit) CROSS JOIN t)
+        |SELECT digit, n_obs, round(p_obs, 8) AS p_obs,
+        |       round(p_exp, 8) AS p_exp,
+        |       round(n_total::DOUBLE * (p_obs - p_exp) * (p_obs - p_exp)
+        |             / p_exp, 8) AS chi_term
+        |FROM j ORDER BY digit""".stripMargin,
+    // same total order, same exact long×decimal moments, same IEEE
+    // recombination.
+    "q191_gini" ->
+      """WITH v AS (
+        |  SELECT c_nationkey, c_custkey,
+        |         CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) AS x
+        |  FROM customer WHERE c_acctbal IS NOT NULL AND c_acctbal >= 0),
+        |r AS (
+        |  SELECT c_nationkey, x,
+        |         CAST(row_number() OVER (PARTITION BY c_nationkey
+        |                                 ORDER BY x, c_custkey) AS BIGINT) AS i
+        |  FROM v),
+        |m AS (
+        |  SELECT c_nationkey, count(*) AS n, sum(x) AS sx,
+        |         sum(x * i) AS six
+        |  FROM r GROUP BY c_nationkey)
+        |SELECT c_nationkey, n,
+        |       CASE WHEN sx = 0 THEN NULL
+        |            ELSE round((2::DOUBLE * six::DOUBLE
+        |                        - (n + 1)::DOUBLE * sx::DOUBLE)
+        |                       / (n::DOUBLE * sx::DOUBLE), 6) END AS gini
+        |FROM m ORDER BY c_nationkey""".stripMargin,
     // same ten exact decimal moments, same closed form, same order.
     "q181_corr_matrix" ->
       """WITH b AS (

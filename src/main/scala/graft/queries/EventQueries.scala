@@ -897,6 +897,46 @@ object EventQueries {
           unix_micros(col("ts")).as("ts_us"), col("asof_tier").as("tier"))
         .orderBy("event_id")
     }),
+
+    // COUNT-MIN SKETCH lifecycle (ops.Sketch.countMin*) — the
+    // frequency-summary counterpart of q127's HLL: per-user event
+    // counts estimated from a 4×64 counter table built in ONE
+    // map-side-combined pass (width 64 « 150 distinct users, so
+    // collisions are LIVE in the gated output — est > exact where
+    // buckets collide, never below). Content-addressed md5 buckets
+    // make the whole build+probe engine-replayable, so unlike the
+    // opaque-register sketches this one runs under the full hash
+    // gate. The counter table broadcasts into the probe join; exact
+    // counts ride the same scan for the (est − exact) audit columns.
+    "q184_count_min" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+      val counters = graft.ops.Sketch.countMinBuild(ev, "user_id", 4, 64, 11L)
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      graft.ops.Sketch.countMinEstimate(counters, exact, "user_id", 4, 64, 11L)
+        .join(exact, Seq("user_id"))
+        .select(col("user_id"), col("n_exact"), col("cm_est"),
+          (col("cm_est") - col("n_exact")).as("overcount"))
+        .orderBy("user_id")
+    }),
+
+    // INTERVAL COALESCING (ops.IntervalJoin.coalesceIntervals): each
+    // event opens a 15-minute half-open exposure window; overlapping
+    // or touching windows per user merge into maximal intervals —
+    // the availability/exposure primitive, and the normalization pass
+    // that bounds q130's per-cell fan-out. Running-MAX island rule
+    // (not lag(end)): an early long interval that outlasts its
+    // successors must hold the island open. One user_id shuffle feeds
+    // both windows and the island aggregate; exact long micros.
+    "q187_interval_coalesce" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) + 900000000L).as("e_us"))
+      graft.ops.IntervalJoin.coalesceIntervals(iv, Seq("user_id"), "s_us", "e_us")
+        .select(col("user_id"), col("start"), col("end"), col("n_merged"))
+        .orderBy("user_id", "start")
+    }),
   )
 
   /** Once-per-session setup for q134: the per-(event_type, day) sketch
@@ -1490,5 +1530,52 @@ object EventQueries {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // the full CMS lifecycle replayed: same md5 buckets, same counter
+    // build, same min-over-rows probe.
+    "q184_count_min" ->
+      """WITH k AS (SELECT user_id, count(*) AS n_exact
+        |           FROM events GROUP BY user_id),
+        |h AS (
+        |  SELECT e.user_id, t.r,
+        |         CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':11:' ||
+        |                CAST(e.user_id AS VARCHAR)), 1, 6)) AS BIGINT) % 64
+        |           AS bucket
+        |  FROM events e CROSS JOIN range(4) t(r)),
+        |c AS (SELECT r, bucket, count(*) AS cnt FROM h GROUP BY r, bucket),
+        |p AS (
+        |  SELECT k.user_id, t.r,
+        |         CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':11:' ||
+        |                CAST(k.user_id AS VARCHAR)), 1, 6)) AS BIGINT) % 64
+        |           AS bucket
+        |  FROM k CROSS JOIN range(4) t(r)),
+        |est AS (
+        |  SELECT p.user_id, min(c.cnt) AS cm_est
+        |  FROM p JOIN c USING (r, bucket) GROUP BY p.user_id)
+        |SELECT k.user_id, k.n_exact, est.cm_est,
+        |       est.cm_est - k.n_exact AS overcount
+        |FROM k JOIN est USING (user_id) ORDER BY user_id""".stripMargin,
+    // same running-max island rule over the same long micros.
+    "q187_interval_coalesce" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s_us,
+        |         epoch_us(ts) + 900000000 AS e_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, s_us, e_us,
+        |         max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |g AS (
+        |  SELECT *, CASE WHEN pmax IS NULL OR s_us > pmax THEN 1 ELSE 0 END
+        |              AS new_i
+        |  FROM f),
+        |i AS (
+        |  SELECT *, sum(new_i) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |           ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM g)
+        |SELECT user_id, min(s_us) AS "start", max(e_us) AS "end",
+        |       count(*) AS n_merged
+        |FROM i GROUP BY user_id, island
+        |ORDER BY user_id, "start"""".stripMargin,
   )
 }

@@ -473,6 +473,30 @@ object JoinQueries {
         .distinct()
       graft.ops.Graph.triangleCounts(edges).orderBy("node")
     }),
+
+    // ADAMIC–ADAR link prediction (ops.Graph.adamicAdar) on the
+    // supplier–customer bipartite graph: suppliers sharing customers,
+    // each shared customer z weighted 1/ln(deg(z)) — rare customers
+    // bind suppliers more than promiscuous ones. The adjacency is
+    // ORIENTED with suppliers as nodes and customers as wedge centers
+    // — customer fan-out is ~35 distinct suppliers vs ~500 customers
+    // per supplier, so the wedge join fans Σ deg² ≈ 23M terms at
+    // sf0.1 instead of the 345M the other orientation pays (the
+    // operator's scale lever, documented on adamicAdar). Terms
+    // quantize to DECIMAL(18,10) before the pair sum; top-100 via
+    // TakeOrderedAndProject.
+    "q185_adamic_adar" -> ((s, dir) => {
+      val adj = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("node"), col("o_custkey").as("nbr"))
+      graft.ops.Graph.adamicAdar(adj)
+        .select(col("a"), col("b"), col("n_common"),
+          col("aa_score").cast("double").as("aa_score"))
+        .orderBy(desc("aa_score"), col("a"), col("b"))
+        .limit(100)
+    }),
   )
 
   /** Once-per-session setup for q133: lineitem re-written
@@ -522,6 +546,23 @@ object JoinQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // same orientation, same quantized terms, same tie-broken top-100.
+    "q185_adamic_adar" ->
+      """WITH adj AS (
+        |  SELECT DISTINCT l.l_suppkey AS node, o.o_custkey AS nbr
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |deg AS (SELECT nbr, count(*) AS deg FROM adj GROUP BY nbr),
+        |term AS (
+        |  SELECT adj.nbr, adj.node,
+        |         CAST(round(1.0 / ln(deg.deg::DOUBLE), 10)
+        |              AS DECIMAL(18,10)) AS term
+        |  FROM adj JOIN deg USING (nbr))
+        |SELECT x.node AS a, y.node AS b, count(*) AS n_common,
+        |       CAST(sum(x.term) AS DOUBLE) AS aa_score
+        |FROM term x JOIN term y
+        |  ON x.nbr = y.nbr AND x.node < y.node
+        |GROUP BY x.node, y.node
+        |ORDER BY aa_score DESC, a, b LIMIT 100""".stripMargin,
     // the INDEPENDENT formulation: the quadratic levenshtein cross
     // join the deletion-neighborhood blocking exists to kill.
     "q164_edit_join" ->

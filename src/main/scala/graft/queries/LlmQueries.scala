@@ -1380,9 +1380,53 @@ object LlmQueries {
           TextAnalysis.rollingHash(col("text")).as("rolling_fp"))
         .orderBy("doc_id")
     }),
+
+    // UNIGRAM ENTROPY per document (TextAnalysis.tokenEntropyOf) —
+    // the information-density quality signal: low H flags templated/
+    // repetitive text that length and stopword filters miss (the
+    // Gopher-repetition family's info-theoretic sibling, q101). The
+    // Spark side is the ROW-LOCAL positional run fold (zero shuffle);
+    // the oracle recomputes relationally (unnest → group → sum) — an
+    // independent formulation, so the hash match proves the fold
+    // enumerates exactly the token multiset. Terms quantize to
+    // DECIMAL(28,10) before either engine's sum; H = ln(n) − Σ/n is
+    // one fixed IEEE recombination (q169 discipline).
+    "q189_token_entropy" -> ((s, dir) => {
+      val st = TextAnalysis.tokenEntropyOf(TextAnalysis.tokens(col("text")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), st.as("st"))
+        .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
+          col("st.n_distinct").as("n_distinct"),
+          when(col("st.n_tokens") > 0,
+            round(log(col("st.n_tokens").cast("double")) -
+              col("st.sum_clnc").cast("double") /
+                col("st.n_tokens").cast("double"), 6)).as("entropy"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // the INDEPENDENT relational formulation of the row-local fold:
+    // unnest → per-(doc, token) counts → quantized-term sum.
+    "q189_token_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, token, count(*) AS c
+        |  FROM tok GROUP BY doc_id, token),
+        |m AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         count(*) AS n_distinct,
+        |         sum(CAST(round(c::DOUBLE * ln(c::DOUBLE), 10)
+        |                  AS DECIMAL(28,10))) AS sum_clnc
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |       CASE WHEN n_tokens > 0
+        |            THEN round(ln(n_tokens::DOUBLE)
+        |                       - sum_clnc::DOUBLE / n_tokens::DOUBLE, 6)
+        |            END AS entropy
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q48_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

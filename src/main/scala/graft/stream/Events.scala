@@ -33,14 +33,13 @@ case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 object Events {
 
   /** On-disk schema of the events fixture for the STREAMING file source
-    * (streaming reads cannot infer schema). `ts` is declared LongType
-    * because the file stores TIMESTAMP(NANOS), which the session reads
-    * as nanos-long under Tables.sessionConf — the conversion to a
-    * micros TimestampType happens below, identically to the batch
-    * loader Tables.events. */
-  private val fileSchema: StructType = StructType(Seq(
+    * (streaming reads cannot infer schema), parameterized by the `ts`
+    * encoding the directory actually holds — the fixtures have shipped
+    * both TIMESTAMP(NANOS) (nanos long under Tables.sessionConf) and
+    * TIMESTAMP(MICROS) (TIMESTAMP_NTZ) across rounds. */
+  private def fileSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -50,12 +49,25 @@ object Events {
     * production entry point (MemoryStream is test-only). New files
     * appearing under `dir` become micro-batches; at 100 TB scale pair
     * with maxFilesPerTrigger for admission control and a date-
-    * partitioned layout for pruning. */
-  def readStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(fileSchema)
+    * partitioned layout for pruning. The `ts` physical encoding is
+    * sniffed from the directory's existing footers with one driver-side
+    * batch read (metadata only — no row scan), then DECLARED to the
+    * stream; normalization to micros TimestampType matches the batch
+    * loader Tables.events so batch ≡ stream equivalence specs hold on
+    * either fixture generation. */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    val observed = spark.read.parquet(dir).schema("ts").dataType
+    val raw = spark.readStream
+      .schema(fileSchema(observed))
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    observed match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
 
   /** Tumbling window aggregation per event type (fixed, non-overlapping
     * buckets). Money-style exact sum: DECIMAL accumulate, DOUBLE out. */

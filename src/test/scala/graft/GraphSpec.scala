@@ -71,4 +71,35 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     } yield n).groupBy(identity).view.mapValues(_.size.toLong).toMap
     assert(got === brute)
   }
+
+  test("adamicAdar: hand-checked scores and common-neighbor counts") {
+    // z1 adj {1,2} (deg 2), z2 adj {1,2,3} (deg 3):
+    //   (1,2): 1/ln2 + 1/ln3, n_common 2; (1,3), (2,3): 1/ln3, n_common 1
+    val adj = Seq((1L, 10L), (2L, 10L), (1L, 20L), (2L, 20L), (3L, 20L))
+      .toDF("node", "nbr")
+    val got = Graph.adamicAdar(adj)
+      .select(col("a"), col("b"), col("n_common"),
+        col("aa_score").cast("double"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    def q(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w2 = q(1.0 / math.log(2.0))
+    val w3 = q(1.0 / math.log(3.0))
+    assert(got.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got((1L, 2L)) === ((2L, w2 + w3)))
+    assert(got((1L, 3L)) === ((1L, w3)))
+    assert(got((2L, 3L)) === ((1L, w3)))
+  }
+
+  test("adamicAdar: degree-1 neighbors form no wedge; duplicate adjacency rows don't double-count") {
+    val adj = Seq(
+      (1L, 10L), // nbr 10 has deg 1 — no pair can share it
+      (1L, 20L), (2L, 20L), (1L, 20L), (2L, 20L), // dups must collapse
+    ).toDF("node", "nbr")
+    val got = Graph.adamicAdar(adj)
+      .select(col("a"), col("b"), col("n_common")).as[(Long, Long, Long)]
+      .collect()
+    assert(got.toSeq === Seq((1L, 2L, 1L)))
+  }
 }

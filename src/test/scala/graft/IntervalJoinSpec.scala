@@ -85,4 +85,37 @@ class IntervalJoinSpec extends AnyFunSuite with SparkFixture {
       .select("lid", "rid").as[(Long, Long)].collect().toSet
     assert(out === Set((3L, 10L)))
   }
+
+  test("coalesceIntervals: overlap and touch merge, gaps split, keys are independent") {
+    val iv = Seq(
+      ("a", 0L, 10L), ("a", 5L, 20L), ("a", 20L, 30L), // overlap + touch
+      ("a", 40L, 50L), // gap → own island
+      ("b", 0L, 10L), // same coords, other key
+    ).toDF("k", "s", "e")
+    val out = IntervalJoin.coalesceIntervals(iv, Seq("k"), "s", "e")
+      .select("k", "start", "end", "n_merged")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("a", 0L, 30L, 3L), ("a", 40L, 50L, 1L), ("b", 0L, 10L, 1L)))
+  }
+
+  test("coalesceIntervals: an early interval outlasting its successors holds the island open") {
+    // lag(end) would see [30,40) after [10,20) and split; the running
+    // max of ends must not.
+    val iv = Seq(("k", 0L, 100L), ("k", 10L, 20L), ("k", 30L, 40L),
+      ("k", 150L, 160L)).toDF("k", "s", "e")
+    val out = IntervalJoin.coalesceIntervals(iv, Seq("k"), "s", "e")
+      .select("start", "end", "n_merged").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(out === Set((0L, 100L, 3L), (150L, 160L, 1L)))
+  }
+
+  test("coalesceIntervals: degenerate rows are dropped, same contract as overlapJoin") {
+    val iv = Seq(("k", 5L, 5L), ("k", 9L, 3L), ("k", 0L, 10L))
+      .toDF("k", "s", "e")
+    val out = IntervalJoin.coalesceIntervals(iv, Seq("k"), "s", "e")
+      .select("start", "end", "n_merged").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(out === Set((0L, 10L, 1L)))
+  }
 }

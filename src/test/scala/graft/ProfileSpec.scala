@@ -128,4 +128,46 @@ class ProfileSpec extends AnyFunSuite with SparkFixture {
     val doubled = sums(df.unionAll(df.filter(col("id") === 1L)))
     assert(doubled.filter(_._1 == "g") !== base.filter(_._1 == "g"))
   }
+
+  test("benford: digit extraction, zero-observation digits, sub-unit exclusion") {
+    // one value per digit 1..9 (at mixed magnitudes), plus excluded rows
+    val vals = Seq(1.5, 23.0, 390.25, 4.0, 5999.0, 61.0, 7.25, 800.0, 9.99,
+      0.5, 0.0, -3.0) // < 1: excluded
+    val out = Profile.benford(vals.toDF("v"), "v")
+      .select("digit", "n_obs", "p_obs", "p_exp", "chi_term")
+      .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === (1 to 9))
+    assert(out.forall(_._2 == 1L))
+    assert(out.forall(r => math.abs(r._3 - 1.0 / 9) < 1e-8))
+    // expected shares are the Benford curve, and they sum to 1
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-6)
+    assert(math.abs(out.head._4 - math.log10(2.0)) < 1e-6)
+    // a digit with NO observations still gets its row
+    val sparse = Profile.benford(Seq(100.0, 150.0).toDF("v"), "v")
+      .select("digit", "n_obs").as[(Int, Long)].collect().toMap
+    assert(sparse(1) === 2L && sparse(9) === 0L && sparse.size === 9)
+  }
+
+  test("gini: 0 on equal values, (n-1)/n on total concentration, negatives dropped") {
+    val eq = Profile.gini(
+        Seq(("g", 1L, 5.0), ("g", 2L, 5.0), ("g", 3L, 5.0)).toDF("g", "id", "v"),
+        Seq("g"), "v", "id")
+      .select("gini").as[Double].head()
+    assert(eq === 0.0)
+    // x = (0, 0, 0, 10): G = (2*40 - 5*10) / (4*10) = 0.75 = (n-1)/n
+    val conc = Profile.gini(
+        Seq(("g", 1L, 0.0), ("g", 2L, 0.0), ("g", 3L, 0.0), ("g", 4L, 10.0))
+          .toDF("g", "id", "v"),
+        Seq("g"), "v", "id")
+      .select("gini").as[Double].head()
+    assert(conc === 0.75)
+    // negatives are dropped before ranking; all-zero groups yield null
+    val out = Profile.gini(
+        Seq(("g", 1L, -5.0), ("g", 2L, 3.0), ("g", 3L, 3.0),
+          ("z", 4L, 0.0), ("z", 5L, 0.0)).toDF("g", "id", "v"),
+        Seq("g"), "v", "id")
+      .select("g", "n", "gini").as[(String, Long, Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map("g" -> ((2L, Some(0.0))), "z" -> ((2L, None))))
+  }
 }

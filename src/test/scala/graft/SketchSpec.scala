@@ -128,4 +128,47 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
       .as[Double].head()
     assert(dis < 250, s"disjoint estimate should be near zero, got $dis")
   }
+
+  test("countMin: never undercounts, and a wide sketch is exact") {
+    // 100 keys, key k occurring (k % 7) + 1 times
+    val rows = (0L until 100L).flatMap(k => Seq.fill((k % 7).toInt + 1)(k))
+    val df = rows.toDF("k")
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val keys = exact.keys.toSeq.toDF("k")
+    // width 16 << 100 keys: collisions guaranteed, estimates only go UP
+    val narrow = Sketch.countMinEstimate(
+        Sketch.countMinBuild(df, "k", 4, 16, 3L), keys, "k", 4, 16, 3L)
+      .as[(Long, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(narrow(k) >= n, s"undercount at $k: ${narrow(k)} < $n")
+    }
+    assert(narrow.exists { case (k, e) => e > exact(k) },
+      "width 16 with 100 keys should produce at least one collision")
+    // width 4096 >> 100 keys: md5 buckets collide with prob ~1 - the
+    // birthday bound; for THIS seed/keys there are none (deterministic)
+    val wide = Sketch.countMinEstimate(
+        Sketch.countMinBuild(df, "k", 4, 4096, 3L), keys, "k", 4, 4096, 3L)
+      .as[(Long, Long)].collect().toMap
+    assert(wide === exact)
+  }
+
+  test("countMin: merged counters over a split equal the single-pass build") {
+    val rows = (0L until 60L).map(k => k % 13).toDF("k")
+    val h1 = rows.filter(col("k") % 2 === 0)
+    val h2 = rows.filter(col("k") % 2 =!= 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("r", "bucket", "cnt").as[(Int, Long, Long)].collect().toSet
+    val merged = Sketch.countMinMerge(
+      Sketch.countMinBuild(h1, "k", 3, 32, 9L),
+      Sketch.countMinBuild(h2, "k", 3, 32, 9L))
+    val single = Sketch.countMinBuild(rows, "k", 3, 32, 9L)
+    assert(canon(merged) === canon(single))
+  }
+
+  test("countMin: a key absent from the build estimates >= 0, never negative") {
+    val built = Sketch.countMinBuild(Seq(1L, 2L, 3L).toDF("k"), "k", 4, 8, 5L)
+    val est = Sketch.countMinEstimate(built, Seq(99L).toDF("k"), "k", 4, 8, 5L)
+      .as[(Long, Long)].collect().toMap
+    assert(est(99L) >= 0L)
+  }
 }

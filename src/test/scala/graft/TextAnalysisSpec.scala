@@ -247,4 +247,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
     assert(got === bpeReference(texts, 3))
   }
+
+  test("tokenEntropyOf: moments match a direct computation on known shapes") {
+    def stats(text: String): (Long, Long, Double) = {
+      val r = Seq(text).toDF("text")
+        .select(TextAnalysis.tokenEntropyOf(TextAnalysis.tokens(col("text"))).as("s"))
+        .select(col("s.n_tokens"), col("s.n_distinct"),
+          col("s.sum_clnc").cast("double"))
+        .as[(Long, Long, Double)].head()
+      r
+    }
+    def q10(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // uniform repeats: one run of 4 → Σ c ln c = 4 ln 4 (entropy 0)
+    assert(stats("a a a a") === ((4L, 1L, q10(4 * math.log(4)))))
+    // all distinct: every run length 1 → Σ = 0 (entropy ln n)
+    assert(stats("d c b a") === ((4L, 4L, 0.0)))
+    // mixed multiset {a:2, b:1}, input unsorted
+    assert(stats("a b a") === ((3L, 2L, q10(2 * math.log(2)))))
+    // single token
+    assert(stats("x") === ((1L, 1L, 0.0)))
+  }
+
+  test("tokenEntropyOf: empty array yields the zero struct, not a descending sequence") {
+    val r = Seq(Seq.empty[String]).toDF("t")
+      .select(TextAnalysis.tokenEntropyOf(col("t")).as("s"))
+      .select(col("s.n_tokens"), col("s.n_distinct"),
+        col("s.sum_clnc").cast("double"))
+      .as[(Long, Long, Double)].head()
+    assert(r === ((0L, 0L, 0.0)))
+  }
 }
