@@ -181,7 +181,7 @@ object Multimodal {
     (w, h, i)
   }
 
-  private[ops] def parsePpm(id: Long, bytes: Array[Byte]): PpmFeatures = {
+  private[graft] def parsePpm(id: Long, bytes: Array[Byte]): PpmFeatures = {
     val hd = ppmHeader(bytes)
     if (hd == null) return PpmFeatures(id, valid = false, 0, 0, 0.0, 0.0, 0.0)
     val (w, h, off) = hd
@@ -224,7 +224,7 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => parsePpmThumb(id, bytes, factor) })
   }
 
-  private[ops] def parsePpmThumb(id: Long, bytes: Array[Byte],
+  private[graft] def parsePpmThumb(id: Long, bytes: Array[Byte],
                                  factor: Int): PpmThumb = {
     val hd = ppmHeader(bytes)
     if (hd == null) return PpmThumb(id, valid = false, 0, 0, 0.0, 0.0, 0.0)

@@ -1403,9 +1403,212 @@ object LlmQueries {
                 col("st.n_tokens").cast("double"), 6)).as("entropy"))
         .orderBy("doc_id")
     }),
+
+    // RECIPROCAL-RANK FUSION (Cormack et al. 2009, k = 60) of two
+    // retrieval rankers over the same query — the standard hybrid-
+    // search combiner (lexical + second signal) every RAG stack runs:
+    // ranker 1 = q140's BM25; ranker 2 = length-normalized query-term
+    // frequency. Both rankers share ONE term scan; each ranks its
+    // top-50 under a (score desc, doc_id) TOTAL order — the rank
+    // window is a single-partition pass over the MATCHING docs only
+    // (query-term selectivity bounds it; q148's documented O(domain)
+    // seam). Each 1/(k+rank) term quantizes to DECIMAL(18,10) before
+    // the fusion add, so the fused score is engine-exact; docs ranked
+    // by only one ranker contribute that ranker's term alone.
+    "q186_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("spark", "join", "window")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val bm25 = tf
+        .join(broadcast(tf.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          log((col("n_docs") - col("df") + lit(0.5))
+              / (col("df") + lit(0.5)) + lit(1.0))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75)
+                + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("contrib").cast("decimal(18,6)")).as("bm25"))
+      val tfn = tf.groupBy(col("doc_id"), col("dl"))
+        .agg(sum(col("tf")).as("qtf"))
+        .select(col("doc_id"),
+          (col("qtf").cast("double") / col("dl").cast("double")).as("tfnorm"))
+      val r1 = bm25.withColumn("rank1", row_number().over(
+          Window.orderBy(desc("bm25"), col("doc_id"))))
+        .filter(col("rank1") <= 50).select("doc_id", "rank1")
+      val r2 = tfn.withColumn("rank2", row_number().over(
+          Window.orderBy(desc("tfnorm"), col("doc_id"))))
+        .filter(col("rank2") <= 50).select("doc_id", "rank2")
+      def share(rank: org.apache.spark.sql.Column): org.apache.spark.sql.Column = coalesce(
+        round(lit(1.0) / (lit(60) + rank), 10).cast("decimal(18,10)"),
+        lit(0).cast("decimal(18,10)"))
+      r1.join(r2, Seq("doc_id"), "full")
+        .select(col("doc_id"), col("rank1"), col("rank2"),
+          (share(col("rank1")) + share(col("rank2")))
+            .cast("double").as("rrf"))
+        .orderBy(desc("rrf"), col("doc_id"))
+        .limit(20)
+    }),
+
+    // IMAGE DOWNSAMPLING on the REAL PPM decode (Multimodal.
+    // downsamplePpm): nearest-neighbor 2× thumbnail — decode and
+    // resample fused in one raster pass, per-channel means from exact
+    // integer sums over the SAMPLED grid only; planted-corrupt
+    // payloads (id % 7 == 0, truncated raster) quarantine as
+    // valid = false. The DuckDB oracle recomputes the sampled grid
+    // from the q94 synthetic-payload arithmetic — if the resampler's
+    // indexing drifts (row stride, ceil dims, channel offset), the
+    // hash mismatches. Narrow mapPartitions; binary never shuffles.
+    "q192_image_downsample" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticPpm(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.downsamplePpm(payloads, 2)
+        .select(col("doc_id"), col("valid"), col("out_w"), col("out_h"),
+          (round(col("mean_r"), 4) + lit(0.0)).as("mean_r"),
+          (round(col("mean_g"), 4) + lit(0.0)).as("mean_g"),
+          (round(col("mean_b"), 4) + lit(0.0)).as("mean_b"))
+        .orderBy("doc_id")
+    }),
+
+    // AUDIO FRAME ENERGY on the REAL WAV decode (Multimodal.
+    // audioFrameEnergy): 25-sample frames, per-frame RMS from exact
+    // integer Σs² quantized at 6dp BEFORE the per-clip count/max
+    // aggregates (order-free), silence threshold 300 — the pre-ASR
+    // voice-activity segmentation pass. Incomplete tail frames drop;
+    // corrupt payloads (id % 7 == 0) quarantine. Oracle replays the
+    // same frame grid from q129's synthetic-sample arithmetic.
+    "q193_audio_frames" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.audioFrameEnergy(payloads, 25, 300.0)
+        .select(col("doc_id"), col("valid"), col("n_frames"), col("n_silent"),
+          (col("max_rms") + lit(0.0)).as("max_rms"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // q140's bm25 CTE verbatim + the tf ranker, both ranked under the
+    // same total orders, fused with the same quantized 1/(60+rank).
+    "q186_rrf_fusion" ->
+      """WITH dl AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+        |  WHERE term IN ('spark', 'join', 'window')
+        |  GROUP BY doc_id, dl, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |bm25 AS (
+        |  SELECT doc_id,
+        |         sum(CAST(
+        |           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |             * (tf * 2.2)
+        |             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |           AS DECIMAL(18,6))) AS bm25
+        |  FROM tf JOIN df USING (term) CROSS JOIN stats
+        |  GROUP BY doc_id),
+        |tfn AS (
+        |  SELECT doc_id, CAST(sum(tf) AS DOUBLE) / CAST(dl AS DOUBLE) AS tfnorm
+        |  FROM tf GROUP BY doc_id, dl),
+        |r1 AS (
+        |  SELECT doc_id, rank1 FROM (
+        |    SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+        |                        AS INT) AS rank1
+        |    FROM bm25) WHERE rank1 <= 50),
+        |r2 AS (
+        |  SELECT doc_id, rank2 FROM (
+        |    SELECT doc_id, CAST(row_number() OVER (ORDER BY tfnorm DESC, doc_id)
+        |                        AS INT) AS rank2
+        |    FROM tfn) WHERE rank2 <= 50)
+        |SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id, rank1, rank2,
+        |       CAST(coalesce(CAST(round(1::DOUBLE / (60 + rank1), 10)
+        |                          AS DECIMAL(18,10)), 0)
+        |            + coalesce(CAST(round(1::DOUBLE / (60 + rank2), 10)
+        |                            AS DECIMAL(18,10)), 0) AS DOUBLE) AS rrf
+        |FROM r1 FULL JOIN r2 ON r1.doc_id = r2.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    // the q94 synthetic-raster arithmetic sampled on the factor-2
+    // grid: out dims ceil(w/2) × ceil(h/2), in-pixel index
+    // (2·(i div ow))·w + 2·(i mod ow).
+    "q192_image_downsample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(4 + doc_id % 5 AS INTEGER) AS w,
+        |         CAST(3 + doc_id % 4 AS INTEGER) AS h,
+        |         CAST((4 + doc_id % 5 + 1) // 2 AS INTEGER) AS ow,
+        |         CAST((3 + doc_id % 4 + 1) // 2 AS INTEGER) AS oh
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, ow, oh,
+        |         (doc_id * 31 + 3 * ((2 * (i // ow)) * w + 2 * (i % ow))) % 256 AS r,
+        |         (doc_id * 31 + 3 * ((2 * (i // ow)) * w + 2 * (i % ow)) + 1) % 256 AS g,
+        |         (doc_id * 31 + 3 * ((2 * (i // ow)) * w + 2 * (i % ow)) + 2) % 256 AS b
+        |  FROM d, unnest(range(0, ow * oh)) AS u(i)),
+        |m AS (
+        |  SELECT doc_id, ow, oh,
+        |         avg(CAST(r AS DOUBLE)) AS mr,
+        |         avg(CAST(g AS DOUBLE)) AS mg,
+        |         avg(CAST(b AS DOUBLE)) AS mb
+        |  FROM px GROUP BY doc_id, ow, oh)
+        |SELECT doc_id,
+        |       doc_id % 7 <> 0 AS valid,
+        |       CASE WHEN doc_id % 7 <> 0 THEN ow ELSE 0 END AS out_w,
+        |       CASE WHEN doc_id % 7 <> 0 THEN oh ELSE 0 END AS out_h,
+        |       CASE WHEN doc_id % 7 <> 0 THEN round(mr, 4) ELSE 0.0 END AS mean_r,
+        |       CASE WHEN doc_id % 7 <> 0 THEN round(mg, 4) ELSE 0.0 END AS mean_g,
+        |       CASE WHEN doc_id % 7 <> 0 THEN round(mb, 4) ELSE 0.0 END AS mean_b
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // q129's synthetic-sample arithmetic on the 25-sample frame grid,
+    // per-frame RMS quantized at 6dp before count/max.
+    "q193_audio_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(50 + doc_id % 32 AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, k // 25 AS f,
+        |         (doc_id * 7 + k * 13) % 2001 - 1000 AS v
+        |  FROM d, unnest(range(0, n)) AS u(k)
+        |  WHERE k < (n // 25) * 25),
+        |fr AS (
+        |  SELECT doc_id, f,
+        |         round(sqrt(CAST(sum(v * v) AS DOUBLE) / 25), 6) AS rms
+        |  FROM s GROUP BY doc_id, f),
+        |m AS (
+        |  SELECT doc_id, count(*) AS n_frames,
+        |         CAST(sum(CASE WHEN rms < 300 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_silent,
+        |         max(rms) AS max_rms
+        |  FROM fr GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       d.doc_id % 7 <> 0 AS valid,
+        |       CASE WHEN d.doc_id % 7 <> 0 THEN m.n_frames ELSE 0 END AS n_frames,
+        |       CASE WHEN d.doc_id % 7 <> 0 THEN m.n_silent ELSE 0 END AS n_silent,
+        |       CASE WHEN d.doc_id % 7 <> 0 THEN m.max_rms ELSE 0.0 END AS max_rms
+        |FROM d JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
     // the INDEPENDENT relational formulation of the row-local fold:
     // unnest → per-(doc, token) counts → quantized-term sum.
     "q189_token_entropy" ->

@@ -139,6 +139,52 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(Multimodal.parseWav(1L, Multimodal.syntheticWav(1L)).valid)
   }
 
+  test("parsePpmThumb: factor-2 sampling matches the direct pixel formula; factor 1 equals the full decode") {
+    // id 3: w=7, h=6 → ow=4, oh=3; raster byte j = (3·31 + j) % 256
+    val id = 3L
+    val bytes = Multimodal.syntheticPpm(id)
+    val t = Multimodal.parsePpmThumb(id, bytes, 2)
+    assert(t.valid && t.out_w === 4 && t.out_h === 3)
+    def mean(c: Int): Double = {
+      val vals = for (y <- 0 until 3; x <- 0 until 4)
+        yield ((id * 31 + 3 * ((2 * y) * 7 + 2 * x) + c) % 256).toDouble
+      vals.sum / vals.length
+    }
+    assert(t.mean_r === mean(0) && t.mean_g === mean(1) && t.mean_b === mean(2))
+    // factor 1 = no resize: means equal the full decoder's
+    val full = Multimodal.parsePpm(id, bytes)
+    val f1 = Multimodal.parsePpmThumb(id, bytes, 1)
+    assert((f1.out_w, f1.out_h, f1.mean_r, f1.mean_g, f1.mean_b) ===
+      ((full.width, full.height, full.mean_r, full.mean_g, full.mean_b)))
+  }
+
+  test("parsePpmThumb quarantines the planted-truncated raster") {
+    val id = 7L // id % 7 == 0 → raster short one byte
+    val t = Multimodal.parsePpmThumb(id, Multimodal.syntheticPpm(id), 2)
+    assert(!t.valid && t.out_w === 0 && t.out_h === 0)
+  }
+
+  test("parseWavFrames: frame RMS grid matches direct computation, tail frame drops, corrupt quarantines") {
+    // id 2: n = 52 samples → 2 full 25-sample frames, 2-sample tail dropped
+    val id = 2L
+    val w = Multimodal.parseWavFrames(id, Multimodal.syntheticWav(id), 25, 300.0)
+    assert(w.valid && w.n_frames === 2L)
+    def rms(f: Int): Double = {
+      val ss = (0 until 25).map { k =>
+        val s = ((id * 7 + (f * 25 + k) * 13) % 2001 - 1000).toDouble
+        s * s
+      }.sum
+      BigDecimal(math.sqrt(ss / 25))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = Seq(rms(0), rms(1))
+    assert(w.max_rms === expected.max)
+    assert(w.n_silent === expected.count(_ < 300.0))
+    // corrupt payload (id % 7 == 0: truncated data chunk) quarantines
+    val bad = Multimodal.parseWavFrames(7L, Multimodal.syntheticWav(7L), 25, 300.0)
+    assert(!bad.valid && bad.n_frames === 0L)
+  }
+
   test("sampleSlices emits fixed-size prefix slices of the payload") {
     val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
     val slices = Multimodal.sampleSlices(
