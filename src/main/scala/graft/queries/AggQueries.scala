@@ -439,6 +439,33 @@ object AggQueries {
           Seq("c_nationkey"), "c_acctbal", "c_custkey")
         .orderBy("c_nationkey")
     }),
+
+    // LEARNED-BINNING TRAIN/APPLY (the feature-store discretization
+    // pattern): equi-depth cut points learned on a content-addressed
+    // ~50% train split (q76's md5 coin — reproducible, partition-
+    // invariant), then applied to EVERY row as bucket = #{cuts < v}.
+    // The train/apply seam is the point: the cuts a production system
+    // persists are learned once and applied to each day's batch
+    // without re-sorting anything — here both halves run in one plan
+    // under the hash gate. Cuts are the upper edges of q148's
+    // distinct-value-granularity histogram (k−1 rows, broadcast); the
+    // apply side is a narrow cross join + count, never a sort.
+    "q194_binning_apply" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_id"),
+          round(col("value"), 4).cast("decimal(18,4)").as("v"))
+      val train = ev.filter(
+        substring(md5(concat(col("event_id").cast("string"), lit(":bin"))),
+          1, 1) < lit("8"))
+      val cuts = graft.ops.Profile.equiDepthHistogram(train, "v", 8)
+        .filter(col("bucket") < 7).select(col("hi").as("cut"))
+      ev.crossJoin(broadcast(cuts))
+        .groupBy(col("event_id"), col("v"))
+        .agg(sum(when(col("v") > col("cut"), 1L).otherwise(0L)).as("bucket"))
+        .select(col("event_id"), col("v").cast("double").as("v"),
+          col("bucket"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -465,6 +492,31 @@ object AggQueries {
         |       round(n_total::DOUBLE * (p_obs - p_exp) * (p_obs - p_exp)
         |             / p_exp, 8) AS chi_term
         |FROM j ORDER BY digit""".stripMargin,
+    // replay of the q148 histogram rule on the same md5 train split,
+    // then the same #{cuts < v} apply.
+    "q194_binning_apply" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(round(value, 4) AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |tr AS (
+        |  SELECT * FROM ev
+        |  WHERE substr(md5(CAST(event_id AS VARCHAR) || ':bin'), 1, 1) < '8'),
+        |freq AS (SELECT v, count(*) AS cnt FROM tr GROUP BY v),
+        |cf AS (
+        |  SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum,
+        |         sum(cnt) OVER () AS total
+        |  FROM freq),
+        |bk AS (
+        |  SELECT v, CAST(floor(((cum - cnt) * 8)::DOUBLE / total) AS BIGINT)
+        |            AS bucket
+        |  FROM cf),
+        |hist AS (SELECT bucket, max(v) AS hi FROM bk GROUP BY bucket),
+        |cuts AS (SELECT hi AS cut FROM hist WHERE bucket < 7)
+        |SELECT e.event_id, CAST(e.v AS DOUBLE) AS v,
+        |       CAST(sum(CASE WHEN e.v > c.cut THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS bucket
+        |FROM ev e CROSS JOIN cuts c
+        |GROUP BY e.event_id, e.v ORDER BY event_id""".stripMargin,
     // same total order, same exact long×decimal moments, same IEEE
     // recombination.
     "q191_gini" ->

@@ -937,6 +937,68 @@ object EventQueries {
         .select(col("user_id"), col("start"), col("end"), col("n_merged"))
         .orderBy("user_id", "start")
     }),
+
+    // PER-GROUP FEATURE STANDARDIZATION (z-score + min-max — the
+    // scaling pass every feature pipeline runs before training): one
+    // aggregation computes exact decimal Σv/Σv²/min/max per type
+    // (q169's moment discipline), broadcasts the group-sized stats
+    // back, and each row's z/minmax is one fixed IEEE tree on the
+    // cast sums — engine-replayable. Zero-variance groups yield null
+    // z; constant groups null minmax. One narrow scan + one
+    // map-side-combined shuffle; the join back broadcasts stats.
+    "q190_standardize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).cast("decimal(18,4)").as("v"))
+      val m = ev.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sv"), sum(col("v") * col("v")).as("svv"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      val mean = col("sv").cast("double") / col("n").cast("double")
+      val varp = col("svv").cast("double") / col("n").cast("double") -
+        mean * mean
+      ev.join(broadcast(m), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          col("v").cast("double").as("v"),
+          when(varp > 0,
+            round((col("v").cast("double") - mean) / sqrt(varp), 6)).as("z"),
+          when(col("vmax") =!= col("vmin"),
+            round((col("v") - col("vmin")).cast("double") /
+              (col("vmax") - col("vmin")).cast("double"), 6)).as("minmax"))
+        .orderBy("event_id")
+    }),
+
+    // OUT-OF-FOLD TARGET ENCODING (the leakage-free categorical
+    // encoder — Micci-Barreca 2001 pattern with k-fold exclusion):
+    // entity = user, target = purchase value, fold = content-
+    // addressed md5 coin of the event id (q76 discipline, so the fold
+    // split is partition-invariant and oracle-replayable). The
+    // encoding a row in fold f sees is the mean of its USER's target
+    // over every OTHER fold: (Σ_u − Σ_{u,f}) / (n_u − n_{u,f}) —
+    // exact decimal sums, one final division. Users whose events all
+    // land in one fold get null (no out-of-fold evidence). Scale
+    // shape: two user-keyed partial-agg shuffles, then a user-sized
+    // join — the event log never joins itself.
+    "q195_target_encode" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val p = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 2).cast("decimal(18,2)").as("y"),
+          (conv(substring(md5(concat(col("event_id").cast("string"),
+            lit(":te"))), 1, 6), 16, 10).cast("long") % 5).as("fold"))
+      val byUser = p.groupBy("user_id")
+        .agg(count(lit(1)).as("n_u"), sum(col("y")).as("s_u"))
+      val byFold = p.groupBy("user_id", "fold")
+        .agg(count(lit(1)).as("n_uf"), sum(col("y")).as("s_uf"))
+      byFold.join(byUser, Seq("user_id"))
+        .select(col("user_id"), col("fold"),
+          (col("n_u") - col("n_uf")).as("n_oof"),
+          when(col("n_u") > col("n_uf"),
+            round((col("s_u") - col("s_uf")).cast("double") /
+              (col("n_u") - col("n_uf")).cast("double"), 6)).as("enc"))
+        .orderBy("user_id", "fold")
+    }),
   )
 
   /** Once-per-session setup for q134: the per-(event_type, day) sketch
@@ -1577,5 +1639,48 @@ object EventQueries {
         |       count(*) AS n_merged
         |FROM i GROUP BY user_id, island
         |ORDER BY user_id, "start"""".stripMargin,
+    // same exact moments, same IEEE recombination order.
+    "q190_standardize" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |         CAST(round(value, 4) AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, count(*) AS n, sum(v) AS sv,
+        |         sum(v * v) AS svv, min(v) AS vmin, max(v) AS vmax
+        |  FROM ev GROUP BY event_type)
+        |SELECT event_id, ev.event_type, CAST(v AS DOUBLE) AS v,
+        |       CASE WHEN svv::DOUBLE / n::DOUBLE
+        |                 - (sv::DOUBLE / n::DOUBLE) * (sv::DOUBLE / n::DOUBLE)
+        |                 > 0
+        |            THEN round((v::DOUBLE - sv::DOUBLE / n::DOUBLE)
+        |                       / sqrt(svv::DOUBLE / n::DOUBLE
+        |                              - (sv::DOUBLE / n::DOUBLE)
+        |                                * (sv::DOUBLE / n::DOUBLE)), 6)
+        |            END AS z,
+        |       CASE WHEN vmax <> vmin
+        |            THEN round((v - vmin)::DOUBLE / (vmax - vmin)::DOUBLE, 6)
+        |            END AS minmax
+        |FROM ev JOIN m USING (event_type) ORDER BY event_id""".stripMargin,
+    // same md5 fold coin, same exclusion arithmetic.
+    "q195_target_encode" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id,
+        |         CAST(round(value, 2) AS DECIMAL(18,2)) AS y,
+        |         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':te'),
+        |                              1, 6)) AS BIGINT) % 5 AS fold
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |u AS (SELECT user_id, count(*) AS n_u, sum(y) AS s_u
+        |      FROM p GROUP BY user_id),
+        |f AS (SELECT user_id, fold, count(*) AS n_uf, sum(y) AS s_uf
+        |      FROM p GROUP BY user_id, fold)
+        |SELECT f.user_id, f.fold,
+        |       CAST(n_u - n_uf AS BIGINT) AS n_oof,
+        |       CASE WHEN n_u > n_uf
+        |            THEN round((s_u - s_uf)::DOUBLE
+        |                       / (n_u - n_uf)::DOUBLE, 6) END AS enc
+        |FROM f JOIN u USING (user_id)
+        |ORDER BY user_id, fold""".stripMargin,
   )
 }

@@ -1503,6 +1503,41 @@ object LlmQueries {
           (col("max_rms") + lit(0.0)).as("max_rms"))
         .orderBy("doc_id")
     }),
+
+    // PMI COLLOCATIONS (Church & Hanks 1990 — the classic phrase/
+    // multiword-expression miner): pointwise mutual information of
+    // adjacent token pairs, pmi = ln(c_xy·T² / (B·n_x·n_y)) with
+    // unigram counts n over T total tokens and bigram counts c over B
+    // total bigrams. Both products stay in exact longs (q168's
+    // integers-inside-ln discipline: one double division, one libm
+    // ln), so the score replays bit-identically. Scale shape: bigram
+    // and unigram tables are vocabulary-sized after their map-side-
+    // combined shuffles (q145's reason-to-exist); the min-count ≥ 5
+    // filter bounds the join fan-in; totals broadcast as one-row
+    // cross joins; top-50 via TakeOrderedAndProject.
+    "q196_pmi" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).select(split(col("text"), " ").as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      val bi = toks.filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS x, t[i+1] AS y))")).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      val totals = uni.agg(sum(col("n")).cast("long").as("t_tokens"))
+        .crossJoin(bi.agg(sum(col("c_xy")).cast("long").as("b_total")))
+      bi.filter(col("c_xy") >= 5)
+        .join(uni.select(col("w").as("x"), col("n").as("n_x")), Seq("x"))
+        .join(uni.select(col("w").as("y"), col("n").as("n_y")), Seq("y"))
+        .crossJoin(broadcast(totals))
+        .select(col("x"), col("y"), col("c_xy"),
+          round(log((col("c_xy") * col("t_tokens") * col("t_tokens"))
+              .cast("double") /
+            (col("b_total") * col("n_x") * col("n_y")).cast("double")), 6)
+            .as("pmi"))
+        .orderBy(desc("pmi"), col("x"), col("y"))
+        .limit(50)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1609,6 +1644,33 @@ object LlmQueries {
         |       CASE WHEN d.doc_id % 7 <> 0 THEN m.n_silent ELSE 0 END AS n_silent,
         |       CASE WHEN d.doc_id % 7 <> 0 THEN m.max_rms ELSE 0.0 END AS max_rms
         |FROM d JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // same counts, same exact integer products inside the ln; the
+    // bigram explode zips two parallel unnests instead of Spark's
+    // index transform — an independent enumeration of the same pairs.
+    "q196_pmi" ->
+      """WITH d AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS n
+        |  FROM (SELECT unnest(t) AS w FROM d) GROUP BY w),
+        |bi AS (
+        |  SELECT x, y, count(*) AS c_xy
+        |  FROM (SELECT unnest(t[1:len(t) - 1]) AS x,
+        |               unnest(t[2:len(t)]) AS y
+        |        FROM d WHERE len(t) >= 2)
+        |  GROUP BY x, y),
+        |tot AS (
+        |  SELECT (SELECT CAST(sum(n) AS BIGINT) FROM uni) AS t_tokens,
+        |         (SELECT CAST(sum(c_xy) AS BIGINT) FROM bi) AS b_total)
+        |SELECT bi.x, bi.y, bi.c_xy,
+        |       round(ln((bi.c_xy * t_tokens * t_tokens)::DOUBLE
+        |                / (b_total * ux.n * uy.n)::DOUBLE), 6) AS pmi
+        |FROM bi
+        |JOIN uni ux ON ux.w = bi.x
+        |JOIN uni uy ON uy.w = bi.y
+        |CROSS JOIN tot
+        |WHERE bi.c_xy >= 5
+        |ORDER BY pmi DESC, x, y LIMIT 50""".stripMargin,
     // the INDEPENDENT relational formulation of the row-local fold:
     // unnest → per-(doc, token) counts → quantized-term sum.
     "q189_token_entropy" ->
