@@ -114,38 +114,56 @@ object TextAnalysis {
     when(size(arr) > 0, best.cast("double") / size(arr))
   }
 
-  /** Row-local UNIGRAM-ENTROPY moments: run lengths c_i of the sorted
-    * token array (the q101 run-fold technique, expressed positionally:
-    * run starts = positions whose token differs from the previous,
-    * run lengths = consecutive start deltas), then the Shannon sum
-    * Σ c_i·ln(c_i) with each term quantized to DECIMAL(28,10) BEFORE
-    * the fold add — the fold visits runs in sorted-token order while
-    * a relational replay (the q189 oracle) sums them in arbitrary
-    * order, and only exact decimal terms make those agree. Entropy
-    * itself is H = ln(n) − Σ/n, left to the caller as one fixed IEEE
+  /** Row-local UNIGRAM-ENTROPY moments via the q101 run fold: ONE
+    * aggregate() pass over the sorted token array carries (previous
+    * token, current run length, distinct count, Shannon sum) and
+    * closes each run's term c·ln(c) as the next run starts — O(n log n)
+    * per row, every element touched once. (A first cut derived run
+    * boundaries POSITIONALLY — filter(sequence(1, n)) with
+    * element_at on the sorted array — and measured 89 s at sf0.1:
+    * each lambda invocation re-evaluated its operand tree, so the
+    * sort ran per ELEMENT; the same trap q147's postmortem records.
+    * Single-fold forms are the only safe shape for interpreted HOFs.)
+    *
+    * Each term quantizes to DECIMAL(28,10) BEFORE the fold add — the
+    * fold visits runs in sorted-token order while a relational replay
+    * (the q189 oracle) sums them in arbitrary order, and only exact
+    * decimal terms make those agree. Entropy itself is
+    * H = ln(n) − Σ/n, left to the caller as one fixed IEEE
     * recombination of the exact moments (q169 discipline).
     *
-    * Returns struct(n_tokens, n_distinct, sum_clnc); zero-row struct
-    * on an empty array (sequence(1, 0) would descend). Zero shuffle —
-    * the text-quality companion of topElementFractionOf: low entropy
-    * flags templated/repetitive documents that length filters miss. */
+    * Returns struct(n_tokens, n_distinct, sum_clnc); zeros on an
+    * empty array. Zero shuffle — the text-quality companion of
+    * topElementFractionOf: low entropy flags templated/repetitive
+    * documents that length filters miss. */
   def tokenEntropyOf(arr: Column): Column = {
-    val s = array_sort(arr)
-    val n = size(s)
-    val starts = filter(sequence(lit(1), n),
-      i => (i === 1) || !(element_at(s, i) <=> element_at(s, i - 1)))
-    val ends = concat(
-      slice(starts, lit(2), greatest(size(starts) - 1, lit(0))), array(n + 1))
-    val runs = zip_with(starts, ends, (a, b) => b - a)
-    val sumq = aggregate(runs, lit(0).cast("decimal(28,10)"),
-      (acc, c) => (acc + round(c.cast("double") * log(c.cast("double")), 10)
-        .cast("decimal(28,10)")).cast("decimal(28,10)"))
-    when(n > 0,
-      struct(n.cast("long").as("n_tokens"),
-        size(starts).cast("long").as("n_distinct"),
-        sumq.as("sum_clnc")))
-      .otherwise(struct(lit(0L).as("n_tokens"), lit(0L).as("n_distinct"),
-        lit(0).cast("decimal(28,10)").as("sum_clnc")))
+    val dec = "decimal(28,10)"
+    def closeTerm(run: Column): Column =
+      when(run > 0L,
+        round(run.cast("double") * log(run.cast("double")), 10).cast(dec))
+        .otherwise(lit(0).cast(dec))
+    val folded = aggregate(
+      array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("nd"), lit(0).cast(dec).as("sumq")),
+      (acc, x) => {
+        val same = x <=> acc.getField("prev")
+        struct(
+          x.as("prev"),
+          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, acc.getField("nd"))
+            .otherwise(acc.getField("nd") + 1L).as("nd"),
+          when(same, acc.getField("sumq"))
+            .otherwise((acc.getField("sumq") + closeTerm(acc.getField("run")))
+              .cast(dec)).as("sumq"))
+      },
+      acc => struct(
+        acc.getField("nd").as("n_distinct"),
+        (acc.getField("sumq") + closeTerm(acc.getField("run")))
+          .cast(dec).as("sum_clnc")))
+    struct(size(arr).cast("long").as("n_tokens"),
+      folded.getField("n_distinct").as("n_distinct"),
+      folded.getField("sum_clnc").as("sum_clnc"))
   }
 
   /** Duplicate fraction: 1 − distinct/total (0.0 on empty input) —
