@@ -125,6 +125,25 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
   }
 
+  /** EQUI-JOIN SIZE ESTIMATE from two count-min counter tables over
+    * the SAME (depth, width, seed): |A ⋈_k B| = Σ_k f_A(k)·f_B(k) is
+    * estimated by min over rows r of Σ_b cA[r][b]·cB[r][b] — the
+    * CM inner-product estimator (Cormode & Muthukrishnan 2005 §4.2),
+    * one-sided like the point estimates (never BELOW the true join
+    * size; collisions only add). The optimizer-statistics primitive:
+    * two fixed-size sketches built in each table's ingest pass answer
+    * "how big would this join be" without touching either table
+    * again. The arithmetic is depth·width-sized — driver-free,
+    * engine-replayable (q198 runs the whole lifecycle under the hash
+    * gate). */
+  def countMinInnerProduct(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("r"), col("bucket"), col("cnt").as("__ca"))
+      .join(b.select(col("r"), col("bucket"), col("cnt").as("__cb")),
+        Seq("r", "bucket"))
+      .groupBy(col("r"))
+      .agg(sum(col("__ca") * col("__cb")).as("__ip"))
+      .agg(min(col("__ip")).as("cm_join_est"))
+
   /** Overlap estimate between two sketches by inclusion-exclusion:
     * |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B). The union rides the
     * lossless-merge law, so the only error is the three estimates' —

@@ -999,6 +999,62 @@ object EventQueries {
               (col("n_u") - col("n_uf")).cast("double"), 6)).as("enc"))
         .orderBy("user_id", "fold")
     }),
+
+    // SEASONAL-BASELINE ANOMALY FLAGS (the metrics-monitoring
+    // workhorse): each event's value scored against ITS OWN seasonal
+    // cell — (event_type, hour-of-day) — so a nightly lull doesn't
+    // false-positive the morning spike. Exact decimal moments per
+    // cell (q190's machinery on the seasonal key), cell stats
+    // broadcast back (|types|·24 rows whatever the corpus), one
+    // fixed IEEE z per event; only |z| > 2 rows emitted — the alert
+    // feed, not a re-dump of the log. Cells need n ≥ 12 and positive
+    // variance (an undersampled or constant cell flags nothing).
+    "q197_seasonal_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          hour(col("ts")).as("hod"),
+          round(col("value"), 4).cast("decimal(18,4)").as("v"))
+      val m = ev.groupBy("event_type", "hod").agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sv"), sum(col("v") * col("v")).as("svv"))
+      val mean = col("sv").cast("double") / col("n").cast("double")
+      val varp = col("svv").cast("double") / col("n").cast("double") -
+        mean * mean
+      ev.join(broadcast(m), Seq("event_type", "hod"))
+        .filter(col("n") >= 12 && varp > 0)
+        .select(col("event_id"), col("event_type"), col("hod"),
+          col("v").cast("double").as("v"),
+          round((col("v").cast("double") - mean) / sqrt(varp), 6).as("z"))
+        .filter(abs(col("z")) > 2.0)
+        .orderBy("event_id")
+    }),
+
+    // PERCENTILE WINSORIZATION (the heavy-tail clamp feature prep
+    // runs before q190's scaling): per type, values clip to the
+    // exact [p05, p95] — q29's percentile ≡ quantile_cont parity at
+    // 4dp, ONE percentile(array(...)) buffer per group, cut points
+    // broadcast back. Emits only the CLIPPED rows plus per-row
+    // direction — the audit trail a feature pipeline archives.
+    "q199_winsorize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).cast("decimal(18,4)").as("v"))
+      val cuts = ev.groupBy("event_type")
+        .agg(expr("percentile(cast(v as double), array(0.05, 0.95))").as("ps"))
+        .select(col("event_type"),
+          round(element_at(col("ps"), 1), 4).as("lo"),
+          round(element_at(col("ps"), 2), 4).as("hi"))
+      ev.join(broadcast(cuts), Seq("event_type"))
+        .withColumn("vd", col("v").cast("double"))
+        .filter(col("vd") < col("lo") || col("vd") > col("hi"))
+        .select(col("event_id"), col("event_type"), col("vd").as("v"),
+          when(col("vd") < col("lo"), col("lo")).otherwise(col("hi"))
+            .as("clipped"),
+          when(col("vd") < col("lo"), lit("low")).otherwise(lit("high"))
+            .as("tail"))
+        .orderBy("event_id")
+    }),
   )
 
   /** Once-per-session setup for q134: the per-(event_type, day) sketch
@@ -1682,5 +1738,46 @@ object EventQueries {
         |                       / (n_u - n_uf)::DOUBLE, 6) END AS enc
         |FROM f JOIN u USING (user_id)
         |ORDER BY user_id, fold""".stripMargin,
+    // same seasonal cells, same moments, same recombination; naive
+    // timestamps give the same UTC hour the pinned session sees.
+    "q197_seasonal_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, hour(ts) AS hod,
+        |         CAST(round(value, 4) AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, hod, count(*) AS n, sum(v) AS sv,
+        |         sum(v * v) AS svv
+        |  FROM ev GROUP BY event_type, hod),
+        |z AS (
+        |  SELECT event_id, ev.event_type, ev.hod, CAST(v AS DOUBLE) AS v,
+        |         round((v::DOUBLE - sv::DOUBLE / n::DOUBLE)
+        |               / sqrt(svv::DOUBLE / n::DOUBLE
+        |                      - (sv::DOUBLE / n::DOUBLE)
+        |                        * (sv::DOUBLE / n::DOUBLE)), 6) AS z
+        |  FROM ev JOIN m USING (event_type, hod)
+        |  WHERE n >= 12
+        |    AND svv::DOUBLE / n::DOUBLE
+        |        - (sv::DOUBLE / n::DOUBLE) * (sv::DOUBLE / n::DOUBLE) > 0)
+        |SELECT * FROM z WHERE abs(z) > 2.0 ORDER BY event_id""".stripMargin,
+    // same exact percentiles (q29 parity), same clip rule.
+    "q199_winsorize" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |         CAST(round(value, 4) AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |cuts AS (
+        |  SELECT event_type,
+        |         round(quantile_cont(v::DOUBLE, 0.05), 4) AS lo,
+        |         round(quantile_cont(v::DOUBLE, 0.95), 4) AS hi
+        |  FROM ev GROUP BY event_type)
+        |SELECT event_id, ev.event_type, CAST(v AS DOUBLE) AS v,
+        |       CASE WHEN CAST(v AS DOUBLE) < lo THEN lo ELSE hi END
+        |         AS clipped,
+        |       CASE WHEN CAST(v AS DOUBLE) < lo THEN 'low' ELSE 'high' END
+        |         AS tail
+        |FROM ev JOIN cuts USING (event_type)
+        |WHERE CAST(v AS DOUBLE) < lo OR CAST(v AS DOUBLE) > hi
+        |ORDER BY event_id""".stripMargin,
   )
 }

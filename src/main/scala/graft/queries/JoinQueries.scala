@@ -497,6 +497,32 @@ object JoinQueries {
         .orderBy(desc("aa_score"), col("a"), col("b"))
         .limit(100)
     }),
+
+    // JOIN-SIZE ESTIMATION from count-min sketches (Sketch.
+    // countMinInnerProduct — the CM inner-product estimator): two
+    // fixed-size counter tables built in each table's own ingest
+    // pass answer |lineitem ⋈ orders| without touching either table
+    // again — the optimizer-statistics primitive behind join
+    // reordering at 100 TB, where rescanning to count is exactly
+    // what you can't do. One-sided like the point estimates (never
+    // below the true size; bucket collisions only add). The exact
+    // join count rides along as the audit column; the whole
+    // lifecycle — both builds, the depth·width-sized product, the
+    // min — runs under the hash gate via the md5 bucket discipline.
+    "q198_join_size_est" -> ((s, dir) => {
+      val ca = graft.ops.Sketch.countMinBuild(
+        Tables.lineitem(s, dir).select(col("l_orderkey").as("k")),
+        "k", 4, 1024, 13L)
+      val cb = graft.ops.Sketch.countMinBuild(
+        Tables.orders(s, dir).select(col("o_orderkey").as("k")),
+        "k", 4, 1024, 13L)
+      val est = graft.ops.Sketch.countMinInnerProduct(ca, cb)
+      val exact = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("exact_join_rows"))
+      est.crossJoin(broadcast(exact))
+    }),
   )
 
   /** Once-per-session setup for q133: lineitem re-written
@@ -546,6 +572,31 @@ object JoinQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the full CM lifecycle on both tables: same md5 buckets, same
+    // counter builds, same per-row inner product, same min.
+    "q198_join_size_est" ->
+      """WITH ha AS (
+        |  SELECT t.r,
+        |         CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':13:' ||
+        |                CAST(l_orderkey AS VARCHAR)), 1, 6)) AS BIGINT) % 1024
+        |           AS bucket
+        |  FROM lineitem CROSS JOIN range(4) t(r)),
+        |ca AS (SELECT r, bucket, count(*) AS ca FROM ha GROUP BY r, bucket),
+        |hb AS (
+        |  SELECT t.r,
+        |         CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':13:' ||
+        |                CAST(o_orderkey AS VARCHAR)), 1, 6)) AS BIGINT) % 1024
+        |           AS bucket
+        |  FROM orders CROSS JOIN range(4) t(r)),
+        |cb AS (SELECT r, bucket, count(*) AS cb FROM hb GROUP BY r, bucket),
+        |ip AS (
+        |  SELECT ca.r, CAST(sum(ca.ca * cb.cb) AS BIGINT) AS ip
+        |  FROM ca JOIN cb USING (r, bucket) GROUP BY ca.r),
+        |est AS (SELECT min(ip) AS cm_join_est FROM ip),
+        |ex AS (
+        |  SELECT count(*) AS exact_join_rows
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT cm_join_est, exact_join_rows FROM est CROSS JOIN ex""".stripMargin,
     // same orientation, same quantized terms, same tie-broken top-100.
     "q185_adamic_adar" ->
       """WITH adj AS (

@@ -165,6 +165,26 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
     assert(canon(merged) === canon(single))
   }
 
+  test("countMinInnerProduct: never below the true join size; disjoint keys can still collide upward") {
+    // A: key k appears (k % 3) + 1 times for k in 0..39
+    // B: key k appears (k % 5) + 1 times for k in 20..59
+    val aRows = (0L until 40L).flatMap(k => Seq.fill((k % 3).toInt + 1)(k))
+    val bRows = (20L until 60L).flatMap(k => Seq.fill((k % 5).toInt + 1)(k))
+    val trueSize = (20L until 40L)
+      .map(k => ((k % 3) + 1) * ((k % 5) + 1)).sum
+    val est = Sketch.countMinInnerProduct(
+        Sketch.countMinBuild(aRows.toDF("k"), "k", 4, 64, 21L),
+        Sketch.countMinBuild(bRows.toDF("k"), "k", 4, 64, 21L))
+      .as[Long].head()
+    assert(est >= trueSize, s"inner product $est under true size $trueSize")
+    // a wide sketch tightens the estimate toward exact
+    val wide = Sketch.countMinInnerProduct(
+        Sketch.countMinBuild(aRows.toDF("k"), "k", 4, 4096, 21L),
+        Sketch.countMinBuild(bRows.toDF("k"), "k", 4, 4096, 21L))
+      .as[Long].head()
+    assert(wide >= trueSize && wide <= est)
+  }
+
   test("countMin: a key absent from the build estimates >= 0, never negative") {
     val built = Sketch.countMinBuild(Seq(1L, 2L, 3L).toDF("k"), "k", 4, 8, 5L)
     val est = Sketch.countMinEstimate(built, Seq(99L).toDF("k"), "k", 4, 8, 5L)
