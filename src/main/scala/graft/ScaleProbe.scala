@@ -92,7 +92,15 @@ object ScaleProbe {
       // the Pregel loop, the deletion-neighborhood join, the
       // degree-oriented triangles, the basket-pair mining
       "q162_basket_lift", "q163_pagerank", "q164_edit_join",
-      "q171_triangles")
+      "q171_triangles",
+      // round-11 eighth/ninth waves (fixture-pair shapes): the
+      // Σdeg²-bounded wedge join, the fixed-size CM build (shuffle
+      // should be ~scale-invariant — counters cap at depth×width per
+      // partition), the windowed interval merge, the run-fold entropy
+      // (zero shuffle — wall should track the scan), and the CM
+      // join-size lifecycle over lineitem+orders
+      "q185_adamic_adar", "q184_count_min", "q187_interval_coalesce",
+      "q189_token_entropy", "q198_join_size_est")
     // SPARK_GRAFT_PROBE_ONLY=q106,q120 restricts the family — the
     // 30–50× runs target just the linear-growth outliers rather than
     // paying the whole family at a corpus 3–5× the 10× one.

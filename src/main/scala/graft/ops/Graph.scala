@@ -82,8 +82,11 @@ object Graph {
     * degree (libm parity, q140/q132 precedent), quantized to
     * DECIMAL(18,10) BEFORE the per-pair sum, so the aggregation is
     * order/partition-invariant and the DuckDB oracle replays it
-    * bit-identically (q185). Only z with deg >= 2 can appear in a
-    * wedge, so ln(deg) >= ln 2 — no zero division.
+    * bit-identically (q185). Neighbors with deg = 1 can never be
+    * shared, so they are DROPPED before the term projection — both a
+    * fan-out saving and the ANSI divide-by-zero guard (ln(1) = 0; the
+    * sf0.1 graph has single-supplier customers, so the guard is load-
+    * bearing, not theoretical).
     *
     * Scale shape: the wedge self-join on z fans out Σ_z deg(z)² pairs
     * — the inherent cost of enumerating 2-hop pairs. ORIENT the input
@@ -98,6 +101,7 @@ object Graph {
       .distinct()
     val deg = e.groupBy(col("nbr")).agg(count(lit(1)).as("deg"))
     val term = e.join(deg, Seq("nbr"))
+      .filter(col("deg") >= 2)
       .select(col("nbr"), col("node"),
         round(lit(1.0) / log(col("deg").cast("double")), 10)
           .cast("decimal(18,10)").as("term"))

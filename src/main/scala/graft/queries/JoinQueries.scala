@@ -607,7 +607,7 @@ object JoinQueries {
         |  SELECT adj.nbr, adj.node,
         |         CAST(round(1.0 / ln(deg.deg::DOUBLE), 10)
         |              AS DECIMAL(18,10)) AS term
-        |  FROM adj JOIN deg USING (nbr))
+        |  FROM adj JOIN deg USING (nbr) WHERE deg.deg >= 2)
         |SELECT x.node AS a, y.node AS b, count(*) AS n_common,
         |       CAST(sum(x.term) AS DOUBLE) AS aa_score
         |FROM term x JOIN term y
