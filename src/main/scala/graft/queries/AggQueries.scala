@@ -466,6 +466,36 @@ object AggQueries {
           col("bucket"))
         .orderBy("event_id")
     }),
+
+    // ABC CLASSIFICATION (Pareto/contribution analysis — the
+    // inventory/revenue-concentration report): parts ranked by
+    // revenue desc, class A while the running cumulative stays
+    // within 80% of total, B within 95%, C after. The boundary
+    // compares are EXACT INTEGER-SCALED DECIMAL inequalities
+    // (5·cum ≤ 4·total, 20·cum ≤ 19·total) — no float share ever
+    // computed, so the class cut cannot drift cross-engine. The
+    // corpus collapses to the part-revenue table first (one
+    // map-side-combined shuffle); the running sum is a window over
+    // the PART DOMAIN under the (rev desc, partkey) total order —
+    // q148's documented O(domain) seam, with runningTotalByRange as
+    // the large-domain path.
+    "q203_abc_class" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      val ord = Window.orderBy(desc("rev"), col("l_partkey"))
+      rev
+        .withColumn("cum", sum(col("rev")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("rev")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("l_partkey"), col("rev").cast("double").as("rev"),
+          when(col("cum") * 5 <= col("total") * 4, lit("A"))
+            .when(col("cum") * 20 <= col("total") * 19, lit("B"))
+            .otherwise(lit("C")).as("abc_class"))
+        .orderBy("l_partkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -492,6 +522,23 @@ object AggQueries {
         |       round(n_total::DOUBLE * (p_obs - p_exp) * (p_obs - p_exp)
         |             / p_exp, 8) AS chi_term
         |FROM j ORDER BY digit""".stripMargin,
+    // same total order, same exact integer-scaled boundary compares.
+    "q203_abc_class" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY l_partkey),
+        |r AS (
+        |  SELECT l_partkey, rev,
+        |         sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |                        ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(rev) OVER () AS total
+        |  FROM rev)
+        |SELECT l_partkey, CAST(rev AS DOUBLE) AS rev,
+        |       CASE WHEN cum * 5 <= total * 4 THEN 'A'
+        |            WHEN cum * 20 <= total * 19 THEN 'B'
+        |            ELSE 'C' END AS abc_class
+        |FROM r ORDER BY l_partkey""".stripMargin,
     // replay of the q148 histogram rule on the same md5 train split,
     // then the same #{cuts < v} apply.
     "q194_binning_apply" ->

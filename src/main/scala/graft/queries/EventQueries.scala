@@ -1055,6 +1055,130 @@ object EventQueries {
             .as("tail"))
         .orderBy("event_id")
     }),
+
+    // EWMA SMOOTHING, bounded lookback (the control-chart smoother):
+    // α = 1/4 over the trailing 8 observations per user's purchase
+    // series. The weights α(1−α)^j = 3^j/4^(j+1) share denominator
+    // 4^8, so they become INTEGER weights (16384, 12288, …, 2187) —
+    // numerator Σ w_j·x_{t−j} is exact long×decimal, the truncated
+    // tail renormalizes by the exact Σ of PRESENT weights, and the
+    // only double op is the final division (the q163 fixed-point
+    // philosophy applied to smoothing: no float powers anywhere, so
+    // nothing to drift cross-engine). One key shuffle; the 8 lags are
+    // row-local reads of one window sort.
+    "q200_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val weights = Seq(16384L, 12288L, 9216L, 6912L, 5184L, 3888L, 2916L, 2187L)
+      val base = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value"), 4).cast("decimal(18,4)").as("v"))
+      val lagged = weights.zipWithIndex.foldLeft(base) { case (df, (_, j)) =>
+        df.withColumn(s"__x$j", lag(col("v"), j).over(w))
+      }
+      val num = weights.zipWithIndex.map { case (wt, j) =>
+        coalesce((col(s"__x$j") * lit(wt)).cast("decimal(38,4)"),
+          lit(0).cast("decimal(38,4)"))
+      }.reduce((a, b) => (a + b).cast("decimal(38,4)"))
+      val den = weights.zipWithIndex.map { case (wt, j) =>
+        when(col(s"__x$j").isNotNull, lit(wt)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      lagged.select(col("event_id"), col("user_id"),
+          col("v").cast("double").as("v"),
+          round(num.cast("double") / den.cast("double"), 6).as("ewma"))
+        .orderBy("event_id")
+    }),
+
+    // CUPED VARIANCE REDUCTION (Deng et al. 2013 — the A/B readout
+    // every mature experimentation platform applies): adjust each
+    // user's experiment metric by their PRE-PERIOD covariate,
+    // y' = y − θ(x − x̄), θ = cov(x,y)/var(x) pooled across arms. All
+    // five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as exact
+    // decimals in ONE user-level aggregation; θ, the adjusted means,
+    // and the variance-reduction ratio are fixed IEEE recombinations
+    // of those moments — per-arm variance of the ADJUSTED metric
+    // comes from the same moments via var(y') = var(y) − 2θcov +
+    // θ²var(x), never a second pass. Arm = md5 coin of the user id
+    // (q169 discipline). Scale shape: events collapse to one row per
+    // user, then to one row per arm.
+    "q201_cuped" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val cutoff = lit("2024-07-01").cast("date")
+      val perUser = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click" && to_date(col("ts")) < cutoff,
+            round(col("value"), 2).cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("x"),
+          sum(when(col("event_type") === "purchase" && to_date(col("ts")) >= cutoff,
+            round(col("value"), 2).cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("y"))
+        .select(col("user_id"), col("x"), col("y"),
+          (conv(substring(md5(concat(col("user_id").cast("string"),
+            lit(":cuped"))), 1, 1), 16, 10) % 2).cast("int").as("arm"))
+      val g = perUser.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val theta = (col("n").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      val xbar = col("sx").cast("double") / col("n").cast("double")
+      val arms = perUser.groupBy(col("arm")).agg(count(lit(1)).as("n_arm"),
+        sum(col("y")).as("sy_a"), sum(col("x")).as("sx_a"),
+        sum(col("y") * col("y")).as("syy_a"),
+        sum(col("x") * col("x")).as("sxx_a"),
+        sum(col("x") * col("y")).as("sxy_a"))
+      arms.crossJoin(broadcast(g.select(theta.as("theta"), xbar.as("xbar"))))
+        .withColumn("nd", col("n_arm").cast("double"))
+        .withColumn("my", col("sy_a").cast("double") / col("nd"))
+        .withColumn("mx", col("sx_a").cast("double") / col("nd"))
+        .withColumn("vy",
+          col("syy_a").cast("double") / col("nd") - col("my") * col("my"))
+        .withColumn("vx",
+          col("sxx_a").cast("double") / col("nd") - col("mx") * col("mx"))
+        .withColumn("cva",
+          col("sxy_a").cast("double") / col("nd") - col("mx") * col("my"))
+        .select(col("arm"), col("n_arm"),
+          round(col("my"), 6).as("raw_mean"),
+          round(col("my") - col("theta") * (col("mx") - col("xbar")), 6)
+            .as("cuped_mean"),
+          when(col("vy") > 0,
+            round(lit(1.0) -
+              (col("vy") - lit(2.0) * col("theta") * col("cva") +
+                col("theta") * col("theta") * col("vx")) / col("vy"), 6))
+            .as("var_reduction"))
+        .orderBy("arm")
+    }),
+
+    // MAX DRAWDOWN per user (the risk/stability metric, applied to
+    // the purchase-value series): running peak via a window max, dd =
+    // (peak − v)/peak per observation — exact decimal peak and value,
+    // one IEEE division quantized at 6dp BEFORE the per-user max so
+    // the aggregate is order-free. One key shuffle feeds window + agg
+    // (the q131/q174 time-series discipline).
+    "q204_max_drawdown" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val p = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull &&
+          col("value") > 0)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value"), 4).cast("decimal(18,4)").as("v"))
+        .withColumn("peak", max(col("v")).over(w))
+        .withColumn("dd",
+          round((col("peak") - col("v")).cast("double") /
+            col("peak").cast("double"), 6))
+      p.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_obs"), max(col("dd")).as("max_drawdown"))
+        .orderBy("user_id")
+    }),
   )
 
   /** Once-per-session setup for q134: the per-(event_type, day) sketch
@@ -1760,6 +1884,110 @@ object EventQueries {
         |    AND svv::DOUBLE / n::DOUBLE
         |        - (sv::DOUBLE / n::DOUBLE) * (sv::DOUBLE / n::DOUBLE) > 0)
         |SELECT * FROM z WHERE abs(z) > 2.0 ORDER BY event_id""".stripMargin,
+    // same integer weights over the same lag chain, one division.
+    "q200_ewma" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(round(value, 4) AS DECIMAL(18,4)) AS v
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |l AS (
+        |  SELECT event_id, user_id, v,
+        |         lag(v, 0) OVER w AS x0, lag(v, 1) OVER w AS x1,
+        |         lag(v, 2) OVER w AS x2, lag(v, 3) OVER w AS x3,
+        |         lag(v, 4) OVER w AS x4, lag(v, 5) OVER w AS x5,
+        |         lag(v, 6) OVER w AS x6, lag(v, 7) OVER w AS x7
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, CAST(v AS DOUBLE) AS v,
+        |       round((coalesce(x0 * 16384, 0) + coalesce(x1 * 12288, 0)
+        |              + coalesce(x2 * 9216, 0) + coalesce(x3 * 6912, 0)
+        |              + coalesce(x4 * 5184, 0) + coalesce(x5 * 3888, 0)
+        |              + coalesce(x6 * 2916, 0) + coalesce(x7 * 2187, 0)
+        |             )::DOUBLE /
+        |             (CASE WHEN x0 IS NULL THEN 0 ELSE 16384 END
+        |              + CASE WHEN x1 IS NULL THEN 0 ELSE 12288 END
+        |              + CASE WHEN x2 IS NULL THEN 0 ELSE 9216 END
+        |              + CASE WHEN x3 IS NULL THEN 0 ELSE 6912 END
+        |              + CASE WHEN x4 IS NULL THEN 0 ELSE 5184 END
+        |              + CASE WHEN x5 IS NULL THEN 0 ELSE 3888 END
+        |              + CASE WHEN x6 IS NULL THEN 0 ELSE 2916 END
+        |              + CASE WHEN x7 IS NULL THEN 0 ELSE 2187 END
+        |             )::DOUBLE, 6) AS ewma
+        |FROM l ORDER BY event_id""".stripMargin,
+    // same five pooled moments, same theta/xbar, same per-arm
+    // moment-algebra recombination.
+    "q201_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN event_type = 'click'
+        |                   AND CAST(ts AS DATE) < DATE '2024-07-01'
+        |                  THEN CAST(round(value, 2) AS DECIMAL(18,2))
+        |                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+        |         sum(CASE WHEN event_type = 'purchase'
+        |                   AND CAST(ts AS DATE) >= DATE '2024-07-01'
+        |                  THEN CAST(round(value, 2) AS DECIMAL(18,2))
+        |                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY user_id),
+        |ua AS (
+        |  SELECT *, CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+        |              || ':cuped'), 1, 1)) AS BIGINT) % 2 AS INT) AS arm
+        |  FROM u),
+        |g AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM ua),
+        |t AS (
+        |  SELECT (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |         / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |           AS theta,
+        |         sx::DOUBLE / n::DOUBLE AS xbar
+        |  FROM g),
+        |a AS (
+        |  SELECT arm, count(*) AS n_arm, sum(y) AS sy_a, sum(x) AS sx_a,
+        |         sum(y * y) AS syy_a, sum(x * x) AS sxx_a,
+        |         sum(x * y) AS sxy_a
+        |  FROM ua GROUP BY arm),
+        |m AS (
+        |  SELECT arm, n_arm, theta, xbar,
+        |         n_arm::DOUBLE AS nd,
+        |         sy_a::DOUBLE / n_arm::DOUBLE AS my,
+        |         sx_a::DOUBLE / n_arm::DOUBLE AS mx,
+        |         syy_a::DOUBLE / n_arm::DOUBLE
+        |           - (sy_a::DOUBLE / n_arm::DOUBLE)
+        |             * (sy_a::DOUBLE / n_arm::DOUBLE) AS vy,
+        |         sxx_a::DOUBLE / n_arm::DOUBLE
+        |           - (sx_a::DOUBLE / n_arm::DOUBLE)
+        |             * (sx_a::DOUBLE / n_arm::DOUBLE) AS vx,
+        |         sxy_a::DOUBLE / n_arm::DOUBLE
+        |           - (sx_a::DOUBLE / n_arm::DOUBLE)
+        |             * (sy_a::DOUBLE / n_arm::DOUBLE) AS cva
+        |  FROM a CROSS JOIN t)
+        |SELECT arm, n_arm, round(my, 6) AS raw_mean,
+        |       round(my - theta * (mx - xbar), 6) AS cuped_mean,
+        |       CASE WHEN vy > 0
+        |            THEN round(1.0::DOUBLE
+        |                       - (vy - 2::DOUBLE * theta * cva
+        |                          + theta * theta * vx) / vy, 6)
+        |            END AS var_reduction
+        |FROM m ORDER BY arm""".stripMargin,
+    // same running peak, same quantized per-row drawdown.
+    "q204_max_drawdown" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(round(value, 4) AS DECIMAL(18,4)) AS v
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL AND value > 0),
+        |r AS (
+        |  SELECT user_id, v,
+        |         max(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM p)
+        |SELECT user_id, count(*) AS n_obs,
+        |       max(round((peak - v)::DOUBLE / peak::DOUBLE, 6))
+        |         AS max_drawdown
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     // same exact percentiles (q29 parity), same clip rule.
     "q199_winsorize" ->
       """WITH ev AS (

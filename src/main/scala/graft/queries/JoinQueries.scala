@@ -523,6 +523,34 @@ object JoinQueries {
         .agg(count(lit(1)).as("exact_join_rows"))
       est.crossJoin(broadcast(exact))
     }),
+
+    // COORDINATED (join-consistent) SAMPLING: both tables sample by
+    // the SAME content-addressed coin on the JOIN KEY — md5(orderkey)
+    // prefix < '4' keeps ~25% of keys — so each side filters
+    // INDEPENDENTLY at the scan (no coordination channel, no key
+    // exchange) yet their samples join losslessly: sample(A) ⋈
+    // sample(B) ≡ sample(A ⋈ B). That identity IS the hash gate
+    // here — the Spark side joins two independently-filtered scans,
+    // the oracle samples the JOIN once; the estimator column scales
+    // the sampled revenue by 1/rate. The 100 TB point: uncoordinated
+    // (row-random) samples of two tables make their join an
+    // intersection of independent events — rate² survival and a
+    // biased estimate — while key-coordinated sampling keeps every
+    // surviving order INTACT with all its lineitems.
+    "q202_coordinated_sample" -> ((s, dir) => {
+      def keep(key: org.apache.spark.sql.Column) =
+        substring(md5(concat(key.cast("string"), lit(":cs"))), 1, 1) < "4"
+      val li = Tables.lineitem(s, dir).filter(keep(col("l_orderkey")))
+      val ord = Tables.orders(s, dir).filter(keep(col("o_orderkey")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+        .select(col("o_orderstatus"), col("n_sampled"),
+          col("rev").cast("double").as("sampled_rev"),
+          (col("rev") * 4).cast("double").as("est_total_rev"))
+        .orderBy("o_orderstatus")
+    }),
   )
 
   /** Once-per-session setup for q133: lineitem re-written
@@ -572,6 +600,18 @@ object JoinQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the IDENTITY under test: the oracle samples the JOIN once by
+    // the same key coin; the Spark side joined two independently-
+    // sampled scans — they must hash-match exactly.
+    "q202_coordinated_sample" ->
+      """SELECT o_orderstatus, count(*) AS n_sampled,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sampled_rev,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 4 AS DOUBLE)
+        |         AS est_total_rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || ':cs'), 1, 1) < '4'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the full CM lifecycle on both tables: same md5 buckets, same
     // counter builds, same per-row inner product, same min.
     "q198_join_size_est" ->
