@@ -1179,6 +1179,141 @@ object EventQueries {
         .agg(count(lit(1)).as("n_obs"), max(col("dd")).as("max_drawdown"))
         .orderBy("user_id")
     }),
+
+    // QUANTILE MAPPING (empirical Q–Q transfer — the distribution-
+    // alignment pass for drift correction / domain adaptation): each
+    // click value maps to the purchase value at the same percentile.
+    // Both CDFs are EXACT INTEGER percentiles — (cum·10^6) div n over
+    // the distinct-value frequency table — and the lookup is the
+    // as-of composition (ops.AsOf backward on the percentile key):
+    // largest reference percentile ≤ the source one. Zero float
+    // ranks; the integer scale bounds tie risk to n > 10^6 per
+    // distribution (raise the scale constant beyond that). Source
+    // values below the reference's first percentile stay null
+    // (left-outer honesty, q156 discipline). The CDFs are
+    // domain-sized; the as-of window rides one constant-key
+    // partition over ref+src DISTINCT values — q148's O(domain) seam.
+    "q205_quantile_map" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value"), 2).cast("decimal(18,2)").as("v"))
+      def cdf(t: String) = {
+        val ord = Window.orderBy("v")
+        ev.filter(col("event_type") === t)
+          .groupBy("v").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum("cnt").over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .select(col("v"), expr("(cum * 1000000) div n").as("pr"))
+      }
+      val src = cdf("click").select(lit(0).as("k"), col("pr"),
+        col("v").as("v_click"))
+      val ref = cdf("purchase").select(lit(0).as("k"), col("pr"),
+        col("v").as("v_ref"))
+      graft.ops.AsOf.asofBackward(src, ref, "k", "pr", Seq("v_ref"))
+        .select(col("v_click").cast("double").as("v_click"), col("pr"),
+          col("asof_v_ref").cast("double").as("v_mapped"))
+        .orderBy("v_click")
+    }),
+
+    // POSITION-BASED (U-SHAPED) ATTRIBUTION — q159's machinery with
+    // the 40/20/40 weight curve every marketing stack offers beside
+    // linear: first and last prior touchpoints take 40% each, the
+    // middle splits the remaining 20% evenly; 1 prior touch takes
+    // 100%, 2 split 50/50, a direct conversion credits itself. The
+    // weight is a CASE on the touch's ordinal against the prior
+    // count; credits quantize to DECIMAL(18,6) before the per-type
+    // rollup (q159 discipline, same one-user_id-shuffle shape).
+    "q206_position_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val flagged = Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") >= 1800L,
+            1).otherwise(0))
+        .withColumn("sid", sum("new_s")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ordered = flagged.withColumn("ord", row_number().over(
+        Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")))
+      val purchases = ordered.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("sid"), col("ord").as("p_ord"),
+          (col("ord") - 1).as("k"), col("value").as("p_value"))
+      val touches = ordered
+        .select(col("user_id"), col("sid"), col("ord"), col("event_type"))
+      val weight =
+        when(col("k") <= 1, lit(1.0))
+          .when(col("k") === 2, lit(0.5))
+          .when(col("ord") === 1 || col("ord") === col("k"), lit(0.4))
+          .otherwise(lit(0.2) / (col("k") - 2))
+      purchases.join(touches, Seq("user_id", "sid"))
+        .filter(col("ord") < col("p_ord") ||
+          (col("k") === 0 && col("ord") === col("p_ord")))
+        .withColumn("credit", (col("p_value") * weight).cast("decimal(18,6)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit")).cast("double").as("credited_value"))
+        .orderBy("event_type")
+    }),
+
+    // KAPLAN–MEIER SURVIVAL (time to first purchase, right-censored
+    // at last activity — the funnel-latency curve with the censoring
+    // every naive "average days to convert" silently fumbles): at
+    // each distinct event day t, at-risk n_t = users whose exit
+    // (conversion OR censoring) is ≥ t, deaths d_t = conversions at
+    // t; S(t) = Π (1 − d/n). The product becomes an ORDER-FREE sum of
+    // DECIMAL(24,10)-quantized ln((n−d)/n) terms (exact integer
+    // ratios inside the ln, q168 discipline) exponentiated once; a
+    // day where every at-risk user converts pins S to 0 from there on
+    // (ln(0) never evaluated). Events collapse to one row per user,
+    // then to the day domain — both windows ride the tiny exit-day
+    // table.
+    "q207_kaplan_meier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val perUser = Tables.events(s, dir).groupBy("user_id").agg(
+        min(to_date(col("ts"))).as("first_day"),
+        max(to_date(col("ts"))).as("last_day"),
+        min(when(col("event_type") === "purchase", to_date(col("ts"))))
+          .as("first_purchase"))
+      val u = perUser.select(
+        when(col("first_purchase").isNotNull,
+          datediff(col("first_purchase"), col("first_day")))
+          .otherwise(datediff(col("last_day"), col("first_day")))
+          .cast("long").as("t_exit"),
+        col("first_purchase").isNotNull.as("died"))
+      val byT = u.groupBy("t_exit").agg(count(lit(1)).as("n_exit"),
+        sum(when(col("died"), 1L).otherwise(0L)).as("d"))
+      val ord = Window.orderBy("t_exit")
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = byT
+        .withColumn("n_total", sum("n_exit").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("exited_before", coalesce(sum("n_exit").over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("at_risk", col("n_total") - col("exited_before"))
+        .filter(col("d") > 0)
+      risk
+        .withColumn("lnterm",
+          when(col("d") < col("at_risk"),
+            round(log((col("at_risk") - col("d")).cast("double") /
+              col("at_risk").cast("double")), 10).cast("decimal(24,10)"))
+            .otherwise(lit(0).cast("decimal(24,10)")))
+        .withColumn("zeroed", max(when(col("d") === col("at_risk"), 1L)
+          .otherwise(0L)).over(cum))
+        .withColumn("ln_s", sum("lnterm").over(cum))
+        .select(col("t_exit").as("t_days"), col("d").as("n_converted"),
+          col("at_risk"),
+          when(col("zeroed") === 1, lit(0.0))
+            .otherwise(round(exp(col("ln_s").cast("double")), 6))
+            .as("survival"))
+        .orderBy("t_days")
+    }),
   )
 
   /** Once-per-session setup for q134: the per-(event_type, day) sketch
@@ -1972,6 +2107,107 @@ object EventQueries {
         |                          + theta * theta * vx) / vy, 6)
         |            END AS var_reduction
         |FROM m ORDER BY arm""".stripMargin,
+    // same integer CDFs, mapped by DuckDB's native ASOF join — the
+    // independent formulation of the as-of composition.
+    "q205_quantile_map" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |src AS (
+        |  SELECT v AS v_click,
+        |         (sum(count(*)) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |          * 1000000)
+        |         // (sum(count(*)) OVER ()) AS pr
+        |  FROM ev WHERE event_type = 'click' GROUP BY v),
+        |ref AS (
+        |  SELECT v AS v_ref,
+        |         (sum(count(*)) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |          * 1000000)
+        |         // (sum(count(*)) OVER ()) AS pr
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY v)
+        |SELECT CAST(s.v_click AS DOUBLE) AS v_click, s.pr,
+        |       CAST(r.v_ref AS DOUBLE) AS v_mapped
+        |FROM src s ASOF LEFT JOIN ref r ON r.pr <= s.pr
+        |ORDER BY v_click""".stripMargin,
+    // q159's session/ordinal SQL with the 40/20/40 weight CASE.
+    "q206_position_attribution" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 >= 1800
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         sum(new_s) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |o AS (
+        |  SELECT user_id, sid, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id, sid
+        |           ORDER BY ts, event_id) AS ord
+        |  FROM s),
+        |p AS (SELECT user_id, sid, ord AS p_ord, ord - 1 AS k,
+        |             value AS p_value
+        |      FROM o WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT t.event_type,
+        |         CAST(p.p_value *
+        |           (CASE WHEN p.k <= 1 THEN 1.0::DOUBLE
+        |                 WHEN p.k = 2 THEN 0.5::DOUBLE
+        |                 WHEN t.ord = 1 OR t.ord = p.k THEN 0.4::DOUBLE
+        |                 ELSE 0.2::DOUBLE / (p.k - 2) END)
+        |           AS DECIMAL(18,6)) AS credit
+        |  FROM p JOIN o t ON t.user_id = p.user_id AND t.sid = p.sid
+        |   AND (t.ord < p.p_ord OR (p.k = 0 AND t.ord = p.p_ord)))
+        |SELECT event_type, count(*) AS n_touches,
+        |       CAST(sum(credit) AS DOUBLE) AS credited_value
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same exit/censoring construction, same quantized ln terms, same
+    // zero pinning.
+    "q207_kaplan_meier" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+        |         max(CAST(ts AS DATE)) AS last_day,
+        |         min(CASE WHEN event_type = 'purchase'
+        |                  THEN CAST(ts AS DATE) END) AS first_purchase
+        |  FROM events GROUP BY user_id),
+        |u AS (
+        |  SELECT CAST(CASE WHEN first_purchase IS NOT NULL
+        |                   THEN datediff('day', first_day, first_purchase)
+        |                   ELSE datediff('day', first_day, last_day) END
+        |              AS BIGINT) AS t_exit,
+        |         first_purchase IS NOT NULL AS died
+        |  FROM pu),
+        |bt AS (
+        |  SELECT t_exit, count(*) AS n_exit,
+        |         CAST(sum(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM u GROUP BY t_exit),
+        |r AS (
+        |  SELECT t_exit, d,
+        |         sum(n_exit) OVER ()
+        |           - coalesce(sum(n_exit) OVER (ORDER BY t_exit
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS at_risk
+        |  FROM bt),
+        |t AS (
+        |  SELECT t_exit, d, at_risk,
+        |         CASE WHEN d < at_risk
+        |              THEN CAST(round(ln((at_risk - d)::DOUBLE
+        |                                 / at_risk::DOUBLE), 10)
+        |                        AS DECIMAL(24,10))
+        |              ELSE CAST(0 AS DECIMAL(24,10)) END AS lnterm,
+        |         CASE WHEN d = at_risk THEN 1 ELSE 0 END AS z
+        |  FROM r WHERE d > 0)
+        |SELECT t_exit AS t_days, d AS n_converted, at_risk,
+        |       CASE WHEN max(z) OVER (ORDER BY t_exit
+        |                              ROWS UNBOUNDED PRECEDING) = 1
+        |            THEN 0.0::DOUBLE
+        |            ELSE round(exp(CAST(sum(lnterm) OVER (ORDER BY t_exit
+        |                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6) END
+        |         AS survival
+        |FROM t ORDER BY t_days""".stripMargin,
     // same running peak, same quantized per-row drawdown.
     "q204_max_drawdown" ->
       """WITH p AS (
