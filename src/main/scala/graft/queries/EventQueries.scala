@@ -1105,7 +1105,7 @@ object EventQueries {
     // user, then to one row per arm.
     "q201_cuped" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val cutoff = lit("2024-07-01").cast("date")
+      val cutoff = lit("2024-01-15").cast("date")
       val perUser = Tables.events(s, dir)
         .filter(col("value").isNotNull)
         .groupBy(col("user_id"))
@@ -1177,6 +1177,51 @@ object EventQueries {
             col("peak").cast("double"), 6))
       p.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_obs"), max(col("dd")).as("max_drawdown"))
+        .orderBy("user_id")
+    }),
+
+    // BITEMPORAL AS-OF (valid time × transaction time — the "what
+    // did we BELIEVE on day R the state was at day V" audit query a
+    // corrections-prone warehouse needs; Snodgrass's two-axis model):
+    // each purchase is a fact with VALID time ts and a RECORDED time
+    // ts + (event_id % 3) hours (the planted late-arrival pattern —
+    // deterministic, so the whole two-axis semantics sits under the
+    // hash gate). The state of each user as of (V, R) = filter
+    // recorded ≤ R FIRST (what we knew), then latest valid ≤ V per
+    // user — ONE key shuffle, one window; the naive formulation is a
+    // correlated subquery per axis. Rows where the belief at R
+    // DIFFERS from the final state (late rows still in flight) are
+    // flagged — the reconciliation feed.
+    "q208_bitemporal" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val facts = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("valid_us"),
+          (unix_micros(col("ts")) +
+            (col("event_id") % 3) * 3600000000L).as("recorded_us"),
+          round(col("value"), 2).cast("decimal(18,2)").as("v"))
+      val vCut = lit(1705320000000000L) // 2024-01-15T12:00Z valid-time cut
+      val rCut = lit(1705323600000000L) // one hour later, recorded cut
+      def latestAsOf(df: org.apache.spark.sql.DataFrame, tag: String) = {
+        val w = Window.partitionBy("user_id")
+          .orderBy(desc("valid_us"), desc("event_id"))
+        df.filter(col("valid_us") <= vCut)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("user_id"), col("valid_us").as(s"${tag}_valid_us"),
+            col("v").cast("double").as(s"${tag}_value"))
+      }
+      val believed = latestAsOf(facts.filter(col("recorded_us") <= rCut),
+        "believed")
+      val finalState = latestAsOf(facts, "final")
+      believed.join(finalState, Seq("user_id"), "full")
+        .select(col("user_id"),
+          col("believed_valid_us"), col("believed_value"),
+          col("final_valid_us"), col("final_value"),
+          (!(col("believed_valid_us") <=> col("final_valid_us")))
+            .as("late_data_pending"))
         .orderBy("user_id")
     }),
 
@@ -2056,11 +2101,11 @@ object EventQueries {
       """WITH u AS (
         |  SELECT user_id,
         |         sum(CASE WHEN event_type = 'click'
-        |                   AND CAST(ts AS DATE) < DATE '2024-07-01'
+        |                   AND CAST(ts AS DATE) < DATE '2024-01-15'
         |                  THEN CAST(round(value, 2) AS DECIMAL(18,2))
         |                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
         |         sum(CASE WHEN event_type = 'purchase'
-        |                   AND CAST(ts AS DATE) >= DATE '2024-07-01'
+        |                   AND CAST(ts AS DATE) >= DATE '2024-01-15'
         |                  THEN CAST(round(value, 2) AS DECIMAL(18,2))
         |                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
         |  FROM events WHERE value IS NOT NULL
@@ -2107,6 +2152,38 @@ object EventQueries {
         |                          + theta * theta * vx) / vy, 6)
         |            END AS var_reduction
         |FROM m ORDER BY arm""".stripMargin,
+    // same planted recorded-time arithmetic, both axes replayed as
+    // correlated row_number cuts.
+    "q208_bitemporal" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS valid_us,
+        |         epoch_us(ts) + (event_id % 3) * 3600000000 AS recorded_us,
+        |         CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |b AS (
+        |  SELECT user_id, valid_us AS believed_valid_us,
+        |         CAST(v AS DOUBLE) AS believed_value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY valid_us DESC, event_id DESC) AS rn
+        |        FROM f
+        |        WHERE recorded_us <= 1705323600000000
+        |          AND valid_us <= 1705320000000000)
+        |  WHERE rn = 1),
+        |fi AS (
+        |  SELECT user_id, valid_us AS final_valid_us,
+        |         CAST(v AS DOUBLE) AS final_value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY valid_us DESC, event_id DESC) AS rn
+        |        FROM f WHERE valid_us <= 1705320000000000)
+        |  WHERE rn = 1)
+        |SELECT coalesce(b.user_id, fi.user_id) AS user_id,
+        |       believed_valid_us, believed_value,
+        |       final_valid_us, final_value,
+        |       believed_valid_us IS DISTINCT FROM final_valid_us
+        |         AS late_data_pending
+        |FROM b FULL JOIN fi ON b.user_id = fi.user_id
+        |ORDER BY user_id""".stripMargin,
     // same integer CDFs, mapped by DuckDB's native ASOF join — the
     // independent formulation of the as-of composition.
     "q205_quantile_map" ->

@@ -1504,6 +1504,43 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // BIGRAM LM QUALITY SCORING — q102's unigram proxy upgraded one
+    // order (the CCNet-style fluency signal a unigram model can't
+    // see: scrambled text keeps its unigram score but collapses
+    // here): per-doc mean log-probability under the corpus's own
+    // add-one-smoothed bigram model, p(y|x) = (c_xy + 1)/(c_x + V).
+    // Integer counts inside the ln (q168 discipline), each bigram's
+    // term quantized to DECIMAL(24,10) before the per-doc sum, one
+    // final division. Scale shape: the count joins ride the bigram/
+    // unigram tables (vocabulary-sized after map-side combine, q102's
+    // unhinted-join reasoning); text never shuffles — (x, y, doc)
+    // triples do.
+    "q209_bigram_logprob" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+      val pairs = toks.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS x, t[i+1] AS y))")).as("p"))
+        .select(col("doc_id"), col("p.x").as("x"), col("p.y").as("y"))
+      val big = pairs.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      val uni = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c_w"))
+      val vsize = uni.agg(count(lit(1)).as("v_size"))
+      pairs.join(big, Seq("x", "y"))
+        .join(uni.select(col("w").as("x"), col("c_w")), Seq("x"))
+        .crossJoin(broadcast(vsize))
+        .withColumn("lnp",
+          round(log((col("c_xy") + 1).cast("double") /
+            (col("c_w") + col("v_size")).cast("double")), 10)
+            .cast("decimal(24,10)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("lnp")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_lnp"))
+        .orderBy("doc_id")
+    }),
+
     // PMI COLLOCATIONS (Church & Hanks 1990 — the classic phrase/
     // multiword-expression miner): pointwise mutual information of
     // adjacent token pairs, pmi = ln(c_xy·T² / (B·n_x·n_y)) with
@@ -1644,6 +1681,30 @@ object LlmQueries {
         |       CASE WHEN d.doc_id % 7 <> 0 THEN m.n_silent ELSE 0 END AS n_silent,
         |       CASE WHEN d.doc_id % 7 <> 0 THEN m.max_rms ELSE 0.0 END AS max_rms
         |FROM d JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // same smoothed model, same quantized per-bigram terms; pairs
+    // enumerated by the independent zipped-unnest construction.
+    "q209_bigram_logprob" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, unnest(t[1:len(t) - 1]) AS x,
+        |         unnest(t[2:len(t)]) AS y
+        |  FROM d WHERE len(t) >= 2),
+        |big AS (SELECT x, y, count(*) AS c_xy FROM pairs GROUP BY x, y),
+        |uni AS (
+        |  SELECT w, count(*) AS c_w
+        |  FROM (SELECT unnest(t) AS w FROM d) GROUP BY w),
+        |vs AS (SELECT count(*) AS v_size FROM uni)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(CAST(sum(CAST(round(
+        |                 ln((c_xy + 1)::DOUBLE / (c_w + v_size)::DOUBLE), 10)
+        |               AS DECIMAL(24,10))) AS DOUBLE)
+        |             / count(*)::DOUBLE, 6) AS mean_lnp
+        |FROM pairs
+        |JOIN big USING (x, y)
+        |JOIN uni ON uni.w = pairs.x
+        |CROSS JOIN vs
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same counts, same exact integer products inside the ln; the
     // bigram explode zips two parallel unnests instead of Spark's
     // index transform — an independent enumeration of the same pairs.

@@ -269,6 +269,28 @@ object Events {
   def enrichWithStatic(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key), "left")
 
+  /** STREAMING SEASONAL-ANOMALY FLAGS — q197's alert feed run live:
+    * incoming events join the PERSISTED per-(event_type, hour-of-day)
+    * baseline (a static table the batch job refreshes — the standard
+    * monitoring split: heavy moments offline, cheap scoring online)
+    * and emit only |z| > k rows. A stream-static inner join keeps no
+    * streaming state at all — the baseline broadcasts (|types|·24
+    * rows), so the scoring is scan-local per micro-batch. Works
+    * unchanged on a batch frame (the batch ≡ stream contract;
+    * EventsStreamSpec pins equivalence on the fixture). `baseline`
+    * columns: event_type, hod, mean, std (std > 0 rows only). */
+  def anomalyFlags(events: DataFrame, baseline: DataFrame,
+                   k: Double): DataFrame =
+    events
+      .withColumn("hod", hour(col("ts")))
+      .withColumn("v",
+        round(col("value"), 4).cast("decimal(18,4)").cast("double"))
+      .join(broadcast(baseline), Seq("event_type", "hod"))
+      .withColumn("z", round((col("v") - col("mean")) / col("std"), 6))
+      .filter(abs(col("z")) > k)
+      .select(col("event_id"), col("event_type"), col("hod"), col("v"),
+        col("z"))
+
   /** Stream-stream join with bounded state: clicks matched to the same
     * user's purchases within `horizon` AFTER the click. BOTH sides are
     * watermarked and the join condition carries the time bound — the

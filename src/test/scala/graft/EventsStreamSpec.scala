@@ -79,6 +79,33 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming anomaly flags against a static baseline equal the batch scoring") {
+    // baseline for (click, hour 10): mean 2.0, std 1.0 → the 9.0 value
+    // (z = 7) and the -4.0 (z = -6) flag; 2.5 (z = 0.5) does not
+    val baseline = Seq(("click", 10, 2.0, 1.0), ("view", 10, 3.0, 2.0))
+      .toDF("event_type", "hod", "mean", "std")
+    val b1 = Seq(
+      Ev(1, t("2024-01-01T10:01:00Z"), 1, "click", 9.0),
+      Ev(2, t("2024-01-01T10:04:00Z"), 2, "click", 2.5))
+    val b2 = Seq(
+      Ev(3, t("2024-01-01T10:07:00Z"), 1, "click", -4.0),
+      Ev(4, t("2024-01-01T10:08:00Z"), 2, "view", 3.5))
+    val ms = MemoryStream[Ev](spark)
+    val name = queryName()
+    val q = Events.anomalyFlags(ms.toDF(), baseline, 2.0).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val streamed = spark.table(name).collect().toSet
+      val batch = Events.anomalyFlags((b1 ++ b2).toDF(), baseline, 2.0)
+        .collect().toSet
+      assert(streamed === batch)
+      assert(spark.table(name).select("event_id").as[Long].collect().toSet
+        === Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("watermark finalizes windows in append mode and DROPS late rows behind it") {
     val ms = MemoryStream[Ev](spark)
     val name = queryName()
