@@ -160,4 +160,49 @@ object Graph {
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** MIN-LABEL PROPAGATION, fixed superstep count (the Pregel
+    * HashMin / "small-star" kernel — Kiveris et al. 2014; after
+    * enough supersteps every node carries the minimum node id of its
+    * connected component, and a FIXED count gives the distance-k
+    * approximation). label₀(v) = v; labelₜ₊₁(v) = min(labelₜ(v),
+    * min over neighbors labelₜ(u)).
+    *
+    * Determinism discipline: the state is the node-id MIN — an
+    * order-free, partition-invariant integer aggregate — so every
+    * superstep is engine-replayable with no quantization at all (the
+    * q163 fixed-point concern doesn't even arise). The DuckDB oracle
+    * unrolls the same supersteps as CTEs; a hash match proves the
+    * whole iterated build, not one step.
+    *
+    * Scale shape per superstep: one equi join of the edge list
+    * (partitioned on src) against the node-sized label table and one
+    * map-side-combined min groupBy — identical to pageRank's loop, so
+    * the same caller guidance applies (persist/bucket edges across
+    * supersteps, checkpoint labels every few rounds; HashMin
+    * converges in O(diameter) rounds, and the doubling variants
+    * [large-star/small-star] cut that to O(log d) at the cost of
+    * rewriting edges — this kernel keeps edges immutable, the right
+    * trade when the edge list is 100 TB and labels are node-sized).
+    *
+    * Input: (src, dst) edge list, SYMMETRIZED by the caller (an
+    * undirected edge appears in both directions — same precondition
+    * as pageRank). Output: (node, label) for every node appearing as
+    * a src. */
+  def labelPropagate(edges: DataFrame, supersteps: Int): DataFrame = {
+    require(supersteps >= 1, "supersteps must be positive")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to supersteps) {
+      val nbrMin = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
+      labels = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+    }
+    labels
+  }
 }

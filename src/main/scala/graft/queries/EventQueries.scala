@@ -1359,6 +1359,71 @@ object EventQueries {
             .as("survival"))
         .orderBy("t_days")
     }),
+
+    // CUSUM CHANGE-POINT DETECTION (Page 1954 — the sequential
+    // drift monitor every metrics stack runs beside the q197
+    // seasonal baseline): one-sided CUSUM over daily purchase
+    // revenue, Sᵢ = max(0, Sᵢ₋₁ + (xᵢ − k)). The recursion looks
+    // inherently sequential — the trap that pushes people to
+    // driver-side loops — but the classic PREFIX-MIN IDENTITY
+    // linearizes it: Sᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ) where P is the
+    // plain prefix sum of (xᵢ − k). Two running windows over the
+    // day-sized series, no recursion, no driver hop (EventsStreamSpec
+    // pins the identity against a literal sequential fold). All
+    // arithmetic in integer CENTS — x as exact decimal cents, the
+    // reference k as total div days — so the whole monitor is
+    // engine-exact. Flag = Sᵢ > k (drift exceeding one average day).
+    // The windows are unpartitioned but DAY-cardinality (q148's
+    // O(domain) seam — partition by metric/tenant in production).
+    "q213_cusum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum((round(col("value"), 2).cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+      val tot = daily.agg(sum(col("cents")).as("tc"),
+        count(lit(1)).as("nd"))
+      val cum = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(tot))
+        .withColumn("k", expr("tc div nd"))
+        .withColumn("p", sum(col("cents") - col("k")).over(cum))
+        .withColumn("s",
+          col("p") - least(lit(0L), min(col("p")).over(cum)))
+        .select(col("day"), col("cents"), col("k"),
+          col("s").as("cusum_cents"), (col("s") > col("k")).as("drift_flag"))
+        .orderBy("day")
+    }),
+
+    // DAU + CUMULATIVE-DISTINCT USERS (the growth-accounting pair):
+    // daily active users is a per-day exact COUNT DISTINCT; the
+    // running "total users ever seen" is the trap — a naive
+    // count(DISTINCT) over an expanding window rescans history every
+    // day. The FIRST-TOUCH identity linearizes it: cumulative
+    // distinct at day d = Σ_{d'≤d} (users whose FIRST event day is
+    // d'), so one user-keyed min-aggregate plus a running sum over
+    // the day-sized series replaces the expanding rescan — the same
+    // shape the streaming path gets from hllDistinctPerWindow when
+    // approximate is acceptable; this is the exact batch form.
+    "q214_cumulative_users" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val dau = ev.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val firstDay = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      val cum = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dau.join(firstDay, Seq("day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cum_users", sum(col("new_users")).over(cum))
+        .orderBy("day")
+    }),
   )
 
   /** Once-per-session setup for q134: the per-(event_type, day) sketch
@@ -2320,5 +2385,49 @@ object EventQueries {
         |FROM ev JOIN cuts USING (event_type)
         |WHERE CAST(v AS DOUBLE) < lo OR CAST(v AS DOUBLE) > hi
         |ORDER BY event_id""".stripMargin,
+    // the same prefix-min linearization replayed in DuckDB's window
+    // dialect — all integer cents, so the identity is engine-exact.
+    "q213_cusum" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         sum(CAST(CAST(round(value, 2) AS DECIMAL(18,2)) * 100
+        |             AS BIGINT)) AS cents
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (SELECT sum(cents) AS tc, count(*) AS nd FROM d),
+        |p AS (
+        |  SELECT day, CAST(cents AS BIGINT) AS cents,
+        |         CAST(tc // nd AS BIGINT) AS k,
+        |         CAST(sum(cents - tc // nd) OVER
+        |           (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+        |  FROM d CROSS JOIN t)
+        |SELECT day, cents, k,
+        |       CAST(p - least(0, min(p) OVER
+        |         (ORDER BY day ROWS UNBOUNDED PRECEDING)) AS BIGINT)
+        |         AS cusum_cents,
+        |       (p - least(0, min(p) OVER
+        |         (ORDER BY day ROWS UNBOUNDED PRECEDING))) > k AS drift_flag
+        |FROM p ORDER BY day""".stripMargin,
+    // the first-touch identity replayed directly; DAU is the plain
+    // per-day exact distinct.
+    "q214_cumulative_users" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |a AS (
+        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM ev GROUP BY day),
+        |f AS (
+        |  SELECT min(day) AS day, user_id FROM ev GROUP BY user_id),
+        |n AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM f GROUP BY day)
+        |SELECT a.day, a.dau,
+        |       CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+        |       CAST(sum(coalesce(n.new_users, 0)) OVER
+        |         (ORDER BY a.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |         AS cum_users
+        |FROM a LEFT JOIN n ON a.day = n.day
+        |ORDER BY a.day""".stripMargin,
   )
 }

@@ -551,6 +551,120 @@ object JoinQueries {
           (col("rev") * 4).cast("double").as("est_total_rev"))
         .orderBy("o_orderstatus")
     }),
+
+    // GRID-BUCKETED PROXIMITY SELF-JOIN (the spatial/radius-join
+    // kernel — fixed-grid spatial hashing, the classic cell
+    // decomposition behind every distributed spatial join): each
+    // customer gets a deterministic planar position in a
+    // 1M × 1M-unit integer grid (content-addressed md5 coordinates,
+    // the q124/q202 coin discipline — engine-replayable, no fixture
+    // column needed), and the query finds every pair within radius
+    // R = 5000 units. The naive formulation is the O(n²) distance
+    // cross join; the grid kernel joins each point's 3×3 neighbor
+    // cells (cell side = R) against home cells — candidates drop
+    // from n² to n × local-density, the inherent output-sized cost.
+    // One side explodes to 9 cells, the other stays put, so each
+    // pair matches in EXACTLY one (home-cell, neighbor-offset)
+    // combination — no post-dedup. Distance test is INTEGER dist² ≤
+    // R² (coords are integers, so squares are exact bigints — no
+    // sqrt, no float boundary ties). The DuckDB oracle IS the naive
+    // quadratic join, so the hash match proves the grid loses no
+    // pair (candidate losslessness, q147/q164 precedent). At 100 TB:
+    // candidates partition by cell — co-located, skew bounded by the
+    // densest cell (shard hot cells like q142 hot terms if needed).
+    "q210_grid_proximity" -> ((s, dir) => {
+      val r = 5000L
+      def axis(tag: String) =
+        conv(substring(md5(concat(lit(tag), col("c_custkey").cast("string"))),
+          1, 6), 16, 10).cast("long") % 1000000L
+      val pts = Tables.customer(s, dir)
+        .select(col("c_custkey").as("id"),
+          axis("gx:").as("x"), axis("gy:").as("y"))
+      val cells = pts.select(col("id"), col("x"), col("y"),
+        expr(s"x div ${r}L").as("cx"), expr(s"y div ${r}L").as("cy"))
+      val probes = cells.select(col("id").as("a_id"),
+          col("x").as("ax"), col("y").as("ay"),
+          explode(array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+            struct((col("cx") + dx).as("cx"),
+              (col("cy") + dy).as("cy")))): _*)).as("c"))
+        .select(col("a_id"), col("ax"), col("ay"),
+          col("c.cx").as("cx"), col("c.cy").as("cy"))
+      probes.join(cells.select(col("id").as("b_id"), col("x").as("bx"),
+          col("y").as("by"), col("cx"), col("cy")), Seq("cx", "cy"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("dist2",
+          (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")))
+        .filter(col("dist2") <= r * r)
+        .select(col("a_id"), col("b_id"), col("dist2"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // ONLY-LATE-SUPPLIER (TPC-H Q21 shape — "suppliers who kept
+    // multi-supplier orders waiting": the EXISTS + NOT-EXISTS double
+    // correlation, the classic relational-calculus stress query).
+    // A supplier is charged for an order when its line shipped > 90
+    // days after the order date, the order has ≥ 2 distinct
+    // suppliers, and NO OTHER supplier was late on it. Spark-first
+    // formulation: instead of Q21's two correlated self-joins
+    // against the fact, aggregate ONCE per (order, supplier) with
+    // a late flag, then close both correlations with order-level
+    // counts on the SAME orderkey shuffle (count of suppliers,
+    // count of late suppliers) — the fact table is scanned once and
+    // shuffled once; the oracle is the textbook EXISTS/NOT-EXISTS
+    // formulation, so the hash match proves the count-based
+    // decorrelation is exact.
+    "q211_only_late_supplier" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .as("late"))
+      val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("supp_late"))
+      val perOrder = perSupp.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late"))
+      perSupp.filter(col("supp_late"))
+        .join(perOrder.filter(col("n_supp") >= 2 && col("n_late") === 1),
+          Seq("l_orderkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("l_suppkey"))
+    }),
+
+    // BOUNDED-SUPERSTEP MIN-LABEL PROPAGATION (ops.Graph.
+    // labelPropagate — the HashMin component-labeling kernel) on the
+    // symmetrized customer–supplier trade graph (q163's node space):
+    // after 3 supersteps each node holds the minimum node id within
+    // distance 3 — the bounded-radius community/component label. The
+    // state is an integer MIN, so the whole iterated build is
+    // engine-exact with no quantization; the DuckDB oracle unrolls
+    // the same 3 supersteps as CTEs (q163's discipline minus the
+    // fixed-point machinery it doesn't need). The graph is THINNED
+    // to quantity-1 trades — the full trade graph collapses to one
+    // label within 3 hops (diameter ~4), which would gate only a
+    // single output row; the sparse subgraph leaves ~45 bounded-
+    // radius communities at sf0.01, so the label histogram carries
+    // real structure.
+    "q212_label_propagation" -> ((s, dir) => {
+      val eb = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") === 1)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s1"))
+        .distinct()
+      val edges = eb.select(col("c").as("src"), col("s1").as("dst"))
+        .unionByName(eb.select(col("s1").as("src"), col("c").as("dst")))
+      graft.ops.Graph.labelPropagate(edges, supersteps = 3)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+          max(col("node")).as("max_node"))
+        .orderBy(desc("n_nodes"), col("label"))
+    }),
   )
 
   /** Once-per-session setup for q133: lineitem re-written
@@ -867,5 +981,72 @@ object JoinQueries {
         |FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
         |ON c.nationkey = s.nationkey
         |ORDER BY nationkey""".stripMargin,
+    // the NAIVE quadratic distance join — the hash match proves the
+    // grid kernel's 3×3-cell candidate set loses no pair.
+    "q210_grid_proximity" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |         CAST(('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)),
+        |           1, 6)) AS BIGINT) % 1000000 AS x,
+        |         CAST(('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)),
+        |           1, 6)) AS BIGINT) % 1000000 AS y
+        |  FROM customer)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |      <= 5000 * 5000
+        |ORDER BY a_id, b_id""".stripMargin,
+    // the textbook EXISTS / NOT-EXISTS double correlation — the
+    // independent formulation of the count-based decorrelation.
+    "q211_only_late_supplier" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+        |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late) l1
+        |WHERE EXISTS (
+        |    SELECT 1 FROM li l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM li l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY l_suppkey
+        |ORDER BY numwait DESC, l_suppkey""".stripMargin,
+    // the same 3 HashMin supersteps unrolled as CTEs (q163's
+    // discipline — integer min state needs no fixed-point scaling).
+    "q212_label_propagation" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s1
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_quantity = 1),
+        |e AS (SELECT c AS src, s1 AS dst FROM eb
+        |      UNION ALL SELECT s1, c FROM eb),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        |l1 AS (
+        |  SELECT l.node, least(l.label, coalesce(m.nbr_min, l.label)) AS label
+        |  FROM l0 l LEFT JOIN (
+        |    SELECT e.dst, min(l.label) AS nbr_min
+        |    FROM e JOIN l0 l ON e.src = l.node GROUP BY e.dst) m
+        |  ON l.node = m.dst),
+        |l2 AS (
+        |  SELECT l.node, least(l.label, coalesce(m.nbr_min, l.label)) AS label
+        |  FROM l1 l LEFT JOIN (
+        |    SELECT e.dst, min(l.label) AS nbr_min
+        |    FROM e JOIN l1 l ON e.src = l.node GROUP BY e.dst) m
+        |  ON l.node = m.dst),
+        |l3 AS (
+        |  SELECT l.node, least(l.label, coalesce(m.nbr_min, l.label)) AS label
+        |  FROM l2 l LEFT JOIN (
+        |    SELECT e.dst, min(l.label) AS nbr_min
+        |    FROM e JOIN l2 l ON e.src = l.node GROUP BY e.dst) m
+        |  ON l.node = m.dst)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+        |       min(node) AS min_node, max(node) AS max_node
+        |FROM l3 GROUP BY label
+        |ORDER BY n_nodes DESC, label""".stripMargin,
   )
 }

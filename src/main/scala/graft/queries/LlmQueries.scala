@@ -1575,6 +1575,40 @@ object LlmQueries {
         .orderBy(desc("pmi"), col("x"), col("y"))
         .limit(50)
     }),
+
+    // MAXSIM LATE-INTERACTION RETRIEVAL (Khattab & Zaharia 2020,
+    // ColBERT): documents are MULTI-VECTOR (a bag of token
+    // embeddings), the query is a small bag of token vectors, and
+    // score(doc) = Σ_{q∈Q} max_{v∈doc} dot(q, v) — each query token
+    // matches its best document token. The fixture has one vector
+    // per vec_id, so docs are the 8-vector groups vec_id div 8 and
+    // the query is group 0's bag (excluded from the corpus) — the
+    // grouping is arithmetic, both engines replay it. Execution
+    // shape: the 8 query vectors broadcast against the corpus scan
+    // (one dot per (vector, query-token) — corpus × |Q| row-local
+    // work), then ONE partial-aggregated max per (doc, q-token) and
+    // one doc-sized sum — no shuffle ever carries a vector, only
+    // (doc, token, scalar) triples. The per-token max runs on RAW
+    // doubles (max is order-free); each max quantizes to
+    // DECIMAL(18,4) BEFORE the cross-token sum (q185's term
+    // discipline), so the gate covers the full two-level reduce.
+    "q215_maxsim" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val docs = e.filter(col("vec_id") >= 8)
+        .select(expr("vec_id div 8").as("doc_id"), col("embedding"))
+      val qtoks = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      docs.crossJoin(broadcast(qtoks))
+        .select(col("doc_id"), col("q_id"),
+          Similarity.dot(col("embedding"), col("q_emb")).as("d"))
+        .groupBy(col("doc_id"), col("q_id"))
+        .agg(max(col("d")).as("mx"))
+        .groupBy(col("doc_id"))
+        .agg(sum(round(col("mx"), 4).cast("decimal(18,4)")).as("score"))
+        .select(col("doc_id"), col("score").cast("double").as("maxsim"))
+        .orderBy(desc("maxsim"), col("doc_id"))
+        .limit(20)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2632,5 +2666,23 @@ object LlmQueries {
         |         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the same two-level reduce over DuckDB's list_dot_product —
+    // raw-double max, decimal-quantized cross-token sum (q51's dot
+    // parity precedent applied per query token).
+    "q215_maxsim" ->
+      """WITH d AS (
+        |  SELECT vec_id // 8 AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 8),
+        |q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |m AS (
+        |  SELECT d.doc_id, q.q_id, max(list_dot_product(d.v, q.qv)) AS mx
+        |  FROM d CROSS JOIN q GROUP BY d.doc_id, q.q_id)
+        |SELECT doc_id,
+        |       CAST(sum(CAST(round(mx, 4) AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS maxsim
+        |FROM m GROUP BY doc_id
+        |ORDER BY maxsim DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

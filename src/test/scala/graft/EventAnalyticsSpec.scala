@@ -96,4 +96,22 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     val bySrc = rows.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
     bySrc.foreach { case (_, p) => assert(math.abs(p - 1.0) < 1e-12) }
   }
+
+  test("q213's prefix-min identity equals the literal sequential CUSUM fold") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // series with a dip below zero, a flat stretch, and a drift burst
+    // (k = 10): exercises the reset (max-with-0) and the no-reset tail
+    val xs = Seq(12L, 3L, 1L, 25L, 30L, 2L, 40L, 41L, 5L, 9L)
+    val k = 10L
+    val expected = xs.scanLeft(0L)((s, x) => math.max(0L, s + x - k)).tail
+    val cum = Window.orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = xs.zipWithIndex.map { case (x, i) => (i, x) }.toDF("i", "x")
+      .withColumn("p", sum(col("x") - k).over(cum))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(cum)))
+      .orderBy("i").select("s").as[Long].collect().toSeq
+    assert(got === expected)
+  }
 }

@@ -102,4 +102,36 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       .collect()
     assert(got.toSeq === Seq((1L, 2L, 1L)))
   }
+
+  test("labelPropagate: two components converge to their min ids") {
+    // path 1-2-3-4 and disjoint pair 10-11, symmetrized
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // diameter 3 → 3 supersteps suffice
+    val got = Graph.labelPropagate(edges, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("labelPropagate: a bounded superstep count labels exactly the k-hop ball") {
+    // path 1-2-3-4-5: after 1 superstep node 3 sees min(2,3,4)=2,
+    // node 5 sees 4; after 2, node 3 reaches 1 but node 5 only 3.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val one = Graph.labelPropagate(edges, 1).as[(Long, Long)].collect().toMap
+    assert(one === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    val two = Graph.labelPropagate(edges, 2).as[(Long, Long)].collect().toMap
+    assert(two === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+  }
+
+  test("labelPropagate is partition-invariant") {
+    val und = (1L to 40L).map(i => (i, i % 7 + 100L)) // 7 stars
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val a = Graph.labelPropagate(edges, 2)
+      .as[(Long, Long)].collect().toSet
+    val b = Graph.labelPropagate(edges.repartition(13), 2)
+      .as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
 }
