@@ -496,6 +496,27 @@ object AggQueries {
             .otherwise(lit("C")).as("abc_class"))
         .orderBy("l_partkey")
     }),
+
+    // FRACTION-OF-TOTAL HAVING (TPC-H Q11 shape — "parts worth more
+    // than 0.05% of total inventory value": a HAVING whose threshold
+    // is a scalar aggregate over the SAME table). Spark-first: one
+    // partial-agg-combined groupBy builds the per-part values, the
+    // grand total is a ONE-ROW broadcast (not a second scan — it
+    // re-aggregates the part-sized intermediate), and the fraction
+    // test is the INTEGER cross-multiplication value·2000 > total on
+    // exact cents — no float share, no epsilon (q203's inequality
+    // discipline applied to the Q11 threshold).
+    "q220_value_fraction" -> ((s, dir) => {
+      val v = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum((round(col("l_extendedprice"), 2).cast("decimal(18,2)") * 100)
+          .cast("long")).as("value_cents"))
+      val tot = v.agg(sum(col("value_cents")).as("total_cents"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("value_cents") * 2000L > col("total_cents"))
+        .select(col("l_partkey"), col("value_cents"))
+        .orderBy(desc("value_cents"), col("l_partkey"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -801,5 +822,17 @@ object AggQueries {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    // the textbook Q11 formulation — HAVING against a scalar subquery
+    // over the same aggregation.
+    "q220_value_fraction" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))
+        |             * 100 AS BIGINT)) AS value_cents
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(value_cents AS BIGINT) AS value_cents
+        |FROM v
+        |WHERE value_cents * 2000 > (SELECT sum(value_cents) FROM v)
+        |ORDER BY value_cents DESC, l_partkey""".stripMargin,
   )
 }

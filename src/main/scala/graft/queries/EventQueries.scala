@@ -1424,6 +1424,76 @@ object EventQueries {
         .withColumn("cum_users", sum(col("new_users")).over(cum))
         .orderBy("day")
     }),
+
+    // AUTOCORRELATION FUNCTION at lags 1–7 (the Box–Jenkins
+    // seasonality probe — the diagnostic behind q197's fixed weekly
+    // baseline: ACF is how you'd DISCOVER the cycle length). Pearson
+    // r between the daily-revenue series and its lag-ℓ shift, for
+    // all 7 lags in ONE plan: the day-sized series explodes ×7 with
+    // a (day − ℓ) join key, one equi join against itself, then per-
+    // lag EXACT integer-cent moments (Σx, Σy, Σxx, Σyy, Σxy as
+    // DECIMAL(38,0) — cents² at 100 TB daily volumes overflows
+    // BIGINT, the q181 width lesson) and ONE fixed IEEE
+    // recombination per lag (q175/q181 discipline). The join wires
+    // day-sized tables — the events scan aggregates once, first.
+    "q217_acf" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum((round(col("value"), 2).cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+      val x = daily.select(col("day"), col("cents").as("x"),
+          explode(sequence(lit(1), lit(7))).as("lag"))
+        .withColumn("prev_day", expr("date_sub(day, lag)"))
+      val joined = x.join(daily.select(col("day").as("prev_day"),
+        col("cents").as("y")), Seq("prev_day"))
+      joined.groupBy(col("lag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x").cast("decimal(19,0)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(19,0)")).cast("double").as("sy"),
+          sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+            .cast("double").as("sxx"),
+          sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+            .cast("double").as("syy"),
+          sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+            .cast("double").as("sxy"))
+        .select(col("lag"), col("n").cast("long").as("n_pairs"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("acf"))
+        .orderBy("lag")
+    }),
+
+    // COHORT LTV TRIANGLE (the growth-accounting companion to q113
+    // retention: revenue, not presence): users cohort by FIRST
+    // purchase day, every later purchase lands in cell (cohort_day,
+    // weeks since) — active users, cell revenue, and the running
+    // cumulative LTV per cohort. One user-keyed min-aggregate, one
+    // user-sized join back (the q195 leakage-free-encoder shape),
+    // one (cohort, age) groupBy; the cumulative window rides the
+    // cohort×age-sized result, never the events. Integer cents and
+    // integer week arithmetic throughout — engine-exact.
+    "q219_cohort_ltv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val pur = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          (round(col("value"), 2).cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+      val cohort = pur.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      val cum = Window.partitionBy("cohort_day").orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pur.join(cohort, Seq("user_id"))
+        .withColumn("age_week", expr("datediff(day, cohort_day) div 7"))
+        .groupBy(col("cohort_day"), col("age_week"))
+        .agg(countDistinct(col("user_id")).as("active_users"),
+          sum(col("cents")).as("rev_cents"))
+        .withColumn("cum_rev_cents", sum(col("rev_cents")).over(cum))
+        .orderBy("cohort_day", "age_week")
+    }),
   )
 
   /** Once-per-session setup for q134: the per-(event_type, day) sketch
@@ -2429,5 +2499,59 @@ object EventQueries {
         |         AS cum_users
         |FROM a LEFT JOIN n ON a.day = n.day
         |ORDER BY a.day""".stripMargin,
+    // the same decimal moments and the same one-shot IEEE
+    // recombination, lag pairs built by the identical shifted self
+    // join.
+    "q217_acf" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         sum(CAST(CAST(round(value, 2) AS DECIMAL(18,2)) * 100
+        |             AS BIGINT)) AS cents
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT l.lag, a.cents AS x, b.cents AS y
+        |  FROM (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER)
+        |          AS lag) l
+        |  CROSS JOIN d a
+        |  JOIN d b ON b.day = a.day - l.lag),
+        |m AS (
+        |  SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+        |              AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |              AS DOUBLE) AS syy,
+        |         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |              AS DOUBLE) AS sxy
+        |  FROM j GROUP BY lag)
+        |SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+        |       round((n * sxy - sx * sy) /
+        |             sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |         AS acf
+        |FROM m ORDER BY lag""".stripMargin,
+    // first-purchase cohorting replayed directly; integer weeks and
+    // cents.
+    "q219_cohort_ltv" ->
+      """WITH pur AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CAST(CAST(round(value, 2) AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM pur GROUP BY 1),
+        |cell AS (
+        |  SELECT cohort_day, (day - cohort_day) // 7 AS age_week,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+        |         CAST(sum(cents) AS BIGINT) AS rev_cents
+        |  FROM pur JOIN c USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT cohort_day, age_week, active_users, rev_cents,
+        |       CAST(sum(rev_cents) OVER (PARTITION BY cohort_day
+        |         ORDER BY age_week ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |         AS cum_rev_cents
+        |FROM cell ORDER BY cohort_day, age_week""".stripMargin,
   )
 }

@@ -665,6 +665,32 @@ object JoinQueries {
           max(col("node")).as("max_node"))
         .orderBy(desc("n_nodes"), col("label"))
     }),
+
+    // TOP-REVENUE SUPPLIER WITH TIES (TPC-H Q15 shape — the
+    // view-plus-scalar-max pattern: a revenue view, then every
+    // supplier achieving its maximum). Spark-first: the "view" is
+    // one partial-agg-combined groupBy over the date-windowed scan
+    // (filter pushed to parquet); the scalar max is a ONE-ROW
+    // broadcast joined back as an equality — no second scan of the
+    // fact, no window over all suppliers. Revenue quantizes to
+    // DECIMAL(18,4) per line before the sum (q135's disc_price
+    // discipline), so max and the tie equality are engine-exact —
+    // float revenue would make "equals the max" a coin flip.
+    "q216_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    }),
   )
 
   /** Once-per-session setup for q133: lineitem re-written
@@ -1048,5 +1074,20 @@ object JoinQueries {
         |       min(node) AS min_node, max(node) AS max_node
         |FROM l3 GROUP BY label
         |ORDER BY n_nodes DESC, label""".stripMargin,
+    // the textbook Q15 formulation: the revenue CTE referenced twice,
+    // max as a scalar subquery.
+    "q216_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(l_extendedprice * (1 - l_discount)
+        |             AS DECIMAL(18,4))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
   )
 }

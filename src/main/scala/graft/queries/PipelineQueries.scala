@@ -201,9 +201,52 @@ object PipelineQueries {
             .cast("double").as("sum_price"))
         .orderBy("o_orderstatus")
     }),
+
+    // COMPACTION / SHARD-PACKING PLAN (the small-files remedy at the
+    // planning layer — q133's partitioned-write fix prevents the
+    // trap at write time; this is the operator that REPAIRS an
+    // already-fragmented table, the Warehouse.shardAssign idea
+    // driven by SIZE instead of count): pack each source's documents,
+    // in deterministic doc_id order, into target-sized output bins
+    // via the START-OFFSET rule bin = (running_size − own_size) div
+    // target — the streaming first-fit every compaction service
+    // runs. One window per source partition (file-count-sized, not
+    // byte-sized rows), one groupBy for the per-bin manifest; no
+    // driver-side packing loop. Oversized single docs land alone in
+    // their own bin (start-offset still within the previous bin's
+    // overflow — the documented greedy semantics). The manifest —
+    // not the rewritten bytes — is the deliverable: the rewrite job
+    // reads it and streams each bin's members.
+    "q218_compaction_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val target = 2000L
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("running", sum(col("n_chars")).over(w))
+        .withColumn("bin", expr(s"(running - n_chars) div ${target}L"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bin_chars"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "bin")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // the same start-offset rule in DuckDB's window dialect.
+    "q218_compaction_plan" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS running
+        |  FROM documents)
+        |SELECT source, (running - n_chars) // 2000 AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS bin_chars,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM r GROUP BY source, bin
+        |ORDER BY source, bin""".stripMargin,
     // the one-shot join the incremental view must reproduce exactly.
     "q167_join_view" ->
       """SELECT o_orderstatus, count(*) AS n_lines,
