@@ -517,6 +517,35 @@ object AggQueries {
         .select(col("l_partkey"), col("value_cents"))
         .orderBy(desc("value_cents"), col("l_partkey"))
     }),
+
+    // HERFINDAHL–HIRSCHMAN CONCENTRATION INDEX per market (the
+    // antitrust / portfolio-concentration screen — the scalar
+    // companion to q191's Gini curve): market = customer segment,
+    // "firm" = customer nation; HHI = Σ firm-share² in the 0–10 000
+    // convention. Shares are INTEGER basis points of exact cents —
+    // share_ppm = rev·10⁶ div market_total — and HHI sums
+    // share_ppm² div 10⁶, so no float share ever exists (q203's
+    // inequality discipline). Two aggregations: (market, firm) cents
+    // off one orders×customer join, then the market rollup; both
+    // market- and firm-cardinality, never order-cardinality, after
+    // the first groupBy.
+    "q222_hhi" -> ((s, dir) => {
+      val byFirm = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(sum((round(col("o_totalprice"), 2).cast("decimal(18,2)") * 100)
+          .cast("long")).as("rev_cents"))
+      val seg = byFirm.groupBy(col("c_mktsegment"))
+        .agg(sum(col("rev_cents")).as("seg_cents"))
+      byFirm.join(seg, Seq("c_mktsegment"))
+        .withColumn("share_ppm",
+          expr("(rev_cents * 1000000) div seg_cents"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_firms"),
+          expr("sum(share_ppm * share_ppm) div 100000000").as("hhi"))
+        .orderBy("c_mktsegment")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -834,5 +863,25 @@ object AggQueries {
         |FROM v
         |WHERE value_cents * 2000 > (SELECT sum(value_cents) FROM v)
         |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+    // same integer-ppm shares, HHI in the 0–10000 convention.
+    "q222_hhi" ->
+      """WITH f AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |         sum(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))
+        |             * 100 AS BIGINT)) AS rev_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT c_mktsegment, sum(rev_cents) AS seg_cents
+        |  FROM f GROUP BY 1),
+        |sh AS (
+        |  SELECT f.c_mktsegment,
+        |         (f.rev_cents * 1000000) // s.seg_cents AS share_ppm
+        |  FROM f JOIN s USING (c_mktsegment))
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_firms,
+        |       CAST(sum(share_ppm * share_ppm) // 100000000 AS BIGINT)
+        |         AS hhi
+        |FROM sh GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
   )
 }

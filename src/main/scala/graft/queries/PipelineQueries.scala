@@ -231,6 +231,86 @@ object PipelineQueries {
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy("source", "bin")
     }),
+
+    // REFERENTIAL-INTEGRITY AUDIT (the FK-orphan sweep — q146's
+    // constraint audit covers single-table invariants; this is the
+    // CROSS-table half every warehouse runs nightly): one row per
+    // declared FK edge of the star schema with child row count and
+    // orphan count (children whose parent key is absent). Each edge
+    // is a LEFT ANTI join aggregated to a count — anti joins
+    // broadcast their parent side when small and never materialize
+    // matches. The fixture is referentially clean by construction —
+    // asserting zero IS the audit — so one edge is also checked
+    // against a DAMAGED parent snapshot (every 97th order removed,
+    // deterministic) to keep the nonzero reporting path under the
+    // gate (q146's deliberately-failing-check discipline).
+    "q223_fk_orphans" -> ((s, dir) => {
+      def edge(name: String, child: DataFrame, ck: String,
+               parent: DataFrame, pk: String): DataFrame = {
+        val orphans = child.join(parent.select(col(pk)),
+          col(ck) === col(pk), "left_anti")
+        child.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+      }
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      edge("lineitem.orderkey->orders", li, "l_orderkey", ord, "o_orderkey")
+        .unionByName(edge("lineitem.partkey->part", li, "l_partkey",
+          Tables.part(s, dir), "p_partkey"))
+        .unionByName(edge("lineitem.suppkey->supplier", li, "l_suppkey",
+          Tables.supplier(s, dir), "s_suppkey"))
+        .unionByName(edge("orders.custkey->customer", ord, "o_custkey",
+          Tables.customer(s, dir), "c_custkey"))
+        .unionByName(edge("customer.nationkey->nation",
+          Tables.customer(s, dir), "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey"))
+        .unionByName(edge("lineitem.orderkey->orders[damaged]", li,
+          "l_orderkey", ord.filter(col("o_orderkey") % 97 =!= 0),
+          "o_orderkey"))
+        .orderBy("fk")
+    }),
+
+    // ZONE-MAP EFFECTIVENESS AUDIT (the data-skipping planner's
+    // what-if — q126 builds the z-order layout; this MEASURES what a
+    // layout buys): lineitem is binned into 1000-row "files" under
+    // two layouts — shipdate-SORTED vs natural (orderkey, linenumber)
+    // arrival order — each file keeps its (min, max) shipdate zone
+    // map, and a representative one-month predicate counts prunable
+    // files (max < lo OR min >= hi). Sorted layout prunes nearly
+    // everything; arrival order prunes nothing — the measured
+    // argument for sort-before-write at 100 TB, where a pruned file
+    // is IO that never happens. row_number is the file assigner
+    // (deterministic total orders both engines replay); integer/
+    // timestamp compares only. The unpartitioned row_number is the
+    // SIMULATION's device, not the operator's production shape: real
+    // zone maps come from parquet footers (file-count-sized
+    // metadata), and a production what-if reads those, never
+    // re-ranks the data (q124's global-rank-funnel rule stands).
+    "q224_zonemap_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      val lo = lit("1996-01-01").cast("timestamp_ntz")
+      val hi = lit("1996-02-01").cast("timestamp_ntz")
+      def audit(layout: String, ordered: org.apache.spark.sql.Column*) = {
+        val w = Window.orderBy(ordered: _*)
+        li.withColumn("rn", row_number().over(w))
+          .withColumn("file_id", expr("(rn - 1) div 1000"))
+          .groupBy(col("file_id"))
+          .agg(min(col("l_shipdate")).as("zmin"),
+            max(col("l_shipdate")).as("zmax"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("zmax") < lo || col("zmin") >= hi, 1L)
+              .otherwise(0L)).as("n_pruned"))
+          .select(lit(layout).as("layout"), col("n_files"), col("n_pruned"))
+      }
+      audit("shipdate_sorted", col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))
+        .unionByName(audit("arrival_order", col("l_orderkey"),
+          col("l_linenumber")))
+        .orderBy("layout")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -247,6 +327,72 @@ object PipelineQueries {
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM r GROUP BY source, bin
         |ORDER BY source, bin""".stripMargin,
+    // each FK edge as NOT IN-style anti counts; the damaged edge
+    // filters the parent the same deterministic way.
+    "q223_fk_orphans" ->
+      """SELECT 'lineitem.orderkey->orders' AS fk,
+        |       (SELECT count(*) FROM lineitem) AS n_rows,
+        |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |         (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |         AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem.partkey->part',
+        |       (SELECT count(*) FROM lineitem),
+        |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |         (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |UNION ALL
+        |SELECT 'lineitem.suppkey->supplier',
+        |       (SELECT count(*) FROM lineitem),
+        |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |         (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |UNION ALL
+        |SELECT 'orders.custkey->customer',
+        |       (SELECT count(*) FROM orders),
+        |       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |         (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL
+        |SELECT 'customer.nationkey->nation',
+        |       (SELECT count(*) FROM customer),
+        |       (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |         (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |UNION ALL
+        |SELECT 'lineitem.orderkey->orders[damaged]',
+        |       (SELECT count(*) FROM lineitem),
+        |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |         (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+        |            AND o.o_orderkey % 97 <> 0))
+        |ORDER BY fk""".stripMargin,
+    // the same two simulated layouts under DuckDB's row_number.
+    "q224_zonemap_audit" ->
+      """WITH s AS (
+        |  SELECT l_shipdate,
+        |         (row_number() OVER (ORDER BY l_shipdate, l_orderkey,
+        |            l_linenumber) - 1) // 1000 AS file_id
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_shipdate,
+        |         (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1)
+        |           // 1000 AS file_id
+        |  FROM lineitem),
+        |sz AS (
+        |  SELECT file_id, min(l_shipdate) AS zmin, max(l_shipdate) AS zmax
+        |  FROM s GROUP BY 1),
+        |az AS (
+        |  SELECT file_id, min(l_shipdate) AS zmin, max(l_shipdate) AS zmax
+        |  FROM a GROUP BY 1)
+        |SELECT 'shipdate_sorted' AS layout,
+        |       CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(CASE WHEN zmax < TIMESTAMP '1996-01-01'
+        |                       OR zmin >= TIMESTAMP '1996-02-01'
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned
+        |FROM sz
+        |UNION ALL
+        |SELECT 'arrival_order', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN zmax < TIMESTAMP '1996-01-01'
+        |                       OR zmin >= TIMESTAMP '1996-02-01'
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM az
+        |ORDER BY layout""".stripMargin,
     // the one-shot join the incremental view must reproduce exactly.
     "q167_join_view" ->
       """SELECT o_orderstatus, count(*) AS n_lines,

@@ -120,6 +120,25 @@ object RelationalQueries {
           "p_size", "p_retailprice")
         .orderBy("p_partkey")
     }),
+
+    // BAG-SEMANTICS EXCEPT ALL (q05's set EXCEPT keeps one row per
+    // surviving key; EXCEPT ALL keeps max(0, n_left − n_right)
+    // COPIES — the multiset difference reconciliation needs when
+    // "how many are missing" matters, not just "which"). Left side:
+    // every order's custkey (multiplicity = order count); right:
+    // custkeys of fulfilled orders — the result carries each
+    // customer's count of NON-fulfilled orders as row multiplicity.
+    // Spark plans exceptAll as a counted anti-difference (groupBy
+    // count both sides, subtract, re-expand) — one shuffle per side,
+    // no row-by-row matching; the hash gate pins the multiplicities
+    // exactly because the compare sorts whole rows.
+    "q221_except_all" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val all = o.select(col("o_custkey").as("custkey"))
+      val fulfilled = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      all.exceptAll(fulfilled).orderBy("custkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -178,5 +197,13 @@ object RelationalQueries {
       """SELECT l_orderkey, l_linenumber, l_extendedprice * l_quantity AS revenue
         |FROM lineitem
         |ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    // DuckDB's native multiset EXCEPT ALL — the independent
+    // implementation of the counted anti-difference.
+    "q221_except_all" ->
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY custkey""".stripMargin,
   )
 }

@@ -171,6 +171,39 @@ object WindowQueries {
             .as("avg_hour"))
         .orderBy("event_id")
     }),
+
+    // MONTH-OVER-MONTH TRENDING RANK (the leaderboard-movement
+    // query — "top parts this month and where they ranked last
+    // month"): per (ship-month, part) quantity off one
+    // partial-agg-combined groupBy, rank within month (exact
+    // decimal quantities — float sums would make adjacent ranks a
+    // coin flip), then the PREVIOUS month's rank arrives by joining
+    // the rank table to itself on (part, month−1) — months become
+    // INTEGER ids (year·12+month) so the shift is plain integer
+    // arithmetic, no calendar type coercion. Both windows and the
+    // self join ride (month, part)-sized tables, never lineitem;
+    // the top-5 filter cuts before the join, and the prev side
+    // keeps ALL ranks so an item can fall INTO the top 5 from rank
+    // 40 (filtering both sides first is the classic bug — a new
+    // entrant would lose its provenance).
+    "q225_trending" -> ((s, dir) => {
+      val m = Tables.lineitem(s, dir)
+        .groupBy((year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+            .as("month_id"),
+          col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      val w = Window.partitionBy("month_id")
+        .orderBy(desc("qty"), col("l_partkey"))
+      val ranked = m.withColumn("rnk", rank().over(w).cast("long"))
+      val prev = ranked.select(col("month_id").as("prev_month_id"),
+        col("l_partkey").as("prev_partkey"), col("rnk").as("prev_rank"))
+      ranked.filter(col("rnk") <= 5)
+        .join(prev, col("prev_month_id") === col("month_id") - 1 &&
+          col("prev_partkey") === col("l_partkey"), "left")
+        .select(col("month_id"), col("l_partkey"),
+          col("qty").cast("double").as("qty"), col("rnk"), col("prev_rank"))
+        .orderBy("month_id", "rnk", "l_partkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -253,5 +286,25 @@ object WindowQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY es
         |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // same integer month ids, same decimal quantities, prev side
+    // unfiltered.
+    "q225_trending" ->
+      """WITH m AS (
+        |  SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS INTEGER)
+        |           AS month_id,
+        |         l_partkey,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT month_id, l_partkey, qty,
+        |         CAST(rank() OVER (PARTITION BY month_id
+        |           ORDER BY qty DESC, l_partkey) AS BIGINT) AS rnk
+        |  FROM m)
+        |SELECT c.month_id, c.l_partkey, CAST(c.qty AS DOUBLE) AS qty,
+        |       c.rnk, p.rnk AS prev_rank
+        |FROM r c LEFT JOIN r p
+        |  ON p.month_id = c.month_id - 1 AND p.l_partkey = c.l_partkey
+        |WHERE c.rnk <= 5
+        |ORDER BY c.month_id, c.rnk, c.l_partkey""".stripMargin,
   )
 }
