@@ -546,6 +546,37 @@ object AggQueries {
           expr("sum(share_ppm * share_ppm) div 100000000").as("hhi"))
         .orderBy("c_mktsegment")
     }),
+
+    // RATIO-TO-PARENT at two hierarchy levels (the drill-down
+    // companion to q22's rollup — every nation's share of its
+    // REGION and every region's share of the WORLD, the
+    // percent-of-parent column every BI hierarchy shows): one
+    // orders×customer aggregate to nation grain, then nation→region
+    // (25-row broadcast) and the shares as INTEGER ppm cross-
+    // divisions — region totals and the grand total come from
+    // re-aggregating the nation-sized rollup, never rescanning
+    // orders; no float share exists (q222's discipline).
+    "q228_ratio_to_parent" -> ((s, dir) => {
+      val byNation = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(sum((round(col("o_totalprice"), 2).cast("decimal(18,2)") * 100)
+          .cast("long")).as("nation_cents"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+      val byRegion = byNation.groupBy(col("n_regionkey"))
+        .agg(sum(col("nation_cents")).as("region_cents"))
+      val total = byRegion.agg(sum(col("region_cents")).as("total_cents"))
+      byNation.join(byRegion, Seq("n_regionkey"))
+        .crossJoin(broadcast(total))
+        .select(col("n_regionkey"), col("c_nationkey"), col("nation_cents"),
+          expr("(nation_cents * 1000000) div region_cents")
+            .as("share_of_region_ppm"),
+          expr("(region_cents * 1000000) div total_cents")
+            .as("region_share_ppm"))
+        .orderBy("n_regionkey", "c_nationkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -883,5 +914,28 @@ object AggQueries {
         |         AS hhi
         |FROM sh GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    // same two-level integer ppm shares off the nation-grain rollup.
+    "q228_ratio_to_parent" ->
+      """WITH n AS (
+        |  SELECT c_nationkey,
+        |         sum(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))
+        |             * 100 AS BIGINT)) AS nation_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |nr AS (
+        |  SELECT n_regionkey, c_nationkey, nation_cents
+        |  FROM n JOIN nation ON c_nationkey = n_nationkey),
+        |r AS (
+        |  SELECT n_regionkey, sum(nation_cents) AS region_cents
+        |  FROM nr GROUP BY 1),
+        |t AS (SELECT sum(region_cents) AS total_cents FROM r)
+        |SELECT nr.n_regionkey, nr.c_nationkey,
+        |       CAST(nr.nation_cents AS BIGINT) AS nation_cents,
+        |       CAST((nr.nation_cents * 1000000) // r.region_cents AS BIGINT)
+        |         AS share_of_region_ppm,
+        |       CAST((r.region_cents * 1000000) // t.total_cents AS BIGINT)
+        |         AS region_share_ppm
+        |FROM nr JOIN r USING (n_regionkey) CROSS JOIN t
+        |ORDER BY n_regionkey, c_nationkey""".stripMargin,
   )
 }

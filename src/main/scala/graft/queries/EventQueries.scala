@@ -1494,6 +1494,50 @@ object EventQueries {
         .withColumn("cum_rev_cents", sum(col("rev_cents")).over(cum))
         .orderBy("cohort_day", "age_week")
     }),
+
+    // SPRT SEQUENTIAL TEST MONITOR (Wald 1945 — the always-valid
+    // alternative to q169's fixed-horizon t-test: peek every day,
+    // stop the moment the evidence crosses a boundary). Per arm
+    // (user hash), per day: cumulative trials n (purchases) and
+    // successes x (value > 40), and the log-likelihood ratio for
+    // H1: p = 0.5 vs H0: p = 0.4, LLR = x·ln(p1/p0) +
+    // (n−x)·ln((1−p1)/(1−p0)). Determinism: the two ln factors are
+    // CONSTANTS — quantized once to DECIMAL(18,10) literals — so the
+    // daily LLR is integer-times-decimal, exact in both engines; the
+    // α = β = 0.05 boundaries ±ln(19) are decimal literals compared
+    // decimal-to-decimal (no float epsilon decides a stop). Shape:
+    // one day×arm aggregate, running sums over the day-sized series
+    // per arm — the events scan aggregates once, first.
+    "q226_sprt" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      // DECIMAL(12,10), not (18,10): long × decimal(18,10) needs
+      // precision 39 and Spark silently REDUCES SCALE past 38 —
+      // (12,10) keeps the product at (33,10), exact (the q226 r11
+      // truncation episode: llr lost its last two digits).
+      val c1 = lit("0.2231435513").cast("decimal(12,10)")   // ln(0.5/0.4)
+      val c0 = lit("-0.1823215568").cast("decimal(12,10)")  // ln(0.5/0.6)
+      val bound = lit("2.9444389792").cast("decimal(28,10)") // ln(19)
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy((col("user_id") % 2).as("arm"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("trials"),
+          sum(when(round(col("value"), 2).cast("decimal(18,2)") > 40, 1L)
+            .otherwise(0L)).as("successes"))
+      val cum = Window.partitionBy("arm").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("n", sum(col("trials")).over(cum))
+        .withColumn("x", sum(col("successes")).over(cum))
+        .withColumn("llr",
+          (col("x") * c1 + (col("n") - col("x")) * c0).cast("decimal(28,10)"))
+        .select(col("arm"), col("day"), col("n"), col("x"),
+          col("llr").cast("double").as("llr"),
+          when(col("llr") >= bound, lit("accept_h1"))
+            .when(col("llr") <= -bound, lit("accept_h0"))
+            .otherwise(lit("continue")).as("decision"))
+        .orderBy("arm", "day")
+    }),
   )
 
   /** Once-per-session setup for q134: the per-(event_type, day) sketch
@@ -2553,5 +2597,37 @@ object EventQueries {
         |         ORDER BY age_week ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |         AS cum_rev_cents
         |FROM cell ORDER BY cohort_day, age_week""".stripMargin,
+    // the same decimal ln constants and boundaries; running sums per
+    // arm in DuckDB's window dialect.
+    "q226_sprt" ->
+      """WITH d AS (
+        |  SELECT user_id % 2 AS arm, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS trials,
+        |         CAST(sum(CASE WHEN CAST(round(value, 2) AS DECIMAL(18,2))
+        |                            > 40 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS successes
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT arm, day,
+        |         CAST(sum(trials) OVER w AS BIGINT) AS n,
+        |         CAST(sum(successes) OVER w AS BIGINT) AS x
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY arm ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING)),
+        |l AS (
+        |  SELECT arm, day, n, x,
+        |         CAST(x * CAST('0.2231435513' AS DECIMAL(12,10))
+        |              + (n - x) * CAST('-0.1823215568' AS DECIMAL(12,10))
+        |              AS DECIMAL(28,10)) AS llr
+        |  FROM c)
+        |SELECT arm, day, n, x, CAST(llr AS DOUBLE) AS llr,
+        |       CASE WHEN llr >= CAST('2.9444389792' AS DECIMAL(28,10))
+        |              THEN 'accept_h1'
+        |            WHEN llr <= -CAST('2.9444389792' AS DECIMAL(28,10))
+        |              THEN 'accept_h0'
+        |            ELSE 'continue' END AS decision
+        |FROM l ORDER BY arm, day""".stripMargin,
   )
 }

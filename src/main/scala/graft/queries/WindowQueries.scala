@@ -204,6 +204,42 @@ object WindowQueries {
           col("qty").cast("double").as("qty"), col("rnk"), col("prev_rank"))
         .orderBy("month_id", "rnk", "l_partkey")
     }),
+
+    // LONGEST GROWTH STREAK per nation (gaps-and-islands on a
+    // CONDITION run — q173 finds islands of PRESENCE, this finds
+    // islands of month-over-month GROWTH, the "N consecutive
+    // quarters of growth" screen): monthly revenue per customer
+    // nation, growth flag vs lag, then the rn − running-sum-of-
+    // flags trick — constant within each consecutive growth run —
+    // groups the islands without a join. Exact cents make the
+    // growth comparison engine-exact; every window rides the
+    // (nation × month)-sized rollup, never the orders.
+    "q227_growth_streaks" -> ((s, dir) => {
+      val monthly = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("month_id"))
+        .agg(sum((round(col("o_totalprice"), 2).cast("decimal(18,2)") * 100)
+          .cast("long")).as("rev_cents"))
+      val seq0 = Window.partitionBy("c_nationkey").orderBy("month_id")
+      val flagged = monthly
+        .withColumn("prev_rev", lag(col("rev_cents"), 1).over(seq0))
+        .withColumn("g",
+          when(col("prev_rev").isNotNull &&
+            col("rev_cents") > col("prev_rev"), 1L).otherwise(0L))
+        .withColumn("rn", row_number().over(seq0))
+        .withColumn("grp", col("rn") - sum(col("g")).over(
+          seq0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged.filter(col("g") === 1)
+        .groupBy(col("c_nationkey"), col("grp"))
+        .agg(count(lit(1)).as("len"), max(col("month_id")).as("streak_end"))
+        .groupBy(col("c_nationkey"))
+        .agg(max(struct(col("len"), col("streak_end"))).as("best"))
+        .select(col("c_nationkey"), col("best.len").as("longest_streak"),
+          col("best.streak_end").as("streak_end_month"))
+        .orderBy("c_nationkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -306,5 +342,44 @@ object WindowQueries {
         |  ON p.month_id = c.month_id - 1 AND p.l_partkey = c.l_partkey
         |WHERE c.rnk <= 5
         |ORDER BY c.month_id, c.rnk, c.l_partkey""".stripMargin,
+    // same islands trick; the per-nation winner picked by the
+    // independent row_number formulation instead of the struct max.
+    "q227_growth_streaks" ->
+      """WITH m AS (
+        |  SELECT c_nationkey,
+        |         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INTEGER)
+        |           AS month_id,
+        |         sum(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))
+        |             * 100 AS BIGINT)) AS rev_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |f AS (
+        |  SELECT c_nationkey, month_id, rev_cents,
+        |         CASE WHEN lag(rev_cents) OVER w IS NOT NULL
+        |                AND rev_cents > lag(rev_cents) OVER w
+        |              THEN 1 ELSE 0 END AS g,
+        |         row_number() OVER w AS rn
+        |  FROM m
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY month_id)),
+        |f2 AS (
+        |  SELECT c_nationkey, month_id, g,
+        |         rn - sum(g) OVER (PARTITION BY c_nationkey ORDER BY month_id
+        |           ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM f),
+        |i AS (
+        |  SELECT c_nationkey, grp, month_id FROM f2 WHERE g = 1),
+        |s AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS len,
+        |         max(month_id) AS streak_end
+        |  FROM i GROUP BY c_nationkey, grp),
+        |b AS (
+        |  SELECT c_nationkey, len, streak_end,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |           ORDER BY len DESC, streak_end DESC) AS pick
+        |  FROM s)
+        |SELECT c_nationkey, len AS longest_streak,
+        |       streak_end AS streak_end_month
+        |FROM b WHERE pick = 1
+        |ORDER BY c_nationkey""".stripMargin,
   )
 }

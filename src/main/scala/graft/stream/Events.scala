@@ -14,6 +14,18 @@ case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 /** Per-user running aggregate — both the state and the emitted row. */
 case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
+/** One point of a keyed metric series entering the streaming CUSUM
+  * monitor (ts orders points within a key). */
+case class MetricPoint(key: String, ts: java.sql.Timestamp, cents: Long)
+
+/** CUSUM state per key: running prefix sum of (x − k) and its running
+  * minimum — the two longs the prefix-min identity needs. */
+case class CusumState(p: Long, minP: Long)
+
+/** Emitted CUSUM row: the statistic after absorbing this point. */
+case class CusumPoint(key: String, ts: java.sql.Timestamp, cents: Long,
+                      cusum_cents: Long)
+
 /** Streaming operators over the events table (SURVEY.md §2B
   * "Streaming"): windowed aggregation, session windows, watermarked
   * late-data handling, stateful dedup, and the R15-analog report sink.
@@ -256,6 +268,55 @@ object Events {
             state.update(lastRawSec)
             state.setTimeoutTimestamp(sorted.last.ts.getTime + gapMillis)
             kept.iterator
+          })
+  }
+
+  /** STREAMING CUSUM drift monitor — q213's detector run LIVE on a
+    * keyed metric series. The batch form linearizes Sᵢ = max(0, Sᵢ₋₁
+    * + (xᵢ − k)) with the prefix-min identity Sᵢ = Pᵢ − min(0,
+    * min_{j≤i} Pⱼ); the identity's running pair (P, min P) is
+    * PREFIX-COMPOSABLE, so it IS the streaming state — two longs per
+    * key, constant forever, versus buffering any history. Each
+    * incoming point folds in event-time order and emits its
+    * statistic; the reference level `k` is a PARAMETER (the batch
+    * job's baseline — a live monitor cannot use a mean over days it
+    * hasn't seen; the standard offline-baseline/online-score split of
+    * anomalyFlags).
+    *
+    * Ordering contract (debounce's): rows sort by ts within each
+    * micro-batch; across batches the operator assumes per-key
+    * event-time-ordered arrival. EventsStreamSpec pins stream ≡ the
+    * batch window formulation across a 3-batch split, and the
+    * sequential-fold law is already pinned by EventAnalyticsSpec.
+    * State for idle keys frees via event-time timeout. */
+  def cusum(points: Dataset[MetricPoint], k: Long, delay: String,
+            idleGap: String): Dataset[CusumPoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val gap = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(idleGap))
+    val gapMillis = gap.months * 2592000000L + gap.days * 86400000L +
+      gap.microseconds / 1000L
+    points.withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[MetricPoint],
+         state: GroupState[CusumState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(CusumState(0L, 0L))
+            val out = sorted.map { r =>
+              val p = st.p + r.cents - k
+              st = CusumState(p, math.min(st.minP, p))
+              CusumPoint(key, r.ts, r.cents, p - math.min(0L, st.minP))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(sorted.last.ts.getTime + gapMillis)
+            out.iterator
           })
   }
 

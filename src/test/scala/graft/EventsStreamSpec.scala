@@ -595,4 +595,49 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming CUSUM: state composes across micro-batches and equals the batch identity") {
+    import graft.stream.MetricPoint
+    val k = 10L
+    // one drifting key and one quiet key, split across three batches
+    val series = Seq(
+      ("m1", "2024-01-01T00:00:00Z", 12L), ("m1", "2024-01-02T00:00:00Z", 3L),
+      ("m1", "2024-01-03T00:00:00Z", 1L), ("m1", "2024-01-04T00:00:00Z", 25L),
+      ("m1", "2024-01-05T00:00:00Z", 30L), ("m1", "2024-01-06T00:00:00Z", 2L),
+      ("m1", "2024-01-07T00:00:00Z", 40L), ("m1", "2024-01-08T00:00:00Z", 41L),
+      ("m2", "2024-01-01T00:00:00Z", 10L), ("m2", "2024-01-02T00:00:00Z", 9L),
+      ("m2", "2024-01-03T00:00:00Z", 11L))
+      .map { case (key, ts, c) => MetricPoint(key, t(ts), c) }
+    val ms = MemoryStream[MetricPoint](spark)
+    val name = queryName()
+    // 30-day watermark delay: m2's points all arrive in the LAST
+    // batch, after m1 has pushed the watermark to Jan 7 — a tight
+    // delay would late-drop them (that path is pinned by the
+    // watermark tests above); this test pins state composition.
+    val q = Events.cusum(ms.toDS(), k, "30 days", "60 days").writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      series.grouped(4).foreach { batch =>
+        ms.addData(batch); q.processAllAvailable()
+      }
+      val streamed = spark.table(name)
+        .select("key", "ts", "cusum_cents")
+        .as[(String, Timestamp, Long)].collect().toSet
+      // batch formulation: q213's prefix-min identity per key
+      import org.apache.spark.sql.expressions.Window
+      val cum = Window.partitionBy("key").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val batch = series.map(p => (p.key, p.ts, p.cents))
+        .toDF("key", "ts", "cents")
+        .withColumn("p", sum(col("cents") - k).over(cum))
+        .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(cum)))
+        .select("key", "ts", "s")
+        .as[(String, Timestamp, Long)].collect().toSet
+      assert(streamed === batch,
+        s"stream/batch CUSUM disagree: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+      // the quiet key never accumulates beyond its own small wiggle
+      val m2max = streamed.filter(_._1 == "m2").map(_._3).max
+      assert(m2max <= 1L)
+    } finally q.stop()
+  }
 }
