@@ -577,6 +577,36 @@ object AggQueries {
             .as("region_share_ppm"))
         .orderBy("n_regionkey", "c_nationkey")
     }),
+
+    // TOP-K PLUS "OTHER" ROLLUP (the BI long-tail collapse — every
+    // dashboard's "top 10 and everything else" pie): top 10 nations
+    // by revenue as labeled rows, the remaining tail as ONE 'OTHER'
+    // row carrying its nation count. Spark-first: ONE nation-grain
+    // aggregate (the q228 rollup shape), rank once, then both
+    // branches re-aggregate the 25-row intermediate — the fact table
+    // is never scanned twice (the naive form unions two scans with
+    // a NOT IN). Exact cents rank with key tie-break; the label is
+    // the nation key rendered as a string so both branches share a
+    // column type.
+    "q231_topk_other" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byNation = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(sum((round(col("o_totalprice"), 2).cast("decimal(18,2)") * 100)
+          .cast("long")).as("rev_cents"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(desc("rev_cents"), col("c_nationkey"))))
+      val top = byNation.filter(col("rnk") <= 10)
+        .select(concat(lit("nation_"), col("c_nationkey")).as("label"),
+          col("rev_cents"), lit(1L).as("n_nations"), col("rnk"))
+      val other = byNation.filter(col("rnk") > 10)
+        .agg(sum(col("rev_cents")).as("rev_cents"),
+          count(lit(1)).as("n_nations"))
+        .select(lit("OTHER").as("label"), col("rev_cents"),
+          col("n_nations"), lit(11L).as("rnk"))
+      top.unionByName(other).orderBy("rnk", "label")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -937,5 +967,27 @@ object AggQueries {
         |         AS region_share_ppm
         |FROM nr JOIN r USING (n_regionkey) CROSS JOIN t
         |ORDER BY n_regionkey, c_nationkey""".stripMargin,
+    // same single nation-grain rollup, both branches off it.
+    "q231_topk_other" ->
+      """WITH n AS (
+        |  SELECT c_nationkey,
+        |         sum(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))
+        |             * 100 AS BIGINT)) AS rev_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT c_nationkey, rev_cents,
+        |         row_number() OVER (ORDER BY rev_cents DESC, c_nationkey)
+        |           AS rnk
+        |  FROM n)
+        |SELECT 'nation_' || c_nationkey AS label,
+        |       CAST(rev_cents AS BIGINT) AS rev_cents,
+        |       CAST(1 AS BIGINT) AS n_nations, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 10
+        |UNION ALL
+        |SELECT 'OTHER', CAST(sum(rev_cents) AS BIGINT),
+        |       CAST(count(*) AS BIGINT), CAST(11 AS BIGINT)
+        |FROM r WHERE rnk > 10
+        |ORDER BY rnk, label""".stripMargin,
   )
 }

@@ -1538,6 +1538,44 @@ object EventQueries {
             .otherwise(lit("continue")).as("decision"))
         .orderBy("arm", "day")
     }),
+
+    // TIME-TO-CONVERT DISTRIBUTION (the funnel-latency report beside
+    // q112's conversion COUNTS: how LONG the click→purchase hop
+    // takes): per user, delay = first purchase at-or-after the first
+    // click, in integer seconds (micros div 10⁶ — exact); then exact
+    // p50/p90/max + converter counts per CONVERSION epoch day
+    // (the day the qualifying purchase landed — the axis with real
+    // spread; cohorting by first-seen day degenerates on a fixture
+    // where every user exists from day one). One user-keyed aggregate computes BOTH firsts with
+    // conditional min-structs (no two scans, no join); the q29
+    // single-buffer percentile(array(...)) discipline for the
+    // quantile pair. Non-converters (no purchase after the click)
+    // drop — the denominator lives in q112.
+    "q230_time_to_convert" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "click", col("us"))).as("c_us"))
+      val delays = ev.filter(col("event_type") === "purchase")
+        .join(firsts, Seq("user_id"))
+        .filter(col("c_us").isNotNull && col("us") >= col("c_us"))
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("p_us"), min(col("c_us")).as("c0"))
+        .select(col("user_id"),
+          expr("(p_us - c0) div 1000000").as("delay_s"),
+          expr("(p_us div 1000000) div 86400").as("conv_day"))
+      delays.groupBy(col("conv_day"))
+        .agg(count(lit(1)).as("n_converters"),
+          expr("percentile(delay_s, array(0.5, 0.9))").as("ps"),
+          max(col("delay_s")).as("max_delay_s"))
+        .select(col("conv_day"), col("n_converters"),
+          round(element_at(col("ps"), 1), 4).as("p50_s"),
+          round(element_at(col("ps"), 2), 4).as("p90_s"),
+          col("max_delay_s"))
+        .orderBy("conv_day")
+    }),
   )
 
   /** Once-per-session setup for q134: the per-(event_type, day) sketch
@@ -2629,5 +2667,28 @@ object EventQueries {
         |              THEN 'accept_h0'
         |            ELSE 'continue' END AS decision
         |FROM l ORDER BY arm, day""".stripMargin,
+    // the same integer-second delays; quantile_cont is q29's exact-
+    // percentile parity partner.
+    "q230_time_to_convert" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |f AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'click' THEN us END) AS c_us
+        |  FROM ev GROUP BY user_id),
+        |d AS (
+        |  SELECT ev.user_id,
+        |         (min(ev.us) - min(f.c_us)) // 1000000 AS delay_s,
+        |         (min(ev.us) // 1000000) // 86400 AS conv_day
+        |  FROM ev JOIN f USING (user_id)
+        |  WHERE ev.event_type = 'purchase'
+        |    AND f.c_us IS NOT NULL AND ev.us >= f.c_us
+        |  GROUP BY ev.user_id)
+        |SELECT conv_day, CAST(count(*) AS BIGINT) AS n_converters,
+        |       round(quantile_cont(delay_s, 0.5), 4) AS p50_s,
+        |       round(quantile_cont(delay_s, 0.9), 4) AS p90_s,
+        |       CAST(max(delay_s) AS BIGINT) AS max_delay_s
+        |FROM d GROUP BY conv_day
+        |ORDER BY conv_day""".stripMargin,
   )
 }

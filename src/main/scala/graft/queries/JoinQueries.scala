@@ -691,6 +691,44 @@ object JoinQueries {
           col("total_rev").cast("double").as("total_rev"))
         .orderBy("s_suppkey")
     }),
+
+    // BOM EXPLOSION — bounded-depth transitive closure with
+    // multiplicity products (the bill-of-materials rollup: total
+    // units of every descendant component per root assembly). The
+    // part hierarchy derives deterministically from keys (child c →
+    // parent c div 8 when c mod 8 ∈ {1,2,3} and the parent part
+    // exists — a forest, each child one parent), per-edge quantity
+    // (c mod 3) + 1, roots = parts below 250. Spark-first: the
+    // frontier-join loop (q163's superstep discipline — 6 unrolled
+    // levels, ≥ the forest's possible depth at any fixture SF since
+    // 250·8⁶ ≫ max key; deeper levels join empty frontiers at ~zero
+    // cost), integer unit products throughout. The DuckDB oracle is
+    // WITH RECURSIVE — a GENUINELY different evaluation strategy
+    // (fixpoint iteration vs fixed unroll), so the hash match also
+    // proves the unroll depth actually exhausted the closure.
+    "q229_bom_explosion" -> ((s, dir) => {
+      val pk = Tables.part(s, dir).select(col("p_partkey"))
+      val edges = pk.select(col("p_partkey").as("child"))
+        .filter(col("child") % 8 >= 1 && col("child") % 8 <= 3)
+        .withColumn("parent", expr("child div 8"))
+        .join(pk.select(col("p_partkey").as("parent")), Seq("parent"))
+        .withColumn("qty", col("child") % 3 + 1)
+      val roots = pk.filter(col("p_partkey") < 250)
+        .select(col("p_partkey").as("root"))
+      var frontier = roots.select(col("root"), col("root").as("node"),
+        lit(1L).as("units"))
+      var closure = frontier
+      for (_ <- 1 to 6) {
+        frontier = frontier.join(edges, col("node") === col("parent"))
+          .select(col("root"), col("child").as("node"),
+            (col("units") * col("qty")).as("units"))
+        closure = closure.unionByName(frontier)
+      }
+      closure.filter(col("node") =!= col("root"))
+        .groupBy(col("root"))
+        .agg(count(lit(1)).as("n_components"), sum(col("units")).as("total_units"))
+        .orderBy("root")
+    }),
   )
 
   /** Once-per-session setup for q133: lineitem re-written
@@ -1089,5 +1127,24 @@ object JoinQueries {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    // the genuinely recursive fixpoint — if the Spark unroll were one
+    // level short, this oracle would find the missing rows.
+    "q229_bom_explosion" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT c.p_partkey AS child, c.p_partkey // 8 AS parent,
+        |         c.p_partkey % 3 + 1 AS qty
+        |  FROM part c JOIN part p ON p.p_partkey = c.p_partkey // 8
+        |  WHERE c.p_partkey % 8 IN (1, 2, 3)),
+        |cl AS (
+        |  SELECT p_partkey AS root, p_partkey AS node,
+        |         CAST(1 AS BIGINT) AS units
+        |  FROM part WHERE p_partkey < 250
+        |  UNION ALL
+        |  SELECT cl.root, e.child, cl.units * e.qty
+        |  FROM cl JOIN e ON e.parent = cl.node)
+        |SELECT root, CAST(count(*) AS BIGINT) AS n_components,
+        |       CAST(sum(units) AS BIGINT) AS total_units
+        |FROM cl WHERE node <> root
+        |GROUP BY root ORDER BY root""".stripMargin,
   )
 }

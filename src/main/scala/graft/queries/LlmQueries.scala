@@ -1609,6 +1609,39 @@ object LlmQueries {
         .orderBy(desc("maxsim"), col("doc_id"))
         .limit(20)
     }),
+
+    // N-GRAM NOVELTY SCORE vs a reference corpus (the memorization/
+    // overlap risk signal — q100/q108 decontaminate against EVAL
+    // sets; this scores every candidate doc by how much of it is
+    // ALREADY in the reference partition, the Lee et al. 2022
+    // near-memorization diagnostic at the document grain): reference
+    // = sources src0–src4, candidates = the rest; per candidate,
+    // distinct word 3-grams, the fraction ABSENT from the
+    // reference's gram set as integer ppm. Wire discipline: only
+    // (doc_id, gram) pairs shuffle — the left-anti probe against the
+    // reference gram set is the q110 incremental-dedup shape with
+    // the verdict inverted (count the misses instead of dropping
+    // hits). Docs under 3 tokens have no grams and drop (documented;
+    // the quality gate owns them).
+    "q232_novelty" -> ((s, dir) => {
+      val refSources = (0 to 4).map(i => s"src$i")
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"),
+          explode(Dedup.shingles(col("toks"), 3)).as("g"))
+      val refGrams = grams.filter(col("source").isin(refSources: _*))
+        .select(col("g")).distinct()
+      val cand = grams.filter(!col("source").isin(refSources: _*))
+      val novel = cand.join(refGrams, Seq("g"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+      cand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        .join(novel, Seq("doc_id"), "left")
+        .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          expr("(n_novel * 1000000) div n_grams").as("novelty_ppm"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2684,5 +2717,35 @@ object LlmQueries {
         |         AS maxsim
         |FROM m GROUP BY doc_id
         |ORDER BY maxsim DESC, doc_id LIMIT 20""".stripMargin,
+    // q57's trigram list idiom, anti-probe as NOT EXISTS.
+    "q232_novelty" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        |           i -> string_split(text, ' ')[i] || ' '
+        |                || string_split(text, ' ')[i + 1] || ' '
+        |                || string_split(text, ' ')[i + 2]))) AS g
+        |  FROM documents),
+        |ref AS (
+        |  SELECT DISTINCT g FROM g
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+        |cand AS (
+        |  SELECT doc_id, g FROM g
+        |  WHERE source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+        |nov AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        |  FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.g = c.g)
+        |  GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM cand GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_grams,
+        |       CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+        |       CAST((coalesce(n.n_novel, 0) * 1000000) // t.n_grams
+        |            AS BIGINT) AS novelty_ppm
+        |FROM tot t LEFT JOIN nov n USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
   )
 }
