@@ -607,6 +607,57 @@ object AggQueries {
           col("n_nations"), lit(11L).as("rnk"))
       top.unionByName(other).orderBy("rnk", "label")
     }),
+
+    // BACKLOG AGING REPORT (the open-order health snapshot every ops
+    // team runs: how old is what we still owe, by priority): open
+    // orders aged against a fixed snapshot date into the standard
+    // 90/365/3-year buckets, counts and exact-cent value per
+    // (bucket, priority) cell. All integer datediff arithmetic —
+    // bucket edges are integer-day compares, so no row can straddle
+    // an edge differently across engines. One scan, one
+    // partial-agg-combined groupBy; the status+date filter pushes to
+    // the parquet scan.
+    "q233_backlog_aging" -> ((s, dir) => {
+      val snapshot = lit("2001-09-01").cast("timestamp_ntz")
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "O")
+        .withColumn("age_days", datediff(snapshot, col("o_orderdate")))
+        .withColumn("age_bucket",
+          when(col("age_days") <= 90, "a_0_90d")
+            .when(col("age_days") <= 365, "b_91_365d")
+            .when(col("age_days") <= 1095, "c_1_3y")
+            .otherwise("d_over_3y"))
+        .groupBy(col("age_bucket"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((round(col("o_totalprice"), 2).cast("decimal(18,2)") * 100)
+            .cast("long")).as("value_cents"),
+          min(col("age_days")).as("min_age"), max(col("age_days")).as("max_age"))
+        .orderBy("age_bucket", "o_orderpriority")
+    }),
+
+    // LATE-LINE ORDER COUNTS (TPC-H Q4 shape — "orders in a window
+    // with AT LEAST ONE late line, by priority": the EXISTS →
+    // LEFT SEMI join composite). The semi join keeps each order at
+    // most once however many lines are late — the dedup-free
+    // existence test (an inner join + distinct would shuffle every
+    // matching line); the window filter pushes to the orders scan
+    // and the semi join shuffles only keys.
+    "q236_late_orders" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+      val lateLines = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_orderkey").as("lo_key"),
+          col("o_orderdate").as("lo_date")),
+          col("l_orderkey") === col("lo_key"))
+        .filter(col("l_shipdate") > col("lo_date") + expr("INTERVAL 30 DAYS"))
+        .select(col("l_orderkey"))
+      ord.join(lateLines, col("o_orderkey") === col("l_orderkey"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -989,5 +1040,36 @@ object AggQueries {
         |       CAST(count(*) AS BIGINT), CAST(11 AS BIGINT)
         |FROM r WHERE rnk > 10
         |ORDER BY rnk, label""".stripMargin,
+    // same integer-day buckets at the same snapshot.
+    "q233_backlog_aging" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |         datediff('day', o_orderdate, TIMESTAMP '2001-09-01')
+        |           AS age_days
+        |  FROM orders WHERE o_orderstatus = 'O')
+        |SELECT CASE WHEN age_days <= 90 THEN 'a_0_90d'
+        |            WHEN age_days <= 365 THEN 'b_91_365d'
+        |            WHEN age_days <= 1095 THEN 'c_1_3y'
+        |            ELSE 'd_over_3y' END AS age_bucket,
+        |       o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))
+        |           * 100 AS BIGINT)) AS BIGINT) AS value_cents,
+        |       CAST(min(age_days) AS INTEGER) AS min_age,
+        |       CAST(max(age_days) AS INTEGER) AS max_age
+        |FROM o GROUP BY 1, 2
+        |ORDER BY age_bucket, o_orderpriority""".stripMargin,
+    // the textbook Q4 EXISTS formulation.
+    "q236_late_orders" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -729,6 +729,55 @@ object JoinQueries {
         .agg(count(lit(1)).as("n_components"), sum(col("units")).as("total_units"))
         .orderBy("root")
     }),
+
+    // AUDIENCE OVERLAP MATRIX (the segment Venn every marketing /
+    // training-mixture stack needs: |A ∩ B| for all segment pairs
+    // WITHOUT one join per pair): each customer's segment SET is
+    // assembled in one pass — their market segment plus behavioral
+    // tags (frequent ≥ 8 orders, big_spender > 2M cents lifetime,
+    // urgent_buyer if any 1-URGENT order) — then a<b pairs explode
+    // ROW-LOCALLY from the sorted per-user set (q162's basket
+    // discipline: fan-out bounded by segments-per-user², ~4² here,
+    // never corpus²) and one groupBy counts every cell. Sizes join
+    // back so each row carries overlap_ppm of the SMALLER side —
+    // the containment-leaning convention. Exact cents thresholds.
+    "q234_audience_overlap" -> ((s, dir) => {
+      val perUser = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((round(col("o_totalprice"), 2).cast("decimal(18,2)") * 100)
+            .cast("long")).as("cents"),
+          max(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+            .as("urgent"))
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), array_sort(concat(
+          array(col("c_mktsegment")),
+          when(col("n_orders") >= 8, array(lit("frequent")))
+            .otherwise(array().cast("array<string>")),
+          when(col("cents") > 200000000L, array(lit("big_spender")))
+            .otherwise(array().cast("array<string>")),
+          when(col("urgent") === 1, array(lit("urgent_buyer")))
+            .otherwise(array().cast("array<string>")))).as("segs"))
+      val sizes = perUser.select(explode(col("segs")).as("seg"))
+        .groupBy(col("seg")).agg(count(lit(1)).as("size"))
+      val pairs = perUser.select(explode(expr(
+        """flatten(transform(segs, (a, i) ->
+           transform(slice(segs, i + 2, size(segs)), b ->
+             struct(a AS sa, b AS sb))))""")).as("p"))
+        .groupBy(col("p.sa").as("seg_a"), col("p.sb").as("seg_b"))
+        .agg(count(lit(1)).as("n_overlap"))
+      pairs
+        .join(sizes.select(col("seg").as("seg_a"), col("size").as("size_a")),
+          Seq("seg_a"))
+        .join(sizes.select(col("seg").as("seg_b"), col("size").as("size_b")),
+          Seq("seg_b"))
+        .select(col("seg_a"), col("seg_b"), col("n_overlap"),
+          col("size_a"), col("size_b"),
+          expr("(n_overlap * 1000000) div least(size_a, size_b)")
+            .as("overlap_ppm"))
+        .orderBy("seg_a", "seg_b")
+    }),
   )
 
   /** Once-per-session setup for q133: lineitem re-written
@@ -1146,5 +1195,42 @@ object JoinQueries {
         |       CAST(sum(units) AS BIGINT) AS total_units
         |FROM cl WHERE node <> root
         |GROUP BY root ORDER BY root""".stripMargin,
+    // same segment assembly; the pair enumeration is the RELATIONAL
+    // self-join on (user, seg<seg) — independent of the row-local
+    // explode.
+    "q234_audience_overlap" ->
+      """WITH u AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         sum(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))
+        |             * 100 AS BIGINT)) AS cents,
+        |         max(CASE WHEN o_orderpriority = '1-URGENT'
+        |                  THEN 1 ELSE 0 END) AS urgent
+        |  FROM orders GROUP BY 1),
+        |sg AS (
+        |  SELECT c_custkey,
+        |         [c_mktsegment]
+        |         || (CASE WHEN n_orders >= 8 THEN ['frequent']
+        |                  ELSE CAST([] AS VARCHAR[]) END)
+        |         || (CASE WHEN cents > 200000000 THEN ['big_spender']
+        |                  ELSE CAST([] AS VARCHAR[]) END)
+        |         || (CASE WHEN urgent = 1 THEN ['urgent_buyer']
+        |                  ELSE CAST([] AS VARCHAR[]) END) AS segs
+        |  FROM u JOIN customer ON o_custkey = c_custkey),
+        |e AS (SELECT c_custkey, unnest(segs) AS seg FROM sg),
+        |sizes AS (SELECT seg, CAST(count(*) AS BIGINT) AS size
+        |          FROM e GROUP BY 1),
+        |p AS (
+        |  SELECT a.seg AS seg_a, b.seg AS seg_b,
+        |         CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM e a JOIN e b
+        |    ON a.c_custkey = b.c_custkey AND a.seg < b.seg
+        |  GROUP BY 1, 2)
+        |SELECT seg_a, seg_b, n_overlap,
+        |       sa.size AS size_a, sb.size AS size_b,
+        |       CAST((n_overlap * 1000000) // least(sa.size, sb.size)
+        |            AS BIGINT) AS overlap_ppm
+        |FROM p JOIN sizes sa ON p.seg_a = sa.seg
+        |       JOIN sizes sb ON p.seg_b = sb.seg
+        |ORDER BY seg_a, seg_b""".stripMargin,
   )
 }

@@ -311,6 +311,38 @@ object PipelineQueries {
           col("l_linenumber")))
         .orderBy("layout")
     }),
+
+    // HOT-KEY SKEW PROFILER (the diagnostic you run BEFORE choosing
+    // between AQE skew-join and manual salting — ops/Skew's scaladoc
+    // decision needs these numbers): for each candidate join key of
+    // the fact table, the group-size distribution — key count, max
+    // and p99 group size, mean, and the hottest key itself (max by
+    // (count, key) struct — deterministic tie-break). Each column is
+    // one partial-agg-combined groupBy to a key-sized table, then a
+    // one-row rollup; the q29 percentile runs over group SIZES (key-
+    // cardinality input, not rows). Fan the columns as a union of
+    // three narrow single-column scans — column pruning gives each
+    // branch a one-column read.
+    "q235_hotkey_profile" -> ((s, dir) => {
+      def profile(keyCol: String): DataFrame = {
+        val counts = Tables.lineitem(s, dir)
+          .groupBy(col(keyCol).as("k"))
+          .agg(count(lit(1)).as("cnt"))
+        counts.agg(
+            count(lit(1)).as("n_keys"),
+            sum(col("cnt")).as("n_rows"),
+            max(col("cnt")).as("max_group"),
+            expr("round(percentile(cnt, 0.99), 4)").as("p99_group"),
+            max(struct(col("cnt"), col("k"))).as("hot"))
+          .select(lit(keyCol).as("key_col"), col("n_keys"), col("n_rows"),
+            col("max_group"), col("p99_group"),
+            col("hot.k").as("hottest_key"))
+      }
+      profile("l_orderkey")
+        .unionByName(profile("l_partkey"))
+        .unionByName(profile("l_suppkey"))
+        .orderBy("key_col")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -393,6 +425,31 @@ object PipelineQueries {
         |                     THEN 1 ELSE 0 END) AS BIGINT)
         |FROM az
         |ORDER BY layout""".stripMargin,
+    // the same three per-key distributions; hottest key by the
+    // independent row_number pick.
+    "q235_hotkey_profile" ->
+      """WITH p AS (
+        |  SELECT 'l_orderkey' AS key_col, l_orderkey AS k FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', l_suppkey FROM lineitem),
+        |c AS (
+        |  SELECT key_col, k, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM p GROUP BY 1, 2),
+        |r AS (
+        |  SELECT key_col, k, cnt,
+        |         row_number() OVER (PARTITION BY key_col
+        |           ORDER BY cnt DESC, k DESC) AS pick
+        |  FROM c)
+        |SELECT c.key_col,
+        |       CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |       CAST(max(cnt) AS BIGINT) AS max_group,
+        |       round(quantile_cont(cnt, 0.99), 4) AS p99_group,
+        |       max(CASE WHEN pick = 1 THEN k END) AS hottest_key
+        |FROM r c GROUP BY c.key_col
+        |ORDER BY key_col""".stripMargin,
     // the one-shot join the incremental view must reproduce exactly.
     "q167_join_view" ->
       """SELECT o_orderstatus, count(*) AS n_lines,
