@@ -100,7 +100,17 @@ object ScaleProbe {
       // (zero shuffle — wall should track the scan), and the CM
       // join-size lifecycle over lineitem+orders
       "q185_adamic_adar", "q184_count_min", "q187_interval_coalesce",
-      "q189_token_entropy", "q198_join_size_est")
+      "q189_token_entropy", "q198_join_size_est",
+      // round-11 continuation waves (fixture-pair shapes): the
+      // cell-bucketed radius join (candidates ∝ n × density — 10×
+      // points in the SAME grid area densifies, so expect pair-count
+      // growth ~100× while the CANDIDATE fan-out stays 9 cells/point),
+      // the 3-superstep HashMin loop on the thinned graph, the
+      // broadcast MaxSim reduce (corpus×|Q| row-local dots, shuffle
+      // only scalars), the 6-level frontier closure, and the
+      // segment-set pair explosion (segments²-per-user, never n²)
+      "q210_grid_proximity", "q212_label_propagation", "q215_maxsim",
+      "q229_bom_explosion", "q234_audience_overlap")
     // SPARK_GRAFT_PROBE_ONLY=q106,q120 restricts the family — the
     // 30–50× runs target just the linear-growth outliers rather than
     // paying the whole family at a corpus 3–5× the 10× one.
