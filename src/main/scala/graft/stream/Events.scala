@@ -285,8 +285,14 @@ object Events {
     *
     * Ordering contract (debounce's): rows sort by ts within each
     * micro-batch; across batches the operator assumes per-key
-    * event-time-ordered arrival. EventsStreamSpec pins stream ≡ the
-    * batch window formulation across a 3-batch split, and the
+    * event-time-ordered arrival. Points must additionally be UNIQUE
+    * per (key, ts) — aggregate the raw stream to the monitoring
+    * grain first (q213's daily-cents grain): with duplicate
+    * timestamps the min-P fold visits ties in arrival order and the
+    * emitted per-point statistic becomes order-dependent (the batch
+    * window form has the same ambiguity — the grain rule is the
+    * contract, not a streaming quirk). EventsStreamSpec pins stream
+    * ≡ the batch window formulation across a 3-batch split, and the
     * sequential-fold law is already pinned by EventAnalyticsSpec.
     * State for idle keys frees via event-time timeout. */
   def cusum(points: Dataset[MetricPoint], k: Long, delay: String,
