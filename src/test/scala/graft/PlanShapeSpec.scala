@@ -504,4 +504,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   test("flagship entry smoke: rows > 0 on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q236 existence test plans as a LEFT SEMI join, not inner+distinct") {
+    val p = plan("q236_late_orders")
+    assert(p.contains("LeftSemi"), s"q236 lost the semi join:\n$p")
+  }
+
+  test("q216 joins the one-row max back as a broadcast equality") {
+    val p = plan("q216_top_supplier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q216's scalar-max join-back is not broadcast:\n$p")
+  }
+
+  test("q210's grid join is an equi join — no nested-loop survives the cell keys") {
+    // the whole point of the 3x3-cell decomposition: the radius
+    // predicate becomes an equi join on (cx, cy) plus a residual
+    // filter, so no BroadcastNestedLoopJoin (and, via the global
+    // guard above, no CartesianProduct) may appear.
+    val p = plan("q210_grid_proximity")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q210 fell back to a nested loop:\n$p")
+  }
 }
