@@ -658,6 +658,79 @@ object AggQueries {
         .agg(count(lit(1)).as("order_count"))
         .orderBy("o_orderpriority")
     }),
+
+    // TRIMMED MEAN per group (the robust location estimate between
+    // q149's Hampel outliers and q199's winsorization — drop the
+    // tails instead of clipping them): per return flag, the mean of
+    // extended prices with the bottom and top 10% of ROWS removed by
+    // exact rank. Rank bounds are INTEGER cross-multiplications
+    // (10·rank > n, 10·rank ≤ 9n — no float percent), the kept
+    // middle sums as exact decimal, ONE double division at the end.
+    // One key shuffle carries the rank window and the aggregate.
+    "q237_trimmed_mean" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).cast("decimal(18,2)").as("p"))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("l_returnflag")))
+        .filter(col("rnk") * 10 > col("n") && col("rnk") * 10 <= col("n") * 9)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("p")).as("kept_sum"))
+        .select(col("l_returnflag"), col("n_kept"),
+          (col("kept_sum").cast("double") / col("n_kept").cast("double"))
+            .as("trimmed_mean"))
+        .orderBy("l_returnflag")
+    }),
+
+    // POST-STRATIFIED ESTIMATOR (survey calibration — reweight a
+    // BIASED sample's per-stratum means by the POPULATION's stratum
+    // shares; Horvitz–Thompson's everyday cousin): the "sample" is a
+    // deterministically skewed subset (md5 coin keeps ~75% of
+    // AUTOMOBILE customers but ~25% of others), the population
+    // shares come from the full customer table, and the calibrated
+    // mean Σ_s share_s·mean_s corrects the skew. Exact decimal
+    // stratum sums; shares as integer ppm; ONE final double
+    // recombination. The naive (uncorrected) sample mean rides along
+    // so the output SHOWS the correction. Population strata table is
+    // segment-sized — broadcast.
+    "q239_post_stratified" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val keep = substring(md5(concat(col("c_custkey").cast("string"),
+        lit(":ps"))), 1, 1) <
+        when(col("c_mktsegment") === "AUTOMOBILE", "c").otherwise("4")
+      val sample = cust.filter(keep)
+        .select(col("c_mktsegment"),
+          round(col("c_acctbal"), 2).cast("decimal(18,2)").as("bal"))
+      val pop = cust.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("pop_n"))
+      val popTot = pop.agg(sum(col("pop_n")).as("pop_total"))
+      val strat = sample.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_s"), sum(col("bal")).as("sum_s"))
+        .join(broadcast(pop), Seq("c_mktsegment"))
+        .crossJoin(broadcast(popTot))
+        .select(col("c_mktsegment"), col("n_s"), col("pop_n"),
+          expr("(pop_n * 1000000) div pop_total").as("share_ppm"),
+          (col("sum_s").cast("double") / col("n_s").cast("double"))
+            .as("mean_s"))
+      // per-stratum terms quantize to DECIMAL(18,6) BEFORE the final
+      // sum (5 doubles summed raw would be partition-order-dependent);
+      // the naive mean is exact-decimal-sum / count, never avg(double).
+      strat
+        .select(col("n_s"),
+          round(col("share_ppm").cast("double") * col("mean_s"), 6)
+            .cast("decimal(18,6)").as("term"))
+        .agg(sum(col("n_s")).as("n_sampled"),
+          round(sum(col("term")).cast("double") / 1000000.0, 6)
+            .as("calibrated_mean"))
+        .crossJoin(broadcast(sample.agg(
+          round(sum(col("bal")).cast("double") / count(lit(1)), 6)
+            .as("naive_mean"))))
+        .select(col("n_sampled"), col("naive_mean"), col("calibrated_mean"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1071,5 +1144,51 @@ object AggQueries {
         |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // same integer rank bounds under the same total order.
+    "q237_trimmed_mean" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS p,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)),
+        |                    l_orderkey, l_linenumber) AS rnk,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(p) AS DOUBLE) / count(*) AS trimmed_mean
+        |FROM r
+        |WHERE rnk * 10 > n AND rnk * 10 <= n * 9
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // same skewed coin, same population shares, same quantized terms.
+    "q239_post_stratified" ->
+      """WITH sample AS (
+        |  SELECT c_mktsegment,
+        |         CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) AS bal
+        |  FROM customer
+        |  WHERE substr(md5(CAST(c_custkey AS VARCHAR) || ':ps'), 1, 1)
+        |        < CASE WHEN c_mktsegment = 'AUTOMOBILE'
+        |               THEN 'c' ELSE '4' END),
+        |pop AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS pop_n
+        |  FROM customer GROUP BY 1),
+        |pt AS (SELECT sum(pop_n) AS pop_total FROM pop),
+        |st AS (
+        |  SELECT s.c_mktsegment, CAST(count(*) AS BIGINT) AS n_s,
+        |         sum(s.bal) AS sum_s
+        |  FROM sample s GROUP BY 1),
+        |terms AS (
+        |  SELECT st.n_s,
+        |         CAST(round(
+        |           CAST((pop.pop_n * 1000000) // pt.pop_total AS DOUBLE)
+        |           * (CAST(st.sum_s AS DOUBLE) / st.n_s), 6)
+        |           AS DECIMAL(18,6)) AS term
+        |  FROM st JOIN pop USING (c_mktsegment) CROSS JOIN pt)
+        |SELECT (SELECT CAST(sum(n_s) AS BIGINT) FROM terms) AS n_sampled,
+        |       (SELECT round(CAST(sum(bal) AS DOUBLE) / count(*), 6)
+        |        FROM sample) AS naive_mean,
+        |       round(CAST(sum(term) AS DOUBLE) / 1000000.0, 6)
+        |         AS calibrated_mean
+        |FROM terms""".stripMargin,
   )
 }

@@ -1576,6 +1576,41 @@ object EventQueries {
           col("max_delay_s"))
         .orderBy("conv_day")
     }),
+
+    // DAU / WAU / MAU STICKINESS (the growth trinity — q138's
+    // rolling sketch distinct is the 100 TB APPROXIMATE path; this
+    // is its EXACT batch counterpart, the pair every metrics stack
+    // keeps): per day, distinct users that day / trailing 7 / 28,
+    // plus the DAU:WAU and WAU:MAU ratios as integer ppm. Shape:
+    // the user-day DISTINCT table (the one shuffle that matters)
+    // explodes each row to the ≤28 target days it supports
+    // (row-local; wire = user-days × 28, day-bounded), joins the
+    // observed-day list (month-sized, broadcast) so phantom trailing
+    // days past the fixture never report, and ONE aggregate computes
+    // all three distincts via conditional counts. The ×3 Expand of
+    // the fanned table is the exact path's inherent price — at
+    // production scale you flip to the q138 sketch table and pay
+    // 4 KB per (day, window) instead.
+    "q238_stickiness" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ud = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = ud.select(col("day")).distinct()
+      val agg = ud
+        .select(col("user_id"), col("day"),
+          explode(sequence(lit(0), lit(27))).as("off"))
+        .withColumn("target", expr("date_add(day, off)"))
+        .join(broadcast(days.select(col("day").as("target"))), Seq("target"))
+        .groupBy(col("target").as("day"))
+        .agg(
+          countDistinct(when(col("off") === 0, col("user_id"))).as("dau"),
+          countDistinct(when(col("off") < 7, col("user_id"))).as("wau"),
+          countDistinct(col("user_id")).as("mau"))
+      agg.select(col("day"), col("dau"), col("wau"), col("mau"),
+          expr("(dau * 1000000) div wau").as("dau_wau_ppm"),
+          expr("(wau * 1000000) div mau").as("wau_mau_ppm"))
+        .orderBy("day")
+    }),
   )
 
   /** Once-per-session setup for q134: the per-(event_type, day) sketch
@@ -2690,5 +2725,25 @@ object EventQueries {
         |       CAST(max(delay_s) AS BIGINT) AS max_delay_s
         |FROM d GROUP BY conv_day
         |ORDER BY conv_day""".stripMargin,
+    // the INDEPENDENT correlated-range formulation — each day counts
+    // its trailing windows directly, no fan-out.
+    "q238_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |d AS (SELECT DISTINCT day FROM ud),
+        |m AS (
+        |  SELECT d.day,
+        |         (SELECT count(DISTINCT u.user_id) FROM ud u
+        |          WHERE u.day = d.day) AS dau,
+        |         (SELECT count(DISTINCT u.user_id) FROM ud u
+        |          WHERE u.day BETWEEN d.day - 6 AND d.day) AS wau,
+        |         (SELECT count(DISTINCT u.user_id) FROM ud u
+        |          WHERE u.day BETWEEN d.day - 27 AND d.day) AS mau
+        |  FROM d)
+        |SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+        |       CAST(mau AS BIGINT) AS mau,
+        |       CAST((dau * 1000000) // wau AS BIGINT) AS dau_wau_ppm,
+        |       CAST((wau * 1000000) // mau AS BIGINT) AS wau_mau_ppm
+        |FROM m ORDER BY day""".stripMargin,
   )
 }
