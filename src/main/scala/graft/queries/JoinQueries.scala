@@ -778,6 +778,139 @@ object JoinQueries {
             .as("overlap_ppm"))
         .orderBy("seg_a", "seg_b")
     }),
+
+    // LOCAL-SUPPLIER REVENUE (TPC-H Q5 shape — the five-way join
+    // whose distinguishing clause is the LOCALITY predicate
+    // c_nationkey = s_nationkey: revenue only counts when customer
+    // and supplier share a nation). Join order matters at 100 TB:
+    // orders filters by date FIRST (pushed), the two fact joins
+    // shuffle on their keys, nation/region broadcast; the locality
+    // predicate rides the supplier join as a residual — no extra
+    // shuffle. Exact decimal revenue.
+    "q240_local_supplier" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val rev = Tables.lineitem(s, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select(col("c_custkey"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir).select(col("s_suppkey"),
+          col("s_nationkey")), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      rev.join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("revenue"))
+        .select(col("n_name"), col("revenue").cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
+    // PROMO REVENUE SHARE (TPC-H Q14 shape — the conditional-
+    // aggregate ratio: what fraction of a month's revenue came from
+    // promo-class parts). One lineitem×part join (part's two columns
+    // prune to the scan), both the conditional and total revenue in
+    // ONE aggregate pass — CASE inside sum, the no-second-scan
+    // discipline; exact decimal sums, one final double division,
+    // share in integer ppm alongside for the engine-exact column.
+    "q241_promo_share" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+      li.join(Tables.part(s, dir).select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type").startsWith("red"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast("decimal(18,4)")).otherwise(lit(0).cast("decimal(18,4)")))
+            .as("promo_rev"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).as("total_rev"))
+        .withColumn("promo_tt", (col("promo_rev") * 10000).cast("long"))
+        .withColumn("total_tt", (col("total_rev") * 10000).cast("long"))
+        .select(col("promo_rev").cast("double").as("promo_rev"),
+          col("total_rev").cast("double").as("total_rev"),
+          expr("(promo_tt * 1000000) div total_tt").as("promo_ppm"))
+    }),
+
+    // DISJUNCTIVE-PREDICATE JOIN (TPC-H Q19 shape — the OR-of-ANDs
+    // filter that stresses predicate normalization: three
+    // brand/size/quantity bands, any of which qualifies a line).
+    // Catalyst extracts the common l_partkey = p_partkey conjunct so
+    // the join stays EQUI (the naive reading is a theta join); the
+    // per-band residuals evaluate post-join. Exact decimal revenue.
+    "q242_disjunctive_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(p, col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "red" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "blue" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 40)) ||
+          (col("p_brand") === "small" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 60))))
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).as("revenue"))
+        .select(col("n_lines"), col("revenue").cast("double").as("revenue"))
+    }),
+
+    // RETURNED-ITEM CUSTOMER RANKING (TPC-H Q10 shape — "which
+    // customers cost us the most in returns last quarter": the
+    // returned-lines fact joined back through orders to the customer
+    // dimension, top 20 by lost revenue). The returnflag filter cuts
+    // the fact FIRST (pushed to the scan); customer attributes join
+    // AFTER the per-customer aggregate — the aggregate-then-enrich
+    // order that keeps the wide dimension off the fact shuffle;
+    // TakeOrderedAndProject for the top 20.
+    "q243_returned_customers" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val lost = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("lost_rev"), count(lit(1)).as("n_lines"))
+      lost.join(Tables.customer(s, dir).select(col("c_custkey"),
+          col("c_name"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("n_lines"), col("lost_rev").cast("double").as("lost_rev"))
+        .orderBy(desc("lost_rev"), col("c_custkey"))
+        .limit(20)
+    }),
+
+    // PRIORITY × LATENESS MATRIX (TPC-H Q12 shape on the columns
+    // this fixture has — Q12's point is the CASE-sum matrix over a
+    // join: count lines urgent/non-urgent × late/on-time in ONE
+    // aggregate pass, no per-cell scans). The late predicate is the
+    // q211 family's integer-day compare; all four cells come from
+    // two CASE sums plus complements.
+    "q244_priority_lateness" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .withColumn("urgent",
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .agg(
+          sum(when(col("urgent") && col("late"), 1L).otherwise(0L))
+            .as("urgent_late"),
+          sum(when(col("urgent") && !col("late"), 1L).otherwise(0L))
+            .as("urgent_ontime"),
+          sum(when(!col("urgent") && col("late"), 1L).otherwise(0L))
+            .as("other_late"),
+          sum(when(!col("urgent") && !col("late"), 1L).otherwise(0L))
+            .as("other_ontime"))
+    }),
   )
 
   /** Once-per-session setup for q133: lineitem re-written
@@ -1232,5 +1365,81 @@ object JoinQueries {
         |FROM p JOIN sizes sa ON p.seg_a = sa.seg
         |       JOIN sizes sb ON p.seg_b = sb.seg
         |ORDER BY seg_a, seg_b""".stripMargin,
+    // the textbook Q5 formulation with the locality equality.
+    "q240_local_supplier" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |            AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey  = c_custkey
+        |JOIN supplier ON l_suppkey  = s_suppkey
+        |             AND c_nationkey = s_nationkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    // Q14's conditional-sum ratio; the ppm from the same integer
+    // ten-thousandths.
+    "q241_promo_share" ->
+      """WITH a AS (
+        |  SELECT
+        |    sum(CASE WHEN p_type LIKE 'red%'
+        |             THEN CAST(l_extendedprice * (1 - l_discount)
+        |                  AS DECIMAL(18,4))
+        |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo_rev,
+        |    sum(CAST(l_extendedprice * (1 - l_discount)
+        |        AS DECIMAL(18,4))) AS total_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01')
+        |SELECT CAST(promo_rev AS DOUBLE) AS promo_rev,
+        |       CAST(total_rev AS DOUBLE) AS total_rev,
+        |       CAST((CAST(promo_rev * 10000 AS BIGINT) * 1000000)
+        |            // CAST(total_rev * 10000 AS BIGINT) AS BIGINT)
+        |         AS promo_ppm
+        |FROM a""".stripMargin,
+    // Q19's OR-of-ANDs verbatim.
+    "q242_disjunctive_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |            AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'red' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'blue' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 40)
+        |   OR (p_brand = 'small' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 60)""".stripMargin,
+    // Q10's returned-lines ranking.
+    "q243_returned_customers" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |            AS DECIMAL(18,4))) AS DOUBLE) AS lost_rev
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey  = c_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_nationkey
+        |ORDER BY lost_rev DESC, c_custkey LIMIT 20""".stripMargin,
+    // Q12's CASE-sum matrix.
+    "q244_priority_lateness" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN urgent AND late THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS urgent_late,
+        |  CAST(sum(CASE WHEN urgent AND NOT late THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS urgent_ontime,
+        |  CAST(sum(CASE WHEN NOT urgent AND late THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS other_late,
+        |  CAST(sum(CASE WHEN NOT urgent AND NOT late THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS other_ontime
+        |FROM (
+        |  SELECT l_shipdate > o_orderdate + INTERVAL 90 DAY AS late,
+        |         o_orderpriority IN ('1-URGENT', '2-HIGH') AS urgent
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""".stripMargin,
   )
 }
