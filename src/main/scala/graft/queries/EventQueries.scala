@@ -1611,6 +1611,53 @@ object EventQueries {
           expr("(wau * 1000000) div mau").as("wau_mau_ppm"))
         .orderBy("day")
     }),
+
+    // PEAK CONCURRENCY per day (the classic +1/−1 interval sweep —
+    // "how many sessions were live at the busiest instant", the
+    // capacity-planning number): each event opens a 10-minute
+    // activity interval; intervals CLIP at midnight (the crossing
+    // tail re-opens in the next day), so the sweep PARTITIONS BY DAY
+    // — no global single-partition sort, the q124 funnel rule (a
+    // cross-midnight session counts in both days' peaks, which is
+    // the number capacity planning wants anyway). Within a day:
+    // order points by (second, delta) with closes (−1) before opens
+    // (+1) — half-open semantics, an interval ending at t never
+    // overlaps one starting at t — take the running sum, and the
+    // peak is the max AT OPEN points (concurrency only rises there;
+    // ties at one second resolve to the same max whatever their
+    // internal order, so the per-day result is total-order-free).
+    "q248_peak_concurrency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val iv = Tables.events(s, dir)
+        .select(expr("unix_micros(ts) div 1000000").as("s0"))
+        .withColumn("e0", col("s0") + 600L)
+        .withColumn("day", expr("s0 div 86400"))
+        .withColumn("day_end", (col("day") + 1) * 86400L)
+      val segs = iv.select(explode(concat(
+          array(struct(col("day"), col("s0").as("a"),
+            least(col("e0"), col("day_end")).as("b"))),
+          when(col("e0") > col("day_end"),
+            array(struct((col("day") + 1).as("day"),
+              col("day_end").as("a"), col("e0").as("b"))))
+            .otherwise(array().cast(
+              "array<struct<day:bigint,a:bigint,b:bigint>>")))).as("g"))
+        .select(col("g.day").as("day"), col("g.a").as("a"), col("g.b").as("b"))
+      val points = segs.select(col("day"), col("a").as("sec"),
+          lit(1L).as("delta"))
+        .unionByName(segs.select(col("day"), col("b").as("sec"),
+          lit(-1L).as("delta")))
+      val sweep = Window.partitionBy("day").orderBy("sec", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      points.withColumn("live", sum(col("delta")).over(sweep))
+        .filter(col("delta") === 1)
+        .groupBy(col("day"))
+        .agg(max(col("live")).as("peak_concurrent"),
+          count(lit(1)).as("n_opens"))
+        .select(expr("CAST(day AS BIGINT)").as("epoch_day"),
+          col("peak_concurrent"), col("n_opens"))
+        .orderBy("epoch_day")
+    }),
   )
 
   /** Once-per-session setup for q134: the per-(event_type, day) sketch
@@ -2745,5 +2792,30 @@ object EventQueries {
         |       CAST((dau * 1000000) // wau AS BIGINT) AS dau_wau_ppm,
         |       CAST((wau * 1000000) // mau AS BIGINT) AS wau_mau_ppm
         |FROM m ORDER BY day""".stripMargin,
+    // the same day-clipped sweep in DuckDB's window dialect.
+    "q248_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT epoch_us(ts) // 1000000 AS s0 FROM events),
+        |segs AS (
+        |  SELECT s0 // 86400 AS day, s0 AS a,
+        |         least(s0 + 600, (s0 // 86400 + 1) * 86400) AS b
+        |  FROM iv
+        |  UNION ALL
+        |  SELECT s0 // 86400 + 1, (s0 // 86400 + 1) * 86400, s0 + 600
+        |  FROM iv WHERE s0 + 600 > (s0 // 86400 + 1) * 86400),
+        |points AS (
+        |  SELECT day, a AS sec, CAST(1 AS BIGINT) AS delta FROM segs
+        |  UNION ALL
+        |  SELECT day, b, CAST(-1 AS BIGINT) FROM segs),
+        |r AS (
+        |  SELECT day, sec, delta,
+        |         sum(delta) OVER (PARTITION BY day ORDER BY sec, delta
+        |           ROWS UNBOUNDED PRECEDING) AS live
+        |  FROM points)
+        |SELECT CAST(day AS BIGINT) AS epoch_day,
+        |       CAST(max(live) AS BIGINT) AS peak_concurrent,
+        |       CAST(count(*) AS BIGINT) AS n_opens
+        |FROM r WHERE delta = 1
+        |GROUP BY day ORDER BY epoch_day""".stripMargin,
   )
 }

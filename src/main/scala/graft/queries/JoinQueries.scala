@@ -911,6 +911,90 @@ object JoinQueries {
           sum(when(!col("urgent") && !col("late"), 1L).otherwise(0L))
             .as("other_ontime"))
     }),
+
+    // NATION-PAIR TRADE VOLUME (TPC-H Q7 shape — revenue flowing
+    // between two specific nations, by direction and year: the
+    // nation-pair disjunction that makes the dimension filter a
+    // PAIR predicate, not two independent ones). Supplier and
+    // customer nations resolve through two broadcast dim joins; the
+    // pair disjunction evaluates as a residual on the already-joined
+    // row; year is integer extraction. Exact decimal revenue per
+    // (supp_nation, cust_nation, year) cell.
+    "q245_nation_trade" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir).select(col("s_suppkey"),
+          col("s_nationkey").as("supp_nation")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, dir).select(col("c_custkey"),
+          col("c_nationkey").as("cust_nation")),
+          col("o_custkey") === col("c_custkey"))
+      li.filter((col("supp_nation") === 3 && col("cust_nation") === 2) ||
+          (col("supp_nation") === 2 && col("cust_nation") === 3))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("volume"))
+        .select(col("supp_nation"), col("cust_nation"), col("yr"),
+          col("volume").cast("double").as("volume"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    }),
+
+    // NATIONAL MARKET SHARE BY YEAR (TPC-H Q8 shape — one nation's
+    // share of a market's revenue per year: the conditional-sum
+    // ratio OVER a grouped axis, Q14's trick per group). Market =
+    // customers of one region; the focal supplier nation's revenue
+    // share per order-year as integer ppm of exact ten-thousandths
+    // (no float division until the display column). Region/nation
+    // dims broadcast; one fact pass.
+    "q246_market_share" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_regionkey") === 1)
+        .select(col("c_custkey"))
+      val rows = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir).select(col("s_suppkey"),
+          col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+      rows.groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(
+          sum(when(col("s_nationkey") === 3,
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast("decimal(18,4)")).otherwise(lit(0).cast("decimal(18,4)")))
+            .as("focal_rev"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).as("market_rev"))
+        .withColumn("focal_tt", (col("focal_rev") * 10000).cast("long"))
+        .withColumn("market_tt", (col("market_rev") * 10000).cast("long"))
+        .select(col("yr"), col("focal_rev").cast("double").as("focal_rev"),
+          col("market_rev").cast("double").as("market_rev"),
+          expr("(focal_tt * 1000000) div market_tt").as("share_ppm"))
+        .orderBy("yr")
+    }),
+
+    // FILTERED-AGGREGATE FORECAST (TPC-H Q6 — the simplest classic:
+    // one scan, three pushable predicates, one product sum. Included
+    // for surface completeness; its entire 100 TB story is that ALL
+    // THREE predicates reach the parquet scan and nothing shuffles
+    // but one partial-agg row per task).
+    "q247_forecast_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_discount").between(0.02, 0.06) && col("l_quantity") < 10)
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("l_extendedprice") * col("l_discount"))
+            .cast("decimal(18,4)")).as("revenue_effect"))
+        .select(col("n_lines"),
+          col("revenue_effect").cast("double").as("revenue_effect"))
+    }),
   )
 
   /** Once-per-session setup for q133: lineitem re-written
@@ -1441,5 +1525,54 @@ object JoinQueries {
         |  SELECT l_shipdate > o_orderdate + INTERVAL 90 DAY AS late,
         |         o_orderpriority IN ('1-URGENT', '2-HIGH') AS urgent
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""".stripMargin,
+    // the textbook Q7 pair-disjunction formulation.
+    "q245_nation_trade" ->
+      """SELECT s_nationkey AS supp_nation, c_nationkey AS cust_nation,
+        |       CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |            AS DECIMAL(18,4))) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey  = s_suppkey
+        |JOIN customer ON o_custkey  = c_custkey
+        |WHERE (s_nationkey = 3 AND c_nationkey = 2)
+        |   OR (s_nationkey = 2 AND c_nationkey = 3)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, yr""".stripMargin,
+    // Q8's conditional share per year; ppm from the same integer
+    // ten-thousandths.
+    "q246_market_share" ->
+      """WITH rows_ AS (
+        |  SELECT year(o_orderdate) AS yr, s_nationkey,
+        |         CAST(l_extendedprice * (1 - l_discount)
+        |              AS DECIMAL(18,4)) AS rev
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey  = c_custkey
+        |  JOIN nation   ON c_nationkey = n_nationkey
+        |  JOIN supplier ON l_suppkey  = s_suppkey
+        |  WHERE n_regionkey = 1),
+        |a AS (
+        |  SELECT CAST(yr AS INTEGER) AS yr,
+        |         sum(CASE WHEN s_nationkey = 3 THEN rev
+        |                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS focal_rev,
+        |         sum(rev) AS market_rev
+        |  FROM rows_ GROUP BY 1)
+        |SELECT yr, CAST(focal_rev AS DOUBLE) AS focal_rev,
+        |       CAST(market_rev AS DOUBLE) AS market_rev,
+        |       CAST((CAST(focal_rev * 10000 AS BIGINT) * 1000000)
+        |            // CAST(market_rev * 10000 AS BIGINT) AS BIGINT)
+        |         AS share_ppm
+        |FROM a ORDER BY yr""".stripMargin,
+    // Q6 verbatim.
+    "q247_forecast_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice * l_discount
+        |            AS DECIMAL(18,4))) AS DOUBLE) AS revenue_effect
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 10""".stripMargin,
   )
 }
