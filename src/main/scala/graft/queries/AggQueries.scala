@@ -667,6 +667,13 @@ object AggQueries {
     // (10·rank > n, 10·rank ≤ 9n — no float percent), the kept
     // middle sums as exact decimal, ONE double division at the end.
     // One key shuffle carries the rank window and the aggregate.
+    // Scale seam: l_returnflag has THREE values, so the rank sort
+    // runs at parallelism 3 (4.3 s at sf0.1 — the bench's one
+    // low-parallelism window); by-rank trimming needs a per-group
+    // total order, and the production path for low-cardinality
+    // groups is the two-phase range-partitioned rank
+    // (Profile.runningTotalByRange, gated by q160) — same exact
+    // bounds, domain-partitioned sort.
     "q237_trimmed_mean" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("l_returnflag")
