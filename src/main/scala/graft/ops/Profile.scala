@@ -255,11 +255,30 @@ object Profile {
       .drop("__sx", "__six")
   }
 
+  /** Two-phase range-partitioned running total (q148's O(domain)
+    * window seam's escape hatch; gated cross-engine by q160): range-
+    * partition on the order key, per-partition prefix sums, then add
+    * each partition's broadcast start offset.
+    *
+    * The localCheckpoint is REQUIRED for correctness, not an
+    * optimization: `ranged` feeds TWO subtrees (the offsets aggregate
+    * and the join input), and Spark's range exchange draws its
+    * partition boundaries from a RANDOM-SEED sample per evaluated
+    * exchange — if the optimizer does not reuse one exchange for both
+    * subtrees (AQE sometimes does not), the offsets describe
+    * DIFFERENT boundaries than the join branch's partitioning and the
+    * running totals silently shift. Observed live: q249's two-phase
+    * trim disagreed with its oracle at sf0.01 on exactly this;
+    * ProfileSpec's equality test had only ever exercised the
+    * exchange-reuse path. Materializing the ranged frame once pins
+    * one set of boundaries for both consumers (the Dedup iterative-
+    * pass discipline; blocks reclaimed by the ContextCleaner). */
   def runningTotalByRange(df: DataFrame, orderCol: String, valueCol: String,
                           partitions: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranged = df.repartitionByRange(partitions, col(orderCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val offsets = ranged.groupBy("__pid").agg(sum(col(valueCol)).as("__ptot"))
       .withColumn("__off", coalesce(sum(col("__ptot")).over(
         Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),

@@ -738,6 +738,40 @@ object AggQueries {
             .as("naive_mean"))))
         .select(col("n_sampled"), col("naive_mean"), col("calibrated_mean"))
     }),
+
+    // TRIMMED MEAN VIA THE TWO-PHASE RANGE RANK — q237's documented
+    // production path DEMONSTRATED: the same exact by-rank trim, but
+    // the total order (flag, price, key) rides
+    // Profile.runningTotalByRange's range-partitioned prefix count
+    // (32-way sort) instead of a 3-partition window; per-group ranks
+    // recover from the GLOBAL running count minus each group's start
+    // offset (one flag-sized aggregate + broadcast join). Same
+    // integer bounds, same decimal sum — and the oracle is q237's
+    // verbatim, so the hash match proves the two-phase rank IS the
+    // single-window rank (4.3 s → the sort parallelism the fixture's
+    // three flags deny the window form).
+    "q249_trimmed_mean_ranged" -> ((s, dir) => {
+      val rows = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).cast("decimal(18,2)").as("p"))
+        .withColumn("ok", struct(col("l_returnflag"), col("p"),
+          col("l_orderkey"), col("l_linenumber")))
+        .withColumn("one", lit(1L))
+      val ranked = graft.ops.Profile.runningTotalByRange(
+          rows, "ok", "one", 32)
+        .withColumnRenamed("running_total", "rn")
+      val offs = ranked.groupBy(col("l_returnflag"))
+        .agg(min(col("rn")).as("g_start"), count(lit(1)).as("n"))
+      ranked.join(broadcast(offs), Seq("l_returnflag"))
+        .withColumn("rnk", col("rn") - col("g_start") + 1)
+        .filter(col("rnk") * 10 > col("n") && col("rnk") * 10 <= col("n") * 9)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("p")).as("kept_sum"))
+        .select(col("l_returnflag"), col("n_kept"),
+          (col("kept_sum").cast("double") / col("n_kept").cast("double"))
+            .as("trimmed_mean"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1197,5 +1231,22 @@ object AggQueries {
         |       round(CAST(sum(term) AS DOUBLE) / 1000000.0, 6)
         |         AS calibrated_mean
         |FROM terms""".stripMargin,
+    // q237's oracle VERBATIM — the gate proves the two-phase rank
+    // equals the single-window rank.
+    "q249_trimmed_mean_ranged" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS p,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)),
+        |                    l_orderkey, l_linenumber) AS rnk,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(p) AS DOUBLE) / count(*) AS trimmed_mean
+        |FROM r
+        |WHERE rnk * 10 > n AND rnk * 10 <= n * 9
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }
