@@ -748,8 +748,14 @@ object AggQueries {
     // offset (one flag-sized aggregate + broadcast join). Same
     // integer bounds, same decimal sum — and the oracle is q237's
     // verbatim, so the hash match proves the two-phase rank IS the
-    // single-window rank (4.3 s → the sort parallelism the fixture's
-    // three flags deny the window form).
+    // single-window rank. Measured honestly at sf0.1: 5.2 s vs the
+    // window form's 3.5 s — the one-time checkpoint materialization
+    // outweighs the 3→32 parallelism gain when 600k rows still fit a
+    // task's sort; the two-phase form is for the regime where a
+    // GROUP exceeds one task (its cost is O(n/p) per task + a
+    // partition-count offset table, vs the window's O(group) single
+    // task) — the correctness demonstration is the point here, the
+    // crossover lives beyond the fixture.
     "q249_trimmed_mean_ranged" -> ((s, dir) => {
       val rows = Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
