@@ -1658,6 +1658,75 @@ object EventQueries {
           col("peak_concurrent"), col("n_opens"))
         .orderBy("epoch_day")
     }),
+
+    // FORECAST-ACCURACY REPORT (SMAPE — closes q197's monitoring
+    // loop: the baseline model's errors, not just its alerts): a
+    // per-(type, hour-of-day) mean-value baseline TRAINS on days
+    // 1–20 and is evaluated on days 21+; per type, the symmetric
+    // MAPE over evaluation cells. Time-split discipline (train
+    // strictly before eval — the q195 leakage rule on the time
+    // axis); cell means as exact decimal sums with ONE double
+    // division; per-cell SMAPE terms quantized to DECIMAL(18,8)
+    // before the per-type mean (order-free). Baseline is
+    // (types × 24)-sized — broadcast to the eval cells.
+    "q250_forecast_smape" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), hour(col("ts")).as("hod"),
+          to_date(col("ts")).as("day"),
+          round(col("value"), 2).cast("decimal(18,2)").as("v"))
+      val cut = lit("2024-01-21").cast("date")
+      val baseline = ev.filter(col("day") < cut)
+        .groupBy(col("event_type"), col("hod"))
+        .agg((sum(col("v")).cast("double") / count(lit(1))).as("pred"))
+      val actual = ev.filter(col("day") >= cut)
+        .groupBy(col("event_type"), col("hod"), col("day"))
+        .agg((sum(col("v")).cast("double") / count(lit(1))).as("act"))
+      actual.join(broadcast(baseline), Seq("event_type", "hod"))
+        .withColumn("term",
+          round(abs(col("act") - col("pred")) /
+            ((abs(col("act")) + abs(col("pred"))) / 2.0), 8)
+            .cast("decimal(18,8)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum(col("term")).cast("double") / count(lit(1)), 6)
+            .as("smape"))
+        .orderBy("event_type")
+    }),
+
+    // WILSON CONFIDENCE INTERVALS for conversion rates (the
+    // closed-form the q226 sequential monitor's fixed-horizon
+    // sibling reports — Wilson 1927, the interval that behaves at
+    // small n and extreme p where the naive Wald interval leaks
+    // outside [0, 1]): per event type, "conversion" = value > 40
+    // (q226's success), the 95% lower/upper bounds from integer
+    // (successes, trials) through ONE fixed IEEE tree each (q169's
+    // recombination discipline — z² enters as the literal 3.8416 =
+    // 1.96², never a float product chain). Counts come from one
+    // scan-group pass; everything after is row-local arithmetic on
+    // a type-sized table.
+    "q251_wilson_interval" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val counts = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(round(col("value"), 2).cast("decimal(18,2)") > 40, 1L)
+            .otherwise(0L)).as("x"))
+      val z2 = lit(3.8416) // 1.96²
+      val nD = col("n").cast("double")
+      val pD = col("x").cast("double") / nD
+      val denom = lit(1.0) + z2 / nD
+      val center = (pD + z2 / (lit(2.0) * nD)) / denom
+      val half = (lit(1.96) * sqrt(pD * (lit(1.0) - pD) / nD +
+        z2 / (lit(4.0) * nD * nD))) / denom
+      counts.select(col("event_type"), col("n"), col("x"),
+          round(pD, 6).as("p_hat"),
+          round(center - half, 6).as("wilson_lo"),
+          round(center + half, 6).as("wilson_hi"))
+        .orderBy("event_type")
+    }),
   )
 
   /** Once-per-session setup for q134: the per-(event_type, day) sketch
@@ -2817,5 +2886,60 @@ object EventQueries {
         |       CAST(count(*) AS BIGINT) AS n_opens
         |FROM r WHERE delta = 1
         |GROUP BY day ORDER BY epoch_day""".stripMargin,
+    // same time split, same cell means, same quantized SMAPE terms.
+    "q250_forecast_smape" ->
+      """WITH ev AS (
+        |  SELECT event_type, hour(ts) AS hod, CAST(ts AS DATE) AS day,
+        |         CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (
+        |  SELECT event_type, hod,
+        |         CAST(sum(v) AS DOUBLE) / count(*) AS pred
+        |  FROM ev WHERE day < DATE '2024-01-21' GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, hod, day,
+        |         CAST(sum(v) AS DOUBLE) / count(*) AS act
+        |  FROM ev WHERE day >= DATE '2024-01-21' GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT a.event_type,
+        |         CAST(round(abs(act - pred) /
+        |              ((abs(act) + abs(pred)) / 2.0), 8)
+        |              AS DECIMAL(18,8)) AS term
+        |  FROM a JOIN b USING (event_type, hod))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_cells,
+        |       round(CAST(sum(term) AS DOUBLE) / count(*), 6) AS smape
+        |FROM t GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // the same closed form with the same literals.
+    "q251_wilson_interval" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN CAST(round(value, 2) AS DECIMAL(18,2))
+        |                            > 40 THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY event_type)
+        |SELECT event_type, n, x,
+        |       round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+        |       round((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |              + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+        |             / (1.0 + 3.8416 / CAST(n AS DOUBLE))
+        |             - (1.96 * sqrt(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |                * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+        |                / CAST(n AS DOUBLE)
+        |                + 3.8416 / (4.0 * CAST(n AS DOUBLE)
+        |                            * CAST(n AS DOUBLE))))
+        |               / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6)
+        |         AS wilson_lo,
+        |       round((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |              + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+        |             / (1.0 + 3.8416 / CAST(n AS DOUBLE))
+        |             + (1.96 * sqrt(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |                * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+        |                / CAST(n AS DOUBLE)
+        |                + 3.8416 / (4.0 * CAST(n AS DOUBLE)
+        |                            * CAST(n AS DOUBLE))))
+        |               / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6)
+        |         AS wilson_hi
+        |FROM c ORDER BY event_type""".stripMargin,
   )
 }
