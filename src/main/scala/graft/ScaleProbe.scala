@@ -110,7 +110,11 @@ object ScaleProbe {
       // only scalars), the 6-level frontier closure, and the
       // segment-set pair explosion (segments²-per-user, never n²)
       "q210_grid_proximity", "q212_label_propagation", "q215_maxsim",
-      "q229_bom_explosion", "q234_audience_overlap")
+      "q229_bom_explosion", "q234_audience_overlap",
+      // the exact stickiness fan (user-days × 28 with a ×3 distinct
+      // Expand — the documented exact-path price) and the day-
+      // partitioned concurrency sweep (2 points/event, day-bounded)
+      "q238_stickiness", "q248_peak_concurrency")
     // SPARK_GRAFT_PROBE_ONLY=q106,q120 restricts the family — the
     // 30–50× runs target just the linear-growth outliers rather than
     // paying the whole family at a corpus 3–5× the 10× one.
