@@ -926,7 +926,7 @@ object Dedup {
     cand
       .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("bigint"))
       .filter(col("dist") <= 1)
       .select(col("id_a"), col("id_b"), col("dist"))
   }

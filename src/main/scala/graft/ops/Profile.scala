@@ -142,17 +142,21 @@ object Profile {
     * rows, so two replicas — or two ENGINES, this one and the oracle —
     * can be compared by exchanging a handful of (group, n_rows,
     * checksum) triples. Each row's canonical representation hashes to
-    * md5, the first 14 hex digits (56 bits) parse to an integer, and
-    * the group checksum is the exact DECIMAL(38,0) SUM — commutative
-    * and associative, so the result is independent of row order,
-    * partitioning, and merge shape (the property a naive "hash of
-    * concatenated rows" lacks), and any engine with md5 + 64-bit hex
-    * parsing replays it bit-identically.
+    * md5, the first 14 hex digits (56 bits) parse to an integer, the
+    * terms SUM exactly (DECIMAL(38,0) — no overflow below ~10^21
+    * rows), and the sum is reduced mod 2^52 to a BIGINT wire value —
+    * commutative and associative, so the result is independent of row
+    * order, partitioning, and merge shape (the property a naive "hash
+    * of concatenated rows" lacks), and any engine with md5 + 64-bit
+    * hex parsing replays it bit-identically. The 2^52 reduction keeps
+    * the published checksum inside float64's exact-integer range, so
+    * downstream comparators that route through double (pandas, JSON)
+    * cannot corrupt it; modular sums stay order-invariant.
     *
     * Multiset semantics: duplicate rows add twice — intentional (a
     * replica that doubled a row must NOT checksum-match). Detection
-    * only, not adversarial integrity: 56-bit terms make accidental
-    * corruption collisions ~2^-56 per group but an adversary could
+    * only, not adversarial integrity: 52-bit state makes accidental
+    * corruption collisions ~2^-52 per group but an adversary could
     * craft compensating rows; use a MAC'd canonical column for that.
     * Scale shape: the signature is scan-local (codegen'd md5 + conv);
     * the only shuffle is the domain-sized group agg.
@@ -169,7 +173,9 @@ object Profile {
     df.withColumn("__sig",
         conv(substring(md5(canonical), 1, 14), 16, 10).cast("decimal(38,0)"))
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_rows"), sum(col("__sig")).as("checksum"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("__sig")) % lit(4503599627370496L))
+          .cast("long").as("checksum"))
 
   /** BENFORD FIRST-DIGIT AUDIT (Benford 1938; the fraud/corruption
     * screen for financial and telemetry columns): observed leading-

@@ -778,6 +778,44 @@ object AggQueries {
             .as("trimmed_mean"))
         .orderBy("l_returnflag")
     }),
+
+    // GROUPED EXACT MEDIAN at the q249 two-phase discipline — the
+    // percentile analog of the trimmed-mean pair: percentile_approx
+    // trades error for one pass; this is the EXACT by-rank median
+    // with NO single-task group sort. The global total order (flag,
+    // price, key) rides Profile.runningTotalByRange's range-
+    // partitioned prefix count (32-way parallel sort); per-group
+    // ranks recover from the global running count minus each group's
+    // start offset (flag-sized aggregate, broadcast back). Median =
+    // mean of the middle one/two ranks — ranks (n+1) div 2 and
+    // (n+2) div 2, which coincide for odd n — so the "interpolation"
+    // is an exact decimal sum over ≤2 rows and ONE double division,
+    // identical IEEE both engines. Scale shape: O(n/p) per task +
+    // a partition-count offset table; a group larger than one task's
+    // sort memory changes nothing (the q237→q249 crossover argument,
+    // AggQueries.scala:742).
+    "q252_grouped_median" -> ((s, dir) => {
+      val rows = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).cast("decimal(18,2)").as("p"))
+        .withColumn("ok", struct(col("l_returnflag"), col("p"),
+          col("l_orderkey"), col("l_linenumber")))
+        .withColumn("one", lit(1L))
+      val ranked = graft.ops.Profile.runningTotalByRange(
+          rows, "ok", "one", 32)
+        .withColumnRenamed("running_total", "rn")
+      val offs = ranked.groupBy(col("l_returnflag"))
+        .agg(min(col("rn")).as("g_start"), count(lit(1)).as("n"))
+      ranked.join(broadcast(offs), Seq("l_returnflag"))
+        .withColumn("rnk", col("rn") - col("g_start") + 1)
+        .filter(col("rnk") === expr("(n + 1) div 2") ||
+          col("rnk") === expr("(n + 2) div 2"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n_rows"),
+          round(sum(col("p")).cast("double") / count(lit(1)), 6)
+            .as("median"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -916,13 +954,15 @@ object AggQueries {
         |WHERE 2 * cum >= tot
         |GROUP BY c.rf, t.tot ORDER BY l_returnflag""".stripMargin,
     // the same content-addressed sum, recomputed from scratch: 14 hex
-    // digits of md5 parse via the 0x-cast (q124 idiom), sum exactly.
+    // digits of md5 parse via the 0x-cast (q124 idiom), sum exactly,
+    // reduce mod 2^52 to the float64-exact BIGINT wire shape.
     "q165_group_checksum" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         |       CAST(sum(CAST(('0x' || substr(md5(
         |         l_orderkey || '|' || l_linenumber || '|' ||
         |         CAST(l_quantity AS BIGINT) || '|' || l_linestatus),
-        |         1, 14)) AS BIGINT)) AS DECIMAL(38,0)) AS checksum
+        |         1, 14)) AS BIGINT)) % 4503599627370496 AS BIGINT)
+        |         AS checksum
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // INDEPENDENT formulation: the naive per-basket self-join (fine at
@@ -1252,6 +1292,24 @@ object AggQueries {
         |       CAST(sum(p) AS DOUBLE) / count(*) AS trimmed_mean
         |FROM r
         |WHERE rnk * 10 > n AND rnk * 10 <= n * 9
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // the single-window formulation of the same by-rank median — the
+    // independent check that the two-phase global rank picks exactly
+    // the middle row(s) per group.
+    "q252_grouped_median" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS p,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)),
+        |                    l_orderkey, l_linenumber) AS rnk,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
+        |       round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS median
+        |FROM r
+        |WHERE rnk = (n + 1) // 2 OR rnk = (n + 2) // 2
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
   )

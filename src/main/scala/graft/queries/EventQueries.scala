@@ -1013,7 +1013,7 @@ object EventQueries {
       import org.apache.spark.sql.functions._
       val ev = Tables.events(s, dir).filter(col("value").isNotNull)
         .select(col("event_id"), col("event_type"),
-          hour(col("ts")).as("hod"),
+          hour(col("ts")).cast("bigint").as("hod"),
           round(col("value"), 4).cast("decimal(18,4)").as("v"))
       val m = ev.groupBy("event_type", "hod").agg(count(lit(1)).as("n"),
         sum(col("v")).as("sv"), sum(col("v") * col("v")).as("svv"))
@@ -1392,7 +1392,7 @@ object EventQueries {
         .withColumn("p", sum(col("cents") - col("k")).over(cum))
         .withColumn("s",
           col("p") - least(lit(0L), min(col("p")).over(cum)))
-        .select(col("day"), col("cents"), col("k"),
+        .select(col("day").cast("string").as("day"), col("cents"), col("k"),
           col("s").as("cusum_cents"), (col("s") > col("k")).as("drift_flag"))
         .orderBy("day")
     }),
@@ -1422,6 +1422,8 @@ object EventQueries {
       dau.join(firstDay, Seq("day"), "left")
         .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
         .withColumn("cum_users", sum(col("new_users")).over(cum))
+        .select(col("day").cast("string").as("day"), col("dau"),
+          col("new_users"), col("cum_users"))
         .orderBy("day")
     }),
 
@@ -1492,6 +1494,9 @@ object EventQueries {
         .agg(countDistinct(col("user_id")).as("active_users"),
           sum(col("cents")).as("rev_cents"))
         .withColumn("cum_rev_cents", sum(col("rev_cents")).over(cum))
+        .select(col("cohort_day").cast("string").as("cohort_day"),
+          col("age_week"), col("active_users"), col("rev_cents"),
+          col("cum_rev_cents"))
         .orderBy("cohort_day", "age_week")
     }),
 
@@ -1531,7 +1536,8 @@ object EventQueries {
         .withColumn("x", sum(col("successes")).over(cum))
         .withColumn("llr",
           (col("x") * c1 + (col("n") - col("x")) * c0).cast("decimal(28,10)"))
-        .select(col("arm"), col("day"), col("n"), col("x"),
+        .select(col("arm"), col("day").cast("string").as("day"),
+          col("n"), col("x"),
           col("llr").cast("double").as("llr"),
           when(col("llr") >= bound, lit("accept_h1"))
             .when(col("llr") <= -bound, lit("accept_h0"))
@@ -1606,7 +1612,8 @@ object EventQueries {
           countDistinct(when(col("off") === 0, col("user_id"))).as("dau"),
           countDistinct(when(col("off") < 7, col("user_id"))).as("wau"),
           countDistinct(col("user_id")).as("mau"))
-      agg.select(col("day"), col("dau"), col("wau"), col("mau"),
+      agg.select(col("day").cast("string").as("day"),
+          col("dau"), col("wau"), col("mau"),
           expr("(dau * 1000000) div wau").as("dau_wau_ppm"),
           expr("(wau * 1000000) div mau").as("wau_mau_ppm"))
         .orderBy("day")
@@ -1667,7 +1674,9 @@ object EventQueries {
     // strictly before eval — the q195 leakage rule on the time
     // axis); cell means as exact decimal sums with ONE double
     // division; per-cell SMAPE terms quantized to DECIMAL(18,8)
-    // before the per-type mean (order-free). Baseline is
+    // before the per-type mean (order-free); a both-zero cell
+    // contributes 0 (standard SMAPE convention — the NaN would
+    // null-silently in Spark but raise in DuckDB). Baseline is
     // (types × 24)-sized — broadcast to the eval cells.
     "q250_forecast_smape" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -1685,9 +1694,11 @@ object EventQueries {
         .agg((sum(col("v")).cast("double") / count(lit(1))).as("act"))
       actual.join(broadcast(baseline), Seq("event_type", "hod"))
         .withColumn("term",
-          round(abs(col("act") - col("pred")) /
+          when(abs(col("act")) + abs(col("pred")) === 0.0,
+            lit(0).cast("decimal(18,8)"))
+          .otherwise(round(abs(col("act") - col("pred")) /
             ((abs(col("act")) + abs(col("pred"))) / 2.0), 8)
-            .cast("decimal(18,8)"))
+            .cast("decimal(18,8)")))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_cells"),
           round(sum(col("term")).cast("double") / count(lit(1)), 6)
@@ -2570,7 +2581,8 @@ object EventQueries {
         |          * 1000000)
         |         // (sum(count(*)) OVER ()) AS pr
         |  FROM ev WHERE event_type = 'purchase' GROUP BY v)
-        |SELECT CAST(s.v_click AS DOUBLE) AS v_click, s.pr,
+        |SELECT CAST(s.v_click AS DOUBLE) AS v_click,
+        |       CAST(s.pr AS BIGINT) AS pr,
         |       CAST(r.v_ref AS DOUBLE) AS v_mapped
         |FROM src s ASOF LEFT JOIN ref r ON r.pr <= s.pr
         |ORDER BY v_click""".stripMargin,
@@ -2631,10 +2643,10 @@ object EventQueries {
         |  FROM u GROUP BY t_exit),
         |r AS (
         |  SELECT t_exit, d,
-        |         sum(n_exit) OVER ()
+        |         CAST(sum(n_exit) OVER ()
         |           - coalesce(sum(n_exit) OVER (ORDER BY t_exit
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |           AS at_risk
+        |           AS BIGINT) AS at_risk
         |  FROM bt),
         |t AS (
         |  SELECT t_exit, d, at_risk,
@@ -2705,7 +2717,7 @@ object EventQueries {
         |         CAST(sum(cents - tc // nd) OVER
         |           (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
         |  FROM d CROSS JOIN t)
-        |SELECT day, cents, k,
+        |SELECT CAST(day AS VARCHAR) AS day, cents, k,
         |       CAST(p - least(0, min(p) OVER
         |         (ORDER BY day ROWS UNBOUNDED PRECEDING)) AS BIGINT)
         |         AS cusum_cents,
@@ -2725,7 +2737,7 @@ object EventQueries {
         |n AS (
         |  SELECT day, CAST(count(*) AS BIGINT) AS new_users
         |  FROM f GROUP BY day)
-        |SELECT a.day, a.dau,
+        |SELECT CAST(a.day AS VARCHAR) AS day, a.dau,
         |       CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
         |       CAST(sum(coalesce(n.new_users, 0)) OVER
         |         (ORDER BY a.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
@@ -2781,7 +2793,8 @@ object EventQueries {
         |         CAST(sum(cents) AS BIGINT) AS rev_cents
         |  FROM pur JOIN c USING (user_id)
         |  GROUP BY 1, 2)
-        |SELECT cohort_day, age_week, active_users, rev_cents,
+        |SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+        |       age_week, active_users, rev_cents,
         |       CAST(sum(rev_cents) OVER (PARTITION BY cohort_day
         |         ORDER BY age_week ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |         AS cum_rev_cents
@@ -2811,7 +2824,8 @@ object EventQueries {
         |              + (n - x) * CAST('-0.1823215568' AS DECIMAL(12,10))
         |              AS DECIMAL(28,10)) AS llr
         |  FROM c)
-        |SELECT arm, day, n, x, CAST(llr AS DOUBLE) AS llr,
+        |SELECT arm, CAST(day AS VARCHAR) AS day, n, x,
+        |       CAST(llr AS DOUBLE) AS llr,
         |       CASE WHEN llr >= CAST('2.9444389792' AS DECIMAL(28,10))
         |              THEN 'accept_h1'
         |            WHEN llr <= -CAST('2.9444389792' AS DECIMAL(28,10))
@@ -2856,7 +2870,8 @@ object EventQueries {
         |         (SELECT count(DISTINCT u.user_id) FROM ud u
         |          WHERE u.day BETWEEN d.day - 27 AND d.day) AS mau
         |  FROM d)
-        |SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+        |SELECT CAST(day AS VARCHAR) AS day,
+        |       CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
         |       CAST(mau AS BIGINT) AS mau,
         |       CAST((dau * 1000000) // wau AS BIGINT) AS dau_wau_ppm,
         |       CAST((wau * 1000000) // mau AS BIGINT) AS wau_mau_ppm
@@ -2902,9 +2917,11 @@ object EventQueries {
         |  FROM ev WHERE day >= DATE '2024-01-21' GROUP BY 1, 2, 3),
         |t AS (
         |  SELECT a.event_type,
-        |         CAST(round(abs(act - pred) /
-        |              ((abs(act) + abs(pred)) / 2.0), 8)
-        |              AS DECIMAL(18,8)) AS term
+        |         CASE WHEN abs(act) + abs(pred) = 0
+        |              THEN CAST(0 AS DECIMAL(18,8))
+        |              ELSE CAST(round(abs(act - pred) /
+        |                   ((abs(act) + abs(pred)) / 2.0), 8)
+        |                   AS DECIMAL(18,8)) END AS term
         |  FROM a JOIN b USING (event_type, hod))
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_cells,
         |       round(CAST(sum(term) AS DOUBLE) / count(*), 6) AS smape

@@ -823,7 +823,7 @@ object JoinQueries {
       li.join(Tables.part(s, dir).select(col("p_partkey"), col("p_type")),
           col("l_partkey") === col("p_partkey"))
         .agg(
-          sum(when(col("p_type").startsWith("red"),
+          sum(when(col("p_type").startsWith("PROMO"),
             (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
               .cast("decimal(18,4)")).otherwise(lit(0).cast("decimal(18,4)")))
             .as("promo_rev"),
@@ -846,11 +846,11 @@ object JoinQueries {
       val li = Tables.lineitem(s, dir)
       val p = Tables.part(s, dir)
       li.join(p, col("l_partkey") === col("p_partkey") && (
-          (col("p_brand") === "red" && col("p_size").between(1, 15) &&
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
             col("l_quantity").between(1, 20)) ||
-          (col("p_brand") === "blue" && col("p_size").between(10, 30) &&
+          (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
             col("l_quantity").between(10, 40)) ||
-          (col("p_brand") === "small" && col("p_size").between(20, 50) &&
+          (col("p_brand") === "Brand#24" && col("p_size").between(20, 50) &&
             col("l_quantity").between(20, 60))))
         .agg(count(lit(1)).as("n_lines"),
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -1469,7 +1469,7 @@ object JoinQueries {
     "q241_promo_share" ->
       """WITH a AS (
         |  SELECT
-        |    sum(CASE WHEN p_type LIKE 'red%'
+        |    sum(CASE WHEN p_type LIKE 'PROMO%'
         |             THEN CAST(l_extendedprice * (1 - l_discount)
         |                  AS DECIMAL(18,4))
         |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo_rev,
@@ -1490,11 +1490,11 @@ object JoinQueries {
         |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
         |            AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE (p_brand = 'red' AND p_size BETWEEN 1 AND 15
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 1 AND 20)
-        |   OR (p_brand = 'blue' AND p_size BETWEEN 10 AND 30
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
         |       AND l_quantity BETWEEN 10 AND 40)
-        |   OR (p_brand = 'small' AND p_size BETWEEN 20 AND 50
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 20 AND 50
         |       AND l_quantity BETWEEN 20 AND 60)""".stripMargin,
     // Q10's returned-lines ranking.
     "q243_returned_customers" ->

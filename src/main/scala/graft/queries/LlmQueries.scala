@@ -483,7 +483,9 @@ object LlmQueries {
     // same way q120 buckets LSH bands; the fixture vocabulary (~60
     // terms × ≤500 docs) sits far below that threshold so the
     // single-row-per-term form is the honest one here. sort_array
-    // makes the list deterministic for the hash gate.
+    // makes the list deterministic; it rides the gate as a canonical
+    // comma-joined string (gated outputs must be scalar — the
+    // driver's row canonicalizer can't sort array cells).
     "q142_inverted_index" -> ((s, dir) => {
       val tf = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -493,7 +495,8 @@ object LlmQueries {
         .agg(
           count(lit(1)).as("df"),
           sum(col("tf")).as("total_tf"),
-          sort_array(collect_list(col("doc_id"))).as("postings"))
+          array_join(sort_array(collect_list(col("doc_id"))), ",")
+            .as("postings"))
         .orderBy("term")
     }),
 
@@ -2163,7 +2166,7 @@ object LlmQueries {
         |        FROM documents)
         |  GROUP BY term, doc_id)
         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
-        |       list_sort(list(doc_id)) AS postings
+        |       array_to_string(list_sort(list(doc_id)), ',') AS postings
         |FROM tf GROUP BY term ORDER BY term""".stripMargin,
     // the oracle mirrors the exact double expression tree (libm ln
     // parity, decimal-before-sum) — see the q140 scaladoc.

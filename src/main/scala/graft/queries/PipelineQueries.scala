@@ -312,6 +312,55 @@ object PipelineQueries {
         .orderBy("layout")
     }),
 
+    // Z-ORDER READ-BACK (q224's what-if made REAL, and q126's key
+    // arithmetic put to work): lineitem lands in a parquet table
+    // PARTITIONED BY its z-cell — both join keys min/max-scaled to
+    // 3 bits each, Morton-interleaved into 64 directory cells — and
+    // the gated query READS THE TABLE BACK with a predicate on BOTH
+    // dimensions, recovered by DE-interleaving the partition column
+    // (even bits → partkey bucket, odd bits → suppkey bucket). The
+    // de-interleave is a deterministic expression over the partition
+    // column alone, so Catalyst folds it into PartitionFilters and
+    // the 2D rectangle scans only its ≤16-of-64 qualifying
+    // directories — zero data files opened outside the rectangle
+    // (pinned in WarehouseSpec) — the property a single-column sort
+    // cannot give both dimensions at once. The min/max bounds ride a
+    // one-row bounded collect so the filter is a LITERAL predicate
+    // (statically prunable, no subquery). The oracle replays bucket,
+    // interleave, and rectangle relationally — layout-free — so the
+    // hash match proves the partitioned round trip loses nothing and
+    // the de-interleave picks exactly the rectangle. Scale shape:
+    // the write is one narrow scan fanned across 64 dirs; the read
+    // is partition-pruned IO ∝ the rectangle's share of cells.
+    "q253_zorder_readback" -> ((s, dir) => {
+      import graft.pipeline.Warehouse
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          round(col("l_extendedprice"), 2).cast("decimal(18,2)").as("price"))
+      val b = li.agg(min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).head()
+      val (minP, maxP, minS, maxS) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val pb = expr(s"((l_partkey - $minP) * 8) div ${maxP - minP + 1}")
+      val sb = expr(s"((l_suppkey - $minS) * 8) div ${maxS - minS + 1}")
+      val path = graft.TempDirs.scratch("graft-zorder-") + "/table"
+      li.withColumn("zcell", Warehouse.zOrderKey(pb, sb, 3))
+        .write.mode("overwrite").partitionBy("zcell").parquet(path)
+      val back = s.read.parquet(path)
+      // partition-column-only de-interleave: bit i of pb is z's bit
+      // 2i, of sb z's bit 2i+1 (zOrderKey's exact inverse)
+      val pbOf = expr("zcell % 2 + ((zcell div 4) % 2) * 2 + " +
+        "((zcell div 16) % 2) * 4")
+      val sbOf = expr("(zcell div 2) % 2 + ((zcell div 8) % 2) * 2 + " +
+        "((zcell div 32) % 2) * 4")
+      back.filter(pbOf.between(2, 5) && sbOf.between(2, 5))
+        .groupBy(col("zcell").cast("bigint").as("zcell"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price")).cast("double").as("revenue"))
+        .orderBy("zcell")
+    }),
+
     // HOT-KEY SKEW PROFILER (the diagnostic you run BEFORE choosing
     // between AQE skew-join and manual salting — ops/Skew's scaladoc
     // decision needs these numbers): for each candidate join key of
@@ -353,7 +402,7 @@ object PipelineQueries {
         |         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
         |           ROWS UNBOUNDED PRECEDING) AS running
         |  FROM documents)
-        |SELECT source, (running - n_chars) // 2000 AS bin,
+        |SELECT source, CAST((running - n_chars) // 2000 AS BIGINT) AS bin,
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS bin_chars,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
@@ -425,6 +474,29 @@ object PipelineQueries {
         |                     THEN 1 ELSE 0 END) AS BIGINT)
         |FROM az
         |ORDER BY layout""".stripMargin,
+    // bucket, interleave, and rectangle replayed relationally — no
+    // layout, no partitioning — so the gate proves the partitioned
+    // round trip + de-interleaved rectangle equals the plain filter.
+    "q253_zorder_readback" ->
+      """WITH kb AS (
+        |  SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+        |         min(l_suppkey) AS mins, max(l_suppkey) AS maxs
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT ((l_partkey - minp) * 8) // (maxp - minp + 1) AS pb,
+        |         ((l_suppkey - mins) * 8) // (maxs - mins + 1) AS sb,
+        |         CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS price
+        |  FROM lineitem CROSS JOIN kb),
+        |z AS (
+        |  SELECT pb % 2 + 2 * (sb % 2) + 4 * ((pb // 2) % 2)
+        |         + 8 * ((sb // 2) % 2) + 16 * ((pb // 4) % 2)
+        |         + 32 * ((sb // 4) % 2) AS zcell, pb, sb, price
+        |  FROM b)
+        |SELECT CAST(zcell AS BIGINT) AS zcell,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(price) AS DOUBLE) AS revenue
+        |FROM z WHERE pb BETWEEN 2 AND 5 AND sb BETWEEN 2 AND 5
+        |GROUP BY zcell ORDER BY zcell""".stripMargin,
     // the same three per-key distributions; hottest key by the
     // independent row_number pick.
     "q235_hotkey_profile" ->

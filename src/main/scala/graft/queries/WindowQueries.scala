@@ -22,7 +22,7 @@ object WindowQueries {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, dir)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
         .orderBy("o_custkey", "rn")
