@@ -365,7 +365,26 @@ object Events {
     * stream join buffers both streams forever, the 100 TB-stream
     * killer). Inner join: a click emits only once a qualifying
     * purchase arrives. */
-  def clickToPurchase(events: DataFrame, delay: String, horizon: String): DataFrame = {
+  def clickToPurchase(events: DataFrame, delay: String, horizon: String): DataFrame =
+    clickToPurchaseJoin(events, delay, horizon, "inner")
+
+  /** Left-OUTER stream-stream join — the conversion-funnel form: every
+    * click emits, matched clicks as they pair, UNMATCHED clicks as
+    * null-purchase rows once the watermark proves no qualifying
+    * purchase can still arrive (click_ts + horizon + delay behind the
+    * purchase watermark). The null rows are the abandonment signal an
+    * inner join silently drops — and they are exactly why outer
+    * streaming joins REQUIRE the watermark + time bound (state can
+    * only be declared unmatched when late data is provably done;
+    * Spark rejects an unbounded outer stream-stream join outright).
+    * Same bounded state as the inner form; emission of unmatched rows
+    * trails the data by the watermark delay, the price of provable
+    * completeness. */
+  def clickToPurchaseOuter(events: DataFrame, delay: String, horizon: String): DataFrame =
+    clickToPurchaseJoin(events, delay, horizon, "leftOuter")
+
+  private def clickToPurchaseJoin(events: DataFrame, delay: String,
+                                  horizon: String, joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -377,7 +396,8 @@ object Events {
     clicks.join(purchases,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"))
   }

@@ -355,6 +355,46 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER click→purchase: unmatched clicks emit null rows after watermark expiry") {
+    val ms = MemoryStream[Ev](spark)
+    val name = queryName()
+    val q = Events.clickToPurchaseOuter(ms.toDF(), delay = "5 minutes", horizon = "10 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      ms.addData(Seq(
+        Ev(1, t("2024-01-01T10:00:00Z"), 1, "click", 1.0),
+        Ev(2, t("2024-01-01T10:05:00Z"), 1, "purchase", 9.0), // within 10 min → match
+        Ev(3, t("2024-01-01T10:00:00Z"), 2, "click", 1.0),
+        Ev(4, t("2024-01-01T10:30:00Z"), 2, "purchase", 5.0))) // past horizon → no match
+      q.processAllAvailable()
+      // before the watermark passes click_ts + horizon + delay, the
+      // unmatched click for user 2 must NOT have emitted — the join
+      // cannot yet prove no qualifying purchase is still in flight
+      val early = spark.table(name)
+        .select("click_id", "purchase_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(early === Set(1L -> Some(2L)))
+      // push BOTH watermarks far past every click's expiry window;
+      // the unmatched click then emits with a null purchase side
+      ms.addData(Seq(
+        Ev(7, t("2024-01-01T12:00:00Z"), 99, "click", 0.0),
+        Ev(8, t("2024-01-01T12:00:00Z"), 98, "purchase", 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(
+        Ev(9, t("2024-01-01T13:00:00Z"), 99, "click", 0.0),
+        Ev(10, t("2024-01-01T13:00:00Z"), 98, "purchase", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select("click_id", "purchase_id")
+        .as[(Long, Option[Long])].collect().toSet
+      // user 1's click matched; user 2's click expired unmatched —
+      // the abandonment row the inner join drops
+      assert(got.contains(1L -> Some(2L)))
+      assert(got.contains(3L -> None),
+        s"expected expired unmatched click 3 to emit a null row, got $got")
+    } finally q.stop()
+  }
+
   test("foreachBatch report sink: non-empty batch writes an artifact, empty stream writes none") {
     val dir = tmpDir()
     val ms = MemoryStream[Ev](spark)
