@@ -739,6 +739,8 @@ object AggQueries {
         .select(col("n_sampled"), col("naive_mean"), col("calibrated_mean"))
     }),
 
+    // (the ranked frame below is SHARED by q249/q252/q254 — see
+    // rankedPriceFrame: one checkpoint per session, not per query)
     // TRIMMED MEAN VIA THE TWO-PHASE RANGE RANK — q237's documented
     // production path DEMONSTRATED: the same exact by-rank trim, but
     // the total order (flag, price, key) rides
@@ -757,15 +759,7 @@ object AggQueries {
     // task) — the correctness demonstration is the point here, the
     // crossover lives beyond the fixture.
     "q249_trimmed_mean_ranged" -> ((s, dir) => {
-      val rows = Tables.lineitem(s, dir)
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice"), 2).cast("decimal(18,2)").as("p"))
-        .withColumn("ok", struct(col("l_returnflag"), col("p"),
-          col("l_orderkey"), col("l_linenumber")))
-        .withColumn("one", lit(1L))
-      val ranked = graft.ops.Profile.runningTotalByRange(
-          rows, "ok", "one", 32)
-        .withColumnRenamed("running_total", "rn")
+      val ranked = rankedPriceFrame(s, dir)
       val offs = ranked.groupBy(col("l_returnflag"))
         .agg(min(col("rn")).as("g_start"), count(lit(1)).as("n"))
       ranked.join(broadcast(offs), Seq("l_returnflag"))
@@ -795,15 +789,7 @@ object AggQueries {
     // sort memory changes nothing (the q237→q249 crossover argument,
     // AggQueries.scala:742).
     "q252_grouped_median" -> ((s, dir) => {
-      val rows = Tables.lineitem(s, dir)
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice"), 2).cast("decimal(18,2)").as("p"))
-        .withColumn("ok", struct(col("l_returnflag"), col("p"),
-          col("l_orderkey"), col("l_linenumber")))
-        .withColumn("one", lit(1L))
-      val ranked = graft.ops.Profile.runningTotalByRange(
-          rows, "ok", "one", 32)
-        .withColumnRenamed("running_total", "rn")
+      val ranked = rankedPriceFrame(s, dir)
       val offs = ranked.groupBy(col("l_returnflag"))
         .agg(min(col("rn")).as("g_start"), count(lit(1)).as("n"))
       ranked.join(broadcast(offs), Seq("l_returnflag"))
@@ -815,6 +801,33 @@ object AggQueries {
           round(sum(col("p")).cast("double") / count(lit(1)), 6)
             .as("median"))
         .orderBy("l_returnflag")
+    }),
+
+    // GROUPED EXACT DECILE VECTOR — q252 generalized from one rank
+    // to nine in the SAME single two-phase pass: the global range
+    // rank is computed once; each group's nine target ranks
+    // (type-1/lower quantile, rank = ceil(d·n/10) in exact integer
+    // arithmetic) materialize as a 9-row-per-group broadcast table
+    // joined back on (group, rank). Adds NOTHING per extra quantile
+    // but one small join — the reason the two-phase layout beats
+    // nine percentile_approx calls (which would still be
+    // approximate) or nine window sorts. Exact decimal values ride
+    // to the output untouched — no interpolation, the decile IS a
+    // data value.
+    "q254_grouped_deciles" -> ((s, dir) => {
+      val ranked = rankedPriceFrame(s, dir)
+      val offs = ranked.groupBy(col("l_returnflag"))
+        .agg(min(col("rn")).as("g_start"), count(lit(1)).as("n"))
+      val targets = offs
+        .select(col("l_returnflag").as("t_flag"), col("g_start"), col("n"),
+          explode(sequence(lit(1L), lit(9L))).as("decile"))
+        .withColumn("rnk", expr("(decile * n + 9) div 10"))
+      ranked.join(broadcast(targets),
+          col("l_returnflag") === col("t_flag") &&
+          col("rn") - col("g_start") + 1 === col("rnk"))
+        .select(col("l_returnflag"), col("decile"),
+          col("p").cast("double").as("value"))
+        .orderBy("l_returnflag", "decile")
     }),
   )
 
@@ -1312,5 +1325,48 @@ object AggQueries {
         |WHERE rnk = (n + 1) // 2 OR rnk = (n + 2) // 2
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // the same type-1 quantile ranks from the same single-window
+    // rank — nine rows per group via the range() lateral.
+    "q254_grouped_deciles" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS p,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)),
+        |                    l_orderkey, l_linenumber) AS rnk,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |d AS (SELECT CAST(r + 1 AS BIGINT) AS decile FROM range(9) t(r))
+        |SELECT l_returnflag, decile, CAST(p AS DOUBLE) AS value
+        |FROM r JOIN d ON rnk = (decile * n + 9) // 10
+        |ORDER BY l_returnflag, decile""".stripMargin,
   )
+
+  /** Once-per-session shared total order for the by-rank family
+    * (q249 trimmed mean, q252 median, q254 deciles): the (flag,
+    * price, key) global range rank — runningTotalByRange's
+    * checkpoint-materialized frame — builds ONCE and every consumer
+    * joins its own group offsets / target ranks against it. The
+    * "reuse a partitioning across stages" discipline: one sorted
+    * materialization amortizes over every quantile-shaped question
+    * asked of the same order, exactly how a production pipeline
+    * treats an expensive global sort. Memoized per (application,
+    * fixture dir), like the q134/q143 sketch tables. */
+  private val rankedPrices = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.DataFrame]
+  private def rankedPriceFrame(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame =
+    rankedPrices.synchronized {
+      rankedPrices.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+        val rows = Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"),
+            round(col("l_extendedprice"), 2).cast("decimal(18,2)").as("p"))
+          .withColumn("ok", struct(col("l_returnflag"), col("p"),
+            col("l_orderkey"), col("l_linenumber")))
+          .withColumn("one", lit(1L))
+        graft.ops.Profile.runningTotalByRange(rows, "ok", "one", 32)
+          .withColumnRenamed("running_total", "rn")
+      })
+    }
 }

@@ -1738,6 +1738,34 @@ object EventQueries {
           round(center + half, 6).as("wilson_hi"))
         .orderBy("event_type")
     }),
+
+    // MODAL ACTION / MAJORITY-VOTE AGGREGATION (the plurality-label
+    // primitive — aggregating annotator votes, weak-supervision
+    // labels, or here each user's dominant action — with its
+    // agreement share): per user, the event_type with the highest
+    // count, tie-broken DETERMINISTICALLY to the lexicographically
+    // last type (one max over (count, type) structs — both engines
+    // compare the pair identically), plus agreement in integer ppm.
+    // Scale shape: two map-side-combined aggregates on (user, type)
+    // then user — NO window, NO per-user sort; the struct-max is the
+    // argmax that keeps the whole op in partial aggregation, the
+    // form that survives a billion users. Agreement = modal count
+    // over total as exact integer ppm.
+    "q255_modal_action" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val c = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      c.groupBy(col("user_id"))
+        .agg(sum(col("cnt")).as("n_events"),
+          max(struct(col("cnt"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("n_events"),
+          col("m.event_type").as("modal_action"),
+          col("m.cnt").as("n_modal"))
+        .withColumn("agreement_ppm",
+          expr("(n_modal * 1000000) div n_events"))
+        .orderBy("user_id")
+    }),
   )
 
   /** Once-per-session setup for q134: the per-(event_type, day) sketch
@@ -2958,5 +2986,23 @@ object EventQueries {
         |               / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6)
         |         AS wilson_hi
         |FROM c ORDER BY event_type""".stripMargin,
+    // the same (count, type)-ordered pick via a window — the
+    // independent formulation of the struct-argmax.
+    "q255_modal_action" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, event_type, cnt,
+        |         CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT)
+        |           AS n_events,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY cnt DESC, event_type DESC) AS rn
+        |  FROM c)
+        |SELECT user_id, n_events, event_type AS modal_action,
+        |       cnt AS n_modal,
+        |       CAST((cnt * 1000000) // n_events AS BIGINT)
+        |         AS agreement_ppm
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
   )
 }
