@@ -51,7 +51,8 @@ object SparkEntry {
     ScalarQueries.queries ++
     LlmQueries.queries ++
     EventQueries.queries ++
-    PipelineQueries.queries
+    PipelineQueries.queries ++
+    StatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -63,5 +64,6 @@ object SparkEntry {
     ScalarQueries.oracles ++
     LlmQueries.oracles ++
     EventQueries.oracles ++
-    PipelineQueries.oracles
+    PipelineQueries.oracles ++
+    StatQueries.oracles
 }
