@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rolling_hash"),
         TextExpressions.rollingHashInfo, TextExpressions.rollingHashBuilder))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_jaro_winkler"),
+        TextExpressions.jaroWinklerInfo, TextExpressions.jaroWinklerBuilder))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteRollingHash)
   }

@@ -115,6 +115,113 @@ object RewriteRollingHash
     }
 }
 
+/** Jaro–Winkler similarity (Jaro 1989; Winkler 1990) as a native
+  * codegen'd binary expression — the record-linkage scorer Spark has
+  * no builtin for (only levenshtein/soundex). Semantics are pinned to
+  * DuckDB's `jaro_winkler_similarity` (empirically adjudicated against
+  * it, StringExprSpec): greedy row-major matching inside the
+  * max(l1,l2)/2−1 window, INTEGER half-transpositions (k/2 truncated —
+  * the variant 'abcdwxyz'/'abdcxywz' discriminates), Winkler prefix
+  * boost (≤4 chars, scale 0.1) only when jaro > 0.7, and 0.0 when
+  * either side is empty (DuckDB returns 0 even for ''≍''). Operates on
+  * CODE POINTS (decoded in one pass, same as RollingHashMod), not
+  * UTF-8 bytes. O(l1·window) time, two small boolean scratch arrays —
+  * inside WholeStageCodegen via a reference-object call. Gated outputs
+  * must compare ROUNDED values (round 6): the last-ULP of the double
+  * tree is not contractual across engines. */
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_jaro_winkler expects (string, string), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_jaro_winkler"
+
+  private def codePoints(s: UTF8String): Array[Int] = {
+    val bytes = s.getBytes
+    val out = new Array[Int](s.numChars())
+    var i = 0; var n = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xff
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if (b0 < 0xe0) {
+        cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2
+      } else if (b0 < 0xf0) {
+        cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+          (bytes(i + 2) & 0x3f); i += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); i += 4
+      }
+      out(n) = cp; n += 1
+    }
+    out
+  }
+
+  def compute(a: UTF8String, b: UTF8String): Double = {
+    val s1 = codePoints(a); val s2 = codePoints(b)
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1); val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      var j = math.max(0, i - window)
+      val hi = math.min(l2, i + window + 1)
+      var hit = false
+      while (j < hi && !hit) {
+        if (!m2(j) && s1(i) == s2(j)) { m1(i) = true; m2(j) = true; m += 1; hit = true }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var k = 0; var j = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(j)) j += 1
+        if (s1(i) != s2(j)) k += 1
+        j += 1
+      }
+      i += 1
+    }
+    val t = k / 2 // integer half-transpositions — DuckDB parity
+    val md = m.toDouble
+    var sim = (md / l1 + md / l2 + (m - t).toDouble / md) / 3.0
+    if (sim > 0.7) { // Winkler boost gated at the 0.7 threshold
+      var p = 0
+      val lim = math.min(4, math.min(l1, l2))
+      var q = 0; var same = true
+      while (q < lim && same) {
+        if (s1(q) == s2(q)) p += 1 else same = false
+        q += 1
+      }
+      sim += p * 0.1 * (1.0 - sim)
+    }
+    sim
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val inst = ctx.addReferenceObj("jw", this, classOf[JaroWinklerSim].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$inst.compute($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerSim =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
   val rollingHashInfo =
     new ExpressionInfo(classOf[RollingHashMod].getName, "graft_rolling_hash")
@@ -125,8 +232,20 @@ object TextExpressions {
       s"graft_rolling_hash expects 1 argument, got ${other.length}")
   }
 
+  val jaroWinklerInfo =
+    new ExpressionInfo(classOf[JaroWinklerSim].getName, "graft_jaro_winkler")
+
+  val jaroWinklerBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => JaroWinklerSim(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_jaro_winkler expects 2 arguments, got ${other.length}")
+  }
+
   /** Runtime registration (config-time path: GraftExtensions). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_rolling_hash"), rollingHashInfo, rollingHashBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_jaro_winkler"), jaroWinklerInfo, jaroWinklerBuilder)
+  }
 }

@@ -205,4 +205,55 @@ object Graph {
     }
     labels
   }
+
+  /** K-CORE DECOMPOSITION by iterative peeling (Seidman 1983; the
+    * distributed formulation is the Batagelj–Zaveršnik peel expressed
+    * as Pregel rounds): repeatedly delete every node of degree < k
+    * until fixpoint; what survives is the maximal subgraph where every
+    * node keeps ≥ k neighbors — the "dense interaction core" used for
+    * community seeding and spam/bot subgraph mining.
+    *
+    * Input: (u, v) edge list, SYMMETRIZED by the caller (each
+    * undirected edge in both directions, no self-loops). Each round is
+    * one map-side-combined degree count + two LEFT SEMI joins (u-side,
+    * v-side) — set intersection, never a fan-out — followed by a
+    * localCheckpoint to truncate the growing lineage (the q121 /
+    * q81-CC loop discipline; without it round N replans rounds 1..N-1).
+    * The loop's only driver-side values are the per-round edge COUNTS
+    * (scalar aggregates — bounded, never row collection); convergence
+    * is count-stability, ≤ |V| rounds in theory, a handful in
+    * practice. Exact, not approximate: the peel order provably cannot
+    * change the fixpoint.
+    *
+    * Scale shape per round: degree agg partitions on u; the semi joins
+    * reuse that same key (one shuffle ancestry). Edges are re-scanned
+    * from the checkpoint, node set only shrinks — at 100 TB, bucket
+    * the edge list on u (Warehouse.writeBucketed) so every round's agg
+    * and semi-join are Exchange-free.
+    *
+    * Output: (node, deg) for the surviving core, deg = within-core
+    * degree (≥ k). */
+  def kCore(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    var e = edges.select(col("u"), col("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .localCheckpoint()
+    var n = e.count()
+    var converged = false
+    while (!converged && n > 0) {
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u"))
+      val pruned = e
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val n2 = pruned.count()
+      converged = n2 == n
+      n = n2
+      e = pruned
+    }
+    e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+  }
 }

@@ -474,6 +474,54 @@ object JoinQueries {
       graft.ops.Graph.triangleCounts(edges).orderBy("node")
     }),
 
+    // JARO-WINKLER RECORD LINKAGE (Winkler 1990; the census-bureau
+    // fuzzy-match scorer — Spark ships levenshtein/soundex but NOT
+    // Jaro-Winkler, so this is the custom-Expression seam made gated:
+    // expressions.JaroWinklerSim, codegen'd, semantics adjudicated
+    // against DuckDB's native jaro_winkler_similarity, which is
+    // exactly what the oracle calls — any drift in window/
+    // transposition/boost handling hash-mismatches). Blocked on the
+    // name's last token (the standard blocking-key discipline:
+    // candidate pairs are per-block, never corpus²), name_a < name_b
+    // dedupes the pair space, and the JW filter compares ROUNDED
+    // scores (the last ULP of the double tree is not contractual).
+    // Scale shape: distinct names → equi self-join on the block key →
+    // row-local codegen'd scoring; fan-out is Σ block², bounded by the
+    // biggest block, the q185 orientation note applies.
+    "q264_jw_linkage" -> ((s, dir) => {
+      val names = Tables.part(s, dir).select(col("p_name")).distinct()
+        .select(col("p_name").as("name"),
+          substring_index(col("p_name"), " ", -1).as("block"))
+      names.as("a").join(names.as("b"),
+          col("a.block") === col("b.block") && col("a.name") < col("b.name"))
+        .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+          round(call_function("graft_jaro_winkler",
+            col("a.name"), col("b.name")), 6).as("sim"))
+        .filter(col("sim") >= 0.8)
+        .orderBy(desc("sim"), col("name_a"), col("name_b"))
+    }),
+
+    // K-CORE DECOMPOSITION (ops.Graph.kCore — Seidman 1983 peel) of
+    // the q171 co-purchase graph: the maximal subgraph where every
+    // part keeps ≥ k co-purchase partners, the dense-core extractor
+    // for community seeding / fraud-ring mining. Iterative-fixpoint ⇒
+    // not SQL-expressible, rows-only under the driver contract;
+    // exactness is carried by GraphSpec's brute-force peel oracle on
+    // a known graph. Edges symmetrized before the peel (kCore's
+    // precondition); k chosen so the fixture core is a strict,
+    // non-empty subgraph at both SFs.
+    "q268_kcore" -> ((s, dir) => {
+      val ib = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val und = ib.as("a")
+        .join(ib.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      graft.ops.Graph.kCore(edges, 4).orderBy("node")
+    }),
+
     // ADAMIC–ADAR link prediction (ops.Graph.adamicAdar) on the
     // supplier–customer bipartite graph: suppliers sharing customers,
     // each shared customer z weighted 1/ln(deg(z)) — rare customers
@@ -1148,6 +1196,16 @@ object JoinQueries {
     // the INDEPENDENT id-ordered enumeration (u<v<w triple join) —
     // a different total order than the Spark side's degree one, so
     // agreement is a real cross-check of the enumeration itself.
+    "q264_jw_linkage" ->
+      """WITH n AS (
+        |  SELECT DISTINCT p_name AS name,
+        |         string_split(p_name, ' ')[-1] AS block
+        |  FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       round(jaro_winkler_similarity(a.name, b.name), 6) AS sim
+        |FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
+        |WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.8
+        |ORDER BY sim DESC, name_a, name_b""".stripMargin,
     "q171_triangles" ->
       """WITH ib AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -46,6 +47,37 @@ object LlmQueries {
     * variant is the right local trade. */
   private val lshShared =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), org.apache.spark.sql.DataFrame]
+
+  /** BM25 scores (doc_id, bm25) for a fixed term set — q140's body,
+    * shared with the q265 hybrid-fusion ranker so both gates score
+    * with the one implementation. Unordered; callers sort. */
+  private def bm25Scores(s: SparkSession, dir: String,
+                         terms: Seq[String]): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log((col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)) + lit(1.0))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75)
+              + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib").cast("decimal(18,6)"))
+        .cast("double").as("bm25"))
+  }
   private def shared(s: org.apache.spark.sql.SparkSession, dir: String,
                      kind: String)(build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
@@ -395,33 +427,98 @@ object LlmQueries {
     // fixed-shape double expression tree (libm ln parity with DuckDB
     // holds — q132 precedent), rounded to decimal(18,6) BEFORE the
     // order-invariant sum, surfaced as double.
-    "q140_bm25" -> ((s, dir) => {
-      val terms = Seq("spark", "join", "window")
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("toks"),
-          size(col("toks")).cast("long").as("dl"))
-      val stats = docs.agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      val tf = docs
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .filter(col("term").isin(terms: _*))
-        .groupBy(col("doc_id"), col("dl"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-      tf.join(broadcast(dfreq), Seq("term"))
-        .crossJoin(broadcast(stats))
-        .withColumn("contrib",
-          log((col("n_docs") - col("df") + lit(0.5))
-              / (col("df") + lit(0.5)) + lit(1.0))
-            * (col("tf") * lit(2.2))
-            / (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75)
-                + lit(0.75) * col("dl") / col("avgdl"))))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("contrib").cast("decimal(18,6)"))
-          .cast("double").as("bm25"))
-        .orderBy("doc_id")
+    "q140_bm25" -> ((s, dir) =>
+      bm25Scores(s, dir, Seq("spark", "join", "window")).orderBy("doc_id")),
+
+    // HYBRID SCORE FUSION (the weighted-sum ranker of hybrid search —
+    // Vespa/Elastic "linear" mode; q186's RRF is the RANK-based
+    // fusion, this is the SCORE-based one, and the normalization step
+    // is exactly what RRF exists to avoid): lexical BM25 (shared
+    // implementation with q140) min-max normalized over the candidate
+    // set, fused 0.6/0.4 with a quality prior (ln n_chars, likewise
+    // normalized), top-10. Scale shape: candidates = docs matching ≥1
+    // query term (BM25's own output — corpus never scored); the
+    // min-max extremes are ONE 4-value broadcast row; the top-10 is
+    // TakeOrderedAndProject, no global sort. Every division is a
+    // fixed double tree over decimal-quantized inputs; degenerate
+    // spread (max = min) pins the normalized score to 0 on both
+    // engines.
+    "q265_hybrid_fusion" -> ((s, dir) => {
+      val cand = bm25Scores(s, dir, Seq("spark", "join", "window"))
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id"),
+            round(log(col("n_chars").cast("double")), 6).as("qual")),
+          Seq("doc_id"))
+      val ext = cand.agg(
+        min("bm25").as("bmin"), max("bm25").as("bmax"),
+        min("qual").as("qmin"), max("qual").as("qmax"))
+      val bn = when(col("bmax") === col("bmin"), lit(0.0))
+        .otherwise((col("bm25") - col("bmin")) / (col("bmax") - col("bmin")))
+      val qn = when(col("qmax") === col("qmin"), lit(0.0))
+        .otherwise((col("qual") - col("qmin")) / (col("qmax") - col("qmin")))
+      cand.crossJoin(broadcast(ext))
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"),
+          col("qual"),
+          round(lit(0.6) * bn + lit(0.4) * qn, 6).as("hybrid"))
+        .orderBy(desc("hybrid"), col("doc_id"))
+        .limit(10)
+    }),
+
+    // DUPLICATE-CLUSTER SIZE HISTOGRAM (the dedup AUDIT every corpus
+    // release publishes — "X% of the corpus shares a cluster, largest
+    // cluster size Y" — CCNet/C4 report exactly this table): cluster
+    // key = md5 of the first-5-token HEAD of the q83-normalized text,
+    // the boilerplate-header blocking signal (full-text exact dedup is
+    // vacuous on this fixture — every document is unique — and a gate
+    // whose multi-size branch can never fire is the q241/q242 trap;
+    // the head fingerprint clusters for real: sizes 1–4 at both SFs).
+    // 16-byte hash wire — text never shuffles; cluster sizes from the
+    // hash groupBy, then a size-domain histogram with corpus
+    // fractions. Two map-side-combined aggregates; the histogram is
+    // |distinct size| rows; the corpus total is a one-row broadcast.
+    "q266_dup_cluster_hist" -> ((s, dir) => {
+      val sizes = Tables.documents(s, dir)
+        .select(md5(concat_ws(" ",
+          slice(split(TextAnalysis.normalizeForDedup(col("text")), " "),
+            1, 5))).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("cluster_size"))
+      val total = sizes.agg(sum("cluster_size").as("n_total"))
+      sizes.groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(total))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          round((col("cluster_size") * col("n_clusters")).cast("double")
+            / col("n_total").cast("double"), 6).as("frac_corpus"))
+        .orderBy("cluster_size")
+    }),
+
+    // LENGTH-BUCKET PADDING-WASTE AUDIT (the batching cost model for
+    // training: documents padded to the next power-of-2 bucket —
+    // HuggingFace group_by_length / bucketed batching — and the
+    // audit says how many pad tokens each bucket burns; q78/q82 PACK
+    // sequences, this one PRICES the no-packing alternative): bucket
+    // caps via an exact integer CASE ladder (a log2/ceil float
+    // derivation would be engine-hazardous at exact powers of two),
+    // then one map-side-combined aggregate per bucket. Token counts
+    // are whitespace tokens, the q140 convention.
+    "q267_length_buckets" -> ((s, dir) => {
+      val len = size(split(col("text"), " ")).cast("long")
+      val cap = when(len <= 16L, 16L).when(len <= 32L, 32L)
+        .when(len <= 64L, 64L).when(len <= 128L, 128L)
+        .when(len <= 256L, 256L).otherwise(512L)
+      Tables.documents(s, dir)
+        .select(cap.as("bucket_cap"), len.as("len"))
+        .groupBy("bucket_cap")
+        .agg(count(lit(1)).as("n_docs"), sum("len").as("n_tokens"))
+        .select(col("bucket_cap"), col("n_docs"), col("n_tokens"),
+          (col("bucket_cap") * col("n_docs") - col("n_tokens"))
+            .as("pad_tokens"),
+          round((col("bucket_cap") * col("n_docs") - col("n_tokens"))
+            .cast("double") /
+            (col("bucket_cap") * col("n_docs")).cast("double"), 6)
+            .as("waste_frac"))
+        .orderBy("bucket_cap")
     }),
 
     // DUPLICATED-SUBSTRING SPAN EXTRACTION (Lee et al. 2022,
@@ -2192,6 +2289,78 @@ object LlmQueries {
         |         AS DECIMAL(18,6))) AS DOUBLE) AS bm25
         |FROM tf JOIN df USING (term) CROSS JOIN stats
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q265_hybrid_fusion" ->
+      """WITH dl AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+        |  WHERE term IN ('spark', 'join', 'window')
+        |  GROUP BY doc_id, dl, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |b AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CAST(
+        |           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |             * (tf * 2.2)
+        |             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |           AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        |  FROM tf JOIN df USING (term) CROSS JOIN stats
+        |  GROUP BY doc_id),
+        |cand AS (
+        |  SELECT b.doc_id, b.bm25,
+        |         round(ln(d.n_chars::DOUBLE), 6) AS qual
+        |  FROM b JOIN documents d ON b.doc_id = d.doc_id),
+        |ext AS (
+        |  SELECT min(bm25) AS bmin, max(bm25) AS bmax,
+        |         min(qual) AS qmin, max(qual) AS qmax FROM cand)
+        |SELECT doc_id, round(bm25, 6) AS bm25, qual,
+        |       round(0.6 * (CASE WHEN bmax = bmin THEN 0.0
+        |                    ELSE (bm25 - bmin) / (bmax - bmin) END)
+        |           + 0.4 * (CASE WHEN qmax = qmin THEN 0.0
+        |                    ELSE (qual - qmin) / (qmax - qmin) END), 6)
+        |         AS hybrid
+        |FROM cand CROSS JOIN ext
+        |ORDER BY hybrid DESC, doc_id LIMIT 10""".stripMargin,
+    "q266_dup_cluster_hist" ->
+      """WITH sizes AS (
+        |  SELECT md5(array_to_string(
+        |           string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+        |                                            'g')), ' ')[1:5], ' '))
+        |           AS h,
+        |         count(*) AS cluster_size
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cluster_size) AS BIGINT) AS n_total
+        |        FROM sizes)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+        |       round((cluster_size * count(*))::DOUBLE / n_total::DOUBLE, 6)
+        |         AS frac_corpus
+        |FROM sizes CROSS JOIN tot
+        |GROUP BY cluster_size, n_total
+        |ORDER BY cluster_size""".stripMargin,
+    "q267_length_buckets" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        |  FROM documents),
+        |b AS (
+        |  SELECT CASE WHEN len <= 16 THEN 16 WHEN len <= 32 THEN 32
+        |              WHEN len <= 64 THEN 64 WHEN len <= 128 THEN 128
+        |              WHEN len <= 256 THEN 256 ELSE 512 END AS bucket_cap,
+        |         len
+        |  FROM d)
+        |SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+        |       count(*) AS n_docs,
+        |       CAST(sum(len) AS BIGINT) AS n_tokens,
+        |       CAST(bucket_cap * count(*) - sum(len) AS BIGINT) AS pad_tokens,
+        |       round((bucket_cap * count(*) - sum(len))::DOUBLE
+        |             / (bucket_cap * count(*))::DOUBLE, 6) AS waste_frac
+        |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin,
     "q57_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,

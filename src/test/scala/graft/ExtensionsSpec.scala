@@ -241,4 +241,68 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
       assert(!touched)
     } finally spark.experimental.extraOptimizations = prev
   }
+
+  /** Jaro–Winkler parity cases, each value adjudicated against DuckDB's
+    * jaro_winkler_similarity (the q264 oracle function) to 12 decimal
+    * places. The set covers the three semantic forks an implementation
+    * can take: integer vs fractional half-transpositions
+    * ('abcdwxyz'/'abdcxywz' = 0.933333… only under INTEGER k/2), the
+    * 0.7 Winkler boost gate ('aXbYc'/'abc' = 0.688888… stays
+    * UN-boosted despite the common prefix), and the empty-string
+    * convention (DuckDB yields 0.0 even for ''≍''). */
+  private val jwCases = Seq(
+    ("martha", "marhta", 0.961111111111),
+    ("DWAYNE", "DUANE", 0.840000000000),
+    ("abcde", "abced", 0.953333333333),
+    ("aXbYc", "abc", 0.688888888889),    // boost gated at jaro <= 0.7
+    ("abcdwxyz", "abdcxywz", 0.933333333333), // integer half-transpositions
+    ("prefixaa", "prefixbb", 0.900000000000),
+    ("ab", "ba", 0.0),                   // window 0 → no matches
+    ("aaaa", "aaa", 0.941666666667),
+    ("CRATE", "TRACE", 0.733333333333),
+    ("a", "ab", 0.850000000000),
+    ("", "abc", 0.0),
+    ("", "", 0.0),
+    ("abc", "abc", 1.0))
+
+  test("graft_jaro_winkler matches DuckDB-adjudicated values (codegen path)") {
+    graft.expressions.TextExpressions.register(spark)
+    val got = jwCases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(call_function("graft_jaro_winkler", col("a"), col("b")).as("s"))
+      .collect().map(_.getDouble(0))
+    got.zip(jwCases).foreach { case (g, (a, b, want)) =>
+      assert(math.abs(g - want) < 1e-9, s"'$a' ~ '$b'")
+    }
+  }
+
+  test("graft_jaro_winkler interpreted eval equals codegen and nulls propagate") {
+    import graft.expressions.JaroWinklerSim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    jwCases.foreach { case (a, b, want) =>
+      val e = JaroWinklerSim(Literal(a), Literal(b))
+      val v = e.nullSafeEval(UTF8String.fromString(a), UTF8String.fromString(b))
+        .asInstanceOf[Double]
+      assert(math.abs(v - want) < 1e-9, s"interpreted '$a' ~ '$b'")
+    }
+    val nulls = Seq((Some("x"), None), (None, Some("y")), (None, None))
+      .toDF("a", "b")
+      .select(call_function("graft_jaro_winkler", col("a"), col("b")).as("s"))
+    assert(nulls.collect().forall(_.isNullAt(0)))
+  }
+
+  test("graft_jaro_winkler is symmetric and 1.0 iff equal non-empty") {
+    graft.expressions.TextExpressions.register(spark)
+    val words = Seq("widget", "gadget", "wídget", "bolt", "b", "anvil plate")
+    val pairs = for (x <- words; y <- words) yield (x, y)
+    val rows = pairs.toDF("a", "b").select(col("a"), col("b"),
+      call_function("graft_jaro_winkler", col("a"), col("b")).as("ab"),
+      call_function("graft_jaro_winkler", col("b"), col("a")).as("ba"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) === r.getDouble(3), "symmetry")
+      if (r.getString(0) == r.getString(1)) assert(r.getDouble(2) === 1.0)
+      else assert(r.getDouble(2) < 1.0)
+    }
+  }
 }

@@ -134,4 +134,56 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long)].collect().toSet
     assert(a === b)
   }
+
+  /** Sequential reference peel for kCore: remove min-degree violators
+    * one round at a time on in-memory adjacency. */
+  private def bruteKCore(und: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    var edges = (und ++ und.map(_.swap)).toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != edges.size
+      edges = next
+    }
+    edges.groupBy(_._1).map { case (n, es) => n -> es.size }
+  }
+
+  test("kCore: K4 plus pendant chain — the 3-core is exactly the K4") {
+    // K4 on {1,2,3,4}; chain 4-5-6 hangs off it
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val got = Graph.kCore(edges, 3).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: cascading peel (removing one node drags the next below k)") {
+    // path 1-2-3-4-5: 2-core is empty — every endpoint removal cascades
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    assert(Graph.kCore(edges, 2).isEmpty)
+  }
+
+  test("kCore matches the sequential reference peel on a mixed graph") {
+    // two triangles sharing node 3, plus a 4-clique bridged in, plus tails
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L),
+      (11L, 13L), (12L, 13L), (5L, 10L), (13L, 20L), (20L, 21L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    for (k <- 1 to 4) {
+      val got = Graph.kCore(edges, k).as[(Long, Long)].collect().toMap
+      val want = bruteKCore(und, k).map { case (n, d) => n -> d.toLong }
+      assert(got === want, s"k=$k")
+    }
+  }
+
+  test("kCore is partition-invariant") {
+    val und = (1L to 30L).flatMap(i => Seq((i, i % 5 + 100L), (i, i % 3 + 200L)))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val a = Graph.kCore(edges, 3).as[(Long, Long)].collect().toSet
+    val b = Graph.kCore(edges.repartition(13), 3).as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
 }
