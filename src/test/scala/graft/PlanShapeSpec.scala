@@ -40,10 +40,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("top-k queries plan as TakeOrderedAndProject, never a global sort") {
-    for (q <- Seq("q07_topk", "q51_similarity_topk")) {
+    for (q <- Seq("q07_topk", "q51_similarity_topk", "q265_hybrid_fusion")) {
       val p = plan(q)
       assert(p.contains("TakeOrderedAndProject"), s"$q lost the top-k plan:\n$p")
     }
+  }
+
+  test("q264 JW linkage: native codegen'd expression on an equi-keyed block join") {
+    val p = plan("q264_jw_linkage")
+    // the scorer must be the native expression (a ScalaUDF here would
+    // break whole-stage codegen AND the DuckDB-parity contract)
+    assert(p.contains("graft_jaro_winkler"), s"native JW missing:\n$p")
+    // blocking key = equi join (broadcast at this SF — the distinct
+    // name table is tiny); the name inequality and the rounded-score
+    // threshold ride as residual conditions, never a nested loop over
+    // the name space
+    assert(p.contains("Join [block") || p.contains("Join [coalesce(block"),
+      s"q264 block join is not equi-keyed:\n$p")
+    assert(!p.contains("NestedLoop"), s"q264 went nested-loop:\n$p")
   }
 
   /** VERDICT r1 #2/#6: only FIXED-SIZE dims (nation 25 rows, region 5
