@@ -368,6 +368,162 @@ object StatQueries {
           .otherwise(0L)).cast("double") /
           sum(when(col("cts").isNotNull && col("pts").isNotNull, 1L)
             .otherwise(0L)).cast("double"), 6).as("frac_after"))
+    }),
+
+    // BOOTSTRAP CONFIDENCE INTERVAL (Efron 1979) for the mean daily
+    // purchase revenue — the nonparametric CI every metrics platform
+    // quotes when normality is dubious. The resampling is
+    // CONTENT-ADDRESSED, not rand(): resample b's slot i draws day
+    // index conv(md5(b:i:boot))%N — the house md5-coin (q76/q124
+    // discipline: partition-invariant, reseedable, replayable by any
+    // engine with md5). B=199 resamples × N days is a domain-sized
+    // grid (never rows×B); per-resample means are DECIMAL-exact
+    // (quantized sums / exact counts), and the percentile ranks are
+    // taken on the (mean, b) DECIMAL pair — no float ordering. CI =
+    // 5th/195th order statistics of 199 means (the classic 2.5%/97.5%
+    // type-1 picks).
+    "q269_bootstrap_ci" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(round(col("value"), 2).cast("decimal(18,2)")).as("rev"))
+        .withColumn("idx",
+          row_number().over(Window.orderBy("d")).cast("long") - 1L)
+        .localCheckpoint() // tiny (day-cardinality); reused by grid+join
+      val nDays = daily.agg(count(lit(1)).as("n_days"))
+      val bs = s.range(1, 200).select(col("id").as("b"))
+      val grid = bs.crossJoin(daily.select(col("idx").as("slot")))
+        .crossJoin(broadcast(nDays))
+        .select(col("b"),
+          (conv(substring(md5(concat(col("b").cast("string"), lit(":"),
+            col("slot").cast("string"), lit(":boot"))), 1, 6), 16, 10)
+            .cast("long") % col("n_days")).as("j"))
+      val means = grid.join(daily.select(col("idx").as("j"), col("rev")),
+          Seq("j"))
+        .groupBy("b")
+        .agg((sum("rev").cast("double") / count(lit(1)).cast("double"))
+          .as("mraw"))
+        .select(col("b"), round(col("mraw"), 9).cast("decimal(18,9)").as("m"))
+      val ranked = means.withColumn("rn",
+        row_number().over(Window.orderBy("m", "b")))
+      val lo = ranked.filter(col("rn") === 5)
+        .select(round(col("m").cast("double"), 6).as("ci_lo"))
+      val hi = ranked.filter(col("rn") === 195)
+        .select(round(col("m").cast("double"), 6).as("ci_hi"))
+      val point = daily.agg(
+        count(lit(1)).as("n_days"),
+        round(sum("rev").cast("double") / count(lit(1)).cast("double"), 6)
+          .as("point_mean"))
+      point.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(col("n_days"), lit(199L).as("n_boot"), col("point_mean"),
+          col("ci_lo"), col("ci_hi"))
+    }),
+
+    // TIME-DECAY MULTI-TOUCH ATTRIBUTION (the fourth attribution model
+    // beside first-touch q152 / linear q159 / position q206): each
+    // purchase credits its preceding clicks/views within 7 days with
+    // weight 2^(−Δ/1 day), normalized per purchase — recent touches
+    // earn more. Weights are per-pair deterministic pow quantized
+    // DECIMAL(18,9) (order-invariant denominators); credited value
+    // quantized DECIMAL(18,6) before the channel rollup. The
+    // touch×purchase join fans out per user (bounded by per-user
+    // activity and the 7-day window — the q159 session-length
+    // argument); purchases with no prior touch fall out (direct
+    // conversions, reported by q152's first-touch view).
+    "q270_decay_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"), col("event_id").as("pid"),
+          unix_micros(col("ts")).as("pus"),
+          round(col("value"), 2).cast("decimal(18,2)").as("pv"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type").as("channel"),
+          unix_micros(col("ts")).as("tus"))
+      val cand = purchases.join(touches, Seq("user_id"))
+        .filter(col("tus") < col("pus") &&
+          col("pus") - col("tus") <= 604800000000L)
+        .withColumn("w", round(pow(lit(2.0),
+          -((col("pus") - col("tus")).cast("double") / 86400000000.0)), 9)
+          .cast("decimal(18,9)"))
+      val denom = cand.groupBy("pid").agg(sum("w").as("wsum"))
+      cand.join(denom, Seq("pid"))
+        .withColumn("credit", round(col("w").cast("double") /
+          col("wsum").cast("double") * col("pv").cast("double"), 6)
+          .cast("decimal(18,6)"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum("credit").cast("double"), 4).as("attributed_value"))
+        .orderBy("channel")
+    }),
+
+    // 7-DAY ROLLING PEARSON CORRELATION between daily click volume and
+    // daily purchase revenue (the engagement↔revenue coupling monitor;
+    // q217's ACF is the self-coupling version): conditional aggregates
+    // build both series in ONE events pass (no join), then five
+    // exact window sums (integer x, DECIMAL y) over a ROWS -6..0
+    // frame feed one fixed IEEE tree per day. Zero-variance windows
+    // yield null on both engines. Day-cardinality window (q148 note);
+    // day rides as an ISO string (the r11 DATE-dtype rule).
+    "q271_rolling_corr" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase" && col("value").isNotNull,
+            round(col("value"), 2).cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("y"))
+      val w = Window.orderBy("d").rowsBetween(-6, 0)
+      val nD = lit(7.0)
+      val sx = sum("x").over(w).cast("double")
+      val sy = sum("y").over(w).cast("double")
+      val sxy = sum(col("x") * col("y")).over(w).cast("double")
+      val sxx = sum(col("x") * col("x")).over(w).cast("double")
+      val syy = sum(col("y") * col("y")).over(w).cast("double")
+      val den = (nD * sxx - sx * sx) * (nD * syy - sy * sy)
+      daily
+        .withColumn("rn", row_number().over(Window.orderBy("d")))
+        .withColumn("corr7",
+          when(col("rn") >= 7 && den > 0.0,
+            round((nD * sxy - sx * sy) / sqrt(den), 6)))
+        .filter(col("rn") >= 7)
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("x").as("clicks"),
+          round(col("y").cast("double"), 2).as("revenue"), col("corr7"))
+        .orderBy("day")
+    }),
+
+    // CALIBRATION TABLE + BRIER SCORE (Brier 1950; the reliability
+    // diagram every propensity/quality model ships with): propensity
+    // p̂ = Laplace-smoothed click share (c+1)/(c+v+2) per user, outcome
+    // y = did purchase; decile bins by floor(10·p̂) (identical IEEE
+    // division/multiply on both engines ⇒ identical bins), per-bin
+    // mean p̂ vs empirical conversion rate, Brier contributions
+    // (p̂−y)² — both quantized DECIMAL(18,9) before the bin sums. One
+    // user-grain aggregate + one bin-grain aggregate, both map-side
+    // combined.
+    "q272_calibration" -> ((s, dir) => {
+      val u = Tables.events(s, dir).groupBy("user_id").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val phat = (col("c") + 1L).cast("double") /
+        (col("c") + col("v") + 2L).cast("double")
+      u.select(col("y"),
+          least(floor(phat * 10.0), lit(9.0)).cast("long").as("bin"),
+          round(phat, 9).cast("decimal(18,9)").as("p"),
+          round((phat - col("y").cast("double")) *
+            (phat - col("y").cast("double")), 9).cast("decimal(18,9)")
+            .as("bt"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum("p").cast("double") / count(lit(1)).cast("double"), 6)
+            .as("mean_phat"),
+          round(sum("y").cast("double") / count(lit(1)).cast("double"), 6)
+            .as("conv_rate"),
+          round(sum("bt").cast("double") / count(lit(1)).cast("double"), 6)
+            .as("brier"))
+        .orderBy("bin")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -668,5 +824,118 @@ object StatQueries {
         |                      THEN 1 ELSE 0 END) AS DOUBLE) /
         |    CAST(sum(CASE WHEN cts IS NOT NULL AND pts IS NOT NULL
         |                  THEN 1 ELSE 0 END) AS DOUBLE), 6) AS frac_after
-        |FROM j""".stripMargin)
+        |FROM j""".stripMargin,
+
+    "q269_bootstrap_ci" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS rev
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |di AS (
+        |  SELECT rev,
+        |         CAST(row_number() OVER (ORDER BY d) AS BIGINT) - 1 AS idx
+        |  FROM daily),
+        |nd AS (SELECT count(*) AS n_days FROM di),
+        |grid AS (
+        |  SELECT t.range AS b,
+        |         CAST(('0x' || substr(md5(CAST(t.range AS VARCHAR) || ':' ||
+        |             CAST(di.idx AS VARCHAR) || ':boot'), 1, 6)) AS BIGINT)
+        |           % (SELECT n_days FROM nd) AS j
+        |  FROM range(1, 200) t CROSS JOIN di),
+        |means AS (
+        |  SELECT b, CAST(round(CAST(sum(di.rev) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 9) AS DECIMAL(18,9)) AS m
+        |  FROM grid JOIN di ON grid.j = di.idx
+        |  GROUP BY b),
+        |ranked AS (
+        |  SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM di) AS n_days,
+        |       CAST(199 AS BIGINT) AS n_boot,
+        |       (SELECT round(CAST(sum(rev) AS DOUBLE)
+        |               / CAST(count(*) AS DOUBLE), 6) FROM di) AS point_mean,
+        |       (SELECT round(CAST(m AS DOUBLE), 6) FROM ranked WHERE rn = 5)
+        |         AS ci_lo,
+        |       (SELECT round(CAST(m AS DOUBLE), 6) FROM ranked WHERE rn = 195)
+        |         AS ci_hi""".stripMargin,
+
+    "q270_decay_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS pid, epoch_us(ts) AS pus,
+        |         CAST(round(value, 2) AS DECIMAL(18,2)) AS pv
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |t AS (
+        |  SELECT user_id, event_type AS channel, epoch_us(ts) AS tus
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |cand AS (
+        |  SELECT p.pid, t.channel, p.pv,
+        |         CAST(round(power(2.0, -((p.pus - t.tus)::DOUBLE
+        |                                 / 86400000000.0)), 9)
+        |              AS DECIMAL(18,9)) AS w
+        |  FROM p JOIN t USING (user_id)
+        |  WHERE t.tus < p.pus AND p.pus - t.tus <= 604800000000),
+        |d AS (SELECT pid, sum(w) AS wsum FROM cand GROUP BY pid)
+        |SELECT channel, count(*) AS n_touches,
+        |       round(CAST(sum(CAST(round(CAST(c.w AS DOUBLE)
+        |             / CAST(d.wsum AS DOUBLE) * CAST(c.pv AS DOUBLE), 6)
+        |           AS DECIMAL(18,6))) AS DOUBLE), 4) AS attributed_value
+        |FROM cand c JOIN d USING (pid)
+        |GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q271_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS x,
+        |         sum(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+        |                  THEN CAST(round(value, 2) AS DECIMAL(18,2))
+        |                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT d, x, y,
+        |         row_number() OVER (ORDER BY d) AS rn,
+        |         CAST(sum(x) OVER w AS DOUBLE) AS sx,
+        |         CAST(sum(y) OVER w AS DOUBLE) AS sy,
+        |         CAST(sum(x * y) OVER w AS DOUBLE) AS sxy,
+        |         CAST(sum(x * x) OVER w AS DOUBLE) AS sxx,
+        |         CAST(sum(y * y) OVER w AS DOUBLE) AS syy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(d, '%Y-%m-%d') AS day, x AS clicks,
+        |       round(CAST(y AS DOUBLE), 2) AS revenue,
+        |       CASE WHEN rn >= 7
+        |              AND (7.0 * sxx - sx * sx) * (7.0 * syy - sy * sy) > 0.0
+        |            THEN round((7.0 * sxy - sx * sy)
+        |                 / sqrt((7.0 * sxx - sx * sx)
+        |                        * (7.0 * syy - sy * sy)), 6) END AS corr7
+        |FROM r WHERE rn >= 7 ORDER BY day""".stripMargin,
+
+    "q272_calibration" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS c,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS v,
+        |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |b AS (
+        |  SELECT y,
+        |         CAST(least(floor((c + 1)::DOUBLE / (c + v + 2)::DOUBLE
+        |                          * 10.0), 9.0) AS BIGINT) AS bin,
+        |         CAST(round((c + 1)::DOUBLE / (c + v + 2)::DOUBLE, 9)
+        |              AS DECIMAL(18,9)) AS p,
+        |         CAST(round(((c + 1)::DOUBLE / (c + v + 2)::DOUBLE - y)
+        |                    * ((c + 1)::DOUBLE / (c + v + 2)::DOUBLE - y), 9)
+        |              AS DECIMAL(18,9)) AS bt
+        |  FROM u)
+        |SELECT bin, count(*) AS n_users,
+        |       round(CAST(sum(p) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |         AS mean_phat,
+        |       round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |         AS conv_rate,
+        |       round(CAST(sum(bt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |         AS brier
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin)
 }
