@@ -383,6 +383,32 @@ object Events {
   def clickToPurchaseOuter(events: DataFrame, delay: String, horizon: String): DataFrame =
     clickToPurchaseJoin(events, delay, horizon, "leftOuter")
 
+  /** FULL-OUTER stream-stream join — completes the join matrix
+    * (inner = conversions, left = + abandonment, full = + ORGANIC
+    * purchases that had no qualifying click, the null-click rows
+    * marketing calls direct conversions). Both null-padded sides emit
+    * only on watermark proof, exactly as the left-outer doc describes;
+    * state bounds are identical. Spark supports full-outer
+    * stream-stream only under this watermark + time-bound shape. */
+  def clickToPurchaseFull(events: DataFrame, delay: String, horizon: String): DataFrame =
+    clickToPurchaseJoin(events, delay, horizon, "fullOuter")
+
+  /** Pipeline run-metrics seam (`Dataset.observe` — the Spark-native
+    * answer to "count rows and nulls without a second scan"): attaches
+    * named data-quality counters that ride the existing job and
+    * surface per micro-batch in
+    * `StreamingQueryProgress.observedMetrics("dq")` (batch callers
+    * read them via `Observation`). The aggregates run inside the same
+    * stage as the consuming transform — zero extra passes, the
+    * property that makes per-batch DQ affordable at 100 TB (a
+    * `.count()` beside the write would double the read). */
+  def withQualityMetrics(events: DataFrame): DataFrame =
+    events.observe("dq",
+      count(lit(1)).as("n_rows"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_null_user"),
+      max(col("ts")).as("max_event_ts"))
+
   private def clickToPurchaseJoin(events: DataFrame, delay: String,
                                   horizon: String, joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")

@@ -395,6 +395,57 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER click→purchase: organic purchases emit null-click rows too") {
+    val ms = MemoryStream[Ev](spark)
+    val name = queryName()
+    val q = Events.clickToPurchaseFull(ms.toDF(), delay = "5 minutes", horizon = "10 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      ms.addData(Seq(
+        Ev(1, t("2024-01-01T10:00:00Z"), 1, "click", 1.0),
+        Ev(2, t("2024-01-01T10:05:00Z"), 1, "purchase", 9.0), // matched pair
+        Ev(3, t("2024-01-01T10:00:00Z"), 2, "click", 1.0),    // abandoned click
+        Ev(4, t("2024-01-01T10:00:00Z"), 3, "purchase", 5.0))) // organic purchase
+      q.processAllAvailable()
+      // advance both watermarks far past every expiry window (twice —
+      // the watermark advances at the NEXT batch boundary)
+      ms.addData(Seq(
+        Ev(7, t("2024-01-01T12:00:00Z"), 99, "click", 0.0),
+        Ev(8, t("2024-01-01T12:00:00Z"), 98, "purchase", 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(
+        Ev(9, t("2024-01-01T13:00:00Z"), 99, "click", 0.0),
+        Ev(10, t("2024-01-01T13:00:00Z"), 98, "purchase", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select("click_id", "purchase_id")
+        .as[(Option[Long], Option[Long])].collect().toSet
+      assert(got.contains(Some(1L) -> Some(2L)), s"matched pair missing: $got")
+      assert(got.contains(Some(3L) -> None),
+        s"abandoned click must emit null-purchase: $got")
+      assert(got.contains(None -> Some(4L)),
+        s"organic purchase must emit null-click: $got")
+    } finally q.stop()
+  }
+
+  test("observe metrics ride the micro-batch: per-batch row/null counters in progress") {
+    val ms = MemoryStream[Ev](spark)
+    val name = queryName()
+    val q = Events.withQualityMetrics(ms.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      ms.addData(Seq(
+        Ev(1, t("2024-01-01T10:00:00Z"), 1, "click", 1.0),
+        Ev(2, t("2024-01-01T10:05:00Z"), 1, "purchase", 9.0)))
+      q.processAllAvailable()
+      val m = q.lastProgress.observedMetrics.get("dq")
+      assert(m != null, "dq metrics missing from progress")
+      assert(m.getAs[Long]("n_rows") === 2L)
+      assert(m.getAs[Long]("n_null_value") === 0L)
+      assert(m.getAs[Long]("n_null_user") === 0L)
+    } finally q.stop()
+  }
+
   test("foreachBatch report sink: non-empty batch writes an artifact, empty stream writes none") {
     val dir = tmpDir()
     val ms = MemoryStream[Ev](spark)
