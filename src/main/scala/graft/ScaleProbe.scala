@@ -114,7 +114,19 @@ object ScaleProbe {
       // the exact stickiness fan (user-days × 28 with a ×3 distinct
       // Expand — the documented exact-path price) and the day-
       // partitioned concurrency sweep (2 points/event, day-bounded)
-      "q238_stickiness", "q248_peak_concurrency")
+      "q238_stickiness", "q248_peak_concurrency",
+      // round-12 (fixture-pair shapes): the iterative k-core peel
+      // (rounds × edge semi-joins — shuffle ∝ surviving edges per
+      // round), the blocked JW self-join (Σ block² on a vocabulary-
+      // sized name table — expect ~scale-invariant), the per-order
+      // comparison fan (≤12 lines/order ⇒ linear), the bootstrap grid
+      // (B × days — domain-sized, expect ~scale-invariant shuffle),
+      // the 7-day touch×purchase attribution fan (per-user bounded),
+      // and the sampled range planner (sample window + (k−1)-row
+      // broadcast fan — shuffle tracks the 2% sample + assignment agg)
+      "q268_kcore", "q264_jw_linkage", "q258_bradley_terry",
+      "q269_bootstrap_ci", "q270_decay_attribution",
+      "q273_range_split_planner")
     // SPARK_GRAFT_PROBE_ONLY=q106,q120 restricts the family — the
     // 30–50× runs target just the linear-growth outliers rather than
     // paying the whole family at a corpus 3–5× the 10× one.

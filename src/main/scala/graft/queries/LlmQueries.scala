@@ -493,6 +493,40 @@ object LlmQueries {
         .orderBy("cluster_size")
     }),
 
+    // SHINGLE CONTAINMENT within head-fingerprint blocks (Broder's
+    // containment C(A,B)=|A∩B|/|A| — the ASYMMETRIC near-dup measure
+    // that catches quote inclusion / boilerplate SUBSETS where
+    // symmetric Jaccard (q57) stays low; Lee et al. 2022 dedup on
+    // exactly this): candidate pairs come from q266's 5-token-head
+    // blocking key (real clusters 2–4 docs — never corpus²), then
+    // per-pair distinct word-3-gram intersection gives both
+    // directions' containment + the Jaccard for contrast. The shingle
+    // arrays are projected ONCE before the self-join (the q57/
+    // Dedup.shingles CSE rule).
+    "q274_containment_pairs" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir).select(col("doc_id"),
+        md5(concat_ws(" ",
+          slice(split(TextAnalysis.normalizeForDedup(col("text")), " "),
+            1, 5))).as("h"),
+        Dedup.shingles(split(col("text"), " "), 3).as("s"))
+      sh.as("a").join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          size(array_intersect(col("a.s"), col("b.s"))).cast("long")
+            .as("inter"),
+          size(col("a.s")).cast("long").as("na"),
+          size(col("b.s")).cast("long").as("nb"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("inter").cast("double") / col("na").cast("double"), 4)
+            .as("cont_ab"),
+          round(col("inter").cast("double") / col("nb").cast("double"), 4)
+            .as("cont_ba"),
+          round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double"), 4)
+            .as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // LENGTH-BUCKET PADDING-WASTE AUDIT (the batching cost model for
     // training: documents padded to the next power-of-2 bucket —
     // HuggingFace group_by_length / bucketed batching — and the
@@ -2344,6 +2378,29 @@ object LlmQueries {
         |FROM sizes CROSS JOIN tot
         |GROUP BY cluster_size, n_total
         |ORDER BY cluster_size""".stripMargin,
+    "q274_containment_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(
+        |           string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+        |                                            'g')), ' ')[1:5], ' '))
+        |           AS h,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2])) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |             / CAST(len(a.s) AS DOUBLE), 4) AS cont_ab,
+        |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |             / CAST(len(b.s) AS DOUBLE), 4) AS cont_ba,
+        |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |             / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+        |                    AS DOUBLE), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q267_length_buckets" ->
       """WITH d AS (
         |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len

@@ -217,6 +217,55 @@ object PipelineQueries {
     // overflow — the documented greedy semantics). The manifest —
     // not the rewritten bytes — is the deliverable: the rewrite job
     // reads it and streams each bin's members.
+    // SAMPLED RANGE-SPLIT PLANNER (what Spark's RangePartitioner and
+    // every sort-based table layout do internally, made explicit and
+    // gated): draw a ~2% CONTENT-ADDRESSED sample (the q76/q124 md5
+    // coin — partition-invariant, replayable, never rand()), cut k−1
+    // boundaries at the sample's evenly-spaced order statistics, then
+    // assign the FULL table and audit the balance the sample promised.
+    // The boundary-rank window runs over the SAMPLE (2% of rows —
+    // the documented seam: at 100 TB use a per-partition reservoir +
+    // merge, the RangePartitioner form); assignment is
+    // bucket = Σ[v ≥ boundary] over the (k−1)-row broadcast — a
+    // bounded-fan-out broadcast join standing in for the binary-search
+    // array probe a native expression would do. Skew column = per-
+    // bucket rows ÷ ideal; this is the number a layout service alerts
+    // on.
+    "q273_range_split_planner" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 16
+      val li = Tables.lineitem(s, dir).select(
+        round(col("l_extendedprice"), 2).cast("decimal(18,2)").as("v"),
+        col("l_orderkey"), col("l_linenumber"))
+      // floor(0.02 · 16^6) = 335544 = 0x051eb8
+      val coin = substring(md5(concat(col("l_orderkey").cast("string"),
+        lit(":"), col("l_linenumber").cast("string"), lit(":rs"))), 1, 6)
+      val sample = li.filter(coin < lit("051eb8"))
+      val ws = Window.orderBy("v", "l_orderkey", "l_linenumber")
+      val sm = sample.agg(count(lit(1)).as("m"))
+      val targets = sm.select(explode(sequence(lit(1), lit(k - 1))).as("j"),
+          col("m"))
+        // integer `div`, not `/`+cast: Spark's long cast truncates
+        // where DuckDB's BIGINT cast rounds — `div` ≡ `//` exactly
+        .select(expr(s"(m * j) div $k").as("rn"))
+      val bounds = sample.withColumn("rn", row_number().over(ws).cast("long"))
+        .join(broadcast(targets), Seq("rn"))
+        .select(col("v").as("b"))
+      val assigned = li.join(broadcast(bounds), col("v") >= col("b"), "left")
+        .groupBy(col("l_orderkey"), col("l_linenumber"), col("v"))
+        .agg(count(col("b")).as("bucket"))
+      val total = li.agg(count(lit(1)).as("n_total"))
+      assigned.groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          round(min("v").cast("double"), 2).as("lo"),
+          round(max("v").cast("double"), 2).as("hi"))
+        .crossJoin(broadcast(total))
+        .select(col("bucket"), col("n_rows"), col("lo"), col("hi"),
+          round(col("n_rows").cast("double") * lit(k.toDouble) /
+            col("n_total").cast("double"), 4).as("skew"))
+        .orderBy("bucket")
+    }),
+
     "q218_compaction_plan" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val target = 2000L
@@ -395,6 +444,37 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q273_range_split_planner" ->
+      """WITH li AS (
+        |  SELECT CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS v,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |sample AS (
+        |  SELECT * FROM li
+        |  WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |          CAST(l_linenumber AS VARCHAR) || ':rs'), 1, 6) < '051eb8'),
+        |sm AS (SELECT count(*) AS m FROM sample),
+        |targets AS (
+        |  SELECT CAST(m * t.range // 16 AS BIGINT) AS rn
+        |  FROM sm CROSS JOIN range(1, 16) t),
+        |ranked AS (
+        |  SELECT v, CAST(row_number() OVER
+        |    (ORDER BY v, l_orderkey, l_linenumber) AS BIGINT) AS rn
+        |  FROM sample),
+        |bounds AS (SELECT v AS b FROM ranked JOIN targets USING (rn)),
+        |assigned AS (
+        |  SELECT li.l_orderkey, li.l_linenumber, li.v,
+        |         CAST(count(b.b) AS BIGINT) AS bucket
+        |  FROM li LEFT JOIN bounds b ON li.v >= b.b
+        |  GROUP BY 1, 2, 3),
+        |tot AS (SELECT count(*) AS n_total FROM li)
+        |SELECT bucket, count(*) AS n_rows,
+        |       round(CAST(min(v) AS DOUBLE), 2) AS lo,
+        |       round(CAST(max(v) AS DOUBLE), 2) AS hi,
+        |       round(CAST(count(*) AS DOUBLE) * 16.0
+        |             / CAST(n_total AS DOUBLE), 4) AS skew
+        |FROM assigned CROSS JOIN tot
+        |GROUP BY bucket, n_total ORDER BY bucket""".stripMargin,
     // the same start-offset rule in DuckDB's window dialect.
     "q218_compaction_plan" ->
       """WITH r AS (
