@@ -527,6 +527,76 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // TEMPLATE-SKELETON DETECTION (the boilerplate/machine-generated-
+    // text detector CCNet-style curation runs: collapse every digit
+    // run to '#' and every letter run to 'w', fingerprint the
+    // SHAPE — docs produced by the same template collide even when
+    // every slot value differs, exactly what q266's head fingerprint
+    // and full-text dedup both miss; this fixture: 88 templates over
+    // 500 docs, clusters up to 12). Skeletonization is ONE row-local
+    // regex chain; only the 16-byte md5 shuffles. Output: the top-10
+    // templates by population with their canonical exemplar doc.
+    "q275_template_fingerprint" -> ((s, dir) => {
+      val skel = regexp_replace(
+        regexp_replace(lower(col("text")), "[0-9]+", "#"), "[a-z]+", "w")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), md5(skel).as("fp"),
+          length(skel).cast("long").as("skel_len"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("exemplar_doc"),
+          min("skel_len").as("skel_len"))
+        .orderBy(desc("n_docs"), col("fp"))
+        .limit(10)
+    }),
+
+    // RAKE KEYPHRASE EXTRACTION (Rose et al. 2010 — the unsupervised
+    // keyphrase baseline): split token streams at stopwords, score
+    // each word w by deg(w)/freq(w) over the candidate-phrase
+    // co-occurrence graph (deg = Σ length of phrases containing w,
+    // both corpus-wide), phrase score = Σ word scores; candidates
+    // capped at 8 tokens (standard RAKE practice — longer runs are
+    // boilerplate). Shapes: positional explode → per-doc segment ids
+    // (bounded per-doc window) → phrase grouping; word stats are ONE
+    // vocabulary-sized aggregate broadcast back; word scores quantized
+    // DECIMAL(18,6) before the phrase sum. Top-10 via
+    // TakeOrderedAndProject.
+    "q276_rake_keyphrases" -> ((s, dir) => {
+      val stop = Seq("the", "a", "and", "of", "in", "to")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+        .withColumn("stop", when(col("tok").isin(stop: _*), 1L).otherwise(0L))
+      val seg = toks.withColumn("sid",
+        sum("stop").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")))
+        .filter(col("stop") === 0L)
+      // collect_list order is NOT deterministic post-shuffle — the
+      // phrase is rebuilt by POSITION via a sorted (pos, tok) struct
+      // array (the oracle's string_agg ... ORDER BY pos)
+      val phrases = seg.groupBy("doc_id", "sid")
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("phrase"),
+          count(lit(1)).as("plen"))
+        .filter(col("plen") <= 8L)
+      val members = seg.join(phrases.select("doc_id", "sid", "plen"),
+        Seq("doc_id", "sid"))
+      val wordStats = members.groupBy("tok")
+        .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        .withColumn("wscore",
+          round(col("deg").cast("double") / col("freq").cast("double"), 6)
+            .cast("decimal(18,6)"))
+      members.join(broadcast(wordStats.select("tok", "wscore")), Seq("tok"))
+        .groupBy("doc_id", "sid")
+        .agg(sum("wscore").as("pscore"))
+        .join(phrases, Seq("doc_id", "sid"))
+        .select(col("phrase"),
+          round(col("pscore").cast("double"), 6).as("score"),
+          col("doc_id"), col("plen"))
+        .orderBy(desc("score"), col("doc_id"), col("phrase"))
+        .limit(10)
+    }),
+
     // LENGTH-BUCKET PADDING-WASTE AUDIT (the batching cost model for
     // training: documents padded to the next power-of-2 bucket —
     // HuggingFace group_by_length / bucketed batching — and the
@@ -2401,6 +2471,56 @@ object LlmQueries {
         |                    AS DOUBLE), 4) AS jaccard
         |FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q275_template_fingerprint" ->
+      """WITH sk AS (
+        |  SELECT doc_id,
+        |         regexp_replace(regexp_replace(lower(text), '[0-9]+', '#',
+        |                                       'g'), '[a-z]+', 'w', 'g')
+        |           AS skel
+        |  FROM documents)
+        |SELECT md5(skel) AS fp, count(*) AS n_docs,
+        |       CAST(min(doc_id) AS BIGINT) AS exemplar_doc,
+        |       CAST(min(length(skel)) AS BIGINT) AS skel_len
+        |FROM sk GROUP BY md5(skel)
+        |ORDER BY n_docs DESC, fp LIMIT 10""".stripMargin,
+    "q276_rake_keyphrases" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+        |         generate_subscripts(string_split(lower(text), ' '), 1)
+        |           AS pos
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, tok, pos,
+        |         CASE WHEN tok IN ('the','a','and','of','in','to')
+        |              THEN 1 ELSE 0 END AS stop
+        |  FROM toks),
+        |seg AS (
+        |  SELECT doc_id, tok, pos, stop,
+        |         CAST(sum(stop) OVER (PARTITION BY doc_id ORDER BY pos)
+        |              AS BIGINT) AS sid
+        |  FROM f),
+        |sw AS (SELECT doc_id, tok, pos, sid FROM seg WHERE stop = 0),
+        |phrases AS (
+        |  SELECT doc_id, sid, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |         count(*) AS plen
+        |  FROM sw GROUP BY doc_id, sid HAVING count(*) <= 8),
+        |members AS (
+        |  SELECT sw.doc_id, sw.sid, sw.tok, p.plen
+        |  FROM sw JOIN phrases p USING (doc_id, sid)),
+        |ws AS (
+        |  SELECT tok,
+        |         CAST(round(CAST(sum(plen) AS DOUBLE)
+        |                    / CAST(count(*) AS DOUBLE), 6)
+        |              AS DECIMAL(18,6)) AS wscore
+        |  FROM members GROUP BY tok),
+        |ps AS (
+        |  SELECT m.doc_id, m.sid, sum(ws.wscore) AS pscore
+        |  FROM members m JOIN ws USING (tok)
+        |  GROUP BY m.doc_id, m.sid)
+        |SELECT p.phrase, round(CAST(ps.pscore AS DOUBLE), 6) AS score,
+        |       p.doc_id, CAST(p.plen AS BIGINT) AS plen
+        |FROM ps JOIN phrases p USING (doc_id, sid)
+        |ORDER BY score DESC, doc_id, phrase LIMIT 10""".stripMargin,
     "q267_length_buckets" ->
       """WITH d AS (
         |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len

@@ -493,6 +493,69 @@ object StatQueries {
         .orderBy("day")
     }),
 
+    // DIFFERENCE-IN-DIFFERENCES (Card & Krueger's workhorse; the
+    // quasi-experimental companion to q201's CUPED): users assigned
+    // treat/control by the md5 coin (content-addressed — the
+    // assignment is replayable and balanced by construction), periods
+    // split at the campaign date, DiD = (T_post − T_pre) −
+    // (C_post − C_pre) over per-cell mean purchase value. ONE
+    // conditional-aggregate pass builds all four cells (decimal sums,
+    // integer counts); the five divisions are one fixed IEEE tree.
+    "q277_diff_in_diff" -> ((s, dir) => {
+      val mid = lit("2024-01-15").cast("date")
+      val e = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(
+          (conv(substring(md5(concat(col("user_id").cast("string"),
+            lit(":ab"))), 1, 6), 16, 10).cast("long") % 2).as("grp"),
+          (to_date(col("ts")) < mid).as("pre"),
+          round(col("value"), 2).cast("decimal(18,2)").as("v"))
+      def cell(g: Int, pre: Boolean) =
+        when(col("grp") === g && col("pre") === pre, col("v"))
+      def n(g: Int, pre: Boolean) =
+        sum(when(col("grp") === g && col("pre") === pre, 1L).otherwise(0L))
+      val m = e.agg(
+        sum(cell(1, true)).as("s_tpre"), n(1, true).as("n_tpre"),
+        sum(cell(1, false)).as("s_tpost"), n(1, false).as("n_tpost"),
+        sum(cell(0, true)).as("s_cpre"), n(0, true).as("n_cpre"),
+        sum(cell(0, false)).as("s_cpost"), n(0, false).as("n_cpost"))
+      def mean(s: String, c: String) =
+        col(s).cast("double") / col(c).cast("double")
+      m.select(
+        col("n_tpre"), col("n_tpost"), col("n_cpre"), col("n_cpost"),
+        round(mean("s_tpre", "n_tpre"), 6).as("treat_pre"),
+        round(mean("s_tpost", "n_tpost"), 6).as("treat_post"),
+        round(mean("s_cpre", "n_cpre"), 6).as("ctrl_pre"),
+        round(mean("s_cpost", "n_cpost"), 6).as("ctrl_post"),
+        round((mean("s_tpost", "n_tpost") - mean("s_tpre", "n_tpre")) -
+          (mean("s_cpost", "n_cpost") - mean("s_cpre", "n_cpre")), 6)
+          .as("did"))
+    }),
+
+    // VARIANT EXTRACTION (Spark 4's native semi-structured type — the
+    // open-format answer to schema-on-read JSON columns: parse_json
+    // builds the binary VARIANT once, variant_get does typed path
+    // extraction WITHOUT re-parsing per field, unlike get_json_object;
+    // q43/q46 cover the from_json/declared-schema route, this is the
+    // schema-less one): props → VARIANT → $.k as BIGINT, histogram by
+    // k-decile with mean event value per bucket. Row-local parse, one
+    // map-side-combined aggregate.
+    "q278_variant_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(
+          (variant_get(parse_json(col("props")), "$.k", "bigint") % 10L)
+            .as("k_bucket"),
+          when(col("value").isNotNull,
+            round(col("value"), 2).cast("decimal(18,2)")).as("v"))
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_valued"),
+          round(sum("v").cast("double") /
+            sum(when(col("v").isNotNull, 1L).otherwise(0L)).cast("double"), 6)
+            .as("mean_value"))
+        .orderBy("k_bucket")
+    }),
+
     // CALIBRATION TABLE + BRIER SCORE (Brier 1950; the reliability
     // diagram every propensity/quality model ships with): propensity
     // p̂ = Laplace-smoothed click share (c+1)/(c+v+2) per user, outcome
@@ -937,5 +1000,58 @@ object StatQueries {
         |         AS conv_rate,
         |       round(CAST(sum(bt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         |         AS brier
-        |FROM b GROUP BY bin ORDER BY bin""".stripMargin)
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q277_diff_in_diff" ->
+      """WITH e AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+        |                1, 6)) AS BIGINT) % 2 AS grp,
+        |         CAST(ts AS DATE) < DATE '2024-01-15' AS pre,
+        |         CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |m AS (
+        |  SELECT
+        |    sum(CASE WHEN grp = 1 AND pre THEN v END) AS s_tpre,
+        |    CAST(sum(CASE WHEN grp = 1 AND pre THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_tpre,
+        |    sum(CASE WHEN grp = 1 AND NOT pre THEN v END) AS s_tpost,
+        |    CAST(sum(CASE WHEN grp = 1 AND NOT pre THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_tpost,
+        |    sum(CASE WHEN grp = 0 AND pre THEN v END) AS s_cpre,
+        |    CAST(sum(CASE WHEN grp = 0 AND pre THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cpre,
+        |    sum(CASE WHEN grp = 0 AND NOT pre THEN v END) AS s_cpost,
+        |    CAST(sum(CASE WHEN grp = 0 AND NOT pre THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_cpost
+        |  FROM e)
+        |SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+        |       round(CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE), 6)
+        |         AS treat_pre,
+        |       round(CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE), 6)
+        |         AS treat_post,
+        |       round(CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE), 6)
+        |         AS ctrl_pre,
+        |       round(CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE), 6)
+        |         AS ctrl_post,
+        |       round((CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE)
+        |              - CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE))
+        |             - (CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE)
+        |                - CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE)),
+        |             6) AS did
+        |FROM m""".stripMargin,
+
+    "q278_variant_extract" ->
+      """WITH e AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+        |           AS k_bucket,
+        |         CASE WHEN value IS NOT NULL
+        |              THEN CAST(round(value, 2) AS DECIMAL(18,2)) END AS v
+        |  FROM events)
+        |SELECT k_bucket, count(*) AS n_events,
+        |       CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_valued,
+        |       round(CAST(sum(v) AS DOUBLE) /
+        |         CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+        |              AS DOUBLE), 6) AS mean_value
+        |FROM e GROUP BY k_bucket ORDER BY k_bucket""".stripMargin)
 }
