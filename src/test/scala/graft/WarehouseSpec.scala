@@ -40,6 +40,39 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("kCore's per-round degree aggregate is Exchange-free on u-bucketed edges") {
+    // the SCALE.md remedy for q268 at 100 TB, demonstrated: bucket the
+    // symmetrized edge list on u — every peel round's degree count
+    // then aggregates within buckets (no shuffle); the keep-set semi
+    // joins are node-sized and broadcast. (The v-side semi join is the
+    // reason the KEEP SET must broadcast rather than shuffle the
+    // u-bucketed edges on v.)
+    val ib = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().limit(2000)
+    val und = ib.as("a")
+      .join(ib.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+    Warehouse.writeBucketed(edges, "graft_edges_b", "u", 4)
+    try {
+      withConf(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.sources.bucketing.enabled" -> "true") {
+        val deg = spark.table("graft_edges_b")
+          .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        val plan = deg.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"degree agg on bucketed edges must not shuffle:\n$plan")
+        // the unbucketed frame pays the shuffle the layout deletes
+        val unb = edges.groupBy(col("u")).agg(count(lit(1)))
+          .queryExecution.executedPlan.toString
+        assert(unb.contains("Exchange"))
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_edges_b")
+  }
+
   test("writeShards caps rows per file and round-trips the data ordered") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shard-").toString
     val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
