@@ -500,15 +500,26 @@ object LlmQueries {
     // exactly this): candidate pairs come from q266's 5-token-head
     // blocking key (real clusters 2–4 docs — never corpus²), then
     // per-pair distinct word-3-gram intersection gives both
-    // directions' containment + the Jaccard for contrast. The shingle
-    // arrays are projected ONCE before the self-join (the q57/
-    // Dedup.shingles CSE rule).
+    // directions' containment + the Jaccard for contrast. ORDER OF
+    // OPERATIONS is the scale story: the cheap 16-byte head
+    // fingerprint goes first, blocks with ≥2 members are found on the
+    // hash alone (a tiny aggregate), and ONLY the surviving docs are
+    // shingled — the first cut shingled and shuffled the WHOLE corpus
+    // (~2 KB of 3-gram array per doc, both join sides: 12–15 s at
+    // sf0.1) when only multi-doc blocks can ever form a pair; this
+    // form shuffles a few dozen arrays (sub-second). Same rows, same
+    // hash.
     "q274_containment_pairs" -> ((s, dir) => {
-      val sh = Tables.documents(s, dir).select(col("doc_id"),
+      val keyed = Tables.documents(s, dir).select(col("doc_id"),
         md5(concat_ws(" ",
           slice(split(TextAnalysis.normalizeForDedup(col("text")), " "),
             1, 5))).as("h"),
-        Dedup.shingles(split(col("text"), " "), 3).as("s"))
+        col("text"))
+      val hot = keyed.groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("h")
+      val sh = keyed.join(broadcast(hot), Seq("h"))
+        .select(col("doc_id"), col("h"),
+          Dedup.shingles(split(col("text"), " "), 3).as("s"))
       sh.as("a").join(sh.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
