@@ -538,6 +538,34 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // TOKENIZER VOCAB-COVERAGE / OOV AUDIT (the ship-gate for a fixed
+    // vocabulary: what fraction of token OCCURRENCES does the top-k
+    // vocab cover, per language — the number that decides whether a
+    // tokenizer retrains before a new corpus mixes in; q86 BUILDS the
+    // vocab, this audits it): vocab = top-20 corpus tokens
+    // (freq-desc/token-asc deterministic cut — the corpus holds 31
+    // distinct tokens, so the 20-cut leaves real OOV mass), coverage
+    // via ONE broadcast semi-membership flag, per-lang rates. Two
+    // vocabulary-sized aggregates + one token-explode pass.
+    "q279_vocab_coverage" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(lower(col("text")), " "))
+          .as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), col("tok")).limit(20)
+        .select(col("tok"), lit(1L).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("in_vocab"), lit(0L))).as("n_covered"))
+        .select(col("lang"), col("n_tokens"), col("n_covered"),
+          round(col("n_covered").cast("double") /
+            col("n_tokens").cast("double"), 6).as("coverage"),
+          round((col("n_tokens") - col("n_covered")).cast("double") /
+            col("n_tokens").cast("double"), 6).as("oov_rate"))
+        .orderBy("lang")
+    }),
+
     // TEMPLATE-SKELETON DETECTION (the boilerplate/machine-generated-
     // text detector CCNet-style curation runs: collapse every digit
     // run to '#' and every letter run to 'w', fingerprint the
@@ -2482,6 +2510,26 @@ object LlmQueries {
         |                    AS DOUBLE), 4) AS jaccard
         |FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q279_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS freq FROM toks GROUP BY tok)
+        |  ORDER BY freq DESC, tok LIMIT 20)
+        |SELECT lang, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_covered,
+        |       round(CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |         AS coverage,
+        |       round(CAST(count(*) - sum(CASE WHEN v.tok IS NOT NULL
+        |                                      THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |         AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q275_template_fingerprint" ->
       """WITH sk AS (
         |  SELECT doc_id,

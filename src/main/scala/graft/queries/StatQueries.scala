@@ -556,6 +556,103 @@ object StatQueries {
         .orderBy("k_bucket")
     }),
 
+    // PER-USER ACTION-DISTRIBUTION ENTROPY (the behavioral-diversity /
+    // bot signal: a scripted account hammers one event type, H≈0; an
+    // organic one spreads mass — q189 scores TOKEN entropy, this is
+    // the same estimator at the user grain): p̂(type|user) from one
+    // (user, type) aggregate, H = −Σ p ln p with per-term quantization
+    // DECIMAL(18,10) (order-invariant sum), reported as a per-user
+    // table. Two map-side-combined aggregates, no window.
+    "q280_user_action_entropy" -> ((s, dir) => {
+      val byType = Tables.events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      val byUser = byType.groupBy("user_id").agg(sum("c").as("n"))
+      byType.join(byUser, Seq("user_id"))
+        .withColumn("term", round(
+          -(col("c").cast("double") / col("n").cast("double")) *
+            log(col("c").cast("double") / col("n").cast("double")), 10)
+          .cast("decimal(24,10)"))
+        .groupBy("user_id")
+        .agg(first("n").as("n_events"),
+          count(lit(1)).as("n_types"),
+          round(sum("term").cast("double"), 6).as("entropy"))
+        .orderBy("user_id")
+    }),
+
+    // PRICE-VOLUME BRIDGE (the revenue-delta decomposition every
+    // finance review runs: Δrev = Δp̄·q₀ + p̄₀·Δq + Δp̄·Δq — price
+    // effect, volume effect, cross term; EXACT by algebra when p̄ is
+    // the unit price rev/q): per brand, 1995 vs 1996 shipments, both
+    // period cells from ONE conditional-aggregate pass over the
+    // broadcast-joined fact (no second scan, no join of two period
+    // frames). Decimal sums; the bridge is one IEEE tree per brand;
+    // brands missing a period drop (no bridge exists).
+    "q281_price_volume_bridge" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .filter(year(col("l_shipdate")).isin(1995, 1996))
+        .select(col("p_brand"), year(col("l_shipdate")).as("y"),
+          round(col("l_extendedprice"), 2).cast("decimal(18,2)").as("rev"),
+          round(col("l_quantity"), 2).cast("decimal(18,2)").as("qty"))
+      val m = li.groupBy("p_brand").agg(
+        sum(when(col("y") === 1995, col("rev"))).as("r0"),
+        sum(when(col("y") === 1995, col("qty"))).as("q0"),
+        sum(when(col("y") === 1996, col("rev"))).as("r1"),
+        sum(when(col("y") === 1996, col("qty"))).as("q1"))
+        .filter(col("q0").isNotNull && col("q1").isNotNull &&
+          col("q0") > 0 && col("q1") > 0)
+      val p0 = col("r0").cast("double") / col("q0").cast("double")
+      val p1 = col("r1").cast("double") / col("q1").cast("double")
+      val q0 = col("q0").cast("double"); val q1 = col("q1").cast("double")
+      m.select(col("p_brand"),
+          round(col("r0").cast("double"), 2).as("rev_1995"),
+          round(col("r1").cast("double"), 2).as("rev_1996"),
+          round((p1 - p0) * q0, 4).as("price_effect"),
+          round(p0 * (q1 - q0), 4).as("volume_effect"),
+          round((p1 - p0) * (q1 - q0), 4).as("cross_effect"))
+        .orderBy("p_brand")
+    }),
+
+    // SEQUENTIAL ASSOCIATION RULES "A then B" (the cross-ORDER
+    // sequence miner — q162's basket lift is within-order
+    // co-occurrence, q115's transitions are adjacent events; this is
+    // "customers who bought brand A later came back for brand B"):
+    // distinct (customer, brand, order-date) triples, a per-customer
+    // strictly-later self-join (bounded by orders-per-customer, never
+    // customer²), DISTINCT customer attribution per rule, confidence
+    // = n(A→B)/n(A). Top rules by confidence with a support floor.
+    "q282_sequential_rules" -> ((s, dir) => {
+      val buys = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("p_brand").as("brand"),
+          to_date(col("o_orderdate")).as("d"))
+        .distinct()
+      val ab = buys.as("a").join(buys.as("b"),
+          col("a.cust") === col("b.cust") && col("a.d") < col("b.d") &&
+            col("a.brand") =!= col("b.brand"))
+        .select(col("a.cust").as("cust"), col("a.brand").as("ante"),
+          col("b.brand").as("cons"))
+        .distinct()
+      val nA = buys.select(col("cust"), col("brand").as("ante")).distinct()
+        .groupBy("ante").agg(count(lit(1)).as("n_ante"))
+      val nCust = buys.select("cust").distinct()
+        .agg(count(lit(1)).as("n_cust"))
+      ab.groupBy("ante", "cons").agg(count(lit(1)).as("n_rule"))
+        .join(broadcast(nA), Seq("ante"))
+        .crossJoin(broadcast(nCust))
+        .filter(col("n_rule") >= 5)
+        .select(col("ante"), col("cons"), col("n_rule"),
+          round(col("n_rule").cast("double") / col("n_ante").cast("double"),
+            6).as("confidence"),
+          round(col("n_rule").cast("double") / col("n_cust").cast("double"),
+            6).as("support"))
+        .orderBy(desc("confidence"), col("ante"), col("cons"))
+        .limit(15)
+    }),
+
     // CALIBRATION TABLE + BRIER SCORE (Brier 1950; the reliability
     // diagram every propensity/quality model ships with): propensity
     // p̂ = Laplace-smoothed click share (c+1)/(c+v+2) per user, outcome
@@ -1001,6 +1098,80 @@ object StatQueries {
         |       round(CAST(sum(bt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         |         AS brier
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q280_user_action_entropy" ->
+      """WITH bt AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |bu AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n
+        |  FROM bt GROUP BY user_id),
+        |t AS (
+        |  SELECT bt.user_id, bu.n,
+        |         CAST(round(-(bt.c::DOUBLE / bu.n::DOUBLE)
+        |                    * ln(bt.c::DOUBLE / bu.n::DOUBLE), 10)
+        |              AS DECIMAL(24,10)) AS term
+        |  FROM bt JOIN bu USING (user_id))
+        |SELECT user_id, any_value(n) AS n_events, count(*) AS n_types,
+        |       round(CAST(sum(term) AS DOUBLE), 6) AS entropy
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q281_price_volume_bridge" ->
+      """WITH li AS (
+        |  SELECT p_brand, year(CAST(l_shipdate AS DATE)) AS y,
+        |         CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS rev,
+        |         CAST(round(l_quantity, 2) AS DECIMAL(18,2)) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE year(CAST(l_shipdate AS DATE)) IN (1995, 1996)),
+        |m AS (
+        |  SELECT p_brand,
+        |         sum(CASE WHEN y = 1995 THEN rev END) AS r0,
+        |         sum(CASE WHEN y = 1995 THEN qty END) AS q0,
+        |         sum(CASE WHEN y = 1996 THEN rev END) AS r1,
+        |         sum(CASE WHEN y = 1996 THEN qty END) AS q1
+        |  FROM li GROUP BY p_brand)
+        |SELECT p_brand,
+        |       round(CAST(r0 AS DOUBLE), 2) AS rev_1995,
+        |       round(CAST(r1 AS DOUBLE), 2) AS rev_1996,
+        |       round((CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+        |              - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+        |             * CAST(q0 AS DOUBLE), 4) AS price_effect,
+        |       round(CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)
+        |             * (CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE)), 4)
+        |         AS volume_effect,
+        |       round((CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+        |              - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+        |             * (CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE)), 4)
+        |         AS cross_effect
+        |FROM m
+        |WHERE q0 IS NOT NULL AND q1 IS NOT NULL AND q0 > 0 AND q1 > 0
+        |ORDER BY p_brand""".stripMargin,
+
+    "q282_sequential_rules" ->
+      """WITH buys AS (
+        |  SELECT DISTINCT o_custkey AS cust, p_brand AS brand,
+        |         CAST(o_orderdate AS DATE) AS d
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey),
+        |ab AS (
+        |  SELECT DISTINCT a.cust, a.brand AS ante, b.brand AS cons
+        |  FROM buys a JOIN buys b
+        |    ON a.cust = b.cust AND a.d < b.d AND a.brand <> b.brand),
+        |na AS (
+        |  SELECT ante, count(*) AS n_ante FROM (
+        |    SELECT DISTINCT cust, brand AS ante FROM buys)
+        |  GROUP BY ante),
+        |nc AS (SELECT count(DISTINCT cust) AS n_cust FROM buys)
+        |SELECT ante, cons, count(*) AS n_rule,
+        |       round(CAST(count(*) AS DOUBLE) / CAST(n_ante AS DOUBLE), 6)
+        |         AS confidence,
+        |       round(CAST(count(*) AS DOUBLE) / CAST(n_cust AS DOUBLE), 6)
+        |         AS support
+        |FROM ab JOIN na USING (ante) CROSS JOIN nc
+        |GROUP BY ante, cons, n_ante, n_cust
+        |HAVING count(*) >= 5
+        |ORDER BY confidence DESC, ante, cons LIMIT 15""".stripMargin,
 
     "q277_diff_in_diff" ->
       """WITH e AS (
