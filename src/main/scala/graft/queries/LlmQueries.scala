@@ -538,6 +538,83 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // SIMILARITY-THRESHOLD CALIBRATION CURVE (the tuning table behind
+    // every near-dup threshold choice — "how many pairs does 0.9 vs
+    // 0.8 sweep in?" — q109 picks ONE threshold, this measures the
+    // curve): exact pairwise cosine WITHIN label blocks (the blocked
+    // join keeps the pair space Σ block², ~12k pairs, never corpus²),
+    // then one conditional aggregate per (label, threshold) from a
+    // 4-literal threshold explode. Cosines are index-ordered dot
+    // products rounded to 4 (the q48/q51 float-parity rule).
+    "q284_threshold_curve" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.label").as("label"),
+          round(Similarity.cosine(col("a.embedding"), col("b.embedding")),
+            4).as("cos"))
+      pairs
+        .select(col("label"), col("cos"),
+          explode(array(lit(0.99), lit(0.95), lit(0.9), lit(0.8)))
+            .as("threshold"))
+        .groupBy("label", "threshold")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("cos") >= col("threshold"), 1L).otherwise(0L))
+            .as("n_over"))
+        .select(col("label"), col("threshold"), col("n_pairs"),
+          col("n_over"),
+          round(col("n_over").cast("double") / col("n_pairs").cast("double"),
+            6).as("frac_over"))
+        .orderBy("label", "threshold")
+    }),
+
+    // EMBEDDING CENTROID / DRIFT AUDIT (the per-class health report a
+    // vector store publishes: class size, mean vector norm, centroid
+    // norm, mean cosine-to-centroid — cohesion; a drifting or
+    // corrupted class shows up as falling cohesion long before
+    // retrieval degrades): everything computed RELATIONALLY from ONE
+    // posexplode pass — no array rebuild, no collect: per-(label,pos)
+    // centroid means and per-vec norms from DECIMAL-quantized terms
+    // (order-invariant — a raw float sum would be partition-order
+    // dependent), the cos-to-centroid dot via the (label,pos)-keyed
+    // join of the exploded frame against the 640-row broadcast
+    // centroid table.
+    "q285_embedding_drift" -> ((s, dir) => {
+      val pe = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          round(col("v").cast("double"), 6).cast("decimal(12,6)").as("v"))
+      val centroid = pe.groupBy("label", "pos")
+        .agg(round(sum("v").cast("double") / count(lit(1)).cast("double"), 8)
+          .cast("decimal(18,8)").as("c"))
+      val cnorm = centroid.groupBy("label")
+        .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("cnorm"))
+      val perVec = pe.join(broadcast(centroid), Seq("label", "pos"))
+        .groupBy("label", "vec_id")
+        .agg(sum(col("v") * col("v")).as("ss"),
+          sum(col("v") * col("c")).as("dot"))
+        .select(col("label"), col("vec_id"),
+          sqrt(col("ss").cast("double")).as("vnorm"),
+          col("dot").cast("double").as("dot"))
+      perVec.join(broadcast(cnorm), Seq("label"))
+        .select(col("label"),
+          round(col("vnorm"), 8).cast("decimal(18,8)").as("vnorm_q"),
+          round(col("dot") / (col("vnorm") * col("cnorm")), 8)
+            .cast("decimal(18,8)").as("cos_q"),
+          col("cnorm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum("vnorm_q").cast("double") / count(lit(1)).cast("double"),
+            6).as("mean_norm"),
+          round(first(col("cnorm")), 6).as("centroid_norm"),
+          round(sum("cos_q").cast("double") / count(lit(1)).cast("double"),
+            6).as("cohesion"))
+        .orderBy("label")
+    }),
+
     // TOKENIZER VOCAB-COVERAGE / OOV AUDIT (the ship-gate for a fixed
     // vocabulary: what fraction of token OCCURRENCES does the top-k
     // vocab cover, per language — the number that decides whether a
@@ -2510,6 +2587,61 @@ object LlmQueries {
         |                    AS DOUBLE), 4) AS jaccard
         |FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q284_threshold_curve" ->
+      """WITH pairs AS (
+        |  SELECT a.label,
+        |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                      CAST(b.embedding AS DOUBLE[])),
+        |               4) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id),
+        |x AS (
+        |  SELECT label, cos, unnest([0.99, 0.95, 0.9, 0.8]) AS threshold
+        |  FROM pairs)
+        |SELECT label, threshold, count(*) AS n_pairs,
+        |       CAST(sum(CASE WHEN cos >= threshold THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_over,
+        |       round(CAST(sum(CASE WHEN cos >= threshold THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |         AS frac_over
+        |FROM x GROUP BY label, threshold
+        |ORDER BY label, threshold""".stripMargin,
+    "q285_embedding_drift" ->
+      """WITH pe AS (
+        |  SELECT vec_id, label,
+        |         generate_subscripts(embedding, 1) AS pos,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+        |              AS DECIMAL(12,6)) AS v
+        |  FROM embeddings),
+        |centroid AS (
+        |  SELECT label, pos,
+        |         CAST(round(CAST(sum(v) AS DOUBLE)
+        |                    / CAST(count(*) AS DOUBLE), 8)
+        |              AS DECIMAL(18,8)) AS c
+        |  FROM pe GROUP BY label, pos),
+        |cn AS (
+        |  SELECT label, sqrt(CAST(sum(c * c) AS DOUBLE)) AS cnorm
+        |  FROM centroid GROUP BY label),
+        |pv AS (
+        |  SELECT pe.label, pe.vec_id,
+        |         sqrt(CAST(sum(pe.v * pe.v) AS DOUBLE)) AS vnorm,
+        |         CAST(sum(pe.v * c.c) AS DOUBLE) AS dot
+        |  FROM pe JOIN centroid c ON pe.label = c.label AND pe.pos = c.pos
+        |  GROUP BY pe.label, pe.vec_id),
+        |q AS (
+        |  SELECT pv.label,
+        |         CAST(round(vnorm, 8) AS DECIMAL(18,8)) AS vnorm_q,
+        |         CAST(round(dot / (vnorm * cn.cnorm), 8) AS DECIMAL(18,8))
+        |           AS cos_q,
+        |         cn.cnorm
+        |  FROM pv JOIN cn ON pv.label = cn.label)
+        |SELECT label, count(*) AS n_vecs,
+        |       round(CAST(sum(vnorm_q) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+        |             6) AS mean_norm,
+        |       round(any_value(cnorm), 6) AS centroid_norm,
+        |       round(CAST(sum(cos_q) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+        |             6) AS cohesion
+        |FROM q GROUP BY label ORDER BY label""".stripMargin,
     "q279_vocab_coverage" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
