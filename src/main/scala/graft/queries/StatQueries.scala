@@ -556,6 +556,48 @@ object StatQueries {
         .orderBy("k_bucket")
     }),
 
+    // STL-LITE SEASONAL DECOMPOSITION (the classical additive
+    // decomposition behind every "trend vs seasonality vs noise"
+    // dashboard — Cleveland's STL with loess swapped for the textbook
+    // centered moving average, which is exactly replayable
+    // cross-engine where loess is not): daily revenue = trend (7-day
+    // CENTERED MA over full windows only) + seasonal (day-of-week
+    // mean of the detrended series) + residual. Decimal window sums /
+    // quantized detrended terms keep every stage order-invariant; the
+    // DOW key is engine-internal (Spark and DuckDB number weekdays
+    // differently — it never reaches the output). Day-cardinality
+    // windows (q148 seam).
+    "q286_stl_decompose" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(round(col("value"), 2).cast("decimal(18,2)")).as("rev"))
+      val ord = Window.orderBy("d")
+      val full = daily
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("n", count(lit(1)).over(
+          ord.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .withColumn("ma7", sum("rev").over(ord.rowsBetween(-3, 3)))
+        .filter(col("rn") >= 4 && col("rn") <= col("n") - 3)
+        .withColumn("trend",
+          round(col("ma7").cast("double") / 7.0, 6))
+        .withColumn("detr",
+          round(col("rev").cast("double") - col("trend"), 6)
+            .cast("decimal(18,6)"))
+        .withColumn("dow", dayofweek(col("d")))
+      val seasonal = full.groupBy("dow")
+        .agg(round(sum("detr").cast("double") / count(lit(1)).cast("double"),
+          6).as("seasonal"))
+      full.join(broadcast(seasonal), Seq("dow"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          round(col("rev").cast("double"), 2).as("revenue"),
+          col("trend"), col("seasonal"),
+          round(col("detr").cast("double") - col("seasonal"), 6)
+            .as("residual"))
+        .orderBy("day")
+    }),
+
     // PER-USER ACTION-DISTRIBUTION ENTROPY (the behavioral-diversity /
     // bot signal: a scripted account hammers one event type, H≈0; an
     // organic one spreads mass — q189 scores TOKEN entropy, this is
@@ -1098,6 +1140,39 @@ object StatQueries {
         |       round(CAST(sum(bt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         |         AS brier
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q286_stl_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS rev
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT d, rev,
+        |         row_number() OVER (ORDER BY d) AS rn,
+        |         count(*) OVER () AS n,
+        |         sum(rev) OVER (ORDER BY d
+        |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ma7
+        |  FROM daily),
+        |full_ AS (
+        |  SELECT d, rev,
+        |         round(CAST(ma7 AS DOUBLE) / 7.0, 6) AS trend,
+        |         CAST(round(CAST(rev AS DOUBLE)
+        |                    - round(CAST(ma7 AS DOUBLE) / 7.0, 6), 6)
+        |              AS DECIMAL(18,6)) AS detr,
+        |         dayofweek(d) AS dow
+        |  FROM w WHERE rn >= 4 AND rn <= n - 3),
+        |seasonal AS (
+        |  SELECT dow,
+        |         round(CAST(sum(detr) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+        |               6) AS seasonal
+        |  FROM full_ GROUP BY dow)
+        |SELECT strftime(f.d, '%Y-%m-%d') AS day,
+        |       round(CAST(f.rev AS DOUBLE), 2) AS revenue,
+        |       f.trend, s.seasonal,
+        |       round(CAST(f.detr AS DOUBLE) - s.seasonal, 6) AS residual
+        |FROM full_ f JOIN seasonal s USING (dow)
+        |ORDER BY day""".stripMargin,
 
     "q280_user_action_entropy" ->
       """WITH bt AS (
