@@ -21,7 +21,8 @@ object Bench {
     val spark = builder.getOrCreate()
     graft.expressions.VectorExpressions.register(spark)
     graft.expressions.TextExpressions.register(spark)
-    spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct, graft.expressions.RewriteRollingHash)
+    spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct, graft.expressions.RewriteRollingHash, graft.plans.RewriteGroupedTopK)
+    spark.experimental.extraStrategies ++= Seq(graft.plans.GroupedTopKStrategy)
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: one trivial job + the flagship query spins up the
     // executor pool, whole-stage codegen compiler, and parquet reader

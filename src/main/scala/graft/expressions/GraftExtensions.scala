@@ -39,5 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TextExpressions.jaroWinklerInfo, TextExpressions.jaroWinklerBuilder))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteRollingHash)
+    // the whole-operator seam (§4.2 rung (c)): grouped top-k — the
+    // Filter(row_number ≤ k, Window) idiom re-planned as per-group
+    // bounded heaps (graft.plans.GroupedTopK)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteGroupedTopK)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

@@ -57,6 +57,33 @@ object WindowQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // grouped top-k through the WHOLE-OPERATOR seam (plans.GroupedTopK
+    // — LogicalPlan + Rule + Strategy + SparkPlan): the query is the
+    // PLAIN declarative window idiom; in any graft session the
+    // optimizer re-plans it as the heap-based GroupedTopKExec (no
+    // sorts, no WindowExec — GroupedTopKPlanSpec pins the plan and the
+    // row-for-row equivalence), and the DuckDB oracle replays the
+    // window form — so the hash gate proves the custom physical
+    // operator against an independent engine, ranks included. Total
+    // order key (price desc, orderkey, linenumber) makes ranks
+    // deterministic; rn rides as BIGINT (the r12 int32 rule).
+    "q287_grouped_topk_planned" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(desc("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"),
+          round(col("l_extendedprice"), 2).as("price"),
+          col("l_orderkey"), col("l_linenumber").cast("long").as("lnum"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("l_suppkey", "rn")
+    }),
+
     // grouped top-k through the ops.TopK seam (window form; TopKSpec's
     // viaAgg≡viaWindow equivalence extends this oracle to the
     // bounded-heap Aggregator that wins the shuffle-volume race at
@@ -255,6 +282,16 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q287_grouped_topk_planned" ->
+      """SELECT l_suppkey, round(l_extendedprice, 2) AS price,
+        |       l_orderkey, CAST(l_linenumber AS BIGINT) AS lnum,
+        |       CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT l_suppkey, l_extendedprice, l_orderkey, l_linenumber,
+        |         row_number() OVER (PARTITION BY l_suppkey
+        |           ORDER BY l_extendedprice DESC, l_orderkey,
+        |                    l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
     // the INDEPENDENT window-top-1 formulation of the argmin aggregate
     "q153_argmin_supplier" ->
       """SELECT l_partkey, l_suppkey AS best_suppkey,

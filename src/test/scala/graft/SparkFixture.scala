@@ -26,6 +26,13 @@ object TestSpark {
     // sketch path resolves graft_band_keys by name.
     graft.expressions.VectorExpressions.register(s)
     graft.expressions.TextExpressions.register(s)
+    // the grouped top-k rule + strategy, as in Verify/Bench, so
+    // plan-shape pins see the production plans. (RewriteDotProduct /
+    // RewriteRollingHash are deliberately NOT session-global here —
+    // ExtensionsSpec installs them per-test to compare the rewritten
+    // and declarative forms against each other.)
+    s.experimental.extraOptimizations ++= Seq(graft.plans.RewriteGroupedTopK)
+    s.experimental.extraStrategies ++= Seq(graft.plans.GroupedTopKStrategy)
     s.sparkContext.setLogLevel("ERROR")
     s
   }
