@@ -21,8 +21,13 @@ object Bench {
     val spark = builder.getOrCreate()
     graft.expressions.VectorExpressions.register(spark)
     graft.expressions.TextExpressions.register(spark)
-    spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct, graft.expressions.RewriteRollingHash, graft.plans.RewriteGroupedTopK)
-    spark.experimental.extraStrategies ++= Seq(graft.plans.GroupedTopKStrategy)
+    spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct, graft.expressions.RewriteRollingHash)
+    // SPARK_GRAFT_NO_TOPK_REWRITE=1 benches the window path instead —
+    // the A/B toggle behind the BASELINE.md grouped-top-k numbers
+    if (!sys.env.contains("SPARK_GRAFT_NO_TOPK_REWRITE")) {
+      spark.experimental.extraOptimizations ++= Seq(graft.plans.RewriteGroupedTopK)
+      spark.experimental.extraStrategies ++= Seq(graft.plans.GroupedTopKStrategy)
+    }
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: one trivial job + the flagship query spins up the
     // executor pool, whole-stage codegen compiler, and parquet reader
