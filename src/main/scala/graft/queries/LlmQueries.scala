@@ -48,6 +48,17 @@ object LlmQueries {
   private val lshShared =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), org.apache.spark.sql.DataFrame]
 
+  /** Positionally exploded embeddings with DECIMAL(12,6)-quantized
+    * components — the shared base of q285 (drift audit) and q288
+    * (centroid classifier): quantizing BEFORE any sum keeps every
+    * downstream aggregate order-invariant. */
+  private def posExplodedEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        round(col("v").cast("double"), 6).cast("decimal(12,6)").as("v"))
+
   /** BM25 scores (doc_id, bm25) for a fixed term set — q140's body,
     * shared with the q265 hybrid-fusion ranker so both gates score
     * with the one implementation. Unordered; callers sort. */
@@ -582,11 +593,7 @@ object LlmQueries {
     // join of the exploded frame against the 640-row broadcast
     // centroid table.
     "q285_embedding_drift" -> ((s, dir) => {
-      val pe = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("vec_id"), col("label"), col("pos"),
-          round(col("v").cast("double"), 6).cast("decimal(12,6)").as("v"))
+      val pe = posExplodedEmbeddings(s, dir)
       val centroid = pe.groupBy("label", "pos")
         .agg(round(sum("v").cast("double") / count(lit(1)).cast("double"), 8)
           .cast("decimal(18,8)").as("c"))
@@ -612,6 +619,59 @@ object LlmQueries {
           round(first(col("cnorm")), 6).as("centroid_norm"),
           round(sum("cos_q").cast("double") / count(lit(1)).cast("double"),
             6).as("cohesion"))
+        .orderBy("label")
+    }),
+
+    // NEAREST-CENTROID CLASSIFIER EVAL (Rocchio classification + the
+    // precision/recall/F1 report — the label-quality eval a curation
+    // stack runs on its embedding classes; q285 measures cohesion,
+    // this measures SEPARABILITY): per-class centroids from the
+    // shared quantized positional frame, every vector scored against
+    // ALL 10 centroids (pos-keyed join against the 640-row broadcast
+    // centroid table — ~64·|classes| rows per vector, never a UDF or
+    // array rebuild), argmax by (cos, −label) struct (deterministic
+    // tie to the smaller label), then the confusion-derived per-class
+    // P/R/F1 from two conditional aggregates. In-sample by design —
+    // the SEPARABILITY audit, not a generalization claim (the
+    // train/eval split ops are q76/q108's family).
+    "q288_centroid_classifier" -> ((s, dir) => {
+      val pe = posExplodedEmbeddings(s, dir)
+      val centroid = pe.groupBy("label", "pos")
+        .agg(round(sum("v").cast("double") / count(lit(1)).cast("double"), 8)
+          .cast("decimal(18,8)").as("c"))
+        .select(col("label").as("clabel"), col("pos"), col("c"))
+      val cnorm = centroid.groupBy("clabel")
+        .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("cnorm"))
+      val scores = pe.join(broadcast(centroid), Seq("pos"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(sum(col("v") * col("c")).as("dot"),
+          sum(col("v") * col("v")).as("ss"))
+        .join(broadcast(cnorm), Seq("clabel"))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          round(col("dot").cast("double") /
+            (sqrt(col("ss").cast("double")) * col("cnorm")), 8)
+            .cast("decimal(18,8)").as("cos"))
+      val pred = scores.groupBy("vec_id", "label")
+        .agg(max(struct(col("cos"), (-col("clabel")).as("nl"))).as("w"))
+        .select(col("label"), (-col("w.nl")).cast("long").as("pred"))
+      val perTrue = pred.groupBy("label").agg(
+        count(lit(1)).as("n_actual"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      val perPred = pred.groupBy(col("pred").as("label"))
+        .agg(count(lit(1)).as("n_predicted"))
+      val p = col("n_correct").cast("double") /
+        col("n_predicted").cast("double")
+      val r = col("n_correct").cast("double") / col("n_actual").cast("double")
+      perTrue.join(perPred, Seq("label"), "left")
+        .select(col("label").cast("long").as("label"), col("n_actual"),
+          coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+          col("n_correct"),
+          round(when(col("n_predicted").isNull, 0.0).otherwise(p), 6)
+            .as("prec"),
+          round(r, 6).as("recall"),
+          round(when(col("n_predicted").isNull || (p + r) === 0.0, 0.0)
+            .otherwise(lit(2.0) * p * r / (p + r)), 6).as("f1"))
         .orderBy("label")
     }),
 
@@ -2587,6 +2647,61 @@ object LlmQueries {
         |                    AS DOUBLE), 4) AS jaccard
         |FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q288_centroid_classifier" ->
+      """WITH pe AS (
+        |  SELECT vec_id, label,
+        |         generate_subscripts(embedding, 1) AS pos,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+        |              AS DECIMAL(12,6)) AS v
+        |  FROM embeddings),
+        |centroid AS (
+        |  SELECT label AS clabel, pos,
+        |         CAST(round(CAST(sum(v) AS DOUBLE)
+        |                    / CAST(count(*) AS DOUBLE), 8)
+        |              AS DECIMAL(18,8)) AS c
+        |  FROM pe GROUP BY label, pos),
+        |cn AS (
+        |  SELECT clabel, sqrt(CAST(sum(c * c) AS DOUBLE)) AS cnorm
+        |  FROM centroid GROUP BY clabel),
+        |scores AS (
+        |  SELECT s.vec_id, s.label, s.clabel,
+        |         CAST(round(CAST(s.dot AS DOUBLE)
+        |             / (sqrt(CAST(s.ss AS DOUBLE)) * cn.cnorm), 8)
+        |           AS DECIMAL(18,8)) AS cos
+        |  FROM (SELECT pe.vec_id, pe.label, ce.clabel,
+        |               sum(pe.v * ce.c) AS dot, sum(pe.v * pe.v) AS ss
+        |        FROM pe JOIN centroid ce ON pe.pos = ce.pos
+        |        GROUP BY pe.vec_id, pe.label, ce.clabel) s
+        |  JOIN cn ON s.clabel = cn.clabel),
+        |pred AS (
+        |  SELECT label,
+        |         CAST(-((max(struct_pack(cos := cos, nl := -clabel))).nl)
+        |              AS BIGINT) AS pred
+        |  FROM scores GROUP BY vec_id, label),
+        |pt AS (
+        |  SELECT label, count(*) AS n_actual,
+        |         CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_correct
+        |  FROM pred GROUP BY label),
+        |pp AS (SELECT pred AS label, count(*) AS n_predicted
+        |       FROM pred GROUP BY pred)
+        |SELECT CAST(pt.label AS BIGINT) AS label, pt.n_actual,
+        |       CAST(coalesce(pp.n_predicted, 0) AS BIGINT) AS n_predicted,
+        |       pt.n_correct,
+        |       round(CASE WHEN pp.n_predicted IS NULL THEN 0.0
+        |             ELSE n_correct::DOUBLE / pp.n_predicted::DOUBLE END, 6)
+        |         AS prec,
+        |       round(n_correct::DOUBLE / pt.n_actual::DOUBLE, 6) AS recall,
+        |       round(CASE WHEN pp.n_predicted IS NULL
+        |                    OR (n_correct::DOUBLE / pp.n_predicted::DOUBLE
+        |                        + n_correct::DOUBLE / pt.n_actual::DOUBLE)
+        |                       = 0.0 THEN 0.0
+        |             ELSE 2.0 * (n_correct::DOUBLE / pp.n_predicted::DOUBLE)
+        |                  * (n_correct::DOUBLE / pt.n_actual::DOUBLE)
+        |                  / (n_correct::DOUBLE / pp.n_predicted::DOUBLE
+        |                     + n_correct::DOUBLE / pt.n_actual::DOUBLE) END,
+        |             6) AS f1
+        |FROM pt LEFT JOIN pp USING (label) ORDER BY label""".stripMargin,
     "q284_threshold_curve" ->
       """WITH pairs AS (
         |  SELECT a.label,

@@ -532,6 +532,66 @@ object StatQueries {
           .as("did"))
     }),
 
+    // INVERSE-PROPENSITY-WEIGHTED ATE (Horvitz–Thompson / Rosenbaum–
+    // Rubin — the OBSERVATIONAL member of the causal trio beside
+    // q201 CUPED and q277 DiD): exposure T = the user is
+    // CLICK-DOMINANT (more clicks than views — the engaged-browsing
+    // cohort; presence-based exposures are degenerate on this dense
+    // panel: every user has every event type), outcome Y = total
+    // purchase value, confounder X = total activity. Propensity by
+    // STRATIFICATION (the fully-relational
+    // estimator — no iterative logistic fit): activity quintiles via
+    // ntile, p̂(T|stratum) = the stratum's empirical exposure rate,
+    // clipped to [0.05, 0.95] (the standard positivity guard, same
+    // CASE both engines). ATE_ipw = Σ T·Y/p̂ / Σ T/p̂ − Σ(1−T)·Y/(1−p̂)
+    // / Σ(1−T)/(1−p̂) (the Hájek ratio form) with every weighted term
+    // quantized DECIMAL(18,6); the naive difference rides along so
+    // the output SHOWS the confounding correction. One user-grain
+    // pass + one quintile window (user-cardinality) + one stratum
+    // aggregate.
+    "q289_ipw_ate" -> ((s, dir) => {
+      val u = Tables.events(s, dir).groupBy("user_id").agg(
+        count(lit(1)).as("activity"),
+        when(sum(when(col("event_type") === "click", 1L).otherwise(0L)) >
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)), 1L)
+          .otherwise(0L).as("t"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          round(col("value"), 2).cast("decimal(18,2)"))),
+          lit(0).cast("decimal(18,2)")).as("y"))
+      val strat = u.withColumn("stratum",
+        ntile(5).over(Window.orderBy("activity", "user_id")))
+      val rates = strat.groupBy("stratum").agg(
+        (sum("t").cast("double") / count(lit(1)).cast("double")).as("praw"))
+        .select(col("stratum"),
+          least(greatest(col("praw"), lit(0.05)), lit(0.95)).as("p"))
+      val w = strat.join(broadcast(rates), Seq("stratum"))
+        .select(col("t"), col("y"),
+          round(when(col("t") === 1L, col("y").cast("double") / col("p"))
+            .otherwise(lit(0.0)), 6).cast("decimal(18,6)").as("wy1"),
+          round(when(col("t") === 1L, lit(1.0) / col("p"))
+            .otherwise(lit(0.0)), 6).cast("decimal(18,6)").as("w1"),
+          round(when(col("t") === 0L,
+            col("y").cast("double") / (lit(1.0) - col("p")))
+            .otherwise(lit(0.0)), 6).cast("decimal(18,6)").as("wy0"),
+          round(when(col("t") === 0L, lit(1.0) / (lit(1.0) - col("p")))
+            .otherwise(lit(0.0)), 6).cast("decimal(18,6)").as("w0"))
+      val m = w.agg(
+        count(lit(1)).as("n"),
+        sum("t").as("n_treated"),
+        sum(when(col("t") === 1L, col("y"))).as("sy1"),
+        sum(when(col("t") === 0L, col("y"))).as("sy0"),
+        sum(when(col("t") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum("wy1").as("swy1"), sum("w1").as("sw1"),
+        sum("wy0").as("swy0"), sum("w0").as("sw0"))
+      m.select(col("n"), col("n_treated"),
+        round(col("sy1").cast("double") / col("n_treated").cast("double") -
+          col("sy0").cast("double") / col("n0").cast("double"), 6)
+          .as("ate_naive"),
+        round(col("swy1").cast("double") / col("sw1").cast("double") -
+          col("swy0").cast("double") / col("sw0").cast("double"), 6)
+          .as("ate_ipw"))
+    }),
+
     // VARIANT EXTRACTION (Spark 4's native semi-structured type — the
     // open-format answer to schema-on-read JSON columns: parse_json
     // builds the binary VARIANT once, variant_get does typed path
@@ -1284,6 +1344,58 @@ object StatQueries {
         |             - (CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE)
         |                - CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE)),
         |             6) AS did
+        |FROM m""".stripMargin,
+
+    "q289_ipw_ate" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS activity,
+        |         CAST(CASE WHEN sum(CASE WHEN event_type = 'click'
+        |                                 THEN 1 ELSE 0 END)
+        |                   > sum(CASE WHEN event_type = 'view'
+        |                              THEN 1 ELSE 0 END)
+        |              THEN 1 ELSE 0 END AS BIGINT) AS t,
+        |         coalesce(sum(CASE WHEN event_type = 'purchase'
+        |                 THEN CAST(round(value, 2) AS DECIMAL(18,2)) END),
+        |             CAST(0 AS DECIMAL(18,2))) AS y
+        |  FROM events GROUP BY user_id),
+        |strat AS (
+        |  SELECT t, y,
+        |         ntile(5) OVER (ORDER BY activity, user_id) AS stratum
+        |  FROM u),
+        |rates AS (
+        |  SELECT stratum,
+        |         least(greatest(CAST(sum(t) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 0.05), 0.95) AS p
+        |  FROM strat GROUP BY stratum),
+        |w AS (
+        |  SELECT t, y,
+        |         CAST(round(CASE WHEN t = 1
+        |               THEN CAST(y AS DOUBLE) / p ELSE 0.0 END, 6)
+        |              AS DECIMAL(18,6)) AS wy1,
+        |         CAST(round(CASE WHEN t = 1 THEN 1.0 / p ELSE 0.0 END, 6)
+        |              AS DECIMAL(18,6)) AS w1,
+        |         CAST(round(CASE WHEN t = 0
+        |               THEN CAST(y AS DOUBLE) / (1.0 - p) ELSE 0.0 END, 6)
+        |              AS DECIMAL(18,6)) AS wy0,
+        |         CAST(round(CASE WHEN t = 0 THEN 1.0 / (1.0 - p)
+        |               ELSE 0.0 END, 6) AS DECIMAL(18,6)) AS w0
+        |  FROM strat JOIN rates USING (stratum)),
+        |m AS (
+        |  SELECT count(*) AS n, CAST(sum(t) AS BIGINT) AS n_treated,
+        |         sum(CASE WHEN t = 1 THEN y END) AS sy1,
+        |         sum(CASE WHEN t = 0 THEN y END) AS sy0,
+        |         CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n0,
+        |         sum(wy1) AS swy1, sum(w1) AS sw1,
+        |         sum(wy0) AS swy0, sum(w0) AS sw0
+        |  FROM w)
+        |SELECT n, n_treated,
+        |       round(CAST(sy1 AS DOUBLE) / CAST(n_treated AS DOUBLE)
+        |             - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6)
+        |         AS ate_naive,
+        |       round(CAST(swy1 AS DOUBLE) / CAST(sw1 AS DOUBLE)
+        |             - CAST(swy0 AS DOUBLE) / CAST(sw0 AS DOUBLE), 6)
+        |         AS ate_ipw
         |FROM m""".stripMargin,
 
     "q278_variant_extract" ->
