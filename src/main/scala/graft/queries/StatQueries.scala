@@ -532,6 +532,56 @@ object StatQueries {
           .as("did"))
     }),
 
+    // FUNNEL STAGE-TIMING PERCENTILES (q112 counts who converts; this
+    // measures HOW LONG each hop takes — the latency half of funnel
+    // health): per user, first signup → first subsequent click →
+    // first subsequent purchase (strictly ordered, the q112 stage
+    // rule), then exact type-1 p50/p90 of each hop's duration via the
+    // rank-pick over the per-stage ordered deltas. Durations in exact
+    // integer microseconds (rule 7), seconds only at the output
+    // divisions; the percentile window partitions by stage
+    // (user-cardinality rows per stage — at billions of users the
+    // q249/q252 two-phase range rank replaces it, same numbers).
+    "q290_funnel_timing" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val t1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("t_signup"))
+      val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+        .filter(col("us") > col("t_signup"))
+        .groupBy("user_id").agg(first("t_signup").as("t_signup"),
+          min("us").as("t_click"))
+      val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+        .filter(col("us") > col("t_click"))
+        .groupBy("user_id").agg(first("t_click").as("t_click"),
+          min("us").as("t_purchase"))
+      val hops =
+        t2.select(lit("1_signup_to_click").as("stage"),
+            (col("t_click") - col("t_signup")).as("d_us"))
+          .union(t3.select(lit("2_click_to_purchase").as("stage"),
+            (col("t_purchase") - col("t_click")).as("d_us")))
+      val w = Window.partitionBy("stage").orderBy("d_us")
+      val ranked = hops
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("stage")))
+      ranked.groupBy("stage").agg(
+          first("n").as("n_users"),
+          // type-1 ranks: ceil(q·n) via integer ceil-div (rule 6 —
+          // no float rank arithmetic)
+          min(when(col("rn") === expr("(n + 1) div 2"), col("d_us")))
+            .as("p50_us"),
+          min(when(col("rn") === expr("(9 * n + 9) div 10"), col("d_us")))
+            .as("p90_us"),
+          sum("d_us").as("sum_us"))
+        .select(col("stage"), col("n_users"),
+          round(col("p50_us").cast("double") / 1000000.0, 6).as("p50_s"),
+          round(col("p90_us").cast("double") / 1000000.0, 6).as("p90_s"),
+          round(col("sum_us").cast("double") /
+            col("n_users").cast("double") / 1000000.0, 6).as("mean_s"))
+        .orderBy("stage")
+    }),
+
     // INVERSE-PROPENSITY-WEIGHTED ATE (Horvitz–Thompson / Rosenbaum–
     // Rubin — the OBSERVATIONAL member of the causal trio beside
     // q201 CUPED and q277 DiD): exposure T = the user is
@@ -1345,6 +1395,45 @@ object StatQueries {
         |                - CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE)),
         |             6) AS did
         |FROM m""".stripMargin,
+
+    "q290_funnel_timing" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t1 AS (
+        |  SELECT user_id, min(us) AS t_signup FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, any_value(t1.t_signup) AS t_signup,
+        |         min(e.us) AS t_click
+        |  FROM ev e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.us > t1.t_signup
+        |  GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, any_value(t2.t_click) AS t_click,
+        |         min(e.us) AS t_purchase
+        |  FROM ev e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us > t2.t_click
+        |  GROUP BY e.user_id),
+        |hops AS (
+        |  SELECT '1_signup_to_click' AS stage, t_click - t_signup AS d_us
+        |  FROM t2
+        |  UNION ALL
+        |  SELECT '2_click_to_purchase' AS stage, t_purchase - t_click
+        |  FROM t3),
+        |r AS (
+        |  SELECT stage, d_us,
+        |         CAST(row_number() OVER (PARTITION BY stage ORDER BY d_us)
+        |              AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY stage) AS BIGINT) AS n
+        |  FROM hops)
+        |SELECT stage, any_value(n) AS n_users,
+        |       round(CAST(min(CASE WHEN rn = (n + 1) // 2 THEN d_us END)
+        |                  AS DOUBLE) / 1000000.0, 6) AS p50_s,
+        |       round(CAST(min(CASE WHEN rn = (9 * n + 9) // 10 THEN d_us END)
+        |                  AS DOUBLE) / 1000000.0, 6) AS p90_s,
+        |       round(CAST(sum(d_us) AS DOUBLE)
+        |             / CAST(any_value(n) AS DOUBLE) / 1000000.0, 6) AS mean_s
+        |FROM r GROUP BY stage ORDER BY stage""".stripMargin,
 
     "q289_ipw_ate" ->
       """WITH u AS (
