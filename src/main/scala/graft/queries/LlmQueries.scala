@@ -622,6 +622,39 @@ object LlmQueries {
         .orderBy("label")
     }),
 
+    // LANGUAGE-ID CONFUSION / P-R-F1 EVAL (the accuracy report for
+    // q49's marker-argmax detector against the corpus labels — the
+    // eval every lang-ID gate ships with, and q288's pattern applied
+    // to the TEXT classifier): one row-local classification pass,
+    // then the confusion-derived per-language precision/recall/F1
+    // from two conditional aggregates (language-cardinality rows;
+    // detected-but-never-true codes like 'und' fold into precision
+    // denominators via the left join exactly as q288 handles
+    // never-predicted classes).
+    "q291_langid_eval" -> ((s, dir) => {
+      val pred = Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("detected"))
+      val perTrue = pred.groupBy("lang").agg(
+        count(lit(1)).as("n_actual"),
+        sum(when(col("detected") === col("lang"), 1L).otherwise(0L))
+          .as("n_correct"))
+      val perPred = pred.groupBy(col("detected").as("lang"))
+        .agg(count(lit(1)).as("n_predicted"))
+      val p = col("n_correct").cast("double") /
+        col("n_predicted").cast("double")
+      val r = col("n_correct").cast("double") / col("n_actual").cast("double")
+      perTrue.join(perPred, Seq("lang"), "left")
+        .select(col("lang"), col("n_actual"),
+          coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+          col("n_correct"),
+          round(when(col("n_predicted").isNull, 0.0).otherwise(p), 6)
+            .as("prec"),
+          round(r, 6).as("recall"),
+          round(when(col("n_predicted").isNull || (p + r) === 0.0, 0.0)
+            .otherwise(lit(2.0) * p * r / (p + r)), 6).as("f1"))
+        .orderBy("lang")
+    }),
+
     // NEAREST-CENTROID CLASSIFIER EVAL (Rocchio classification + the
     // precision/recall/F1 report — the label-quality eval a curation
     // stack runs on its embedding classes; q285 measures cohesion,
@@ -2647,6 +2680,50 @@ object LlmQueries {
         |                    AS DOUBLE), 4) AS jaccard
         |FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q291_langid_eval" ->
+      """WITH t AS (
+        |  SELECT lang, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que','los','una','es','por'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','et','les','des','est','une','dans'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de
+        |  FROM t),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+        |         WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de
+        |           THEN 'fr'
+        |         WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |         WHEN s_en >= s_de THEN 'en'
+        |         ELSE 'de' END AS detected
+        |  FROM s),
+        |pt AS (
+        |  SELECT lang, count(*) AS n_actual,
+        |         CAST(sum(CASE WHEN detected = lang THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_correct
+        |  FROM pred GROUP BY lang),
+        |pp AS (SELECT detected AS lang, count(*) AS n_predicted
+        |       FROM pred GROUP BY detected)
+        |SELECT pt.lang, pt.n_actual,
+        |       CAST(coalesce(pp.n_predicted, 0) AS BIGINT) AS n_predicted,
+        |       pt.n_correct,
+        |       round(CASE WHEN pp.n_predicted IS NULL THEN 0.0
+        |             ELSE n_correct::DOUBLE / pp.n_predicted::DOUBLE END, 6)
+        |         AS prec,
+        |       round(n_correct::DOUBLE / pt.n_actual::DOUBLE, 6) AS recall,
+        |       round(CASE WHEN pp.n_predicted IS NULL
+        |                    OR (n_correct::DOUBLE / pp.n_predicted::DOUBLE
+        |                        + n_correct::DOUBLE / pt.n_actual::DOUBLE)
+        |                       = 0.0 THEN 0.0
+        |             ELSE 2.0 * (n_correct::DOUBLE / pp.n_predicted::DOUBLE)
+        |                  * (n_correct::DOUBLE / pt.n_actual::DOUBLE)
+        |                  / (n_correct::DOUBLE / pp.n_predicted::DOUBLE
+        |                     + n_correct::DOUBLE / pt.n_actual::DOUBLE) END,
+        |             6) AS f1
+        |FROM pt LEFT JOIN pp USING (lang) ORDER BY lang""".stripMargin,
     "q288_centroid_classifier" ->
       """WITH pe AS (
         |  SELECT vec_id, label,
