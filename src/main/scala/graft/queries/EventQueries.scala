@@ -836,8 +836,14 @@ object EventQueries {
         .agg(
           count(lit(1)).as("n_intervals"),
           sum(col("dur_us")).as("span_us"),
-          round((sum(col("value").cast("decimal(18,2)") * col("dur_us"))
-            / sum(col("dur_us"))).cast("double"), 4).as("twap"))
+          // divide as DOUBLE on both engines: a DECIMAL-domain
+          // division here carries engine-specific derived scales and
+          // flipped the 4th digit on a half boundary at sf0.1 (found
+          // by the round-12 sf0.1 strict sweep; sf0.01 never landed
+          // on the boundary)
+          round(sum(col("value").cast("decimal(18,2)") * col("dur_us"))
+            .cast("double") / sum(col("dur_us")).cast("double"), 4)
+            .as("twap"))
         .orderBy("user_id")
     }),
 
@@ -1850,7 +1856,8 @@ object EventQueries {
         |SELECT user_id, count(*) AS n_intervals,
         |       CAST(sum(dur_us) AS BIGINT) AS span_us,
         |       round(CAST(sum(CAST(value AS DECIMAL(18,2)) * dur_us)
-        |                  / sum(dur_us) AS DOUBLE), 4) AS twap
+        |                  AS DOUBLE) / CAST(sum(dur_us) AS DOUBLE), 4)
+        |         AS twap
         |FROM d WHERE dur_us IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // change detection via IS DISTINCT FROM (the <=> mirror), first
