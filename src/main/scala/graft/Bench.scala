@@ -23,8 +23,10 @@ object Bench {
     graft.expressions.TextExpressions.register(spark)
     spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct, graft.expressions.RewriteRollingHash)
     // SPARK_GRAFT_NO_TOPK_REWRITE=1 benches the window path instead —
-    // the A/B toggle behind the BASELINE.md grouped-top-k numbers
-    if (!sys.env.contains("SPARK_GRAFT_NO_TOPK_REWRITE")) {
+    // the A/B toggle behind the BASELINE.md grouped-top-k numbers.
+    // Only "1" disables: a bare contains() check would let =0 or an
+    // empty export silently record a misattributed window-path baseline.
+    if (!sys.env.get("SPARK_GRAFT_NO_TOPK_REWRITE").contains("1")) {
       spark.experimental.extraOptimizations ++= Seq(graft.plans.RewriteGroupedTopK)
       spark.experimental.extraStrategies ++= Seq(graft.plans.GroupedTopKStrategy)
     }

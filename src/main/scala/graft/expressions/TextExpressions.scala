@@ -38,7 +38,10 @@ case class RollingHashMod(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_rolling_hash"
 
   def compute(s: UTF8String): Long = {
-    // Decode UTF-8 in place — input is Spark-produced, hence valid.
+    // Decode UTF-8 in place. Continuation-byte reads are CLAMPED to the
+    // array (Utf8Decode.cont): Spark does not validate strings read from
+    // external Parquet, and a truncated trailing sequence must degrade
+    // to a deterministic value, not throw AIOOBE and fail the task.
     val bytes = s.getBytes
     var acc = 0L
     var i = 0
@@ -47,13 +50,13 @@ case class RollingHashMod(child: Expression) extends UnaryExpression {
       var cp = 0
       if (b0 < 0x80) { cp = b0; i += 1 }
       else if (b0 < 0xe0) { // 2-byte
-        cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2
+        cp = ((b0 & 0x1f) << 6) | Utf8Decode.cont(bytes, i + 1); i += 2
       } else if (b0 < 0xf0) { // 3-byte
-        cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
-          (bytes(i + 2) & 0x3f); i += 3
+        cp = ((b0 & 0x0f) << 12) | (Utf8Decode.cont(bytes, i + 1) << 6) |
+          Utf8Decode.cont(bytes, i + 2); i += 3
       } else { // 4-byte
-        cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
-          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); i += 4
+        cp = ((b0 & 0x07) << 18) | (Utf8Decode.cont(bytes, i + 1) << 12) |
+          (Utf8Decode.cont(bytes, i + 2) << 6) | Utf8Decode.cont(bytes, i + 3); i += 4
       }
       acc = (acc * 31L + cp) % 1000000007L
     }
@@ -115,6 +118,15 @@ object RewriteRollingHash
     }
 }
 
+/** Bounds-clamped UTF-8 continuation-byte read, shared by the native
+  * string expressions. A malformed sequence truncated at the buffer
+  * edge decodes its missing continuation bytes as 0 — a deterministic
+  * replacement-style value — instead of indexing past the array. */
+private[expressions] object Utf8Decode {
+  @inline def cont(bytes: Array[Byte], i: Int): Int =
+    if (i < bytes.length) bytes(i) & 0x3f else 0
+}
+
 /** Jaro–Winkler similarity (Jaro 1989; Winkler 1990) as a native
   * codegen'd binary expression — the record-linkage scorer Spark has
   * no builtin for (only levenshtein/soundex). Semantics are pinned to
@@ -143,25 +155,30 @@ case class JaroWinklerSim(left: Expression, right: Expression)
   override def prettyName: String = "graft_jaro_winkler"
 
   private def codePoints(s: UTF8String): Array[Int] = {
+    // Sized by bytes.length (a true upper bound: every code point is
+    // ≥1 byte), NOT numChars(): on malformed UTF-8 — which Spark will
+    // happily hand us from external Parquet — numChars()'s stride can
+    // disagree with this loop's, and an undersized `out` would AIOOBE
+    // the task. Continuation reads are clamped for the same reason.
     val bytes = s.getBytes
-    val out = new Array[Int](s.numChars())
+    val out = new Array[Int](bytes.length)
     var i = 0; var n = 0
     while (i < bytes.length) {
       val b0 = bytes(i) & 0xff
       var cp = 0
       if (b0 < 0x80) { cp = b0; i += 1 }
       else if (b0 < 0xe0) {
-        cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2
+        cp = ((b0 & 0x1f) << 6) | Utf8Decode.cont(bytes, i + 1); i += 2
       } else if (b0 < 0xf0) {
-        cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
-          (bytes(i + 2) & 0x3f); i += 3
+        cp = ((b0 & 0x0f) << 12) | (Utf8Decode.cont(bytes, i + 1) << 6) |
+          Utf8Decode.cont(bytes, i + 2); i += 3
       } else {
-        cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
-          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); i += 4
+        cp = ((b0 & 0x07) << 18) | (Utf8Decode.cont(bytes, i + 1) << 12) |
+          (Utf8Decode.cont(bytes, i + 2) << 6) | Utf8Decode.cont(bytes, i + 3); i += 4
       }
       out(n) = cp; n += 1
     }
-    out
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
   }
 
   def compute(a: UTF8String, b: UTF8String): Double = {

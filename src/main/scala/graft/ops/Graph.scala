@@ -249,6 +249,16 @@ object Graph {
         .select(col("u"), col("v"))
         .localCheckpoint()
       val n2 = pruned.count()
+      // The superseded round's checkpoint blocks are dead once the new
+      // round has materialized (the count() above) — release them, or
+      // block-manager storage grows linearly with round count
+      // (adversarial graphs peel many rounds, e.g. chains under k=2).
+      // NOTE: Dataset.unpersist would be a no-op here — it only talks
+      // to the CacheManager; a localCheckpoint's blocks belong to the
+      // RDD behind the plan's LogicalRDD leaf (the LlmQueries.lshShared
+      // discipline). The FINAL round's checkpoint stays persisted: the
+      // returned frame reads from it.
+      releaseCheckpoint(e)
       converged = n2 == n
       n = n2
       e = pruned
@@ -256,4 +266,15 @@ object Graph {
     e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .select(col("u").as("node"), col("deg"))
   }
+
+  /** Free a localCheckpoint's block-manager storage (best-effort):
+    * the checkpointed RDD sits behind the LogicalRDD node the
+    * checkpoint call returned; Dataset.unpersist only covers
+    * CacheManager entries and would silently leak it. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    } catch { case _: Throwable => () }
 }

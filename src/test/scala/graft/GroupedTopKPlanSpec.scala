@@ -96,6 +96,61 @@ class GroupedTopKPlanSpec extends AnyFunSuite with SparkFixture {
       "empty partition spec must not rewrite")
   }
 
+  test("past the group cutoff the partition sort-spills and still matches the window form") {
+    // Force the guard: cutoff 2 with ~66 suppkeys over 4 shuffle
+    // partitions makes EVERY partition abandon its heaps for the
+    // external-sort fallback. Rows (incl. ranks) must still equal the
+    // un-rewritten window form exactly, and the sortFallbackCount
+    // SQLMetric must show the fallback actually fired.
+    withConf(graft.plans.GroupedTopKExec.MaxGroupsKey -> "2") {
+      val q = topkFrame(3).as[(Long, Double, Long, Int, Int)]
+      val got = q.collect().toSet
+      // AQE wraps executed subtrees in leaf QueryStageExec nodes
+      // (incl. Spark 4's ResultQueryStage), so a plain collect can't
+      // see through them — unwrap recursively.
+      def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[GroupedTopKExec] =
+        p.collect {
+          case e: GroupedTopKExec => Seq(e)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            find(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            find(s.plan)
+        }.flatten
+      val exec = find(q.queryExecution.executedPlan).headOption
+      assert(exec.nonEmpty, "GroupedTopKExec missing from the executed plan")
+      assert(exec.get.metrics("sortFallbackCount").value > 0,
+        "cutoff=2 must trigger the sort fallback")
+      val prev = spark.experimental.extraOptimizations
+      spark.experimental.extraOptimizations =
+        prev.filterNot(_ == RewriteGroupedTopK)
+      try {
+        val want = topkFrame(3).as[(Long, Double, Long, Int, Int)].collect().toSet
+        assert(got === want)
+      } finally spark.experimental.extraOptimizations = prev
+    }
+  }
+
+  test("fallback tie handling matches the heap path on a crafted frame") {
+    val df = Seq(
+      (1L, 5.0, 10L), (1L, 5.0, 11L), (1L, 4.0, 12L), (1L, 3.0, 13L),
+      (2L, 9.0, 20L), (2L, 8.0, 21L),
+      (3L, 1.0, 30L), (4L, 2.0, 40L), (5L, 2.5, 50L)).toDF("g", "s", "id")
+    def run(d: DataFrame) = d
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(desc("s"), col("id"))))
+      .filter(col("rn") <= 2)
+      .as[(Long, Double, Long, Int)].collect().toSet
+    val heapRows = run(df)
+    val spillRows = withConf(graft.plans.GroupedTopKExec.MaxGroupsKey -> "1") {
+      run(df)
+    }
+    assert(spillRows === heapRows)
+    assert(spillRows === Set(
+      (1L, 5.0, 10L, 1), (1L, 5.0, 11L, 2),
+      (2L, 9.0, 20L, 1), (2L, 8.0, 21L, 2),
+      (3L, 1.0, 30L, 1), (4L, 2.0, 40L, 1), (5L, 2.5, 50L, 1)))
+  }
+
   test("partition invariance and tie handling on a crafted frame") {
     val df = Seq(
       (1L, 5.0, 10L), (1L, 5.0, 11L), (1L, 4.0, 12L), (1L, 3.0, 13L),
