@@ -286,6 +286,51 @@ object Sampling {
       .limit(k)
   }
 
+  /** Exact global ranks WITHOUT a global sort — the RangePartitioner
+    * form of the q273 range-split planner's order-statistic pick, and
+    * the row-number sibling of Profile.runningTotalByRange's two-phase
+    * running total. A plain `row_number() OVER (ORDER BY ...)` moves
+    * the whole frame to ONE partition (Spark warns exactly that); this
+    * instead:
+    *
+    *   1. range-partitions on the sort key (Spark samples boundaries
+    *      internally — a per-partition reservoir + merge, bounded
+    *      driver state),
+    *   2. localCheckpoints the ranged frame — REQUIRED, not an
+    *      optimization: the range exchange draws boundaries from a
+    *      random-seed sample per evaluated exchange, and the counts
+    *      branch and the rank branch must see the SAME boundaries
+    *      (the runningTotalByRange defect, observed live in r11),
+    *   3. per-partition row_number (partition-local sort, spillable),
+    *   4. adds each partition's start offset, computed from the
+    *      per-partition counts by a triangular broadcast self-join on
+    *      the partition-count-sized frame — deliberately windowless,
+    *      so the plan contains NO empty-partition-spec WindowExec at
+    *      all (PlanShapeSpec pins this for q273).
+    *
+    * `sortCols` must be a TOTAL order for ranks to be deterministic
+    * (same contract as row_number itself). Output: input columns plus
+    * `rn` (1-based global rank, long). */
+  def rankedByRange(df: DataFrame, sortCols: Seq[String],
+                    partitions: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sortCols.nonEmpty, "sortCols must be non-empty")
+    val ranged = df.repartitionByRange(partitions, sortCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__pn"))
+    val offsets = counts
+      .join(broadcast(counts.select(col("__pid").as("__q"),
+        col("__pn").as("__qn"))), col("__q") < col("__pid"), "left")
+      .groupBy("__pid")
+      .agg(coalesce(sum("__qn"), lit(0L)).as("__off"))
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("__pid")
+          .orderBy(sortCols.map(col): _*)).cast("long") + col("__off"))
+      .drop("__pid", "__off")
+  }
+
   /** Hex digits of sampling-threshold precision (16^6 = 16,777,216). */
   val HexDigits = 6
 

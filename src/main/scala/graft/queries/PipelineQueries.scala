@@ -223,16 +223,17 @@ object PipelineQueries {
     // coin — partition-invariant, replayable, never rand()), cut k−1
     // boundaries at the sample's evenly-spaced order statistics, then
     // assign the FULL table and audit the balance the sample promised.
-    // The boundary-rank window runs over the SAMPLE (2% of rows —
-    // the documented seam: at 100 TB use a per-partition reservoir +
-    // merge, the RangePartitioner form); assignment is
-    // bucket = Σ[v ≥ boundary] over the (k−1)-row broadcast — a
-    // bounded-fan-out broadcast join standing in for the binary-search
-    // array probe a native expression would do. Skew column = per-
-    // bucket rows ÷ ideal; this is the number a layout service alerts
-    // on.
+    // The boundary ranks come from Sampling.rankedByRange — two-phase
+    // range rank (range-partition, per-partition row_number, windowless
+    // broadcast offsets), so NO single-partition WindowExec exists in
+    // the plan even over the sample (the r12 seam, closed; PlanShapeSpec
+    // pins it and SamplingSpec pins rank ≡ the global window form).
+    // Assignment is bucket = Σ[v ≥ boundary] over the (k−1)-row
+    // broadcast — a bounded-fan-out broadcast join standing in for the
+    // binary-search array probe a native expression would do. Skew
+    // column = per-bucket rows ÷ ideal; this is the number a layout
+    // service alerts on.
     "q273_range_split_planner" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val k = 16
       val li = Tables.lineitem(s, dir).select(
         round(col("l_extendedprice"), 2).cast("decimal(18,2)").as("v"),
@@ -241,14 +242,14 @@ object PipelineQueries {
       val coin = substring(md5(concat(col("l_orderkey").cast("string"),
         lit(":"), col("l_linenumber").cast("string"), lit(":rs"))), 1, 6)
       val sample = li.filter(coin < lit("051eb8"))
-      val ws = Window.orderBy("v", "l_orderkey", "l_linenumber")
       val sm = sample.agg(count(lit(1)).as("m"))
       val targets = sm.select(explode(sequence(lit(1), lit(k - 1))).as("j"),
           col("m"))
         // integer `div`, not `/`+cast: Spark's long cast truncates
         // where DuckDB's BIGINT cast rounds — `div` ≡ `//` exactly
         .select(expr(s"(m * j) div $k").as("rn"))
-      val bounds = sample.withColumn("rn", row_number().over(ws).cast("long"))
+      val bounds = graft.ops.Sampling
+        .rankedByRange(sample, Seq("v", "l_orderkey", "l_linenumber"), 16)
         .join(broadcast(targets), Seq("rn"))
         .select(col("v").as("b"))
       val assigned = li.join(broadcast(bounds), col("v") >= col("b"), "left")

@@ -539,4 +539,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"q210 fell back to a nested loop:\n$p")
   }
+
+  test("q273 range planner: every WindowExec is partitioned — no global sample-rank window") {
+    // The r12 seam: the boundary rank ran as row_number() OVER (ORDER
+    // BY ...) — Spark moved the whole sample to one partition (and
+    // warned exactly that). Sampling.rankedByRange replaced it; this
+    // pin fails if a global window ever sneaks back into the plan.
+    val df = SparkEntry.queries("q273_range_split_planner")(spark, sfDir)
+    def wins(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        wins(a.executedPlan)
+      case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        wins(st.plan)
+    }.flatten
+    val ws = wins(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected the per-range-partition rank window")
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "found an empty-partition-spec WindowExec (global sort of the sample):\n" +
+        df.queryExecution.executedPlan)
+  }
 }

@@ -255,4 +255,23 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
       .select("lang").distinct().as[String].collect().toSeq
     assert(onlyEn === Seq("en"))
   }
+
+  test("rankedByRange: exact global ranks equal the single-partition window form, partition-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => ((i * 37) % 101, i.toLong)).toDF("v", "id")
+    val expect = df
+      .withColumn("rn", row_number().over(Window.orderBy("v", "id")).cast("long"))
+      .as[(Int, Long, Long)].collect().toSet
+    val a = Sampling.rankedByRange(df.repartition(1), Seq("v", "id"), 7)
+      .as[(Int, Long, Long)].collect().toSet
+    val b = Sampling.rankedByRange(df.repartition(13), Seq("v", "id"), 5)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(a === expect, "ranks must equal the global window form")
+    assert(b === expect, "ranks must not depend on input partitioning")
+    // more range partitions than rows: offsets over empty partitions
+    val tiny = Seq((3, 1L), (1, 2L), (2, 3L)).toDF("v", "id")
+    val t = Sampling.rankedByRange(tiny, Seq("v", "id"), 8)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(t === Set((1, 2L, 1L), (2, 3L, 2L), (3, 1L, 3L)))
+  }
 }
