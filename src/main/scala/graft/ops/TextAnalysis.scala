@@ -406,4 +406,90 @@ object TextAnalysis {
     words.unpersist()
     merges.toSeq.toDF("step", "left", "right", "merged", "cnt")
   }
+
+  /** One word through min-rank iterative BPE — the canonical tokenizer
+    * INFERENCE kernel (subword-nmt's encode / GPT-2's bpe(): repeatedly
+    * find the lowest-rank adjacent pair present and merge all its
+    * left-to-right non-overlapping occurrences, until no ranked pair
+    * remains). Symbols start as CODE POINTS, matching bpeTrain's
+    * split(w, '') convention. Note the subtlety pinned in
+    * TextAnalysisSpec: min-rank iteration and "apply each merge
+    * in learned order" (the training-replay convention) coincide
+    * unless a later rule's OUTPUT string equals an earlier rule's
+    * operand — a corpus-dependent collision ((a,bc) and (ab,c) both
+    * produce "abc"); the spec's lifecycle test asserts they agree on
+    * the fixture corpus, so a silent divergence would go red instead
+    * of shipping. */
+  def bpeEncodeWord(w: String, rank: Map[(String, String), Int]): Seq[String] = {
+    var syms = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        buf += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      buf
+    }
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0 || bestRank == Int.MaxValue) done = true
+      else {
+        val (pl, pr) = (syms(bestIdx), syms(bestIdx + 1))
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == pl && syms(j + 1) == pr) {
+            out += pl + pr; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out
+        done = syms.length < 2
+      }
+    }
+    syms.toSeq
+  }
+
+  /** BPE APPLY/ENCODE over a corpus with a trained merge table — the
+    * inference path that completes the q170 lifecycle (train emits the
+    * merge list; THIS consumes it). The corpus is reduced to the
+    * distinct-word frequency table first (one map-side-combined
+    * shuffle — the q145/q170 discipline: encode work is
+    * VOCABULARY-sized, never corpus-sized; a 100 TB corpus with a 10M
+    * word vocabulary encodes 10M words once and joins counts back by
+    * weight), then each distinct word runs the row-local min-rank
+    * kernel with the BROADCAST rank map (merge tables are
+    * vocab-bounded — thousands of rows — never a shuffle side).
+    *
+    * Output: one row per emitted token: (token, n_instances =
+    * occurrences across distinct word FORMS, occurrences =
+    * corpus-weighted count). Rows-only by contract (the iterative
+    * min-rank loop has no SQL replay — same contract as q170);
+    * TextAnalysisSpec pins the kernel against hand-worked merges, the
+    * non-overlap rule, and the full train→encode lifecycle against an
+    * independent sequential-replay reference. */
+  def bpeEncode(docs: DataFrame, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rank = merges.zipWithIndex.toMap
+    val rankB = spark.sparkContext.broadcast(rank)
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .as[(String, Long)]
+      .flatMap { case (w, wc) =>
+        bpeEncodeWord(w, rankB.value).map(t => (t, wc)) }
+      .toDF("token", "wc")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_instances"), sum(col("wc")).as("occurrences"))
+  }
 }

@@ -948,6 +948,26 @@ object LlmQueries {
         .orderBy("step")
     }),
 
+    // BPE APPLY / ENCODE with the TRAINED merge list — the tokenizer
+    // INFERENCE path that completes the q170 lifecycle (q170 trains
+    // merges; q86 encodes via a longest-match vocab; nothing previously
+    // consumed the merge table itself). Train → collect the
+    // numMerges-sized merge list (bounded driver hop, the q170 argmax
+    // discipline) → encode the corpus's distinct-word table with the
+    // min-rank iterative kernel under a broadcast rank map → corpus-
+    // weighted token spectrum. Rows-only by contract (the iterative
+    // min-rank loop has no SQL replay — q170's own contract);
+    // TextAnalysisSpec pins the kernel and the full lifecycle against
+    // an independent sequential-replay reference.
+    "q292_bpe_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.ops.TextAnalysis.bpeTrain(docs, "text", 5)
+        .orderBy("step").select("left", "right").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      graft.ops.TextAnalysis.bpeEncode(docs, "text", merges)
+        .orderBy(desc("occurrences"), col("token"))
+    }),
+
     // CONTRASTIVE PAIR GENERATION (the embedding-training dataset
     // constructor): positives = consecutive-by-id pairs inside each
     // BAG-OF-WORDS-duplicate cluster (q58's sorted-distinct-token

@@ -248,6 +248,68 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(got === bpeReference(texts, 3))
   }
 
+  /** Independent sequential-replay encode reference: apply each merge
+    * in learned order, left-to-right non-overlapping — the training
+    * convention, written against the word table directly. */
+  private def seqEncodeRef(word: String, merges: Seq[(String, String)]): Vector[String] = {
+    var syms = word.split("").toVector
+    for ((l, r) <- merges) {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          acc += l + r; i += 2
+        } else { acc += syms(i); i += 1 }
+      }
+      syms = acc.toVector
+    }
+    syms
+  }
+
+  test("bpeEncodeWord: min-rank priority, non-overlap, and chained merges") {
+    // chained: (a,b) then (ab,c) — both fire in rank order
+    assert(TextAnalysis.bpeEncodeWord("abc",
+      Map(("a", "b") -> 0, ("ab", "c") -> 1)) === Seq("abc"))
+    // priority: (b,c) outranks (a,b), so 'abc' splits as a + bc
+    assert(TextAnalysis.bpeEncodeWord("abc",
+      Map(("b", "c") -> 0, ("a", "b") -> 1)) === Seq("a", "bc"))
+    // non-overlap left-to-right: 'aaa' under (a,a) gives [aa, a]
+    assert(TextAnalysis.bpeEncodeWord("aaa",
+      Map(("a", "a") -> 0)) === Seq("aa", "a"))
+    // no applicable merge: falls through to characters
+    assert(TextAnalysis.bpeEncodeWord("xyz",
+      Map(("a", "b") -> 0)) === Seq("x", "y", "z"))
+  }
+
+  test("bpeEncode lifecycle: trained merges encode the corpus, agreeing with the sequential replay") {
+    val docs = Tables.documents(spark, sfDir).limit(40)
+    val texts = docs.select("text").as[String].collect().toSeq
+    val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 4)
+      .orderBy("step").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    assert(merges.nonEmpty)
+    val rank = merges.zipWithIndex.toMap
+    // kernel ≡ sequential replay on every distinct word of the corpus
+    // (they can only diverge when a later rule's output collides with
+    // an earlier rule's operand — this asserts the fixture corpus has
+    // no silent divergence)
+    val words = texts.flatMap(_.split(" ")).filter(_.length >= 2).distinct
+    for (w <- words)
+      assert(TextAnalysis.bpeEncodeWord(w, rank) === seqEncodeRef(w, merges),
+        s"divergence on '$w'")
+    // the full operator's weighted spectrum matches the reference
+    val wordCounts = texts.flatMap(_.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = wordCounts.toSeq
+      .flatMap { case (w, c) => seqEncodeRef(w, merges).map(t => (t, c)) }
+      .groupBy(_._1).view
+      .mapValues(ts => (ts.size.toLong, ts.map(_._2).sum)).toMap
+    val got = TextAnalysis.bpeEncode(docs, "text", merges)
+      .as[(String, Long, Long)].collect()
+      .map { case (t, n, occ) => t -> (n, occ) }.toMap
+    assert(got === expect)
+  }
+
   test("tokenEntropyOf: moments match a direct computation on known shapes") {
     def stats(text: String): (Long, Long, Double) = {
       val r = Seq(text).toDF("text")
