@@ -318,6 +318,90 @@ object Similarity {
       .select(col(idCol), col("cell_id"))
   }
 
+  /** PRODUCT-QUANTIZATION codebook training (Jégou et al. 2011, TPAMI
+    * "Product quantization for nearest neighbor search"): split the
+    * `dims`-dim space into `m` contiguous subspaces of dims/m and run
+    * the SAME deterministic Lloyd build (kmeansBuild — q121's gated
+    * kernel) independently in each, seeded by the sub-slices of the
+    * caller's seed vectors. Returns (sub, cell_id, c_vec) — m small
+    * codebooks, m × ksub × (dims/m) floats total, broadcastable at any
+    * corpus scale.
+    *
+    * Metric note: assignment here is MAX DOT (assignCells), consistent
+    * with the inner-product scoring pqTopK does — MIPS-flavored PQ.
+    * Classical PQ assigns by L2 argmin; the two coincide on normalized
+    * sub-vectors. One convention end-to-end keeps the whole lifecycle
+    * DuckDB-replayable. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              seeds: DataFrame, m: Int, dims: Int, iters: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
+    val sub = dims / m
+    (0 until m).map { j =>
+      val subCorpus = corpus.select(col(idCol),
+        slice(col(vecCol), j * sub + 1, sub).as(vecCol))
+      val subSeeds = seeds.select(col("cell_id"),
+        slice(col("c_vec"), j * sub + 1, sub).as("c_vec"))
+      kmeansBuild(subCorpus, idCol, vecCol, subSeeds, iters)
+        .select(lit(j).as("sub"), col("cell_id"), col("c_vec"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ encode: each vector → m single-byte-range codes (its nearest
+    * codeword per subspace). ONE corpus scan: the m×ksub codebook
+    * broadcast fans each row out to every (sub, cell) candidate, the
+    * sub-slice dot scores it, and a map-side-combined max_by keeps the
+    * argmax per (vector, sub) — the shuffle carries m rows per vector
+    * (the codes — 1 byte each when stored), never the vectors. Ties
+    * break to the lowest cell_id (assignCells' rule). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame, m: Int, dims: Int): DataFrame = {
+    val sub = dims / m
+    corpus.crossJoin(broadcast(codebooks))
+      .select(col(idCol), col("sub"), col("cell_id"),
+        dot(slice(col(vecCol), col("sub") * sub + 1, lit(sub)),
+          col("c_vec")).as("__s"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(max_by(col("cell_id"), struct(col("__s"), -col("cell_id"))).as("code"))
+  }
+
+  /** PQ ANN with ASYMMETRIC DISTANCE COMPUTATION + exact rescore (the
+    * q92 two-pass discipline): build the m×ksub lookup table lut[sub,
+    * code] = query_sub · codeword once per query (a fixed-size frame),
+    * approximate every corpus vector's inner product as Σ_sub
+    * lut[sub, code_sub] by joining its m codes against the broadcast
+    * LUT — the scan-phase row is m CODES, not dims floats: the 4-byte
+    * (m=4) representation is the whole point at 100 TB, where the
+    * first pass reads ~dims/m× fewer bytes than even the int8 path —
+    * then rescore only the `shortlist` survivors with the exact float
+    * dot.
+    *
+    * Determinism: each LUT entry is quantized to DECIMAL(18,12) before
+    * the m-way sum (order-invariant accumulation — comparator-parity
+    * rule 8; a raw double sum would make the shortlist boundary
+    * partition-order dependent), and both rank steps tie-break on id.
+    * Fully DuckDB-replayable, codebooks included (q293). */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+             codebooks: DataFrame, query: DataFrame, queryVecCol: String,
+             m: Int, dims: Int, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val sub = dims / m
+    val codes = pqEncode(corpus, idCol, vecCol, codebooks, m, dims)
+    val lut = codebooks.crossJoin(broadcast(query))
+      .select(col("sub"), col("cell_id").as("code"),
+        dot(col("c_vec"), slice(col(queryVecCol), col("sub") * sub + 1, lit(sub)))
+          .cast("decimal(18,12)").as("__lscore"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__lscore")).as("__approx"))
+      .orderBy(desc("__approx"), col(idCol))
+      .limit(shortlist)
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .crossJoin(broadcast(query))
+      .select(col(idCol), dot(col(vecCol), col(queryVecCol)).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF probe: exact top-k restricted to the nProbe cells whose
     * centroids score best against the query. The centroid ranking is a
     * C-row computation (fixed size) and the corpus filter on cell_id is

@@ -254,6 +254,32 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // PRODUCT-QUANTIZATION ANN (Jégou et al. 2011) — the mainstream
+    // memory-bound ANN layout the family lacked: 4 subspaces × 16 dims,
+    // 8-codeword codebook per subspace trained by the SAME
+    // deterministic Lloyd as q121 (seeds = vec_id<8 sub-slices, 2
+    // iterations), every vector encoded to 4 codes, ADC
+    // lookup-table scoring (LUT entries DECIMAL-quantized before the
+    // 4-way sum — order-invariant, rule 8) → top-40 shortlist → exact
+    // rescore → top-10 (the q92 two-pass discipline). The whole
+    // lifecycle — codebooks, codes, LUT, both rank steps — is
+    // deterministic and replayed by the oracle (generated per-subspace
+    // CTE blocks mirroring q121's unrolled-Lloyd SQL).
+    "q293_pq_ann" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_embedding"))
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("c_vec"))
+      val cb = Similarity.pqTrain(corpus, "vec_id", "embedding", seeds,
+        m = 4, dims = 64, iters = 2)
+      Similarity.pqTopK(corpus, "vec_id", "embedding", cb,
+          q, "q_embedding", m = 4, dims = 64, k = 10, shortlist = 40)
+        .select(col("vec_id"), round(col("sim"), 4).as("dot_sim"))
+        .orderBy("vec_id")
+    }),
+
     // IVF-probed similarity search, FULL probe: with nProbe = all
     // cells the probe must equal brute force exactly — which makes the
     // brute-force SQL its oracle. The sub-linear partial-probe path
@@ -2077,7 +2103,92 @@ object LlmQueries {
     }),
   )
 
+  /** q293's oracle: q121's unrolled-Lloyd SQL replayed PER SUBSPACE —
+    * four mechanically-identical CTE blocks (GENERATED; ~40 lines each
+    * hand-maintained would be the q241/q242 drift trap), then the
+    * encode pass against each final codebook, the DECIMAL-quantized
+    * LUT, the shortlist rank, and the exact rescore. Every float
+    * decision point (assignment argmax, shortlist boundary, final
+    * rank) tie-breaks on ids exactly as the Spark side does. */
+  private def pqAnnOracle: String = {
+    val subs = (0 until 4).map { j =>
+      val lo = j * 16 + 1; val hi = (j + 1) * 16
+      s"""sub_$j AS (
+         |  SELECT vec_id, embedding[$lo:$hi] AS sv
+         |  FROM embeddings WHERE vec_id <> 0),
+         |cb0_$j AS (
+         |  SELECT vec_id AS cell_id, embedding[$lo:$hi] AS c_vec
+         |  FROM embeddings WHERE vec_id < 8),
+         |sc1_$j AS (
+         |  SELECT c.vec_id, c.sv, ct.cell_id,
+         |         list_dot_product(CAST(c.sv AS DOUBLE[]),
+         |                          CAST(ct.c_vec AS DOUBLE[])) AS s
+         |  FROM sub_$j c CROSS JOIN cb0_$j ct),
+         |as1_$j AS (
+         |  SELECT vec_id, sv, cell_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY s DESC, cell_id) AS rn
+         |    FROM sc1_$j) WHERE rn = 1),
+         |cb1_$j AS (
+         |  SELECT cell_id, list(mn ORDER BY i) AS c_vec FROM (
+         |    SELECT cell_id, i, CAST(avg(CAST(sv[i] AS DOUBLE)) AS FLOAT) AS mn
+         |    FROM as1_$j, range(1, 17) t(i) GROUP BY cell_id, i)
+         |  GROUP BY cell_id),
+         |sc2_$j AS (
+         |  SELECT c.vec_id, c.sv, ct.cell_id,
+         |         list_dot_product(CAST(c.sv AS DOUBLE[]),
+         |                          CAST(ct.c_vec AS DOUBLE[])) AS s
+         |  FROM sub_$j c CROSS JOIN cb1_$j ct),
+         |as2_$j AS (
+         |  SELECT vec_id, sv, cell_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY s DESC, cell_id) AS rn
+         |    FROM sc2_$j) WHERE rn = 1),
+         |cb2_$j AS (
+         |  SELECT cell_id, list(mn ORDER BY i) AS c_vec FROM (
+         |    SELECT cell_id, i, CAST(avg(CAST(sv[i] AS DOUBLE)) AS FLOAT) AS mn
+         |    FROM as2_$j, range(1, 17) t(i) GROUP BY cell_id, i)
+         |  GROUP BY cell_id),
+         |sc3_$j AS (
+         |  SELECT c.vec_id, ct.cell_id,
+         |         list_dot_product(CAST(c.sv AS DOUBLE[]),
+         |                          CAST(ct.c_vec AS DOUBLE[])) AS s
+         |  FROM sub_$j c CROSS JOIN cb2_$j ct),
+         |enc_$j AS (
+         |  SELECT vec_id, cell_id AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY s DESC, cell_id) AS rn
+         |    FROM sc3_$j) WHERE rn = 1),
+         |lut_$j AS (
+         |  SELECT cell_id AS code,
+         |         CAST(list_dot_product(CAST(c_vec AS DOUBLE[]),
+         |           CAST((SELECT embedding[$lo:$hi] FROM embeddings
+         |                 WHERE vec_id = 0) AS DOUBLE[])) AS DECIMAL(18,12)) AS lscore
+         |  FROM cb2_$j),
+         |pa_$j AS (
+         |  SELECT e.vec_id, l.lscore FROM enc_$j e JOIN lut_$j l USING (code))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $subs,
+       |approx AS (
+       |  SELECT vec_id, sum(lscore) AS a FROM (
+       |    SELECT * FROM pa_0 UNION ALL SELECT * FROM pa_1
+       |    UNION ALL SELECT * FROM pa_2 UNION ALL SELECT * FROM pa_3)
+       |  GROUP BY vec_id),
+       |short AS (SELECT vec_id FROM approx ORDER BY a DESC, vec_id LIMIT 40),
+       |resc AS (
+       |  SELECT e.vec_id,
+       |         list_dot_product(CAST(e.embedding AS DOUBLE[]),
+       |           CAST(q.embedding AS DOUBLE[])) AS raw
+       |  FROM embeddings e JOIN short USING (vec_id),
+       |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+       |SELECT vec_id, round(raw, 4) AS dot_sim FROM (
+       |  SELECT * FROM resc ORDER BY raw DESC, vec_id LIMIT 10) t
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q293_pq_ann" -> pqAnnOracle,
     // q140's bm25 CTE verbatim + the tf ranker, both ranked under the
     // same total orders, fused with the same quantized 1/(60+rank).
     "q186_rrf_fusion" ->
