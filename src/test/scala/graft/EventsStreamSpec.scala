@@ -315,6 +315,16 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  /** Total rows across all state stores at the LAST progress that
+    * reported state operators — the number the bounded-state claims of
+    * the join matrix are pinned on (r13: a doc claim becomes a red
+    * test). */
+  private def finalStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long = {
+    val ps = q.recentProgress.filter(_.stateOperators.nonEmpty)
+    assert(ps.nonEmpty, "no progress with state operators recorded")
+    ps.last.stateOperators.map(_.numRowsTotal).sum
+  }
+
   test("stream-stream click→purchase join matches within the horizon, state bounded by watermark") {
     val ms = MemoryStream[Ev](spark)
     val name = queryName()
@@ -352,6 +362,13 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
       val batch = Events.clickToPurchase(rows.toDF(), "5 minutes", "10 minutes")
         .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
       assert(batch === got)
+      // STATE-SIZE PIN: 8 rows entered the join; after the 11:00 batch
+      // advances both watermarks past every batch-1 row's expiry
+      // window, only the two sentinel rows may remain buffered. A
+      // bound of 4 leaves slack for store-impl bookkeeping rows while
+      // still failing on any real leak (un-evicted batch-1 state).
+      assert(finalStateRows(q) <= 4,
+        s"join state not bounded by the watermark: ${finalStateRows(q)} rows retained")
     } finally q.stop()
   }
 
@@ -392,6 +409,11 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
       assert(got.contains(1L -> Some(2L)))
       assert(got.contains(3L -> None),
         s"expected expired unmatched click 3 to emit a null row, got $got")
+      // STATE-SIZE PIN: outer-join state must evict exactly like the
+      // inner form once null rows have emitted — only the 13:00
+      // sentinels may remain
+      assert(finalStateRows(q) <= 4,
+        s"outer-join state not bounded: ${finalStateRows(q)} rows retained")
     } finally q.stop()
   }
 
@@ -425,6 +447,11 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
         s"abandoned click must emit null-purchase: $got")
       assert(got.contains(None -> Some(4L)),
         s"organic purchase must emit null-click: $got")
+      // STATE-SIZE PIN: full-outer keeps BOTH sides' unmatched rows
+      // until expiry — after both have emitted their null rows, state
+      // must be back down to the sentinels
+      assert(finalStateRows(q) <= 4,
+        s"full-outer-join state not bounded: ${finalStateRows(q)} rows retained")
     } finally q.stop()
   }
 
@@ -604,6 +631,15 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
     val gens = fs.listStatus(new org.apache.hadoop.fs.Path(sk))
       .map(_.getPath.getName).filter(_.matches("sketch-\\d+")).toSet
     assert(gens === Set("sketch-1", "sketch-2"))
+    // STATE-SIZE PIN: the sink's only state is the sketch file, and a
+    // Bloom filter's byte size is a function of (expectedItems, fpp)
+    // alone — generation 2 (which has absorbed three batches) must be
+    // EXACTLY the size of generation 1, or state grows with data
+    val sizes = fs.listStatus(new org.apache.hadoop.fs.Path(sk))
+      .filter(_.getPath.getName.matches("sketch-\\d+"))
+      .map(s => s.getPath.getName -> s.getLen).toMap
+    assert(sizes("sketch-1") === sizes("sketch-2"),
+      s"bloom sketch size must be constant across generations: $sizes")
   }
 
   test("mergeSink chaos: a crash mid-swap (snapshot renamed aside) recovers on replay") {
