@@ -97,4 +97,32 @@ object AsOf {
       left.columns.map(col).toSeq ++
         valueCols.map(c => col(s"__match.$c").as(prefix + c)): _*)
   }
+
+  /** NEAREST as-of join (pandas merge_asof direction='nearest'): each
+    * left row matched to the right row minimizing |right.ts − left.ts|
+    * on the same key; an exact distance tie prefers the BACKWARD
+    * (earlier) match — the deterministic convention pinned in
+    * AsOfSpec. Composed from one backward and one forward pass (two
+    * key shuffles — still the union/running-last envelope, never a
+    * range self-join), distances compared in exact integer
+    * MICROseconds (`tsCol` must be a TIMESTAMP — comparator-parity
+    * rule 7's domain). Unmatched-on-both-sides left rows keep null
+    * payloads (left-outer semantics). */
+  def asofNearest(left: DataFrame, right: DataFrame,
+                  keyCol: String, tsCol: String,
+                  valueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val withTs = (valueCols :+ tsCol).distinct
+    val b = asofBackward(left, right, keyCol, tsCol, withTs, "__asofb_")
+    val bf = asofForward(b, right, keyCol, tsCol, withTs, "__asoff_")
+    val bt = col("__asofb_" + tsCol)
+    val ft = col("__asoff_" + tsCol)
+    val useB = bt.isNotNull && (ft.isNull ||
+      (unix_micros(col(tsCol)) - unix_micros(bt)) <=
+        (unix_micros(ft) - unix_micros(col(tsCol))))
+    val out = valueCols.foldLeft(bf) { (d, c) =>
+      d.withColumn(prefix + c,
+        when(useB, col("__asofb_" + c)).otherwise(col("__asoff_" + c)))
+    }
+    out.drop(withTs.flatMap(c => Seq("__asofb_" + c, "__asoff_" + c)): _*)
+  }
 }

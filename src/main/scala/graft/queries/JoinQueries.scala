@@ -70,6 +70,31 @@ object JoinQueries {
         .orderBy("event_id")
     }),
 
+    // NEAREST as-of join (pandas merge_asof direction='nearest') —
+    // completes the as-of direction matrix (q75 backward, q90
+    // forward): each click matched to the temporally CLOSEST purchase
+    // by the same user, distances in exact integer microseconds, a
+    // distance tie preferring the backward (earlier) match, same-ts
+    // right duplicates resolved by greatest payload (asofImpl's rule).
+    // Two key shuffles (one per direction), never a range self-join;
+    // the oracle replays the argmin directly over the per-user join.
+    "q294_asof_nearest" -> ((s, dir) => {
+      import graft.ops.AsOf
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event"), col("value").as("p_value"))
+      AsOf.asofNearest(clicks, purchases, "user_id", "ts",
+          Seq("p_event", "p_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("asof_p_event").as("p_event"),
+          round(col("asof_p_value"), 4).as("p_value"))
+        .orderBy("event_id")
+    }),
+
     // salted skew-safe join through the ops.Skew seam: the explicit
     // hot-key mitigation MUST produce exactly what the plain join
     // produces — which makes the plain join its oracle (same contract
@@ -1317,6 +1342,23 @@ object JoinQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND p.ts >= c.ts
         |ORDER BY c.event_id""".stripMargin,
+    "q294_asof_nearest" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts, event_id AS p_event, value AS p_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |         p.p_event, p.p_value,
+        |         row_number() OVER (PARTITION BY c.event_id
+        |           ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+        |                    epoch_us(p.ts),
+        |                    p.p_event DESC, p.p_value DESC) AS rn
+        |  FROM c LEFT JOIN p ON c.user_id = p.user_id)
+        |SELECT event_id, user_id, ts_us, p_event,
+        |       round(p_value, 4) AS p_value
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q75_asof_join" ->
       """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
         |       p.event_id AS p_event, round(p.value, 4) AS p_value

@@ -836,9 +836,121 @@ object StatQueries {
           round(sum("bt").cast("double") / count(lit(1)).cast("double"), 6)
             .as("brier"))
         .orderBy("bin")
+    }),
+
+    // SPEARMAN RANK CORRELATION between the daily order count and the
+    // daily revenue — the monotone-association companion to q213's
+    // rolling Pearson. Tie-correct via AVERAGE ranks carried as
+    // DOUBLE-RANKS (2·avg_rank = 2·min_rank + tie_count − 1, an exact
+    // INTEGER even under ties), so every accumulated moment is an
+    // integer sum — zero float-accumulation hazard, one closed-form
+    // double expression at the end (n·Σxy − ΣxΣy over the √ of the
+    // variance product, factors cast to double SEPARATELY: their
+    // product overflows BIGINT at day-domain scale). The rank windows
+    // run over the DAY DOMAIN (calendar-bounded, ~2.4k rows at every
+    // SF — scale-invariant), never over raw rows.
+    "q295_spearman_daily" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate"))
+        .agg(count(lit(1)).as("x"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("y"))
+      val ranked = daily
+        .withColumn("rx", rank().over(Window.orderBy("x")).cast("long") * 2
+          + count(lit(1)).over(Window.partitionBy("x")) - 1)
+        .withColumn("ry", rank().over(Window.orderBy("y")).cast("long") * 2
+          + count(lit(1)).over(Window.partitionBy("y")) - 1)
+      ranked.agg(
+          count(lit(1)).as("n"),
+          sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+          sum(col("rx") * col("rx")).as("sxx"),
+          sum(col("ry") * col("ry")).as("syy"),
+          sum(col("rx") * col("ry")).as("sxy"))
+        .select(col("n").as("n_days"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+            6).as("rho"))
+    }),
+
+    // KENDALL τ-b over the same daily pair — the concordance view of
+    // the association (robust to the rank-interval distortion Spearman
+    // keeps), with the FULL tie correction: τ-b = (C − D) /
+    // √((n0−n1)(n0−n2)), n1/n2 = pairs tied on x / on y. The pair
+    // frame is the DAY-DOMAIN self-join (calendar² ≈ 2.9M pairs at
+    // every SF — scale-invariant, broadcast one side; an actual
+    // row-domain Kendall would be quadratic and is exactly what this
+    // domain reduction avoids at 100 TB). Every count is an exact
+    // integer; one closed-form double at the end.
+    "q296_kendall_daily" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("x"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("y"))
+      val a = daily.select(col("d").as("da"), col("x").as("xa"), col("y").as("ya"))
+      val b = daily.select(col("d").as("db"), col("x").as("xb"), col("y").as("yb"))
+      a.join(broadcast(b), col("da") < col("db"))
+        .agg(
+          count(lit(1)).as("n0"),
+          sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+                   (col("xa") > col("xb") && col("ya") > col("yb")), 1L)
+            .otherwise(0L)).as("c"),
+          sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+                   (col("xa") > col("xb") && col("ya") < col("yb")), 1L)
+            .otherwise(0L)).as("dd"),
+          sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("n2"))
+        .select(col("n0").as("n_pairs"),
+          col("c").as("concordant"), col("dd").as("discordant"),
+          round((col("c") - col("dd")).cast("double") /
+            sqrt((col("n0") - col("n1")).cast("double") *
+                 (col("n0") - col("n2")).cast("double")), 6).as("tau_b"))
     }))
 
   val oracles: Map[String, String] = Map(
+
+    "q295_spearman_daily" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d, count(*) AS x,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        |  FROM orders GROUP BY o_orderdate),
+        |r AS (
+        |  SELECT 2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1 AS rx,
+        |         2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1 AS ry
+        |  FROM daily),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+        |         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+        |         CAST(sum(ry * ry) AS BIGINT) AS syy,
+        |         CAST(sum(rx * ry) AS BIGINT) AS sxy
+        |  FROM r)
+        |SELECT n AS n_days,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |                  CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+        |FROM s""".stripMargin,
+
+    "q296_kendall_daily" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d, count(*) AS x,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        |  FROM orders GROUP BY o_orderdate),
+        |p AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |         CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |                         OR (a.x > b.x AND a.y > b.y)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |         CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |                         OR (a.x > b.x AND a.y < b.y)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+        |         CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM daily a JOIN daily b ON a.d < b.d)
+        |SELECT n0 AS n_pairs, c AS concordant, dd AS discordant,
+        |       round(CAST(c - dd AS DOUBLE) /
+        |             sqrt(CAST(n0 - n1 AS DOUBLE) *
+        |                  CAST(n0 - n2 AS DOUBLE)), 6) AS tau_b
+        |FROM p""".stripMargin,
 
     "q256_nelson_aalen" ->
       """WITH pu AS (

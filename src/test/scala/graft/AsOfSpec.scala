@@ -125,4 +125,27 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Option[Long])].collect().toMap
     assert(viaAsof === viaJoin)
   }
+
+  test("asofNearest: closest match either direction, distance ties prefer backward, nulls preserved") {
+    import org.apache.spark.sql.DataFrame
+    def tsify(df: DataFrame) = df.withColumn("ts", timestamp_micros(col("ts")))
+    val l = tsify(Seq(
+      (1L, "a", 10L), // b@5 dist 5, f@20 dist 10 -> backward r5
+      (2L, "a", 18L), // b@5 dist 13, f@20 dist 2 -> forward r20
+      (3L, "a", 25L), // b@20 dist 5, f@30 dist 5 -> TIE -> backward r20
+      (4L, "a", 3L),  // nothing before -> forward r5
+      (5L, "c", 50L)  // no right rows at all -> null
+    ).toDF("id", "k", "ts"))
+    val r = tsify(Seq(
+      ("a", 5L, "r5"), ("a", 20L, "r20"), ("a", 30L, "r30")
+    ).toDF("k", "ts", "v"))
+    val got = AsOf.asofNearest(l, r, "k", "ts", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(1L -> Some("r5"), 2L -> Some("r20"),
+      3L -> Some("r20"), 4L -> Some("r5"), 5L -> None))
+    // output schema: left columns + prefixed value, internals dropped
+    val out = AsOf.asofNearest(l, r, "k", "ts", Seq("v"))
+    assert(out.columns.toSeq === Seq("id", "k", "ts", "asof_v"))
+    assert(out.count() === l.count())
+  }
 }
