@@ -206,6 +206,56 @@ object Graph {
     labels
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources
+    * in a hyperlinked environment") over a DIRECTED edge list, in the
+    * pageRank fixed-point discipline: scores are BIGINTs in 1e-6 units
+    * (`scaleFp`), each half-step L1-normalizes with integer division
+    * (score·scale div Σscore) — bit-exact across engines where
+    * floating HITS would drift at round-half boundaries, which is what
+    * keeps the whole iteration under the DuckDB hash oracle (q297
+    * unrolls it as CTEs).
+    *
+    * Per iteration: authority(v) = Σ h(u) over in-edges, then
+    * hub(u) = Σ a(v) over out-edges, each followed by the integer
+    * normalization (a broadcast one-row total). Both halves are one
+    * key-shuffled join + map-side-combined sum — the pageRank envelope.
+    * Lazy/unrolled for small fixed `iterations` (the q163 contract);
+    * checkpoint per round if iterating deep.
+    *
+    * Overflow bound: raw·scaleFp ≤ nodes·scaleFp² must stay below
+    * 2^63 ⇒ nodes < ~9.2e6 at 1e-6 units. Production at larger node
+    * counts drops scaleFp or moves the normalizer to DECIMAL —
+    * documented, not silently wrong (the multiply would throw, not
+    * wrap: Spark ANSI long math overflows loudly in `div`'s operand).
+    *
+    * Output: (node, hub_fp, auth_fp) for every node, 0 for the side a
+    * node never plays. */
+  def hits(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "iterations must be positive")
+    val scaleFp = 1000000L
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    var h = e.select(col("src").as("node")).distinct()
+      .withColumn("h_fp", lit(scaleFp))
+    var a: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val araw = e.join(h, e("src") === h("node"))
+        .groupBy(col("dst")).agg(sum(col("h_fp")).as("raw"))
+      a = araw.crossJoin(broadcast(araw.agg(sum(col("raw")).as("tot"))))
+        .select(col("dst").as("node"),
+          expr(s"(raw * ${scaleFp}L) div tot").as("a_fp"))
+      val hraw = e.join(a, e("dst") === a("node"))
+        .groupBy(col("src")).agg(sum(col("a_fp")).as("raw"))
+      h = hraw.crossJoin(broadcast(hraw.agg(sum(col("raw")).as("tot"))))
+        .select(col("src").as("node"),
+          expr(s"(raw * ${scaleFp}L) div tot").as("h_fp"))
+    }
+    h.join(a, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("h_fp"), lit(0L)).as("hub_fp"),
+        coalesce(col("a_fp"), lit(0L)).as("auth_fp"))
+  }
+
   /** K-CORE DECOMPOSITION by iterative peeling (Seidman 1983; the
     * distributed formulation is the Batagelj–Zaveršnik peel expressed
     * as Pregel rounds): repeatedly delete every node of degree < k

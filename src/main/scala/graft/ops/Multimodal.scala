@@ -199,6 +199,54 @@ object Multimodal {
     PpmFeatures(id, valid = true, w, h, sr / n, sg / n, sb / n)
   }
 
+  /** Per-image PERCEPTUAL HASH row — the image-dedup key (q298). */
+  case class PpmHash(doc_id: Long, valid: Boolean, width: Int,
+                     height: Int, phash: Long)
+
+  implicit val ppmHashEnc: Encoder[PpmHash] = Encoders.product[PpmHash]
+
+  /** AVERAGE-HASH (aHash) perceptual fingerprint on the REAL PPM
+    * decode, at NATIVE resolution: pixel p's bit is set iff its gray
+    * level (r+g+b — no division, exact integers) exceeds the image
+    * mean, compared cross-multiplied (n·g_p > Σg) so the whole hash is
+    * integer arithmetic with no float anywhere. Images here are ≤ 8×6
+    * = 48 pixels, so the bit-per-pixel hash packs into one long; the
+    * classic 8×8-resample aHash is this exact kernel composed with
+    * `downsamplePpm`'s resize when inputs are larger. Two images with
+    * equal (width, height, phash) have the same above-mean brightness
+    * PATTERN — the near-duplicate relation tonal shifts don't break,
+    * which byte-exact hashing (and text-side MinHash) cannot see.
+    * Malformed payloads quarantine as valid = false (the decodePpm
+    * contract); narrow mapPartitions, binary never shuffles. */
+  def ppmAHash(payloadDf: DataFrame): Dataset[PpmHash] =
+    payloadDf.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val hd = ppmHeader(bytes)
+        if (hd == null) PpmHash(id, valid = false, 0, 0, 0L)
+        else {
+          val (w, h, off) = hd
+          val n = w * h
+          val g = new Array[Int](n)
+          var tot = 0L
+          var p = 0
+          while (p < n) {
+            val base = off + 3 * p
+            g(p) = (bytes(base) & 0xff) + (bytes(base + 1) & 0xff) +
+              (bytes(base + 2) & 0xff)
+            tot += g(p)
+            p += 1
+          }
+          var hash = 0L
+          p = 0
+          while (p < n) {
+            if (n.toLong * g(p) > tot) hash |= (1L << p)
+            p += 1
+          }
+          PpmHash(id, valid = true, w, h, hash)
+        }
+      })
+
   /** Downsampled-image features (REAL resize math on the REAL decode —
     * the codec-free format is what makes the whole resize path
     * testable, not a stub like the byte-stride `resizePayload`). */

@@ -481,6 +481,26 @@ object JoinQueries {
         .orderBy("node")
     }),
 
+    // HITS hubs/authorities (Graph.hits) on the DIRECTED
+    // customer→supplier purchase graph — hubs = customers whose
+    // baskets span the authoritative suppliers, authorities =
+    // suppliers bought by the strong hubs (the mutually-reinforcing
+    // definition PageRank's single score can't express). Same
+    // disjoint-id encoding as q163 (2c / 2s+1), 2 iterations, integer
+    // fixed-point normalization per half-step — the whole mutual
+    // recursion hash-matches the unrolled DuckDB replay.
+    "q297_hits" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.ops.Graph.hits(edges, iterations = 2)
+        .orderBy("node")
+    }),
+
     // TRIANGLE COUNTING (ops.Graph.triangleCounts) on the part
     // co-purchase graph (parts bought together in an order) — the
     // clustering/community primitive. The Spark side runs the
@@ -1184,6 +1204,36 @@ object JoinQueries {
     // integer arithmetic as the Spark side (`//` here ≡ `div` there —
     // truncating division, identical on the all-positive ranks; long
     // sums are exact, so there is no rounding anywhere to diverge).
+    "q297_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 2*o_custkey AS src, 2*l_suppkey + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h FROM e),
+        |a1r AS (SELECT e.dst, sum(h0.h) AS raw
+        |        FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst),
+        |a1 AS (SELECT dst AS node,
+        |              (raw * 1000000) // (SELECT sum(raw) FROM a1r) AS a
+        |       FROM a1r),
+        |h1r AS (SELECT e.src, sum(a1.a) AS raw
+        |        FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+        |h1 AS (SELECT src AS node,
+        |              (raw * 1000000) // (SELECT sum(raw) FROM h1r) AS h
+        |       FROM h1r),
+        |a2r AS (SELECT e.dst, sum(h1.h) AS raw
+        |        FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+        |a2 AS (SELECT dst AS node,
+        |              (raw * 1000000) // (SELECT sum(raw) FROM a2r) AS a
+        |       FROM a2r),
+        |h2r AS (SELECT e.src, sum(a2.a) AS raw
+        |        FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+        |h2 AS (SELECT src AS node,
+        |              (raw * 1000000) // (SELECT sum(raw) FROM h2r) AS h
+        |       FROM h2r)
+        |SELECT coalesce(h2.node, a2.node) AS node,
+        |       CAST(coalesce(h2.h, 0) AS BIGINT) AS hub_fp,
+        |       CAST(coalesce(a2.a, 0) AS BIGINT) AS auth_fp
+        |FROM h2 FULL OUTER JOIN a2 ON h2.node = a2.node
+        |ORDER BY node""".stripMargin,
     "q163_pagerank" ->
       """WITH eb AS (
         |  SELECT DISTINCT 2*o_custkey AS c, 2*l_suppkey + 1 AS s1

@@ -1944,6 +1944,31 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // IMAGE NEAR-DUP CLUSTERS BY PERCEPTUAL HASH (Multimodal.ppmAHash
+    // — aHash on the REAL PPM decode): the image-side analog of the
+    // text MinHash family — cluster key = (dims, above-mean brightness
+    // pattern), all-integer, so the ENTIRE multimodal dedup path sits
+    // under the hash gate (the oracle replays the synthetic raster
+    // arithmetic per pixel, q192's technique). Emits every cluster
+    // with its size; n_images ≥ 2 rows are the dedup candidates (the
+    // ≥2 branch FIRES on the fixture: the raster generator repeats
+    // exactly every lcm(20,256)=1280 ids, and pattern-level collisions
+    // occur below that).
+    "q298_image_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticPpm(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.ppmAHash(payloads)
+        .filter(col("valid"))
+        .groupBy(col("width"), col("height"), col("phash"))
+        .agg(count(lit(1)).as("n_images"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("width", "height", "phash")
+    }),
+
     // AUDIO FRAME ENERGY on the REAL WAV decode (Multimodal.
     // audioFrameEnergy): 25-sample frames, per-frame RMS from exact
     // integer Σs² quantized at 6dp BEFORE the per-clip count/max
@@ -2237,6 +2262,31 @@ object LlmQueries {
     // the q94 synthetic-raster arithmetic sampled on the factor-2
     // grid: out dims ceil(w/2) × ceil(h/2), in-pixel index
     // (2·(i div ow))·w + 2·(i mod ow).
+    "q298_image_phash_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(4 + doc_id % 5 AS INTEGER) AS w,
+        |         CAST(3 + doc_id % 4 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |px AS (
+        |  SELECT doc_id, w, h, i,
+        |         ( (doc_id * 31 + 3 * i) % 256
+        |         + (doc_id * 31 + 3 * i + 1) % 256
+        |         + (doc_id * 31 + 3 * i + 2) % 256) AS g
+        |  FROM d, unnest(range(0, w * h)) AS u(i)),
+        |t AS (SELECT doc_id, sum(g) AS tg FROM px GROUP BY doc_id),
+        |b AS (
+        |  SELECT px.doc_id, px.w, px.h,
+        |         CAST(sum(CASE WHEN CAST(px.w * px.h AS BIGINT) * px.g > t.tg
+        |                  THEN (CAST(1 AS BIGINT) << px.i) ELSE 0 END)
+        |              AS BIGINT) AS phash
+        |  FROM px JOIN t USING (doc_id)
+        |  GROUP BY px.doc_id, px.w, px.h)
+        |SELECT w AS width, h AS height, phash,
+        |       CAST(count(*) AS BIGINT) AS n_images,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM b GROUP BY w, h, phash
+        |ORDER BY width, height, phash""".stripMargin,
     "q192_image_downsample" ->
       """WITH d AS (
         |  SELECT doc_id,

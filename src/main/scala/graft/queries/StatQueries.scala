@@ -904,6 +904,57 @@ object StatQueries {
           round((col("c") - col("dd")).cast("double") /
             sqrt((col("n0") - col("n1")).cast("double") *
                  (col("n0") - col("n2")).cast("double")), 6).as("tau_b"))
+    }),
+
+    // THEIL–SEN ROBUST TREND (Theil 1950/Sen 1968) of daily revenue,
+    // WINDOWED form: the median of pairwise slopes over day pairs ≤ 30
+    // days apart — outlier-days bend OLS (q262's fit) but not a median
+    // of ~72k slopes. Day-domain pair join (calendar-bounded at every
+    // SF), each slope ONE double division of an exact decimal diff by
+    // an integer day gap (rule 8); the exact median is a type-1 rank
+    // pick through Sampling.rankedByRange — the two-phase range rank,
+    // so a 72k-row (or, unwindowed at 100 TB, billions-row) slope
+    // frame never funnels through one partition.
+    "q299_theil_sen" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("y"))
+      val a = daily.select(col("d").as("da"), col("y").as("ya"))
+      val b = daily.select(col("d").as("db"), col("y").as("yb"))
+      val slopes = a.join(broadcast(b),
+          col("da") < col("db") && datediff(col("db"), col("da")) <= 30)
+        .select(col("da"), col("db"),
+          ((col("yb") - col("ya")).cast("double") /
+            datediff(col("db"), col("da")).cast("double")).as("slope"))
+      val target = slopes.agg(count(lit(1)).as("m"))
+        .select(expr("(m + 1) div 2").as("rn"), col("m"))
+      graft.ops.Sampling.rankedByRange(slopes, Seq("slope", "da", "db"), 32)
+        .join(broadcast(target), Seq("rn"))
+        .select(col("m").as("n_pairs"), round(col("slope"), 6).as("ts_slope"))
+    }),
+
+    // WEIGHTED MEDIAN (quantity-weighted price) — the logistics/“half
+    // the volume clears below this price” operator: smallest v whose
+    // cumulative weight reaches half the total. Weights and values are
+    // exact DECIMALs, the running weight comes from Profile.
+    // runningTotalByRange (two-phase range partial sums — no global
+    // window; its RANGE default frame gives all v-ties the same
+    // running total, so the pick is partition-order independent), and
+    // the half test is the integer-style `2·running ≥ total` — no
+    // float halving anywhere.
+    "q300_weighted_median" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        round(col("l_extendedprice"), 2).cast("decimal(18,2)").as("v"),
+        col("l_quantity").cast("decimal(18,2)").as("wt"))
+      val tot = li.agg(sum(col("wt")).as("tw"), count(lit(1)).as("n_rows"))
+      graft.ops.Profile.runningTotalByRange(li, "v", "wt", 32)
+        .crossJoin(broadcast(tot))
+        .filter(col("running_total") * 2 >= col("tw"))
+        .agg(min(col("v")).as("vm"),
+          first(col("tw")).as("tw"), first(col("n_rows")).as("n_rows"))
+        .select(col("n_rows"),
+          round(col("tw").cast("double"), 2).as("total_weight"),
+          round(col("vm").cast("double"), 2).as("weighted_median"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -951,6 +1002,38 @@ object StatQueries {
         |             sqrt(CAST(n0 - n1 AS DOUBLE) *
         |                  CAST(n0 - n2 AS DOUBLE)), 6) AS tau_b
         |FROM p""".stripMargin,
+
+    "q299_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        |  FROM orders GROUP BY o_orderdate),
+        |p AS (
+        |  SELECT a.d AS da, b.d AS db,
+        |         CAST(b.y - a.y AS DOUBLE)
+        |           / date_diff('day', CAST(a.d AS DATE), CAST(b.d AS DATE)) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.d < b.d
+        |   AND date_diff('day', CAST(a.d AS DATE), CAST(b.d AS DATE)) <= 30),
+        |r AS (SELECT slope,
+        |             row_number() OVER (ORDER BY slope, da, db) AS rn FROM p),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p)
+        |SELECT m.m AS n_pairs, round(r.slope, 6) AS ts_slope
+        |FROM r, m WHERE r.rn = (m.m + 1) // 2""".stripMargin,
+
+    "q300_weighted_median" ->
+      """WITH li AS (
+        |  SELECT CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS v,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS wt
+        |  FROM lineitem),
+        |t AS (SELECT sum(wt) AS tw, CAST(count(*) AS BIGINT) AS n_rows FROM li),
+        |r AS (
+        |  SELECT v, sum(wt) OVER (ORDER BY v) AS running_total FROM li)
+        |SELECT t.n_rows,
+        |       round(CAST(t.tw AS DOUBLE), 2) AS total_weight,
+        |       round(CAST(min(r.v) AS DOUBLE), 2) AS weighted_median
+        |FROM r, t
+        |WHERE r.running_total * 2 >= t.tw
+        |GROUP BY t.n_rows, t.tw""".stripMargin,
 
     "q256_nelson_aalen" ->
       """WITH pu AS (

@@ -186,4 +186,44 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     val b = Graph.kCore(edges.repartition(13), 3).as[(Long, Long)].collect().toSet
     assert(a === b)
   }
+
+  /** Sequential integer-fixed-point HITS reference, independent of the
+    * operator's join/agg formulation. */
+  private def refHits(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, (Long, Long)] = {
+    val scale = 1000000L
+    var h: Map[Long, Long] = edges.map(_._1).distinct.map(_ -> scale).toMap
+    var a: Map[Long, Long] = Map.empty
+    for (_ <- 1 to iters) {
+      val araw = edges.groupBy(_._2).view
+        .mapValues(_.map { case (u, _) => h(u) }.sum).toMap
+      val at = araw.values.sum
+      a = araw.view.mapValues(r => r * scale / at).toMap
+      val hraw = edges.groupBy(_._1).view
+        .mapValues(_.map { case (_, v) => a(v) }.sum).toMap
+      val ht = hraw.values.sum
+      h = hraw.view.mapValues(r => r * scale / ht).toMap
+    }
+    (h.keySet ++ a.keySet).map(n =>
+      n -> (h.getOrElse(n, 0L), a.getOrElse(n, 0L))).toMap
+  }
+
+  test("hits matches the sequential integer reference; mutual reinforcement ranks correctly") {
+    // bipartite: hub 2 points at all three authorities, hub 4 only at 3
+    val edges = Seq((2L, 1L), (2L, 3L), (2L, 5L), (4L, 3L))
+    val got = Graph.hits(edges.toDF("src", "dst"), iterations = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, hf, af) => n -> (hf, af) }.toMap
+    assert(got === refHits(edges, 2))
+    // the broad hub outranks the narrow one; the shared authority
+    // outranks the exclusive ones
+    assert(got(2L)._1 > got(4L)._1)
+    assert(got(3L)._2 > got(1L)._2)
+    assert(got(1L)._2 === got(5L)._2)
+    // partition invariance (integer math has no accumulation order)
+    val re = Graph.hits(edges.toDF("src", "dst").repartition(7), iterations = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, hf, af) => n -> (hf, af) }.toMap
+    assert(re === got)
+  }
 }

@@ -195,4 +195,26 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(slices.head === "abc") // first slice = first 3 bytes
     for (s <- slices) assert(s.length <= 3)
   }
+
+  test("ppmAHash: additive brightness shifts preserve the hash; structure changes flip it; truncation quarantines") {
+    def ppm(raster: Array[Int]): Array[Byte] = {
+      val hb = "P6\n2 2\n255\n".getBytes("US-ASCII")
+      hb ++ raster.map(_.toByte)
+    }
+    // 2x2: pixel 0 bright, others dark -> only bit 0 set
+    val base = Array(200, 200, 200,  10, 10, 10,  10, 10, 10,  10, 10, 10)
+    val brightened = base.map(v => v + 40) // uniform additive shift, no wrap
+    val restructured = Array(10, 10, 10,  200, 200, 200,  10, 10, 10,  10, 10, 10)
+    val rows = Seq(
+      (1L, ppm(base)), (2L, ppm(brightened)), (3L, ppm(restructured)),
+      (4L, ppm(base).dropRight(1))) // truncated raster
+    val got = Multimodal.ppmAHash(rows.toDF("doc_id", "payload"))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(got(1L).valid && got(1L).phash === 1L, s"bit 0 only: ${got(1L)}")
+    assert(got(2L).phash === got(1L).phash,
+      "aHash is relative to the image mean - a uniform brightness shift must not change it")
+    assert(got(3L).valid && got(3L).phash === 2L,
+      s"moving the bright pixel must move the bit: ${got(3L)}")
+    assert(!got(4L).valid, "truncated raster must quarantine, not throw")
+  }
 }
