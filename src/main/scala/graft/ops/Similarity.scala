@@ -402,6 +402,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ ANN (Jégou et al. 2011 §V — the FAISS production layout):
+    * coarse-quantize to `coarse`'s cells (max-dot, the house MIPS
+    * convention), PQ-encode the RESIDUALS x − c(x) with codebooks
+    * trained by the same deterministic Lloyd (seeds = the residuals of
+    * ids in [seedLo, seedHi)), prune to the `nProbe` best cells for
+    * the query, ADC-score survivors as q·c + Σ_sub lut[sub, code]
+    * (every term DECIMAL-quantized before the sum — order-invariant
+    * shortlist boundary), and exact-rescore the shortlist.
+    *
+    * The 100 TB read path in one operator: the probe prunes cells
+    * (pair with writeIvfIndex's partition layout), the scan phase
+    * reads m-byte codes, and only `shortlist` full vectors are ever
+    * fetched. Fully deterministic — q301 hash-matches the generated
+    * DuckDB replay of the entire lifecycle. */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                coarse: DataFrame, seedLo: Long, seedHi: Long,
+                query: DataFrame, queryVecCol: String,
+                m: Int, dims: Int, iters: Int,
+                nProbe: Int, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val sub = dims / m
+    val assigned = assignCells(corpus, idCol, vecCol, coarse)
+    val withRes = assigned.join(broadcast(coarse), Seq("cell_id"))
+      .select(col(idCol), col("cell_id"),
+        zip_with(col(vecCol), col("c_vec"),
+          (x, c) => x.cast("double") - c.cast("double")).as("__resid"))
+    val seeds = withRes.filter(col(idCol) >= seedLo && col(idCol) < seedHi)
+      .select((col(idCol) - seedLo).as("cell_id"), col("__resid").as("c_vec"))
+    val cb = pqTrain(withRes.select(col(idCol), col("__resid")),
+      idCol, "__resid", seeds, m, dims, iters)
+    val probe = coarse.crossJoin(broadcast(query))
+      .select(col("cell_id"), dot(col("c_vec"), col(queryVecCol)).as("__s"))
+      .orderBy(desc("__s"), col("cell_id")).limit(nProbe).select("cell_id")
+    val probed = withRes.join(broadcast(probe), Seq("cell_id"))
+    val codes = pqEncode(probed.select(col(idCol), col("__resid")),
+      idCol, "__resid", cb, m, dims)
+    val lut = cb.crossJoin(broadcast(query))
+      .select(col("sub"), col("cell_id").as("code"),
+        dot(col("c_vec"), slice(col(queryVecCol), col("sub") * sub + 1, lit(sub)))
+          .cast("decimal(18,12)").as("__lscore"))
+    val qc = coarse.crossJoin(broadcast(query))
+      .select(col("cell_id"),
+        dot(col("c_vec"), col(queryVecCol)).cast("decimal(18,12)").as("__qc"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col(idCol)).agg(sum(col("__lscore")).as("__rsum"))
+      .join(probed.select(col(idCol), col("cell_id")), Seq(idCol))
+      .join(broadcast(qc), Seq("cell_id"))
+      .select(col(idCol), (col("__rsum") + col("__qc")).as("__approx"))
+      .orderBy(desc("__approx"), col(idCol)).limit(shortlist)
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .crossJoin(broadcast(query))
+      .select(col(idCol), dot(col(vecCol), col(queryVecCol)).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF probe: exact top-k restricted to the nProbe cells whose
     * centroids score best against the query. The centroid ranking is a
     * C-row computation (fixed size) and the corpus filter on cell_id is

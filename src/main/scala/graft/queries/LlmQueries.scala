@@ -280,6 +280,32 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // IVF-PQ ANN (the FAISS production layout — Jégou et al. 2011 §V):
+    // coarse quantizer (8 seeded cells, q71/q123's family) + PRODUCT-
+    // QUANTIZED RESIDUALS (x − c(x), 4×16 subspaces, one Lloyd update
+    // from vec 8..15 residual seeds) + nProbe=4 cell pruning + ADC
+    // scoring q·c + Σ lut[sub, code] with every term DECIMAL-quantized
+    // before the sum + exact rescore of the 40-shortlist. At 100 TB
+    // this is THE ANN read path: the probe prunes cells (q123's
+    // partition layout), the scan phase reads 4-byte codes, and only
+    // 40 full vectors are ever fetched. The full lifecycle — coarse
+    // assign, residuals, codebook training, encode, probe, ADC, both
+    // ranks — is deterministic and hash-matches the generated DuckDB
+    // replay.
+    "q301_ivfpq_ann" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_embedding"))
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val coarse = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("c_vec"))
+      Similarity.ivfPqTopK(corpus, "vec_id", "embedding", coarse,
+          seedLo = 8L, seedHi = 16L, q, "q_embedding",
+          m = 4, dims = 64, iters = 1, nProbe = 4, k = 10, shortlist = 40)
+        .select(col("vec_id"), round(col("sim"), 4).as("dot_sim"))
+        .orderBy("vec_id")
+    }),
+
     // IVF-probed similarity search, FULL probe: with nProbe = all
     // cells the probe must equal brute force exactly — which makes the
     // brute-force SQL its oracle. The sub-linear partial-probe path
@@ -2212,8 +2238,113 @@ object LlmQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** q301's oracle: the q293 generator's discipline extended with the
+    * coarse-assign + residual CTEs and the nProbe cell filter. One
+    * Lloyd update per residual subspace (seeds = vec 8..15 residual
+    * sub-slices), every ADC term DECIMAL-quantized. */
+  private def ivfPqOracle: String = {
+    val subs = (0 until 4).map { j =>
+      val lo = j * 16 + 1; val hi = (j + 1) * 16
+      s"""sub_$j AS (
+         |  SELECT vec_id, cell_id, rv[$lo:$hi] AS sv FROM res),
+         |seed_$j AS (
+         |  SELECT vec_id - 8 AS cell_id, rv[$lo:$hi] AS c_vec
+         |  FROM res WHERE vec_id BETWEEN 8 AND 15),
+         |sc1_$j AS (
+         |  SELECT c.vec_id, c.sv, ct.cell_id,
+         |         list_dot_product(CAST(c.sv AS DOUBLE[]),
+         |                          CAST(ct.c_vec AS DOUBLE[])) AS s
+         |  FROM sub_$j c CROSS JOIN seed_$j ct),
+         |as1_$j AS (
+         |  SELECT vec_id, sv, cell_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY s DESC, cell_id) AS rn
+         |    FROM sc1_$j) WHERE rn = 1),
+         |cb1_$j AS (
+         |  SELECT cell_id, list(mn ORDER BY i) AS c_vec FROM (
+         |    SELECT cell_id, i, CAST(avg(CAST(sv[i] AS DOUBLE)) AS FLOAT) AS mn
+         |    FROM as1_$j, range(1, 17) t(i) GROUP BY cell_id, i)
+         |  GROUP BY cell_id),
+         |scp_$j AS (
+         |  SELECT c.vec_id, ct.cell_id,
+         |         list_dot_product(CAST(c.sv AS DOUBLE[]),
+         |                          CAST(ct.c_vec AS DOUBLE[])) AS s
+         |  FROM sub_$j c CROSS JOIN cb1_$j ct
+         |  WHERE c.cell_id IN (SELECT cell_id FROM probe)),
+         |enc_$j AS (
+         |  SELECT vec_id, cell_id AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY s DESC, cell_id) AS rn
+         |    FROM scp_$j) WHERE rn = 1),
+         |lut_$j AS (
+         |  SELECT cell_id AS code,
+         |         CAST(list_dot_product(CAST(c_vec AS DOUBLE[]),
+         |           CAST((SELECT q[$lo:$hi] FROM qv) AS DOUBLE[]))
+         |              AS DECIMAL(18,12)) AS lscore
+         |  FROM cb1_$j),
+         |pa_$j AS (
+         |  SELECT e.vec_id, l.lscore FROM enc_$j e JOIN lut_$j l USING (code))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH cc AS (
+       |  SELECT vec_id AS cell_id, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < 8),
+       |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+       |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+       |sca AS (
+       |  SELECT c.vec_id, c.embedding, ct.cell_id,
+       |         list_dot_product(CAST(c.embedding AS DOUBLE[]),
+       |                          CAST(ct.c_vec AS DOUBLE[])) AS s
+       |  FROM corpus c CROSS JOIN cc ct),
+       |asg AS (
+       |  SELECT vec_id, embedding, cell_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY s DESC, cell_id) AS rn
+       |    FROM sca) WHERE rn = 1),
+       |res AS (
+       |  SELECT a.vec_id, a.cell_id,
+       |         list_transform(range(1, 65),
+       |           i -> CAST(a.embedding[i] AS DOUBLE)
+       |              - CAST(ct.c_vec[i] AS DOUBLE)) AS rv
+       |  FROM asg a JOIN cc ct ON a.cell_id = ct.cell_id),
+       |probe AS (
+       |  SELECT cell_id FROM (
+       |    SELECT ct.cell_id,
+       |           row_number() OVER (ORDER BY
+       |             list_dot_product(CAST(ct.c_vec AS DOUBLE[]),
+       |                              CAST(q.q AS DOUBLE[])) DESC,
+       |             ct.cell_id) AS rn
+       |    FROM cc ct, qv q) WHERE rn <= 4),
+       |qc AS (
+       |  SELECT ct.cell_id,
+       |         CAST(list_dot_product(CAST(ct.c_vec AS DOUBLE[]),
+       |                               CAST(q.q AS DOUBLE[]))
+       |              AS DECIMAL(18,12)) AS qc
+       |  FROM cc ct, qv q),
+       |$subs,
+       |approx AS (
+       |  SELECT vec_id, sum(lscore) AS rsum FROM (
+       |    SELECT * FROM pa_0 UNION ALL SELECT * FROM pa_1
+       |    UNION ALL SELECT * FROM pa_2 UNION ALL SELECT * FROM pa_3)
+       |  GROUP BY vec_id),
+       |app2 AS (
+       |  SELECT a.vec_id, a.rsum + qc.qc AS ap
+       |  FROM approx a JOIN res r ON a.vec_id = r.vec_id
+       |  JOIN qc ON r.cell_id = qc.cell_id),
+       |short AS (SELECT vec_id FROM app2 ORDER BY ap DESC, vec_id LIMIT 40),
+       |resc AS (
+       |  SELECT e.vec_id,
+       |         list_dot_product(CAST(e.embedding AS DOUBLE[]),
+       |                          CAST(q.q AS DOUBLE[])) AS raw
+       |  FROM embeddings e JOIN short USING (vec_id), qv q)
+       |SELECT vec_id, round(raw, 4) AS dot_sim FROM (
+       |  SELECT * FROM resc ORDER BY raw DESC, vec_id LIMIT 10) t
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q293_pq_ann" -> pqAnnOracle,
+    "q301_ivfpq_ann" -> ivfPqOracle,
     // q140's bm25 CTE verbatim + the tf ranker, both ranked under the
     // same total orders, fused with the same quantized 1/(60+rank).
     "q186_rrf_fusion" ->

@@ -303,4 +303,30 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(r120 >= r40, s"recall must not degrade with a wider shortlist: $r40 -> $r120")
     assert(r120 >= 0.5, s"recall@10 through the 120-shortlist = $r120")
   }
+
+  test("ivfPqTopK with full probe + full shortlist is exactly brute force; the production probe recalls a floor") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val coarse = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_vec"))
+    val truth = Similarity.topKDot(corpus, "vec_id", "embedding", q, "q_embedding", 10)
+      .select("vec_id").as[Long].collect().toSet
+    // nProbe = all cells AND shortlist = whole corpus: the ADC phase
+    // only orders candidates - the exact rescore must reproduce brute
+    val full = Similarity.ivfPqTopK(corpus, "vec_id", "embedding", coarse,
+        8L, 16L, q, "q_embedding", m = 4, dims = 64, iters = 1,
+        nProbe = 8, k = 10, shortlist = corpus.count().toInt)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full === truth)
+    // the production shape (4 of 8 cells, 40-shortlist): cell pruning
+    // bounds recall by the probe (a true neighbor in an unprobed cell
+    // is unreachable) - floor above chance, as with q293's PQ
+    val ann = Similarity.ivfPqTopK(corpus, "vec_id", "embedding", coarse,
+        8L, 16L, q, "q_embedding", m = 4, dims = 64, iters = 1,
+        nProbe = 4, k = 10, shortlist = 40)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (ann intersect truth).size / 10.0
+    assert(recall >= 0.3, s"ivf-pq recall@10 = $recall")
+  }
 }
