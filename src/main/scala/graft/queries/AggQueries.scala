@@ -803,6 +803,37 @@ object AggQueries {
         .orderBy("l_returnflag")
     }),
 
+    // GROUPED WEIGHTED MEDIAN (quantity-weighted price per brand) —
+    // q300's global operator grouped: per brand, the smallest price v
+    // whose cumulative quantity weight reaches half the brand total.
+    // The cumulative weight is a PARTITIONED window (25 brand
+    // partitions — the allowed shape; the default RANGE frame gives
+    // all v-ties one shared total, so the pick is partition-order
+    // independent), weights exact DECIMALs, the half test integer-
+    // style 2·cum ≥ total. Brand totals broadcast (25 rows).
+    "q302_grouped_weighted_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          round(col("l_extendedprice"), 2).cast("decimal(18,2)").as("v"),
+          col("l_quantity").cast("decimal(18,2)").as("wt"))
+      val tot = li.groupBy("brand")
+        .agg(sum(col("wt")).as("tw"), count(lit(1)).as("n_rows"))
+      li.withColumn("cum",
+          sum(col("wt")).over(Window.partitionBy("brand").orderBy("v")))
+        .join(broadcast(tot), Seq("brand"))
+        .filter(col("cum") * 2 >= col("tw"))
+        .groupBy("brand")
+        .agg(min(col("v")).as("vm"),
+          first(col("tw")).as("tw2"), first(col("n_rows")).as("n_rows"))
+        .select(col("brand"), col("n_rows"),
+          round(col("tw2").cast("double"), 2).as("total_weight"),
+          round(col("vm").cast("double"), 2).as("weighted_median"))
+        .orderBy("brand")
+    }),
+
     // GROUPED EXACT DECILE VECTOR — q252 generalized from one rank
     // to nine in the SAME single two-phase pass: the global range
     // rank is computed once; each group's nine target ranks
@@ -1310,6 +1341,25 @@ object AggQueries {
     // the single-window formulation of the same by-rank median — the
     // independent check that the two-phase global rank picks exactly
     // the middle row(s) per group.
+    "q302_grouped_weighted_median" ->
+      """WITH li AS (
+        |  SELECT p_brand AS brand,
+        |         CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS v,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS wt
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |t AS (SELECT brand, sum(wt) AS tw, CAST(count(*) AS BIGINT) AS n_rows
+        |      FROM li GROUP BY brand),
+        |r AS (SELECT brand, v,
+        |             sum(wt) OVER (PARTITION BY brand ORDER BY v) AS cum
+        |      FROM li)
+        |SELECT r.brand, t.n_rows,
+        |       round(CAST(t.tw AS DOUBLE), 2) AS total_weight,
+        |       round(CAST(min(r.v) AS DOUBLE), 2) AS weighted_median
+        |FROM r JOIN t ON r.brand = t.brand
+        |WHERE r.cum * 2 >= t.tw
+        |GROUP BY r.brand, t.n_rows, t.tw
+        |ORDER BY r.brand""".stripMargin,
+
     "q252_grouped_median" ->
       """WITH r AS (
         |  SELECT l_returnflag,

@@ -546,6 +546,34 @@ object JoinQueries {
         .orderBy(desc("sim"), col("name_a"), col("name_b"))
     }),
 
+    // ENTITY RESOLUTION END-TO-END (the MDM/survivorship operator —
+    // Fellegi–Sunter linkage composed with transitive clustering):
+    // q264's blocked Jaro–Winkler pair scoring at a tighter 0.9
+    // threshold → EXACT connected components (Dedup.
+    // connectedComponents, the min-label fixpoint — a~b, b~c
+    // clusters {a,b,c} even when a≁c directly) → one canonical
+    // (min-name) survivor per entity cluster with its member count.
+    // The Spark side iterates to the fixpoint; the oracle replays it
+    // as a WITH RECURSIVE transitive closure + min — the iterative
+    // operator is still hash-gated because the FIXPOINT is
+    // deterministic even though the round count is not part of the
+    // contract. Scale: pair space is per-block (never corpus²), the
+    // CC rounds run on the PAIR graph only (q81's discipline).
+    "q303_entity_resolution" -> ((s, dir) => {
+      val names = Tables.part(s, dir).select(col("p_name")).distinct()
+        .select(col("p_name").as("name"),
+          substring_index(col("p_name"), " ", -1).as("block"))
+      val pairs = names.as("a").join(names.as("b"),
+          col("a.block") === col("b.block") && col("a.name") < col("b.name"))
+        .filter(round(call_function("graft_jaro_winkler",
+          col("a.name"), col("b.name")), 6) >= 0.9)
+        .select(col("a.name").as("id_a"), col("b.name").as("id_b"))
+      graft.ops.Dedup.connectedComponents(pairs)
+        .groupBy(col("comp").as("canonical"))
+        .agg(count(lit(1)).as("cluster_size"), max(col("id")).as("max_member"))
+        .orderBy("canonical")
+    }),
+
     // K-CORE DECOMPOSITION (ops.Graph.kCore — Seidman 1983 peel) of
     // the q171 co-purchase graph: the maximal subgraph where every
     // part keeps ≥ k co-purchase partners, the dense-core extractor
@@ -1281,6 +1309,24 @@ object JoinQueries {
         |FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
         |WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.8
         |ORDER BY sim DESC, name_a, name_b""".stripMargin,
+    "q303_entity_resolution" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT DISTINCT p_name AS name,
+        |         string_split(p_name, ' ')[-1] AS block
+        |  FROM part),
+        |pairs AS (
+        |  SELECT a.name AS u, b.name AS v
+        |  FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
+        |  WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.9),
+        |e AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |walk(s, m) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+        |  UNION
+        |  SELECT w.s, e.v FROM walk w JOIN e ON w.m = e.u),
+        |lab AS (SELECT s AS id, min(m) AS comp FROM walk GROUP BY s)
+        |SELECT comp AS canonical, CAST(count(*) AS BIGINT) AS cluster_size,
+        |       max(id) AS max_member
+        |FROM lab GROUP BY comp ORDER BY canonical""".stripMargin,
     "q171_triangles" ->
       """WITH ib AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
