@@ -441,6 +441,39 @@ object Events {
         () // discard the Boolean — foreachBatch wants Unit
       }
 
+  /** Streaming WINDOWED LEADERBOARD sink — the "top-k per window,
+    * continuously updated" dashboard feed: a tumbling-window ×
+    * user aggregation rides Structured Streaming state, and each
+    * micro-batch re-ranks every window with the grouped top-k idiom
+    * (`row_number() OVER (PARTITION BY window ORDER BY total DESC)`)
+    * in `foreachBatch`, overwriting one parquet leaderboard snapshot.
+    * Ranking is a BATCH plan inside the micro-batch, so sessions with
+    * GraftExtensions / RewriteGroupedTopK re-plan it as
+    * GroupedTopKExec — the custom physical operator serves the
+    * streaming surface for free (windows × k rows out, heaps instead
+    * of per-window sorts). Complete output mode: the ranking needs
+    * every group of a window, not just the batch's deltas; production
+    * bounds the retained windows with a watermark + window filter.
+    * Deterministic: ties break on user_id; overwrite is idempotent, so
+    * checkpoint replays converge (the mergeSink discipline). */
+  def leaderboardSink(events: DataFrame, width: String, k: Int,
+                      outDir: String): DataStreamWriter[Row] =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("user_id"))
+      .agg(sum(col("value")).as("total"))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.{Window => W}
+        batch
+          .withColumn("rn", row_number().over(
+            W.partitionBy(col("w")).orderBy(desc("total"), col("user_id"))))
+          .filter(col("rn") <= k)
+          .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+            col("user_id"), col("total"), col("rn"))
+          .write.mode("overwrite").parquet(outDir)
+      }
+
   /** Streaming MERGE sink — CDC compaction into a queryable parquet
     * snapshot: each micro-batch keeps its latest row per key (greatest
     * (orderCol, payload) — deterministic even when orderCol ties),

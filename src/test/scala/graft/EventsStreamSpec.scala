@@ -767,4 +767,31 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
       assert(m2max <= 1L)
     } finally q.stop()
   }
+
+  test("leaderboardSink: per-window top-k snapshot updates across batches, ties on user_id") {
+    val out = tmpDir().resolve("lb").toString
+    val ms = MemoryStream[Ev](spark)
+    val q = Events.leaderboardSink(ms.toDF(), "10 minutes", k = 2, out).start()
+    try {
+      ms.addData(Seq(
+        Ev(1, t("2024-01-01T10:00:00Z"), 1, "click", 5.0),
+        Ev(2, t("2024-01-01T10:01:00Z"), 2, "click", 3.0),
+        Ev(3, t("2024-01-01T10:02:00Z"), 3, "click", 1.0),
+        Ev(4, t("2024-01-01T10:11:00Z"), 7, "click", 9.0)))
+      q.processAllAvailable()
+      def snap() = spark.read.parquet(out)
+        .select("w_start", "user_id", "total", "rn")
+        .as[(java.sql.Timestamp, Long, Double, Int)].collect()
+        .map { case (w, u, tot, rn) => (w.toInstant.toString, u, tot, rn) }.toSet
+      assert(snap() === Set(
+        ("2024-01-01T10:00:00Z", 1L, 5.0, 1), ("2024-01-01T10:00:00Z", 2L, 3.0, 2),
+        ("2024-01-01T10:10:00Z", 7L, 9.0, 1)))
+      // batch 2: user 3 surges past user 2 in window 1; k=2 cuts user 2
+      ms.addData(Seq(Ev(5, t("2024-01-01T10:03:00Z"), 3, "click", 6.0)))
+      q.processAllAvailable()
+      assert(snap() === Set(
+        ("2024-01-01T10:00:00Z", 3L, 7.0, 1), ("2024-01-01T10:00:00Z", 1L, 5.0, 2),
+        ("2024-01-01T10:10:00Z", 7L, 9.0, 1)))
+    } finally q.stop()
+  }
 }
