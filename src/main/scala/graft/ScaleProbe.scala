@@ -126,7 +126,17 @@ object ScaleProbe {
       // broadcast fan — shuffle tracks the 2% sample + assignment agg)
       "q268_kcore", "q264_jw_linkage", "q258_bradley_terry",
       "q269_bootstrap_ci", "q270_decay_attribution",
-      "q273_range_split_planner")
+      "q273_range_split_planner",
+      // round-13: the PQ/IVF-PQ lifecycles (codebook training scans ∝
+      // corpus but shuffles only cells×dims scalars + m codes/vector —
+      // expect ~linear wall, near-invariant shuffle), the 2-iteration
+      // HITS fixed point (edge-keyed joins ∝ distinct (c,s) pairs),
+      // the PPM perceptual-hash clusters (row-local decode, one tiny
+      // group shuffle), the 30-day Theil–Sen pair median (day-domain —
+      // expect scale-invariant), and the JW-pair connected components
+      // (vocabulary-sized pair graph, ~invariant)
+      "q293_pq_ann", "q301_ivfpq_ann", "q297_hits",
+      "q298_image_phash_dedup", "q299_theil_sen", "q303_entity_resolution")
     // SPARK_GRAFT_PROBE_ONLY=q106,q120 restricts the family — the
     // 30–50× runs target just the linear-growth outliers rather than
     // paying the whole family at a corpus 3–5× the 10× one.
