@@ -306,6 +306,54 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // TARGET ENCODING with LEAVE-ONE-OUT (the categorical-feature
+    // workhorse of tabular ML prep; LOO is the leakage-safe form —
+    // each row's encoding excludes its OWN target, the difference
+    // between a feature and a label leak): te(i) = (Σ_cat y − y_i) /
+    // (n_cat − 1). Category sums are one map-side-combined agg
+    // broadcast back (category-cardinality rows); the subtraction is
+    // exact DECIMAL and the division ONE double op (rule 8).
+    // Singleton categories yield NULL (no peers — the honest value,
+    // not 0).
+    "q304_target_encoding" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderpriority").as("cat"),
+        col("o_totalprice").cast("decimal(18,2)").as("y"))
+      val agg = o.groupBy("cat").agg(sum(col("y")).as("sy"), count(lit(1)).as("n"))
+      o.join(broadcast(agg), Seq("cat"))
+        .select(col("o_orderkey"), col("cat"),
+          when(col("n") > 1,
+            round((col("sy") - col("y")).cast("double") /
+              (col("n") - 1).cast("double"), 4))
+            .otherwise(lit(null).cast("double")).as("te"))
+        .orderBy("o_orderkey")
+    }),
+
+    // FEATURE HASHING (Weinberger et al. 2009, the "hashing trick"):
+    // token → signed bucket via the house md5 coin (bucket = first 4
+    // hex digits mod 64, sign = 5th hex digit's parity — content-
+    // addressed, engine-replayable, no dictionary to build or ship:
+    // THE point of the trick at 100 TB is that unlike q86's vocab
+    // there is no vocabulary state at all). Per-doc sparse vector
+    // summarized as exact integers: nonzero buckets, L1, L2². One
+    // token explode + one (doc, bucket) shuffle, all-integer outputs.
+    "q305_feature_hashing" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val hashed = toks.select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 4), 16, 10) % 64).as("bucket"),
+        when(conv(substring(md5(col("tok")), 5, 1), 16, 10) % 2 === 0, lit(1L))
+          .otherwise(lit(-1L)).as("sign"))
+      hashed.groupBy(col("doc_id"), col("bucket"))
+        .agg(sum(col("sign")).as("v"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("v") =!= 0, 1L).otherwise(0L)).as("nnz"),
+          sum(abs(col("v"))).as("l1"),
+          sum(col("v") * col("v")).as("l2sq"))
+        .orderBy("doc_id")
+    }),
+
     // IVF-probed similarity search, FULL probe: with nProbe = all
     // cells the probe must equal brute force exactly — which makes the
     // brute-force SQL its oracle. The sub-linear partial-probe path
@@ -2345,6 +2393,36 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "q293_pq_ann" -> pqAnnOracle,
     "q301_ivfpq_ann" -> ivfPqOracle,
+    "q304_target_encoding" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority AS cat,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS y
+        |  FROM orders),
+        |a AS (SELECT cat, sum(y) AS sy, CAST(count(*) AS BIGINT) AS n
+        |      FROM o GROUP BY cat)
+        |SELECT o.o_orderkey, o.cat,
+        |       CASE WHEN a.n > 1
+        |            THEN round(CAST(a.sy - o.y AS DOUBLE) / (a.n - 1), 4)
+        |            ELSE NULL END AS te
+        |FROM o JOIN a USING (cat)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q305_feature_hashing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 64 AS bucket,
+        |         CASE WHEN CAST(('0x' || substr(md5(tok), 5, 1)) AS BIGINT) % 2 = 0
+        |              THEN 1 ELSE -1 END AS sign
+        |  FROM toks WHERE len(tok) > 0),
+        |v AS (SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS v
+        |      FROM h GROUP BY doc_id, bucket)
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+        |       CAST(sum(abs(v)) AS BIGINT) AS l1,
+        |       CAST(sum(v * v) AS BIGINT) AS l2sq
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q140's bm25 CTE verbatim + the tf ranker, both ranked under the
     // same total orders, fused with the same quantized 1/(60+rank).
     "q186_rrf_fusion" ->
