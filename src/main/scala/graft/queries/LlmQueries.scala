@@ -306,6 +306,27 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // K-ANONYMITY AUDIT (Sweeney 2002 — the privacy gate a dataset
+    // release runs before shipping): rows sharing a quasi-identifier
+    // tuple (nation, segment, account-balance band) form an
+    // equivalence class; a class of size k < 5 re-identifies its
+    // members. Output is the k-DISTRIBUTION (classes and rows per
+    // class size, violation flag) — the report a release pipeline
+    // alerts on, two map-side-combined aggregations end to end.
+    // Banding uses floor(x/1000) (IEEE-identical both engines), never
+    // an integer cast (rule 6).
+    "q306_k_anonymity" -> ((s, dir) => {
+      val classes = Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("k"))
+      classes.groupBy("k")
+        .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_rows"))
+        .withColumn("violates_k5", col("k") < 5)
+        .orderBy("k")
+    }),
+
     // TARGET ENCODING with LEAVE-ONE-OUT (the categorical-feature
     // workhorse of tabular ML prep; LOO is the leakage-safe form —
     // each row's encoding excludes its OWN target, the difference
@@ -2393,6 +2414,19 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "q293_pq_ann" -> pqAnnOracle,
     "q301_ivfpq_ann" -> ivfPqOracle,
+    "q306_k_anonymity" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |cls AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band,
+        |         CAST(count(*) AS BIGINT) AS k
+        |  FROM c GROUP BY c_nationkey, c_mktsegment, bal_band)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(sum(k) AS BIGINT) AS n_rows,
+        |       k < 5 AS violates_k5
+        |FROM cls GROUP BY k ORDER BY k""".stripMargin,
     "q304_target_encoding" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_orderpriority AS cat,

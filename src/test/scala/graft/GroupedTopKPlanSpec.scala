@@ -151,6 +151,29 @@ class GroupedTopKPlanSpec extends AnyFunSuite with SparkFixture {
       (3L, 1.0, 30L, 1), (4L, 2.0, 40L, 1), (5L, 2.5, 50L, 1)))
   }
 
+  test("null group keys rank as one group on both the heap and fallback paths") {
+    val df = Seq(
+      (Some(1L), 5.0, 10L), (Some(1L), 4.0, 11L),
+      (None, 9.0, 20L), (None, 8.0, 21L), (None, 7.0, 22L))
+      .toDF("g", "s", "id")
+    def run(cutoff: Option[String]) = {
+      val body = () => df
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(desc("s"), col("id"))))
+        .filter(col("rn") <= 2)
+        .as[(Option[Long], Double, Long, Int)].collect().toSet
+      cutoff match {
+        case Some(c) => withConf(graft.plans.GroupedTopKExec.MaxGroupsKey -> c)(body())
+        case None => body()
+      }
+    }
+    val want = Set(
+      (Some(1L), 5.0, 10L, 1), (Some(1L), 4.0, 11L, 2),
+      (None: Option[Long], 9.0, 20L, 1), (None: Option[Long], 8.0, 21L, 2))
+    assert(run(None) === want, "heap path")
+    assert(run(Some("1")) === want, "sort-fallback path")
+  }
+
   test("partition invariance and tie handling on a crafted frame") {
     val df = Seq(
       (1L, 5.0, 10L), (1L, 5.0, 11L), (1L, 4.0, 12L), (1L, 3.0, 13L),
