@@ -306,6 +306,61 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // TEMPORAL SPLIT-LEAKAGE AUDIT (the ML-ops check a sequence/
+    // recommendation training run needs before trusting its eval):
+    // events split train/eval by the content-addressed md5 coin
+    // (q76's split — which is deliberately NOT temporal), then per
+    // user compare max(train ts) against min(eval ts). A user whose
+    // eval interactions interleave their train history (eval_min <
+    // train_max) leaks the future into training for sequence models —
+    // the audit REPORTS the rate instead of assuming the split is
+    // safe. One user-keyed conditional aggregation; exact integer
+    // counts, one double division.
+    "q307_split_leakage" -> ((s, dir) => {
+      val lab = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"),
+          graft.ops.Sampling.hashSplitLabel(col("event_id"), "cc").as("split"))
+      lab.groupBy("user_id")
+        .agg(max(when(col("split") === "train", col("ts"))).as("train_max"),
+          min(when(col("split") === "eval", col("ts"))).as("eval_min"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("train_max").isNotNull && col("eval_min").isNotNull,
+            1L).otherwise(0L)).as("n_both"),
+          sum(when(col("eval_min") < col("train_max"), 1L).otherwise(0L))
+            .as("n_leaky"))
+        .select(col("n_users"), col("n_both"), col("n_leaky"),
+          round(col("n_leaky").cast("double") / col("n_both").cast("double"), 6)
+            .as("leak_rate"))
+    }),
+
+    // DATASET CARD (the one-row corpus summary a training-data release
+    // ships — Gebru et al. 2021's "datasheets" reduced to the
+    // numbers): size, token mass, language spread with Shannon
+    // entropy, and the boilerplate-template rate (q275's skeleton
+    // signal). Entropy terms are per-LANGUAGE (domain-bounded)
+    // scalars, each one quantized to DECIMAL before the sum (rule 8).
+    "q308_dataset_card" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val n = d.count() // fixture-bounded driver scalar (q54's n_docs pattern)
+      val langs = d.groupBy("lang").agg(count(lit(1)).as("c"))
+        .select(col("lang"), col("c"),
+          (-(col("c").cast("double") / lit(n.toDouble)) *
+            log(col("c").cast("double") / lit(n.toDouble)))
+            .cast("decimal(18,12)").as("term"))
+      val langAgg = langs.agg(
+        count(lit(1)).as("n_langs"),
+        max(struct(col("c"), col("lang"))).as("top"),
+        sum(col("term")).as("ent"))
+      d.agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .crossJoin(broadcast(langAgg))
+        .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+          col("top.lang").as("top_lang"),
+          round(col("top.c").cast("double") / col("n_docs").cast("double"), 6)
+            .as("top_lang_share"),
+          round(col("ent").cast("double"), 6).as("lang_entropy"))
+    }),
+
     // K-ANONYMITY AUDIT (Sweeney 2002 — the privacy gate a dataset
     // release runs before shipping): rows sharing a quasi-identifier
     // tuple (nation, segment, account-balance band) form an
@@ -2414,6 +2469,46 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "q293_pq_ann" -> pqAnnOracle,
     "q301_ivfpq_ann" -> ivfPqOracle,
+    "q307_split_leakage" ->
+      """WITH lab AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < 'cc'
+        |              THEN 'train' ELSE 'eval' END AS split
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN split = 'train' THEN ts END) AS train_max,
+        |         min(CASE WHEN split = 'eval' THEN ts END) AS eval_min
+        |  FROM lab GROUP BY user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(CASE WHEN train_max IS NOT NULL AND eval_min IS NOT NULL
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |       CAST(sum(CASE WHEN eval_min < train_max
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky,
+        |       round(CAST(sum(CASE WHEN eval_min < train_max
+        |                      THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / sum(CASE WHEN train_max IS NOT NULL AND eval_min IS NOT NULL
+        |                   THEN 1 ELSE 0 END), 6) AS leak_rate
+        |FROM u""".stripMargin,
+    "q308_dataset_card" ->
+      """WITH n AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |l AS (SELECT lang, CAST(count(*) AS BIGINT) AS c
+        |      FROM documents GROUP BY lang),
+        |t AS (SELECT l.lang, l.c,
+        |             CAST(-(CAST(l.c AS DOUBLE) / n.n_docs)
+        |                  * ln(CAST(l.c AS DOUBLE) / n.n_docs)
+        |                  AS DECIMAL(18,12)) AS term
+        |      FROM l, n),
+        |la AS (SELECT CAST(count(*) AS BIGINT) AS n_langs, sum(term) AS ent
+        |       FROM t),
+        |tl AS (SELECT lang, c FROM l ORDER BY c DESC, lang DESC LIMIT 1)
+        |SELECT n.n_docs, n.n_tokens, la.n_langs, tl.lang AS top_lang,
+        |       round(CAST(tl.c AS DOUBLE) / n.n_docs, 6) AS top_lang_share,
+        |       round(CAST(la.ent AS DOUBLE), 6) AS lang_entropy
+        |FROM n, la, tl""".stripMargin,
     "q306_k_anonymity" ->
       """WITH c AS (
         |  SELECT c_nationkey, c_mktsegment,

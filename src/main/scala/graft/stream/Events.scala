@@ -333,6 +333,27 @@ object Events {
     * streaming join, and the one to reach for whenever the right side
     * isn't itself a stream. Works identically on batch DataFrames
     * (EventsStreamSpec pins stream ≡ batch). */
+  /** Stream-static POINT-IN-TIME enrichment — the SCD2 lookup in
+    * motion: each event joins the dimension VERSION valid at its
+    * EVENT time (half-open [valid_from, valid_to)), not the current
+    * one — the feature-store correctness rule ("training-serving
+    * skew" starts with as-of-now lookups in as-of-then pipelines).
+    * SCD2 rows are disjoint per key, so the range join matches ≤ 1
+    * version; events with no valid version (or an unknown key) keep
+    * null payloads. Stream-static non-equi joins are stateless on the
+    * stream side (the dimension broadcasts when small — the usual
+    * case), so this costs no watermark and no state store. Batch ≡
+    * stream by construction (EventsStreamSpec pins it). */
+  def enrichAsOf(events: DataFrame, dim: DataFrame, key: String,
+                 valueCols: Seq[String], prefix: String = "dim_"): DataFrame = {
+    val d = dim.select(col(key).as("__dk"), col("valid_from").as("__vf"),
+      col("valid_to").as("__vt"), struct(valueCols.map(col): _*).as("__dpay"))
+    events.join(d, events(key) === col("__dk") &&
+        col("ts") >= col("__vf") && col("ts") < col("__vt"), "left_outer")
+      .select(events.columns.map(col).toSeq ++
+        valueCols.map(c => col(s"__dpay.$c").as(prefix + c)): _*)
+  }
+
   def enrichWithStatic(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key), "left")
 

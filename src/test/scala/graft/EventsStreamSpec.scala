@@ -794,4 +794,34 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
         ("2024-01-01T10:10:00Z", 7L, 9.0, 1)))
     } finally q.stop()
   }
+
+  test("enrichAsOf: events get the dim VERSION valid at event time, not the current one") {
+    // user 1: bronze until 10:05, gold after; user 9 has no dim rows
+    val dim = Seq(
+      (1L, t("2024-01-01T00:00:00Z"), t("2024-01-01T10:05:00Z"), "bronze"),
+      (1L, t("2024-01-01T10:05:00Z"), t("2099-01-01T00:00:00Z"), "gold"),
+      (2L, t("2024-01-01T00:00:00Z"), t("2099-01-01T00:00:00Z"), "silver"))
+      .toDF("user_id", "valid_from", "valid_to", "tier")
+    val rows = Seq(
+      Ev(1, t("2024-01-01T10:00:00Z"), 1, "click", 1.0), // bronze era
+      Ev(2, t("2024-01-01T10:05:00Z"), 1, "click", 1.0), // boundary -> gold (half-open)
+      Ev(3, t("2024-01-01T10:10:00Z"), 2, "view", 1.0),  // silver
+      Ev(4, t("2024-01-01T10:10:00Z"), 9, "view", 1.0))  // no dim -> null
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(rows)
+    val name = queryName()
+    val q = Events.enrichAsOf(ms.toDF(), dim, "user_id", Seq("tier"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(name)
+        .select("event_id", "dim_tier").as[(Long, Option[String])].collect().toSet
+      assert(streamed === Set(
+        1L -> Some("bronze"), 2L -> Some("gold"),
+        3L -> Some("silver"), 4L -> None))
+      val batch = Events.enrichAsOf(rows.toDF(), dim, "user_id", Seq("tier"))
+        .select("event_id", "dim_tier").as[(Long, Option[String])].collect().toSet
+      assert(batch === streamed)
+    } finally q.stop()
+  }
 }
