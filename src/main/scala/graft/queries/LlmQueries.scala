@@ -306,6 +306,50 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // NDCG@10 + MRR RETRIEVAL EVAL (Järvelin & Kekäläinen 2002) of
+    // the q140 BM25 ranker — the GRADED-relevance eval the retrieval
+    // family lacked (q117 recall@k is binary, q288/q291 classify):
+    // relevance proxy = number of distinct query terms present
+    // (0..3), DCG@10 over the BM25 top-10 vs the ideal ordering's
+    // IDCG, MRR of the first rel≥2 hit (0 when none — coalesced, a
+    // nullable rank would also flip the driver dtype). Each DCG term
+    // rel/log2(rank+1) is DECIMAL-quantized before the ≤10-term sum;
+    // both rank picks are TakeOrdered + a ≤10-row window.
+    "q309_ndcg_eval" -> ((s, dir) => {
+      val terms = Seq("spark", "join", "window")
+      // Relevance grades deliberately DIVERGE from the ranker: only
+      // ENGLISH documents count as relevant (graded by term coverage)
+      // while BM25 is language-blind — so the top-10 admits non-en
+      // docs the ideal ordering rejects and the metric actually
+      // discriminates. (Two earlier proxies scored NDCG ≡ 1 — every
+      // BM25 winner carried the max grade: the q241/q242
+      // vacuous-branch trap, caught by inspecting the value.)
+      val rel = Tables.documents(s, dir).select(col("doc_id"),
+        (when(col("lang") === "en", 1L).otherwise(0L) *
+          terms.map(t => when(array_contains(split(col("text"), " "), t), 1L)
+            .otherwise(0L)).reduce(_ + _)).as("rel"))
+      val cand = bm25Scores(s, dir, terms).join(rel, Seq("doc_id"))
+      def dcgOf(ranked: org.apache.spark.sql.DataFrame) =
+        (col("rel").cast("double") / log2(col("rn").cast("double") + 1))
+          .cast("decimal(18,12)")
+      val top = cand.orderBy(desc("bm25"), col("doc_id")).limit(10)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(desc("bm25"), col("doc_id"))))
+      val d = top.agg(sum(dcgOf(top)).as("dcg"),
+        min(when(col("rel") >= 2, col("rn"))).as("first_hi"))
+      val ideal = cand.orderBy(desc("rel"), col("doc_id")).limit(10)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(desc("rel"), col("doc_id"))))
+      val i = ideal.agg(sum(dcgOf(ideal)).as("idcg"))
+      val n = cand.agg(count(lit(1)).as("n_candidates"))
+      d.crossJoin(broadcast(i)).crossJoin(broadcast(n))
+        .select(col("n_candidates"),
+          round(col("dcg").cast("double") / col("idcg").cast("double"), 6)
+            .as("ndcg10"),
+          coalesce(col("first_hi").cast("long"), lit(0L)).as("first_hi_rank"),
+          round(coalesce(lit(1.0) / col("first_hi"), lit(0.0)), 6).as("mrr"))
+    }),
+
     // TEMPORAL SPLIT-LEAKAGE AUDIT (the ML-ops check a sequence/
     // recommendation training run needs before trusting its eval):
     // events split train/eval by the content-addressed md5 coin
@@ -2469,6 +2513,59 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "q293_pq_ann" -> pqAnnOracle,
     "q301_ivfpq_ann" -> ivfPqOracle,
+    "q309_ndcg_eval" ->
+      """WITH dl AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+        |  WHERE term IN ('spark', 'join', 'window')
+        |  GROUP BY doc_id, dl, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |bm AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CAST(
+        |           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |             * (tf * 2.2)
+        |             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |           AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        |  FROM tf JOIN df USING (term) CROSS JOIN stats
+        |  GROUP BY doc_id),
+        |rel AS (
+        |  SELECT doc_id,
+        |         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+        |            * (CASE WHEN list_contains(string_split(text, ' '), 'spark')
+        |                    THEN 1 ELSE 0 END
+        |             + CASE WHEN list_contains(string_split(text, ' '), 'join')
+        |                    THEN 1 ELSE 0 END
+        |             + CASE WHEN list_contains(string_split(text, ' '), 'window')
+        |                    THEN 1 ELSE 0 END) AS BIGINT) AS rel
+        |  FROM documents),
+        |cand AS (SELECT bm.doc_id, bm.bm25, rel.rel FROM bm JOIN rel USING (doc_id)),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+        |    FROM cand) WHERE rn <= 10),
+        |d AS (
+        |  SELECT sum(CAST(rel / log2(rn + 1.0) AS DECIMAL(18,12))) AS dcg,
+        |         min(CASE WHEN rel >= 2 THEN rn END) AS first_hi FROM top),
+        |itop AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (ORDER BY rel DESC, doc_id) AS rn
+        |    FROM cand) WHERE rn <= 10),
+        |i AS (SELECT sum(CAST(rel / log2(rn + 1.0) AS DECIMAL(18,12))) AS idcg
+        |      FROM itop),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand)
+        |SELECT n.n_candidates,
+        |       round(CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6) AS ndcg10,
+        |       CAST(coalesce(d.first_hi, 0) AS BIGINT) AS first_hi_rank,
+        |       round(coalesce(1.0 / d.first_hi, 0.0), 6) AS mrr
+        |FROM d, i, n""".stripMargin,
     "q307_split_leakage" ->
       """WITH lab AS (
         |  SELECT user_id, ts,
