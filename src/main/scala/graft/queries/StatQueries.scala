@@ -933,6 +933,71 @@ object StatQueries {
         .select(col("m").as("n_pairs"), round(col("slope"), 6).as("ts_slope"))
     }),
 
+    // SEASONAL-NAIVE FORECAST BACKTEST (Hyndman & Koehler 2006 — MASE
+    // is THE scale-free forecast-accuracy standard): forecast(d) =
+    // revenue(d−7) backtested over the whole daily series, scored
+    // with MAE, sMAPE (q250's convention), and MASE = MAE(model) /
+    // MAE(one-step naive d−1). Day-domain lag joins (self-join on
+    // d−7 / d−1 — no window at all), absolute errors exact DECIMALs,
+    // ratios as single double divisions. The backtest harness every
+    // forecast deployment runs before trusting a fancier model — and
+    // the q286 decomposition's honest baseline.
+    "q310_forecast_backtest" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("y"))
+      val f7 = daily.select(date_add(col("d"), 7).as("d"), col("y").as("y7"))
+      val f1 = daily.select(date_add(col("d"), 1).as("d"), col("y").as("y1"))
+      daily.join(f7, Seq("d")).join(f1, Seq("d"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("y") - col("y7"))).as("sae7"),
+          sum(abs(col("y") - col("y1"))).as("sae1"),
+          sum(when(col("y") + col("y7") === 0, lit(0).cast("decimal(18,6)"))
+            .otherwise(((abs(col("y") - col("y7")) * 2).cast("double") /
+              (col("y") + col("y7")).cast("double")).cast("decimal(18,6)")))
+            .as("smape_sum"))
+        .select(col("n_days"),
+          round(col("sae7").cast("double") / col("n_days").cast("double"), 4)
+            .as("mae"),
+          round(col("smape_sum").cast("double") / col("n_days").cast("double"), 6)
+            .as("smape"),
+          round(col("sae7").cast("double") / col("sae1").cast("double"), 6)
+            .as("mase"))
+    }),
+
+    // PARETO / CONTRIBUTION ANALYSIS (the BI 80/20 cut): brands by
+    // revenue desc with exact cumulative shares, flagging the head
+    // that covers 80% of revenue. Brand domain is 25 rows — the
+    // cumulative window is DOMAIN-sized (the q148/q213 contract),
+    // never data-sized; revenue sums are exact decimals and the
+    // share divisions ride one double op per row.
+    "q311_pareto_contribution" -> ((s, dir) => {
+      val byBrand = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev"))
+      val tot = byBrand.agg(sum(col("rev")).as("tot"))
+      byBrand
+        .withColumn("cum", sum(col("rev")).over(
+          Window.orderBy(desc("rev"), col("brand"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .select(col("brand"),
+          round(col("rev").cast("double"), 2).as("revenue"),
+          round(col("rev").cast("double") / col("tot").cast("double"), 6)
+            .as("share"),
+          round(col("cum").cast("double") / col("tot").cast("double"), 6)
+            .as("cum_share"),
+          // strictly-before mass < 0.8 ⇒ this brand is still needed
+          // to reach the 80% line (boundary-exact in DECIMAL: the
+          // comparison is on exact sums, not the rounded doubles)
+          ((col("cum") - col("rev")).cast("decimal(28,4)") * 10 <
+            col("tot").cast("decimal(28,4)") * 8).as("in_pareto_head"))
+        .orderBy(desc("revenue"), col("brand"))
+    }),
+
     // WEIGHTED MEDIAN (quantity-weighted price) — the logistics/“half
     // the volume clears below this price” operator: smallest v whose
     // cumulative weight reaches half the total. Weights and values are
@@ -1019,6 +1084,50 @@ object StatQueries {
         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p)
         |SELECT m.m AS n_pairs, round(r.slope, 6) AS ts_slope
         |FROM r, m WHERE r.rn = (m.m + 1) // 2""".stripMargin,
+
+    "q310_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT a.d, a.y, b.y AS y7, c.y AS y1
+        |  FROM daily a
+        |  JOIN daily b ON a.d = b.d + 7
+        |  JOIN daily c ON a.d = c.d + 1),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |         sum(abs(y - y7)) AS sae7,
+        |         sum(abs(y - y1)) AS sae1,
+        |         sum(CASE WHEN y + y7 = 0 THEN CAST(0 AS DECIMAL(18,6))
+        |             ELSE CAST(CAST(abs(y - y7) * 2 AS DOUBLE)
+        |                       / CAST(y + y7 AS DOUBLE) AS DECIMAL(18,6))
+        |             END) AS smape_sum
+        |  FROM j)
+        |SELECT n_days,
+        |       round(CAST(sae7 AS DOUBLE) / n_days, 4) AS mae,
+        |       round(CAST(smape_sum AS DOUBLE) / n_days, 6) AS smape,
+        |       round(CAST(sae7 AS DOUBLE) / CAST(sae1 AS DOUBLE), 6) AS mase
+        |FROM agg""".stripMargin,
+
+    "q311_pareto_contribution" ->
+      """WITH b AS (
+        |  SELECT p_brand AS brand,
+        |         sum(CAST(l_extendedprice * (1 - l_discount)
+        |             AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        |t AS (SELECT sum(rev) AS tot FROM b),
+        |r AS (SELECT brand, rev,
+        |             sum(rev) OVER (ORDER BY rev DESC, brand
+        |                            ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM b)
+        |SELECT r.brand, round(CAST(r.rev AS DOUBLE), 2) AS revenue,
+        |       round(CAST(r.rev AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS share,
+        |       round(CAST(r.cum AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS cum_share,
+        |       (CAST(r.cum - r.rev AS DECIMAL(28,4)) * 10
+        |          < CAST(t.tot AS DECIMAL(28,4)) * 8) AS in_pareto_head
+        |FROM r, t ORDER BY revenue DESC, brand""".stripMargin,
 
     "q300_weighted_median" ->
       """WITH li AS (
