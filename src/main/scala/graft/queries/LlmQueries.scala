@@ -306,6 +306,54 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // CURATION FUNNEL END-TO-END (the capstone composition: what a
+    // training-data release actually runs, as ONE gated query emitting
+    // the per-stage funnel a data-ops dashboard shows): raw corpus →
+    // quality gate (length band [100,500] — BOTH bounds live on the
+    // fixture — plus type-token ratio ≥ 0.3, integer-style) →
+    // head-fingerprint exact-dup drop (q266's 5-token normalized-head
+    // key; full-text md5 is VACUOUS on this fixture — every doc is
+    // unique) → bag-of-words near-dup drop (q58's order/multiplicity-
+    // insensitive fingerprint) → decontamination (train docs sharing a
+    // bag fingerprint with any eval doc are dropped — q100's class) →
+    // the surviving train split. Keep-policy is min-doc_id everywhere
+    // (windowless: groupBy min + self-semi-join). Each stage re-derives
+    // from the previous lazily; at 100 TB each stage PERSISTS and the
+    // funnel reads counts from the stage outputs (the Ingest snapshot
+    // discipline) — the composition, not the caching, is the operator.
+    "q312_curation_funnel" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+        col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_dist"))
+      val s1 = d.filter(col("n_chars") >= 100 && col("n_chars") <= 500 &&
+        col("n_dist") * 10 >= col("n_toks") * 3)
+      val s2 = s1.withColumn("h5",
+        md5(array_join(slice(split(lower(col("text")), " "), 1, 5), " ")))
+      val s2d = s2.join(s2.groupBy("h5").agg(min("doc_id").as("doc_id")),
+        Seq("h5", "doc_id"), "left_semi")
+      val s3 = s2d.withColumn("fp",
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")))
+      val s3d = s3.join(s3.groupBy("fp").agg(min("doc_id").as("doc_id")),
+        Seq("fp", "doc_id"), "left_semi")
+      val lab = s3d.withColumn("split",
+        graft.ops.Sampling.hashSplitLabel(col("doc_id"), "cc"))
+      val s4 = lab.filter(col("split") === "train")
+        .join(lab.filter(col("split") === "eval").select("fp"),
+          Seq("fp"), "left_anti")
+      def stage(n: Int, label: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+            coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"))
+          .select(lit(n).as("stage"), lit(label).as("label"),
+            col("n_docs"), col("n_tokens"))
+      stage(0, "raw", d)
+        .unionByName(stage(1, "quality_gate", s1))
+        .unionByName(stage(2, "head_dedup", s2d))
+        .unionByName(stage(3, "bag_neardup", s3d))
+        .unionByName(stage(4, "decontaminated_train", s4))
+        .orderBy("stage")
+    }),
+
     // NDCG@10 + MRR RETRIEVAL EVAL (Järvelin & Kekäläinen 2002) of
     // the q140 BM25 ranker — the GRADED-relevance eval the retrieval
     // family lacked (q117 recall@k is binary, q288/q291 classify):
@@ -2513,6 +2561,47 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "q293_pq_ann" -> pqAnnOracle,
     "q301_ivfpq_ann" -> ivfPqOracle,
+    "q312_curation_funnel" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, n_chars,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |           AS n_dist
+        |  FROM documents),
+        |s1 AS (SELECT * FROM d
+        |       WHERE n_chars BETWEEN 100 AND 500 AND n_dist * 10 >= n_toks * 3),
+        |s2 AS (SELECT *, md5(array_to_string(
+        |         list_slice(string_split(lower(text), ' '), 1, 5), ' ')) AS h5
+        |       FROM s1),
+        |s2d AS (SELECT s2.* FROM s2
+        |        JOIN (SELECT h5, min(doc_id) AS doc_id FROM s2 GROUP BY h5) m
+        |        USING (h5, doc_id)),
+        |s3 AS (SELECT s2d.*, md5(array_to_string(
+        |         list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |       FROM s2d),
+        |s3d AS (SELECT s3.* FROM s3
+        |        JOIN (SELECT fp, min(doc_id) AS doc_id FROM s3 GROUP BY fp) m
+        |        USING (fp, doc_id)),
+        |lab AS (SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |                           < 'cc' THEN 'train' ELSE 'eval' END AS split
+        |        FROM s3d),
+        |s4 AS (SELECT * FROM lab WHERE split = 'train'
+        |       AND fp NOT IN (SELECT fp FROM lab WHERE split = 'eval'))
+        |SELECT 0 AS stage, 'raw' AS label, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS n_tokens FROM d
+        |UNION ALL
+        |SELECT 1, 'quality_gate', CAST(count(*) AS BIGINT),
+        |       CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s1
+        |UNION ALL
+        |SELECT 2, 'head_dedup', CAST(count(*) AS BIGINT),
+        |       CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s2d
+        |UNION ALL
+        |SELECT 3, 'bag_neardup', CAST(count(*) AS BIGINT),
+        |       CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s3d
+        |UNION ALL
+        |SELECT 4, 'decontaminated_train', CAST(count(*) AS BIGINT),
+        |       CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s4
+        |ORDER BY stage""".stripMargin,
     "q309_ndcg_eval" ->
       """WITH dl AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
