@@ -52,4 +52,42 @@ class ApiSourceSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("categories"))
   }
+
+  test("filter pushdown PRUNES input partitions: a filtered-out category is never fetched") {
+    import graft.sources.ApiPartitionReader
+    // category = 'b' over 5 categories: 1 surviving partition, and the
+    // fetch counter moves by exactly pages x 1 (local[4]: readers run
+    // in this JVM, so the counter witnesses "the fetch never happened")
+    val eq = read("a,b,c,d,e", pages = 2).filter(col("category") === "b")
+    assert(eq.rdd.getNumPartitions === 1, "EqualTo must prune to one partition")
+    ApiPartitionReader.fetchCount.set(0L)
+    // materialize the payloads (count() alone would prune the column
+    // and fetch NOTHING — pruning working as designed)
+    val payloads = eq.select("payload").as[String].collect()
+    assert(payloads.length === 2 && payloads.forall(_.nonEmpty))
+    assert(ApiPartitionReader.fetchCount.get() === 2L,
+      "filtered-out categories must not be fetched")
+    // IN-list prunes to the intersection
+    val in = read("a,b,c,d,e").filter(col("category").isin("b", "d", "zz"))
+    assert(in.rdd.getNumPartitions === 2)
+    assert(in.select("category").as[String].collect().toSet === Set("b", "d"))
+    // non-category predicates stay RESIDUAL and still evaluate correctly
+    val resid = read("a,b,c", pages = 3).filter(col("page") >= 1)
+    assert(resid.rdd.getNumPartitions === 3, "page predicates are not pushed")
+    assert(resid.count() === 6)
+  }
+
+  test("column pruning: a scan that never projects the payload never synthesizes it") {
+    import graft.sources.ApiPartitionReader
+    ApiPartitionReader.fetchCount.set(0L)
+    val slim = read("a,b,c", pages = 4).select("category", "page")
+    assert(slim.count() === 12)
+    assert(slim.distinct().count() === 12)
+    assert(ApiPartitionReader.fetchCount.get() === 0L,
+      "payload must not be fetched when not projected")
+    // projection order is honored even when it differs from the schema
+    val flipped = read("a", pages = 2).select("page", "category")
+      .as[(Int, String)].collect().toSet
+    assert(flipped === Set((0, "a"), (1, "a")))
+  }
 }
