@@ -175,6 +175,38 @@ object WindowQueries {
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
     }),
 
+    // ANALYTIC-FUNCTION surface completion (r13): the four ranking/
+    // distribution analytics q30–q33 didn't cover — ntile (equi-count
+    // tiling with the standard first-(n mod k)-tiles-get-one-extra
+    // rule), percent_rank, cume_dist, nth_value — all over ONE
+    // supplier-partitioned total-order window, folded to a per-
+    // supplier summary row (tile price cuts, the largest percent_rank
+    // in the first quartile, the median-crossing cume_dist, the
+    // third-lowest price). Every analytic is an exact small-integer
+    // fraction or a picked value — deterministic under the total
+    // order, replayed verbatim by the oracle.
+    "q313_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("tile", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("third", nth_value(col("l_extendedprice"), 3).over(wf))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          round(max(when(col("tile") === 1, col("l_extendedprice"))), 2).as("t1_hi"),
+          round(max(when(col("tile") === 2, col("l_extendedprice"))), 2).as("t2_hi"),
+          round(max(when(col("tile") === 3, col("l_extendedprice"))), 2).as("t3_hi"),
+          round(max(when(col("pr") <= 0.25, col("pr"))), 6).as("pr_q1"),
+          round(min(when(col("cd") >= 0.5, col("cd"))), 6).as("cd_median"),
+          round(max(col("third")), 2).as("third_lowest"))
+        .orderBy("l_suppkey")
+    }),
+
     // TIME-RANGE rolling aggregate — q33's frame family applied to
     // event time: per user, for every event, the count and mean value
     // over the trailing hour (RANGE BETWEEN 3599 PRECEDING AND CURRENT
@@ -351,6 +383,28 @@ object WindowQueries {
         |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t
         |WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q313_window_analytics" ->
+      """WITH t AS (
+        |  SELECT l_suppkey, l_extendedprice,
+        |         ntile(4) OVER w AS tile,
+        |         percent_rank() OVER w AS pr,
+        |         cume_dist() OVER w AS cd,
+        |         nth_value(l_extendedprice, 3) OVER
+        |           (PARTITION BY l_suppkey
+        |            ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |            ROWS BETWEEN UNBOUNDED PRECEDING
+        |                     AND UNBOUNDED FOLLOWING) AS third
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |               ORDER BY l_extendedprice, l_orderkey, l_linenumber))
+        |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+        |       round(max(CASE WHEN tile = 1 THEN l_extendedprice END), 2) AS t1_hi,
+        |       round(max(CASE WHEN tile = 2 THEN l_extendedprice END), 2) AS t2_hi,
+        |       round(max(CASE WHEN tile = 3 THEN l_extendedprice END), 2) AS t3_hi,
+        |       round(max(CASE WHEN pr <= 0.25 THEN pr END), 6) AS pr_q1,
+        |       round(min(CASE WHEN cd >= 0.5 THEN cd END), 6) AS cd_median,
+        |       round(max(third), 2) AS third_lowest
+        |FROM t GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "q33_window_range" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber,
         |       sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_orderkey
