@@ -184,6 +184,47 @@ object EventQueries {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ENTRY / EXIT / BOUNCE analysis (the web-analytics landing-page
+    // report over q114's 30-minute gap sessions): per event type, how
+    // many sessions START there (entries), END there (exits), and
+    // start-and-end there alone (bounces — single-event sessions),
+    // plus the bounce rate. First/last events picked by min/max over
+    // (ts, event_id, type) structs — lexicographic on the total order,
+    // never first()/last() (shuffle-order dependent). A type can have
+    // exits but no entries (or vice versa) — full-outer + zero
+    // coalesce keeps both margins honest; rate NULL when no entries.
+    "q314_entry_exit_bounce" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") >= 1800L,
+            1).otherwise(0))
+        .withColumn("sid", sum("new_s")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val per = sess.groupBy("user_id", "sid").agg(
+        count(lit(1)).as("n"),
+        min(struct(col("ts"), col("event_id"), col("event_type"))).as("f"),
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("l"))
+      val entries = per.groupBy(col("f.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n_entries"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      val exits = per.groupBy(col("l.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n_exits"))
+      entries.join(exits, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          coalesce(col("n_entries"), lit(0L)).as("n_entries"),
+          coalesce(col("n_exits"), lit(0L)).as("n_exits"),
+          coalesce(col("n_bounces"), lit(0L)).as("n_bounces"),
+          when(coalesce(col("n_entries"), lit(0L)) > 0,
+            round(coalesce(col("n_bounces"), lit(0L)).cast("double") /
+              col("n_entries").cast("double"), 6)).as("bounce_rate"))
+        .orderBy("event_type")
+    }),
+
     // EVENT-TYPE TRANSITION MATRIX (first-order Markov): for each
     // consecutive pair of a user's events, count (src → dst)
     // transitions and the conditional probability p(dst | src). The
@@ -1954,6 +1995,45 @@ object EventQueries {
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
     // gaps-and-islands with a 30-minute boundary; the gap compares
     // whole seconds (epoch-second cast) exactly as the Spark side.
+    "q314_entry_exit_bounce" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 >= 1800
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         sum(new_s) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |per AS (
+        |  SELECT user_id, sid, count(*) AS n,
+        |         min(struct_pack(ts := ts, event_id := event_id,
+        |                         event_type := event_type)) AS f,
+        |         max(struct_pack(ts := ts, event_id := event_id,
+        |                         event_type := event_type)) AS l
+        |  FROM s GROUP BY user_id, sid),
+        |e AS (
+        |  SELECT f.event_type AS event_type,
+        |         CAST(count(*) AS BIGINT) AS n_entries,
+        |         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_bounces
+        |  FROM per GROUP BY f.event_type),
+        |x AS (
+        |  SELECT l.event_type AS event_type,
+        |         CAST(count(*) AS BIGINT) AS n_exits
+        |  FROM per GROUP BY l.event_type)
+        |SELECT coalesce(e.event_type, x.event_type) AS event_type,
+        |       coalesce(e.n_entries, 0) AS n_entries,
+        |       coalesce(x.n_exits, 0) AS n_exits,
+        |       coalesce(e.n_bounces, 0) AS n_bounces,
+        |       CASE WHEN coalesce(e.n_entries, 0) > 0
+        |            THEN round(CAST(coalesce(e.n_bounces, 0) AS DOUBLE)
+        |                       / e.n_entries, 6) END AS bounce_rate
+        |FROM e FULL OUTER JOIN x ON e.event_type = x.event_type
+        |ORDER BY event_type""".stripMargin,
     "q114_gap_sessions" ->
       """WITH m AS (
         |  SELECT user_id, event_id, ts, value,
