@@ -184,6 +184,66 @@ object EventQueries {
         .orderBy("user_id", "session_seq")
     }),
 
+    // ORDER ↔ LINE RECONCILIATION AUDIT (the books-balance check every
+    // finance pipeline runs: does the order header's total equal the
+    // sum of its lines' extended amounts?): per order, header
+    // o_totalprice vs Σ extendedprice·(1−discount)·(1+tax), ALL in
+    // exact DECIMAL (per-line quantize then order-invariant decimal
+    // sum), bucketed into exact / within-1% / beyond, plus the worst
+    // absolute discrepancy. The fixture generator does NOT enforce the
+    // identity — which is the point: the audit REPORTS the
+    // distribution instead of assuming it. One orderkey shuffle.
+    "q315_order_reconciliation" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val lines = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).cast("decimal(18,4)")).as("line_total"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,4)").as("header"))
+        .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("header"),
+          coalesce(col("line_total"), lit(0).cast("decimal(18,4)")).as("lt"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("header") === col("lt"), 1L).otherwise(0L)).as("n_exact"),
+          // within 1%: |h − lt|·100 ≤ h (decimal-exact boundary)
+          sum(when(abs(col("header") - col("lt")) * 100 <= col("header"), 1L)
+            .otherwise(0L)).as("n_within_1pct"),
+          max(abs(col("header") - col("lt"))).as("mx"))
+        .select(col("n_orders"), col("n_exact"), col("n_within_1pct"),
+          round(col("mx").cast("double"), 4).as("max_abs_diff"))
+    }),
+
+    // RAPID-REPEAT PURCHASE DETECTOR (the payments-ops double-charge
+    // sweep): purchase pairs by the SAME user within 10 minutes — the
+    // retry/double-submit signature — with an amount-proximity flag
+    // (|Δv|·20 ≤ max(v): within 5%) REPORTED rather than filtered:
+    // exact-value equality never fires on continuous amounts (the
+    // first cut was vacuous at every SF — the q241/q242 trap again),
+    // and the ops review wants the near-amount pairs ranked inside
+    // the time-window hits, not silently pre-filtered. Per-user
+    // bounded self-join (user equi-key carries it; the time band is a
+    // residual), id_a < id_b canonicalization, exact integer-µs gaps.
+    "q316_rapid_repeat_purchases" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("value"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val a = p.select(col("user_id"), col("value").as("v_a"),
+        col("event_id").as("id_a"), col("us").as("us_a"))
+      val b = p.select(col("user_id"), col("value").as("v_b"),
+        col("event_id").as("id_b"), col("us").as("us_b"))
+      a.join(b, Seq("user_id"))
+        .filter(col("id_a") < col("id_b") &&
+          abs(col("us_a") - col("us_b")) <= 600000000L)
+        .select(col("user_id"), col("id_a"), col("id_b"),
+          abs(col("us_a") - col("us_b")).as("gap_us"),
+          round(col("v_a"), 4).as("v_a"), round(col("v_b"), 4).as("v_b"),
+          (abs(col("v_a") - col("v_b")) * 20 <=
+            greatest(col("v_a"), col("v_b"))).as("same_amount_5pct"))
+        .orderBy("user_id", "id_a", "id_b")
+    }),
+
     // ENTRY / EXIT / BOUNCE analysis (the web-analytics landing-page
     // report over q114's 30-minute gap sessions): per event type, how
     // many sessions START there (entries), END there (exits), and
@@ -1995,6 +2055,37 @@ object EventQueries {
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
     // gaps-and-islands with a 30-minute boundary; the gap compares
     // whole seconds (epoch-second cast) exactly as the Spark side.
+    "q315_order_reconciliation" ->
+      """WITH lines AS (
+        |  SELECT l_orderkey,
+        |         sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |             AS DECIMAL(18,4))) AS lt
+        |  FROM lineitem GROUP BY l_orderkey),
+        |j AS (
+        |  SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS header,
+        |         coalesce(lines.lt, CAST(0 AS DECIMAL(18,4))) AS lt
+        |  FROM orders LEFT JOIN lines ON o_orderkey = l_orderkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CASE WHEN header = lt THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_exact,
+        |       CAST(sum(CASE WHEN abs(header - lt) * 100 <= header
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+        |       round(CAST(max(abs(header - lt)) AS DOUBLE), 4) AS max_abs_diff
+        |FROM j""".stripMargin,
+    "q316_rapid_repeat_purchases" ->
+      """WITH p AS (
+        |  SELECT user_id, value, event_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |       abs(a.us - b.us) AS gap_us,
+        |       round(a.value, 4) AS v_a, round(b.value, 4) AS v_b,
+        |       (abs(a.value - b.value) * 20
+        |          <= greatest(a.value, b.value)) AS same_amount_5pct
+        |FROM p a JOIN p b
+        |  ON a.user_id = b.user_id
+        | AND a.event_id < b.event_id
+        | AND abs(a.us - b.us) <= 600000000
+        |ORDER BY a.user_id, id_a, id_b""".stripMargin,
     "q314_entry_exit_bounce" ->
       """WITH m AS (
         |  SELECT user_id, event_id, ts, event_type,
