@@ -803,6 +803,33 @@ object AggQueries {
         .orderBy("l_returnflag")
     }),
 
+    // REORDER-RATE ANALYSIS (the Instacart-style repeat-purchase
+    // metric that drives replenishment/recommendation features): per
+    // brand, the fraction of (customer, part) purchase relationships
+    // spanning MORE than one distinct order — plus the mean orders
+    // per relationship. Two map-side-combined aggregations: (customer,
+    // part) distinct-order counts, then the brand rollup; exact
+    // integer counts, one double division each.
+    "q318_reorder_rates" -> ((s, dir) => {
+      val rel = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"), col("o_custkey"), col("l_partkey"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      rel.groupBy("brand")
+        .agg(count(lit(1)).as("n_relationships"),
+          sum(when(col("n_orders") > 1, 1L).otherwise(0L)).as("n_repeat"),
+          sum(col("n_orders")).as("total_orders"))
+        .select(col("brand"), col("n_relationships"), col("n_repeat"),
+          round(col("n_repeat").cast("double") /
+            col("n_relationships").cast("double"), 6).as("reorder_rate"),
+          round(col("total_orders").cast("double") /
+            col("n_relationships").cast("double"), 6).as("orders_per_rel"))
+        .orderBy("brand")
+    }),
+
     // GROUPED WEIGHTED MEDIAN (quantity-weighted price per brand) —
     // q300's global operator grouped: per brand, the smallest price v
     // whose cumulative quantity weight reaches half the brand total.
@@ -1341,6 +1368,24 @@ object AggQueries {
     // the single-window formulation of the same by-rank median — the
     // independent check that the two-phase global rank picks exactly
     // the middle row(s) per group.
+    "q318_reorder_rates" ->
+      """WITH rel AS (
+        |  SELECT p_brand AS brand, o_custkey, l_partkey,
+        |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, o_custkey, l_partkey)
+        |SELECT brand,
+        |       CAST(count(*) AS BIGINT) AS n_relationships,
+        |       CAST(sum(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_repeat,
+        |       round(CAST(sum(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END)
+        |             AS DOUBLE) / count(*), 6) AS reorder_rate,
+        |       round(CAST(sum(n_orders) AS DOUBLE) / count(*), 6)
+        |         AS orders_per_rel
+        |FROM rel GROUP BY brand ORDER BY brand""".stripMargin,
+
     "q302_grouped_weighted_median" ->
       """WITH li AS (
         |  SELECT p_brand AS brand,

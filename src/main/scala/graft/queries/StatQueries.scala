@@ -933,6 +933,76 @@ object StatQueries {
         .select(col("m").as("n_pairs"), round(col("slope"), 6).as("ts_slope"))
     }),
 
+    // COVARIATE BALANCE / SMD TABLE (the check a causal reviewer
+    // demands before believing q289's IPW ATE: did the weighting
+    // actually balance the confounder?): standardized mean difference
+    // of the activity covariate between treated and control, BEFORE
+    // (raw means — confounded by construction: treatment is
+    // click-dominance, activity correlates) and AFTER applying q289's
+    // stratified IPW weights (same strata, same clipping, same
+    // rounded-decimal weights). SMD = Δmean / √((var_t+var_c)/2) with
+    // the UNWEIGHTED pooled SD both times (the standard balance-table
+    // convention). Activity is an integer count, so every moment is
+    // an exact integer sum; weighted sums ride exact decimals; each
+    // output is one closed-form double.
+    "q317_covariate_balance" -> ((s, dir) => {
+      val u = Tables.events(s, dir).groupBy("user_id").agg(
+        count(lit(1)).as("x"),
+        when(sum(when(col("event_type") === "click", 1L).otherwise(0L)) >
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)), 1L)
+          .otherwise(0L).as("t"))
+      val strat = u.withColumn("stratum",
+        ntile(5).over(Window.orderBy("x", "user_id")))
+      val rates = strat.groupBy("stratum").agg(
+        (sum("t").cast("double") / count(lit(1)).cast("double")).as("praw"))
+        .select(col("stratum"),
+          least(greatest(col("praw"), lit(0.05)), lit(0.95)).as("p"))
+      val w = strat.join(broadcast(rates), Seq("stratum"))
+        .select(col("t"), col("x"),
+          round(when(col("t") === 1L, lit(1.0) / col("p"))
+            .otherwise(lit(1.0) / (lit(1.0) - col("p"))), 6)
+            .cast("decimal(18,6)").as("wt"))
+      w.agg(
+          count(lit(1)).as("n"), sum("t").as("n1"),
+          sum(when(col("t") === 1L, col("x"))).as("sx1"),
+          sum(when(col("t") === 1L, col("x") * col("x"))).as("sxx1"),
+          sum(when(col("t") === 0L, col("x"))).as("sx0"),
+          sum(when(col("t") === 0L, col("x") * col("x"))).as("sxx0"),
+          sum(when(col("t") === 1L, col("wt") * col("x"))).as("swx1"),
+          sum(when(col("t") === 1L, col("wt"))).as("sw1"),
+          sum(when(col("t") === 0L, col("wt") * col("x"))).as("swx0"),
+          sum(when(col("t") === 0L, col("wt"))).as("sw0"))
+        .select(col("n"), col("n1"),
+          round(col("sx1").cast("double") / col("n1").cast("double"), 4)
+            .as("mean_t"),
+          round(col("sx0").cast("double") / (col("n") - col("n1")).cast("double"), 4)
+            .as("mean_c"),
+          round(
+            (col("sx1").cast("double") / col("n1").cast("double") -
+             col("sx0").cast("double") / (col("n") - col("n1")).cast("double")) /
+            sqrt((
+              (col("sxx1").cast("double") -
+                col("sx1").cast("double") * col("sx1").cast("double") /
+                  col("n1").cast("double")) / (col("n1").cast("double") - 1) +
+              (col("sxx0").cast("double") -
+                col("sx0").cast("double") * col("sx0").cast("double") /
+                  (col("n") - col("n1")).cast("double")) /
+                ((col("n") - col("n1")).cast("double") - 1)) / 2), 6)
+            .as("smd_before"),
+          round(
+            (col("swx1").cast("double") / col("sw1").cast("double") -
+             col("swx0").cast("double") / col("sw0").cast("double")) /
+            sqrt((
+              (col("sxx1").cast("double") -
+                col("sx1").cast("double") * col("sx1").cast("double") /
+                  col("n1").cast("double")) / (col("n1").cast("double") - 1) +
+              (col("sxx0").cast("double") -
+                col("sx0").cast("double") * col("sx0").cast("double") /
+                  (col("n") - col("n1")).cast("double")) /
+                ((col("n") - col("n1")).cast("double") - 1)) / 2), 6)
+            .as("smd_after"))
+    }),
+
     // SEASONAL-NAIVE FORECAST BACKTEST (Hyndman & Koehler 2006 — MASE
     // is THE scale-free forecast-accuracy standard): forecast(d) =
     // revenue(d−7) backtested over the whole daily series, scored
@@ -1084,6 +1154,62 @@ object StatQueries {
         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p)
         |SELECT m.m AS n_pairs, round(r.slope, 6) AS ts_slope
         |FROM r, m WHERE r.rn = (m.m + 1) // 2""".stripMargin,
+
+    "q317_covariate_balance" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+        |         CAST(CASE WHEN sum(CASE WHEN event_type = 'click'
+        |                                 THEN 1 ELSE 0 END)
+        |                   > sum(CASE WHEN event_type = 'view'
+        |                              THEN 1 ELSE 0 END)
+        |              THEN 1 ELSE 0 END AS BIGINT) AS t
+        |  FROM events GROUP BY user_id),
+        |st AS (
+        |  SELECT *, ntile(5) OVER (ORDER BY x, user_id) AS stratum FROM u),
+        |r AS (
+        |  SELECT stratum,
+        |         least(greatest(CAST(sum(t) AS DOUBLE) / count(*), 0.05),
+        |               0.95) AS p
+        |  FROM st GROUP BY stratum),
+        |w AS (
+        |  SELECT st.t, st.x,
+        |         CAST(round(CASE WHEN st.t = 1 THEN 1.0 / r.p
+        |                         ELSE 1.0 / (1.0 - r.p) END, 6)
+        |              AS DECIMAL(18,6)) AS wt
+        |  FROM st JOIN r USING (stratum)),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(t) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN t = 1 THEN x END) AS BIGINT) AS sx1,
+        |         CAST(sum(CASE WHEN t = 1 THEN x * x END) AS BIGINT) AS sxx1,
+        |         CAST(sum(CASE WHEN t = 0 THEN x END) AS BIGINT) AS sx0,
+        |         CAST(sum(CASE WHEN t = 0 THEN x * x END) AS BIGINT) AS sxx0,
+        |         sum(CASE WHEN t = 1 THEN wt * x END) AS swx1,
+        |         sum(CASE WHEN t = 1 THEN wt END) AS sw1,
+        |         sum(CASE WHEN t = 0 THEN wt * x END) AS swx0,
+        |         sum(CASE WHEN t = 0 THEN wt END) AS sw0
+        |  FROM w)
+        |SELECT n, n1,
+        |       round(CAST(sx1 AS DOUBLE) / n1, 4) AS mean_t,
+        |       round(CAST(sx0 AS DOUBLE) / (n - n1), 4) AS mean_c,
+        |       round((CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / (n - n1))
+        |             / sqrt(((CAST(sxx1 AS DOUBLE)
+        |                      - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / n1)
+        |                       / (CAST(n1 AS DOUBLE) - 1)
+        |                   + (CAST(sxx0 AS DOUBLE)
+        |                      - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE) / (n - n1))
+        |                       / (CAST(n - n1 AS DOUBLE) - 1)) / 2), 6)
+        |         AS smd_before,
+        |       round((CAST(swx1 AS DOUBLE) / CAST(sw1 AS DOUBLE)
+        |              - CAST(swx0 AS DOUBLE) / CAST(sw0 AS DOUBLE))
+        |             / sqrt(((CAST(sxx1 AS DOUBLE)
+        |                      - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / n1)
+        |                       / (CAST(n1 AS DOUBLE) - 1)
+        |                   + (CAST(sxx0 AS DOUBLE)
+        |                      - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE) / (n - n1))
+        |                       / (CAST(n - n1 AS DOUBLE) - 1)) / 2), 6)
+        |         AS smd_after
+        |FROM m""".stripMargin,
 
     "q310_forecast_backtest" ->
       """WITH daily AS (
