@@ -44,17 +44,33 @@ object Bench {
     // the driver leaves it unset and benches everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // sorted order: Map iteration order is hash-arbitrary, which moves
-    // JIT/code-cache warmup between queries across code changes and
-    // makes per-query timings incomparable round-over-round.
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
-      only.forall(f => f.exists(name.startsWith))
-    }
+    // NUMERIC (append-only) order, not lexicographic: query numbers are
+    // assigned chronologically, so sorting by number keeps every prior
+    // round's relative order intact and appends new queries at the END.
+    // Lexicographic order was the q37-saga culprit — a new q3xx name
+    // could sort INTO the old tail and move one-time JIT/code-cache
+    // warmup onto whichever old query now ran first, misattributing
+    // ~1.5 s of compiler time as a plan regression (two rounds of
+    // adjudication; BASELINE.md round-14 protocol note).
+    def qnum(name: String): Int =
+      name.drop(1).takeWhile(_.isDigit) match {
+        case "" => Int.MaxValue
+        case d  => d.toInt
+      }
+    val selected = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) => (qnum(name), name) }
+      .filter { case (name, _) =>
+        only.forall(f => f.exists(name.startsWith))
+      }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // outside the timed span: free this query's rankedByRange
+      // checkpoint blocks (dead once the noop write materialized)
+      graft.ops.Sampling.releaseCheckpoints()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -315,9 +315,9 @@ object Sampling {
                     partitions: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(sortCols.nonEmpty, "sortCols must be non-empty")
-    val ranged = df.repartitionByRange(partitions, sortCols.map(col): _*)
+    val ranged = track(df.repartitionByRange(partitions, sortCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__pn"))
     val offsets = counts
       .join(broadcast(counts.select(col("__pid").as("__q"),
@@ -329,6 +329,74 @@ object Sampling {
         row_number().over(Window.partitionBy("__pid")
           .orderBy(sortCols.map(col): _*)).cast("long") + col("__off"))
       .drop("__pid", "__off")
+  }
+
+  /** rankedByRange's eager localCheckpoints outlive Dataset.unpersist
+    * (the blocks belong to the RDD behind the LogicalRDD leaf, not the
+    * CacheManager — Graph.kCore's release discipline), so each call
+    * registers its checkpoint here and the DRIVER LOOP frees them:
+    * Verify after each query's parquet lands, Bench after each timed
+    * noop write. Contract: call only once every frame returned since
+    * the last release has been FULLY materialized — the checkpoint
+    * truncated the lineage, so a released frame cannot be recomputed. */
+  private val trackedCheckpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  private def track(df: DataFrame): DataFrame = {
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        trackedCheckpoints.add(lr.rdd)
+      case _ => ()
+    }
+    df
+  }
+
+  /** Free every tracked checkpoint's block-manager storage
+    * (best-effort, non-blocking). See trackedCheckpoints contract. */
+  def releaseCheckpoints(): Unit = {
+    var rdd = trackedCheckpoints.poll()
+    while (rdd != null) {
+      try rdd.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      rdd = trackedCheckpoints.poll()
+    }
+  }
+
+  /** Exact ntile(k) over a TOTAL order with NO single-partition
+    * WindowExec: global rank via rankedByRange, then ntile's
+    * first-(n mod k)-tiles-get-one-extra rule in closed integer form.
+    * With q = n div k, r = n mod k (the first r tiles hold q+1 rows,
+    * the rest q):
+    *
+    *   tile(rn) = ceil(rn / (q+1))                     if rn ≤ r·(q+1)
+    *            = r + ceil((rn − r·(q+1)) / q)         otherwise
+    *
+    * (n < k ⇒ q = 0 and every row takes the first branch, tile = rn —
+    * exactly ntile's behavior; the q = 0 divisor in the second branch
+    * is unreachable, CaseWhen short-circuits.) NOTE the obvious
+    * `((rn−1)·k) div n + 1` is NOT ntile: at n = 7, k = 5 it deals
+    * sizes [2,1,2,1,1] where ntile deals [2,2,1,1,1].
+    *
+    * `sortCols` must be a total order (rankedByRange contract) — then
+    * the output is bit-identical to `ntile(k) OVER (ORDER BY ...)` and
+    * survives the same hash oracle (q313 pins the dealing rule
+    * cross-engine). Output: input columns + `out` (int, 1..k, ntile's
+    * dtype). Used by q289/q317, whose user-grain frame scales with the
+    * corpus — the r13 verdict's one remaining scale-killer. */
+  def ntileByRange(df: DataFrame, k: Int, sortCols: Seq[String],
+                   partitions: Int, out: String = "stratum"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val ranked = rankedByRange(df, sortCols, partitions)
+    val tot = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("__q", expr(s"__n div ${k}L"))
+      .withColumn("__r", expr(s"__n % ${k}L"))
+      .withColumn(out,
+        when(col("rn") <= col("__r") * (col("__q") + lit(1L)),
+          expr("(rn + __q) div (__q + 1)"))
+          .otherwise(expr("__r + (rn - __r * (__q + 1) + __q - 1) div __q"))
+          .cast("int"))
+      .drop("rn", "__n", "__q", "__r")
   }
 
   /** Hex digits of sampling-threshold precision (16^6 = 16,777,216). */

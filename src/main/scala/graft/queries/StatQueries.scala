@@ -608,8 +608,14 @@ object StatQueries {
         coalesce(sum(when(col("event_type") === "purchase",
           round(col("value"), 2).cast("decimal(18,2)"))),
           lit(0).cast("decimal(18,2)")).as("y"))
-      val strat = u.withColumn("stratum",
-        ntile(5).over(Window.orderBy("activity", "user_id")))
+      // Quintiles WITHOUT the unpartitioned ntile window: the user-grain
+      // frame scales with the corpus, so ntile(5) OVER (ORDER BY ...)
+      // would funnel every user through ONE WindowExec partition (the
+      // r13 verdict's last scale-killer). ntileByRange = two-phase
+      // range rank + ntile's dealing rule in closed form — bit-equal
+      // strata (same total order), no global window in the plan.
+      val strat = graft.ops.Sampling.ntileByRange(
+        u, 5, Seq("activity", "user_id"), 32)
       val rates = strat.groupBy("stratum").agg(
         (sum("t").cast("double") / count(lit(1)).cast("double")).as("praw"))
         .select(col("stratum"),
@@ -951,8 +957,11 @@ object StatQueries {
         when(sum(when(col("event_type") === "click", 1L).otherwise(0L)) >
           sum(when(col("event_type") === "view", 1L).otherwise(0L)), 1L)
           .otherwise(0L).as("t"))
-      val strat = u.withColumn("stratum",
-        ntile(5).over(Window.orderBy("x", "user_id")))
+      // Same quintile machinery as q289 (and same scale rationale):
+      // closed-form ntile over the two-phase range rank — identical
+      // strata, no single-partition WindowExec on the user-grain frame.
+      val strat = graft.ops.Sampling.ntileByRange(
+        u, 5, Seq("x", "user_id"), 32)
       val rates = strat.groupBy("stratum").agg(
         (sum("t").cast("double") / count(lit(1)).cast("double")).as("praw"))
         .select(col("stratum"),
