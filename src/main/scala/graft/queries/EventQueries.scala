@@ -455,22 +455,26 @@ object EventQueries {
           datediff(col("ref_date"), col("last_day")).as("r_days"),
           col("f"), col("m"))
       val n = base.agg(count(lit(1)).as("n_users"))
-      val scored = base
-        .withColumn("__rk", row_number().over(
-          Window.orderBy(col("r_days"), col("user_id"))))
-        .crossJoin(broadcast(n))
-        .withColumn("r_score", lit(5) - expr("((__rk - 1) * 5) div n_users"))
-        .drop("__rk", "n_users")
-        .withColumn("__rk", row_number().over(
-          Window.orderBy(desc("f"), col("user_id"))))
-        .crossJoin(broadcast(n))
-        .withColumn("f_score", lit(5) - expr("((__rk - 1) * 5) div n_users"))
-        .drop("__rk", "n_users")
-        .withColumn("__rk", row_number().over(
-          Window.orderBy(desc("m"), col("user_id"))))
-        .crossJoin(broadcast(n))
-        .withColumn("m_score", lit(5) - expr("((__rk - 1) * 5) div n_users"))
-        .drop("__rk", "n_users")
+      // Each score ranks the USER-GRAIN frame — a corpus-scaling
+      // cardinality, so the original row_number() OVER (ORDER BY ...)
+      // funneled all users through ONE WindowExec partition three
+      // times (the q289/q317 class, caught by the r14 global-window
+      // lint). rankedByRange's rn IS row_number under the same total
+      // order; desc keys ride as negated sort columns (rankedByRange
+      // sorts ascending). Same ranks ⇒ same scores ⇒ same hash.
+      def scoreBy(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+                  out: String): org.apache.spark.sql.DataFrame =
+        graft.ops.Sampling.rankedByRange(df, cols, 32)
+          .crossJoin(broadcast(n))
+          .withColumn(out, lit(5) - expr("((rn - 1) * 5) div n_users"))
+          .drop("rn", "n_users")
+      val scored = scoreBy(scoreBy(scoreBy(
+          base.withColumn("__negf", -col("f"))
+            .withColumn("__negm", -col("m")),
+          Seq("r_days", "user_id"), "r_score"),
+          Seq("__negf", "user_id"), "f_score"),
+          Seq("__negm", "user_id"), "m_score")
+        .drop("__negf", "__negm")
       scored.select(col("user_id"), col("r_days"), col("f"),
           col("m").cast("double").as("m"),
           col("r_score").cast("int").as("r_score"),

@@ -493,6 +493,52 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("rangepartitioning"), s"single exchange must be the sort:\n$p")
   }
 
+  /** Queries whose plans may contain an unpartitioned WindowExec,
+    * each with the DECLARED bounded domain the frame ranges over —
+    * frames whose cardinality is fixed by the schema/config (days,
+    * brands, pages, vocab caps, partition counts), NOT by corpus
+    * size. A global window over a data-scaling frame funnels the
+    * whole frame through ONE partition (the q273/q289 class, both
+    * engineered out via Sampling.rankedByRange/ntileByRange); this
+    * allowlist + the lint below turn that discipline into a red
+    * test — a new query adding a global window fails here until its
+    * frame is either declared bounded or re-planned. */
+  private val boundedGlobalWindowDomains: Map[String, String] = Map(
+    // day-calendar domains (≤ 365 rows/yr regardless of corpus size)
+    "q207_kaplan_meier" -> "distinct exit-day domain (risk-set window)",
+    "q213_cusum" -> "day domain (prefix-min identity, documented seam)",
+    "q214_cumulative_users" -> "day domain (first-touch running sum)",
+    "q256_nelson_aalen" -> "distinct event-day domain (documented seam)",
+    "q269_bootstrap_ci" -> "B=199 × day resample grid (domain-sized)",
+    "q271_rolling_corr" -> "day domain (ROWS -6..0 frames)",
+    "q286_stl_decompose" -> "day domain (centered MA + DOW means)",
+    "q295_spearman_daily" -> "day domain (~2.4k rows at every SF)",
+    // fixed enumerations / value domains
+    "q148_equi_depth_hist" -> "distinct-value granularity (documented O(domain) seam)",
+    "q166_skyline" -> "p_size-domain group table (~50 values)",
+    "q194_binning_apply" -> "k-1 learned cut rows via q148's distinct-value histogram",
+    "q203_abc_class" -> "part-revenue domain running sum (runningTotalByRange is the named large-domain path)",
+    "q205_quantile_map" -> "distinct-value CDFs + constant-key as-of (documented seam)",
+    "q231_topk_other" -> "25-nation domain rollup",
+    "q257_mann_whitney" -> "distinct-quantity value domain (~50)",
+    "q311_pareto_contribution" -> "25-brand domain cumulative shares",
+    // vocab / candidate caps (explicit top-N or selectivity bounds)
+    "q86_vocab_encode" -> "distinct-token vocab rank (top-16 cut)",
+    "q186_rrf_fusion" -> "query-term-selective candidate set, top-50 per ranker",
+    "q260_zipf_slope" -> "top-200 vocab spectrum",
+    "q309_ndcg_eval" -> "≤10-row window after TakeOrdered top-10",
+    // partition-count offset tables (the two-phase range machinery
+    // itself: Profile.runningTotalByRange's __pid window is ≤ the
+    // partition count — the funnel IS the fix for the data-sized one)
+    "q160_empirical_cdf" -> "runningTotalByRange offset table (≤16 rows)",
+    "q249_trimmed_mean_ranged" -> "runningTotalByRange offset table (≤32 rows)",
+    "q252_grouped_median" -> "runningTotalByRange offset table (≤32 rows)",
+    "q254_grouped_deciles" -> "runningTotalByRange offset table (≤32 rows)",
+    "q300_weighted_median" -> "runningTotalByRange offset table (≤32 rows)",
+    // documented simulation device (not the operator's production shape)
+    "q224_zonemap_audit" -> "file-assigner simulation; production reads parquet footers (file-count metadata)"
+  )
+
   test("no UDF and no CartesianProduct in any declared query plan") {
     // One pass over every declared query (building every plan once —
     // q81 eagerly executes its checkpointed CC rounds at construction,
@@ -506,13 +552,42 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     // (topKDot's query vector, q48's bounded slice); an actual
     // CartesianProduct means both sides scale and the query would go
     // quadratic at 100 TB.
+    def globalWins(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      var n = 0
+      def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = q.foreach {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => n += 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(st.plan)
+        case _ => ()
+      }
+      walk(p)
+      n
+    }
+    val withGlobalWindow = scala.collection.mutable.Set[String]()
     for ((name, q) <- SparkEntry.queries) {
-      val p = q(spark, sfDir).queryExecution.executedPlan.toString
+      val exec = q(spark, sfDir).queryExecution.executedPlan
+      val p = exec.toString
       assert(!p.contains("BatchEvalPython") && !p.contains("UDF("),
         s"$name contains a UDF — breaks whole-stage codegen:\n$p")
       assert(!p.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n$p")
+      if (globalWins(exec) > 0) withGlobalWindow += name
     }
+    // Bounded-global-window lint (same single pass — see loop caveat
+    // above): every empty-partition-spec WindowExec must ride a frame
+    // DECLARED bounded in boundedGlobalWindowDomains.
+    val undeclared = withGlobalWindow.filterNot(boundedGlobalWindowDomains.contains)
+    assert(undeclared.isEmpty,
+      "queries plan an unpartitioned WindowExec over an UNDECLARED frame " +
+        "(declare the bounded domain in boundedGlobalWindowDomains or " +
+        s"re-plan via Sampling.rankedByRange/ntileByRange): $undeclared")
+    // ...and the allowlist cannot rot: every declared entry still HAS one.
+    val stale = boundedGlobalWindowDomains.keySet.filterNot(withGlobalWindow)
+    assert(stale.isEmpty,
+      s"boundedGlobalWindowDomains entries without a global window in the plan: $stale")
   }
 
   test("flagship entry smoke: rows > 0 on sf0.001") {
