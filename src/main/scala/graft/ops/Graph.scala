@@ -238,17 +238,31 @@ object Graph {
     var h = e.select(col("src").as("node")).distinct()
       .withColumn("h_fp", lit(scaleFp))
     var a: DataFrame = null
-    for (_ <- 1 to iterations) {
+    // Each half-step's raw aggregate is referenced TWICE (broadcast
+    // total + normalized select); without a checkpoint the lineage
+    // doubles per half-step and the edge join replays ~2^(2·iters)
+    // times — invisible at the gated iterations=2, a trap at the
+    // depths the Int parameter permits. kCore's discipline: eager
+    // localCheckpoint per half-step, release the superseded round's
+    // blocks; the FINAL pair stays persisted (the returned frame
+    // reads from it, same necessity as kCore's last round).
+    var prevHraw: DataFrame = null
+    for (it <- 1 to iterations) {
       val araw = e.join(h, e("src") === h("node"))
         .groupBy(col("dst")).agg(sum(col("h_fp")).as("raw"))
+        .localCheckpoint()
+      if (prevHraw != null) releaseCheckpoint(prevHraw)
       a = araw.crossJoin(broadcast(araw.agg(sum(col("raw")).as("tot"))))
         .select(col("dst").as("node"),
           expr(s"(raw * ${scaleFp}L) div tot").as("a_fp"))
       val hraw = e.join(a, e("dst") === a("node"))
         .groupBy(col("src")).agg(sum(col("a_fp")).as("raw"))
+        .localCheckpoint()
+      if (it < iterations) releaseCheckpoint(araw)
       h = hraw.crossJoin(broadcast(hraw.agg(sum(col("raw")).as("tot"))))
         .select(col("src").as("node"),
           expr(s"(raw * ${scaleFp}L) div tot").as("h_fp"))
+      prevHraw = hraw
     }
     h.join(a, Seq("node"), "full_outer")
       .select(col("node"),

@@ -217,13 +217,22 @@ object Multimodal {
     * PATTERN — the near-duplicate relation tonal shifts don't break,
     * which byte-exact hashing (and text-side MinHash) cannot see.
     * Malformed payloads quarantine as valid = false (the decodePpm
-    * contract); narrow mapPartitions, binary never shuffles. */
+    * contract); narrow mapPartitions, binary never shuffles.
+    *
+    * HARD BOUND, not an assumption: w·h > 64 quarantines as
+    * valid = false. A JVM `1L << p` shift wraps mod 64, so a larger
+    * raster would silently alias bit p onto bit p%64 and hand
+    * q298-style dedup colliding phashes — oversized images must go
+    * through downsamplePpm to ≤ 64 px FIRST (the classic 8×8-resample
+    * composition above), never through the raw kernel. */
   def ppmAHash(payloadDf: DataFrame): Dataset[PpmHash] =
     payloadDf.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val hd = ppmHeader(bytes)
         if (hd == null) PpmHash(id, valid = false, 0, 0, 0L)
+        else if (hd._1.toLong * hd._2 > 64)
+          PpmHash(id, valid = false, hd._1, hd._2, 0L)
         else {
           val (w, h, off) = hd
           val n = w * h

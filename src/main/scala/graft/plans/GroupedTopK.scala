@@ -242,9 +242,14 @@ case class GroupedTopKExec(
         sortFallbacks += 1
         val fullOrd = GenerateOrdering.generate(
           partLocal.map(e => SortOrder(e, Ascending)) ++ orderLocal, childOutput)
+        // the memory manager's configured page size — what SortExec
+        // itself passes; a hard-coded small page would mean many more
+        // allocations and spill merge passes exactly where the
+        // fallback fires (very large partitions)
         val sorter = UnsafeExternalRowSorter.create(
           schema, fullOrd, GroupedTopKExec.ZeroPrefixComparator,
-          new GroupedTopKExec.ZeroPrefixComputer, 4L * 1024 * 1024, false)
+          new GroupedTopKExec.ZeroPrefixComputer,
+          org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes, false)
         val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
         def insert(row: InternalRow): Unit = row match {
           case u: UnsafeRow => sorter.insertRow(u)

@@ -217,4 +217,28 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       s"moving the bright pixel must move the bit: ${got(3L)}")
     assert(!got(4L).valid, "truncated raster must quarantine, not throw")
   }
+
+  test("ppmAHash: rasters over 64 pixels quarantine instead of silently aliasing bits mod 64") {
+    // 9x8 = 72 px: pixel 64 would shift-wrap onto bit 0 (1L << 64 ==
+    // 1L on the JVM) and collide with pixel 0's bit — the r13 ADVICE
+    // hazard. The guard must return valid=false (route through
+    // downsamplePpm first), never a silently-aliased hash.
+    val w = 9; val h = 8
+    val hb = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val raster = Array.fill(w * h * 3)(10.toByte)
+    raster(64 * 3) = 200.toByte // the aliasing pixel, bright
+    val got = Multimodal.ppmAHash(Seq((1L, hb ++ raster))
+      .toDF("doc_id", "payload")).collect().head
+    assert(!got.valid, s"oversized raster must quarantine: $got")
+    assert(got.width === w && got.height === h,
+      "quarantine row should still report the decoded dims")
+    // and the boundary case stays in: exactly 64 px hashes fine
+    val hb64 = "P6\n8 8\n255\n".getBytes("US-ASCII")
+    val r64 = Array.fill(8 * 8 * 3)(10.toByte)
+    r64(63 * 3) = 200.toByte
+    val got64 = Multimodal.ppmAHash(Seq((2L, hb64 ++ r64))
+      .toDF("doc_id", "payload")).collect().head
+    assert(got64.valid && got64.phash === (1L << 63),
+      s"64-pixel raster is exactly representable: $got64")
+  }
 }
