@@ -192,7 +192,15 @@ object EventQueries {
     // sum), bucketed into exact / within-1% / beyond, plus the worst
     // absolute discrepancy. The fixture generator does NOT enforce the
     // identity — which is the point: the audit REPORTS the
-    // distribution instead of assuming it. One orderkey shuffle.
+    // distribution instead of assuming it. And because a bucket that
+    // never fires is a bucket never PROVEN to fire (the q309/q316
+    // vacuous-branch postmortems), the audit runs its own CONTROL: the
+    // RESTATED ledger (header := line total — the books after
+    // correction) goes through the SAME kernel and must read 100%
+    // n_exact, so the exact branch is live at every SF while the
+    // header row keeps reporting the fixture's true non-
+    // reconciliation. One orderkey shuffle; both ledgers ride one
+    // scan via a 2-element explode (never a second pass).
     "q315_order_reconciliation" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val lines = Tables.lineitem(s, dir)
@@ -204,14 +212,23 @@ object EventQueries {
         .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
         .select(col("header"),
           coalesce(col("line_total"), lit(0).cast("decimal(18,4)")).as("lt"))
+        .select(explode(array(
+          struct(lit("header").as("source"), col("header").as("h"), col("lt")),
+          struct(lit("restated").as("source"), col("lt").as("h"), col("lt"))))
+          .as("e"))
+        .select(col("e.source").as("source"), col("e.h").as("header"),
+          col("e.lt").as("lt"))
+        .groupBy("source")
         .agg(count(lit(1)).as("n_orders"),
           sum(when(col("header") === col("lt"), 1L).otherwise(0L)).as("n_exact"),
           // within 1%: |h − lt|·100 ≤ h (decimal-exact boundary)
           sum(when(abs(col("header") - col("lt")) * 100 <= col("header"), 1L)
             .otherwise(0L)).as("n_within_1pct"),
           max(abs(col("header") - col("lt"))).as("mx"))
-        .select(col("n_orders"), col("n_exact"), col("n_within_1pct"),
+        .select(col("source"), col("n_orders"), col("n_exact"),
+          col("n_within_1pct"),
           round(col("mx").cast("double"), 4).as("max_abs_diff"))
+        .orderBy("source")
     }),
 
     // RAPID-REPEAT PURCHASE DETECTOR (the payments-ops double-charge
@@ -2068,14 +2085,19 @@ object EventQueries {
         |j AS (
         |  SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS header,
         |         coalesce(lines.lt, CAST(0 AS DECIMAL(18,4))) AS lt
-        |  FROM orders LEFT JOIN lines ON o_orderkey = l_orderkey)
-        |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  FROM orders LEFT JOIN lines ON o_orderkey = l_orderkey),
+        |b AS (
+        |  SELECT 'header' AS source, header, lt FROM j
+        |  UNION ALL
+        |  SELECT 'restated' AS source, lt AS header, lt FROM j)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(sum(CASE WHEN header = lt THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_exact,
         |       CAST(sum(CASE WHEN abs(header - lt) * 100 <= header
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
         |       round(CAST(max(abs(header - lt)) AS DOUBLE), 4) AS max_abs_diff
-        |FROM j""".stripMargin,
+        |FROM b GROUP BY source ORDER BY source""".stripMargin,
     "q316_rapid_repeat_purchases" ->
       """WITH p AS (
         |  SELECT user_id, value, event_id, epoch_us(ts) AS us
