@@ -21,6 +21,7 @@ object Bench {
     val spark = builder.getOrCreate()
     graft.expressions.VectorExpressions.register(spark)
     graft.expressions.TextExpressions.register(spark)
+    graft.expressions.KllExpressions.register(spark)
     spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct, graft.expressions.RewriteRollingHash)
     // SPARK_GRAFT_NO_TOPK_REWRITE=1 benches the window path instead —
     // the A/B toggle behind the BASELINE.md grouped-top-k numbers.

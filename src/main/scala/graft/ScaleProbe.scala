@@ -57,6 +57,7 @@ object ScaleProbe {
     val spark = builder.getOrCreate()
     graft.expressions.VectorExpressions.register(spark)
     graft.expressions.TextExpressions.register(spark)
+    graft.expressions.KllExpressions.register(spark)
     spark.experimental.extraOptimizations ++=
       Seq(graft.expressions.RewriteDotProduct, graft.expressions.RewriteRollingHash)
     spark.sparkContext.setLogLevel("WARN")

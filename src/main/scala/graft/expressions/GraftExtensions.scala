@@ -37,6 +37,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_jaro_winkler"),
         TextExpressions.jaroWinklerInfo, TextExpressions.jaroWinklerBuilder))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kll_agg"),
+        KllExpressions.aggInfo, KllExpressions.aggBuilder))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kll_merge"),
+        KllExpressions.mergeInfo, KllExpressions.mergeBuilder))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kll_quantile"),
+        KllExpressions.quantileInfo, KllExpressions.quantileBuilder))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kll_n"),
+        KllExpressions.nInfo, KllExpressions.nBuilder))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteRollingHash)
     // the whole-operator seam (§4.2 rung (c)): grouped top-k — the

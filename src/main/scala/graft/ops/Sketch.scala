@@ -158,4 +158,37 @@ object Sketch {
     greatest(lit(0.0),
       hll_sketch_estimate(a) + hll_sketch_estimate(b) -
         hll_sketch_estimate(hll_union(a, b)))
+
+  // ---- KLL quantile sketches (expressions/KllExpressions.scala) ----
+  // The THIRD non-additive aggregate family, completing the rollup-
+  // table symmetry: distinct counts (HLL, above), heavy hitters
+  // (approx_top_k, q143), and now percentiles — "p95 over an
+  // arbitrary date range" from |days|×|groups| fixed-size sketch rows
+  // instead of a corpus rescan. Same TypedImperativeAggregate shape
+  // as Spark's own hll_sketch_agg (map-side partial combine; the
+  // shuffle carries one ~O(k log(n/k)) sketch per group, never rows).
+
+  /** One KLL quantile sketch per group — the persisted rollup-table
+    * row (column `kll`, the library's portable serialized layout).
+    * Nulls are skipped; the per-group item count stays EXACT inside
+    * the sketch (graft_kll_n). */
+  def buildKllSketches(df: DataFrame, valueCol: Column, k: Int,
+                       groupCols: Column*): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(call_function("graft_kll_agg",
+        valueCol.cast("double"), lit(k)).as("kll"))
+
+  /** Union persisted sketch rows back to coarser groups — the range-
+    * query read path (q134's rollupSketches analog). */
+  def rollupKllSketches(sketches: DataFrame, groupCols: Column*): DataFrame =
+    sketches.groupBy(groupCols: _*)
+      .agg(call_function("graft_kll_merge", col("kll")).as("kll"))
+
+  /** INCLUSIVE quantile at normalized rank ∈ [0, 1]; null for an
+    * empty sketch. */
+  def kllQuantile(sketch: Column, rank: Double): Column =
+    call_function("graft_kll_quantile", sketch, lit(rank))
+
+  /** Exact absorbed-item count (getN — only ranks approximate). */
+  def kllN(sketch: Column): Column = call_function("graft_kll_n", sketch)
 }

@@ -906,6 +906,38 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // PERSISTED QUANTILE-SKETCH ROLLUP (VERDICT r13 #4 — the THIRD
+    // non-additive aggregate family, completing the sketch-table
+    // symmetry after HLL distinct q134 and top-k q143): per-(event_
+    // type, day) KLL quantile sketches (native graft_kll_agg over the
+    // DataSketches KLL Spark already ships but never exposed) written
+    // DAY-PARTITIONED, then a FRESH plan range-filters the day
+    // directories (static partition pruning), graft_kll_merge-unions
+    // and reads p50/p95/p99 + the EXACT absorbed count. Raw events
+    // are never rescanned: an arbitrary-range percentile costs
+    // |days|×|types| fixed-size sketch rows — the only way "p95 of
+    // value over any date range" survives 100 TB. Rows-only by
+    // contract (the register layout and the KLL compaction coin are
+    // sketch-internal, not replayable cross-engine); SketchSpec pins
+    // exact-at-capacity, merge consistency, and the published
+    // ~1.65%-rank-error envelope at k=200; PlanShapeSpec pins the
+    // pruned scan.
+    "q319_quantile_sketch_rollup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.ops.Sketch
+      val path = kllSketchTablePath(s, dir)
+      Sketch.rollupKllSketches(
+          s.read.parquet(path)
+            .filter(col("day") < lit("2024-01-16").cast("date")),
+          col("event_type"))
+        .select(col("event_type"),
+          Sketch.kllN(col("kll")).as("n_values"),
+          round(Sketch.kllQuantile(col("kll"), 0.5), 4).as("p50"),
+          round(Sketch.kllQuantile(col("kll"), 0.95), 4).as("p95"),
+          round(Sketch.kllQuantile(col("kll"), 0.99), 4).as("p99"))
+        .orderBy("event_type")
+    }),
+
     // INTERVAL OVERLAP JOIN (ops.IntervalJoin): purchase attribution
     // windows [ts, ts+1h) × click windows [ts, ts+10min) per user,
     // matched where they intersect — via bin-and-residual (equi join
@@ -1934,6 +1966,29 @@ object EventQueries {
             .withColumn("day", to_date(col("ts")))
             .groupBy(col("day"))
             .agg(expr("approx_top_k_accumulate(event_type, 64)").as("sk")),
+          path, "day")
+        path
+      })
+    }
+
+  /** Once-per-session setup for q319: per-(event_type, day) KLL
+    * quantile sketches persisted day-partitioned — the percentile
+    * face of the q134/q143 rollup table. Memoized per (application,
+    * fixture dir). */
+  private val kllSketchPaths =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def kllSketchTablePath(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): String =
+    kllSketchPaths.synchronized {
+      kllSketchPaths.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+        import org.apache.spark.sql.functions._
+        val path = graft.TempDirs.scratch("graft-kll-sketch-")
+        graft.pipeline.Warehouse.writePartitioned(
+          graft.ops.Sketch.buildKllSketches(
+            Tables.events(s, dir)
+              .filter(col("value").isNotNull)
+              .withColumn("day", to_date(col("ts"))),
+            col("value"), k = 200, col("event_type"), col("day")),
           path, "day")
         path
       })

@@ -358,7 +358,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     * day directories are listed; the raw events are never rescanned
     * (no events parquet in the plan at all). */
   test("q134 persisted sketch rollup: day range prunes partitions, no events rescan") {
-    for (q <- Seq("q134_sketch_rollup_persisted", "q143_topk_sketch_rollup")) {
+    for (q <- Seq("q134_sketch_rollup_persisted", "q143_topk_sketch_rollup",
+        "q319_quantile_sketch_rollup")) {
       val p = plan(q)
       val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
       assert(pf.contains("day"), s"$q: day range not applied as a partition filter:\n$p")

@@ -191,4 +191,118 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long)].collect().toMap
     assert(est(99L) >= 0L)
   }
+
+  // ---- KLL quantile sketches (q319's machinery) ----
+
+  /** Inclusive order statistic: smallest v with #{x ≤ v}/n ≥ rank —
+    * the library's INCLUSIVE criterion, computed naively. */
+  private def exactInclusiveQuantile(sorted: Seq[Double], rank: Double): Double = {
+    val n = sorted.size
+    sorted.find(v => sorted.count(_ <= v).toDouble / n >= rank).get
+  }
+
+  test("KLL at capacity: quantiles ARE the inclusive order statistics (no compaction)") {
+    // n = 500 < k = 800: every item is retained, so the sketch answer
+    // must EQUAL the exact order statistic at every rank — the
+    // exact-at-capacity law that makes under-capacity deployments
+    // (small groups, short windows) lossless.
+    val values = new scala.util.Random(7).shuffle((1 to 500).toVector)
+      .map(_.toDouble)
+    val df = spark.createDataFrame(
+      values.map(Tuple1(_))).toDF("v").repartition(8)
+    val sk = df.agg(call_function("graft_kll_agg",
+      col("v"), lit(800)).as("kll"))
+    for (r <- Seq(0.01, 0.25, 0.5, 0.9, 0.999, 1.0)) {
+      val got = sk.select(Sketch.kllQuantile(col("kll"), r)).as[Double].head()
+      assert(got === exactInclusiveQuantile(values.sorted, r),
+        s"rank $r: sketch $got != exact order statistic")
+    }
+    assert(sk.select(Sketch.kllN(col("kll"))).as[Long].head() === 500L)
+  }
+
+  test("KLL merge at capacity equals single-pass; empty group quantile is null; nulls skipped") {
+    val values = (1 to 400).map(_.toDouble)
+    val grouped = values.map(v => (if (v <= 200) "a" else "b", v))
+    val df = spark.createDataFrame(grouped).toDF("g", "v").repartition(8)
+    // per-group build → merge (the rollup read path), all under
+    // capacity: must equal the exact order statistics of the union
+    val merged = Sketch.rollupKllSketches(
+      Sketch.buildKllSketches(df, col("v"), k = 800, col("g")))
+    for (r <- Seq(0.1, 0.5, 0.95))
+      assert(merged.select(Sketch.kllQuantile(col("kll"), r)).as[Double].head()
+        === exactInclusiveQuantile(values.sorted, r), s"merged rank $r")
+    // nulls are skipped (SQL aggregate convention): n stays exact
+    val withNulls = spark.createDataFrame(
+        Seq(("a", Some(1.0)), ("a", None), ("a", Some(2.0))))
+      .toDF("g", "v")
+    val n = Sketch.buildKllSketches(withNulls, col("v"), k = 200, col("g"))
+      .select(Sketch.kllN(col("kll"))).as[Long].head()
+    assert(n === 2L)
+    // an all-null group yields an empty sketch: quantile null, n = 0
+    val empty = Sketch.buildKllSketches(
+        spark.createDataFrame(Seq(("a", Option.empty[Double]))).toDF("g", "v"),
+        col("v"), k = 200, col("g"))
+      .select(Sketch.kllN(col("kll")).as("n"),
+        Sketch.kllQuantile(col("kll"), 0.5).as("q"))
+    val row = empty.collect().head
+    assert(row.getLong(0) === 0L && row.isNullAt(1))
+  }
+
+  test("KLL over capacity: estimates stay inside the published rank-error envelope") {
+    // n = 20000 >> k = 200 forces compaction; the returned quantile's
+    // TRUE rank must sit within 2× the two-sided normalized rank
+    // error bound (~1.65% at k = 200; 2× because the library bound is
+    // ~99% confidence, and the test must not flake on the coin).
+    val n = 20000
+    val values = new scala.util.Random(11).shuffle((1 to n).toVector)
+      .map(_.toDouble)
+    val df = spark.createDataFrame(values.map(Tuple1(_))).toDF("v")
+      .repartition(16)
+    val sk = df.agg(call_function("graft_kll_agg",
+      col("v"), lit(200)).as("kll"))
+    val eps = graft.expressions.KllExpressions.normalizedRankError(200)
+    assert(eps > 0 && eps < 0.03, s"unexpected envelope $eps")
+    for (r <- Seq(0.1, 0.5, 0.95, 0.99)) {
+      val got = sk.select(Sketch.kllQuantile(col("kll"), r)).as[Double].head()
+      val trueRank = got / n // values are 1..n, so rank(v) = v/n
+      assert(math.abs(trueRank - r) <= 2 * eps,
+        s"rank $r: got value $got (true rank $trueRank), envelope $eps")
+    }
+    assert(sk.select(Sketch.kllN(col("kll"))).as[Long].head() === n.toLong)
+  }
+
+  test("KLL persisted rollup (q319 lifecycle): day-partitioned read-back merge within envelope of exact") {
+    val path = TempDirs.scratch("graft-kll-spec-")
+    val ev = events.filter(col("value").isNotNull)
+    graft.pipeline.Warehouse.writePartitioned(
+      Sketch.buildKllSketches(ev, col("value"), k = 200,
+        col("event_type"), col("day")),
+      path, "day")
+    val cutoff = lit("2024-01-16").cast("date")
+    val got = Sketch.rollupKllSketches(
+        spark.read.parquet(path).filter(col("day") < cutoff),
+        col("event_type"))
+      .select(col("event_type"), Sketch.kllN(col("kll")).as("n"),
+        Sketch.kllQuantile(col("kll"), 0.5).as("p50"))
+      .as[(String, Long, Double)].collect()
+      .map { case (t, nn, p) => t -> ((nn, p)) }.toMap
+    val exact = ev.filter(col("day") < cutoff)
+      .groupBy("event_type")
+      .agg(count("value").as("n"),
+        expr("percentile(value, 0.5)").as("p50x"),
+        expr("percentile(value, 0.45)").as("lo"),
+        expr("percentile(value, 0.55)").as("hi"))
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map { case (t, nn, p, lo, hi) => t -> ((nn, p, lo, hi)) }.toMap
+    assert(got.keySet === exact.keySet && got.nonEmpty)
+    for ((t, (nn, p50)) <- got) {
+      // counts are exact THROUGH parquet round-trip and merge
+      assert(nn === exact(t)._1, s"$t: n $nn != ${exact(t)._1}")
+      // the median estimate lands within a generous ±5%-rank band
+      // (envelope is ~1.65%; the band proves the value is a real
+      // median, not a corrupted deserialization)
+      assert(p50 >= exact(t)._3 && p50 <= exact(t)._4,
+        s"$t: p50 $p50 outside [${exact(t)._3}, ${exact(t)._4}]")
+    }
+  }
 }

@@ -26,6 +26,7 @@ object TestSpark {
     // sketch path resolves graft_band_keys by name.
     graft.expressions.VectorExpressions.register(s)
     graft.expressions.TextExpressions.register(s)
+    graft.expressions.KllExpressions.register(s)
     // the grouped top-k rule + strategy, as in Verify/Bench, so
     // plan-shape pins see the production plans. (RewriteDotProduct /
     // RewriteRollingHash are deliberately NOT session-global here —
