@@ -1099,9 +1099,44 @@ object StatQueries {
         .select(col("n_rows"),
           round(col("tw").cast("double"), 2).as("total_weight"),
           round(col("vm").cast("double"), 2).as("weighted_median"))
+    }),
+
+    // NTILE-BY-RANGE PARITY GATE (the r14 machinery behind q179/q289/
+    // q317, put DIRECTLY under the cross-engine oracle): the stratum
+    // table Sampling.ntileByRange deals over the user-grain frame must
+    // match DuckDB's own ntile bucket for bucket — sizes AND value
+    // ranges. k = 7 BECAUSE it divides no fixture's user count
+    // (15 % 7 = 1, 150 % 7 = 3, 1500 % 7 = 2), so the
+    // first-(n mod k)-tiles-get-one-extra rule is genuinely exercised
+    // cross-engine at every SF (k = 5 would deal evenly and prove
+    // nothing). No unpartitioned WindowExec in the plan (the
+    // global-window lint sweeps it like every query).
+    "q320_ntile_by_range" -> ((s, dir) => {
+      val u = Tables.events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("activity"))
+      graft.ops.Sampling.ntileByRange(u, 7, Seq("activity", "user_id"), 32)
+        .groupBy("stratum")
+        .agg(count(lit(1)).as("n_users"),
+          min("activity").as("min_act"), max("activity").as("max_act"))
+        .select(col("stratum").cast("long").as("stratum"), col("n_users"),
+          col("min_act"), col("max_act"))
+        .orderBy("stratum")
     }))
 
   val oracles: Map[String, String] = Map(
+
+    "q320_ntile_by_range" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS activity
+        |  FROM events GROUP BY user_id),
+        |t AS (
+        |  SELECT activity,
+        |         ntile(7) OVER (ORDER BY activity, user_id) AS stratum
+        |  FROM u)
+        |SELECT CAST(stratum AS BIGINT) AS stratum,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       min(activity) AS min_act, max(activity) AS max_act
+        |FROM t GROUP BY stratum ORDER BY stratum""".stripMargin,
 
     "q295_spearman_daily" ->
       """WITH daily AS (

@@ -274,4 +274,25 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
       .as[(Int, Long, Long)].collect().toSet
     assert(t === Set((1, 2L, 1L), (2, 3L, 2L), (3, 1L, 3L)))
   }
+
+  test("ntileByRange deals exactly like ntile, including the first-tiles-get-extra rule") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, ntile}
+    // n × k grid chosen to cover: even dealing (10/5), uneven (7/5 —
+    // where the naive ((rn−1)·k) div n + 1 formula deals [2,1,2,1,1]
+    // instead of ntile's [2,2,1,1,1]), n < k (3/5: tile = rn), n = k,
+    // and a larger uneven case (101/7); values shuffled across
+    // partitions so the range exchange genuinely re-sorts.
+    for ((n, k) <- Seq((10, 5), (7, 5), (3, 5), (5, 5), (101, 7))) {
+      val rows = new scala.util.Random(n * 31 + k).shuffle(
+        (1 to n).toVector).map(v => (v, s"id$v"))
+      val df = spark.createDataFrame(rows).toDF("v", "id").repartition(6)
+      val got = Sampling.ntileByRange(df, k, Seq("v", "id"), 4)
+        .select(col("v"), col("stratum")).as[(Int, Int)].collect().toMap
+      val want = df.withColumn("stratum",
+          ntile(k).over(Window.orderBy("v", "id")))
+        .select(col("v"), col("stratum")).as[(Int, Int)].collect().toMap
+      assert(got === want, s"n=$n k=$k")
+    }
+  }
 }
