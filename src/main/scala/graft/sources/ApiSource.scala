@@ -83,18 +83,59 @@ class ApiTable(options: CaseInsensitiveStringMap) extends Table with SupportsRea
   *    projecting (category, page) never synthesizes (or, for a real
   *    API, never downloads/decodes) the payload body. The reader
   *    emits rows in the PRUNED schema's column order.
+  *  - `SupportsPushDownAggregates` (r14): COUNT(*) / MIN(page) /
+  *    MAX(page), optionally grouped by category, are answered from
+  *    the source's OWN metadata (a category partition knows its page
+  *    range without fetching anything — the API analog of a COUNT
+  *    endpoint / parquet footer stats): each surviving partition
+  *    emits ONE pre-aggregated row and the fetch counter stays at
+  *    zero. PARTIAL pushdown by contract (supportCompletePushDown
+  *    stays false): Spark's final aggregate merges the per-partition
+  *    partials, so correctness never depends on partition count.
+  *    Anything else (SUM, AVG, aggregates over payload) is declined
+  *    and the scan falls back to row emission.
   *
-  * ApiSourceSpec pins both: planned-partition count under a category
-  * filter, row correctness for residuals, and that the pruned scan
-  * never materializes payloads (the fetch counter). */
+  * ApiSourceSpec pins all three: planned-partition count under a
+  * category filter, row correctness for residuals, that the pruned
+  * scan never materializes payloads, and that pushed aggregates
+  * fetch nothing (the fetch counter). */
 class ApiScanBuilder(categories: Array[String], pages: Int)
     extends ScanBuilder with Scan with Batch
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
 
   private var kept: Array[String] = categories
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ApiSource.schema
+  // (groupByCategory, aggregate kinds in pushed order) once accepted
+  private var aggPushed: Option[(Boolean, Seq[String])] = None
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def singleCol(
+        e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case f: org.apache.spark.sql.connector.expressions.NamedReference
+          if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+      case _ => None
+    }
+    val groupOk = agg.groupByExpressions.forall(e =>
+      singleCol(e).contains("category"))
+    val kinds = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count_star")
+      case m: Min if singleCol(m.column).contains("page") => Some("min_page")
+      case m: Max if singleCol(m.column).contains("page") => Some("max_page")
+      case _ => None
+    }
+    if (!groupOk || kinds.exists(_.isEmpty) || kinds.isEmpty) false
+    else {
+      aggPushed = Some((agg.groupByExpressions.nonEmpty, kinds.flatten))
+      true
+    }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
@@ -121,22 +162,45 @@ class ApiScanBuilder(categories: Array[String], pages: Int)
     required = requiredSchema
 
   override def build(): Scan = this
-  override def readSchema(): StructType = required
+  // V2 aggregate-pushdown contract: once accepted, the scan's schema
+  // is [group cols..., aggregate cols...] in pushed order; Spark's
+  // final aggregate merges these partials (SUM over counts, MIN/MAX
+  // over the extremes).
+  override def readSchema(): StructType = aggPushed match {
+    case Some((byCat, kinds)) =>
+      val g = if (byCat)
+        Seq(StructField("category", StringType, nullable = false)) else Nil
+      StructType(g ++ kinds.map {
+        case "count_star" => StructField("count_star", LongType, nullable = false)
+        case "min_page" => StructField("min_page", IntegerType, nullable = false)
+        case "max_page" => StructField("max_page", IntegerType, nullable = false)
+      })
+    case None => required
+  }
   override def description(): String =
     s"graft-api categories=[${kept.mkString(",")}] " +
-      s"columns=[${required.fieldNames.mkString(",")}]"
+      s"columns=[${required.fieldNames.mkString(",")}]" +
+      aggPushed.map { case (byCat, kinds) =>
+        s" pushedAggregates=[${kinds.mkString(",")}]" +
+          (if (byCat) " groupBy=[category]" else "")
+      }.getOrElse("")
   override def toBatch: Batch = this
   // THE scale decision: one partition per SURVIVING category — the
   // reference's serial loop, parallelized AND pruned. (A real API
   // source would also split hot categories by page range.)
   override def planInputPartitions(): Array[InputPartition] =
-    kept.map(c => ApiInputPartition(c, pages, required.fieldNames): InputPartition)
+    kept.map(c => ApiInputPartition(c, pages, required.fieldNames,
+      aggPushed.map(_._1).getOrElse(false),
+      aggPushed.map(_._2.toArray).getOrElse(Array.empty)): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     new ApiReaderFactory
 }
 
 case class ApiInputPartition(category: String, pages: Int,
-                             columns: Array[String]) extends InputPartition
+                             columns: Array[String],
+                             aggByCategory: Boolean = false,
+                             aggKinds: Array[String] = Array.empty)
+    extends InputPartition
 
 class ApiReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -171,8 +235,35 @@ class ApiPartitionReader(part: ApiInputPartition)
     items.mkString("""{"results":[""", ",", "]}")
   }
 
+  // Pushed-aggregate path: ONE partial row per partition, computed
+  // from the partition's own metadata (page range) — the fetch stub
+  // is never called, which ApiSourceSpec witnesses via the counter.
+  // pages == 0 emits nothing: an empty partition contributes no
+  // partial, and Spark's final merge yields the correct global
+  // count(*) = 0 / empty groups.
+  private var aggEmitted = false
+
   override def next(): Boolean =
-    if (page >= part.pages) false
+    if (part.aggKinds.nonEmpty) {
+      if (aggEmitted || part.pages <= 0) false
+      else {
+        val g: Seq[Any] =
+          if (part.aggByCategory) Seq(UTF8String.fromString(part.category))
+          else Nil
+        // each branch annotated Any: Scala's numeric-literal
+        // harmonization would otherwise unify the match to Long and
+        // box the INT page partials as java.lang.Long — a
+        // ClassCastException in the final aggregate's getInt
+        val aggVals: Seq[Any] = part.aggKinds.toSeq.map {
+          case "count_star" => (part.pages.toLong: Any)
+          case "min_page" => (0: Any)
+          case "max_page" => ((part.pages - 1): Any)
+        }
+        current = InternalRow(g ++ aggVals: _*)
+        aggEmitted = true
+        true
+      }
+    } else if (page >= part.pages) false
     else {
       // emit only the pruned columns, in the pruned schema's order —
       // the payload is synthesized/downloaded ONLY when projected

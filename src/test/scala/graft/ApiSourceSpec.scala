@@ -90,4 +90,50 @@ class ApiSourceSpec extends AnyFunSuite with SparkFixture {
       .as[(Int, String)].collect().toSet
     assert(flipped === Set((0, "a"), (1, "a")))
   }
+
+  test("aggregate pushdown: count(*)/min/max answered from metadata, zero fetches") {
+    import graft.sources.ApiPartitionReader
+    // global count(*): one partial row per partition, merged by
+    // Spark's final aggregate — and the fetch stub never runs (the
+    // API analog of a COUNT endpoint / parquet footer stats)
+    ApiPartitionReader.fetchCount.set(0L)
+    val n = read("a,b,c", pages = 4).agg(count(lit(1))).as[Long].head()
+    assert(n === 12L)
+    // per-category counts ride the pushed groupBy(category)
+    val byCat = read("a,b", pages = 3).groupBy("category").count()
+      .as[(String, Long)].collect().toMap
+    assert(byCat === Map("a" -> 3L, "b" -> 3L))
+    // min/max page from the partition's own page range
+    val mm = read("a,b", pages = 5)
+      .agg(min("page"), max("page")).as[(Int, Int)].head()
+    assert(mm === ((0, 4)))
+    assert(ApiPartitionReader.fetchCount.get() === 0L,
+      "pushed aggregates must never trigger a fetch")
+    // the plan carries the pushed-aggregate marker (scan description)
+    val p = read("a", pages = 2).groupBy("category").count()
+      .queryExecution.executedPlan.toString
+    assert(p.contains("pushedAggregates=[count_star]"),
+      s"aggregate not pushed into the scan:\n$p")
+    // pushdown composes with filter pruning: the filtered-out
+    // category contributes neither fetches nor partials
+    val filtered = read("a,b,c", pages = 2)
+      .filter(col("category") === "b").agg(count(lit(1))).as[Long].head()
+    assert(filtered === 2L)
+  }
+
+  test("unsupported aggregates decline cleanly and fall back to row emission") {
+    // SUM(page) is not pushable: the scan reverts to (pruned) rows
+    // and Spark aggregates them — correctness must not depend on the
+    // source understanding the aggregate
+    val s = read("a,b", pages = 3).agg(sum("page")).as[Long].head()
+    assert(s === 2L * (0 + 1 + 2))
+    val p = read("a,b", pages = 3).agg(sum("page"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("pushedAggregates"),
+      s"sum must not claim pushdown:\n$p")
+    // avg over a grouped read, same story
+    val a = read("a", pages = 4).groupBy("category")
+      .agg(avg("page")).as[(String, Double)].head()
+    assert(a === (("a", 1.5)))
+  }
 }
