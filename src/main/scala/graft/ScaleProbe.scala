@@ -197,6 +197,33 @@ object ScaleProbe {
       .drop("__c")
       .repartition(8)
       .write.mode("overwrite").parquet(s"$derived/embeddings.parquet")
+    // lineitem + orders ×N with DISJOINT key spaces per copy (every
+    // key offset by c·(max+1)): the graph heavies (q171/q268 part
+    // co-purchase, q297 customer–supplier HITS) then scale in the
+    // CONSTANT-DENSITY regime — 10× nodes and 10× edges, per-copy
+    // structure identical — which is what a 10×-bigger BUSINESS looks
+    // like. (The sf0.01→sf0.1 fixture pair probes the OTHER regime:
+    // same key space, 10× denser — the q297 25×-shuffle finding. Both
+    // datapoints matter; SCALE.md reports them side by side.)
+    val li = Tables.lineitem(spark, base)
+    val ords = Tables.orders(spark, base)
+    val Array(maxOrd, maxPart, maxSupp) = li
+      .agg(max("l_orderkey"), max("l_partkey"), max("l_suppkey"))
+      .head().toSeq.map(_.asInstanceOf[Long] + 1L).toArray
+    val maxCust = ords.agg(max("o_custkey")).head().getLong(0) + 1L
+    li.crossJoin(copies)
+      .withColumn("l_orderkey", col("l_orderkey") + col("__c") * maxOrd)
+      .withColumn("l_partkey", col("l_partkey") + col("__c") * maxPart)
+      .withColumn("l_suppkey", col("l_suppkey") + col("__c") * maxSupp)
+      .drop("__c")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$derived/lineitem.parquet")
+    ords.crossJoin(copies)
+      .withColumn("o_orderkey", col("o_orderkey") + col("__c") * maxOrd)
+      .withColumn("o_custkey", col("o_custkey") + col("__c") * maxCust)
+      .drop("__c")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$derived/orders.parquet")
     fs.create(done, true).close()
   }
 }
