@@ -191,4 +191,19 @@ object Sketch {
 
   /** Exact absorbed-item count (getN — only ranks approximate). */
   def kllN(sketch: Column): Column = call_function("graft_kll_n", sketch)
+
+  /** Trailing-N-window KLL merge as a RANGE-frame window aggregate
+    * over the tiny per-(group, window) sketch table — the quantile
+    * face of `rollingUnion` (q138): "trailing-7-day p95" unions 7
+    * fixed-size sketches per output row instead of rescanning 7 days
+    * of raw events per day. Keyed on an epoch index so calendar gaps
+    * stay gaps (a ROWS frame would silently widen the window). */
+  def kllRollingMerge(sketch: Column, partition: Seq[Column],
+                      orderIdx: Column, windows: Int): Column = {
+    require(windows >= 1, s"window count must be >= 1, got $windows")
+    import org.apache.spark.sql.expressions.Window
+    call_function("graft_kll_merge", sketch).over(
+      Window.partitionBy(partition: _*).orderBy(orderIdx)
+        .rangeBetween(-(windows - 1).toLong, 0L))
+  }
 }

@@ -938,6 +938,37 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // ROLLING QUANTILES FROM DAILY SKETCHES (Sketch.kllRollingMerge —
+    // q138's rolling-distinct shape for the quantile family):
+    // trailing-7-day p50/p95 of value per event type. Exact rolling
+    // percentiles are the same 100 TB-killer as rolling distinct —
+    // order statistics do not roll up, so the naive form re-sorts 7
+    // days of raw values PER output day. Here raw events are scanned
+    // ONCE into per-(type, day) KLL sketches and the 7-day union runs
+    // as a RANGE-frame window over the |days|×|types| sketch table,
+    // merging 7 fixed-size sketches per output row (epoch-day keyed,
+    // calendar gaps stay gaps). n7 is EXACT even under compaction
+    // (getN); rows-only by contract (KLL layout), SketchSpec pins the
+    // rolling law at capacity.
+    "q321_rolling_quantile" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.ops.Sketch
+      val daily = Sketch.buildKllSketches(
+        Tables.events(s, dir).filter(col("value").isNotNull)
+          .withColumn("day", to_date(col("ts"))),
+        col("value"), k = 200, col("event_type"), col("day"))
+      daily
+        .withColumn("day_idx",
+          datediff(col("day"), lit("1970-01-01").cast("date")))
+        .withColumn("kll7", Sketch.kllRollingMerge(col("kll"),
+          Seq(col("event_type")), col("day_idx"), windows = 7))
+        .select(col("event_type"), col("day"),
+          Sketch.kllN(col("kll7")).as("n7"),
+          round(Sketch.kllQuantile(col("kll7"), 0.5), 4).as("p50_7d"),
+          round(Sketch.kllQuantile(col("kll7"), 0.95), 4).as("p95_7d"))
+        .orderBy("event_type", "day")
+    }),
+
     // INTERVAL OVERLAP JOIN (ops.IntervalJoin): purchase attribution
     // windows [ts, ts+1h) × click windows [ts, ts+10min) per user,
     // matched where they intersect — via bin-and-residual (equi join

@@ -271,6 +271,29 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
     assert(sk.select(Sketch.kllN(col("kll"))).as[Long].head() === n.toLong)
   }
 
+  test("KLL rolling merge (q321): trailing-window quantiles equal exact order statistics at capacity; gaps stay gaps") {
+    // 3 "days" per group, all under capacity (no compaction), with a
+    // CALENDAR GAP: day indices 0, 1, 5 — the RANGE frame must union
+    // only days within 2 of each output day, so day 5's window is
+    // {5} alone (a ROWS frame would wrongly include day 1).
+    val rows = Seq(
+      (0, Seq(1.0, 2.0, 3.0)), (1, Seq(10.0, 20.0)), (5, Seq(100.0)))
+      .flatMap { case (d, vs) => vs.map(v => ("g", d, v)) }
+    val df = spark.createDataFrame(rows).toDF("g", "d", "v").repartition(4)
+    val daily = Sketch.buildKllSketches(df, col("v"), k = 800,
+      col("g"), col("d"))
+    val got = daily.withColumn("kll3", Sketch.kllRollingMerge(col("kll"),
+        Seq(col("g")), col("d"), windows = 3))
+      .select(col("d"), Sketch.kllN(col("kll3")).as("n"),
+        Sketch.kllQuantile(col("kll3"), 0.5).as("p50"))
+      .as[(Int, Long, Double)].collect()
+      .map { case (d, n, p) => d -> ((n, p)) }.toMap
+    // day 0: {1,2,3}; day 1: {1,2,3,10,20}; day 5: {100} alone
+    assert(got(0) === ((3L, 2.0)))
+    assert(got(1) === ((5L, 3.0)))
+    assert(got(5) === ((1L, 100.0)), "calendar gap must reset the window")
+  }
+
   test("KLL persisted rollup (q319 lifecycle): day-partitioned read-back merge within envelope of exact") {
     val path = TempDirs.scratch("graft-kll-spec-")
     val ev = events.filter(col("value").isNotNull)
