@@ -30,16 +30,24 @@ object ScaleProbe {
   private final class MetricsAcc extends SparkListener {
     val shufRead = new java.util.concurrent.atomic.AtomicLong
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
-    val spill = new java.util.concurrent.atomic.AtomicLong
+    // disk and memory spill SEPARATELY: memoryBytesSpilled is the
+    // DESERIALIZED in-memory size at spill time (routinely 5-10x the
+    // bytes that hit disk) — summing them made r14's first q171 probe
+    // read "22 GB spill" when the actual disk write was far smaller
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong
+    val memSpill = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
         shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        memSpill.addAndGet(m.memoryBytesSpilled)
       }
     }
-    def reset(): Unit = { shufRead.set(0); shufWrite.set(0); spill.set(0) }
+    def reset(): Unit = {
+      shufRead.set(0); shufWrite.set(0); diskSpill.set(0); memSpill.set(0)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -47,9 +55,20 @@ object ScaleProbe {
     val derived = if (args.length > 1) args(1) else "/tmp/graft-sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS decouples partition count from
+    // thread count: the remedy for big-corpus spill is partitions ∝
+    // data (what a real cluster does by adding executors) — the probe
+    // must be able to MEASURE that, not just assert it (r14: q171 at
+    // the 10× corpus spills 22 GB at 32 partitions).
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
+      // when the override is set, the probe is asking "what does N
+      // partitions actually do" — AQE's advisory-size coalescing would
+      // silently fold them back to ~the default and measure nothing
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        (!sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS")).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", TempDirs.scratch("graft-warehouse-"))
@@ -160,7 +179,8 @@ object ScaleProbe {
       println(f"[probe] dir=$dir query=$name sec=$sec%.2f " +
         f"shuffle_read_mb=${acc.shufRead.get / 1e6}%.1f " +
         f"shuffle_write_mb=${acc.shufWrite.get / 1e6}%.1f " +
-        f"spill_mb=${acc.spill.get / 1e6}%.1f")
+        f"disk_spill_mb=${acc.diskSpill.get / 1e6}%.1f " +
+        f"mem_spill_mb=${acc.memSpill.get / 1e6}%.1f")
     }
     spark.stop()
   }
