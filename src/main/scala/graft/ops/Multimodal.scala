@@ -475,6 +475,44 @@ object Multimodal {
     WavFrames(id, valid = true, nFrames.toLong, silent, maxRms)
   }
 
+  /** One row PER FRAME — the grid q322's energy-gated segmentation
+    * consumes (audioFrameEnergy's per-clip summary can't say WHERE the
+    * speech is). Same frame rule as parseWavFrames: non-overlapping
+    * `frameSize`-sample frames, incomplete tail dropped, RMS from the
+    * exact integer Σs² quantized 6dp. Corrupt payloads emit NO rows
+    * here — quarantine accounting is audioFrameEnergy's job (q193);
+    * a segmentation over a half-decoded clip would be garbage. */
+  case class WavFrameRow(doc_id: Long, frame_idx: Long, rms: Double)
+
+  implicit val wavFrameRowEnc: Encoder[WavFrameRow] = Encoders.product[WavFrameRow]
+
+  def audioFrameGrid(payloadDf: DataFrame,
+                     frameSize: Int): Dataset[WavFrameRow] = {
+    require(frameSize >= 1, "frameSize must be positive")
+    payloadDf.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val pcm = wavPcmData(bytes)
+        if (pcm == null) Iterator.empty
+        else {
+          val (_, dataOff, n) = pcm
+          val nFrames = n / frameSize
+          (0 until nFrames).iterator.map { f =>
+            var sumSq = 0L
+            var k = 0
+            while (k < frameSize) {
+              val s = pcmSample(bytes, dataOff, f * frameSize + k)
+              sumSq += s.toLong * s
+              k += 1
+            }
+            WavFrameRow(id, f.toLong,
+              BigDecimal(math.sqrt(sumSq.toDouble / frameSize))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }
+      })
+  }
+
   /** Resize analog (STUB — real codecs absent): keep every `stride`-th
     * byte of the payload, the deterministic stand-in for image
     * downsampling. Same mapPartitions contract as extractFeatures:

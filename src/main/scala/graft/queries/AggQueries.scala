@@ -788,6 +788,62 @@ object AggQueries {
     // a partition-count offset table; a group larger than one task's
     // sort memory changes nothing (the q237→q249 crossover argument,
     // AggQueries.scala:742).
+    // GROUPED MAD OUTLIER GATE (median absolute deviation — the
+    // robust dispersion the monitoring literature prefers over
+    // σ-based z-scores precisely because outliers corrupt σ but not
+    // MAD; Hampel's identifier): per event type over the value
+    // amounts, median m, MAD = median(|v − m|), and the count beyond
+    // the standard 3·1.4826·MAD fence (107–124 per group at sf0.01,
+    // ratios to ~18×MAD — live). The first cut audited brand PRICES
+    // and was VACUOUS at every SF: on a bounded uniform distribution
+    // max|v − m| = 2·MAD exactly, so NO Hampel fence ≥ 2 can ever
+    // fire — structurally, not by bad luck (the q316 lesson: pick a
+    // heavy-tailed measurand or the gate proves nothing). EVERYTHING
+    // exact: both medians are TYPE-1 LOWER order statistics (rank
+    // (n+1) div 2 — a data value, so |v − m| stays an exact DECIMAL;
+    // q252's mean-of-middles form would push deviations onto
+    // doubles), picked by TWO passes of the two-phase range rank (no
+    // per-group window, no global window — the q249/q252 machinery
+    // run twice), and the fence is the integer-scaled compare
+    // dev·10000 > mad·44478 (3·1.4826 = 4.4478) — no float boundary.
+    "q324_grouped_mad_outliers" -> ((s, dir) => {
+      val rows = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value"), 2).cast("decimal(18,2)").as("v"),
+          col("event_id"))
+      val r1 = graft.ops.Sampling.rankedByRange(rows,
+        Seq("event_type", "v", "event_id"), 32)
+      val o1 = r1.groupBy("event_type")
+        .agg(min("rn").as("g1"), count(lit(1)).as("n"))
+      val med = r1.join(broadcast(o1), Seq("event_type"))
+        .filter(col("rn") - col("g1") + 1 === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("v").as("med"))
+      val dev = rows.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("v") - col("med")))
+      val r2 = graft.ops.Sampling.rankedByRange(dev,
+        Seq("event_type", "dev", "event_id"), 32)
+      val o2 = r2.groupBy("event_type")
+        .agg(min("rn").as("g2"), count(lit(1)).as("n2"))
+      val mad = r2.join(broadcast(o2), Seq("event_type"))
+        .filter(col("rn") - col("g2") + 1 === expr("(n2 + 1) div 2"))
+        .select(col("event_type"), col("dev").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          max(col("med")).as("med_v"),
+          max(col("mad")).as("mad_v"),
+          sum(when(col("dev") * 10000 > col("mad") * 44478, 1L)
+            .otherwise(0L)).as("n_outliers"),
+          max(col("dev")).as("maxdev"))
+        .select(col("event_type"), col("n_rows"),
+          round(col("med_v").cast("double"), 2).as("median"),
+          round(col("mad_v").cast("double"), 2).as("mad"),
+          col("n_outliers"),
+          round(col("maxdev").cast("double"), 2).as("max_dev"))
+        .orderBy("event_type")
+    }),
+
     "q252_grouped_median" -> ((s, dir) => {
       val ranked = rankedPriceFrame(s, dir)
       val offs = ranked.groupBy(col("l_returnflag"))
@@ -1404,6 +1460,38 @@ object AggQueries {
         |WHERE r.cum * 2 >= t.tw
         |GROUP BY r.brand, t.n_rows, t.tw
         |ORDER BY r.brand""".stripMargin,
+
+    // the INDEPENDENT single-window formulation of both median picks;
+    // same type-1 lower ranks, same integer-scaled fence
+    "q324_grouped_mad_outliers" ->
+      """WITH rws AS (
+        |  SELECT event_type,
+        |         CAST(round(value, 2) AS DECIMAL(18,2)) AS v, event_id
+        |  FROM events WHERE value IS NOT NULL),
+        |r1 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |              ORDER BY v, event_id) AS rnk,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM rws),
+        |med AS (SELECT event_type, v AS med FROM r1 WHERE rnk = (n + 1) // 2),
+        |dv AS (
+        |  SELECT r.event_type, r.v, abs(r.v - m.med) AS dev, m.med,
+        |         r.event_id
+        |  FROM rws r JOIN med m USING (event_type)),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |              ORDER BY dev, event_id) AS rnk,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dv),
+        |mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rnk = (n + 1) // 2)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(CAST(max(d.med) AS DOUBLE), 2) AS median,
+        |       round(CAST(max(t.mad) AS DOUBLE), 2) AS mad,
+        |       CAST(sum(CASE WHEN d.dev * 10000 > t.mad * 44478
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       round(CAST(max(d.dev) AS DOUBLE), 2) AS max_dev
+        |FROM dv d JOIN mad t USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "q252_grouped_median" ->
       """WITH r AS (

@@ -2211,6 +2211,97 @@ object LlmQueries {
         .orderBy("width", "height", "phash")
     }),
 
+    // IMAGE NEAR-DUP BY HAMMING DISTANCE (the SimHash pigeonhole trick
+    // applied to q298's perceptual hashes — tonal/structural
+    // near-misses that exact phash equality cannot see): pairs of
+    // DISTINCT hash patterns at hamming ≤ 2 within the same dims.
+    // Two scale decisions: (1) the join runs over exact-dedup
+    // REPRESENTATIVES (q298's cluster table, min-id keep policy), so a
+    // pattern duplicated m times contributes ONE node, never m² pairs
+    // — near-dup stacks on top of exact dedup exactly like the text
+    // side (q72 on q50's survivors); (2) candidates come from a
+    // 3-band pigeonhole equi-join (22/21/21 bits: ≤2 differing bits
+    // touch ≤2 bands, so every qualifying pair agrees exactly on ≥1
+    // band — candidates ∝ band collisions, never all pairs), then the
+    // exact bit_count(xor) verifies. hamming ∈ {1, 2} both fire on
+    // the fixture (9 + 61 pairs); hamming 0 is excluded BY
+    // CONSTRUCTION (distinct patterns), it lives in q298. The oracle
+    // is the INDEPENDENT quadratic join — the hash match proves the
+    // banding is lossless (q130/q147 adjudication pattern).
+    "q323_image_hamming_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticPpm(id))))
+        .toDF("doc_id", "payload")
+      val reps = Multimodal.ppmAHash(payloads)
+        .filter(col("valid"))
+        .groupBy(col("width"), col("height"), col("phash"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+      val bands = reps.select(col("width"), col("height"), col("phash"),
+        col("rep"), col("n"),
+        explode(array(
+          struct(lit(0).as("b"),
+            col("phash").bitwiseAND(lit(0x3FFFFFL)).as("bv")),
+          struct(lit(1).as("b"),
+            shiftrightunsigned(col("phash"), 22)
+              .bitwiseAND(lit(0x1FFFFFL)).as("bv")),
+          struct(lit(2).as("b"),
+            shiftrightunsigned(col("phash"), 43).as("bv")))).as("e"))
+        .select(col("width"), col("height"), col("phash"), col("rep"),
+          col("n"), col("e.b").as("b"), col("e.bv").as("bv"))
+      bands.as("x").join(bands.as("y"),
+          col("x.width") === col("y.width") &&
+          col("x.height") === col("y.height") &&
+          col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.rep") < col("y.rep"))
+        .select(col("x.width").as("width"), col("x.height").as("height"),
+          col("x.rep").as("doc_a"), col("y.rep").as("doc_b"),
+          col("x.phash").as("pa"), col("y.phash").as("pb"),
+          col("x.n").as("n_a"), col("y.n").as("n_b"))
+        .distinct() // a pair can collide on more than one band
+        .withColumn("hamming",
+          bit_count(col("pa").bitwiseXOR(col("pb"))))
+        .filter(col("hamming") >= 1 && col("hamming") <= 2)
+        .select(col("width"), col("height"), col("doc_a"), col("doc_b"),
+          col("hamming"), col("n_a"), col("n_b"))
+        .orderBy("width", "height", "doc_a", "doc_b")
+    }),
+
+    // AUDIO SILENCE TRIM (the pre-ASR/pre-training speech-trim pass —
+    // cut leading/trailing silence, drop all-silence clips — over
+    // Multimodal.audioFrameGrid's per-frame RMS rows on the REAL WAV
+    // decode): per clip, the first/last frame at RMS ≥ 550 over
+    // 10-sample frames, the active count, and how many frames a
+    // [first, last] trim discards. All four outcomes are data-live on
+    // the fixture at sf0.01: 117/428 clips are FULLY silent (trim
+    // drops the clip — first/last NULL), 151 carry leading silence,
+    // 125 trailing; both-ended trim is structurally impossible here
+    // (the synthetic PCM is a mod-2001 linear sweep, so each clip's
+    // RMS profile is unimodal — documented, not assumed; a
+    // multi-segment VAD was rejected for exactly this reason, its
+    // interesting branch could never fire). One map-side-combined
+    // aggregate over row-local frames — no window, no join; binary
+    // never shuffles.
+    "q322_audio_silence_trim" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.audioFrameGrid(payloads, 10)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("rms") >= 550.0, 1L).otherwise(0L)).as("n_active"),
+          min(when(col("rms") >= 550.0, col("frame_idx"))).as("first_active"),
+          max(when(col("rms") >= 550.0, col("frame_idx"))).as("last_active"))
+        .withColumn("trimmed_frames",
+          when(col("n_active") === 0L, col("n_frames"))
+            .otherwise(col("n_frames") -
+              (col("last_active") - col("first_active") + 1L)))
+        .orderBy("doc_id")
+    }),
+
     // AUDIO FRAME ENERGY on the REAL WAV decode (Multimodal.
     // audioFrameEnergy): 25-sample frames, per-frame RMS from exact
     // integer Σs² quantized at 6dp BEFORE the per-clip count/max
@@ -2811,6 +2902,43 @@ object LlmQueries {
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM b GROUP BY w, h, phash
         |ORDER BY width, height, phash""".stripMargin,
+    // the INDEPENDENT formulation: quadratic pair join over the
+    // representative patterns with a direct bit_count(xor) — no
+    // banding anywhere, so the hash match proves the Spark side's
+    // 3-band pigeonhole candidate generation is lossless at t <= 2
+    "q323_image_hamming_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(4 + doc_id % 5 AS INTEGER) AS w,
+        |         CAST(3 + doc_id % 4 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |px AS (
+        |  SELECT doc_id, w, h, i,
+        |         ( (doc_id * 31 + 3 * i) % 256
+        |         + (doc_id * 31 + 3 * i + 1) % 256
+        |         + (doc_id * 31 + 3 * i + 2) % 256) AS g
+        |  FROM d, unnest(range(0, w * h)) AS u(i)),
+        |t AS (SELECT doc_id, sum(g) AS tg FROM px GROUP BY doc_id),
+        |b AS (
+        |  SELECT px.doc_id, px.w, px.h,
+        |         CAST(sum(CASE WHEN CAST(px.w * px.h AS BIGINT) * px.g > t.tg
+        |                  THEN (CAST(1 AS BIGINT) << px.i) ELSE 0 END)
+        |              AS BIGINT) AS phash
+        |  FROM px JOIN t USING (doc_id)
+        |  GROUP BY px.doc_id, px.w, px.h),
+        |reps AS (
+        |  SELECT w, h, phash, min(doc_id) AS rep,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY w, h, phash)
+        |SELECT a.w AS width, a.h AS height,
+        |       a.rep AS doc_a, c.rep AS doc_b,
+        |       CAST(bit_count(CAST(xor(a.phash, c.phash) AS BIGINT))
+        |            AS INTEGER) AS hamming,
+        |       a.n AS n_a, c.n AS n_b
+        |FROM reps a JOIN reps c
+        |  ON a.w = c.w AND a.h = c.h AND a.rep < c.rep
+        |WHERE bit_count(CAST(xor(a.phash, c.phash) AS BIGINT)) BETWEEN 1 AND 2
+        |ORDER BY width, height, doc_a, doc_b""".stripMargin,
     "q192_image_downsample" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -2841,6 +2969,33 @@ object LlmQueries {
         |FROM m ORDER BY doc_id""".stripMargin,
     // q129's synthetic-sample arithmetic on the 25-sample frame grid,
     // per-frame RMS quantized at 6dp before count/max.
+    // q193's frame replay on the 10-sample grid + the trim aggregate;
+    // valid clips only (corrupt payloads emit no frames)
+    "q322_audio_silence_trim" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(50 + doc_id % 32 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |s AS (
+        |  SELECT doc_id, k // 10 AS f,
+        |         (doc_id * 7 + k * 13) % 2001 - 1000 AS v
+        |  FROM d, unnest(range(0, n)) AS u(k)
+        |  WHERE k < (n // 10) * 10),
+        |fr AS (
+        |  SELECT doc_id, f,
+        |         round(sqrt(CAST(sum(v * v) AS DOUBLE) / 10), 6) AS rms
+        |  FROM s GROUP BY doc_id, f),
+        |m AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |         CAST(sum(CASE WHEN rms >= 550 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_active,
+        |         min(CASE WHEN rms >= 550 THEN f END) AS first_active,
+        |         max(CASE WHEN rms >= 550 THEN f END) AS last_active
+        |  FROM fr GROUP BY doc_id)
+        |SELECT doc_id, n_frames, n_active, first_active, last_active,
+        |       CASE WHEN n_active = 0 THEN n_frames
+        |            ELSE n_frames - (last_active - first_active + 1)
+        |       END AS trimmed_frames
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q193_audio_frames" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(50 + doc_id % 32 AS BIGINT) AS n
