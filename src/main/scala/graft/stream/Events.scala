@@ -170,6 +170,36 @@ object Events {
         hll_sketch_estimate(col("hll")).as("est_users"),
         col("hll"))
 
+  /** Windowed QUANTILES in-stream (the p50/p95-latency observability
+    * query, r14) — distinctPerWindow's discipline for the percentile
+    * family: the streaming aggregation's state IS the fixed-size KLL
+    * sketch buffer per (window, type) (expressions/KllExpressions'
+    * TypedImperativeAggregate — Spark serializes the buffer into the
+    * state store and merges incrementally across micro-batches, the
+    * same mechanics as its own hll_sketch_agg). Emits p50/p95, the
+    * EXACT absorbed count (getN), AND the sketch bytes: a sink
+    * persisting these rows day-partitioned yields exactly q319's
+    * rollup table / q321's rolling input without rescanning the
+    * stream. Values are envelope-approximate (the KLL contract),
+    * counts exact; EventsStreamSpec gates batch ≡ stream on n and
+    * envelope on the quantiles. */
+  def quantilesPerWindow(events: DataFrame, width: String, delay: String,
+                         k: Int = 200): DataFrame =
+    events.filter(col("value").isNotNull)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(call_function("graft_kll_agg",
+        col("value").cast("double"), lit(k)).as("kll"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"),
+        call_function("graft_kll_n", col("kll")).as("n_values"),
+        round(call_function("graft_kll_quantile", col("kll"), lit(0.5)), 4)
+          .as("p50"),
+        round(call_function("graft_kll_quantile", col("kll"), lit(0.95)), 4)
+          .as("p95"),
+        col("kll"))
+
   /** Stateful exact-once dedup by event_id within the watermark
     * horizon: state for an id is dropped once the watermark passes it,
     * so state stays bounded while duplicates inside the lateness window

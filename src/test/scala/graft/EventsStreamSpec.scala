@@ -182,6 +182,44 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("quantilesPerWindow: KLL state merges across micro-batches; exact at test scale; bytes round-trip") {
+    // 5 values in window 10:00 split ACROSS batches (1,2,3 then 4,5):
+    // under capacity the sketch is exact, so the cross-batch buffer
+    // merge must produce the exact inclusive order statistics — a
+    // wrong/lossy state-store round-trip would corrupt them
+    val b1 = Seq(
+      Ev(1, t("2024-01-01T10:01:00Z"), 1, "click", 1.0),
+      Ev(2, t("2024-01-01T10:02:00Z"), 2, "click", 2.0),
+      Ev(3, t("2024-01-01T10:03:00Z"), 1, "click", 3.0))
+    val b2 = Seq(
+      Ev(4, t("2024-01-01T10:06:00Z"), 3, "click", 4.0),
+      Ev(5, t("2024-01-01T10:07:00Z"), 4, "click", 5.0),
+      Ev(6, t("2024-01-01T10:21:00Z"), 1, "click", 42.0)) // next window
+    val ms = MemoryStream[Ev](spark)
+    val name = queryName()
+    val q = Events.quantilesPerWindow(ms.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val got = spark.table(name)
+        .select("window_start", "n_values", "p50", "p95")
+        .as[(String, Long, Double, Double)].collect()
+        .map { case (w, n, a, b) => w -> ((n, a, b)) }.toMap
+      // inclusive quantiles over {1..5}: p50 = 3 (rank 0.5 ⇒ 3rd),
+      // p95 = 5; the count is exact by the getN contract
+      assert(got("2024-01-01 10:00:00") === ((5L, 3.0, 5.0)))
+      assert(got("2024-01-01 10:20:00") === ((1L, 42.0, 42.0)))
+      // the emitted sketch BYTES round-trip through the memory sink:
+      // re-reading the quantile from the bytes equals the column
+      val viaBytes = spark.table(name)
+        .select(col("window_start"),
+          expr("round(graft_kll_quantile(kll, 0.5d), 4)").as("p"))
+        .as[(String, Double)].collect().toMap
+      assert(viaBytes("2024-01-01 10:00:00") === 3.0)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark: duplicate event_ids within the horizon collapse") {
     val ms = MemoryStream[Ev](spark)
     val name = queryName()
