@@ -2268,6 +2268,79 @@ object LlmQueries {
         .orderBy("width", "height", "doc_a", "doc_b")
     }),
 
+    // MULTIMODAL CURATION FUNNEL (q312's text capstone for the
+    // image+audio side — the end-to-end composition a multimodal
+    // training-data pipeline actually runs, with per-stage survivor
+    // counts so every drop is visible):
+    //   s0 corpus → s1 decodable (codec quarantine) → s2 audio
+    //   non-silent (q322's gate) → s3 image exact-dedup (q298's
+    //   min-id-per-pattern keep) → s4 image near-dup drop (q323's
+    //   hamming ≤ 2 pairs among s3 representatives; the b-side of
+    //   each pair drops — the min-id keep policy edge-wise).
+    // Every stage drops rows on the fixture (500 → 428 → 311 → 112
+    // → 104 at sf0.01 — inspected, not assumed). The funnel re-uses the
+    // EXACT arithmetic of its gated stages, so the whole composition
+    // sits under one hash oracle (the big-CTE replay, q312's
+    // discipline).
+    "q325_multimodal_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val wav = ids.as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
+        .toDF("doc_id", "payload")
+      val ppm = ids.as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticPpm(id))))
+        .toDF("doc_id", "payload")
+      // s1: decodable in BOTH modalities (the planted corruption hits
+      // the same ids here — one honest "decodable" stage, not two)
+      val s1 = Multimodal.decodePpm(ppm).filter(col("valid"))
+        .select(col("doc_id"))
+      // s2: audio carries any active frame (q322's RMS ≥ 550 gate)
+      val s2 = Multimodal.audioFrameGrid(wav, 10)
+        .filter(col("rms") >= 550.0)
+        .select(col("doc_id")).distinct()
+        .join(s1, Seq("doc_id"), "left_semi")
+      // s3: image exact-dedup — min id per (w, h, phash) pattern
+      val hashed = Multimodal.ppmAHash(ppm).filter(col("valid"))
+        .join(s2, Seq("doc_id"), "left_semi")
+      val s3 = hashed.groupBy(col("width"), col("height"), col("phash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      // s4: drop the b-side of every hamming ≤ 2 pair among the
+      // surviving patterns (3-band pigeonhole + exact verify, q323)
+      val bands = s3.select(col("width"), col("height"), col("phash"),
+        col("doc_id"),
+        explode(array(
+          struct(lit(0).as("b"),
+            col("phash").bitwiseAND(lit(0x3FFFFFL)).as("bv")),
+          struct(lit(1).as("b"),
+            shiftrightunsigned(col("phash"), 22)
+              .bitwiseAND(lit(0x1FFFFFL)).as("bv")),
+          struct(lit(2).as("b"),
+            shiftrightunsigned(col("phash"), 43).as("bv")))).as("e"))
+        .select(col("width"), col("height"), col("phash"), col("doc_id"),
+          col("e.b").as("b"), col("e.bv").as("bv"))
+      val drops = bands.as("x").join(bands.as("y"),
+          col("x.width") === col("y.width") &&
+          col("x.height") === col("y.height") &&
+          col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .filter(bit_count(col("x.phash").bitwiseXOR(col("y.phash")))
+          .between(1, 2))
+        .select(col("y.doc_id").as("doc_id")).distinct()
+      val s4 = s3.select(col("doc_id"))
+        .join(drops, Seq("doc_id"), "left_anti")
+      val stages = Seq(
+        ("s0_corpus", ids.select(col("doc_id"))),
+        ("s1_decodable", s1),
+        ("s2_audio_active", s2),
+        ("s3_image_exact_dedup", s3.select(col("doc_id"))),
+        ("s4_image_near_dedup", s4))
+      stages.map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"),
+          col("n_docs"))
+      }.reduce(_.unionByName(_)).orderBy("stage")
+    }),
+
     // AUDIO SILENCE TRIM (the pre-ASR/pre-training speech-trim pass —
     // cut leading/trailing silence, drop all-silence clips — over
     // Multimodal.audioFrameGrid's per-frame RMS rows on the REAL WAV
@@ -2969,6 +3042,58 @@ object LlmQueries {
         |FROM m ORDER BY doc_id""".stripMargin,
     // q129's synthetic-sample arithmetic on the 25-sample frame grid,
     // per-frame RMS quantized at 6dp before count/max.
+    // the full-funnel CTE composition: each stage is its gated
+    // sibling's replay verbatim (q322 frames, q298 phash, q323
+    // hamming pairs), so the hash match proves the COMPOSITION
+    "q325_multimodal_funnel" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |s1 AS (SELECT doc_id FROM ids WHERE doc_id % 7 <> 0),
+        |d AS (SELECT doc_id, CAST(50 + doc_id % 32 AS BIGINT) AS n FROM s1),
+        |sam AS (
+        |  SELECT doc_id, k // 10 AS f,
+        |         (doc_id * 7 + k * 13) % 2001 - 1000 AS v
+        |  FROM d, unnest(range(0, n)) AS u(k)
+        |  WHERE k < (n // 10) * 10),
+        |fr AS (
+        |  SELECT doc_id, f,
+        |         round(sqrt(CAST(sum(v * v) AS DOUBLE) / 10), 6) AS rms
+        |  FROM sam GROUP BY doc_id, f),
+        |s2 AS (SELECT DISTINCT doc_id FROM fr WHERE rms >= 550),
+        |dd AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS w,
+        |         CAST(3 + doc_id % 4 AS INTEGER) AS h
+        |  FROM s2),
+        |px AS (
+        |  SELECT doc_id, w, h, i,
+        |         ( (doc_id * 31 + 3 * i) % 256
+        |         + (doc_id * 31 + 3 * i + 1) % 256
+        |         + (doc_id * 31 + 3 * i + 2) % 256) AS g
+        |  FROM dd, unnest(range(0, w * h)) AS u(i)),
+        |t AS (SELECT doc_id, sum(g) AS tg FROM px GROUP BY doc_id),
+        |b AS (
+        |  SELECT px.doc_id, px.w, px.h,
+        |         CAST(sum(CASE WHEN CAST(px.w * px.h AS BIGINT) * px.g > t.tg
+        |                  THEN (CAST(1 AS BIGINT) << px.i) ELSE 0 END)
+        |              AS BIGINT) AS phash
+        |  FROM px JOIN t USING (doc_id)
+        |  GROUP BY px.doc_id, px.w, px.h),
+        |s3 AS (SELECT w, h, phash, min(doc_id) AS doc_id
+        |       FROM b GROUP BY w, h, phash),
+        |drops AS (
+        |  SELECT DISTINCT c.doc_id
+        |  FROM s3 a JOIN s3 c ON a.w = c.w AND a.h = c.h
+        |                     AND a.doc_id < c.doc_id
+        |  WHERE bit_count(CAST(xor(a.phash, c.phash) AS BIGINT))
+        |        BETWEEN 1 AND 2),
+        |s4 AS (SELECT doc_id FROM s3
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+        |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
+        |  SELECT 's0_corpus' AS stage, count(*) AS n_docs FROM ids
+        |  UNION ALL SELECT 's1_decodable', count(*) FROM s1
+        |  UNION ALL SELECT 's2_audio_active', count(*) FROM s2
+        |  UNION ALL SELECT 's3_image_exact_dedup', count(*) FROM s3
+        |  UNION ALL SELECT 's4_image_near_dedup', count(*) FROM s4)
+        |ORDER BY stage""".stripMargin,
     // q193's frame replay on the 10-sample grid + the trim aggregate;
     // valid clips only (corrupt payloads emit no frames)
     "q322_audio_silence_trim" ->
