@@ -225,6 +225,27 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("KLL functions are registered and SQL-callable end to end") {
+    // fixture registers via KllExpressions.register (the same wiring
+    // GraftExtensions injects — applied-cleanly check above); the SQL
+    // path must resolve literal k and thread agg → merge → quantile/n
+    val row = spark.sql(
+        """SELECT graft_kll_n(m) AS n,
+          |       graft_kll_quantile(m, 0.5d) AS p50
+          |FROM (SELECT graft_kll_merge(s) AS m
+          |      FROM (SELECT graft_kll_agg(CAST(v AS DOUBLE), 800) AS s
+          |            FROM (VALUES (1), (2), (3), (4), (5)) AS t(v)
+          |            GROUP BY v % 2))""".stripMargin)
+      .collect()(0)
+    assert(row.getLong(0) === 5L, "exact count through agg+merge")
+    assert(row.getDouble(1) === 3.0, "inclusive median at capacity")
+    // empty-sketch quantile is null, not a throw
+    val empty = spark.sql(
+      "SELECT graft_kll_quantile(graft_kll_agg(CAST(NULL AS DOUBLE)), 0.5d) AS q")
+      .collect()(0)
+    assert(empty.isNullAt(0))
+  }
+
   test("rule conservatism: a non-dot aggregate(zip_with) is left untouched") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ RewriteDotProduct

@@ -616,6 +616,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"q210 fell back to a nested loop:\n$p")
   }
 
+  test("q323 hamming bands: candidates ride an equi join — no nested loop survives the band keys") {
+    // the whole point of the 3-band pigeonhole decomposition: the
+    // hamming predicate becomes an equi join on (dims, band, value)
+    // plus an exact bit_count residual, never a quadratic loop
+    val p = plan("q323_image_hamming_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q323 fell back to a nested loop:\n$p")
+  }
+
   test("q273 range planner: every WindowExec is partitioned — no global sample-rank window") {
     // The r12 seam: the boundary rank ran as row_number() OVER (ORDER
     // BY ...) — Spark moved the whole sample to one partition (and
