@@ -1442,6 +1442,46 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // BIGRAM-LM QUALITY SCORING (q102's order-2 companion — the
+    // CCNet-style perplexity filter at the order production actually
+    // uses): score each document by the mean Laplace-smoothed bigram
+    // log-probability under the corpus's OWN bigram model,
+    // ln((c(w1,w2)+1)/(c(w1·)+V)), plus the perplexity exp(−avg) that
+    // the filter thresholds on. Bigram arrays build ROW-LOCALLY
+    // (q101's rawBigramsOf — no token self-join, no window); the three
+    // model tables (bigram counts, context counts, vocab size) are
+    // map-side-combined aggregates; the score join back on the bigram
+    // key is q102's deliberately UNHINTED shape — AQE broadcasts the
+    // model at fixture scale, an unbounded raw bigram table at 100 TB
+    // falls back to a co-partitioned shuffle, and production would cap
+    // to a top-V vocab (q86) first. Docs with <2 tokens have no
+    // bigrams and drop (inner-join semantics, like q102 drops nothing
+    // only because every fixture doc tokenizes non-empty).
+    "q326_bigram_logprob" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.rawBigramsOf(TextAnalysis.tokens(col("text"))))
+            .as("bigram"))
+      val bc = grams.groupBy("bigram").agg(count(lit(1)).as("cb"))
+      val ctx = grams.select(substring_index(col("bigram"), " ", 1).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("cw"))
+      val vocab = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .agg(countDistinct(col("token")).as("v"))
+      grams
+        .join(bc, Seq("bigram"))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .join(ctx, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+          round(avg(log((col("cb") + 1).cast("double") / (col("cw") + col("v")))), 4)
+            .as("avg_logprob"),
+          count(lit(1)).as("n_bigrams"))
+        .withColumn("ppl", round(exp(-col("avg_logprob")), 4))
+        .orderBy("doc_id")
+    }),
+
     // MinHash-LSH near-dup candidates over the corpus — banded
     // bucketing, never all-pairs (Dedup.lshCandidatePairs). No SQL
     // oracle by contract (hash-seed-dependent); driver records the
@@ -3961,6 +4001,31 @@ object LlmQueries {
         |       count(*) AS n_tokens
         |FROM toks JOIN counts USING (token), total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q326_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(toks)),
+        |                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT bigram, count(*) AS cb FROM g GROUP BY bigram),
+        |ctx AS (SELECT string_split(bigram, ' ')[1] AS w1, count(*) AS cw
+        |        FROM g GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT token) AS v
+        |          FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |                FROM documents)),
+        |sc AS (
+        |  SELECT doc_id,
+        |         round(avg(ln(CAST(cb + 1 AS DOUBLE) / (cw + v))), 4)
+        |           AS avg_logprob,
+        |         count(*) AS n_bigrams
+        |  FROM g JOIN bc USING (bigram)
+        |  JOIN ctx ON string_split(g.bigram, ' ')[1] = ctx.w1, vocab
+        |  GROUP BY doc_id)
+        |SELECT doc_id, avg_logprob, n_bigrams,
+        |       round(exp(-avg_logprob), 4) AS ppl
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "q101_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
