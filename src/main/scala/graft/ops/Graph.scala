@@ -331,6 +331,68 @@ object Graph {
       .select(col("u").as("node"), col("deg"))
   }
 
+  /** Multi-source BFS: exact minimum hop distance from a seed set over
+    * a directed edge list (symmetrize first for undirected
+    * reachability), level-synchronous frontier expansion — the
+    * traversal primitive beside pageRank/hits (scores), kCore
+    * (density), and Dedup.connectedComponents (labels): "how far is
+    * every node from this set", the reachability/blast-radius query.
+    *
+    * Exactly the textbook frontier algorithm in joins: the level-i
+    * frontier equi-joins the edge list on src, the new frontier is the
+    * distinct dst set anti-joined against everything already
+    * labelled, and the distance table grows by one level per round.
+    * Deterministic by construction (min-distance is path-order
+    * independent), so callers can hash-gate it (the q303 fixpoint
+    * discipline).
+    *
+    * Scale shape per round: ONE shuffle keyed on the join key (the
+    * frontier side of the equi-join) + the anti-join keyed on node;
+    * the edge list is scanned from its checkpoint each round — at
+    * 100 TB, bucket it on src (Warehouse.writeBucketed) so every
+    * round's expansion is Exchange-free. Work per round is
+    * |frontier adjacency|, never |V|²; rounds are bounded by maxHops
+    * (graph diameter if larger). Each superseded round's checkpoint is
+    * released (kCore's discipline); the returned frame reads from the
+    * final checkpoint.
+    *
+    * Output: (node, dist) for every node within maxHops of a seed —
+    * seeds at 0, unreachable nodes absent. Isolated seeds still
+    * appear at 0. */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint()
+    var dist = seeds.select(col("node")).filter(col("node").isNotNull)
+      .distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var level = 0L
+    var n = frontier.count()
+    while (level < maxHops && n > 0) {
+      level += 1
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(level).as("dist"))
+        .localCheckpoint()
+      n = next.count()
+      val grown = dist.unionByName(next).localCheckpoint()
+      // Both the superseded distance table and the consumed frontier
+      // are dead once `grown` has materialized (at level 1 they are
+      // the SAME checkpoint — release once).
+      if (!(frontier eq dist)) releaseCheckpoint(frontier)
+      releaseCheckpoint(dist)
+      dist = grown
+      frontier = next
+    }
+    if (!(frontier eq dist)) releaseCheckpoint(frontier)
+    releaseCheckpoint(e)
+    dist
+  }
+
   /** Free a localCheckpoint's block-manager storage (best-effort):
     * the checkpointed RDD sits behind the LogicalRDD node the
     * checkpoint call returned; Dataset.unpersist only covers

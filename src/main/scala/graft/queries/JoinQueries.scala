@@ -501,6 +501,38 @@ object JoinQueries {
         .orderBy("node")
     }),
 
+    // MULTI-SOURCE BFS (ops.Graph.bfs) — minimum hop distance from
+    // the ASIA supplier set over the HIGH-VOLUME trade graph
+    // (l_quantity ≥ 48 keeps ~6% of lineitems — the sparsified graph
+    // where distance is informative; the full graph saturates at 2
+    // hops): the reachability / blast-radius primitive beside q163's
+    // scores and q268's density. Same disjoint-id encoding as q163
+    // (2c / 2s+1), symmetrized, 3 levels — every distance 0/1/2/3 is
+    // LIVE at all three SFs and unreachable nodes exist (141 of 160
+    // reached at sf0.001), checked at design time; a 4th level is
+    // structurally empty on this bipartite graph (all suppliers are
+    // reached by level 2), so 3 is the honest bound. Level-synchronous
+    // frontier joins, deterministic min-dist fixpoint ⇒ HASH-GATED
+    // against a WITH RECURSIVE replay (the q303 discipline).
+    "q327_bfs_hops" -> ((s, dir) => {
+      val eb = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s1"))
+        .distinct()
+      val edges = eb.select(col("c").as("src"), col("s1").as("dst"))
+        .unionByName(eb.select(col("s1").as("src"), col("c").as("dst")))
+      val seeds = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      graft.ops.Graph.bfs(edges, seeds, maxHops = 3).orderBy("node")
+    }),
+
     // TRIANGLE COUNTING (ops.Graph.triangleCounts) on the part
     // co-purchase graph (parts bought together in an order) — the
     // clustering/community primitive. The Spark side runs the
@@ -1327,6 +1359,24 @@ object JoinQueries {
         |SELECT comp AS canonical, CAST(count(*) AS BIGINT) AS cluster_size,
         |       max(id) AS max_member
         |FROM lab GROUP BY comp ORDER BY canonical""".stripMargin,
+    "q327_bfs_hops" ->
+      """WITH RECURSIVE eb AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_quantity >= 48),
+        |e AS (SELECT c AS src, s AS dst FROM eb
+        |      UNION SELECT s, c FROM eb),
+        |seeds AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier
+        |          JOIN nation ON s_nationkey = n_nationkey
+        |          JOIN region ON n_regionkey = r_regionkey
+        |          WHERE r_name = 'ASIA'),
+        |walk(node, d) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON w.node = e.src
+        |  WHERE w.d < 3)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
     "q171_triangles" ->
       """WITH ib AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -226,4 +226,44 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       .map { case (n, hf, af) => n -> (hf, af) }.toMap
     assert(re === got)
   }
+
+  test("bfs: hand-checked distances on a path + branch; unreachable absent") {
+    // 1→2→3→4→5 plus 2→6; 9→10 is a separate component
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L),
+      (9L, 10L)).toDF("src", "dst")
+    val got = Graph.bfs(edges, Seq(1L).toDF("node"), maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 2L,
+      4L -> 3L, 5L -> 4L))
+  }
+
+  test("bfs: multi-seed takes the minimum; maxHops truncates; isolated seed kept") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 3L))
+      .toDF("src", "dst")
+    // seed 7 shortcuts node 3 to distance 1 (vs 2 via seed 1); seed 99
+    // has no edges but is still reported at 0
+    val got = Graph.bfs(edges, Seq(1L, 7L, 99L).toDF("node"), maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 7L -> 0L, 99L -> 0L,
+      2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // truncation: nothing past the hop bound, levels inside it intact
+    val cut = Graph.bfs(edges, Seq(1L).toDF("node"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(cut === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // maxHops = 0 is just the seed set
+    val zero = Graph.bfs(edges, Seq(1L).toDF("node"), maxHops = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(zero === Map(1L -> 0L))
+  }
+
+  test("bfs: a cycle terminates early and labels each node once; partition-invariant") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.bfs(edges, Seq(1L).toDF("node"), maxHops = 50)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    val re = Graph.bfs(edges.repartition(7), Seq(1L).toDF("node").repartition(3),
+        maxHops = 50)
+      .as[(Long, Long)].collect().toMap
+    assert(re === got)
+  }
 }
