@@ -606,6 +606,51 @@ object JoinQueries {
         .orderBy("canonical")
     }),
 
+    // GOLDEN-RECORD SURVIVORSHIP (the MDM step AFTER q303's entity
+    // resolution: q303 finds the clusters, this builds the master
+    // record each cluster publishes): every part ROW maps to its
+    // entity cluster (q303's JW-0.9 blocked pairs → exact connected
+    // components; names in no pair are singleton clusters via
+    // coalesce), then field-level survivorship rules conflate the
+    // member records — min id (stable key), MODE brand with a
+    // deterministic min-brand tiebreak (consensus field), max price
+    // (freshest-list-price convention), plus the record/name counts
+    // that audit the merge. The mode is two map-side-combined
+    // aggregates + an equi-join on (cluster, max count) — no
+    // per-cluster window, no collect. Scale: survivorship aggregates
+    // shuffle on the cluster label exactly once; the CC rounds run on
+    // the PAIR graph only (q303's shape).
+    "q328_golden_record" -> ((s, dir) => {
+      val names = Tables.part(s, dir).select(col("p_name")).distinct()
+        .select(col("p_name").as("name"),
+          substring_index(col("p_name"), " ", -1).as("block"))
+      val pairs = names.as("a").join(names.as("b"),
+          col("a.block") === col("b.block") && col("a.name") < col("b.name"))
+        .filter(round(call_function("graft_jaro_winkler",
+          col("a.name"), col("b.name")), 6) >= 0.9)
+        .select(col("a.name").as("id_a"), col("b.name").as("id_b"))
+      val lab = graft.ops.Dedup.connectedComponents(pairs)
+      val recs = Tables.part(s, dir)
+        .join(lab.withColumnRenamed("id", "p_name"), Seq("p_name"), "left")
+        .select(coalesce(col("comp"), col("p_name")).as("canonical"),
+          col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_retailprice"))
+      val bc = recs.groupBy(col("canonical"), col("p_brand"))
+        .agg(count(lit(1)).as("cnt"))
+      val mode = bc
+        .join(bc.groupBy("canonical").agg(max(col("cnt")).as("mc")),
+          Seq("canonical"))
+        .filter(col("cnt") === col("mc"))
+        .groupBy("canonical").agg(min(col("p_brand")).as("golden_brand"))
+      recs.groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_records"),
+          countDistinct(col("p_name")).as("n_names"),
+          min(col("p_partkey")).as("golden_partkey"),
+          max(col("p_retailprice")).as("golden_price"))
+        .join(mode, Seq("canonical"))
+        .orderBy("canonical")
+    }),
+
     // K-CORE DECOMPOSITION (ops.Graph.kCore — Seidman 1983 peel) of
     // the q171 co-purchase graph: the maximal subgraph where every
     // part keeps ≥ k co-purchase partners, the dense-core extractor
@@ -1359,6 +1404,39 @@ object JoinQueries {
         |SELECT comp AS canonical, CAST(count(*) AS BIGINT) AS cluster_size,
         |       max(id) AS max_member
         |FROM lab GROUP BY comp ORDER BY canonical""".stripMargin,
+    "q328_golden_record" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT DISTINCT p_name AS name,
+        |         string_split(p_name, ' ')[-1] AS block
+        |  FROM part),
+        |pairs AS (
+        |  SELECT a.name AS u, b.name AS v
+        |  FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
+        |  WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.9),
+        |e AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |walk(s, m) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+        |  UNION
+        |  SELECT w.s, e.v FROM walk w JOIN e ON w.m = e.u),
+        |lab AS (SELECT s AS id, min(m) AS comp FROM walk GROUP BY s),
+        |recs AS (
+        |  SELECT coalesce(l.comp, p.p_name) AS canonical,
+        |         p.p_partkey, p.p_name, p.p_brand, p.p_retailprice
+        |  FROM part p LEFT JOIN lab l ON p.p_name = l.id),
+        |bc AS (SELECT canonical, p_brand, count(*) AS cnt
+        |       FROM recs GROUP BY 1, 2),
+        |mx AS (SELECT canonical, max(cnt) AS mc FROM bc GROUP BY 1),
+        |md AS (SELECT bc.canonical, min(bc.p_brand) AS golden_brand
+        |       FROM bc JOIN mx ON bc.canonical = mx.canonical
+        |                      AND bc.cnt = mx.mc
+        |       GROUP BY 1)
+        |SELECT r.canonical, count(*) AS n_records,
+        |       count(DISTINCT r.p_name) AS n_names,
+        |       min(r.p_partkey) AS golden_partkey,
+        |       max(r.p_retailprice) AS golden_price, md.golden_brand
+        |FROM recs r JOIN md ON r.canonical = md.canonical
+        |GROUP BY r.canonical, md.golden_brand
+        |ORDER BY r.canonical""".stripMargin,
     "q327_bfs_hops" ->
       """WITH RECURSIVE eb AS (
         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
