@@ -1848,6 +1848,46 @@ object LlmQueries {
         .orderBy("query_id")
     }),
 
+    // DIMENSION-ABLATION RECALL CURVE (the Matryoshka/MRL trade-off
+    // table: Kusupati et al. 2022 train embeddings whose PREFIXES are
+    // usable — this measures what truncation actually costs on THIS
+    // corpus): recall@10 of prefix-dim dot-product retrieval at
+    // 64/32/16/8 dims against the full-dim ground truth, per query.
+    // The 64-dim row is the harness sanity pin (recall ≡ 1 by
+    // construction); the lower rows are the curve a deployment reads
+    // before picking its stored dimensionality (a 64→16 cut is 4×
+    // less scan bandwidth AND 4× smaller ANN index — the cheapest
+    // scale lever there is IF recall holds). One scored pass computes
+    // all levels (corpus × 5 queries × 4 levels, queries/levels
+    // broadcast); per-(level, query) windows are 20-key partitioned;
+    // everything deterministic (double dots, id tie-breaks) ⇒ the
+    // WHOLE curve sits under the hash gate, q117's discipline.
+    "q329_dim_ablation" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qLvl = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        .withColumn("dims", explode(array(lit(64), lit(32), lit(16), lit(8))))
+      val scored = Tables.embeddings(s, dir).filter(col("vec_id") >= 5)
+        .crossJoin(broadcast(qLvl))
+        .select(col("dims"), col("query_id"), col("vec_id"),
+          Similarity.dot(slice(col("embedding"), lit(1), col("dims")),
+            slice(col("q_vec"), lit(1), col("dims"))).as("sim"))
+      val top = scored
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("dims", "query_id")
+            .orderBy(desc("sim"), col("vec_id"))))
+        .filter(col("__rn") <= 10)
+        .select("dims", "query_id", "vec_id")
+      val truth = top.filter(col("dims") === 64)
+        .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+      top.join(truth, Seq("query_id", "vec_id"), "left")
+        .groupBy("dims", "query_id")
+        .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+        .select(col("dims"), col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(10.0)).as("recall"))
+        .orderBy("dims", "query_id")
+    }),
+
     // weighted sampling without replacement (Efraimidis-Spirakis,
     // Sampling.weightedSample): 50 docs selected with probability
     // proportional to length — the token-budget-proportional subset.
@@ -4118,6 +4158,32 @@ object LlmQueries {
         |FROM brute b
         |LEFT JOIN ivf i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
+    "q329_dim_ablation" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 5),
+        |lv AS (SELECT unnest([64, 32, 16, 8]) AS dims),
+        |scored AS (
+        |  SELECT lv.dims, q.query_id, c.vec_id,
+        |         list_dot_product(c.v[1:lv.dims], q.qv[1:lv.dims]) AS sim
+        |  FROM corpus c CROSS JOIN q CROSS JOIN lv),
+        |top AS (
+        |  SELECT dims, query_id, vec_id FROM (
+        |    SELECT dims, query_id, vec_id,
+        |           row_number() OVER (PARTITION BY dims, query_id
+        |             ORDER BY sim DESC, vec_id) AS rn
+        |    FROM scored) WHERE rn <= 10),
+        |truth AS (SELECT query_id, vec_id FROM top WHERE dims = 64)
+        |SELECT t.dims, t.query_id,
+        |       CAST(count(tr.vec_id) AS BIGINT) AS n_hits,
+        |       CAST(count(tr.vec_id) AS DOUBLE) / 10 AS recall
+        |FROM top t LEFT JOIN truth tr
+        |  ON t.query_id = tr.query_id AND t.vec_id = tr.vec_id
+        |GROUP BY t.dims, t.query_id
+        |ORDER BY t.dims, t.query_id""".stripMargin,
     // rate is rounded to 4 decimals BEFORE planned_tokens, mirroring
     // Sampling.mixturePlan exactly.
     // 16^13 = 2^52 = 4503599627370496: the 13-hex-char draw is exact
