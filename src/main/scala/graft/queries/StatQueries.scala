@@ -1121,6 +1121,66 @@ object StatQueries {
         .select(col("stratum").cast("long").as("stratum"), col("n_users"),
           col("min_act"), col("max_act"))
         .orderBy("stratum")
+    }),
+
+    // SPLIT-CONFORMAL PREDICTION INTERVALS (Vovk's inductive
+    // conformal; Lei et al. 2018 — the DISTRIBUTION-FREE interval
+    // every deployed regressor should ship with, and the eval that
+    // checks the promise): md5-coin 60/20/20 train/calibrate/test
+    // split over lineitem (content-addressed, q76's discipline),
+    // model = per-brand train mean (exact decimal sum, ONE double
+    // division — q304's rule), nonconformity = round(|y − ŷ|, 6),
+    // q̂ = the ceil(0.9·(n_cal+1))-th smallest calibration score as
+    // an exact TYPE-1 order statistic via the two-phase range rank
+    // (a global rank over a data-scaling frame — NEVER a global
+    // window; the q273/q324 machinery), then the held-out coverage
+    // audit: the marginal guarantee says ≥ ~90% on the pooled 'ALL'
+    // row, while the per-brand rows expose the CONDITIONAL coverage
+    // the theorem deliberately does not promise (the honest gap a
+    // balance table exists to show). Everything deterministic ⇒ the
+    // whole lifecycle — split, model, q̂ pick, both score passes —
+    // sits under the hash gate.
+    "q330_conformal" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("__coin",
+          conv(substring(md5(concat(col("l_orderkey").cast("string"),
+            lit(":"), col("l_linenumber").cast("string"), lit(":cp"))),
+            1, 6), 16, 10).cast("long") % 5)
+        .select(col("p_brand"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("y"), col("__coin"))
+      val model = li.filter(col("__coin") <= 2)
+        .groupBy("p_brand")
+        .agg(sum(col("y").cast("decimal(18,2)")).as("ts"),
+          count(lit(1)).as("tn"))
+        .select(col("p_brand"),
+          (col("ts").cast("double") / col("tn")).as("yhat"))
+      val calib = li.filter(col("__coin") === 3)
+        .join(broadcast(model), Seq("p_brand"))
+        .withColumn("score", round(abs(col("y") - col("yhat")), 6))
+      val ranked = graft.ops.Sampling.rankedByRange(calib,
+        Seq("score", "l_orderkey", "l_linenumber"), 32)
+      val nc = calib.agg(count(lit(1)).as("n_cal"))
+      val qhat = ranked.crossJoin(broadcast(nc))
+        .filter(col("rn") === expr("(9 * (n_cal + 1) + 9) div 10"))
+        .select(col("score").as("qhat"), col("n_cal"))
+      val test = li.filter(col("__coin") === 4)
+        .join(broadcast(model), Seq("p_brand"))
+        .withColumn("score", round(abs(col("y") - col("yhat")), 6))
+        .crossJoin(broadcast(qhat))
+      val byBrand = test.groupBy("p_brand")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("score") <= col("qhat"), 1L).otherwise(0L)).as("n_in"))
+      byBrand
+        .unionByName(byBrand.agg(sum("n_test").as("n_test"),
+          sum("n_in").as("n_in"))
+          .select(lit("ALL").as("p_brand"), col("n_test"), col("n_in")))
+        .crossJoin(broadcast(qhat))
+        .select(col("p_brand"), col("n_cal"), col("qhat"),
+          col("n_test"), col("n_in"),
+          round(col("n_in").cast("double") / col("n_test"), 6).as("coverage"))
+        .orderBy("p_brand")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1137,6 +1197,46 @@ object StatQueries {
         |       CAST(count(*) AS BIGINT) AS n_users,
         |       min(activity) AS min_act, max(activity) AS max_act
         |FROM t GROUP BY stratum ORDER BY stratum""".stripMargin,
+
+    "q330_conformal" ->
+      """WITH li AS (
+        |  SELECT p_brand, l_orderkey, l_linenumber, l_extendedprice AS y,
+        |         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |              CAST(l_linenumber AS VARCHAR) || ':cp'), 1, 6))
+        |              AS BIGINT) % 5 AS coin
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |model AS (
+        |  SELECT p_brand,
+        |         CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |           AS yhat
+        |  FROM li WHERE coin <= 2 GROUP BY p_brand),
+        |calib AS (
+        |  SELECT li.p_brand, round(abs(y - yhat), 6) AS score,
+        |         l_orderkey, l_linenumber
+        |  FROM li JOIN model USING (p_brand) WHERE coin = 3),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM calib),
+        |qs AS (
+        |  SELECT score AS qhat FROM (
+        |    SELECT score,
+        |           row_number() OVER (ORDER BY score, l_orderkey,
+        |                              l_linenumber) AS rn
+        |    FROM calib) t, nc
+        |  WHERE rn = (9 * (n_cal + 1) + 9) // 10),
+        |test AS (
+        |  SELECT li.p_brand, round(abs(y - yhat), 6) AS score
+        |  FROM li JOIN model USING (p_brand) WHERE coin = 4),
+        |bb AS (
+        |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_test,
+        |         CAST(sum(CASE WHEN score <= qhat THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_in
+        |  FROM test, qs GROUP BY p_brand
+        |  UNION ALL
+        |  SELECT 'ALL', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN score <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM test, qs)
+        |SELECT p_brand, nc.n_cal, qs.qhat, n_test, n_in,
+        |       round(CAST(n_in AS DOUBLE) / n_test, 6) AS coverage
+        |FROM bb, nc, qs ORDER BY p_brand""".stripMargin,
 
     "q295_spearman_daily" ->
       """WITH daily AS (
