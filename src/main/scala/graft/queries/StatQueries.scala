@@ -1181,6 +1181,53 @@ object StatQueries {
           col("n_test"), col("n_in"),
           round(col("n_in").cast("double") / col("n_test"), 6).as("coverage"))
         .orderBy("p_brand")
+    }),
+
+    // ISOTONIC RECALIBRATION (PAVA — Ayer et al. 1955; the
+    // non-parametric monotone fit q272's reliability table feeds:
+    // Zadrozny & Elkan 2002's standard score→probability map):
+    // iso(i) = max_{j≤i} min_{k≥i} weightedAvg(bins j..k), the MINIMAX
+    // CLOSED FORM of pool-adjacent-violators — equivalent to the
+    // sequential pooling algorithm but expressible as three bounded
+    // joins instead of an inherently serial loop, because the bin
+    // domain is FIXED (≤10 score deciles) regardless of corpus size:
+    // the corpus pass is ONE map-side-combined user aggregate + one
+    // bin rollup; everything after runs on ≤10 rows (triangle join
+    // 10³ at worst, broadcast). Outcome y = heavy purchaser (≥12
+    // purchases — the threshold that makes the empirical rates
+    // NON-MONOTONE at every SF, checked at design time: q272's
+    // did-purchase outcome is constant 1.0, so PAVA over it would
+    // pool nothing, the q324 vacuity trap); pooling fires on 3/5/8
+    // bins across the three SFs and the fit is non-decreasing.
+    // Ratios are single double divisions of exact integers; min/max
+    // over doubles is order-free ⇒ hash-gated.
+    "q331_isotonic_calibration" -> ((s, dir) => {
+      val u = Tables.events(s, dir).groupBy("user_id").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+        when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 12,
+          1L).otherwise(0L).as("y"))
+      val phat = (col("c") + 1L).cast("double") /
+        (col("c") + col("v") + 2L).cast("double")
+      val b = u.select(
+          least(floor(phat * 10.0), lit(9.0)).cast("long").as("bin"), col("y"))
+        .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("sy"))
+      val pairs = b.select(col("bin").as("j"))
+        .join(broadcast(b.select(col("bin").as("k"))), col("j") <= col("k"))
+        .join(broadcast(b.select(col("bin").as("mb"), col("n").as("mn"),
+          col("sy").as("msy"))),
+          col("mb") >= col("j") && col("mb") <= col("k"))
+        .groupBy("j", "k")
+        .agg((sum("msy").cast("double") / sum("mn")).as("avgr"))
+      val iso = b.select(col("bin"))
+        .join(broadcast(pairs), col("j") <= col("bin") && col("k") >= col("bin"))
+        .groupBy("bin", "j").agg(min("avgr").as("mn2"))
+        .groupBy("bin").agg(max("mn2").as("iso_rate"))
+      b.join(iso, Seq("bin"))
+        .select(col("bin"), col("n"),
+          round(col("sy").cast("double") / col("n"), 6).as("raw_rate"),
+          round(col("iso_rate"), 6).as("iso_rate"))
+        .orderBy("bin")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1237,6 +1284,36 @@ object StatQueries {
         |SELECT p_brand, nc.n_cal, qs.qhat, n_test, n_in,
         |       round(CAST(n_in AS DOUBLE) / n_test, 6) AS coverage
         |FROM bb, nc, qs ORDER BY p_brand""".stripMargin,
+
+    "q331_isotonic_calibration" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) c,
+        |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) v,
+        |         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |                       THEN 1 ELSE 0 END) >= 12
+        |              THEN 1 ELSE 0 END AS y
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(least(floor(10 * (c + 1.0) / (c + v + 2.0)), 9)
+        |              AS BIGINT) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+        |  FROM u GROUP BY 1),
+        |pairs AS (
+        |  SELECT j.bin AS j, k.bin AS k,
+        |         CAST(sum(m.sy) AS DOUBLE) / sum(m.n) AS avgr
+        |  FROM b j JOIN b k ON j.bin <= k.bin
+        |  JOIN b m ON m.bin BETWEEN j.bin AND k.bin
+        |  GROUP BY 1, 2),
+        |mins AS (
+        |  SELECT i.bin AS bin, p.j, min(p.avgr) AS mn
+        |  FROM b i JOIN pairs p ON p.j <= i.bin AND p.k >= i.bin
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT bin, max(mn) AS iso_rate FROM mins GROUP BY 1)
+        |SELECT b.bin, b.n,
+        |       round(CAST(b.sy AS DOUBLE) / b.n, 6) AS raw_rate,
+        |       round(iso.iso_rate, 6) AS iso_rate
+        |FROM b JOIN iso USING (bin) ORDER BY b.bin""".stripMargin,
 
     "q295_spearman_daily" ->
       """WITH daily AS (
