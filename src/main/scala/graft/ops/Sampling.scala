@@ -286,6 +286,56 @@ object Sampling {
       .limit(k)
   }
 
+  /** PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM 2007): a fixed-k
+    * weighted sample that supports UNBIASED subset-sum estimation —
+    * the estimator complement of weightedSample's selection-only ES
+    * draw. Priority q_i = w_i / u_i with the SAME content-addressed
+    * uniform (13 md5 hex chars over 2^52 — cross-engine replayable);
+    * keep the k largest priorities; τ = the (k+1)-th priority; every
+    * kept row carries ŵ_i = max(w_i, τ), and Σ ŵ over ANY kept subset
+    * unbiasedly estimates that subset's true weight sum (the theorem's
+    * point: ONE 100-row sample answers every "revenue of brand X"-
+    * style subset query with bounded variance — the 100 TB use is a
+    * per-shard sketch table of samples replacing full scans for
+    * ad-hoc slicing).
+    *
+    * Scale shape: the coin and priority are row-local; selection is
+    * orderBy(priority).limit(k+1) = TakeOrderedAndProject (per-
+    * partition heaps + a driver merge of k+1 rows, never a global
+    * sort); the only window runs on the (k+1)-row frame — bounded by
+    * construction (the declared-bounded-domain class, not the q273
+    * funnel). Fewer than k+1 rows ⇒ τ = 0 and ŵ = w (the sample IS
+    * the population, estimate exact).
+    *
+    * Weights must be strictly positive (weightedSample's contract and
+    * for the same reason). Output: keyCols + (w, priority, tau,
+    * w_hat). */
+  def prioritySample(df: DataFrame, keyCols: Seq[String], weight: Column,
+                     k: Int, seed: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val keyStr = concat_ws(":",
+      keyCols.map(c => col(c).cast("string")): _*)
+    val v = conv(substring(
+      md5(concat(keyStr, lit(":" + seed))), 1, 13), 16, 10).cast("double")
+    val u = (v + lit(0.5)) / lit(math.pow(16, 13))
+    val tail = df.filter(weight.isNotNull && weight > 0)
+      .withColumn("w", weight)
+      .withColumn("priority", col("w") / u)
+      .orderBy(col("priority").desc +: keyCols.map(col): _*)
+      .limit(k + 1)
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("priority").desc +: keyCols.map(col): _*)))
+    val tau = tail.filter(col("__rn") === k + 1)
+      .groupBy().agg(max(col("priority")).as("tau"))
+    tail.filter(col("__rn") <= k)
+      .crossJoin(broadcast(tau))
+      .withColumn("tau", coalesce(col("tau"), lit(0.0)))
+      .withColumn("w_hat", greatest(col("w"), col("tau")))
+      .drop("__rn")
+  }
+
   /** Exact global ranks WITHOUT a global sort — the RangePartitioner
     * form of the q273 range-split planner's order-statistic pick, and
     * the row-number sibling of Profile.runningTotalByRange's two-phase

@@ -1914,6 +1914,46 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // PRIORITY SAMPLING (Sampling.prioritySample — Duffield–Lund–
+    // Thorup 2007): the fixed-k weighted sample that ESTIMATES, not
+    // just selects (q132's ES sample picks documents; this one
+    // replaces full scans for subset-sum queries): 100 lineitems by
+    // revenue priority, τ = the 101st priority, ŵ = max(w, τ), and
+    // the audit the theorem promises — Σ ŵ over the sample vs the
+    // exact corpus total (rel_err is the query's POINT: a 100-row
+    // sample reproduces the 60k-row total within ~τ·√k error; reads
+    // 0.206 / 0.051 at sf0.001 / sf0.01). ŵ terms DECIMAL-quantized
+    // before the sum (rule 8); the only window rides the (k+1)-row
+    // TakeOrdered frame (declared bounded); the whole lifecycle —
+    // coin, priorities, boundary τ, estimator — is content-addressed
+    // and hash-gated. BRANCH NOTE (vacuous-branch audit): with k ≪ n
+    // and the fixture's light-tailed weights, τ = total/k-ish exceeds
+    // max(w) on EVERY table at EVERY SF (checked: 3.2M vs 105k on
+    // lineitem), so the gated output rides greatest()'s τ-branch
+    // exclusively — the production-typical regime. The w-branch
+    // (dominant items carrying their own weight) is proven live by
+    // SamplingSpec's dominant-weight test; a fixture weight cannot
+    // reach it structurally.
+    "q332_priority_sample" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val samp = Sampling.prioritySample(li, Seq("l_orderkey", "l_linenumber"),
+        col("l_extendedprice"), k = 100, seed = 13L)
+      val est = samp.agg(
+        count(lit(1)).as("n_sample"),
+        max(col("tau")).as("tau_raw"),
+        sum(round(col("w_hat"), 6).cast("decimal(24,6)")).as("est"))
+      val exact = li.agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("ex"))
+      est.crossJoin(broadcast(exact))
+        .select(col("n_sample"),
+          round(col("tau_raw"), 4).as("tau"),
+          col("est").cast("double").as("est_total"),
+          col("ex").cast("double").as("exact_total"),
+          round(abs(col("est").cast("double") - col("ex").cast("double")) /
+            col("ex").cast("double"), 6).as("rel_err"))
+    }),
+
     // temperature-scaled mixture (Sampling.temperatureMixture): weights
     // ∝ (token share)^0.3 — the multilingual-LM flattening rule that
     // upweights low-resource strata; rate/planned tokens as in q111.
@@ -4199,6 +4239,32 @@ object LlmQueries {
         |SELECT doc_id, lang, n_chars, round(es_key * 1000, 6) AS es_key_m
         |FROM (SELECT * FROM k ORDER BY es_key, doc_id LIMIT 50) t
         |ORDER BY doc_id""".stripMargin,
+    "q332_priority_sample" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice AS w,
+        |         (CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |              CAST(l_linenumber AS VARCHAR) || ':13'), 1, 13))
+        |              AS BIGINT) + 0.5) / 4503599627370496.0 AS u
+        |  FROM lineitem),
+        |p AS (SELECT *, w / u AS priority FROM li),
+        |tail AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (ORDER BY priority DESC,
+        |                l_orderkey, l_linenumber) AS rn
+        |    FROM p) WHERE rn <= 101),
+        |tau AS (SELECT coalesce(max(CASE WHEN rn = 101 THEN priority END),
+        |                        0.0) AS tau FROM tail),
+        |est AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_sample,
+        |         sum(CAST(round(greatest(w, tau), 6) AS DECIMAL(24,6))) AS est
+        |  FROM tail, tau WHERE rn <= 100),
+        |ex AS (SELECT sum(CAST(w AS DECIMAL(18,2))) AS ex FROM li)
+        |SELECT n_sample, round(tau.tau, 4) AS tau,
+        |       CAST(est AS DOUBLE) AS est_total,
+        |       CAST(ex AS DOUBLE) AS exact_total,
+        |       round(abs(CAST(est AS DOUBLE) - CAST(ex AS DOUBLE)) /
+        |             CAST(ex AS DOUBLE), 6) AS rel_err
+        |FROM est, tau, ex""".stripMargin,
     "q124_training_shuffle" ->
       """SELECT doc_id,
         |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 6))

@@ -528,6 +528,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     "q186_rrf_fusion" -> "query-term-selective candidate set, top-50 per ranker",
     "q260_zipf_slope" -> "top-200 vocab spectrum",
     "q309_ndcg_eval" -> "≤10-row window after TakeOrdered top-10",
+    "q332_priority_sample" -> "(k+1)=101-row frame after TakeOrdered (prioritySample's declared bound)",
     // partition-count offset tables (the two-phase range machinery
     // itself: Profile.runningTotalByRange's __pid window is ≤ the
     // partition count — the funnel IS the fix for the data-sized one)

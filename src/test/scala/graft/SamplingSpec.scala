@@ -295,4 +295,69 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
       assert(got === want, s"n=$n k=$k")
     }
   }
+
+  test("prioritySample: k >= population means tau=0 and the estimate is exact") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "w0")
+    val got = Sampling.prioritySample(df, Seq("id"), col("w0"), k = 10,
+      seed = 5L)
+    val rows = got.select("id", "tau", "w_hat").as[(Long, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.forall(_._2 === 0.0))
+    assert(rows.map(_._3).toSeq === Seq(10.0, 20.0, 30.0))
+  }
+
+  test("prioritySample: tau is the (k+1)-th priority, w_hat >= w, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 200L).map(i => (i, (i % 13 + 1).toDouble)).toDF("id", "w0")
+    val got = Sampling.prioritySample(df, Seq("id"), col("w0"), k = 20,
+      seed = 7L)
+    val rows = got.select("id", "w", "priority", "tau", "w_hat")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(rows.length === 20)
+    val tau = rows.head._4
+    assert(rows.forall(_._4 === tau))
+    // tau separates the sample: every kept priority >= tau, and tau is
+    // strictly below the smallest kept one unless tied
+    assert(rows.forall(_._3 >= tau))
+    assert(rows.forall(r => r._5 === math.max(r._2, tau)))
+    // exclusion sanity: no row with w <= 0 could appear, and the same
+    // call on a different partitioning returns the identical sample
+    val re = Sampling.prioritySample(df.repartition(7), Seq("id"),
+        col("w0"), k = 20, seed = 7L)
+      .select("id", "w_hat").as[(Long, Double)].collect().toMap
+    assert(re === rows.map(r => r._1 -> r._5).toMap)
+  }
+
+  test("prioritySample: a dominant weight rides the w-branch while light rows take tau") {
+    import org.apache.spark.sql.functions.col
+    // one heavy row (w=1000) among 100 light ones (w=1): tau ~ total/k
+    // is far below 1000, so the heavy row's w_hat = w while every
+    // light row's w_hat = tau — BOTH branches of greatest(w, tau) in
+    // one output (the fixture-weight gate q332 can only exercise the
+    // tau regime: total/k exceeds max w on every table, structurally)
+    val df = ((1L to 100L).map(i => (i, 1.0)) :+ (999L, 1000.0))
+      .toDF("id", "w0")
+    val got = Sampling.prioritySample(df, Seq("id"), col("w0"), k = 10,
+        seed = 2L)
+      .select("id", "w", "tau", "w_hat")
+      .as[(Long, Double, Double, Double)].collect()
+    val tau = got.head._3
+    assert(tau > 0 && tau < 1000.0)
+    val heavy = got.find(_._1 === 999L)
+    assert(heavy.nonEmpty, "the dominant row must be sampled")
+    assert(heavy.get._4 === 1000.0)
+    assert(got.filter(_._1 !== 999L).forall(r => r._4 === tau))
+  }
+
+  test("prioritySample: null/zero/negative weights are dropped, never sampled") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, Some(5.0)), (2L, None), (3L, Some(0.0)),
+      (4L, Some(-2.0)), (5L, Some(1.0))).toDF("id", "w0")
+    val got = Sampling.prioritySample(df, Seq("id"), col("w0"), k = 3,
+        seed = 3L)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 5L))
+  }
 }
