@@ -102,7 +102,7 @@ class ApiTable(options: CaseInsensitiveStringMap) extends Table with SupportsRea
 class ApiScanBuilder(categories: Array[String], pages: Int)
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
 
   private var kept: Array[String] = categories
@@ -134,6 +134,49 @@ class ApiScanBuilder(categories: Array[String], pages: Int)
     else {
       aggPushed = Some((agg.groupByExpressions.nonEmpty, kinds.flatten))
       true
+    }
+  }
+
+  // RUNTIME filtering (r14 — the third leg of the pushdown story:
+  // static filters prune at plan time, aggregates at scan time, and
+  // this prunes from JOIN results at RUN time): when this scan sits on
+  // the probe side of a join on `category` and the build side
+  // materializes first (broadcast/DPP), Spark hands the observed key
+  // set as an IN predicate and the doomed categories are never
+  // fetched — dynamic partition pruning for a network source. V2
+  // contract: filter() runs AFTER build()/toBatch, BEFORE
+  // planInputPartitions() on the executed scan; predicates we don't
+  // understand are ignored (they only ever REDUCE, never define,
+  // correctness — Spark re-applies the join itself).
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("category"))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    predicates.foreach { p =>
+      if (p.name() == "IN") {
+        val children = p.children()
+        val onCategory = children.headOption.exists {
+          case r: NamedReference => r.fieldNames.sameElements(Array("category"))
+          case _ => false
+        }
+        if (onCategory) {
+          val vals: Set[String] = children.drop(1).collect {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value match {
+                case u: UTF8String => u.toString
+                case s: String => s
+                case other => String.valueOf(other)
+              }
+          }.toSet
+          // an IN with no extractable literals prunes nothing (safe)
+          if (vals.nonEmpty) kept = kept.filter(vals)
+        }
+      }
     }
   }
 

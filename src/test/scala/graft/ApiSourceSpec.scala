@@ -136,4 +136,44 @@ class ApiSourceSpec extends AnyFunSuite with SparkFixture {
       .agg(avg("page")).as[(String, Double)].head()
     assert(a === (("a", 1.5)))
   }
+
+  test("runtime v2 filtering: join-observed categories prune fetches at run time") {
+    import graft.sources.ApiPartitionReader
+    // 8 categories on the probe side, a filtered dim keeping only
+    // {b, d} on the build side: Spark plans a dynamicpruning IN
+    // subquery against the scan (SupportsRuntimeV2Filtering), the
+    // scan's filter() drops the six doomed categories BEFORE
+    // planInputPartitions, and the fetch counter proves the doomed
+    // fetches never happened — DPP for a network source. The dim
+    // carries a genuine selective filter (a bare 2-row literal frame
+    // fails the DPP selectivity heuristic — found while building the
+    // test).
+    val api = spark.read.format("graft-api")
+      .option("categories", "a,b,c,d,e,f,g,h").option("pages", "2").load()
+    val dim = spark.range(0, 100).select(
+        concat(lit("cat"), col("id")).as("category"), col("id").as("w"))
+      .unionByName(Seq(("b", 1L), ("d", 2L)).toDF("category", "w"))
+      .filter(col("w") <= 2)
+    val joined = api.join(dim.hint("broadcast"), Seq("category"))
+      .select("category", "page", "payload")
+    // the plan must actually carry the runtime filter — otherwise the
+    // fetch assertion below would pass vacuously slower (all fetched,
+    // rows still correct) on a planner regression
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruningexpression"),
+      s"runtime filter not planned:\n$plan")
+    ApiPartitionReader.fetchCount.set(0L)
+    val rows = joined.collect()
+    assert(rows.length === 4) // {b, d} x 2 pages
+    assert(rows.map(_.getString(0)).toSet === Set("b", "d"))
+    assert(ApiPartitionReader.fetchCount.get() === 4L,
+      "six doomed categories must never be fetched (2 cats x 2 pages only)")
+    // static pushdown composes: a static filter narrows the runtime set
+    ApiPartitionReader.fetchCount.set(0L)
+    val both = api.filter(col("category").isin("a", "d", "e"))
+      .join(dim.hint("broadcast"), Seq("category"))
+      .select("category", "page", "payload").collect()
+    assert(both.map(_.getString(0)).toSet === Set("d"))
+    assert(ApiPartitionReader.fetchCount.get() === 2L)
+  }
 }
