@@ -533,6 +533,36 @@ object JoinQueries {
       graft.ops.Graph.bfs(edges, seeds, maxHops = 3).orderBy("node")
     }),
 
+    // PERSONALIZED PAGERANK (ops.Graph.personalizedPageRank —
+    // Haveliwala 2002) seeded on the ASIA suppliers over q163's FULL
+    // symmetrized trade graph: "how relevant is every participant to
+    // the ASIA supply portfolio" — the seed-biased relevance score
+    // beside q163's global importance, q297's mutual reinforcement,
+    // and q327's hop distances (which share the seed set: distance
+    // says HOW FAR, this says HOW MUCH). Same 1e-12 integer
+    // fixed-point, 2 supersteps, restart mass only on seeds; nodes
+    // outside the 2-hop neighborhood read EXACTLY 0 (integer math —
+    // locality is bit-visible, not approximate). The whole build
+    // hash-matches the unrolled DuckDB replay.
+    "q333_personalized_pagerank" -> ((s, dir) => {
+      val eb = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s1"))
+        .distinct()
+      val edges = eb.select(col("c").as("src"), col("s1").as("dst"))
+        .unionByName(eb.select(col("s1").as("src"), col("c").as("dst")))
+      val seeds = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      graft.ops.Graph.personalizedPageRank(edges, seeds, iterations = 2)
+        .orderBy("node")
+    }),
+
     // TRIANGLE COUNTING (ops.Graph.triangleCounts) on the part
     // co-purchase graph (parts bought together in an order) — the
     // clustering/community primitive. The Spark side runs the
@@ -1404,6 +1434,46 @@ object JoinQueries {
         |SELECT comp AS canonical, CAST(count(*) AS BIGINT) AS cluster_size,
         |       max(id) AS max_member
         |FROM lab GROUP BY comp ORDER BY canonical""".stripMargin,
+    "q333_personalized_pagerank" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM eb
+        |      UNION ALL SELECT s AS src, c AS dst FROM eb),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |sd AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier
+        |       JOIN nation ON s_nationkey = n_nationkey
+        |       JOIN region ON n_regionkey = r_regionkey
+        |       WHERE r_name = 'ASIA'),
+        |f AS (SELECT d.src, d.deg,
+        |             CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS sf
+        |      FROM d LEFT JOIN sd ON d.src = sd.node),
+        |ns AS (SELECT sum(sf) AS n_seeds FROM f),
+        |r0 AS (SELECT f.src AS node, f.deg, f.sf,
+        |              CASE WHEN f.sf = 1
+        |                   THEN 1000000000000 // ns.n_seeds
+        |                   ELSE 0 END AS pr
+        |       FROM f CROSS JOIN ns),
+        |c1 AS (SELECT e.dst, r.pr // r.deg AS cb
+        |       FROM e JOIN r0 r ON e.src = r.node),
+        |s1x AS (SELECT dst, sum(cb) AS sm FROM c1 GROUP BY dst),
+        |r1 AS (SELECT f.src AS node, f.deg, f.sf,
+        |              CASE WHEN f.sf = 1
+        |                   THEN (15 * 1000000000000) // (100 * ns.n_seeds)
+        |                   ELSE 0 END
+        |              + (85 * coalesce(s1x.sm, 0)) // 100 AS pr
+        |       FROM f LEFT JOIN s1x ON f.src = s1x.dst CROSS JOIN ns),
+        |c2 AS (SELECT e.dst, r.pr // r.deg AS cb
+        |       FROM e JOIN r1 r ON e.src = r.node),
+        |s2x AS (SELECT dst, sum(cb) AS sm FROM c2 GROUP BY dst),
+        |r2 AS (SELECT f.src AS node, f.deg, f.sf,
+        |              CASE WHEN f.sf = 1
+        |                   THEN (15 * 1000000000000) // (100 * ns.n_seeds)
+        |                   ELSE 0 END
+        |              + (85 * coalesce(s2x.sm, 0)) // 100 AS pr
+        |       FROM f LEFT JOIN s2x ON f.src = s2x.dst CROSS JOIN ns)
+        |SELECT node, deg, CAST(pr AS BIGINT) AS ppr_fp
+        |FROM r2 ORDER BY node""".stripMargin,
     "q328_golden_record" ->
       """WITH RECURSIVE n AS (
         |  SELECT DISTINCT p_name AS name,

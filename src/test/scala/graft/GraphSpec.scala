@@ -227,6 +227,28 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(re === got)
   }
 
+  test("personalizedPageRank: one superstep on a path matches hand arithmetic; locality is exact zero") {
+    // 1↔2↔3, seed {1}: after one step the seed keeps only its restart
+    // mass, node 2 holds 85% of the seed's pushed unit, node 3 is
+    // EXACTLY 0 (outside the 1-hop neighborhood — integer math, no fuzz)
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val got = Graph.personalizedPageRank(edges, Seq(1L).toDF("node"),
+        iterations = 1)
+      .select("node", "ppr_fp").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 150000000000L, 2L -> 850000000000L, 3L -> 0L))
+  }
+
+  test("personalizedPageRank with seeds = ALL nodes degenerates to global pageRank") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
+      (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val all = Seq(1L, 2L, 3L).toDF("node")
+    val ppr = Graph.personalizedPageRank(edges, all, iterations = 3)
+      .select("node", "ppr_fp").as[(Long, Long)].collect().toMap
+    val pr = Graph.pageRank(edges, iterations = 3)
+      .select("node", "pr_fp").as[(Long, Long)].collect().toMap
+    assert(ppr === pr)
+  }
+
   test("bfs: hand-checked distances on a path + branch; unreachable absent") {
     // 1→2→3→4→5 plus 2→6; 9→10 is a separate component
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L),
