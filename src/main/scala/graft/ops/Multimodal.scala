@@ -235,26 +235,131 @@ object Multimodal {
           PpmHash(id, valid = false, hd._1, hd._2, 0L)
         else {
           val (w, h, off) = hd
-          val n = w * h
-          val g = new Array[Int](n)
-          var tot = 0L
-          var p = 0
-          while (p < n) {
-            val base = off + 3 * p
-            g(p) = (bytes(base) & 0xff) + (bytes(base + 1) & 0xff) +
-              (bytes(base + 2) & 0xff)
-            tot += g(p)
-            p += 1
-          }
-          var hash = 0L
-          p = 0
-          while (p < n) {
-            if (n.toLong * g(p) > tot) hash |= (1L << p)
-            p += 1
-          }
-          PpmHash(id, valid = true, w, h, hash)
+          PpmHash(id, valid = true, w, h, aHashKernel(bytes, off, w, h))
         }
       })
+
+  /** The aHash bit-pattern kernel shared by ppmAHash and the video
+    * frame hasher: gray g(p) = r+g+b, bit p set iff n·g(p) > Σg —
+    * all-integer, callers enforce the w·h ≤ 64 bound. */
+  private[ops] def aHashKernel(bytes: Array[Byte], off: Int,
+                               w: Int, h: Int): Long = {
+    val n = w * h
+    val g = new Array[Int](n)
+    var tot = 0L
+    var p = 0
+    while (p < n) {
+      val base = off + 3 * p
+      g(p) = (bytes(base) & 0xff) + (bytes(base + 1) & 0xff) +
+        (bytes(base + 2) & 0xff)
+      tot += g(p)
+      p += 1
+    }
+    var hash = 0L
+    p = 0
+    while (p < n) {
+      if (n.toLong * g(p) > tot) hash |= (1L << p)
+      p += 1
+    }
+    hash
+  }
+
+  /** Deterministic synthetic VIDEO container for `doc_id` — the
+    * fixture that puts the container parser + frame hasher under the
+    * driver's hash gate (q335), the video leg of the q94/q129 planted
+    * decoders. Format (custom, codec-free — this container has no
+    * video libs, and the point is the PLUMBING: container walk, frame
+    * extraction, per-frame hashing, temporal dedup):
+    *
+    *   "GV1 <nframes>\n" then nframes complete binary P6 images
+    *   back to back (same P6 shape decodePpm reads).
+    *
+    * Frame geometry w = 4 + id % 5, h = 3 + id % 4 (the q94 image
+    * dims); nframes = 4 + id % 5 (4..8). Frame f's raster byte j is
+    *   (id·31 + (f div 3)·97 + f + j) mod 256
+    * — a SCENE change every 3 frames (the ·97 jump re-randomizes the
+    * pattern) and a +1 global brightness drift per frame inside a
+    * scene (aHash is mean-relative, so drift flips only mod-256
+    * wrap pixels: intra-scene hamming ≤ 3 on the fixture, cuts
+    * average ~15 — the separation the q335 keyframe rule thresholds).
+    * id % 11 == 0 ⇒ the byte stream is TRUNCATED 5 bytes short — the
+    * planted corrupt container the parser must quarantine whole. */
+  def syntheticVideo(id: Long): Array[Byte] = {
+    require(id >= 0, s"syntheticVideo requires a non-negative id, got $id")
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    val nf = (4 + id % 5).toInt
+    val head = s"GV1 $nf\n".getBytes("US-ASCII")
+    val fh = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val frameLen = fh.length + w * h * 3
+    val full = head.length + nf * frameLen
+    val len = if (id % 11 == 0) full - 5 else full
+    val out = new Array[Byte](len)
+    System.arraycopy(head, 0, out, 0, head.length)
+    var pos = head.length
+    var f = 0
+    while (f < nf && pos < len) {
+      var j = 0
+      while (j < fh.length && pos < len) { out(pos) = fh(j); j += 1; pos += 1 }
+      val scene = f / 3
+      j = 0
+      while (j < w * h * 3 && pos < len) {
+        out(pos) = ((id * 31 + scene * 97 + f + j) % 256).toByte
+        j += 1; pos += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** One row per decoded video frame: the frame's aHash under the
+    * ppmAHash kernel. A malformed/truncated container quarantines the
+    * WHOLE video as a single (valid = false, frame = -1) row — a
+    * half-parsed video must not leak a plausible-looking prefix into
+    * keyframe selection. */
+  case class VideoFrameHash(doc_id: Long, valid: Boolean, frame: Int,
+                            width: Int, height: Int, phash: Long)
+
+  implicit val videoFrameHashEnc: Encoder[VideoFrameHash] =
+    Encoders.product[VideoFrameHash]
+
+  /** REAL container walk — no stub: header scan, per-frame P6 decode
+    * (the ppmHeader walk on each frame slice), per-frame aHash. Narrow
+    * mapPartitions + flatMap, binary never shuffles; the hash rows
+    * (16 B/frame) are what reaches the keyframe join. */
+  def videoFrameHashes(payloadDf: DataFrame): Dataset[VideoFrameHash] =
+    payloadDf.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => parseVideo(id, bytes) })
+
+  private[graft] def parseVideo(id: Long,
+                                bytes: Array[Byte]): Seq[VideoFrameHash] = {
+    def bad = Seq(VideoFrameHash(id, valid = false, -1, 0, 0, 0L))
+    if (bytes.length < 5 || bytes(0) != 'G' || bytes(1) != 'V' ||
+        bytes(2) != '1' || bytes(3) != ' ') return bad
+    var i = 4
+    var nf = 0
+    var any = false
+    while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+      nf = nf * 10 + (bytes(i) - '0'); i += 1; any = true
+    }
+    if (!any || nf <= 0 || i >= bytes.length || bytes(i) != '\n') return bad
+    i += 1
+    val out = Seq.newBuilder[VideoFrameHash]
+    var f = 0
+    while (f < nf) {
+      val slice = java.util.Arrays.copyOfRange(bytes, i, bytes.length)
+      val hd = ppmHeader(slice)
+      if (hd == null) return bad
+      val (w, h, off) = hd
+      if (w.toLong * h > 64) return bad // the ppmAHash shift bound
+      out += VideoFrameHash(id, valid = true, f, w, h,
+        aHashKernel(slice, off, w, h))
+      i += off + w * h * 3
+      f += 1
+    }
+    out.result()
+  }
 
   /** Downsampled-image features (REAL resize math on the REAL decode —
     * the codec-free format is what makes the whole resize path

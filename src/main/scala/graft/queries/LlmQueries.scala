@@ -2388,6 +2388,43 @@ object LlmQueries {
         .orderBy("width", "height", "phash")
     }),
 
+    // VIDEO KEYFRAME SAMPLING (the frame-sample stage of a multimodal
+    // training pipeline — temporal dedup: consecutive frames are
+    // nearly free copies, and a curated corpus keeps ~1 frame per
+    // SCENE, not 30/sec): REAL container walk over the planted GV1
+    // format (Multimodal.syntheticVideo — header + back-to-back P6
+    // frames, every byte a pure function of (id, frame), truncated
+    // id%11 containers quarantine WHOLE), per-frame aHash (q298's
+    // kernel), then the scene-cut rule — keyframe ⇔ first frame OR
+    // hamming(phash, prev) > 4 (intra-scene brightness drift flips
+    // only mod-256 wrap pixels, ham ≤ 3; cuts average ~15; cuts that
+    // land ≤ 4 are MISSED — the honest detector, both branches live).
+    // The lag window is per-video (≤ 8 frames, partitioned); hash
+    // rows, never frames, reach the shuffle.
+    "q335_video_keyframes" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticVideo(id))))
+        .toDF("doc_id", "payload")
+      val frames = Multimodal.videoFrameHashes(payloads)
+        .filter(col("valid"))
+      val w = Window.partitionBy("doc_id").orderBy("frame")
+      val scored = frames
+        .withColumn("prev", lag(col("phash"), 1).over(w))
+        .withColumn("ham",
+          when(col("prev").isNotNull,
+            bit_count(col("phash").bitwiseXOR(col("prev")))))
+        .withColumn("is_key", col("prev").isNull || col("ham") > 4)
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("is_key"), 1L).otherwise(0L)).as("n_keyframes"),
+          sum(when(col("ham") > 4, 1L).otherwise(0L)).as("n_cuts"),
+          coalesce(max(when(!col("is_key"), col("ham"))), lit(0))
+            .cast("long").as("max_drift"))
+        .orderBy("doc_id")
+    }),
+
     // IMAGE NEAR-DUP BY HAMMING DISTANCE (the SimHash pigeonhole trick
     // applied to q298's perceptual hashes — tonal/structural
     // near-misses that exact phash equality cannot see): pairs of
@@ -4138,6 +4175,46 @@ object LlmQueries {
         |       count(*) AS n_tokens
         |FROM toks JOIN counts USING (token), total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // mirrors Multimodal.syntheticVideo's arithmetic exactly: the
+    // scene term (f div 3)·97, the +f drift, the three channel bytes
+    // per pixel, and the id % 11 truncation (quarantined whole on the
+    // Spark side, filtered by the generation rule here — the q98
+    // pattern: the parser DETECTS what the oracle replays)
+    "q335_video_keyframes" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS w,
+        |         CAST(3 + doc_id % 4 AS INTEGER) AS h,
+        |         4 + doc_id % 5 AS nf
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |fr AS (SELECT doc_id, w, h, CAST(f AS INTEGER) AS f
+        |       FROM d, unnest(range(0, nf)) AS u(f)),
+        |px AS (
+        |  SELECT doc_id, w, h, f, p,
+        |         ( (doc_id * 31 + (f // 3) * 97 + f + 3 * p) % 256
+        |         + (doc_id * 31 + (f // 3) * 97 + f + 3 * p + 1) % 256
+        |         + (doc_id * 31 + (f // 3) * 97 + f + 3 * p + 2) % 256) AS g
+        |  FROM fr, unnest(range(0, w * h)) AS u(p)),
+        |t AS (SELECT doc_id, f, sum(g) AS tg FROM px GROUP BY 1, 2),
+        |b AS (
+        |  SELECT px.doc_id, px.f,
+        |         CAST(sum(CASE WHEN CAST(px.w * px.h AS BIGINT) * px.g > t.tg
+        |                  THEN (CAST(1 AS BIGINT) << px.p) ELSE 0 END)
+        |              AS BIGINT) AS ph
+        |  FROM px JOIN t ON px.doc_id = t.doc_id AND px.f = t.f
+        |  GROUP BY 1, 2),
+        |hm AS (
+        |  SELECT a.doc_id, a.f,
+        |         CASE WHEN p.ph IS NULL THEN NULL
+        |              ELSE bit_count(CAST(xor(a.ph, p.ph) AS BIGINT)) END AS ham
+        |  FROM b a LEFT JOIN b p ON a.doc_id = p.doc_id AND a.f = p.f + 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |       CAST(sum(CASE WHEN ham IS NULL OR ham > 4 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_keyframes,
+        |       CAST(sum(CASE WHEN ham > 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_cuts,
+        |       CAST(coalesce(max(CASE WHEN ham <= 4 THEN ham END), 0)
+        |            AS BIGINT) AS max_drift
+        |FROM hm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q334_source_drift" ->
       """WITH t AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS tok

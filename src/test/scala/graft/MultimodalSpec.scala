@@ -241,4 +241,48 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(got64.valid && got64.phash === (1L << 63),
       s"64-pixel raster is exactly representable: $got64")
   }
+
+  test("syntheticVideo round-trips through the container walk; frame 0 matches the image kernel") {
+    // id = 1: nf = 5 frames of 5x4; frame 0's raster formula is
+    // EXACTLY syntheticPpm(1)'s (scene 0, f 0), so its phash must
+    // equal the image path's — the two decoders share one kernel
+    val frames = Multimodal.videoFrameHashes(
+      Seq((1L, Multimodal.syntheticVideo(1L))).toDF("doc_id", "payload"))
+      .collect().sortBy(_.frame)
+    assert(frames.length === 5)
+    assert(frames.forall(f => f.valid && f.width === 5 && f.height === 4))
+    assert(frames.map(_.frame).toSeq === Seq(0, 1, 2, 3, 4))
+    val img = Multimodal.ppmAHash(
+      Seq((1L, Multimodal.syntheticPpm(1L))).toDF("doc_id", "payload"))
+      .collect().head
+    assert(frames.head.phash === img.phash,
+      "video frame 0 and the q94 image share the raster formula")
+    // scene structure: frames 0-2 share a scene (tiny drift), frame 3
+    // starts a new scene (the *97 jump re-randomizes the pattern)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(frames(0).phash, frames(1).phash) <= 4)
+    assert(ham(frames(1).phash, frames(2).phash) <= 4)
+  }
+
+  test("parseVideo quarantines truncated (id % 11) and malformed containers whole") {
+    val t = Multimodal.parseVideo(11L, Multimodal.syntheticVideo(11L))
+    assert(t === Seq(Multimodal.VideoFrameHash(11L, valid = false, -1, 0, 0, 0L)))
+    // header lies about the frame count: 3 promised, 2 shipped
+    val two = Multimodal.syntheticVideo(1L)
+    val lying = ("GV1 9\n".getBytes("US-ASCII") ++
+      two.drop("GV1 5\n".length))
+    assert(Multimodal.parseVideo(1L, lying).head.valid === false)
+    assert(Multimodal.parseVideo(1L, "notavideo".getBytes).head.valid === false)
+    // determinism + partition invariance of the dataset path
+    val ids = (0L to 40L)
+    val df = ids.map(i => (i, Multimodal.syntheticVideo(i))).toDF("doc_id", "payload")
+    val a = Multimodal.videoFrameHashes(df).collect().toSet
+    val b = Multimodal.videoFrameHashes(df.repartition(7)).collect().toSet
+    assert(a === b)
+    // every id % 11 == 0 container quarantined, everything else fully framed
+    assert(a.filter(!_.valid).map(_.doc_id) === ids.filter(_ % 11 == 0).toSet)
+    ids.filter(_ % 11 != 0).foreach { i =>
+      assert(a.count(r => r.doc_id == i && r.valid) === (4 + i % 5).toInt, s"id $i")
+    }
+  }
 }
