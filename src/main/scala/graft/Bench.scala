@@ -31,6 +31,7 @@ object Bench {
       spark.experimental.extraOptimizations ++= Seq(graft.plans.RewriteGroupedTopK)
       spark.experimental.extraStrategies ++= Seq(graft.plans.GroupedTopKStrategy)
     }
+    spark.experimental.extraOptimizations ++= Seq(graft.plans.RewriteAggOnRollup)
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: one trivial job + the flagship query spins up the
     // executor pool, whole-stage codegen compiler, and parquet reader

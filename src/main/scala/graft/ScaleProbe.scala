@@ -156,7 +156,21 @@ object ScaleProbe {
       // expect scale-invariant), and the JW-pair connected components
       // (vocabulary-sized pair graph, ~invariant)
       "q293_pq_ann", "q301_ivfpq_ann", "q297_hits",
-      "q298_image_phash_dedup", "q299_theil_sen", "q303_entity_resolution")
+      "q298_image_phash_dedup", "q299_theil_sen", "q303_entity_resolution",
+      // round-14 wave: the order-2 LM scoring (bigram model tables
+      // shuffle ∝ distinct bigrams; score join co-partitioned — expect
+      // ~linear wall, model-sized shuffle), the seed-restart PPR
+      // (q163's edge-keyed shape: shuffle ∝ distinct (c,s) pairs),
+      // the BFS frontier loop (per-level shuffle ∝ frontier
+      // adjacency, 3 levels), the leave-one-out JSD (one token
+      // aggregate + a vocab-bounded grid — expect scale-invariant
+      // shuffle), the video container walk (row-local decode, hash
+      // rows only — wall should track the scan), and the conformal
+      // lifecycle (rankedByRange on the calibration split + two
+      // broadcast score passes)
+      "q326_bigram_logprob", "q333_personalized_pagerank",
+      "q327_bfs_hops", "q334_source_drift", "q335_video_keyframes",
+      "q330_conformal")
     // SPARK_GRAFT_PROBE_ONLY=q106,q120 restricts the family — the
     // 30–50× runs target just the linear-growth outliers rather than
     // paying the whole family at a corpus 3–5× the 10× one.
@@ -175,6 +189,10 @@ object ScaleProbe {
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      // free rankedByRange checkpoints once the noop write has
+      // materialized (the Verify/Bench release discipline — q273/q330
+      // would otherwise accumulate blocks across the probe run)
+      graft.ops.Sampling.releaseCheckpoints()
       Thread.sleep(1000) // let straggler task-end events drain
       println(f"[probe] dir=$dir query=$name sec=$sec%.2f " +
         f"shuffle_read_mb=${acc.shufRead.get / 1e6}%.1f " +

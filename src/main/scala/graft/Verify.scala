@@ -20,7 +20,7 @@ object Verify {
     graft.expressions.VectorExpressions.register(spark)
     graft.expressions.TextExpressions.register(spark)
     graft.expressions.KllExpressions.register(spark)
-    spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct, graft.expressions.RewriteRollingHash, graft.plans.RewriteGroupedTopK)
+    spark.experimental.extraOptimizations ++= Seq(graft.expressions.RewriteDotProduct, graft.expressions.RewriteRollingHash, graft.plans.RewriteGroupedTopK, graft.plans.RewriteAggOnRollup)
     spark.experimental.extraStrategies ++= Seq(graft.plans.GroupedTopKStrategy)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

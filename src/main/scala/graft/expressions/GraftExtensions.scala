@@ -55,6 +55,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Filter(row_number ≤ k, Window) idiom re-planned as per-group
     // bounded heaps (graft.plans.GroupedTopK)
     ext.injectOptimizerRule(_ => graft.plans.RewriteGroupedTopK)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteAggOnRollup)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

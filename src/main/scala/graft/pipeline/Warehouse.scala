@@ -61,6 +61,32 @@ object Warehouse {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** DAY-GRAIN REVENUE ROLLUP — the materialized view behind
+    * `plans.RewriteAggOnRollup` (q336): (day, l_returnflag) →
+    * (rev DECIMAL(18,4), cnt BIGINT). Partial decimal sums are
+    * ASSOCIATIVE, so re-aggregating the dailies is bit-identical to
+    * aggregating the fact table — the property that lets the rewrite
+    * stay under the hash gate. Stored rev is cast back to
+    * DECIMAL(18,4) (daily revenue fits with 4 digits of headroom) so
+    * SUM over the rollup re-derives the exact DECIMAL(28,4) the
+    * original aggregate produced — the rewrite preserves dataTypes,
+    * not just values. Incremental maintenance is the q151 agg-state
+    * discipline: ingest MERGEs per-day partials instead of rebuilding. */
+  def writeDailyRevenueRollup(lineitem: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    // truncate via DATE so `day` keeps l_shipdate's TIMESTAMP_NTZ type
+    // (date_trunc converts NTZ→LTZ, and a type-mismatched comparison
+    // in the rewritten Filter would unresolve the plan — found live)
+    lineitem.groupBy(
+        col("l_shipdate").cast("date").cast("timestamp_ntz").as("day"),
+        col("l_returnflag"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("decimal(18,4)").as("rev"),
+        count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Z-ORDER (Morton) key: interleave the low `bitsPer` bits of two
     * non-negative integer columns — the multi-dimensional data-skipping
     * layout. Sorting/range-partitioning files by the z key keeps BOTH

@@ -410,6 +410,34 @@ object JoinQueries {
         .orderBy("l_orderkey")
     }),
 
+    // MATERIALIZED-VIEW REWRITE (plans.RewriteAggOnRollup — the §4.2
+    // Rule seam doing the oldest warehouse trick): the canonical
+    // revenue-by-flag report over a day-aligned shipdate year is
+    // written against the RAW lineitem scan, and the OPTIMIZER
+    // redirects it onto the day-grain rollup table (Warehouse.
+    // writeDailyRevenueRollup) — SUM of daily decimal partials is
+    // associative, so the DuckDB oracle computing from RAW lineitem
+    // must still hash-match bit-for-bit: the gate proves the rewrite
+    // sound, not just plausible. At 100 TB this is |days|×|flags|
+    // rows scanned instead of the fact table, maintained once by
+    // ingest. MvRewriteSpec pins the plan actually scans the rollup
+    // (and that misaligned bounds / foreign aggregates decline to the
+    // fact scan — the honest MV-matching limitation).
+    "q336_rollup_rewrite" -> ((s, dir) => {
+      dailyRollup(s, dir)
+      val lo = lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy(col("l_returnflag"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).as("rev_d"),
+          count(lit(1)).as("n_lines"))
+        .select(col("l_returnflag"), col("n_lines"),
+          col("rev_d").cast("double").as("revenue"))
+        .orderBy("l_returnflag")
+    }),
+
     // DYNAMIC PARTITION PRUNING (VERDICT r10 #2): the single most
     // common 100 TB warehouse read pattern after bucketing — a fact
     // table date-partitioned at write time (Warehouse.writePartitioned,
@@ -1232,6 +1260,27 @@ object JoinQueries {
     * is TempDirs scratch, self-cleaning at JVM exit. */
   private val dppFactPaths =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val rollupPaths =
+    scala.collection.mutable.Map[(String, String), String]()
+
+  /** Once-per-session build of the day-grain revenue rollup for `dir`
+    * + the confs that arm plans.RewriteAggOnRollup against THIS
+    * fixture's lineitem scan (the partitionedLineitem discipline). */
+  private def dailyRollup(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String = {
+    val path = rollupPaths.synchronized {
+      rollupPaths.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+        val p = graft.TempDirs.scratch("graft-rollup-")
+        graft.pipeline.Warehouse.writeDailyRevenueRollup(
+          Tables.lineitem(s, dir), p)
+        p
+      })
+    }
+    s.conf.set("spark.graft.rollup.daily.path", path)
+    s.conf.set("spark.graft.rollup.daily.source", s"$dir/lineitem.parquet")
+    path
+  }
+
   private def partitionedLineitem(s: org.apache.spark.sql.SparkSession,
                                   dir: String): String =
     dppFactPaths.synchronized {
@@ -1434,6 +1483,15 @@ object JoinQueries {
         |SELECT comp AS canonical, CAST(count(*) AS BIGINT) AS cluster_size,
         |       max(id) AS max_member
         |FROM lab GROUP BY comp ORDER BY canonical""".stripMargin,
+    // computed from RAW lineitem — the rewrite must not change a bit
+    "q336_rollup_rewrite" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q333_personalized_pagerank" ->
       """WITH eb AS (
         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** plans.RewriteAggOnRollup — the materialized-view matching rule.
+  * Pins: the canonical report's physical plan reads the ROLLUP (not
+  * the fact scan), results are identical with the rule disarmed, and
+  * every soundness gate declines (misaligned bounds, foreign
+  * aggregates, extra grouping keys, unset conf). */
+class MvRewriteSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def arm(): Unit = {
+    // the gated query's own setup builds the rollup + sets the confs
+    SparkEntry.queries("q336_rollup_rewrite")(spark, dir)
+    ()
+  }
+
+  private def disarm(): Unit = {
+    spark.conf.unset("spark.graft.rollup.daily.path")
+    spark.conf.unset("spark.graft.rollup.daily.source")
+  }
+
+  private def canonical(lo: String, hi: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(lo).cast("timestamp_ntz") &&
+        col("l_shipdate") < lit(hi).cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev_d"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag")
+
+  private def scansRollup(df: DataFrame): Boolean = {
+    val p = df.queryExecution.executedPlan.toString
+    p.contains("graft-rollup-") && !p.contains("lineitem.parquet")
+  }
+
+  private def scansFact(df: DataFrame): Boolean = {
+    val p = df.queryExecution.executedPlan.toString
+    p.contains("lineitem.parquet") && !p.contains("graft-rollup-")
+  }
+
+  test("the canonical report is rewritten onto the rollup scan, bit-identical results") {
+    arm()
+    try {
+      val rewritten = canonical("1995-01-01 00:00:00", "1996-01-01 00:00:00")
+      assert(scansRollup(rewritten),
+        rewritten.queryExecution.executedPlan.toString)
+      val got = rewritten.collect()
+      disarm()
+      val raw = canonical("1995-01-01 00:00:00", "1996-01-01 00:00:00")
+      assert(scansFact(raw))
+      assert(got.toSeq === raw.collect().toSeq)
+      assert(got.nonEmpty)
+    } finally disarm()
+  }
+
+  test("the unfiltered whole-table report also rewrites; results identical") {
+    arm()
+    try {
+      val rewritten = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).as("rev_d"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_returnflag")
+      assert(scansRollup(rewritten))
+      val got = rewritten.collect()
+      disarm()
+      val raw = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).as("rev_d"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_returnflag")
+      assert(got.toSeq === raw.collect().toSeq)
+    } finally disarm()
+  }
+
+  test("soundness gates decline to the fact scan") {
+    arm()
+    try {
+      // intra-day bound: the day-grain rollup cannot answer it
+      assert(scansFact(
+        canonical("1995-01-01 00:00:00", "1995-06-15 12:00:00")))
+      // a foreign aggregate (avg) in the list
+      assert(scansFact(
+        Tables.lineitem(spark, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(avg(col("l_quantity")).as("q"))))
+      // an extra grouping key the rollup doesn't carry
+      assert(scansFact(
+        Tables.lineitem(spark, dir)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast("decimal(18,4)")).as("rev_d"),
+            count(lit(1)).as("n_lines"))))
+      // a different revenue expression (tax, not discount)
+      assert(scansFact(
+        Tables.lineitem(spark, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_tax")))
+              .cast("decimal(18,4)")).as("rev_d"),
+            count(lit(1)).as("n_lines"))))
+      // unset conf: the rule must be inert
+      disarm()
+      assert(scansFact(
+        canonical("1995-01-01 00:00:00", "1996-01-01 00:00:00")))
+    } finally disarm()
+  }
+}

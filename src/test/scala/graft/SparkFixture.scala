@@ -32,7 +32,7 @@ object TestSpark {
     // RewriteRollingHash are deliberately NOT session-global here —
     // ExtensionsSpec installs them per-test to compare the rewritten
     // and declarative forms against each other.)
-    s.experimental.extraOptimizations ++= Seq(graft.plans.RewriteGroupedTopK)
+    s.experimental.extraOptimizations ++= Seq(graft.plans.RewriteGroupedTopK, graft.plans.RewriteAggOnRollup)
     s.experimental.extraStrategies ++= Seq(graft.plans.GroupedTopKStrategy)
     s.sparkContext.setLogLevel("ERROR")
     s
