@@ -102,7 +102,8 @@ class ApiTable(options: CaseInsensitiveStringMap) extends Table with SupportsRea
 class ApiScanBuilder(categories: Array[String], pages: Int)
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsRuntimeV2Filtering {
+    with SupportsPushDownAggregates with SupportsRuntimeV2Filtering
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
 
   private var kept: Array[String] = categories
@@ -110,6 +111,37 @@ class ApiScanBuilder(categories: Array[String], pages: Int)
   private var required: StructType = ApiSource.schema
   // (groupByCategory, aggregate kinds in pushed order) once accepted
   private var aggPushed: Option[(Boolean, Seq[String])] = None
+  // pushed LIMIT / top-N: each partition emits at most `limitN` rows,
+  // walking pages descending when `reverseOrder` (top-N on page DESC).
+  // PARTIAL pushdown by contract (isPartiallyPushed stays true): Spark
+  // re-applies the global limit/sort over the per-partition prefixes,
+  // so correctness never depends on partition count — the source's
+  // job is only to stop FETCHING past what can possibly survive
+  // (limit 3 over a 10k-page category is 3 fetches, not 10k).
+  private var limitN: Option[Int] = None
+  private var reverseOrder: Boolean = false
+
+  override def pushLimit(limit: Int): Boolean = {
+    limitN = Some(limit)
+    true
+  }
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    orders match {
+      case Array(o) => o.expression() match {
+        case r: NamedReference if r.fieldNames.sameElements(Array("page")) =>
+          limitN = Some(limit)
+          reverseOrder = o.direction() == SortDirection.DESCENDING
+          true
+        // any other key: the source has no order to offer — decline
+        case _ => false
+      }
+      case _ => false
+    }
+  }
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -226,7 +258,10 @@ class ApiScanBuilder(categories: Array[String], pages: Int)
       aggPushed.map { case (byCat, kinds) =>
         s" pushedAggregates=[${kinds.mkString(",")}]" +
           (if (byCat) " groupBy=[category]" else "")
-      }.getOrElse("")
+      }.getOrElse("") +
+      limitN.map(n =>
+        s" pushedLimit=$n" + (if (reverseOrder) " pageOrder=DESC" else ""))
+        .getOrElse("")
   override def toBatch: Batch = this
   // THE scale decision: one partition per SURVIVING category — the
   // reference's serial loop, parallelized AND pruned. (A real API
@@ -234,7 +269,8 @@ class ApiScanBuilder(categories: Array[String], pages: Int)
   override def planInputPartitions(): Array[InputPartition] =
     kept.map(c => ApiInputPartition(c, pages, required.fieldNames,
       aggPushed.map(_._1).getOrElse(false),
-      aggPushed.map(_._2.toArray).getOrElse(Array.empty)): InputPartition)
+      aggPushed.map(_._2.toArray).getOrElse(Array.empty),
+      limitN.getOrElse(-1), reverseOrder): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     new ApiReaderFactory
 }
@@ -242,7 +278,9 @@ class ApiScanBuilder(categories: Array[String], pages: Int)
 case class ApiInputPartition(category: String, pages: Int,
                              columns: Array[String],
                              aggByCategory: Boolean = false,
-                             aggKinds: Array[String] = Array.empty)
+                             aggKinds: Array[String] = Array.empty,
+                             limit: Int = -1,
+                             reverse: Boolean = false)
     extends InputPartition
 
 class ApiReaderFactory extends PartitionReaderFactory {
@@ -258,8 +296,16 @@ object ApiPartitionReader {
 
 class ApiPartitionReader(part: ApiInputPartition)
     extends PartitionReader[InternalRow] {
-  private var page = 0
+  private var emitted = 0
   private var current: InternalRow = _
+  // pushed limit/top-N: emit at most `limit` rows, walking the page
+  // range descending under a pushed `page DESC` top-N — fetches past
+  // the cap never happen (the counter witnesses it)
+  private val maxRows =
+    if (part.limit >= 0) math.min(part.limit, math.max(part.pages, 0))
+    else math.max(part.pages, 0)
+  private def pageAt(i: Int): Int =
+    if (part.reverse) part.pages - 1 - i else i
 
   /** STUB of the HTTP GET (no egress in this container): synthesizes a
     * deterministic search-response payload for (category, page) in the
@@ -306,16 +352,17 @@ class ApiPartitionReader(part: ApiInputPartition)
         aggEmitted = true
         true
       }
-    } else if (page >= part.pages) false
+    } else if (emitted >= maxRows) false
     else {
       // emit only the pruned columns, in the pruned schema's order —
       // the payload is synthesized/downloaded ONLY when projected
+      val pg = pageAt(emitted)
       current = InternalRow(part.columns.map {
         case "category" => UTF8String.fromString(part.category)
-        case "page" => page
-        case "payload" => UTF8String.fromString(fetch(part.category, page))
+        case "page" => pg
+        case "payload" => UTF8String.fromString(fetch(part.category, pg))
       }.toIndexedSeq: _*)
-      page += 1
+      emitted += 1
       true
     }
   override def get(): InternalRow = current

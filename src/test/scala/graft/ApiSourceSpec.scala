@@ -137,6 +137,40 @@ class ApiSourceSpec extends AnyFunSuite with SparkFixture {
     assert(a === (("a", 1.5)))
   }
 
+  test("limit and top-N pushdown stop fetching past the cap") {
+    import graft.sources.ApiPartitionReader
+    // plain LIMIT: each of the 2 partitions emits at most 3 rows —
+    // fetches 6, not 10; Spark's re-applied global limit returns 3
+    ApiPartitionReader.fetchCount.set(0L)
+    val limited = read("a,b", pages = 5).limit(3).collect()
+    assert(limited.length === 3)
+    assert(ApiPartitionReader.fetchCount.get() === 6L,
+      "limit must cap per-partition fetches (2 cats x 3)")
+    val lp = read("a,b", pages = 5).limit(3)
+      .queryExecution.executedPlan.toString
+    assert(lp.contains("pushedLimit=3"), lp)
+    // top-N on page DESC: partitions walk the page range backwards,
+    // fetch only the 2 newest pages each; global top-2 = the two
+    // page-4 rows (one per category)
+    ApiPartitionReader.fetchCount.set(0L)
+    val top = read("a,b", pages = 5).orderBy(col("page").desc).limit(2)
+      .collect()
+    assert(top.map(_.getInt(1)).toSeq === Seq(4, 4))
+    assert(ApiPartitionReader.fetchCount.get() === 4L,
+      "top-N must fetch only the surviving tail (2 cats x 2)")
+    val tp = read("a,b", pages = 5).orderBy(col("page").desc).limit(2)
+      .queryExecution.executedPlan.toString
+    assert(tp.contains("pushedLimit=2") && tp.contains("pageOrder=DESC"), tp)
+    // top-N on a key the source has no order for: decline cleanly,
+    // results still correct via Spark's own sort
+    val byCat = read("a,b", pages = 2).orderBy("category", "page").limit(3)
+    assert(!byCat.queryExecution.executedPlan.toString.contains("pushedLimit"))
+    assert(byCat.collect().map(r => (r.getString(0), r.getInt(1))).toSeq ===
+      Seq(("a", 0), ("a", 1), ("b", 0)))
+    // limit larger than the page range: everything returns, no dupes
+    assert(read("a", pages = 2).limit(99).collect().length === 2)
+  }
+
   test("runtime v2 filtering: join-observed categories prune fetches at run time") {
     import graft.sources.ApiPartitionReader
     // 8 categories on the probe side, a filtered dim keeping only
