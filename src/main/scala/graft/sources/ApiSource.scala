@@ -121,6 +121,10 @@ class ApiScanBuilder(categories: Array[String], pages: Int)
   private var limitN: Option[Int] = None
   private var reverseOrder: Boolean = false
 
+  // both pushdown traits declare the same default — Scala requires an
+  // explicit override to disambiguate; PARTIAL is the contract here
+  override def isPartiallyPushed(): Boolean = true
+
   override def pushLimit(limit: Int): Boolean = {
     limitN = Some(limit)
     true

@@ -144,8 +144,11 @@ class ApiSourceSpec extends AnyFunSuite with SparkFixture {
     ApiPartitionReader.fetchCount.set(0L)
     val limited = read("a,b", pages = 5).limit(3).collect()
     assert(limited.length === 3)
-    assert(ApiPartitionReader.fetchCount.get() === 6L,
-      "limit must cap per-partition fetches (2 cats x 3)")
+    // ≤ 2 cats × 3: Spark's incremental limit execution may satisfy
+    // the global limit from the FIRST partition alone (observed: 3)
+    val f = ApiPartitionReader.fetchCount.get()
+    assert(f >= 3L && f <= 6L,
+      s"limit must cap per-partition fetches (got $f, want within [3, 6])")
     val lp = read("a,b", pages = 5).limit(3)
       .queryExecution.executedPlan.toString
     assert(lp.contains("pushedLimit=3"), lp)
