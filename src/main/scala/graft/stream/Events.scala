@@ -644,6 +644,99 @@ object Events {
     }
   }
 
+  /** STREAMING MAINTENANCE OF THE REVENUE ROLLUP — the incremental
+    * loop that keeps plans.RewriteAggOnRollup's materialized view
+    * fresh (q336 reads it; this writes it): each micro-batch of
+    * lineitem-shaped rows is folded to day-grain partials and
+    * ADD-merged into the rollup snapshot. Addition is NOT idempotent,
+    * so replay safety cannot ride mergeSink's upsert trick; it rides
+    * the bloomDedupSink GENERATION discipline instead — each batch
+    * writes `gen-<batchId>` derived from the latest generation
+    * STRICTLY BELOW it, so a replayed batch recomputes the identical
+    * generation instead of double-adding, convergent at every crash
+    * point. Generations older than the one a replay can need are
+    * pruned. Decimal partials keep the rollup bit-identical to a
+    * from-scratch rebuild (EventsStreamSpec pins stream-maintained ≡
+    * batch-built, and that the REWRITE answers from the maintained
+    * table). */
+  def additiveRollupSink(lineitems: DataFrame,
+                         rollupDir: String): DataStreamWriter[Row] =
+    lineitems.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        additiveRollupBatch(batch, rollupDir, batchId)
+      }
+
+  /** Latest rollup generation under `rollupDir` (what the rewrite's
+    * `spark.graft.rollup.daily.path` should point at), if any. */
+  def latestRollup(spark: SparkSession, rollupDir: String): Option[String] = {
+    val dir = new org.apache.hadoop.fs.Path(rollupDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.matches("gen-\\d+") =>
+        n.stripPrefix("gen-").toLong } match {
+        case Seq() => None
+        case ids => Some(s"$rollupDir/gen-${ids.max}")
+      }
+  }
+
+  /** One micro-batch of the additive rollup sink (direct-invocation
+    * form — the mergeBatch/bloomDedupBatch testability pattern). */
+  def additiveRollupBatch(batch: DataFrame, rollupDir: String,
+                          batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val partial = batch.groupBy(
+        col("l_shipdate").cast("date").cast("timestamp_ntz").as("day"),
+        col("l_returnflag"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("decimal(18,4)").as("rev"),
+        count(lit(1)).as("cnt"))
+    val dir = new org.apache.hadoop.fs.Path(rollupDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val priorId: Option[Long] =
+      if (!fs.exists(dir)) None
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.matches("gen-\\d+") =>
+          n.stripPrefix("gen-").toLong }
+        .filter(_ < batchId) match {
+          case Seq() => None
+          case ids => Some(ids.max)
+        }
+    val merged = priorId match {
+      case None => partial
+      case Some(id) =>
+        val prior = spark.read.parquet(s"$rollupDir/gen-$id")
+        prior.select(col("day"), col("l_returnflag"),
+            col("rev").as("__pr"), col("cnt").as("__pc"))
+          .join(partial.select(col("day"), col("l_returnflag"),
+            col("rev").as("__nr"), col("cnt").as("__nc")),
+            Seq("day", "l_returnflag"), "full_outer")
+          .select(col("day"), col("l_returnflag"),
+            (coalesce(col("__pr"), lit(0).cast("decimal(18,4)")) +
+              coalesce(col("__nr"), lit(0).cast("decimal(18,4)")))
+              .cast("decimal(18,4)").as("rev"),
+            (coalesce(col("__pc"), lit(0L)) + coalesce(col("__nc"), lit(0L)))
+              .as("cnt"))
+    }
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"gen-$batchId.tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val dest = new org.apache.hadoop.fs.Path(dir, s"gen-$batchId")
+    fs.delete(dest, true) // a replay overwrites its own generation
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"rollup generation persist failed: $dest")
+    // prune: a replay can only target THIS batch id; it needs only
+    // the prior generation
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.matches("gen-\\d+") =>
+        n.stripPrefix("gen-").toLong }
+      .filter(id => id < batchId && !priorId.contains(id))
+      .foreach(id => fs.delete(
+        new org.apache.hadoop.fs.Path(dir, s"gen-$id"), true))
+  }
+
   /** One micro-batch of the MERGE sink, exposed for direct invocation
     * so the checkpoint-replay contract is TESTABLE: after a crash
     * between the sink commit and the offset commit, Structured

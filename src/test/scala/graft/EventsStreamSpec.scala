@@ -862,4 +862,68 @@ class EventsStreamSpec extends AnyFunSuite with SparkFixture {
       assert(batch === streamed)
     } finally q.stop()
   }
+
+  test("additive rollup maintenance: stream-maintained == batch-built, replay converges, the rewrite reads it") {
+    import java.time.LocalDateTime
+    def li(rows: (String, String, Double, Double)*) =
+      rows.map { case (d, f, p, disc) =>
+        (LocalDateTime.parse(d), f, p, disc)
+      }.toDF("l_shipdate", "l_returnflag", "l_extendedprice", "l_discount")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-roll-stream-").toString + "/roll"
+    val b0 = li(("1995-01-03T10:00:00", "A", 100.0, 0.1),
+      ("1995-01-03T11:00:00", "A", 50.0, 0.0),
+      ("1995-01-04T09:00:00", "R", 70.0, 0.2))
+    val b1 = li(("1995-01-03T23:00:00", "A", 10.0, 0.0),
+      ("1995-01-05T01:00:00", "N", 30.0, 0.5))
+    Events.additiveRollupBatch(b0, dir, batchId = 0L)
+    Events.additiveRollupBatch(b1, dir, batchId = 1L)
+    def snapshot(): Set[(String, String, java.math.BigDecimal, Long)] =
+      spark.read.parquet(Events.latestRollup(spark, dir).get)
+        .select(col("day").cast("string"), col("l_returnflag"),
+          col("rev"), col("cnt"))
+        .as[(String, String, java.math.BigDecimal, Long)].collect().toSet
+    val got = snapshot()
+    // batch-built reference over the SAME rows
+    val ref = java.nio.file.Files
+      .createTempDirectory("graft-roll-ref-").toString + "/ref"
+    graft.pipeline.Warehouse.writeDailyRevenueRollup(b0.unionByName(b1), ref)
+    val want = spark.read.parquet(ref)
+      .select(col("day").cast("string"), col("l_returnflag"),
+        col("rev"), col("cnt"))
+      .as[(String, String, java.math.BigDecimal, Long)].collect().toSet
+    assert(got === want)
+    // crash replay: the SAME batch id re-runs — additive state must
+    // NOT double-add (generation discipline: gen-1 recomputed from
+    // gen-0, not from itself)
+    Events.additiveRollupBatch(b1, dir, batchId = 1L)
+    assert(snapshot() === want)
+    // and the REWRITE answers from the stream-maintained table: arm
+    // the rule at the maintained path over a fake source id, then the
+    // canonical whole-table report must read the rollup scan
+    spark.conf.set("spark.graft.rollup.daily.path",
+      Events.latestRollup(spark, dir).get)
+    spark.conf.set("spark.graft.rollup.daily.source",
+      "/root/testdata/sf0.001/lineitem.parquet")
+    try {
+      val report = Tables.lineitem(spark, "/root/testdata/sf0.001")
+        .groupBy(col("l_returnflag"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).as("rev_d"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_returnflag")
+      val plan = report.queryExecution.executedPlan.toString()
+      assert(plan.contains("gen-1") && !plan.contains("lineitem.parquet"),
+        plan)
+      // the maintained table's numbers flow through the rewritten agg
+      val out = report.select(col("l_returnflag"), col("n_lines"),
+          col("rev_d").cast("string"))
+        .as[(String, Long, String)].collect().toSet
+      assert(out === Set(("A", 3L, "150.0000"), ("R", 1L, "56.0000"),
+        ("N", 1L, "15.0000")))
+    } finally {
+      spark.conf.unset("spark.graft.rollup.daily.path")
+      spark.conf.unset("spark.graft.rollup.daily.source")
+    }
+  }
 }
