@@ -1539,6 +1539,42 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // IMPORTANCE REWEIGHTING TOWARD THE POOLED CORPUS (the acting
+    // half of q334's drift audit — the domain-reweighting move of
+    // DoReMi/CCNet-style pipelines: q334 says WHICH sources drifted,
+    // this says what each DOCUMENT's mixture weight should be):
+    // per-doc weight = exp(mean over tokens of ln(P(t)/Q_s(t))), the
+    // geometric-mean likelihood ratio between the pooled target
+    // distribution P and the doc's own source distribution Q_s. Docs
+    // whose tokens their source OVER-represents read weight < 1
+    // (downsample), under-represented docs read > 1. The ratio table
+    // is (sources × vocab)-bounded and broadcasts; log-ratio terms
+    // are DECIMAL-quantized before the per-doc mean (rule 8); one
+    // token scan, one bounded join — no corpus² anywhere.
+    "q338_importance_weights" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val sc = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val sn = sc.groupBy("source").agg(sum("c").as("n"))
+      val g = sc.groupBy("tok").agg(sum("c").as("gc"))
+      val gn = g.agg(sum("gc").as("tn"))
+      val lr = sc.join(sn, Seq("source")).crossJoin(broadcast(gn))
+        .join(g, Seq("tok"))
+        .select(col("source"), col("tok"),
+          (log(col("gc").cast("double") / col("tn")) -
+            log(col("c").cast("double") / col("n"))).as("lr"))
+      toks.join(broadcast(lr), Seq("source", "tok"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum(round(col("lr"), 12).cast("decimal(20,12)")).cast("double") /
+            count(lit(1))).as("mlr"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          round(col("mlr"), 6).as("mean_log_ratio"),
+          round(exp(col("mlr")), 6).as("weight"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash-LSH near-dup candidates over the corpus — banded
     // bucketing, never all-pairs (Dedup.lshCandidatePairs). No SQL
     // oracle by contract (hash-seed-dependent); driver records the
@@ -4180,6 +4216,31 @@ object LlmQueries {
     // per pixel, and the id % 11 truncation (quarantined whole on the
     // Spark side, filtered by the generation rule here — the q98
     // pattern: the parser DETECTS what the oracle replays)
+    "q338_importance_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sc AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |sn AS (SELECT source, sum(c) AS n FROM sc GROUP BY 1),
+        |g AS (SELECT tok, sum(c) AS gc FROM sc GROUP BY 1),
+        |gn AS (SELECT sum(gc) AS tn FROM g),
+        |lr AS (
+        |  SELECT sc.source, sc.tok,
+        |         ln(CAST(g.gc AS DOUBLE) / gn.tn)
+        |         - ln(CAST(sc.c AS DOUBLE) / sn.n) AS lr
+        |  FROM sc JOIN sn USING (source) CROSS JOIN gn
+        |  JOIN g USING (tok)),
+        |d AS (
+        |  SELECT t.doc_id, t.source,
+        |         CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CAST(round(lr.lr, 12) AS DECIMAL(20,12)))
+        |              AS DOUBLE) / count(*) AS mlr
+        |  FROM t JOIN lr ON t.source = lr.source AND t.tok = lr.tok
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, source, n_tokens,
+        |       round(mlr, 6) AS mean_log_ratio,
+        |       round(exp(mlr), 6) AS weight
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q335_video_keyframes" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS w,

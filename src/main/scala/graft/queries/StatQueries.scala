@@ -1228,6 +1228,61 @@ object StatQueries {
           round(col("sy").cast("double") / col("n"), 6).as("raw_rate"),
           round(col("iso_rate"), 6).as("iso_rate"))
         .orderBy("bin")
+    }),
+
+    // UPLIFT / QINI CURVE (Radcliffe 2007 — the targeting-model eval
+    // that completes the causal family: q201 CUPED corrects, q277
+    // DiD compares, q289 IPW reweights, q317 audits balance, and
+    // THIS measures whether a targeting score finds responders):
+    // users ranked by activity score into quintiles (ntileByRange —
+    // a data-scaling frame, never a global window), treatment = an
+    // independent md5 coin, per-quintile treated/control response
+    // rates, uplift, and the cumulative Qini gain
+    // g(k) = cumY_t − cumY_c·cumN_t/cumN_c over the 5-row quintile
+    // domain (bounded self-join, no window). The coin is RANDOM by
+    // construction, so the honest expectation — and the fixture
+    // reading — is uplift ≈ 0 per quintile with Qini wiggling around
+    // zero: the null-case audit (q317's SMD discipline — a tool must
+    // read zero when zero is true). Empty control cells at tiny SF
+    // read NULL via explicit guards (double/0 parity between engines
+    // is NOT contractual).
+    "q337_uplift_curve" -> ((s, dir) => {
+      val u = Tables.events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("activity"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("np"))
+        .withColumn("y", when(col("np") >= 12, 1L).otherwise(0L))
+        .withColumn("treat", when(
+          conv(substring(md5(concat(col("user_id").cast("string"),
+            lit(":up"))), 1, 6), 16, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(0L))
+        .withColumn("neg_act", -col("activity"))
+      val dec = graft.ops.Sampling.ntileByRange(u, 5,
+        Seq("neg_act", "user_id"), 32)
+      val g = dec.groupBy(col("stratum").cast("long").as("quintile"))
+        .agg(sum(col("treat")).as("n_t"),
+          sum(lit(1L) - col("treat")).as("n_c"),
+          sum(col("y") * col("treat")).as("y_t"),
+          sum(col("y") * (lit(1L) - col("treat"))).as("y_c"))
+      g.as("a").join(g.as("b"), col("b.quintile") <= col("a.quintile"))
+        .groupBy(col("a.quintile").as("quintile"))
+        .agg(max(col("a.n_t")).as("n_t"), max(col("a.n_c")).as("n_c"),
+          max(col("a.y_t")).as("y_t"), max(col("a.y_c")).as("y_c"),
+          sum(col("b.n_t")).as("cn_t"), sum(col("b.n_c")).as("cn_c"),
+          sum(col("b.y_t")).as("cy_t"), sum(col("b.y_c")).as("cy_c"))
+        .select(col("quintile"), col("n_t"), col("n_c"),
+          when(col("n_t") > 0,
+            round(col("y_t").cast("double") / col("n_t"), 6)).as("rate_t"),
+          when(col("n_c") > 0,
+            round(col("y_c").cast("double") / col("n_c"), 6)).as("rate_c"),
+          when(col("n_t") > 0 && col("n_c") > 0,
+            round(col("y_t").cast("double") / col("n_t") -
+              col("y_c").cast("double") / col("n_c"), 6)).as("uplift"),
+          when(col("cn_c") > 0,
+            round(col("cy_t").cast("double") -
+              col("cy_c").cast("double") * col("cn_t").cast("double") /
+                col("cn_c").cast("double"), 6)).as("qini_g"))
+        .orderBy("quintile")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1314,6 +1369,50 @@ object StatQueries {
         |       round(CAST(b.sy AS DOUBLE) / b.n, 6) AS raw_rate,
         |       round(iso.iso_rate, 6) AS iso_rate
         |FROM b JOIN iso USING (bin) ORDER BY b.bin""".stripMargin,
+
+    "q337_uplift_curve" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS activity,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS np
+        |  FROM events GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id, activity,
+        |         CASE WHEN np >= 12 THEN 1 ELSE 0 END AS y,
+        |         CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+        |              || ':up'), 1, 6)) AS BIGINT) % 2 = 0
+        |              THEN 1 ELSE 0 END AS treat,
+        |         ntile(5) OVER (ORDER BY -activity, user_id) AS quintile
+        |  FROM u),
+        |g AS (
+        |  SELECT CAST(quintile AS BIGINT) AS quintile,
+        |         CAST(sum(treat) AS BIGINT) AS n_t,
+        |         CAST(sum(1 - treat) AS BIGINT) AS n_c,
+        |         CAST(sum(y * treat) AS BIGINT) AS y_t,
+        |         CAST(sum(y * (1 - treat)) AS BIGINT) AS y_c
+        |  FROM f GROUP BY 1),
+        |c AS (
+        |  SELECT a.quintile, max(a.n_t) AS n_t, max(a.n_c) AS n_c,
+        |         max(a.y_t) AS y_t, max(a.y_c) AS y_c,
+        |         CAST(sum(b.n_t) AS BIGINT) AS cn_t,
+        |         CAST(sum(b.n_c) AS BIGINT) AS cn_c,
+        |         CAST(sum(b.y_t) AS BIGINT) AS cy_t,
+        |         CAST(sum(b.y_c) AS BIGINT) AS cy_c
+        |  FROM g a JOIN g b ON b.quintile <= a.quintile
+        |  GROUP BY a.quintile)
+        |SELECT quintile, n_t, n_c,
+        |       CASE WHEN n_t > 0
+        |            THEN round(CAST(y_t AS DOUBLE) / n_t, 6) END AS rate_t,
+        |       CASE WHEN n_c > 0
+        |            THEN round(CAST(y_c AS DOUBLE) / n_c, 6) END AS rate_c,
+        |       CASE WHEN n_t > 0 AND n_c > 0
+        |            THEN round(CAST(y_t AS DOUBLE) / n_t
+        |                       - CAST(y_c AS DOUBLE) / n_c, 6) END AS uplift,
+        |       CASE WHEN cn_c > 0
+        |            THEN round(CAST(cy_t AS DOUBLE)
+        |                       - CAST(cy_c AS DOUBLE) * cn_t / cn_c, 6)
+        |            END AS qini_g
+        |FROM c ORDER BY quintile""".stripMargin,
 
     "q295_spearman_daily" ->
       """WITH daily AS (
