@@ -817,6 +817,58 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ALIGNMENT-OFFSET VOTING (the dotplot-diagonal estimator —
+    // plagiarism/quote-detection's first move, and the alignment
+    // companion to q144's dup-substring spans: q274 says THAT two
+    // docs overlap, this says WHERE — the token shift that best
+    // aligns them): docs pair through shared RARE 5-grams
+    // (2 ≤ df ≤ 4 — the standard rare-feature blocking; a head-block
+    // formulation was VACUOUS, every winning shift 0, because
+    // same-head pairs start identical by construction — the q324
+    // design-time audit applied), every co-occurrence votes for its
+    // position delta, and the winning delta (max votes, min-delta
+    // tiebreak — q328's two-aggregate mode, no window) is the
+    // alignment. On the fixture BOTH branches fire at every SF:
+    // true near-dups align at 0 with up to ~95 votes; offset matches
+    // win nonzero shifts on 8/11/1190 pairs. Scale: the pair space
+    // is Σ df² over RARE grams (df-capped, never corpus²); the vote
+    // fan is occurrence-bounded.
+    "q339_align_offset" -> ((s, dir) => {
+      val g = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), posexplode(
+          when(size(col("toks")) >= 5,
+            transform(sequence(lit(0), size(col("toks")) - 5), i =>
+              concat_ws(" ", element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2),
+                element_at(col("toks"), i + 3),
+                element_at(col("toks"), i + 4),
+                element_at(col("toks"), i + 5))))
+            .otherwise(array().cast("array<string>"))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("gram"))
+      val rare = g.groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 4).select("gram")
+      val m = g.join(rare, Seq("gram"))
+      val votes = m.as("a").join(m.as("b"),
+          col("a.gram") === col("b.gram") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (col("a.pos") - col("b.pos")).as("delta"))
+        .agg(count(lit(1)).as("v"))
+      votes
+        .join(votes.groupBy("doc_a", "doc_b").agg(max(col("v")).as("mv"),
+          sum(col("v")).as("n_match")), Seq("doc_a", "doc_b"))
+        .filter(col("v") === col("mv"))
+        .groupBy("doc_a", "doc_b")
+        .agg(min(col("delta")).as("best_shift"),
+          max(col("mv")).as("votes"), max(col("n_match")).as("n_match"))
+        .select(col("doc_a"), col("doc_b"), col("best_shift"),
+          col("votes"), col("n_match"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // SIMILARITY-THRESHOLD CALIBRATION CURVE (the tuning table behind
     // every near-dup threshold choice — "how many pairs does 0.9 vs
     // 0.8 sweep in?" — q109 picks ONE threshold, this measures the
@@ -3892,6 +3944,33 @@ object LlmQueries {
         |FROM sizes CROSS JOIN tot
         |GROUP BY cluster_size, n_total
         |ORDER BY cluster_size""".stripMargin,
+    "q339_align_offset" ->
+      """WITH k AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT k.doc_id, CAST(u.p AS BIGINT) AS pos,
+        |         array_to_string(
+        |           k.toks[CAST(u.p AS INTEGER) + 1:CAST(u.p AS INTEGER) + 5],
+        |           ' ') AS gram
+        |  FROM k, unnest(range(0, greatest(len(k.toks) - 4, 0))) AS u(p)),
+        |rare AS (
+        |  SELECT gram FROM g GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 4),
+        |votes AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.pos - b.pos AS delta, CAST(count(*) AS BIGINT) AS v
+        |  FROM g a JOIN rare USING (gram) JOIN g b USING (gram)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3),
+        |agg AS (SELECT doc_a, doc_b, max(v) AS mv,
+        |               CAST(sum(v) AS BIGINT) AS n_match
+        |        FROM votes GROUP BY 1, 2)
+        |SELECT v.doc_a, v.doc_b, min(v.delta) AS best_shift,
+        |       max(agg.mv) AS votes, max(agg.n_match) AS n_match
+        |FROM votes v JOIN agg ON v.doc_a = agg.doc_a
+        |  AND v.doc_b = agg.doc_b AND v.v = agg.mv
+        |GROUP BY v.doc_a, v.doc_b
+        |ORDER BY v.doc_a, v.doc_b""".stripMargin,
     "q274_containment_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id,
