@@ -1264,7 +1264,8 @@ object StatQueries {
           sum(lit(1L) - col("treat")).as("n_c"),
           sum(col("y") * col("treat")).as("y_t"),
           sum(col("y") * (lit(1L) - col("treat"))).as("y_c"))
-      g.as("a").join(g.as("b"), col("b.quintile") <= col("a.quintile"))
+      g.as("a").join(broadcast(g.as("b")),
+          col("b.quintile") <= col("a.quintile"))
         .groupBy(col("a.quintile").as("quintile"))
         .agg(max(col("a.n_t")).as("n_t"), max(col("a.n_c")).as("n_c"),
           max(col("a.y_t")).as("y_t"), max(col("a.y_c")).as("y_c"),
