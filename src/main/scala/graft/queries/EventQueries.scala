@@ -82,6 +82,39 @@ object EventQueries {
     }),
 
     // FUNNEL ANALYSIS: furthest ordered stage per user through
+    // SLO BURN-RATE ALERT (the Google SRE multi-window rule — the
+    // monitoring family's paging policy beside q214 CUSUM's drift
+    // detection and q197's seasonal z-flags: page when the error
+    // budget burns ≥ 14.4× in BOTH a fast (1 h) and a slow (6 h)
+    // window — the fast window gives latency, the slow one kills
+    // flapping): per-hour error counts, trailing-6-hour totals via
+    // an HOUR-DOMAIN self-join (calendar-bounded ≈ 2.2k rows at
+    // EVERY SF — scale-invariant; broadcast non-equi ⇒ BNLJ, the
+    // q337 lesson applied at write time), and the alert as an
+    // INTEGER-EXACT compare: with budget 1.5%, 14.4× budget = 21.6%,
+    // so e·1000 > n·216 — no float boundary anywhere in the paging
+    // decision. Rates ride along rounded for the humans.
+    "q340_burn_rate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val hourly = Tables.events(s, dir)
+        .groupBy(expr("unix_micros(ts) div 3600000000").as("h"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"))
+      hourly.as("a").join(broadcast(hourly.as("b")),
+          col("b.h") >= col("a.h") - 5 && col("b.h") <= col("a.h"))
+        .groupBy(col("a.h").as("epoch_hour"))
+        .agg(max(col("a.n")).as("n1"), max(col("a.e")).as("e1"),
+          sum(col("b.n")).as("n6"), sum(col("b.e")).as("e6"))
+        .select(col("epoch_hour"), col("n1"), col("e1"), col("n6"),
+          col("e6"),
+          round(col("e1").cast("double") / col("n1"), 6).as("rate_1h"),
+          round(col("e6").cast("double") / col("n6"), 6).as("rate_6h"),
+          when(col("e1") * 1000 > col("n1") * 216 &&
+            col("e6") * 1000 > col("n6") * 216, 1L).otherwise(0L)
+            .as("alert"))
+        .orderBy("epoch_hour")
+    }),
+
     // signup → view → click → purchase, where each stage must happen
     // STRICTLY AFTER the previous one (the classic product-analytics
     // funnel, e.g. Amplitude/Mixpanel semantics). Implemented as a
@@ -2026,6 +2059,28 @@ object EventQueries {
     }
 
   val oracles: Map[String, String] = Map(
+
+    "q340_burn_rate" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS e
+        |  FROM events GROUP BY 1),
+        |tw AS (
+        |  SELECT a.h AS epoch_hour, max(a.n) AS n1, max(a.e) AS e1,
+        |         CAST(sum(b.n) AS BIGINT) AS n6,
+        |         CAST(sum(b.e) AS BIGINT) AS e6
+        |  FROM hourly a JOIN hourly b
+        |    ON b.h >= a.h - 5 AND b.h <= a.h
+        |  GROUP BY a.h)
+        |SELECT epoch_hour, n1, e1, n6, e6,
+        |       round(CAST(e1 AS DOUBLE) / n1, 6) AS rate_1h,
+        |       round(CAST(e6 AS DOUBLE) / n6, 6) AS rate_6h,
+        |       CAST(CASE WHEN e1 * 1000 > n1 * 216
+        |                  AND e6 * 1000 > n6 * 216
+        |            THEN 1 ELSE 0 END AS BIGINT) AS alert
+        |FROM tw ORDER BY epoch_hour""".stripMargin,
     // exact counts: 6 event types < 64 sketch slots ⇒ the sketch
     // estimate is exact and the whole persisted lifecycle hash-gates.
     "q143_topk_sketch_rollup" ->
