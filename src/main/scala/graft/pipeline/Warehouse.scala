@@ -66,11 +66,13 @@ object Warehouse {
     * (rev DECIMAL(18,4), cnt BIGINT). Partial decimal sums are
     * ASSOCIATIVE, so re-aggregating the dailies is bit-identical to
     * aggregating the fact table — the property that lets the rewrite
-    * stay under the hash gate. Stored rev is cast back to
-    * DECIMAL(18,4) (daily revenue fits with 4 digits of headroom) so
-    * SUM over the rollup re-derives the exact DECIMAL(28,4) the
-    * original aggregate produced — the rewrite preserves dataTypes,
-    * not just values. Incremental maintenance is the q151 agg-state
+    * stay under the hash gate. Stored rev keeps SUM's native
+    * DECIMAL(28,4): a downcast to (18,4) would turn a data-dependent
+    * overflow into a silent NULL that SUM skips (non-ANSI mode) — a
+    * silently-wrong rewrite (r15, ADVICE). The rewrite re-derives the
+    * original DECIMAL(28,4) output type by casting its SUM(rev) (which
+    * widens to (38,4)) back down — exact, since the true total fits
+    * (28,4) by construction. Incremental maintenance is the q151 agg-state
     * discipline: ingest MERGEs per-day partials instead of rebuilding. */
   def writeDailyRevenueRollup(lineitem: DataFrame, path: String): Unit = {
     import org.apache.spark.sql.functions._
@@ -82,7 +84,7 @@ object Warehouse {
         col("l_returnflag"))
       .agg(
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("decimal(18,4)").as("rev"),
+          .cast("decimal(18,4)")).as("rev"),
         count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(path)
   }

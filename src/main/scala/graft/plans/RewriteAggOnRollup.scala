@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   *
   * — is redirected onto the day-grain rollup table
   * `Warehouse.writeDailyRevenueRollup` maintains (day, l_returnflag,
-  * rev DECIMAL(18,4), cnt BIGINT): SUM(rev) re-aggregates the daily
+  * rev DECIMAL(28,4), cnt BIGINT): SUM(rev) re-aggregates the daily
   * partials (decimal sums are associative, so the answer is
   * BIT-IDENTICAL — the q336 oracle computes from RAW lineitem and the
   * hash must still match) and SUM(cnt) replaces COUNT(1). At 100 TB
@@ -46,8 +46,9 @@ import org.apache.spark.sql.types._
   *  - intervening Projects must be pure column selections.
   *
   * Output attributes keep the ORIGINAL names, exprIds, and dataTypes
-  * (rev is stored DECIMAL(18,4), so SUM over it re-derives the same
-  * DECIMAL(28,4) the original SUM produced), so parent plan nodes
+  * (rev is stored DECIMAL(28,4); the rewritten SUM widens to (38,4)
+  * and is cast back down, re-deriving the original DECIMAL(28,4)
+  * output type exactly), so parent plan nodes
   * resolve untouched. MvRewriteSpec pins: the rewritten plan scans
   * the rollup; misaligned bounds / foreign aggregates / unset conf
   * decline; results are identical either way. */
@@ -134,7 +135,7 @@ object RewriteAggOnRollup extends Rule[LogicalPlan] {
       }
     (attrO("day"), attrO("l_returnflag"), attrO("rev"), attrO("cnt")) match {
       case (Some(day), Some(rr), Some(rev), Some(cnt))
-          if rev.dataType == DecimalType(18, 4) &&
+          if rev.dataType == DecimalType(28, 4) &&
             cnt.dataType == LongType && rr.dataType == rf.dataType &&
             // a type-mismatched comparison would UNRESOLVE the plan —
             // the day column must carry the literals' exact type
@@ -145,10 +146,14 @@ object RewriteAggOnRollup extends Rule[LogicalPlan] {
             Filter(And(GreaterThanOrEqual(day, lo), LessThan(day, hi)), rel)
           case None => rel
         }
+        // rev is stored DECIMAL(28,4) (never downcast — overflow would
+        // NULL and SUM would silently skip it); SUM widens to (38,4),
+        // so cast back to the ORIGINAL aggregate's (28,4) output type —
+        // exact, since the true total fits (28,4) by construction
         val newAggs: Seq[NamedExpression] = Seq(
           Alias(rr, rf.name)(exprId = rf.exprId),
-          Alias(Sum(rev).toAggregateExpression(), revAlias.name)(
-            exprId = revAlias.exprId),
+          Alias(Cast(Sum(rev).toAggregateExpression(), DecimalType(28, 4)),
+            revAlias.name)(exprId = revAlias.exprId),
           Alias(Sum(cnt).toAggregateExpression(), cntAlias.name)(
             exprId = cntAlias.exprId))
         Some(Aggregate(Seq(rr), newAggs, child))
@@ -162,11 +167,24 @@ object RewriteAggOnRollup extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The fact scan must be EXACTLY the configured source: normalized
+    * absolute-path equality, not a suffix match — a short/relative
+    * conf value (e.g. bare "lineitem.parquet") would suffix-match any
+    * fixture's lineitem scan and silently rewrite an aggregate over
+    * the wrong table's data. Misconfiguration now DECLINES. (r15, ADVICE) */
   private def isSourceScan(plan: LogicalPlan, source: String): Boolean =
     plan match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
-          fs.location.rootPaths.exists(_.toString.endsWith(source))
+          val hc = fs.sparkSession.sessionState.newHadoopConf()
+          val srcPath = new org.apache.hadoop.fs.Path(source)
+          val srcQualified =
+            try srcPath.getFileSystem(hc).makeQualified(srcPath)
+            catch { case _: Throwable => return false }
+          fs.location.rootPaths.exists { rp =>
+            try rp.getFileSystem(hc).makeQualified(rp) == srcQualified
+            catch { case _: Throwable => false }
+          }
         case _ => false
       }
       case _ => false

@@ -1207,10 +1207,13 @@ object StatQueries {
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
         when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 12,
           1L).otherwise(0L).as("y"))
-      val phat = (col("c") + 1L).cast("double") /
-        (col("c") + col("v") + 2L).cast("double")
+      // decile bin via exact INTEGER division — floor(10·(c+1)/(c+v+2))
+      // ≡ (10·(c+1)) div (c+v+2) for positive ints, and the integer
+      // form removes the FP boundary where a 1-ulp op-order difference
+      // vs the oracle could flip a bin assignment (r15, ADVICE)
       val b = u.select(
-          least(floor(phat * 10.0), lit(9.0)).cast("long").as("bin"), col("y"))
+          least(expr("(10 * (c + 1)) div (c + v + 2)"), lit(9L)).as("bin"),
+          col("y"))
         .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("sy"))
       val pairs = b.select(col("bin").as("j"))
         .join(broadcast(b.select(col("bin").as("k"))), col("j") <= col("k"))
@@ -1351,7 +1354,7 @@ object StatQueries {
         |              THEN 1 ELSE 0 END AS y
         |  FROM events GROUP BY 1),
         |b AS (
-        |  SELECT CAST(least(floor(10 * (c + 1.0) / (c + v + 2.0)), 9)
+        |  SELECT CAST(least((10 * (c + 1)) // (c + v + 2), 9)
         |              AS BIGINT) AS bin,
         |         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
         |  FROM u GROUP BY 1),

@@ -166,7 +166,14 @@ class ApiScanBuilder(categories: Array[String], pages: Int)
       case m: Max if singleCol(m.column).contains("page") => Some("max_page")
       case _ => None
     }
-    if (!groupOk || kinds.exists(_.isEmpty) || kinds.isEmpty) false
+    // pages <= 0: every partition is empty, so the pushed-partial
+    // protocol would emit ZERO partial rows and Spark's final
+    // COUNT-as-SUM-of-partials merge yields NULL, not 0 (no-group-by
+    // case). Decline pushdown entirely — the row-emitting path
+    // produces zero rows and Spark computes the correct count(*)=0 /
+    // empty-group result itself. (r15, ADVICE)
+    if (!groupOk || kinds.exists(_.isEmpty) || kinds.isEmpty || pages <= 0)
+      false
     else {
       aggPushed = Some((agg.groupByExpressions.nonEmpty, kinds.flatten))
       true
@@ -331,9 +338,10 @@ class ApiPartitionReader(part: ApiInputPartition)
   // Pushed-aggregate path: ONE partial row per partition, computed
   // from the partition's own metadata (page range) — the fetch stub
   // is never called, which ApiSourceSpec witnesses via the counter.
-  // pages == 0 emits nothing: an empty partition contributes no
-  // partial, and Spark's final merge yields the correct global
-  // count(*) = 0 / empty groups.
+  // pages <= 0 emits nothing — defensive only: pushAggregation now
+  // DECLINES when pages <= 0 (an all-empty scan with a pushed
+  // no-group-by COUNT would merge zero partials into NULL, not 0),
+  // so this branch is unreachable through the planned path.
   private var aggEmitted = false
 
   override def next(): Boolean =

@@ -691,8 +691,11 @@ object Events {
         col("l_shipdate").cast("date").cast("timestamp_ntz").as("day"),
         col("l_returnflag"))
       .agg(
+        // rev stays SUM's native DECIMAL(28,4) — a downcast to (18,4)
+        // would NULL on overflow and the MV rewrite's SUM would
+        // silently skip it (r15, ADVICE; matches writeDailyRevenueRollup)
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("decimal(18,4)").as("rev"),
+          .cast("decimal(18,4)")).as("rev"),
         count(lit(1)).as("cnt"))
     val dir = new org.apache.hadoop.fs.Path(rollupDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -715,9 +718,9 @@ object Events {
             col("rev").as("__nr"), col("cnt").as("__nc")),
             Seq("day", "l_returnflag"), "full_outer")
           .select(col("day"), col("l_returnflag"),
-            (coalesce(col("__pr"), lit(0).cast("decimal(18,4)")) +
-              coalesce(col("__nr"), lit(0).cast("decimal(18,4)")))
-              .cast("decimal(18,4)").as("rev"),
+            (coalesce(col("__pr"), lit(0).cast("decimal(28,4)")) +
+              coalesce(col("__nr"), lit(0).cast("decimal(28,4)")))
+              .cast("decimal(28,4)").as("rev"),
             (coalesce(col("__pc"), lit(0L)) + coalesce(col("__nc"), lit(0L)))
               .as("cnt"))
     }

@@ -119,6 +119,16 @@ class ApiSourceSpec extends AnyFunSuite with SparkFixture {
     val filtered = read("a,b,c", pages = 2)
       .filter(col("category") === "b").agg(count(lit(1))).as[Long].head()
     assert(filtered === 2L)
+    // pages=0 ⇒ pushdown DECLINED (r15, ADVICE): an all-empty scan
+    // with a pushed no-group-by COUNT would merge zero partial rows
+    // into NULL via Spark's COUNT-as-SUM rewrite. The decline routes
+    // through row emission and count(*) reads the correct 0.
+    val emptyDf = read("a,b", pages = 0).agg(count(lit(1)))
+    assert(emptyDf.as[Long].head() === 0L,
+      "count(*) over an empty source must be 0, not NULL")
+    assert(!emptyDf.queryExecution.executedPlan.toString
+        .contains("pushedAggregates"),
+      "pages=0 must decline aggregate pushdown")
   }
 
   test("unsupported aggregates decline cleanly and fall back to row emission") {

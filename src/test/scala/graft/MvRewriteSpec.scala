@@ -106,8 +106,29 @@ class MvRewriteSpec extends AnyFunSuite with SparkFixture {
           .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_tax")))
               .cast("decimal(18,4)")).as("rev_d"),
             count(lit(1)).as("n_lines"))))
+      // a suffix-only source conf must DECLINE, not match any lineitem
+      // scan (r15, ADVICE: path equality, not endsWith)
+      spark.conf.set("spark.graft.rollup.daily.source", "lineitem.parquet")
+      assert(scansFact(
+        canonical("1995-01-01 00:00:00", "1996-01-01 00:00:00")))
       // unset conf: the rule must be inert
       disarm()
+      assert(scansFact(
+        canonical("1995-01-01 00:00:00", "1996-01-01 00:00:00")))
+    } finally disarm()
+  }
+
+  test("a legacy DECIMAL(18,4) rollup declines (rev dtype gate)") {
+    // a downcast rollup can hold NULLs from silent overflow — the
+    // rewrite must refuse to read one (r15, ADVICE)
+    arm()
+    try {
+      val path = spark.conf.get("spark.graft.rollup.daily.path")
+      val legacy = TempDirs.scratch("graft-rollup-legacy-")
+      spark.read.parquet(path)
+        .withColumn("rev", col("rev").cast("decimal(18,4)"))
+        .write.mode("overwrite").parquet(legacy)
+      spark.conf.set("spark.graft.rollup.daily.path", legacy)
       assert(scansFact(
         canonical("1995-01-01 00:00:00", "1996-01-01 00:00:00")))
     } finally disarm()
