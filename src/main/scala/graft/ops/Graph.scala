@@ -181,7 +181,18 @@ object Graph {
     * u ≠ v, no duplicate edges (callers: `.distinct()` first; the
     * row's (u, v) order is irrelevant). Output: (node, n_triangles),
     * nodes in no triangle absent. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsOriented(orientEdges(edges))
+
+  /** The degree-(total-order) orientation step of `triangleCounts`,
+    * exposed so the oriented edge list can be MATERIALIZED — at scale
+    * the orientation is computed once and written bucketed on `s`
+    * (`Warehouse.writeBucketed`), which deletes the wedge self-join's
+    * Exchange entirely (WarehouseSpec pins it; SCALE.md carries the
+    * measured A/B). Output: (s, t, kt) where kt = struct(deg, id) of
+    * the target — the wedge pair order key, carried so the self-join
+    * needs no re-join against degrees. */
+  def orientEdges(edges: DataFrame): DataFrame = {
     val e = edges.select(col("u"), col("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
     val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -192,7 +203,7 @@ object Graph {
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
     // total order key: (degree, id) — carried on the target so wedge
     // pairs order by it without a re-join
-    val oriented = withDeg.select(
+    withDeg.select(
       when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
         struct(col("u").as("s"), col("v").as("t"),
           struct(col("dv").as("d"), col("v").as("i")).as("kt")))
@@ -200,6 +211,13 @@ object Graph {
         struct(col("v").as("s"), col("u").as("t"),
           struct(col("du").as("d"), col("u").as("i")).as("kt"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.kt").as("kt"))
+  }
+
+  /** Wedge-generate + close over an ALREADY-ORIENTED edge list (the
+    * output of `orientEdges`, possibly read back from a bucketed
+    * table). The wedge self-join keys on `s` — an s-bucketed layout
+    * runs it with no Exchange below the join. */
+  def triangleCountsOriented(oriented: DataFrame): DataFrame = {
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.s") === col("e2.s") && col("e1.kt") < col("e2.kt"))
       .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
