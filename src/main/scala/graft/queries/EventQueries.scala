@@ -949,12 +949,17 @@ object EventQueries {
     // and reads p50/p95/p99 + the EXACT absorbed count. Raw events
     // are never rescanned: an arbitrary-range percentile costs
     // |days|×|types| fixed-size sketch rows — the only way "p95 of
-    // value over any date range" survives 100 TB. Rows-only by
-    // contract (the register layout and the KLL compaction coin are
-    // sketch-internal, not replayable cross-engine); SketchSpec pins
-    // exact-at-capacity, merge consistency, and the published
-    // ~1.65%-rank-error envelope at k=200; PlanShapeSpec pins the
-    // pruned scan.
+    // value over any date range" survives 100 TB. HASH-GATED on
+    // (n, p50, p95, p99) since r15: k=16384 keeps the fixture-scale
+    // merges under capacity, so the quantiles ARE the library's
+    // inclusive order statistics — smallest v with #{x ≤ v} ≥
+    // ceil(r·n), where for n ≤ 1e7 the library snaps r·n to 7
+    // decimals before the ceil (QuantilesUtil.getNaturalRank,
+    // bytecode-verified), making the index EXACT INTEGER arithmetic
+    // the DuckDB oracle replays as (num·n + den−1) div den — no FP
+    // boundary anywhere. SketchSpec pins exact-at-capacity, merge
+    // consistency, and the over-capacity rank-error envelope;
+    // PlanShapeSpec pins the pruned scan.
     "q319_quantile_sketch_rollup" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       import graft.ops.Sketch
@@ -981,21 +986,27 @@ object EventQueries {
     // as a RANGE-frame window over the |days|×|types| sketch table,
     // merging 7 fixed-size sketches per output row (epoch-day keyed,
     // calendar gaps stay gaps). n7 is EXACT even under compaction
-    // (getN); rows-only by contract (KLL layout), SketchSpec pins the
-    // rolling law at capacity.
+    // (getN); HASH-GATED on (n7, p50_7d, p95_7d) since r15 — k=16384
+    // keeps every 7-day merge under capacity at fixture scale (max
+    // 4,868 at sf0.1), so the quantiles are exact inclusive order
+    // statistics, integer-index replayable (see q319). SketchSpec
+    // pins the rolling law at capacity.
     "q321_rolling_quantile" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       import graft.ops.Sketch
       val daily = Sketch.buildKllSketches(
         Tables.events(s, dir).filter(col("value").isNotNull)
           .withColumn("day", to_date(col("ts"))),
-        col("value"), k = 200, col("event_type"), col("day"))
+        col("value"), k = 16384, col("event_type"), col("day"))
       daily
         .withColumn("day_idx",
           datediff(col("day"), lit("1970-01-01").cast("date")))
         .withColumn("kll7", Sketch.kllRollingMerge(col("kll"),
           Seq(col("event_type")), col("day_idx"), windows = 7))
-        .select(col("event_type"), col("day"),
+        .select(col("event_type"),
+          // dates hash as yyyy-MM-dd strings (the gate's dtype-strict
+          // compare has no common date representation across engines)
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
           Sketch.kllN(col("kll7")).as("n7"),
           round(Sketch.kllQuantile(col("kll7"), 0.5), 4).as("p50_7d"),
           round(Sketch.kllQuantile(col("kll7"), 0.95), 4).as("p95_7d"))
@@ -2047,12 +2058,17 @@ object EventQueries {
       kllSketchPaths.getOrElseUpdate((s.sparkContext.applicationId, dir), {
         import org.apache.spark.sql.functions._
         val path = graft.TempDirs.scratch("graft-kll-sketch-")
+        // k = 16384 keeps every fixture-scale sketch AND their merges
+        // under capacity (max merged n = 10,244 at sf0.1), so the
+        // quantiles are EXACT inclusive order statistics and q319
+        // hash-gates its values (the q143 under-capacity discipline);
+        // production dials k down by the ~1/k rank-error / size trade
         graft.pipeline.Warehouse.writePartitioned(
           graft.ops.Sketch.buildKllSketches(
             Tables.events(s, dir)
               .filter(col("value").isNotNull)
               .withColumn("day", to_date(col("ts"))),
-            col("value"), k = 200, col("event_type"), col("day")),
+            col("value"), k = 16384, col("event_type"), col("day")),
           path, "day")
         path
       })
@@ -2088,6 +2104,53 @@ object EventQueries {
         |FROM events
         |WHERE CAST(ts AS DATE) < DATE '2024-01-16'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // under-capacity KLL ⇒ quantiles are inclusive order statistics:
+    // the index-th smallest (1-based), index = ceil(r·n) computed as
+    // EXACT integer arithmetic — the library's own path for n ≤ 1e7
+    // snaps r·n to 7 decimals before the ceil, so the two agree at
+    // every boundary (bytecode-verified, r15). n is getN — exact.
+    "q319_quantile_sketch_rollup" ->
+      """WITH v AS (
+        |  SELECT event_type, value AS val FROM events
+        |  WHERE value IS NOT NULL AND CAST(ts AS DATE) < DATE '2024-01-16'),
+        |r AS (
+        |  SELECT event_type, val,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY val) rn,
+        |         count(*) OVER (PARTITION BY event_type) n
+        |  FROM v)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_values,
+        |       round(max(CASE WHEN rn = (n + 1) // 2 THEN val END), 4) AS p50,
+        |       round(max(CASE WHEN rn = (19 * n + 19) // 20 THEN val END), 4)
+        |         AS p95,
+        |       round(max(CASE WHEN rn = (99 * n + 99) // 100 THEN val END), 4)
+        |         AS p99
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the trailing-7-day window replayed by an explicit day-range
+    // join (calendar days, gaps excluded exactly like the RANGE
+    // frame); same inclusive-order-statistic index rule as q319.
+    "q321_rolling_quantile" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, value AS val
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT DISTINCT event_type, day FROM e),
+        |w AS (
+        |  SELECT d.event_type, d.day, e.val
+        |  FROM d JOIN e ON e.event_type = d.event_type
+        |   AND e.day >= d.day - 6 AND e.day <= d.day),
+        |r AS (
+        |  SELECT event_type, day, val,
+        |         row_number() OVER (PARTITION BY event_type, day
+        |                            ORDER BY val) rn,
+        |         count(*) OVER (PARTITION BY event_type, day) n
+        |  FROM w)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |       CAST(max(n) AS BIGINT) AS n7,
+        |       round(max(CASE WHEN rn = (n + 1) // 2 THEN val END), 4)
+        |         AS p50_7d,
+        |       round(max(CASE WHEN rn = (19 * n + 19) // 20 THEN val END), 4)
+        |         AS p95_7d
+        |FROM r GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
     // the INDEPENDENT formulation: a plain inequality join (fine at
     // fixture scale in DuckDB) — the Spark side must reproduce it
     // through binning exactly.
