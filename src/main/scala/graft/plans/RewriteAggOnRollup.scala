@@ -68,19 +68,60 @@ object RewriteAggOnRollup extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate, path: String,
                       source: String): Option[LogicalPlan] = {
-    // 1. grouping must be exactly [l_returnflag]
-    val rf = agg.groupingExpressions match {
-      case Seq(a: AttributeReference) if a.name == "l_returnflag" => a
-      case _ => return None
+    // Dispatch on the grouping shape: the rollup carries
+    // (day, l_returnflag), so any grouping over a SUBSET of those
+    // keys re-aggregates from it — [l_returnflag] (the original q336
+    // shape) and [day-of-l_shipdate] (the daily report, r15:
+    // re-aggregate over the flag). The day expression arrives in TWO
+    // forms: inline in groupingExpressions, or — after the
+    // optimizer's PullOutGroupingExpressions — as a
+    // `_groupingexpression` attribute aliased in a Project directly
+    // below the Aggregate. Anything else declines.
+    agg.groupingExpressions match {
+      case Seq(a: AttributeReference) if a.name == "l_returnflag" =>
+        val range = extractBase(agg.child, source).getOrElse(return None)
+        rewriteByFlag(agg, a, range, path)
+      case Seq(e) if isDayOfShipdate(e) =>
+        val range = extractBase(agg.child, source).getOrElse(return None)
+        rewriteByDay(agg, _.semanticEquals(e), range, path)
+      case Seq(a: AttributeReference) => agg.child match {
+        case p: Project =>
+          val pulled = p.projectList.exists {
+            case al: Alias => al.exprId == a.exprId && isDayOfShipdate(al.child)
+            case _ => false
+          }
+          val othersPure = p.projectList.forall(ne =>
+            ne.exprId == a.exprId || ne.isInstanceOf[AttributeReference])
+          if (!pulled || !othersPure) None
+          else {
+            val range = extractBase(p.child, source).getOrElse(return None)
+            rewriteByDay(agg, {
+              case ar: AttributeReference => ar.exprId == a.exprId
+              case _ => false
+            }, range, path)
+          }
+        case _ => None
+      }
+      case _ => None
     }
-    // 2. walk pure-projection nodes down to [Filter] over the source scan
-    var node = agg.child
+  }
+
+  /** Walk pure-projection nodes to [Filter over] the configured fact
+    * scan; None = decline, Some(range) = matched (range None = whole
+    * table). The filter must be a day-aligned [lo, hi) on l_shipdate:
+    * conjuncts are split because InferFiltersFromConstraints has run
+    * by the time extra rules fire — an IsNotNull(l_shipdate) rides
+    * along and must not scare the matcher off; any OTHER conjunct
+    * declines. */
+  private def extractBase(child: LogicalPlan, source: String)
+      : Option[Option[(Literal, Literal)]] = {
+    var node = child
     while (node.isInstanceOf[Project] &&
         node.asInstanceOf[Project].projectList
           .forall(_.isInstanceOf[AttributeReference]))
       node = node.asInstanceOf[Project].child
     val (bounds, base) = node match {
-      case Filter(cond, child) => (Some(cond), child)
+      case Filter(cond, c) => (Some(cond), c)
       case other => (None, other)
     }
     var scan = base
@@ -89,13 +130,8 @@ object RewriteAggOnRollup extends Rule[LogicalPlan] {
           .forall(_.isInstanceOf[AttributeReference]))
       scan = scan.asInstanceOf[Project].child
     if (!isSourceScan(scan, source)) return None
-    // 3. optional filter: day-aligned [lo, hi) on l_shipdate. The
-    //    condition is split into conjuncts because the optimizer has
-    //    already run InferFiltersFromConstraints by the time extra
-    //    rules fire — an IsNotNull(l_shipdate) rides along and must
-    //    not scare the matcher off; any OTHER conjunct declines.
-    val range: Option[(Literal, Literal)] = bounds match {
-      case None => None
+    bounds match {
+      case None => Some(None)
       case Some(cond) =>
         def conjuncts(e: Expression): Seq[Expression] = e match {
           case And(a, b) => conjuncts(a) ++ conjuncts(b)
@@ -114,20 +150,118 @@ object RewriteAggOnRollup extends Rule[LogicalPlan] {
           case _ => return None
         }
         (lo, hi) match {
-          case (Some(l), Some(h)) => Some((l, h))
-          case _ => return None
+          case (Some(l), Some(h)) => Some(Some((l, h)))
+          case _ => None
         }
     }
-    // 4. aggregate list: [rf, alias(sum(cast(price*(1.0-disc) as
-    //    dec(18,4)))), alias(count(1))]
-    val (revAlias, cntAlias) = agg.aggregateExpressions match {
-      case Seq(g: AttributeReference, r: Alias, c: Alias)
-          if g.exprId == rf.exprId &&
-            isCanonicalRevenueSum(r.child) && isCountStar(c.child) =>
-        (r, c)
-      case _ => return None
+  }
+
+  /** cast(cast(l_shipdate AS date) AS timestamp_ntz) — exactly the
+    * expression the rollup's `day` column was built from (Warehouse.
+    * writeDailyRevenueRollup). A month-grain or date_trunc grouping
+    * declines: conservative, like every other gate. */
+  private def isDayOfShipdate(e: Expression): Boolean = e match {
+    case Cast(Cast(a: AttributeReference, DateType, _, _),
+        TimestampNTZType, _, _) => a.name == "l_shipdate"
+    case _ => false
+  }
+
+  /** The original q336 shape: groupBy(l_returnflag) re-reads the
+    * rollup's flag column and SUMs over days. */
+  private def rewriteByFlag(agg: Aggregate, rf: AttributeReference,
+                            range: Option[(Literal, Literal)],
+                            path: String): Option[LogicalPlan] =
+    withRollup(path, range) { (day, rr, rev, cnt, child) =>
+      if (rr.dataType != rf.dataType) None
+      else mapAggList(agg, {
+        case a: AttributeReference => a.exprId == rf.exprId
+        case _ => false
+      }, rr, rev, cnt).map(Aggregate(Seq(rr), _, child))
     }
-    // 5. fresh instance of the rollup relation
+
+  /** The r15 subset-grouping shape: groupBy(day-of-l_shipdate)
+    * re-aggregates the rollup OVER l_returnflag — grouping keys
+    * {day} ⊂ rollup keys {day, flag}, the general MV re-aggregation
+    * law demonstrated on a second key set. */
+  private def rewriteByDay(agg: Aggregate, isGroupOut: Expression => Boolean,
+                           range: Option[(Literal, Literal)],
+                           path: String): Option[LogicalPlan] =
+    withRollup(path, range) { (day, rr, rev, cnt, child) =>
+      if (day.dataType != TimestampNTZType) None
+      else mapAggList(agg, isGroupOut, day, rev, cnt)
+        .map(Aggregate(Seq(day), _, child))
+    }
+
+  /** Rewrite the aggregate output list term by term, preserving each
+    * term's POSITION, name, exprId, and dataType. CollapseProject has
+    * usually folded the user's post-agg select into the Aggregate by
+    * the time extra rules run (the r15 finding: the gated q336 plan
+    * was silently DECLINING because the matcher pinned the
+    * pre-collapse order and the bare sum — the hash gate passes either
+    * way, only the new PlanShapeSpec plan pin caught it), so each
+    * output term is an ARBITRARY scalar expression over three kinds of
+    * subtree, substituted in place:
+    *  - the grouping expression/attribute      → the rollup group attr;
+    *  - sum(cast(price·(1−disc) as dec(18,4))) → cast(SUM(rev), 28,4);
+    *  - count(1)                               → SUM(cnt);
+    * After substitution the term must reference ONLY rollup columns
+    * (a leftover fact attribute = a foreign expression ⇒ decline) and
+    * must contain NO aggregate function other than the SUMs created
+    * here (count(day) etc. would re-aggregate WRONGLY over rollup
+    * grain ⇒ decline). At least one rev/cnt aggregate must appear
+    * somewhere, else this is not an answerable report. rev is stored
+    * DECIMAL(28,4) (never downcast — overflow would NULL and SUM would
+    * silently skip it); SUM widens to (38,4) and is cast back to the
+    * original (28,4) output type — exact, since the true total fits by
+    * construction. */
+  private def mapAggList(agg: Aggregate, isGroup: Expression => Boolean,
+                         groupRepl: AttributeReference,
+                         rev: AttributeReference, cnt: AttributeReference)
+      : Option[Seq[NamedExpression]] = {
+    val created =
+      java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[Expression, java.lang.Boolean]())
+    var sawAggregate = false
+    def mkRev: Expression = {
+      val ae = Sum(rev).toAggregateExpression()
+      created.add(ae); sawAggregate = true
+      Cast(ae, DecimalType(28, 4))
+    }
+    def mkCnt: Expression = {
+      val ae = Sum(cnt).toAggregateExpression()
+      created.add(ae); sawAggregate = true
+      ae
+    }
+    val out = agg.aggregateExpressions.map { ne =>
+      val rewritten = (ne: Expression).transformUp {
+        case e if isCanonicalRevenueSum(e) => mkRev
+        case e if isCountStar(e) => mkCnt
+        case e if isGroup(e) => groupRepl
+      }
+      val foreignAgg = rewritten.exists {
+        case ae: AggregateExpression => !created.contains(ae)
+        case _ => false
+      }
+      val leftoverRef = rewritten.references.exists(r =>
+        r.exprId != groupRepl.exprId && r.exprId != rev.exprId &&
+          r.exprId != cnt.exprId)
+      if (foreignAgg || leftoverRef) return None
+      rewritten match {
+        case a: Alias => a
+        case other => Alias(other, ne.name)(exprId = ne.exprId)
+      }
+    }
+    if (sawAggregate) Some(out) else None
+  }
+
+  /** Resolve a fresh rollup relation, verify its column types (the
+    * dtype gates that keep a legacy/foreign table from being read),
+    * build the range filter, and hand the pieces to the shape-specific
+    * assembler. */
+  private def withRollup(path: String, range: Option[(Literal, Literal)])(
+      assemble: (AttributeReference, AttributeReference, AttributeReference,
+                 AttributeReference, LogicalPlan) => Option[LogicalPlan])
+      : Option[LogicalPlan] = {
     val rel = rollupRelation(path).getOrElse(return None)
     def attrO(n: String): Option[AttributeReference] =
       rel.output.collectFirst {
@@ -136,27 +270,16 @@ object RewriteAggOnRollup extends Rule[LogicalPlan] {
     (attrO("day"), attrO("l_returnflag"), attrO("rev"), attrO("cnt")) match {
       case (Some(day), Some(rr), Some(rev), Some(cnt))
           if rev.dataType == DecimalType(28, 4) &&
-            cnt.dataType == LongType && rr.dataType == rf.dataType &&
+            cnt.dataType == LongType &&
             // a type-mismatched comparison would UNRESOLVE the plan —
             // the day column must carry the literals' exact type
             range.forall(r => day.dataType == r._1.dataType) =>
-        // 6. assemble, preserving output names + exprIds + dataTypes
         val child = range match {
           case Some((lo, hi)) =>
             Filter(And(GreaterThanOrEqual(day, lo), LessThan(day, hi)), rel)
           case None => rel
         }
-        // rev is stored DECIMAL(28,4) (never downcast — overflow would
-        // NULL and SUM would silently skip it); SUM widens to (38,4),
-        // so cast back to the ORIGINAL aggregate's (28,4) output type —
-        // exact, since the true total fits (28,4) by construction
-        val newAggs: Seq[NamedExpression] = Seq(
-          Alias(rr, rf.name)(exprId = rf.exprId),
-          Alias(Cast(Sum(rev).toAggregateExpression(), DecimalType(28, 4)),
-            revAlias.name)(exprId = revAlias.exprId),
-          Alias(Sum(cnt).toAggregateExpression(), cntAlias.name)(
-            exprId = cntAlias.exprId))
-        Some(Aggregate(Seq(rr), newAggs, child))
+        assemble(day, rr, rev, cnt, child)
       case _ => None
     }
   }

@@ -438,6 +438,34 @@ object JoinQueries {
         .orderBy("l_returnflag")
     }),
 
+    // SUBSET-GROUPING MV REWRITE (r15 — the second rewrite pattern,
+    // proving the matcher is a re-aggregation LAW and not a
+    // memorized shape): the DAILY revenue report groups by
+    // day-of-shipdate — grouping keys {day} ⊂ rollup keys
+    // (day, l_returnflag) — so RewriteAggOnRollup answers it from the
+    // same rollup by re-aggregating OVER the flag (SUM of the 3
+    // per-flag partials per day; decimal sums associative ⇒ the RAW
+    // lineitem oracle still hash-matches bit-for-bit). Quarter range
+    // [1995-03-01, 1995-06-01): the rewritten scan reads 92×|flags|
+    // rollup rows instead of the quarter's fact lines. MvRewriteSpec
+    // pins the rollup scan, the month-grain decline, and the
+    // intra-day decline at this shape.
+    "q341_daily_rollup_rewrite" -> ((s, dir) => {
+      dailyRollup(s, dir)
+      val lo = lit("1995-03-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1995-06-01 00:00:00").cast("timestamp_ntz")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy(col("l_shipdate").cast("date").cast("timestamp_ntz")
+          .as("day"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).as("rev_d"),
+          count(lit(1)).as("n_lines"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_lines"), col("rev_d").cast("double").as("revenue"))
+        .orderBy("day")
+    }),
+
     // DYNAMIC PARTITION PRUNING (VERDICT r10 #2): the single most
     // common 100 TB warehouse read pattern after bucketing — a fact
     // table date-partitioned at write time (Warehouse.writePartitioned,
@@ -1492,6 +1520,17 @@ object JoinQueries {
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // computed from RAW lineitem — the subset-grouping rewrite must
+    // re-aggregate the per-(day, flag) partials to the same bits
+    "q341_daily_rollup_rewrite" ->
+      """SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+        |       count(*) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1995-06-01 00:00:00'
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     "q333_personalized_pagerank" ->
       """WITH eb AS (
         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s

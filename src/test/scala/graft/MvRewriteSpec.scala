@@ -118,6 +118,42 @@ class MvRewriteSpec extends AnyFunSuite with SparkFixture {
     } finally disarm()
   }
 
+  test("subset-grouping (daily) report rewrites onto the rollup; month-grain and intra-day decline") {
+    // r15: grouping keys {day} ⊂ rollup keys (day, flag) — the rule
+    // re-aggregates over the flag; the answer must be bit-identical
+    // to the raw fact scan.
+    arm()
+    try {
+      def daily(lo: String, hi: String,
+                dayExpr: org.apache.spark.sql.Column): DataFrame =
+        Tables.lineitem(spark, dir)
+          .filter(col("l_shipdate") >= lit(lo).cast("timestamp_ntz") &&
+            col("l_shipdate") < lit(hi).cast("timestamp_ntz"))
+          .groupBy(dayExpr.as("day"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast("decimal(18,4)")).as("rev_d"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("day")
+      val dayOf = col("l_shipdate").cast("date").cast("timestamp_ntz")
+      val rewritten = daily("1995-03-01 00:00:00", "1995-06-01 00:00:00", dayOf)
+      assert(scansRollup(rewritten),
+        rewritten.queryExecution.executedPlan.toString)
+      val got = rewritten.collect()
+      // month-grain grouping cannot be re-derived day-exactly by this
+      // matcher — declines to the fact scan
+      assert(scansFact(daily("1995-03-01 00:00:00", "1995-06-01 00:00:00",
+        date_trunc("month", col("l_shipdate")))))
+      // intra-day bound declines at this shape too
+      assert(scansFact(daily("1995-03-01 00:00:00", "1995-06-01 12:00:00",
+        dayOf)))
+      disarm()
+      val raw = daily("1995-03-01 00:00:00", "1995-06-01 00:00:00", dayOf)
+      assert(scansFact(raw))
+      assert(got.toSeq === raw.collect().toSeq)
+      assert(got.length > 1)
+    } finally disarm()
+  }
+
   test("a legacy DECIMAL(18,4) rollup declines (rev dtype gate)") {
     // a downcast rollup can hold NULLs from silent overflow — the
     // rewrite must refuse to read one (r15, ADVICE)

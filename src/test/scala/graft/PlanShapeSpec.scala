@@ -353,6 +353,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"dim date filters not pushed to the orders scan:\n$p")
   }
 
+  /** The MV-rewrite gated queries must ACTUALLY rewrite: their hash
+    * gates pass whether or not the rule fires (decline = raw scan =
+    * same answer), so the plan is the only witness the optimizer
+    * redirected the report onto the rollup (the vacuous-branch
+    * discipline applied to a Rule). */
+  test("q336/q341 gated plans scan the rollup, never the fact table") {
+    for (q <- Seq("q336_rollup_rewrite", "q341_daily_rollup_rewrite")) {
+      val p = plan(q)
+      assert(p.contains("graft-rollup-"),
+        s"$q: rewrite did not fire (no rollup scan):\n$p")
+      assert(!p.contains("lineitem.parquet"),
+        s"$q: rewritten plan must not scan the fact table:\n$p")
+    }
+  }
+
   /** q134's read path: the day range must apply as a STATIC partition
     * filter on the day-partitioned sketch table — only the matching
     * day directories are listed; the raw events are never rescanned
