@@ -410,6 +410,139 @@ object Multimodal {
     PpmThumb(id, valid = true, ow, oh, sr / n, sg / n, sb / n)
   }
 
+  /** Deterministic synthetic BMP (24bpp uncompressed Windows DIB) for
+    * `doc_id` — the second REAL offline-decodable image format (r15,
+    * closing the codec-seam carry beside PPM): where P6 is ASCII-header
+    * + raw RGB, BMP exercises the parts PPM cannot — LITTLE-ENDIAN
+    * multi-byte header fields, BGR channel order, rows PADDED to
+    * 4-byte boundaries, and BOTTOM-UP storage (positive biHeight)
+    * with the top-down variant (negative biHeight) planted so the
+    * row-flip branch is gated. Every byte is a pure function of id,
+    * mirrored by q342's oracle:
+    *
+    *  - w = 4 + id % 5, h = 3 + id % 4 (the q94 dims)
+    *  - image-coordinate pixel (x, y), y = 0 the TOP row:
+    *    blue  = (id·31 + 5x + 7y)     mod 256
+    *    green = (id·31 + 5x + 7y + 1) mod 256
+    *    red   = (id·31 + 5x + 7y + 2) mod 256   (stored B,G,R)
+    *  - id % 6 == 0 ⇒ TOP-DOWN file (biHeight = −h, rows stored
+    *    top-first); otherwise bottom-up. The decoded IMAGE is the
+    *    same either way — which is exactly why the gated features
+    *    include the row-order-SENSITIVE top_row_gray: channel means
+    *    are row-order-invariant and would pass even if the flip were
+    *    ignored (the vacuous-branch audit, applied at design time).
+    *  - id % 7 == 0 ⇒ raster truncated 1 byte short (quarantine)
+    *  - id % 9 == 0 ⇒ biBitCount declared 32 (unsupported ⇒
+    *    quarantine; the decoder supports exactly 24bpp BI_RGB). */
+  def syntheticBmp(id: Long): Array[Byte] = {
+    require(id >= 0, s"syntheticBmp requires a non-negative id, got $id")
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    val topDown = id % 6 == 0
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val rasterLen = if (id % 7 == 0) rowSize * h - 1 else rowSize * h
+    val bb = java.nio.ByteBuffer.allocate(54 + rasterLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(54 + rasterLen)            // bfSize
+    bb.putInt(0)                         // reserved
+    bb.putInt(54)                        // bfOffBits
+    bb.putInt(40)                        // biSize
+    bb.putInt(w)
+    bb.putInt(if (topDown) -h else h)
+    bb.putShort(1)                       // biPlanes
+    bb.putShort(if (id % 9 == 0) 32 else 24)
+    bb.putInt(0)                         // BI_RGB
+    bb.putInt(rowSize * h)               // biSizeImage
+    bb.putInt(0).putInt(0).putInt(0).putInt(0) // ppm res + palette
+    var sy = 0
+    var written = 0
+    while (sy < h && written < rasterLen) {
+      // sy = storage row index; the image row it holds depends on
+      // the orientation
+      val y = if (topDown) sy else h - 1 - sy
+      var b = 0
+      while (b < rowSize && written < rasterLen) {
+        val v =
+          if (b >= 3 * w) 0L // row padding
+          else {
+            val x = b / 3
+            val c = b % 3 // 0=B, 1=G, 2=R
+            (id * 31 + 5 * x + 7 * y + c) % 256
+          }
+        bb.put(v.toByte)
+        written += 1
+        b += 1
+      }
+      sy += 1
+    }
+    bb.array()
+  }
+
+  /** Per-image features from the REAL BMP decode: dims, orientation,
+    * channel means, and the row-order-sensitive top-row gray sum. */
+  case class BmpFeatures(doc_id: Long, valid: Boolean, width: Int,
+                         height: Int, top_down: Boolean, mean_r: Double,
+                         mean_g: Double, mean_b: Double, top_row_gray: Long)
+
+  implicit val bmpFeaturesEnc: Encoder[BmpFeatures] = Encoders.product[BmpFeatures]
+
+  /** REAL BMP (24bpp BI_RGB) decoder — pure byte arithmetic, no
+    * library: file-header walk (magic, pixel-data offset), DIB header
+    * (little-endian dims, planes, bit count, compression), padded-row
+    * geometry, bottom-up vs top-down row order from biHeight's sign.
+    * Anything the decoder does not support (≠24bpp, compressed,
+    * short raster, foreign magic) quarantines as valid = false — the
+    * decodePpm contract: at 100 TB a corrupt image is a countable
+    * row, not a dead executor. Narrow mapPartitions, binary never
+    * shuffles. */
+  def decodeBmp(payloadDf: DataFrame): Dataset[BmpFeatures] =
+    payloadDf.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => parseBmp(id, bytes) })
+
+  private[graft] def parseBmp(id: Long, bytes: Array[Byte]): BmpFeatures = {
+    def bad = BmpFeatures(id, valid = false, 0, 0, top_down = false,
+      0.0, 0.0, 0.0, 0L)
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def i32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return bad
+    val dataOff = i32(10)
+    val infoSize = i32(14)
+    val w = i32(18)
+    val rawH = i32(22)
+    if (infoSize < 40 || w <= 0 || rawH == 0) return bad
+    val h = math.abs(rawH)
+    val topDown = rawH < 0
+    if (u16(26) != 1 || u16(28) != 24 || i32(30) != 0) return bad
+    val rowSize = ((3L * w + 3) / 4) * 4
+    if (dataOff < 54 || dataOff + rowSize * h > bytes.length) return bad
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var topRowGray = 0L
+    var y = 0
+    while (y < h) {
+      val storedRow = if (topDown) y else h - 1 - y
+      val rowOff = dataOff + storedRow * rowSize
+      var x = 0
+      while (x < w) {
+        val p = (rowOff + 3 * x).toInt
+        val bl = bytes(p) & 0xff
+        val gr = bytes(p + 1) & 0xff
+        val rd = bytes(p + 2) & 0xff
+        sb += bl; sg += gr; sr += rd
+        if (y == 0) topRowGray += bl + gr + rd
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    BmpFeatures(id, valid = true, w, h, topDown,
+      sr / n, sg / n, sb / n, topRowGray)
+  }
+
   /** Deterministic synthetic WAV (RIFF/PCM16 mono) payload for
     * `doc_id` — the audio analog of `syntheticPpm`: PCM WAV needs no
     * codec library (RIFF chunk walk + little-endian int16 reads), so

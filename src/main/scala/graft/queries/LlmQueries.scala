@@ -2314,6 +2314,31 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL BMP decode under the hash gate (r15 — the second real
+    // image format, closing the codec-seam carry): synthetic 24bpp
+    // DIBs (Multimodal.syntheticBmp — little-endian header fields,
+    // BGR order, 4-byte row padding, bottom-up rows with a planted
+    // top-down variant every 6th id; 1-in-7 truncated and 1-in-9
+    // 32bpp-declared payloads quarantine) decoded by the REAL parser.
+    // top_row_gray is deliberately ROW-ORDER SENSITIVE: the channel
+    // means alone would hash-match even if the bottom-up/top-down
+    // flip were ignored (the vacuous-branch audit at design time).
+    "q342_bmp_decode" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.decodeBmp(payloads)
+        .select(col("doc_id"), col("valid"), col("width"), col("height"),
+          col("top_down"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"),
+          col("top_row_gray"))
+        .orderBy("doc_id")
+    }),
+
     // REAL audio decode under the hash gate — the WAV analog of q94:
     // synthetic RIFF/PCM16 payloads (every byte a pure function of
     // doc_id, one in seven truncated ⇒ quarantined valid=false), real
@@ -4886,6 +4911,50 @@ object LlmQueries {
         |       CASE WHEN doc_id % 7 <> 0 THEN round(mr, 4) ELSE 0.0 END AS mean_r,
         |       CASE WHEN doc_id % 7 <> 0 THEN round(mg, 4) ELSE 0.0 END AS mean_g,
         |       CASE WHEN doc_id % 7 <> 0 THEN round(mb, 4) ELSE 0.0 END AS mean_b
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // mirrors Multimodal.syntheticBmp's arithmetic: image-coordinate
+    // pixel (x, y) channels (id·31 + 5x + 7y + c) mod 256 for c =
+    // 0/1/2 = B/G/R; valid ⇔ id not divisible by 7 (truncated) nor 9
+    // (32bpp-declared); top_down ⇔ id % 6 = 0 among the valid. The
+    // oracle works in IMAGE coordinates — storage order (bottom-up vs
+    // top-down, row padding) is the decoder's problem, which is
+    // exactly what the row-order-sensitive top_row_gray gates.
+    "q342_bmp_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(4 + doc_id % 5 AS INTEGER) AS w,
+        |         CAST(3 + doc_id % 4 AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, y,
+        |         (doc_id * 31 + 5 * x + 7 * y) % 256 AS b,
+        |         (doc_id * 31 + 5 * x + 7 * y + 1) % 256 AS g,
+        |         (doc_id * 31 + 5 * x + 7 * y + 2) % 256 AS r
+        |  FROM d, unnest(range(0, w)) AS u(x), unnest(range(0, h)) AS v(y)),
+        |m AS (
+        |  SELECT doc_id, w, h,
+        |         avg(CAST(r AS DOUBLE)) AS mr,
+        |         avg(CAST(g AS DOUBLE)) AS mg,
+        |         avg(CAST(b AS DOUBLE)) AS mb,
+        |         CAST(sum(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
+        |              AS BIGINT) AS trg
+        |  FROM px GROUP BY doc_id, w, h)
+        |SELECT doc_id,
+        |       (doc_id % 7 <> 0 AND doc_id % 9 <> 0) AS valid,
+        |       CASE WHEN doc_id % 7 <> 0 AND doc_id % 9 <> 0
+        |            THEN w ELSE 0 END AS width,
+        |       CASE WHEN doc_id % 7 <> 0 AND doc_id % 9 <> 0
+        |            THEN h ELSE 0 END AS height,
+        |       (doc_id % 7 <> 0 AND doc_id % 9 <> 0 AND doc_id % 6 = 0)
+        |         AS top_down,
+        |       CASE WHEN doc_id % 7 <> 0 AND doc_id % 9 <> 0
+        |            THEN round(mr, 4) ELSE 0.0 END AS mean_r,
+        |       CASE WHEN doc_id % 7 <> 0 AND doc_id % 9 <> 0
+        |            THEN round(mg, 4) ELSE 0.0 END AS mean_g,
+        |       CASE WHEN doc_id % 7 <> 0 AND doc_id % 9 <> 0
+        |            THEN round(mb, 4) ELSE 0.0 END AS mean_b,
+        |       CASE WHEN doc_id % 7 <> 0 AND doc_id % 9 <> 0
+        |            THEN trg ELSE 0 END AS top_row_gray
         |FROM m ORDER BY doc_id""".stripMargin,
     // mirrors Multimodal.syntheticWav's arithmetic: sample k =
     // (id·7 + k·13) % 2001 − 1000 over n = 50 + id%32 samples at

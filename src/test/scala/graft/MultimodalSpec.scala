@@ -285,4 +285,54 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       assert(a.count(r => r.doc_id == i && r.valid) === (4 + i % 5).toInt, s"id $i")
     }
   }
+  test("parseBmp: flip sensitivity, header gates, padding; partition invariance") {
+    import Multimodal.BmpFeatures
+    // hand-crafted 2x2 bottom-up vs top-down pair holding the SAME
+    // image: decoded features must be identical, and top_row_gray
+    // must read the IMAGE top row (the flip is load-bearing — means
+    // alone are row-order-invariant and could not catch a decoder
+    // that ignored biHeight's sign)
+    def mk(topDown: Boolean): Array[Byte] = {
+      val w = 2; val h = 2; val rowSize = 8 // 3*2=6 padded to 8
+      val bb = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+        .putInt(0).putInt(54).putInt(40).putInt(w)
+        .putInt(if (topDown) -h else h)
+      bb.putShort(1).putShort(24).putInt(0).putInt(rowSize * h)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0)
+      // image rows: top row pixels gray 30 (10,10,10); bottom 300
+      val top = Array[Byte](10, 10, 10, 10, 10, 10, 0, 0)
+      val bot = Array[Byte](100, 100, 100, 100, 100, 100, 0, 0)
+      if (topDown) { bb.put(top); bb.put(bot) }
+      else { bb.put(bot); bb.put(top) }
+      bb.array()
+    }
+    val up = Multimodal.parseBmp(1L, mk(topDown = false))
+    val dn = Multimodal.parseBmp(2L, mk(topDown = true))
+    assert(up.valid && dn.valid)
+    assert(up.top_down === false && dn.top_down === true)
+    assert(up.top_row_gray === 60L && dn.top_row_gray === 60L)
+    assert(up.mean_r === dn.mean_r && up.mean_b === dn.mean_b)
+    // header gates: foreign magic, 32bpp, compressed, short raster
+    assert(!Multimodal.parseBmp(3L, "notabitmap".getBytes).valid)
+    val good = Multimodal.syntheticBmp(1L)
+    assert(Multimodal.parseBmp(1L, good).valid)
+    assert(!Multimodal.parseBmp(1L, good.dropRight(1)).valid)
+    val bpp32 = good.clone(); bpp32(28) = 32
+    assert(!Multimodal.parseBmp(1L, bpp32).valid)
+    val rle = good.clone(); rle(30) = 1 // BI_RLE8
+    assert(!Multimodal.parseBmp(1L, rle).valid)
+    // synthetic round-trip: planted quarantines land exactly on the
+    // documented ids; determinism + partition invariance
+    val ids = (0L to 60L)
+    val df = ids.map(i => (i, Multimodal.syntheticBmp(i))).toDF("doc_id", "payload")
+    val a = Multimodal.decodeBmp(df).collect().toSet
+    val b = Multimodal.decodeBmp(df.repartition(7)).collect().toSet
+    assert(a === b)
+    assert(a.filter(!_.valid).map(_.doc_id) ===
+      ids.filter(i => i % 7 == 0 || i % 9 == 0).toSet)
+    assert(a.filter(_.top_down).map(_.doc_id) ===
+      ids.filter(i => i % 6 == 0 && i % 7 != 0 && i % 9 != 0).toSet)
+  }
 }
