@@ -170,7 +170,18 @@ object ScaleProbe {
       // broadcast score passes)
       "q326_bigram_logprob", "q333_personalized_pagerank",
       "q327_bfs_hops", "q334_source_drift", "q335_video_keyframes",
-      "q330_conformal")
+      "q330_conformal",
+      // round-15 wave: the remaining top-10 bench heavies, probed at
+      // the derived sf1 corpus (events/part now derive too) — grouped
+      // MAD (one user aggregate + broadcast group stats), the
+      // alignment-offset dotplot (rare-gram pair blocking), the
+      // centroid classifier + BPE apply (corpus passes with
+      // model-sized shuffles), reorder rates (order-pair fan), the
+      // exact weighted median (rankedByRange), and the uplift curve
+      // (user aggregate + 5-row quintile table)
+      "q324_grouped_mad_outliers", "q339_align_offset", "q288_centroid_classifier",
+      "q292_bpe_apply", "q318_reorder_rates", "q300_weighted_median",
+      "q337_uplift_curve")
     // SPARK_GRAFT_PROBE_ONLY=q106,q120 restricts the family — the
     // 30–50× runs target just the linear-growth outliers rather than
     // paying the whole family at a corpus 3–5× the 10× one.
@@ -206,7 +217,7 @@ object ScaleProbe {
   /** Build the derived corpus once; skip when already on disk. */
   private def deriveIfAbsent(spark: SparkSession, base: String,
                              derived: String, factor: Int): Unit = {
-    val done = new org.apache.hadoop.fs.Path(s"$derived/_DERIVED")
+    val done = new org.apache.hadoop.fs.Path(s"$derived/_DERIVED_V3")
     val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(done)) return
     val docs = Tables.documents(spark, base)
@@ -262,6 +273,38 @@ object ScaleProbe {
       .drop("__c")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$derived/orders.parquet")
+    // part ×N on the SAME l_partkey offset (fixture invariant
+    // max(p_partkey) = max(l_partkey), so joins stay consistent per
+    // copy) and events ×N with disjoint user/event id spaces, same
+    // calendar — 10× users on the same month is what a 10×-bigger
+    // business's event stream looks like (r15: lets the event-analytic
+    // heavies q324/q318/q330 join the above-sf0.1 table).
+    Tables.part(spark, base).crossJoin(copies)
+      .withColumn("p_partkey", col("p_partkey") + col("__c") * maxPart)
+      .drop("__c")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$derived/part.parquet")
+    // supplier ×N on lineitem's l_suppkey offset (same invariant as
+    // part); nation/region are fixed 25/5-row dims — copied verbatim
+    // (the seed joins q333/q327 run against them)
+    Tables.supplier(spark, base).crossJoin(copies)
+      .withColumn("s_suppkey", col("s_suppkey") + col("__c") * maxSupp)
+      .drop("__c")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$derived/supplier.parquet")
+    Tables.nation(spark, base).write.mode("overwrite")
+      .parquet(s"$derived/nation.parquet")
+    Tables.region(spark, base).write.mode("overwrite")
+      .parquet(s"$derived/region.parquet")
+    val ev = Tables.events(spark, base)
+    val Array(maxUser, maxEid) = ev.agg(max("user_id"), max("event_id"))
+      .head().toSeq.map(_.asInstanceOf[Long] + 1L).toArray
+    ev.crossJoin(copies)
+      .withColumn("user_id", col("user_id") + col("__c") * maxUser)
+      .withColumn("event_id", col("event_id") + col("__c") * maxEid)
+      .drop("__c")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$derived/events.parquet")
     fs.create(done, true).close()
   }
 }

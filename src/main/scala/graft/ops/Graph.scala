@@ -459,6 +459,82 @@ object Graph {
     dist
   }
 
+  /** CONNECTED COMPONENTS via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the O(log n)-ROUND CC that replaces the O(diameter)
+    * min-label loops (`labelPropagate`, `Dedup.connectedComponents`)
+    * when components can be DEEP: a 10⁶-node path costs ~10⁶ hashmin
+    * supersteps but ~20 star rounds, because each round REWRITES the
+    * edge list toward the component's star (the doubling trade the
+    * labelPropagate scaladoc names — edges are mutated, labels aren't
+    * carried):
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(Γ(u) ∪ {u});
+    *  - small-star(u): every neighbor v < u (and u itself)
+    *    re-attaches to m.
+    *
+    * The fixpoint is the star forest rooted at each component's
+    * minimum id; labels read off as min(Γ(node) ∪ {node}). Both steps
+    * are one symmetrize + one min groupBy + one broadcast-sized join
+    * per round — and every step's output is node-bounded ∪ edge-
+    * bounded, never a fan-out. Convergence is detected on the
+    * CANONICAL (unordered, distinct) edge set; each round
+    * localCheckpoints (the kCore lineage discipline). Everything is
+    * integer min arithmetic — engine-replayable, so the whole
+    * iterated build hash-gates against a WITH RECURSIVE closure
+    * (q343). Input: (u, v) pairs, u ≠ v rows tolerated either order;
+    * isolated nodes don't appear (the connectedComponents contract).
+    * Output: (node, comp). */
+  def ccStar(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    def sym(df: DataFrame): DataFrame =
+      df.unionByName(df.select(col("v").as("u"), col("u").as("v")))
+    def mins(nbrs: DataFrame): DataFrame =
+      nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val nbrs = sym(e)
+      val j = nbrs.join(mins(nbrs), Seq("u"))
+      if (large)
+        j.filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+      else {
+        val moved = j.filter(col("v") < col("u") && col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+        val self = mins(nbrs).filter(col("u") =!= col("m"))
+          .select(col("u"), col("m").as("v"))
+        moved.unionByName(self)
+      }
+    }
+    var e = canon(pairs.select(col("u"), col("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull))
+      .localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val next = canon(star(star(e, large = true), large = false))
+        .localCheckpoint(true)
+      // set equality: both sides are DISTINCT canonical pairs, so
+      // equal counts + empty one-way difference ⇒ equal sets (two
+      // scalar jobs per round over the pair-bounded edge table)
+      done = next.count() == e.count() && next.exceptAll(e).isEmpty
+      releaseCheckpoint(e)
+      e = next
+      rounds += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"ccStar did not converge within $maxRounds alternation rounds")
+    val labels = sym(e).groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("node"), least(col("mn"), col("u")).as("comp"))
+    releaseCheckpoint(e)
+    labels
+  }
+
   /** Free a localCheckpoint's block-manager storage (best-effort):
     * the checkpointed RDD sits behind the LogicalRDD node the
     * checkpoint call returned; Dataset.unpersist only covers

@@ -619,6 +619,77 @@ object JoinQueries {
         .orderBy("node")
     }),
 
+    // CONNECTED COMPONENTS VIA STAR CONTRACTION (ops.Graph.ccStar —
+    // Kiveris et al. 2014's alternating large-star/small-star, r15):
+    // the O(log n)-ROUND CC beside the O(diameter) min-label loops
+    // (q81/q212/q303's hashmin). The input is the graph where hashmin
+    // is at its WORST: per-user event chains ordered by time — paths
+    // ~70 nodes deep at sf0.01 (~700 at sf0.1), so hashmin needs a
+    // superstep per hop while star contraction collapses each chain
+    // in a handful of edge-rewriting rounds (GraphSpec asserts the
+    // 200-node path lands under the 30-round cap and that ccStar ≡
+    // the min-label fixpoint on cycles/stars/random graphs). The
+    // oracle is the INDEPENDENT closed-form answer the construction
+    // admits — a chain links ALL of a user's events, so each
+    // component is exactly one multi-event user (comp = min event_id,
+    // size = event count) — the q303 discipline: same answer, via a
+    // route that shares no code with the iterated operator.
+    "q343_cc_star" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("next_id", lead(col("event_id"), 1).over(w))
+        .filter(col("next_id").isNotNull)
+        .select(col("event_id").as("u"), col("next_id").as("v"))
+      graft.ops.Graph.ccStar(edges)
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
+        .orderBy("comp")
+    }),
+
+    // RANDOM-WALK CORPUS (DeepWalk/node2vec data prep — Perozzi et
+    // al. 2014; r15): the sequence generator that turns a graph into
+    // training text for embedding models — the graph-side sibling of
+    // the q183 contrastive builder. One 3-hop walk per customer node
+    // over the symmetrized trade graph; the "random" next hop is the
+    // repo's md5-coin discipline (q337's treatment coin): next(cur,t)
+    // = argmin over neighbors v of (md5(cur:t:v), v) — deterministic,
+    // engine-replayable, step-indexed so consecutive hops decorrelate.
+    // Scale shape: the per-step transition choice collapses to a
+    // NODE-SIZED map (one argmin groupBy over edges per step — next
+    // depends only on (cur, t)), so each hop is a node-sized join,
+    // never a per-walk fan-out; 3 steps = 3 bounded joins.
+    "q346_random_walks" -> ((s, dir) => {
+      val eb = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s1"))
+        .distinct()
+      val edges = eb.select(col("c").as("src"), col("s1").as("dst"))
+        .unionByName(eb.select(col("s1").as("src"), col("c").as("dst")))
+      def nextHop(t: Int) = edges
+        .select(col("src"), col("dst"),
+          substring(md5(concat_ws(":", col("src"), lit(t), col("dst"))),
+            1, 8).as("h"))
+        .groupBy("src")
+        .agg(min(struct(col("h"), col("dst"))).as("m"))
+        .select(col("src"), col("m.dst").as("next"))
+      var walk = eb.select(col("c")).distinct()
+        .select(col("c").as("start"), col("c").as("cur"))
+      for (t <- 1 to 3) {
+        val nh = nextHop(t)
+        walk = walk.join(nh, walk("cur") === nh("src"))
+          .drop("src", "cur")
+          .withColumn(s"hop$t", col("next"))
+          .withColumnRenamed("next", "cur")
+      }
+      walk.select(col("start"), col("hop1"), col("hop2"), col("hop3"))
+        .orderBy("start")
+    }),
+
     // TRIANGLE COUNTING (ops.Graph.triangleCounts) on the part
     // co-purchase graph (parts bought together in an order) — the
     // clustering/community primitive. The Spark side runs the
@@ -1622,6 +1693,42 @@ object JoinQueries {
         |  WHERE w.d < 3)
         |SELECT node, CAST(min(d) AS BIGINT) AS dist
         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+    // the same md5 hex coin, replayed; per-(src, step) argmin via a
+    // (hash, dst) row_number — ties broken identically to the struct
+    // min on the Spark side
+    "q346_random_walks" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM eb
+        |      UNION ALL SELECT s, c FROM eb),
+        |n1 AS (SELECT src, dst AS next FROM (
+        |  SELECT src, dst, row_number() OVER (PARTITION BY src
+        |    ORDER BY substr(md5(src || ':1:' || dst), 1, 8), dst) AS rn
+        |  FROM e) x WHERE rn = 1),
+        |n2 AS (SELECT src, dst AS next FROM (
+        |  SELECT src, dst, row_number() OVER (PARTITION BY src
+        |    ORDER BY substr(md5(src || ':2:' || dst), 1, 8), dst) AS rn
+        |  FROM e) x WHERE rn = 1),
+        |n3 AS (SELECT src, dst AS next FROM (
+        |  SELECT src, dst, row_number() OVER (PARTITION BY src
+        |    ORDER BY substr(md5(src || ':3:' || dst), 1, 8), dst) AS rn
+        |  FROM e) x WHERE rn = 1),
+        |starts AS (SELECT DISTINCT c AS start FROM eb)
+        |SELECT w.start, a.next AS hop1, b.next AS hop2, d.next AS hop3
+        |FROM starts w
+        |JOIN n1 a ON a.src = w.start
+        |JOIN n2 b ON b.src = a.next
+        |JOIN n3 d ON d.src = b.next
+        |ORDER BY w.start""".stripMargin,
+    // the independent closed form: a time-ordered chain connects ALL
+    // of a user's events, so each multi-event user IS one component
+    "q343_cc_star" ->
+      """SELECT min(event_id) AS comp,
+        |       CAST(count(*) AS BIGINT) AS n_nodes,
+        |       max(event_id) AS max_node
+        |FROM events GROUP BY user_id
+        |HAVING count(*) >= 2 ORDER BY comp""".stripMargin,
     "q171_triangles" ->
       """WITH ib AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -1287,9 +1287,162 @@ object StatQueries {
               col("cy_c").cast("double") * col("cn_t").cast("double") /
                 col("cn_c").cast("double"), 6)).as("qini_g"))
         .orderBy("quintile")
+    }),
+
+    // BENJAMINI–HOCHBERG STEP-UP FDR (Benjamini & Hochberg 1995 —
+    // the multiple-testing controller that completes the inference
+    // family: q197 flags one z, q234-era SPRT sequences one test,
+    // THIS decides m=|users| simultaneous hypotheses at a controlled
+    // false-discovery rate — the "which entities are anomalous"
+    // monitor every fleet-wide alerting system needs). Hypotheses:
+    // per-user mean of a PLANTED-shifted value — users with id % 13
+    // == 0 carry a true +36.0 mean shift (the q94/q342 planted-
+    // positive discipline: the fixture's own per-user means are
+    // Poisson-clean, so an unplanted BH would reject nothing and the
+    // rejected branch would be vacuous — checked at design time).
+    // Determinism: values DECIMAL-quantized before every sum (exact,
+    // order-free); z from those exact sums in one documented double
+    // op order; p via the Bowling 2009 logistic CDF surrogate
+    // 2/(1+e^{1.702|z|}) rounded to integer micro-units (quantum 1 on
+    // a ~1e6-scale value ⇒ boundary-flip odds ~1e-9/row); the rank is
+    // rankedByRange (NEVER a user-grain global window — the q289
+    // class); the step-up cutoff compares p_micro·20·m ≤ 1e6·i in
+    // exact integers. Planted users reject (z ≈ +6), null users
+    // don't — both branches live at every SF, values inspected.
+    "q344_bh_fdr" -> ((s, dir) => {
+      import graft.ops.Sampling
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("user_id"),
+          (round(col("value"), 4).cast("decimal(12,4)") +
+            when(col("user_id") % 13 === 0, lit(36.0))
+              .otherwise(lit(0.0)).cast("decimal(12,4)"))
+            .cast("decimal(12,4)").as("v"))
+      val g = ev.agg(count(lit(1)).as("nn"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+      val u = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_u"), sum(col("v")).as("su"))
+      val m = u.agg(count(lit(1)).as("m"))
+      val scored = u.crossJoin(broadcast(g)).crossJoin(broadcast(m))
+        .withColumn("z",
+          (col("su").cast("double") / col("n_u") -
+            col("s1").cast("double") / col("nn")) /
+          (sqrt((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("nn")) /
+            (col("nn") - lit(1L))) / sqrt(col("n_u").cast("double"))))
+        .withColumn("p_micro", round(lit(2000000.0) /
+          (lit(1.0) + exp(lit(1.702) * abs(col("z"))))).cast("long"))
+        .select(col("user_id"), col("n_u"), col("p_micro"), col("m"))
+      val ranked = Sampling.rankedByRange(scored,
+        Seq("p_micro", "user_id"), 32)
+      val k = ranked.agg(max(when(
+        col("p_micro") * lit(20L) * col("m") <= lit(1000000L) * col("rn"),
+        col("rn"))).as("kk"))
+      ranked.crossJoin(broadcast(k))
+        .select(col("user_id"), col("n_u").as("n_obs"), col("p_micro"),
+          col("rn").as("bh_rank"),
+          (col("rn") <= coalesce(col("kk"), lit(0L))).as("rejected"))
+        .orderBy("bh_rank")
+    }),
+
+    // WEIGHT-OF-EVIDENCE BINNING + INFORMATION VALUE (the credit-
+    // scoring feature-screening classic — Siddiqi 2006; beside q304's
+    // LOO target encoding: THAT encodes a categorical for a model,
+    // THIS scores a continuous feature's separating power before any
+    // model exists): activity deciles (ntileByRange — a data-scaling
+    // frame, never a global window; the dealing rule is q320-gated) ×
+    // heavy-purchaser outcome, WoE_i = ln(good-share/bad-share) with
+    // the standard +0.5 Laplace cell smoothing (zero cells stay
+    // defined), iv_term_i = (Δshare)·WoE_i. The activity→purchase
+    // correlation is REAL in the fixture, so WoE runs monotone
+    // positive→negative across deciles (inspected — not a null
+    // table). ln is quantized to 6dp before the IV product (the q140
+    // libm-parity discipline); shares are exact-integer-derived
+    // doubles in one documented op order.
+    "q345_woe_binning" -> ((s, dir) => {
+      import graft.ops.Sampling
+      val u = Tables.events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("activity"),
+          when(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) >= 12, 1L).otherwise(0L).as("y"))
+        .withColumn("neg_act", -col("activity"))
+      val dec = Sampling.ntileByRange(u, 10, Seq("neg_act", "user_id"),
+        32, out = "decile")
+      val bins = dec.groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum("y").as("n_good"))
+      val tot = bins.agg(sum("n").as("nt"), sum("n_good").as("gt"))
+      bins.crossJoin(broadcast(tot))
+        .withColumn("gshare", (col("n_good").cast("double") + lit(0.5)) /
+          (col("gt").cast("double") + lit(5.0)))
+        .withColumn("bshare",
+          ((col("n") - col("n_good")).cast("double") + lit(0.5)) /
+          ((col("nt") - col("gt")).cast("double") + lit(5.0)))
+        .withColumn("woe", round(log(col("gshare") / col("bshare")), 6))
+        .select(col("decile"), col("n"), col("n_good"), col("woe"),
+          round((col("gshare") - col("bshare")) * col("woe"), 10)
+            .as("iv_term"))
+        .orderBy("decile")
     }))
 
   val oracles: Map[String, String] = Map(
+
+    "q345_woe_binning" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS activity,
+        |         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |                       THEN 1 ELSE 0 END) >= 12
+        |              THEN 1 ELSE 0 END AS y
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT y, ntile(10) OVER (ORDER BY -activity, user_id)
+        |               AS decile FROM u),
+        |b AS (SELECT CAST(decile AS INTEGER) AS decile,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(y) AS BIGINT) AS n_good
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS nt, sum(n_good) AS gt FROM b),
+        |w AS (
+        |  SELECT decile, n, n_good,
+        |         (CAST(n_good AS DOUBLE) + 0.5) / (CAST(gt AS DOUBLE) + 5.0)
+        |           AS gshare,
+        |         (CAST(n - n_good AS DOUBLE) + 0.5) /
+        |         (CAST(nt - gt AS DOUBLE) + 5.0) AS bshare
+        |  FROM b, t)
+        |SELECT decile, n, n_good,
+        |       round(ln(gshare / bshare), 6) AS woe,
+        |       round((gshare - bshare) * round(ln(gshare / bshare), 6), 10)
+        |         AS iv_term
+        |FROM w ORDER BY decile""".stripMargin,
+
+    "q344_bh_fdr" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |         CAST(CAST(round(value, 4) AS DECIMAL(12,4)) +
+        |              CASE WHEN user_id % 13 = 0
+        |                   THEN CAST(36.0 AS DECIMAL(12,4))
+        |                   ELSE CAST(0.0 AS DECIMAL(12,4)) END
+        |              AS DECIMAL(12,4)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT count(*) AS nn, sum(v) AS s1, sum(v * v) AS s2 FROM ev),
+        |u AS (SELECT user_id, count(*) AS n_u, sum(v) AS su
+        |      FROM ev GROUP BY user_id),
+        |mm AS (SELECT count(*) AS m FROM u),
+        |sc AS (
+        |  SELECT user_id, n_u, m,
+        |         CAST(round(2000000.0 / (1.0 + exp(1.702 * abs(
+        |           (CAST(su AS DOUBLE) / n_u - CAST(s1 AS DOUBLE) / nn) /
+        |           (sqrt((CAST(s2 AS DOUBLE) -
+        |                  CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nn)
+        |                 / (nn - 1)) / sqrt(CAST(n_u AS DOUBLE)))))))
+        |              AS BIGINT) AS p_micro
+        |  FROM u, g, mm),
+        |r AS (SELECT user_id, n_u, p_micro, m,
+        |             row_number() OVER (ORDER BY p_micro, user_id) AS rnk
+        |      FROM sc),
+        |k AS (SELECT max(CASE WHEN p_micro * 20 * m <= 1000000 * rnk
+        |                      THEN rnk END) AS kk FROM r)
+        |SELECT user_id, CAST(n_u AS BIGINT) AS n_obs, p_micro,
+        |       CAST(rnk AS BIGINT) AS bh_rank,
+        |       rnk <= coalesce(kk, 0) AS rejected
+        |FROM r, k ORDER BY bh_rank""".stripMargin,
 
     "q320_ntile_by_range" ->
       """WITH u AS (

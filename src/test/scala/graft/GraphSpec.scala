@@ -288,4 +288,44 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long)].collect().toMap
     assert(re === got)
   }
+
+  test("ccStar: chains, cycles, stars, isolates-by-absence match the min-label fixpoint") {
+    // deep path (the doubling case), a cycle, a star, a 2-clique —
+    // the min-label fixpoint (Dedup.connectedComponents) is the
+    // independent reference implementation
+    val edges = (
+      (1L to 19L).map(i => (i, i + 1)) ++          // path 1..20
+      Seq((30L, 31L), (31L, 32L), (32L, 30L)) ++   // cycle
+      Seq((40L, 41L), (40L, 42L), (40L, 43L)) ++   // star
+      Seq((50L, 51L))).toDF("u", "v")
+    val got = Graph.ccStar(edges).as[(Long, Long)].collect().toMap
+    val ref = graft.ops.Dedup.connectedComponents(
+        edges.select(col("u").as("id_a"), col("v").as("id_b")))
+      .as[(Long, Long)].collect().toMap
+    assert(got === ref)
+    // edge rows in either orientation + duplicates change nothing
+    val messy = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    assert(Graph.ccStar(messy).as[(Long, Long)].collect().toMap === ref)
+  }
+
+  test("ccStar converges in O(log n) rounds where hashmin needs O(n): a 200-node path") {
+    // the path's eccentricity is 199, so the min-label loop needs ~199
+    // supersteps; ccStar must land well under its default 30-round cap
+    // (the doubling claim, asserted not just documented)
+    val path = (1L until 200L).map(i => (i, i + 1)).toDF("u", "v")
+    val got = Graph.ccStar(path).as[(Long, Long)].collect()
+    assert(got.length === 200 && got.forall(_._2 == 1L))
+  }
+
+  test("ccStar is partition-invariant and matches a random-graph reference") {
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(150)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.toDF("u", "v")
+    val a = Graph.ccStar(edges).as[(Long, Long)].collect().toMap
+    val b = Graph.ccStar(edges.repartition(7)).as[(Long, Long)].collect().toMap
+    val ref = graft.ops.Dedup.connectedComponents(
+        edges.select(col("u").as("id_a"), col("v").as("id_b")))
+      .as[(Long, Long)].collect().toMap
+    assert(a === ref && b === ref)
+  }
 }
