@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   * parquet, the gated-query path), a WRITE row (the one-time bucketed
   * materialization — the amortized cost), and a B row (compute over the
   * bucketed table). Results are asserted IDENTICAL between A and B
-  * before anything is printed — a faster wrong answer must crash the
-  * probe, not land in SCALE.md. NOT part of the driver contract.
+  * BEFORE the timed B row is printed — a faster wrong answer must
+  * crash the probe before its timing lands in the console (the
+  * equality check runs untimed, so it never pollutes the B row).
+  * NOT part of the driver contract.
   *
   * Usage: SPARK_GRAFT_PROBE_DIRS=/root/testdata/sf0.01,/root/testdata/sf0.1 \
   *          runMain graft.GraphBucketProbe
@@ -105,12 +107,12 @@ object GraphBucketProbe {
           graft.ops.Graph.orientEdges(couEdges), triTbl, "s", buckets)
       }
       try {
-        timed(s"dir=$sf q=triangles layout=bucketed") {
-          run(graft.ops.Graph.triangleCountsOriented(spark.table(triTbl)))
-        }
         assertSame(graft.ops.Graph.triangleCounts(couEdges),
           graft.ops.Graph.triangleCountsOriented(spark.table(triTbl)),
           s"$sf triangles")
+        timed(s"dir=$sf q=triangles layout=bucketed") {
+          run(graft.ops.Graph.triangleCountsOriented(spark.table(triTbl)))
+        }
       } finally spark.sql(s"DROP TABLE IF EXISTS $triTbl")
 
       // ---- q333 personalized PageRank: symmetrized trade graph ----
@@ -139,14 +141,14 @@ object GraphBucketProbe {
         graft.pipeline.Warehouse.writeBucketed(edges, pprTbl, "src", buckets)
       }
       try {
-        timed(s"dir=$sf q=ppr layout=bucketed") {
-          run(graft.ops.Graph.personalizedPageRank(
-            spark.table(pprTbl), seeds, 2))
-        }
         assertSame(
           graft.ops.Graph.personalizedPageRank(edges, seeds, 2),
           graft.ops.Graph.personalizedPageRank(spark.table(pprTbl), seeds, 2),
           s"$sf ppr")
+        timed(s"dir=$sf q=ppr layout=bucketed") {
+          run(graft.ops.Graph.personalizedPageRank(
+            spark.table(pprTbl), seeds, 2))
+        }
       } finally spark.sql(s"DROP TABLE IF EXISTS $pprTbl")
 
       // ---- q297 HITS over the same src-bucketed directed edges ----
@@ -159,11 +161,11 @@ object GraphBucketProbe {
         graft.pipeline.Warehouse.writeBucketed(directed, hitsTbl, "src", buckets)
       }
       try {
+        assertSame(graft.ops.Graph.hits(directed, 2),
+          graft.ops.Graph.hits(spark.table(hitsTbl), 2), s"$sf hits")
         timed(s"dir=$sf q=hits layout=bucketed") {
           run(graft.ops.Graph.hits(spark.table(hitsTbl), 2))
         }
-        assertSame(graft.ops.Graph.hits(directed, 2),
-          graft.ops.Graph.hits(spark.table(hitsTbl), 2), s"$sf hits")
       } finally spark.sql(s"DROP TABLE IF EXISTS $hitsTbl")
     }
     spark.stop()

@@ -529,10 +529,12 @@ object Graph {
     }
     if (!done) throw new IllegalStateException(
       s"ccStar did not converge within $maxRounds alternation rounds")
-    val labels = sym(e).groupBy(col("u")).agg(min(col("v")).as("mn"))
+    // The FINAL round's checkpoint stays persisted: the returned
+    // frame reads from it (the kCore lineage discipline — releasing
+    // it here truncates lineage and every later execution dies with
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
+    sym(e).groupBy(col("u")).agg(min(col("v")).as("mn"))
       .select(col("u").as("node"), least(col("mn"), col("u")).as("comp"))
-    releaseCheckpoint(e)
-    labels
   }
 
   /** Free a localCheckpoint's block-manager storage (best-effort):

@@ -515,6 +515,11 @@ object Multimodal {
     val w = i32(18)
     val rawH = i32(22)
     if (infoSize < 40 || w <= 0 || rawH == 0) return bad
+    // Hostile-header ceiling: without it, rowSize*h overflows Long
+    // for w,h near 2^31 and the bounds check below passes spuriously
+    // (then pixel offsets truncate). 65536² = 4-gigapixel is already
+    // far beyond any payload this table carries; reject, don't throw.
+    if (w > 65536 || rawH < -65536 || rawH > 65536) return bad
     val h = math.abs(rawH)
     val topDown = rawH < 0
     if (u16(26) != 1 || u16(28) != 24 || i32(30) != 0) return bad
