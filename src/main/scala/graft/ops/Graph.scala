@@ -459,6 +459,68 @@ object Graph {
     dist
   }
 
+  /** WEIGHTED SINGLE-SOURCE SHORTEST PATHS, bounded-hop Bellman–Ford
+    * (Bellman 1958; the Pregel SSSP of Malewicz et al. 2010): the
+    * weighted companion to `bfs` — THAT counts hops, THIS sums edge
+    * weights. One relaxation round folds every edge into the distance
+    * table:
+    *
+    *   dist'(v) = min(dist(v), min over (u,v,w) of dist(u) + w)
+    *
+    * After r rounds the table holds the EXACT minimum-cost path using
+    * at most r edges — the bounded-hop semantic callers gate on
+    * (exact full SSSP when r ≥ the hop count of the longest shortest
+    * path, which negative-free Bellman–Ford guarantees at r = V−1).
+    * Weights must be non-negative Longs; all arithmetic is integer
+    * min-plus, so any engine replays the rounds bit-identically (the
+    * pageRank fixed-point discipline — the DuckDB oracle unrolls the
+    * same rounds as CTEs).
+    *
+    * Scale shape per round: ONE equi-join of the node-sized distance
+    * table against the edge list on src + one map-side-combined
+    * min groupBy(node) — never a fan-out beyond |edges|. Rounds are
+    * data-independent (caller-bounded), each round localCheckpoints
+    * and releases its predecessor (kCore's discipline; the FINAL
+    * round's checkpoint backs the returned frame and stays). At
+    * 100 TB, bucket edges on src (Warehouse.writeBucketed) and every
+    * round's join is Exchange-free on the edge side. Early exit when
+    * a round changes nothing — a pure optimization: converged rounds
+    * are no-ops, so the bounded-hop result is unchanged.
+    *
+    * Input: edges (src, dst, w), seeds (node). Output: (node, dist)
+    * for every node reachable within `rounds` edges; unreachable
+    * nodes absent, seeds at 0. */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull)
+      .localCheckpoint()
+    var dist = seeds.select(col("node")).filter(col("node").isNotNull)
+      .distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val relaxed = dist.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"),
+          (col("dist") + col("w")).as("dist"))
+      val next = dist.select(col("node"), col("dist"))
+        .unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      // relaxation is monotone non-increasing per node and can only
+      // add nodes, so "no new/changed rows" ⇒ fixpoint
+      done = next.exceptAll(dist).isEmpty
+      releaseCheckpoint(dist)
+      dist = next
+      r += 1
+    }
+    releaseCheckpoint(e)
+    dist
+  }
+
   /** CONNECTED COMPONENTS via alternating LARGE-STAR / SMALL-STAR
     * (Kiveris et al. 2014, "Connected Components in MapReduce and
     * Beyond") — the O(log n)-ROUND CC that replaces the O(diameter)

@@ -690,6 +690,83 @@ object JoinQueries {
         .orderBy("start")
     }),
 
+    // WEIGHTED SSSP via bounded-hop Bellman–Ford (Graph.sssp; r16) —
+    // the weighted companion to q303's BFS: THAT counts hops, THIS
+    // sums edge costs. Graph: the symmetrized customer–supplier trade
+    // graph (q333/q346's), edge weight a SYMMETRIC content-addressed
+    // integer 1..1000 per canonical pair (md5 over least:greatest, the
+    // md5-coin discipline — both directions share the weight, so the
+    // undirected metric is well-defined and engine-replayable).
+    // Source: the minimum customer node; 4 relaxation rounds ⇒ the
+    // EXACT min-cost path using ≤ 4 edges (the declared bounded-hop
+    // semantic — the trade graph is dense bipartite, so 4 rounds
+    // reach the whole component). Every step is integer min-plus; the
+    // oracle unrolls the same 4 rounds as CTEs. Scale: each round is
+    // one node-sized join on src + one min groupBy — bucket edges on
+    // src at 100 TB (the measured q171/q333 remedy) and the join side
+    // is Exchange-free.
+    "q347_sssp_weighted" -> ((s, dir) => {
+      val eb = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s1"))
+        .distinct()
+      val edges = eb.select(col("c").as("src"), col("s1").as("dst"))
+        .unionByName(eb.select(col("s1").as("src"), col("c").as("dst")))
+        .withColumn("w",
+          conv(substring(md5(concat_ws(":", lit("sw"),
+            least(col("src"), col("dst")),
+            greatest(col("src"), col("dst")))), 1, 6), 16, 10)
+            .cast("long") % 1000L + 1L)
+      val src = eb.agg(min(col("c")).as("node"))
+      graft.ops.Graph.sssp(edges, src, 4).orderBy("node")
+    }),
+
+    // DBSCAN density clustering (Cluster.dbscan; r16) — the q210 grid
+    // kernel + ccStar composed into the Ester et al. 1996 classic.
+    // Points are PLANTED (the q344/q342 positive discipline — the
+    // fixture has no planar columns, and an unplanted uniform field
+    // would make every point noise): 1-in-5 ids are uniform noise on
+    // the 1M×1M grid; the rest scatter around one of 16
+    // content-addressed cluster centers — mostly in a dense ±900
+    // box, but 1-in-7 in a sparse ±2500 HALO (without the halo, at
+    // sf0.01+ the 75-point boxes are so dense that EVERY member is
+    // core and the border branch goes vacuous — the design-time
+    // audit that shaped q342's top_row_gray; halo points are too
+    // sparse to be core but often ε-adjacent to the box ⇒ border),
+    // so core/border/noise ALL fire at every SF (counts inspected:
+    // 14/38/98 at sf0.001, 1077/30/393 at sf0.01).
+    // ε = 1000, minPts = 6 (neighborhood includes the point
+    // itself). Border points take
+    // the MINIMUM adjacent core's cluster — the deterministic variant
+    // of the paper's scan-order-dependent assignment — and the DuckDB
+    // oracle is the NAIVE QUADRATIC ε-join + recursive min-label
+    // closure, so the hash match proves the grid kernel loses no pair
+    // AND star contraction labels every component exactly (the q210 /
+    // q303 double discipline in one gate).
+    "q348_dbscan" -> ((s, dir) => {
+      def hex(tag: String, k: org.apache.spark.sql.Column, n: Int) =
+        conv(substring(md5(concat_ws(":", lit(tag), k)), 1, n), 16, 10)
+          .cast("long")
+      val base = Tables.customer(s, dir).select(col("c_custkey").as("id"))
+        .withColumn("k", col("id") % 16)
+        .withColumn("noise", hex("dbn", col("id"), 4) % 5 === 0)
+        .withColumn("halo", hex("dbh", col("id"), 4) % 7 === 0)
+      def jitter(tag: String) =
+        when(col("halo"), hex(tag, col("id"), 6) % 5001L - 2500L)
+          .otherwise(hex(tag, col("id"), 6) % 1801L - 900L)
+      val pts = base.select(col("id"),
+        when(col("noise"), hex("dbux", col("id"), 6) % 1000000L)
+          .otherwise(hex("dbcx", col("k"), 6) % 900000L + 50000L +
+            jitter("dbjx")).as("x"),
+        when(col("noise"), hex("dbuy", col("id"), 6) % 1000000L)
+          .otherwise(hex("dbcy", col("k"), 6) % 900000L + 50000L +
+            jitter("dbjy")).as("y"))
+      graft.ops.Cluster.dbscan(pts, 1000L, 6).orderBy("id")
+    }),
+
     // TRIANGLE COUNTING (ops.Graph.triangleCounts) on the part
     // co-purchase graph (parts bought together in an order) — the
     // clustering/community primitive. The Spark side runs the
@@ -1721,6 +1798,102 @@ object JoinQueries {
         |JOIN n2 b ON b.src = a.next
         |JOIN n3 d ON d.src = b.next
         |ORDER BY w.start""".stripMargin,
+    // the same 4 Bellman–Ford relaxation rounds unrolled as CTEs
+    // (q163/q212's integer fixed-point discipline — min-plus needs no
+    // scaling); the weight replays the same md5 hex coin
+    "q347_sssp_weighted" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |de AS (SELECT c AS src, s AS dst FROM eb
+        |       UNION ALL SELECT s, c FROM eb),
+        |e AS (SELECT src, dst,
+        |        CAST(('0x' || substr(md5('sw:' || least(src, dst) || ':' ||
+        |          greatest(src, dst)), 1, 6)) AS BIGINT) % 1000 + 1 AS w
+        |      FROM de),
+        |d0 AS (SELECT min(c) AS node, CAST(0 AS BIGINT) AS dist FROM eb),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT * FROM d0 UNION ALL
+        |  SELECT e.dst, d0.dist + e.w FROM d0 JOIN e ON e.src = d0.node)
+        |  GROUP BY node),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT * FROM d1 UNION ALL
+        |  SELECT e.dst, d1.dist + e.w FROM d1 JOIN e ON e.src = d1.node)
+        |  GROUP BY node),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT * FROM d2 UNION ALL
+        |  SELECT e.dst, d2.dist + e.w FROM d2 JOIN e ON e.src = d2.node)
+        |  GROUP BY node),
+        |d4 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT * FROM d3 UNION ALL
+        |  SELECT e.dst, d3.dist + e.w FROM d3 JOIN e ON e.src = d3.node)
+        |  GROUP BY node)
+        |SELECT node, dist FROM d4 ORDER BY node""".stripMargin,
+    // the NAIVE quadratic ε-join + recursive min-label closure — the
+    // independent route that proves the grid kernel lossless and the
+    // star-contraction labels exact in one hash
+    "q348_dbscan" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT c_custkey AS id, c_custkey % 16 AS k,
+        |         CAST(('0x' || substr(md5('dbn:' || c_custkey), 1, 4))
+        |           AS BIGINT) % 5 = 0 AS noise,
+        |         CAST(('0x' || substr(md5('dbh:' || c_custkey), 1, 4))
+        |           AS BIGINT) % 7 = 0 AS halo
+        |  FROM customer),
+        |pts AS (
+        |  SELECT id,
+        |    CASE WHEN noise
+        |      THEN CAST(('0x' || substr(md5('dbux:' || id), 1, 6)) AS BIGINT)
+        |           % 1000000
+        |      ELSE CAST(('0x' || substr(md5('dbcx:' || k), 1, 6)) AS BIGINT)
+        |           % 900000 + 50000
+        |         + CASE WHEN halo
+        |             THEN CAST(('0x' || substr(md5('dbjx:' || id), 1, 6))
+        |               AS BIGINT) % 5001 - 2500
+        |             ELSE CAST(('0x' || substr(md5('dbjx:' || id), 1, 6))
+        |               AS BIGINT) % 1801 - 900 END END AS x,
+        |    CASE WHEN noise
+        |      THEN CAST(('0x' || substr(md5('dbuy:' || id), 1, 6)) AS BIGINT)
+        |           % 1000000
+        |      ELSE CAST(('0x' || substr(md5('dbcy:' || k), 1, 6)) AS BIGINT)
+        |           % 900000 + 50000
+        |         + CASE WHEN halo
+        |             THEN CAST(('0x' || substr(md5('dbjy:' || id), 1, 6))
+        |               AS BIGINT) % 5001 - 2500
+        |             ELSE CAST(('0x' || substr(md5('dbjy:' || id), 1, 6))
+        |               AS BIGINT) % 1801 - 900 END END AS y
+        |  FROM base),
+        |pairs AS (
+        |  SELECT a.id AS a, b.id AS b FROM pts a JOIN pts b
+        |  ON a.id < b.id
+        | AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 1000*1000),
+        |nbr AS (SELECT a AS id, b AS nb FROM pairs
+        |        UNION ALL SELECT b, a FROM pairs),
+        |deg AS (SELECT id, count(*) AS n FROM nbr GROUP BY id),
+        |core AS (SELECT p.id FROM pts p LEFT JOIN deg USING (id)
+        |         WHERE coalesce(n, 0) + 1 >= 6),
+        |ce AS (SELECT p.a, p.b FROM pairs p
+        |       JOIN core ca ON p.a = ca.id
+        |       JOIN core cb ON p.b = cb.id),
+        |ces AS (SELECT a AS u, b AS v FROM ce UNION ALL SELECT b, a FROM ce),
+        |lbl AS (
+        |  SELECT id AS node, id AS lab FROM core
+        |  UNION
+        |  SELECT ces.v, lbl.lab FROM lbl JOIN ces ON ces.u = lbl.node),
+        |comp AS (SELECT node AS id, min(lab) AS cluster FROM lbl
+        |         GROUP BY node),
+        |border AS (SELECT n.id, min(c.cluster) AS cluster
+        |           FROM nbr n JOIN comp c ON n.nb = c.id
+        |           WHERE n.id NOT IN (SELECT id FROM core)
+        |           GROUP BY n.id),
+        |lab AS (SELECT * FROM comp UNION ALL SELECT * FROM border)
+        |SELECT p.id,
+        |       CASE WHEN p.id IN (SELECT id FROM core) THEN 'core'
+        |            WHEN l.cluster IS NOT NULL THEN 'border'
+        |            ELSE 'noise' END AS role,
+        |       l.cluster
+        |FROM pts p LEFT JOIN lab l ON p.id = l.id
+        |ORDER BY p.id""".stripMargin,
     // the independent closed form: a time-ordered chain connects ALL
     // of a user's events, so each multi-event user IS one component
     "q343_cc_star" ->

@@ -1381,9 +1381,129 @@ object StatQueries {
           round((col("gshare") - col("bshare")) * col("woe"), 10)
             .as("iv_term"))
         .orderBy("decile")
+    }),
+
+    // MANN–KENDALL TREND TEST (Mann 1945 / Kendall 1975 — the
+    // nonparametric monotone-trend monitor; r16): beside q296's
+    // Kendall τ-b (THAT measures x↔y association, THIS tests one
+    // series against TIME) and q214's CUSUM (THAT locates a level
+    // shift, THIS scores a monotone drift) — the standard "is this
+    // metric trending" gate over monthly revenue per market segment.
+    // S = Σ_{i<j} sign(v_j − v_i) over the MONTH-DOMAIN pair frame
+    // (calendar-bounded ≈ 84²/2 pairs per segment at every SF — the
+    // q296 domain reduction; a row-domain MK would be quadratic);
+    // sign() on exact decimals, so S is an exact integer. Var(S)
+    // carries the FULL tie correction [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18
+    // (decimal ties are near-impossible but the formula is cheap and
+    // principled); z = (S∓1)/√Var in one documented double op order,
+    // rounded 6dp (sqrt/÷ are IEEE-exactly-rounded — the q140
+    // discipline), and the trend verdict compares the ROUNDED z to
+    // ±1.96 in both engines. PLANTED drift (the q344 discipline —
+    // uniform fixture revenue is trendless, the 'increasing' branch
+    // would be vacuous): BUILDING's series is scaled by the monotone
+    // integer factor 10000 + 100·(month − first) — +1%/month,
+    // multiplicative on the exact decimal so ranks are replayable —
+    // giving z ≈ +7 for BUILDING; FURNITURE carries the MIRRORED
+    // −1%/month factor (still positive through month 83: 10000 −
+    // 8300), so 'increasing', 'decreasing', and 'none' are ALL live
+    // at every SF — inspected.
+    "q349_mann_kendall" -> ((s, dir) => {
+      val m = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("mi"))
+        // monthly sums stay ≲ 1e13, so the narrowing cast is exact —
+        // and it pins both engines' decimal(18,2)×int widening to the
+        // same comfortably-in-range type
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("rev"))
+      val m0 = m.agg(min(col("mi")).as("m0"))
+      val p = m.crossJoin(broadcast(m0))
+        .select(col("seg"), col("mi"),
+          (col("rev") * when(col("seg") === "BUILDING",
+            lit(10000) + (col("mi") - col("m0")) * 100)
+            .when(col("seg") === "FURNITURE",
+              lit(10000) - (col("mi") - col("m0")) * 100)
+            .otherwise(lit(10000))).as("v"))
+      val a = p.select(col("seg"), col("mi").as("ma"), col("v").as("va"))
+      val b = p.select(col("seg"), col("mi").as("mb"), col("v").as("vb"))
+      val sStat = a.join(broadcast(b), Seq("seg"))
+        .filter(col("ma") < col("mb"))
+        .groupBy(col("seg"))
+        .agg(sum(when(col("vb") > col("va"), 1L)
+          .when(col("vb") < col("va"), -1L).otherwise(0L)).as("s_stat"))
+      val nSeg = p.groupBy(col("seg")).agg(count(lit(1)).as("n_months"))
+      val ties = p.groupBy(col("seg"), col("v"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("seg"))
+        .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+          .as("tie_term"))
+      nSeg.join(sStat, Seq("seg")).join(ties, Seq("seg"))
+        .withColumn("var_s",
+          (col("n_months") * (col("n_months") - 1) *
+            (col("n_months") * 2 + 5) - col("tie_term")).cast("double")
+            / 18.0)
+        .withColumn("z", round(
+          when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") / sqrt(col("var_s")))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") / sqrt(col("var_s")))
+          .otherwise(0.0), 6))
+        .select(col("seg"), col("n_months"), col("s_stat"), col("z"),
+          when(col("z") > 1.96, "increasing")
+            .when(col("z") < -1.96, "decreasing")
+            .otherwise("none").as("trend"))
+        .orderBy("seg")
     }))
 
   val oracles: Map[String, String] = Map(
+
+    "q349_mann_kendall" ->
+      """WITH m AS (
+        |  SELECT c_mktsegment AS seg,
+        |         year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |           AS DECIMAL(18,2)) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |m0 AS (SELECT min(mi) AS m0 FROM m),
+        |p AS (SELECT seg, mi,
+        |        rev * (CASE WHEN seg = 'BUILDING'
+        |                 THEN 10000 + (mi - m0) * 100
+        |               WHEN seg = 'FURNITURE'
+        |                 THEN 10000 - (mi - m0) * 100
+        |               ELSE 10000 END) AS v
+        |      FROM m, m0),
+        |s AS (SELECT a.seg,
+        |        CAST(sum(CASE WHEN b.v > a.v THEN 1
+        |                      WHEN b.v < a.v THEN -1 ELSE 0 END)
+        |          AS BIGINT) AS s_stat
+        |      FROM p a JOIN p b ON a.seg = b.seg AND a.mi < b.mi
+        |      GROUP BY a.seg),
+        |n AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_months
+        |      FROM p GROUP BY seg),
+        |t AS (SELECT seg,
+        |        CAST(sum(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tie_term
+        |      FROM (SELECT seg, v, count(*) AS t FROM p GROUP BY seg, v)
+        |      GROUP BY seg),
+        |f AS (SELECT n.seg, n.n_months, s.s_stat,
+        |        round(CASE
+        |          WHEN s.s_stat > 0 THEN (s.s_stat - 1) /
+        |            sqrt((n.n_months * (n.n_months - 1) *
+        |              (n.n_months * 2 + 5) - t.tie_term) / 18.0)
+        |          WHEN s.s_stat < 0 THEN (s.s_stat + 1) /
+        |            sqrt((n.n_months * (n.n_months - 1) *
+        |              (n.n_months * 2 + 5) - t.tie_term) / 18.0)
+        |          ELSE 0.0 END, 6) AS z
+        |      FROM n JOIN s ON n.seg = s.seg JOIN t ON n.seg = t.seg)
+        |SELECT seg, n_months, s_stat, z,
+        |       CASE WHEN z > 1.96 THEN 'increasing'
+        |            WHEN z < -1.96 THEN 'decreasing'
+        |            ELSE 'none' END AS trend
+        |FROM f ORDER BY seg""".stripMargin,
 
     "q345_woe_binning" ->
       """WITH u AS (

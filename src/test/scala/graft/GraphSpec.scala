@@ -328,4 +328,53 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long)].collect().toMap
     assert(a === ref && b === ref)
   }
+
+  test("sssp: hand-checked min-plus on a weighted diamond; cheap long path beats expensive short one") {
+    // 1→2 (w1) →4 (w1)  vs  1→4 (w5): the 2-hop route costs 2.
+    // 1→3 (w10): only route to 3. 5→6 unreachable from the seed.
+    val edges = Seq(
+      (1L, 2L, 1L), (2L, 4L, 1L), (1L, 4L, 5L), (1L, 3L, 10L),
+      (5L, 6L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.sssp(edges, Seq(1L).toDF("node"), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 10L, 4L -> 2L))
+  }
+
+  test("sssp: bounded-hop semantics — round r holds the exact best ≤r-edge path") {
+    // path 1→2→3→4 each w1, plus shortcut 1→4 w10: at rounds=1 the
+    // shortcut is the ONLY ≤1-edge route to 4; at rounds=3 the 3-hop
+    // path wins; extra rounds change nothing (fixpoint early-exit).
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (1L, 4L, 10L)).toDF("src", "dst", "w")
+    def run(r: Int) = Graph.sssp(edges, Seq(1L).toDF("node"), r)
+      .as[(Long, Long)].collect().toMap
+    assert(run(1) === Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
+    assert(run(3) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    assert(run(9) === run(3))
+  }
+
+  test("sssp matches a sequential Bellman-Ford reference on a random graph; partition-invariant; multi-seed min") {
+    val rnd = new scala.util.Random(29)
+    val es = Seq.fill(160)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong,
+      (rnd.nextInt(9) + 1).toLong)).filter { case (a, b, _) => a != b }
+      .distinct
+    val seeds = Seq(0L, 7L)
+    // sequential reference: r rounds of full relaxation
+    val rounds = 6
+    var ref = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val relaxed = es.flatMap { case (u, v, w) =>
+        ref.get(u).map(d => v -> (d + w)) }
+      ref = (ref.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+    val edges = es.toDF("src", "dst", "w")
+    val got = Graph.sssp(edges, seeds.toDF("node"), rounds)
+      .as[(Long, Long)].collect().toMap
+    assert(got === ref)
+    val re = Graph.sssp(edges.repartition(7),
+        seeds.toDF("node").repartition(3), rounds)
+      .as[(Long, Long)].collect().toMap
+    assert(re === ref)
+  }
 }
