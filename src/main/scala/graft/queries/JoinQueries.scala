@@ -767,6 +767,52 @@ object JoinQueries {
       graft.ops.Cluster.dbscan(pts, 1000L, 6).orderBy("id")
     }),
 
+    // ITEM–ITEM COLLABORATIVE FILTERING (Sarwar et al. 2001 — the
+    // recommender primitive; r16): cosine similarity over binary
+    // order-occurrence vectors, sim(p,q) = |orders(p,q)| /
+    // √(|orders(p)|·|orders(q)|), top-3 neighbors per item. The
+    // co-occurrence counts ride q171's co-purchase wedge (pairs are
+    // output-sized, per-order fan-out bounded by basket²,
+    // never parts²); the similarity is ONE double division + sqrt of
+    // exact integer counts ROUNDED 6dp, and the per-item top-3 is the
+    // PLAIN window idiom — which the GroupedTopK Rule re-plans onto
+    // the bounded-heap physical operator in any graft session (the
+    // q287 seam, third consumer), ranked by the ROUNDED score so both
+    // engines order identical doubles (ties broken by neighbor id).
+    // At 100 TB: co-occurrence groupBy partitions by pair, the heap
+    // top-k shuffles k rows per item, and the whole thing is the
+    // q171 bucket-on-src story if the wedge dominates.
+    "q350_item_cf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ib = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val deg = ib.groupBy(col("l_partkey").as("p"))
+        .agg(count(lit(1)).as("d"))
+      val co = ib.as("a")
+        .join(ib.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p"), col("b.l_partkey").as("q"))
+        .agg(count(lit(1)).as("n_co"))
+      val sym = co.select(col("p"), col("q"), col("n_co"))
+        .unionByName(co.select(col("q").as("p"), col("p").as("q"),
+          col("n_co")))
+      val scored = sym
+        .join(broadcast(deg.select(col("p"), col("d").as("dp"))), Seq("p"))
+        .join(broadcast(deg.select(col("p").as("q"), col("d").as("dq"))),
+          Seq("q"))
+        .select(col("p").as("item"), col("q").as("other"), col("n_co"),
+          round(col("n_co").cast("double") /
+            sqrt(col("dp").cast("double") * col("dq").cast("double")), 6)
+            .as("cos_sim"))
+      val w = Window.partitionBy("item")
+        .orderBy(desc("cos_sim"), col("other"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("item"), col("other"), col("n_co"),
+          col("cos_sim"), col("rn").cast("long").as("rn"))
+        .orderBy("item", "rn")
+    }),
+
     // TRIANGLE COUNTING (ops.Graph.triangleCounts) on the part
     // co-purchase graph (parts bought together in an order) — the
     // clustering/community primitive. The Spark side runs the
@@ -1798,6 +1844,32 @@ object JoinQueries {
         |JOIN n2 b ON b.src = a.next
         |JOIN n3 d ON d.src = b.next
         |ORDER BY w.start""".stripMargin,
+    // the same wedge counts + cosine + window top-3, ranked by the
+    // identically-rounded score — the independent window form gates
+    // the GroupedTopK physical operator's third consumer
+    "q350_item_cf" ->
+      """WITH ib AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |deg AS (SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS d
+        |        FROM ib GROUP BY 1),
+        |co AS (SELECT a.l_partkey AS p, b.l_partkey AS q,
+        |              CAST(count(*) AS BIGINT) AS n_co
+        |       FROM ib a JOIN ib b
+        |         ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2),
+        |sym AS (SELECT p, q, n_co FROM co
+        |        UNION ALL SELECT q, p, n_co FROM co),
+        |scored AS (
+        |  SELECT s.p AS item, s.q AS other, s.n_co,
+        |         round(s.n_co / sqrt(CAST(dp.d AS DOUBLE) * dq.d), 6)
+        |           AS cos_sim
+        |  FROM sym s JOIN deg dp ON s.p = dp.p JOIN deg dq ON s.q = dq.p),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY item
+        |            ORDER BY cos_sim DESC, other) AS rn
+        |  FROM scored)
+        |SELECT item, other, n_co, cos_sim, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 3 ORDER BY item, rn""".stripMargin,
     // the same 4 Bellman–Ford relaxation rounds unrolled as CTEs
     // (q163/q212's integer fixed-point discipline — min-plus needs no
     // scaling); the weight replays the same md5 hex coin

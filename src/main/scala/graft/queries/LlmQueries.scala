@@ -607,6 +607,25 @@ object LlmQueries {
         .orderBy("cell_id", "pos")
     }),
 
+    // TOP PRINCIPAL COMPONENT of the embedding corpus (Linalg
+    // .topComponent; r16) — the decomposition family's opener beside
+    // search (q51/q71) and clustering (q121/q329): ONE corpus pass
+    // builds the exact-integer 64×64 Gram matrix, then 3 power
+    // iterations run entirely on the dim²-bounded broadcast grid
+    // (the Halko et al. sketch shape — at 100 TB the rows are
+    // touched once). Coordinates quantize to integer millis, every
+    // mat-vec is exact-Long, and the max-norm rescale divides two
+    // exactly-double-representable integers — so the DuckDB oracle
+    // replays all three iterations bit-identically as CTEs.
+    // Non-vacuity inspected: loadings span the full ±1000 range with
+    // mixed signs (the label-clustered fixture has a real dominant
+    // direction; a vacuous iterate would sit at the all-ones start).
+    "q351_pca_power" -> ((s, dir) => {
+      graft.ops.Linalg.topComponent(
+        Tables.embeddings(s, dir), "vec_id", "embedding", iters = 3)
+        .orderBy("pos")
+    }),
+
     // multimodal row assembly: documents ⋈ embeddings into nested
     // structs, then field projection (proves the nesting round-trips).
     "q52_multimodal" -> ((s, dir) => {
@@ -3754,6 +3773,42 @@ object LlmQueries {
     // refined centroid elements are cast to FLOAT (exactly as the
     // Spark side does) before feeding the next round's dot products —
     // the quantization that keeps both engines' centroids bit-equal.
+    // the same quantize → Gram → 3 max-norm power iterations, exact
+    // integer arithmetic throughout (sums land in HUGEINT but stay
+    // < 2^53, so the one double division per iteration is exact-input
+    // IEEE and replays bit-identically)
+    "q351_pca_power" ->
+      """WITH x AS (
+        |  SELECT vec_id, i - 1 AS i,
+        |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |           AS xi
+        |  FROM embeddings, range(1, 65) t(i)),
+        |m AS (SELECT a.i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS m
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id
+        |      GROUP BY a.i, b.i),
+        |v0 AS (SELECT DISTINCT i AS j, CAST(1000 AS BIGINT) AS vj FROM m),
+        |u1 AS (SELECT m.i, CAST(sum(m.m * v0.vj) AS BIGINT) AS u
+        |       FROM m JOIN v0 ON m.j = v0.j GROUP BY m.i),
+        |x1 AS (SELECT max(abs(u)) AS mx FROM u1),
+        |v1 AS (SELECT i AS j, CAST(round(CAST(u AS DOUBLE) /
+        |         CAST(mx AS DOUBLE) * 1000) AS BIGINT) AS vj
+        |       FROM u1, x1),
+        |u2 AS (SELECT m.i, CAST(sum(m.m * v1.vj) AS BIGINT) AS u
+        |       FROM m JOIN v1 ON m.j = v1.j GROUP BY m.i),
+        |x2 AS (SELECT max(abs(u)) AS mx FROM u2),
+        |v2 AS (SELECT i AS j, CAST(round(CAST(u AS DOUBLE) /
+        |         CAST(mx AS DOUBLE) * 1000) AS BIGINT) AS vj
+        |       FROM u2, x2),
+        |u3 AS (SELECT m.i, CAST(sum(m.m * v2.vj) AS BIGINT) AS u
+        |       FROM m JOIN v2 ON m.j = v2.j GROUP BY m.i),
+        |x3 AS (SELECT max(abs(u)) AS mx FROM u3),
+        |v3 AS (SELECT i AS j, CAST(round(CAST(u AS DOUBLE) /
+        |         CAST(mx AS DOUBLE) * 1000) AS BIGINT) AS vj
+        |       FROM u3, x3)
+        |SELECT CAST(v3.j AS BIGINT) AS pos, v3.vj AS loading_k,
+        |       d.m AS second_moment
+        |FROM v3 JOIN (SELECT i, m FROM m WHERE i = j) d ON d.i = v3.j
+        |ORDER BY pos""".stripMargin,
     "q121_kmeans_build" ->
       """WITH c0 AS (
         |  SELECT vec_id AS cell_id, embedding AS c_vec
