@@ -634,6 +634,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"queries registered but undocumented in SURVEY.md §2D: $missing")
   }
 
+  /** q350 claims its per-item top-3 rides the GroupedTopK physical
+    * operator (the q287 seam's third consumer) — only a plan pin can
+    * witness the rewrite actually fired (the q336 r15 lesson: a hash
+    * gate is satisfied by the un-rewritten window form too). */
+  test("q350 item-CF top-3 plans as GroupedTopKExec — no WindowExec") {
+    val p = plan("q350_item_cf")
+    assert(p.contains("GroupedTopK ") && !p.contains("!GroupedTopK"),
+      s"q350 lost the GroupedTopK rewrite:\n$p")
+    assert(!p.contains("Window"), s"q350 still plans a window:\n$p")
+  }
+
+  /** q351's scale contract: the embedding corpus is scanned ONCE (at
+    * Gram-matrix construction, behind the checkpoint) — the returned
+    * plan iterates on the dim²-bounded grid only, so it must contain
+    * NO parquet scan at all. */
+  test("q351 power iterations run on the checkpointed Gram grid — no corpus rescan in the plan") {
+    val p = plan("q351_pca_power")
+    assert(!p.toLowerCase.contains("parquet"),
+      s"q351 re-scans the corpus inside the iteration plan:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected the checkpointed Gram scan:\n$p")
+  }
+
   test("q236 existence test plans as a LEFT SEMI join, not inner+distinct") {
     val p = plan("q236_late_orders")
     assert(p.contains("LeftSemi"), s"q236 lost the semi join:\n$p")
