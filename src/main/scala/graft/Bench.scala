@@ -4,9 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS decouples partition count from
+    // thread count for above-sf0.1 corpora (the ScaleProbe q171 spill
+    // remedy: partitions ∝ data). When explicitly set, AQE partition
+    // coalescing is pinned OFF — else advisory sizing folds the
+    // override back toward cpus and the run measures nothing.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        (!sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS")).toString)
       // same timezone as the correctness-gated Verify config — the
       // benched plans for q40/q60-q62 must be the verified plans.
       .config("spark.sql.session.timeZone", "UTC")
@@ -64,7 +72,33 @@ object Bench {
       .filter { case (name, _) =>
         only.forall(f => f.exists(name.startsWith))
       }
+    // SPARK_GRAFT_METRICS=1 adds per-query shuffle-read and spill MB
+    // (disk and memory separately — the r14 ScaleProbe lesson) to the
+    // JSON under "metrics". Listener totals are process-wide per query
+    // (the bench runs serially, nothing else in flight).
+    val acc = if (sys.env.get("SPARK_GRAFT_METRICS").contains("1")) {
+      val a = new org.apache.spark.scheduler.SparkListener {
+        val shufRead = new java.util.concurrent.atomic.AtomicLong
+        val diskSpill = new java.util.concurrent.atomic.AtomicLong
+        val memSpill = new java.util.concurrent.atomic.AtomicLong
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            diskSpill.addAndGet(m.diskBytesSpilled)
+            memSpill.addAndGet(m.memoryBytesSpilled)
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(a)
+      Some(a)
+    } else None
+    val metricRows = scala.collection.mutable.ArrayBuffer[String]()
     val results = selected.map { case (name, fn) =>
+      acc.foreach { a =>
+        a.shufRead.set(0); a.diskSpill.set(0); a.memSpill.set(0)
+      }
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -76,6 +110,13 @@ object Bench {
             false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      acc.foreach { a =>
+        // drain straggler task-end events before reading the counters
+        Thread.sleep(300)
+        metricRows += s""""$name":{"shuffle_read_mb":${a.shufRead.get / 1e6},""" +
+          s""""disk_spill_mb":${a.diskSpill.get / 1e6},""" +
+          s""""mem_spill_mb":${a.memSpill.get / 1e6}}"""
+      }
       // outside the timed span: free this query's rankedByRange
       // checkpoint blocks (dead once the noop write materialized)
       graft.ops.Sampling.releaseCheckpoints()
@@ -85,8 +126,10 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val metricsJson = if (acc.isDefined)
+      metricRows.mkString(""","metrics":{""", ",", "}") else ""
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$metricsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -217,7 +217,7 @@ object ScaleProbe {
   /** Build the derived corpus once; skip when already on disk. */
   private def deriveIfAbsent(spark: SparkSession, base: String,
                              derived: String, factor: Int): Unit = {
-    val done = new org.apache.hadoop.fs.Path(s"$derived/_DERIVED_V3")
+    val done = new org.apache.hadoop.fs.Path(s"$derived/_DERIVED_V4")
     val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(done)) return
     val docs = Tables.documents(spark, base)
@@ -296,6 +296,14 @@ object ScaleProbe {
       .parquet(s"$derived/nation.parquet")
     Tables.region(spark, base).write.mode("overwrite")
       .parquet(s"$derived/region.parquet")
+    // customer ×N on orders' o_custkey offset (same invariant as
+    // part/supplier; r16 — the FULL registry now runs at this corpus,
+    // and the customer-side queries q348/q349/q15/q119… need it)
+    Tables.customer(spark, base).crossJoin(copies)
+      .withColumn("c_custkey", col("c_custkey") + col("__c") * maxCust)
+      .drop("__c")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$derived/customer.parquet")
     val ev = Tables.events(spark, base)
     val Array(maxUser, maxEid) = ev.agg(max("user_id"), max("event_id"))
       .head().toSeq.map(_.asInstanceOf[Long] + 1L).toArray
