@@ -1610,6 +1610,55 @@ object EventQueries {
     // engine-exact. Flag = Sᵢ > k (drift exceeding one average day).
     // The windows are unpartitioned but DAY-cardinality (q148's
     // O(domain) seam — partition by metric/tenant in production).
+    // BINARY-SEGMENTATION CHANGEPOINT (Scott & Knott 1974; the
+    // first split of every binseg/PELT pipeline — r16): q213's CUSUM
+    // FLAGS that a drift exists, THIS locates WHERE — argmax over
+    // split days k of |D_k|, D_k = n·cum_k − k·S_n (the CUSUM
+    // deviation cleared of the mean division, so it stays an EXACT
+    // integer: daily revenue in whole dollars as Longs, n and k
+    // integers — no float until the reported means). Day-DOMAIN
+    // cumsum (calendar-bounded window, q213's declared class), argmax
+    // via TakeOrdered on (|D| desc, day asc) — one row out. PLANTED
+    // step (the q349 discipline — fixture revenue is level): days ≥
+    // 1998-06-01 scale ×3, before ×2 (both sides exact integers;
+    // +50% step at mid-range — the first cut pivoted at 1995-06-01,
+    // five months into the 1995–2001 fixture calendar, where an edge
+    // split has no power and daily noise at 1.4 orders/day swamped
+    // the argmax: detected at design time by INSPECTING split_day,
+    // the vacuous-branch rule). Inspected post-fix: split_day (the
+    // LAST day of the left segment) reads 1998-05-31 at sf0.01 —
+    // exactly the pre-step endpoint — and 1998-05-12 at sf0.001,
+    // within three weeks at that SF's 1.4-orders/day daily noise;
+    // left/right means read the planted 2:3 ratio.
+    "q353_binseg_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val pivot = lit("1998-06-01").cast("date")
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice"), 0).cast("long") *
+          when(to_date(col("o_orderdate")) >= pivot, 3L).otherwise(2L))
+          .as("rev"))
+      val tot = daily.agg(sum(col("rev")).as("s_n"),
+        count(lit(1)).as("nd"))
+      val cum = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(tot))
+        .withColumn("k", count(lit(1)).over(cum))
+        .withColumn("cumrev", sum(col("rev")).over(cum))
+        .filter(col("k") < col("nd"))
+        .withColumn("dev", col("nd") * col("cumrev") - col("k") * col("s_n"))
+        .orderBy(abs(col("dev")).desc, col("day"))
+        .limit(1)
+        .select(col("day").cast("string").as("split_day"),
+          col("dev"), col("k").as("n_left"),
+          (col("nd") - col("k")).as("n_right"),
+          round(col("cumrev").cast("double") / col("k").cast("double"), 6)
+            .as("left_mean"),
+          round((col("s_n") - col("cumrev")).cast("double") /
+            (col("nd") - col("k")).cast("double"), 6).as("right_mean"))
+    }),
+
     "q213_cusum" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
@@ -3138,6 +3187,32 @@ object EventQueries {
         |ORDER BY event_id""".stripMargin,
     // the same prefix-min linearization replayed in DuckDB's window
     // dialect — all integer cents, so the identity is engine-exact.
+    // same whole-dollar daily series, same exact-integer deviation,
+    // same (|D| desc, day) argmax — replayed independently
+    "q353_binseg_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT) *
+        |           CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-06-01'
+        |                THEN 3 ELSE 2 END) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rev) AS BIGINT) AS s_n,
+        |               CAST(count(*) AS BIGINT) AS nd FROM daily),
+        |cum AS (
+        |  SELECT day, rev,
+        |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+        |         CAST(sum(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS BIGINT) AS cumrev
+        |  FROM daily),
+        |dev AS (
+        |  SELECT c.day, nd * cumrev - k * s_n AS dev, k, nd, cumrev, s_n
+        |  FROM cum c, tot WHERE k < nd)
+        |SELECT CAST(day AS VARCHAR) AS split_day, CAST(dev AS BIGINT) AS dev,
+        |       k AS n_left, nd - k AS n_right,
+        |       round(CAST(cumrev AS DOUBLE) / k, 6) AS left_mean,
+        |       round(CAST(s_n - cumrev AS DOUBLE) / (nd - k), 6)
+        |         AS right_mean
+        |FROM dev ORDER BY abs(dev) DESC, day LIMIT 1""".stripMargin,
     "q213_cusum" ->
       """WITH d AS (
         |  SELECT CAST(ts AS DATE) AS day,

@@ -1383,6 +1383,109 @@ object StatQueries {
         .orderBy("decile")
     }),
 
+    // KRUSKAL–WALLIS H (Kruskal & Wallis 1952 — the k-group extension
+    // of q257's Mann–Whitney U; r16): does ANY of the three return
+    // flags shift the quantity distribution, one rank-based test
+    // instead of 3 pairwise MWUs. Same value-DOMAIN rank machinery as
+    // q257 (the 100 TB shape): ranks live on the ~50-row distinct-
+    // quantity table (tie size t, per-group share), avg-rank×2 =
+    // 2·rmin + t − 1 carried as exact integers, so every group rank
+    // sum R_j×2 is an exact Long. H = 3/(n(n+1))·Σ (R_j×2)²/n_j −
+    // 3(n+1) — the ×2 carried through the closed form — then the
+    // standard tie correction C = 1 − Σ(t³−t)/(n³−n), H' = H/C; the
+    // doubles divide exactly-representable integers in one documented
+    // op order (n³ at sf0.1 exceeds 2⁵³ but int64→double rounding is
+    // IEEE-identical in both engines), rounded 6dp. Output: one row
+    // per flag (n, mean rank) carrying the global H' — per-group
+    // means make the direction readable, H' carries the test.
+    "q352_kruskal_wallis" -> ((s, dir) => {
+      val v = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_quantity"), 2).cast("decimal(18,2)").as("y"))
+      val byY = v.groupBy("y").agg(
+        count(lit(1)).as("t"),
+        sum(when(col("flag") === "R", 1L).otherwise(0L)).as("t_r"),
+        sum(when(col("flag") === "A", 1L).otherwise(0L)).as("t_a"),
+        sum(when(col("flag") === "N", 1L).otherwise(0L)).as("t_n"))
+      val ord = Window.orderBy("y")
+      val ranked = byY.withColumn("rmin",
+        coalesce(sum("t").over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) + 1L)
+        .withColumn("ar2", lit(2L) * col("rmin") + col("t") - 1L)
+      val agg = ranked.agg(
+        sum(col("t_r") * col("ar2")).as("r2_r"),
+        sum(col("t_a") * col("ar2")).as("r2_a"),
+        sum(col("t_n") * col("ar2")).as("r2_n"),
+        sum(col("t_r")).as("n_r"), sum(col("t_a")).as("n_a"),
+        sum(col("t_n")).as("n_n"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tcorr"))
+      val n = col("n_r") + col("n_a") + col("n_n")
+      def term(r2: org.apache.spark.sql.Column, nj: org.apache.spark.sql.Column) =
+        r2.cast("double") * r2.cast("double") / nj.cast("double")
+      val h = lit(3.0) / (n.cast("double") * (n + 1L).cast("double")) *
+        (term(col("r2_r"), col("n_r")) + term(col("r2_a"), col("n_a")) +
+          term(col("r2_n"), col("n_n"))) -
+        lit(3.0) * (n + 1L).cast("double")
+      val c = lit(1.0) - col("tcorr").cast("double") /
+        ((n * n * n).cast("double") - n.cast("double"))
+      val wide = agg.select(
+        round(h / c, 6).as("h_adj"),
+        col("r2_r"), col("r2_a"), col("r2_n"),
+        col("n_r"), col("n_a"), col("n_n"))
+      wide.select(explode(array(
+          struct(lit("A").as("flag"), col("n_a").as("n_obs"),
+            round(col("r2_a").cast("double") /
+              (lit(2.0) * col("n_a").cast("double")), 6).as("mean_rank")),
+          struct(lit("N").as("flag"), col("n_n").as("n_obs"),
+            round(col("r2_n").cast("double") /
+              (lit(2.0) * col("n_n").cast("double")), 6).as("mean_rank")),
+          struct(lit("R").as("flag"), col("n_r").as("n_obs"),
+            round(col("r2_r").cast("double") /
+              (lit(2.0) * col("n_r").cast("double")), 6).as("mean_rank"))))
+          .as("g"), col("h_adj"))
+        .select(col("g.flag").as("flag"), col("g.n_obs").as("n_obs"),
+          col("g.mean_rank").as("mean_rank"), col("h_adj"))
+        .orderBy("flag")
+    }),
+
+    // LEAD–LAG CROSS-CORRELATION (the CCF of Box & Jenkins — does one
+    // daily series LEAD another; r16): Pearson r between daily view
+    // counts and daily purchase counts at lags −7..+7 — q271 measures
+    // the same-day rolling co-movement, THIS asks whether either
+    // series predicts the other across days (the marketing/causality
+    // screen run before q288's DiD). Day-DOMAIN lag join (15 lags ×
+    // calendar days — bounded at every SF; the daily count aggregate
+    // is the only corpus pass), every Pearson moment an exact Long
+    // (counts), one closed-form double per lag rounded 6dp. Inner
+    // join keeps only days present at both offsets — n_days varies
+    // by |lag|, reported per row.
+    "q354_ccf_leadlag" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("yv"))
+      val lags = s.range(-7, 8).select(col("id").cast("int").as("lag"))
+      val a = daily.select(col("day"), col("x")).crossJoin(broadcast(lags))
+      val b = daily.select(col("day").as("dayb"), col("yv"))
+      a.join(b, date_add(col("day"), col("lag")) === col("dayb"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("yv")).as("sy"),
+          sum(col("x") * col("yv")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("yv") * col("yv")).as("syy"))
+        .select(col("lag").cast("long").as("lag"), col("n_days"),
+          round((col("n_days") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            sqrt((col("n_days") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+              (col("n_days") * col("syy") - col("sy") * col("sy"))
+                .cast("double")), 6).as("r"))
+        .orderBy("lag")
+    }),
+
     // MANN–KENDALL TREND TEST (Mann 1945 / Kendall 1975 — the
     // nonparametric monotone-trend monitor; r16): beside q296's
     // Kendall τ-b (THAT measures x↔y association, THIS tests one
@@ -1460,6 +1563,84 @@ object StatQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    "q352_kruskal_wallis" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(round(l_quantity, 2) AS DECIMAL(18,2)) AS y
+        |  FROM lineitem),
+        |byy AS (
+        |  SELECT y, CAST(count(*) AS BIGINT) AS t,
+        |         CAST(sum(CASE WHEN flag = 'R' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS t_r,
+        |         CAST(sum(CASE WHEN flag = 'A' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS t_a,
+        |         CAST(sum(CASE WHEN flag = 'N' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS t_n
+        |  FROM v GROUP BY y),
+        |ranked AS (
+        |  SELECT *, coalesce(sum(t) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |      AS rmin
+        |  FROM byy),
+        |ar AS (SELECT *, 2 * rmin + t - 1 AS ar2 FROM ranked),
+        |agg AS (
+        |  SELECT CAST(sum(t_r * ar2) AS BIGINT) AS r2_r,
+        |         CAST(sum(t_a * ar2) AS BIGINT) AS r2_a,
+        |         CAST(sum(t_n * ar2) AS BIGINT) AS r2_n,
+        |         CAST(sum(t_r) AS BIGINT) AS n_r,
+        |         CAST(sum(t_a) AS BIGINT) AS n_a,
+        |         CAST(sum(t_n) AS BIGINT) AS n_n,
+        |         CAST(sum(t * t * t - t) AS BIGINT) AS tcorr
+        |  FROM ar),
+        |h AS (
+        |  SELECT *,
+        |    round((3.0 / ((n_r + n_a + n_n) *
+        |        CAST(n_r + n_a + n_n + 1 AS DOUBLE)) *
+        |      (CAST(r2_r AS DOUBLE) * r2_r / n_r +
+        |       CAST(r2_a AS DOUBLE) * r2_a / n_a +
+        |       CAST(r2_n AS DOUBLE) * r2_n / n_n) -
+        |      3.0 * (n_r + n_a + n_n + 1)) /
+        |      (1.0 - CAST(tcorr AS DOUBLE) /
+        |        (CAST((n_r + n_a + n_n) AS DOUBLE) * (n_r + n_a + n_n) *
+        |          (n_r + n_a + n_n) - (n_r + n_a + n_n))), 6) AS h_adj
+        |  FROM agg)
+        |SELECT 'A' AS flag, n_a AS n_obs,
+        |       round(CAST(r2_a AS DOUBLE) / (2.0 * n_a), 6) AS mean_rank,
+        |       h_adj FROM h
+        |UNION ALL
+        |SELECT 'N', n_n, round(CAST(r2_n AS DOUBLE) / (2.0 * n_n), 6),
+        |       h_adj FROM h
+        |UNION ALL
+        |SELECT 'R', n_r, round(CAST(r2_r AS DOUBLE) / (2.0 * n_r), 6),
+        |       h_adj FROM h
+        |ORDER BY flag""".stripMargin,
+
+    "q354_ccf_leadlag" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS x,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |           END) AS BIGINT) AS yv
+        |  FROM events GROUP BY 1),
+        |lags AS (SELECT CAST(i AS INTEGER) AS lag FROM range(-7, 8) t(i)),
+        |j AS (
+        |  SELECT l.lag, a.x, b.yv
+        |  FROM daily a CROSS JOIN lags l
+        |  JOIN daily b ON b.day = a.day + l.lag),
+        |m AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+        |         CAST(sum(x * yv) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(yv * yv) AS BIGINT) AS syy
+        |  FROM j GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_days,
+        |       round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |         sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE) *
+        |              CAST(n_days * syy - sy * sy AS DOUBLE)), 6) AS r
+        |FROM m ORDER BY lag""".stripMargin,
 
     "q349_mann_kendall" ->
       """WITH m AS (

@@ -537,6 +537,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     "q205_quantile_map" -> "distinct-value CDFs + constant-key as-of (documented seam)",
     "q231_topk_other" -> "25-nation domain rollup",
     "q257_mann_whitney" -> "distinct-quantity value domain (~50)",
+    "q352_kruskal_wallis" -> "distinct-quantity value domain (~50, q257's)",
+    "q353_binseg_changepoint" -> "day domain (cumsum + row index, q213's class)",
     "q311_pareto_contribution" -> "25-brand domain cumulative shares",
     // vocab / candidate caps (explicit top-N or selectivity bounds)
     "q86_vocab_encode" -> "distinct-token vocab rank (top-16 cut)",
