@@ -382,6 +382,58 @@ object PipelineQueries {
     // the de-interleave picks exactly the rectangle. Scale shape:
     // the write is one narrow scan fanned across 64 dirs; the read
     // is partition-pruned IO ∝ the rectangle's share of cells.
+    // JSONL SOURCE ROUND-TRIP (r16; the semi-structured export/ingest
+    // leg of the source family beside the DSv2 ApiSource and the
+    // parquet/bucketed/z-order sinks): documents → newline-delimited
+    // JSON (spark.write.json) → re-ingest with SCHEMA INFERENCE →
+    // aggregate. The gated output includes an order-free integrity
+    // checksum (Σ over docs of the first-8-hex md5(text) as integer)
+    // computed from the ROUND-TRIPPED rows while the DuckDB oracle
+    // computes it from the ORIGINAL parquet — the hash match proves
+    // the JSON writer/parser pair loses nothing (escapes, unicode,
+    // long text) AND that inference recovers the numeric column as an
+    // integer type. Scale shape: both legs are narrow scans; the
+    // aggregate is a (lang × source)-bounded rollup.
+    "q355_jsonl_roundtrip" -> ((s, dir) => {
+      val path = graft.TempDirs.scratch("graft-jsonl-") + "/docs"
+      Tables.documents(s, dir).write.mode("overwrite").json(path)
+      s.read.json(path)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10)
+            .cast("long")).as("text_checksum"))
+        .orderBy("lang", "source")
+    }),
+
+    // CSV SOURCE ROUND-TRIP (r16; the delimited-text leg — header,
+    // quoting, and the classic DATE round-trip): typed orders subset →
+    // CSV with header → re-ingest under an EXPLICIT schema (long /
+    // string / double / date) → aggregate. Revenue re-quantized to
+    // DECIMAL(18,2) after the double→text→double trip (Spark prints
+    // round-trip-safe shortest-repr doubles, so the cents are exact),
+    // date bounds ride ISO strings. The oracle replays from the
+    // original parquet — the hash match proves the CSV pair loses
+    // neither numerics nor dates.
+    "q356_csv_roundtrip" -> ((s, dir) => {
+      val path = graft.TempDirs.scratch("graft-csv-") + "/orders"
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), to_date(col("o_orderdate")).as("o_day"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read
+        .schema("o_orderkey LONG, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE, o_day DATE")
+        .option("header", "true").csv(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
+            .cast("double").as("revenue"),
+          min(col("o_day")).cast("string").as("first_day"),
+          max(col("o_day")).cast("string").as("last_day"))
+        .orderBy("o_orderstatus")
+    }),
+
     "q253_zorder_readback" -> ((s, dir) => {
       import graft.pipeline.Warehouse
       val li = Tables.lineitem(s, dir)
@@ -558,6 +610,24 @@ object PipelineQueries {
     // bucket, interleave, and rectangle replayed relationally — no
     // layout, no partitioning — so the gate proves the partitioned
     // round trip + de-interleaved rectangle equals the plain filter.
+    // computed from the ORIGINAL parquet — equality proves the JSON
+    // writer/parser round trip lossless
+    "q355_jsonl_roundtrip" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+        |         AS BIGINT) AS text_checksum
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+    // from the original parquet — equality proves the CSV pair loses
+    // neither numerics nor dates
+    "q356_csv_roundtrip" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+        |         AS DOUBLE) AS revenue,
+        |       CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_day,
+        |       CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS last_day
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q253_zorder_readback" ->
       """WITH kb AS (
         |  SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
