@@ -813,6 +813,90 @@ object JoinQueries {
         .orderBy("item", "rn")
     }),
 
+    // ASSOCIATION RULES (Agrawal & Srikant 1994, the level-2 Apriori
+    // slice — r16): the RULES view of q350's co-occurrence counts —
+    // CF ranks neighbors by symmetric cosine, THIS scores DIRECTED
+    // p→q implications by confidence = co/deg(p) and lift =
+    // co·N/(deg(p)·deg(q)), the basket-analysis classic. Counts ride
+    // the same output-sized wedge; min co ≥ 2 prunes singleton
+    // noise; the report is the global top-50 by (rounded lift,
+    // antecedent, consequent) — a TakeOrdered, bounded output, total
+    // order ⇒ a deterministic cut. All moments exact integers; two
+    // closed-form doubles per rule, 6dp.
+    "q357_assoc_rules" -> ((s, dir) => {
+      val ib = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val tot = ib.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val deg = ib.groupBy(col("l_partkey").as("p"))
+        .agg(count(lit(1)).as("d"))
+      val co = ib.as("a")
+        .join(ib.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p"), col("b.l_partkey").as("q"))
+        .agg(count(lit(1)).as("n_co"))
+      val sym = co.select(col("p").as("antecedent"),
+          col("q").as("consequent"), col("n_co"))
+        .unionByName(co.select(col("q").as("antecedent"),
+          col("p").as("consequent"), col("n_co")))
+      sym.filter(col("n_co") >= 2)
+        .join(broadcast(deg.select(col("p").as("antecedent"),
+          col("d").as("da"))), Seq("antecedent"))
+        .join(broadcast(deg.select(col("p").as("consequent"),
+          col("d").as("dc"))), Seq("consequent"))
+        .crossJoin(broadcast(tot))
+        .select(col("antecedent"), col("consequent"), col("n_co"),
+          round(col("n_co").cast("double") / col("da").cast("double"), 6)
+            .as("confidence"),
+          round((col("n_co") * col("n_orders")).cast("double") /
+            (col("da") * col("dc")).cast("double"), 6).as("lift"))
+        .orderBy(desc("lift"), col("antecedent"), col("consequent"))
+        .limit(50)
+    }),
+
+    // GRAPH MODULARITY (Newman & Girvan 2004 — the community-QUALITY
+    // metric; r16): q212 label-propagates communities, THIS scores
+    // them — Q = Σ_c [e_c/m − (d_c/2m)²] over the same quantity=1
+    // trade subgraph, rewritten to the single exact-integer fraction
+    // Q = (4m·E_in − Σ_c d_c²) / (4m²) so there is ONE double
+    // division at the end (numerator/denominator ≪ 2⁵³ at every SF).
+    // E_in = canonical edges whose endpoints share a label (two
+    // node-sized label joins), d_c from one degree groupBy — nothing
+    // beyond q212's own shuffles. The honest fixture reading: hashmin
+    // labels on a near-bipartite trade graph give modest Q (inspected
+    // — positive but far from 1), which is exactly what a quality
+    // metric is FOR.
+    "q358_modularity" -> ((s, dir) => {
+      val eb = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") === 1)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s1"))
+        .distinct()
+      val edges = eb.select(col("c").as("src"), col("s1").as("dst"))
+        .unionByName(eb.select(col("s1").as("src"), col("c").as("dst")))
+      val labels = graft.ops.Graph.labelPropagate(edges, supersteps = 3)
+      val mE = eb
+        .join(labels.select(col("node").as("c"), col("label").as("lc")),
+          Seq("c"))
+        .join(labels.select(col("node").as("s1"), col("label").as("ls")),
+          Seq("s1"))
+        .agg(count(lit(1)).as("m"),
+          sum(when(col("lc") === col("ls"), 1L).otherwise(0L)).as("e_in"))
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+      val stats = deg.join(labels, Seq("node"))
+        .groupBy(col("label")).agg(sum(col("d")).as("dc"))
+        .agg(count(lit(1)).as("n_communities"),
+          sum(col("dc") * col("dc")).as("d2"))
+      mE.crossJoin(broadcast(stats))
+        .select(col("m"), col("n_communities"), col("e_in"),
+          round((lit(4L) * col("m") * col("e_in") - col("d2")).cast("double")
+            / (lit(4L) * col("m") * col("m")).cast("double"), 6)
+            .as("q_modularity"))
+    }),
+
     // TRIANGLE COUNTING (ops.Graph.triangleCounts) on the part
     // co-purchase graph (parts bought together in an order) — the
     // clustering/community primitive. The Spark side runs the
@@ -1844,6 +1928,79 @@ object JoinQueries {
         |JOIN n2 b ON b.src = a.next
         |JOIN n3 d ON d.src = b.next
         |ORDER BY w.start""".stripMargin,
+    // same wedge, directed rules, same one-division moments, same
+    // total-order top-50 cut
+    "q357_assoc_rules" ->
+      """WITH ib AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        |          AS n_orders FROM ib),
+        |deg AS (SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS d
+        |        FROM ib GROUP BY 1),
+        |co AS (SELECT a.l_partkey AS p, b.l_partkey AS q,
+        |              CAST(count(*) AS BIGINT) AS n_co
+        |       FROM ib a JOIN ib b
+        |         ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2),
+        |sym AS (SELECT p AS antecedent, q AS consequent, n_co FROM co
+        |        UNION ALL SELECT q, p, n_co FROM co)
+        |SELECT s.antecedent, s.consequent, s.n_co,
+        |       round(CAST(s.n_co AS DOUBLE) / da.d, 6) AS confidence,
+        |       round(CAST(s.n_co * t.n_orders AS DOUBLE) / (da.d * dc.d), 6)
+        |         AS lift
+        |FROM sym s
+        |JOIN deg da ON s.antecedent = da.p
+        |JOIN deg dc ON s.consequent = dc.p
+        |CROSS JOIN tot t
+        |WHERE s.n_co >= 2
+        |ORDER BY lift DESC, s.antecedent, s.consequent
+        |LIMIT 50""".stripMargin,
+    // q212's three unrolled hashmin supersteps + the exact-integer
+    // modularity fraction over the same labels
+    "q358_modularity" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s1
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_quantity = 1),
+        |e AS (SELECT c AS src, s1 AS dst FROM eb
+        |      UNION ALL SELECT s1, c FROM eb),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        |l1 AS (
+        |  SELECT l.node, least(l.label, coalesce(m.nbr_min, l.label)) AS label
+        |  FROM l0 l LEFT JOIN (
+        |    SELECT e.dst, min(l.label) AS nbr_min
+        |    FROM e JOIN l0 l ON e.src = l.node GROUP BY e.dst) m
+        |  ON l.node = m.dst),
+        |l2 AS (
+        |  SELECT l.node, least(l.label, coalesce(m.nbr_min, l.label)) AS label
+        |  FROM l1 l LEFT JOIN (
+        |    SELECT e.dst, min(l.label) AS nbr_min
+        |    FROM e JOIN l1 l ON e.src = l.node GROUP BY e.dst) m
+        |  ON l.node = m.dst),
+        |l3 AS (
+        |  SELECT l.node, least(l.label, coalesce(m.nbr_min, l.label)) AS label
+        |  FROM l2 l LEFT JOIN (
+        |    SELECT e.dst, min(l.label) AS nbr_min
+        |    FROM e JOIN l2 l ON e.src = l.node GROUP BY e.dst) m
+        |  ON l.node = m.dst),
+        |me AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |         CAST(sum(CASE WHEN lc.label = ls.label THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS e_in
+        |  FROM eb JOIN l3 lc ON eb.c = lc.node
+        |          JOIN l3 ls ON eb.s1 = ls.node),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        |        FROM e GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_communities,
+        |         CAST(sum(dc * dc) AS BIGINT) AS d2
+        |  FROM (SELECT l.label, CAST(sum(d.d) AS BIGINT) AS dc
+        |        FROM deg d JOIN l3 l ON d.node = l.node
+        |        GROUP BY l.label))
+        |SELECT me.m, st.n_communities, me.e_in,
+        |       round(CAST(4 * me.m * me.e_in - st.d2 AS DOUBLE) /
+        |         (4 * me.m * me.m), 6) AS q_modularity
+        |FROM me CROSS JOIN st""".stripMargin,
     // the same wedge counts + cosine + window top-3, ranked by the
     // identically-rounded score — the independent window form gates
     // the GroupedTopK physical operator's third consumer
