@@ -897,6 +897,51 @@ object JoinQueries {
             .as("q_modularity"))
     }),
 
+    // DEGREE ASSORTATIVITY (Newman 2002 — do hubs attach to hubs?;
+    // r16): the third graph-STRUCTURE metric beside q171's triangles
+    // (local clustering) and q358's modularity (community quality):
+    // Pearson correlation of endpoint degrees over every directed
+    // edge-end of the symmetrized trade graph. All moments exact
+    // Longs (each < 2⁵³ individually), the Pearson combination done
+    // IN DOUBLE from those exact inputs in one documented op order —
+    // bit-replayable. Shape: one degree groupBy + two node-sized
+    // joins + one scalar aggregate; nothing scales past the edge
+    // list. The honest fixture reading: a bipartite customer–supplier
+    // graph is DISASSORTATIVE — r reads ≈ −1 (−0.9994/−0.9958/−0.9945
+    // at the three SFs, inspected): every edge pairs a low-degree
+    // customer with a high-degree supplier, the bipartite signature
+    // read exactly; the metric would move toward 0 only on a graph
+    // with within-side degree mixing.
+    "q359_assortativity" -> ((s, dir) => {
+      val eb = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s1"))
+        .distinct()
+      val edges = eb.select(col("c").as("src"), col("s1").as("dst"))
+        .unionByName(eb.select(col("s1").as("src"), col("c").as("dst")))
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+      val moments = edges
+        .join(deg.select(col("node").as("src"), col("d").as("du")),
+          Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("d").as("dv")),
+          Seq("dst"))
+        .agg(count(lit(1)).as("m2"),
+          sum(col("du")).as("sx"),
+          sum(col("du") * col("dv")).as("sxy"),
+          sum(col("du") * col("du")).as("sxx"))
+      moments.select(
+        expr("m2 div 2").as("m_edges"),
+        round((col("m2").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) /
+          (col("m2").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("r_assort"))
+    }),
+
     // TRIANGLE COUNTING (ops.Graph.triangleCounts) on the part
     // co-purchase graph (parts bought together in an order) — the
     // clustering/community primitive. The Spark side runs the
@@ -1928,6 +1973,30 @@ object JoinQueries {
         |JOIN n2 b ON b.src = a.next
         |JOIN n3 d ON d.src = b.next
         |ORDER BY w.start""".stripMargin,
+    // same degree joins, same exact-Long moments, same double
+    // combination
+    "q359_assortativity" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM eb
+        |      UNION ALL SELECT s, c FROM eb),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        |        FROM e GROUP BY 1),
+        |mo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m2,
+        |         CAST(sum(du.d) AS BIGINT) AS sx,
+        |         CAST(sum(du.d * dv.d) AS BIGINT) AS sxy,
+        |         CAST(sum(du.d * du.d) AS BIGINT) AS sxx
+        |  FROM e JOIN deg du ON e.src = du.node
+        |         JOIN deg dv ON e.dst = dv.node)
+        |SELECT m2 // 2 AS m_edges,
+        |       round((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+        |             (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |         AS r_assort
+        |FROM mo""".stripMargin,
     // same wedge, directed rules, same one-division moments, same
     // total-order top-50 cut
     "q357_assoc_rules" ->
