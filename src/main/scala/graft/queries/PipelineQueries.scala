@@ -382,6 +382,76 @@ object PipelineQueries {
     // the de-interleave picks exactly the rectangle. Scale shape:
     // the write is one narrow scan fanned across 64 dirs; the read
     // is partition-pruned IO ∝ the rectangle's share of cells.
+    // SCHEMA-EVOLUTION READ (r16; the pipeline reality every lake hits
+    // — an old parquet generation lacks columns a new one carries):
+    // generation A (doc_id % 2 = 0) is written with the ORIGINAL
+    // 3-column schema, generation B with two more columns (source +
+    // n_chars); `mergeSchema=true` reads both under the union schema
+    // with generation-A rows NULL-filled. The gated per-lang rollup
+    // counts non-null coverage of the evolved columns — the oracle
+    // simulates the generations with CASE over the original parquet,
+    // so the hash match proves merge + null-fill exact (coverage ≈
+    // half per lang, both generations live, inspected). Scale: the
+    // merged read stays two narrow scans; schema union is metadata.
+    "q360_schema_evolution" -> ((s, dir) => {
+      val base = graft.TempDirs.scratch("graft-evolve-")
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").parquet(s"$base/gen_a")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite").parquet(s"$base/gen_b")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$base/gen_a", s"$base/gen_b")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("source").isNotNull, 1L).otherwise(0L))
+            .as("n_with_source"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars_new_gen"))
+        .orderBy("lang")
+    }),
+
+    // FORWARD-FILL IMPUTATION (r16; the cleaning op beside q199's
+    // winsorize and the ingest quarantine — time-series gap repair):
+    // per-user last-observation-carried-forward over (ts, event_id)
+    // total order via `last(value, ignoreNulls)` over the per-key
+    // running frame (AsOf.scala's own kernel, surfaced as a gated
+    // operator). The fixture's value column has ZERO nulls (checked —
+    // the first cut's missing/ffilled/still-missing columns all read
+    // 0, the vacuous-branch audit), so gaps are PLANTED with the
+    // md5-coin (1-in-7 events lose their value, q344's discipline).
+    // Per-user audit out: events, missing, ffilled (missing with a
+    // prior observation), still-missing (leading nulls — honestly NOT
+    // repairable by LOCF; fires for users whose first events are
+    // gapped), and an exact integer cents checksum of the imputed
+    // series (round(v·100) per row, summed) that the oracle
+    // recomputes via SQL IGNORE NULLS — the hash match pins fill
+    // VALUES, not just counts. Window is per-user partitioned;
+    // nothing global.
+    "q361_impute_ffill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("value", when(
+          conv(substring(md5(concat(lit("gap:"),
+            col("event_id").cast("string"))), 1, 4), 16, 10)
+            .cast("long") % 7 === 0, lit(null)).otherwise(col("value")))
+        .withColumn("ff", last(col("value"), ignoreNulls = true).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_missing"),
+          sum(when(col("value").isNull && col("ff").isNotNull, 1L)
+            .otherwise(0L)).as("n_ffilled"),
+          sum(when(col("ff").isNull, 1L).otherwise(0L))
+            .as("n_still_missing"),
+          sum(round(coalesce(col("ff"), lit(0.0)) * 100, 0).cast("long"))
+            .as("imputed_cents"))
+        .orderBy("user_id")
+    }),
+
     // JSONL SOURCE ROUND-TRIP (r16; the semi-structured export/ingest
     // leg of the source family beside the DSv2 ApiSource and the
     // parquet/bucketed/z-order sinks): documents → newline-delimited
@@ -610,6 +680,40 @@ object PipelineQueries {
     // bucket, interleave, and rectangle replayed relationally — no
     // layout, no partitioning — so the gate proves the partitioned
     // round trip + de-interleaved rectangle equals the plain filter.
+    // the generations simulated with CASE over the original parquet —
+    // equality proves merge + null-fill exact
+    "q360_schema_evolution" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_with_source,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+        |         AS BIGINT) AS sum_chars_new_gen
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // the same LOCF via SQL IGNORE NULLS — fill VALUES pinned by the
+    // cents checksum, not just counts
+    "q361_impute_ffill" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN CAST(('0x' || substr(md5('gap:' || event_id),
+        |                1, 4)) AS BIGINT) % 7 = 0
+        |              THEN NULL ELSE value END AS value
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, value,
+        |         last_value(value IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff
+        |  FROM g)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_missing,
+        |       CAST(sum(CASE WHEN value IS NULL AND ff IS NOT NULL
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_ffilled,
+        |       CAST(sum(CASE WHEN ff IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_still_missing,
+        |       CAST(sum(CAST(round(coalesce(ff, 0.0) * 100) AS BIGINT))
+        |         AS BIGINT) AS imputed_cents
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
     // computed from the ORIGINAL parquet — equality proves the JSON
     // writer/parser round trip lossless
     "q355_jsonl_roundtrip" ->
