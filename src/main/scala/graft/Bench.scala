@@ -77,28 +77,13 @@ object Bench {
     // JSON under "metrics". Listener totals are process-wide per query
     // (the bench runs serially, nothing else in flight).
     val acc = if (sys.env.get("SPARK_GRAFT_METRICS").contains("1")) {
-      val a = new org.apache.spark.scheduler.SparkListener {
-        val shufRead = new java.util.concurrent.atomic.AtomicLong
-        val diskSpill = new java.util.concurrent.atomic.AtomicLong
-        val memSpill = new java.util.concurrent.atomic.AtomicLong
-        override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = e.taskMetrics
-          if (m != null) {
-            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-            diskSpill.addAndGet(m.diskBytesSpilled)
-            memSpill.addAndGet(m.memoryBytesSpilled)
-          }
-        }
-      }
+      val a = new MetricsAcc
       spark.sparkContext.addSparkListener(a)
       Some(a)
     } else None
     val metricRows = scala.collection.mutable.ArrayBuffer[String]()
     val results = selected.map { case (name, fn) =>
-      acc.foreach { a =>
-        a.shufRead.set(0); a.diskSpill.set(0); a.memSpill.set(0)
-      }
+      acc.foreach(_.reset())
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -111,11 +96,18 @@ object Bench {
         }
       val dt = (System.nanoTime() - t0) / 1e9
       acc.foreach { a =>
-        // drain straggler task-end events before reading the counters
+        // drain straggler task-end events before reading the counters.
+        // Failed queries emit NO metrics row: a crash's partial
+        // counters would read as a real measurement, and its aborted
+        // stages' zombie tasks can bleed task-end events past this
+        // drain into the NEXT query's counters — the reset below is
+        // best-effort against that; a failed[] entry tells the reader
+        // to distrust its neighbor's metrics row.
         Thread.sleep(300)
-        metricRows += s""""$name":{"shuffle_read_mb":${a.shufRead.get / 1e6},""" +
-          s""""disk_spill_mb":${a.diskSpill.get / 1e6},""" +
-          s""""mem_spill_mb":${a.memSpill.get / 1e6}}"""
+        if (ok)
+          metricRows += s""""$name":{"shuffle_read_mb":${a.shufRead.get / 1e6},""" +
+            s""""disk_spill_mb":${a.diskSpill.get / 1e6},""" +
+            s""""mem_spill_mb":${a.memSpill.get / 1e6}}"""
       }
       // outside the timed span: free this query's rankedByRange
       // checkpoint blocks (dead once the noop write materialized)

@@ -18,19 +18,6 @@ import org.apache.spark.sql.functions._
   * question). NOT part of the driver contract. */
 object ClusterScaleProbe {
 
-  private final class Acc extends SparkListener {
-    val shufRead = new java.util.concurrent.atomic.AtomicLong
-    val diskSpill = new java.util.concurrent.atomic.AtomicLong
-    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-      val m = e.taskMetrics
-      if (m != null) {
-        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        diskSpill.addAndGet(m.diskBytesSpilled)
-      }
-    }
-    def reset(): Unit = { shufRead.set(0); diskSpill.set(0) }
-  }
-
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sizes = sys.env.getOrElse("SPARK_GRAFT_DBSCAN_SIZES",
@@ -42,7 +29,7 @@ object ClusterScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val acc = new Acc
+    val acc = new MetricsAcc
     spark.sparkContext.addSparkListener(acc)
     spark.range(1000).selectExpr("sum(id)").collect() // warmup
 

@@ -24,29 +24,18 @@ import org.apache.spark.sql.functions._
   * Each (dir, query) prints an A row (derive + compute from raw
   * parquet, the gated-query path), a WRITE row (the one-time bucketed
   * materialization — the amortized cost), and a B row (compute over the
-  * bucketed table). Results are asserted IDENTICAL between A and B
-  * BEFORE the timed B row is printed — a faster wrong answer must
-  * crash the probe before its timing lands in the console (the
-  * equality check runs untimed, so it never pollutes the B row).
-  * NOT part of the driver contract.
+  * bucketed table). The B timing runs COLD (first execution of that
+  * plan, same as A — an assertSame-first ordering would pre-warm
+  * codegen and the page cache and inflate the bucketed advantage);
+  * its line is BUFFERED and printed only after results are asserted
+  * IDENTICAL between A and B — a faster wrong answer crashes the
+  * probe before its timing reaches the console. NOT part of the
+  * driver contract.
   *
   * Usage: SPARK_GRAFT_PROBE_DIRS=/root/testdata/sf0.01,/root/testdata/sf0.1 \
   *          runMain graft.GraphBucketProbe
   */
 object GraphBucketProbe {
-
-  private final class MetricsAcc extends SparkListener {
-    val shufRead = new java.util.concurrent.atomic.AtomicLong
-    val shufWrite = new java.util.concurrent.atomic.AtomicLong
-    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-      val m = e.taskMetrics
-      if (m != null) {
-        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-      }
-    }
-    def reset(): Unit = { shufRead.set(0); shufWrite.set(0) }
-  }
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -68,16 +57,18 @@ object GraphBucketProbe {
     // warmup (JIT/codegen/parquet reader), untimed
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    def timed(tag: String)(body: => Unit): Unit = {
+    def timedLine(tag: String)(body: => Unit): String = {
       Thread.sleep(1000); acc.reset()
       val t0 = System.nanoTime()
       body
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1000) // drain straggler task-end events
-      println(f"[bucket-probe] $tag sec=$sec%.2f " +
+      f"[bucket-probe] $tag sec=$sec%.2f " +
         f"shuffle_read_mb=${acc.shufRead.get / 1e6}%.1f " +
-        f"shuffle_write_mb=${acc.shufWrite.get / 1e6}%.1f")
+        f"shuffle_write_mb=${acc.shufWrite.get / 1e6}%.1f"
     }
+    def timed(tag: String)(body: => Unit): Unit =
+      println(timedLine(tag)(body))
 
     def run(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -107,12 +98,13 @@ object GraphBucketProbe {
           graft.ops.Graph.orientEdges(couEdges), triTbl, "s", buckets)
       }
       try {
+        val bLine = timedLine(s"dir=$sf q=triangles layout=bucketed") {
+          run(graft.ops.Graph.triangleCountsOriented(spark.table(triTbl)))
+        }
         assertSame(graft.ops.Graph.triangleCounts(couEdges),
           graft.ops.Graph.triangleCountsOriented(spark.table(triTbl)),
           s"$sf triangles")
-        timed(s"dir=$sf q=triangles layout=bucketed") {
-          run(graft.ops.Graph.triangleCountsOriented(spark.table(triTbl)))
-        }
+        println(bLine)
       } finally spark.sql(s"DROP TABLE IF EXISTS $triTbl")
 
       // ---- q333 personalized PageRank: symmetrized trade graph ----
@@ -141,14 +133,15 @@ object GraphBucketProbe {
         graft.pipeline.Warehouse.writeBucketed(edges, pprTbl, "src", buckets)
       }
       try {
+        val bLine = timedLine(s"dir=$sf q=ppr layout=bucketed") {
+          run(graft.ops.Graph.personalizedPageRank(
+            spark.table(pprTbl), seeds, 2))
+        }
         assertSame(
           graft.ops.Graph.personalizedPageRank(edges, seeds, 2),
           graft.ops.Graph.personalizedPageRank(spark.table(pprTbl), seeds, 2),
           s"$sf ppr")
-        timed(s"dir=$sf q=ppr layout=bucketed") {
-          run(graft.ops.Graph.personalizedPageRank(
-            spark.table(pprTbl), seeds, 2))
-        }
+        println(bLine)
       } finally spark.sql(s"DROP TABLE IF EXISTS $pprTbl")
 
       // ---- q297 HITS over the same src-bucketed directed edges ----
@@ -161,11 +154,12 @@ object GraphBucketProbe {
         graft.pipeline.Warehouse.writeBucketed(directed, hitsTbl, "src", buckets)
       }
       try {
-        assertSame(graft.ops.Graph.hits(directed, 2),
-          graft.ops.Graph.hits(spark.table(hitsTbl), 2), s"$sf hits")
-        timed(s"dir=$sf q=hits layout=bucketed") {
+        val bLine = timedLine(s"dir=$sf q=hits layout=bucketed") {
           run(graft.ops.Graph.hits(spark.table(hitsTbl), 2))
         }
+        assertSame(graft.ops.Graph.hits(directed, 2),
+          graft.ops.Graph.hits(spark.table(hitsTbl), 2), s"$sf hits")
+        println(bLine)
       } finally spark.sql(s"DROP TABLE IF EXISTS $hitsTbl")
     }
     spark.stop()

@@ -27,29 +27,6 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  private final class MetricsAcc extends SparkListener {
-    val shufRead = new java.util.concurrent.atomic.AtomicLong
-    val shufWrite = new java.util.concurrent.atomic.AtomicLong
-    // disk and memory spill SEPARATELY: memoryBytesSpilled is the
-    // DESERIALIZED in-memory size at spill time (routinely 5-10x the
-    // bytes that hit disk) — summing them made r14's first q171 probe
-    // read "22 GB spill" when the actual disk write was far smaller
-    val diskSpill = new java.util.concurrent.atomic.AtomicLong
-    val memSpill = new java.util.concurrent.atomic.AtomicLong
-    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-      val m = e.taskMetrics
-      if (m != null) {
-        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        diskSpill.addAndGet(m.diskBytesSpilled)
-        memSpill.addAndGet(m.memoryBytesSpilled)
-      }
-    }
-    def reset(): Unit = {
-      shufRead.set(0); shufWrite.set(0); diskSpill.set(0); memSpill.set(0)
-    }
-  }
-
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val derived = if (args.length > 1) args(1) else "/tmp/graft-sf1"

@@ -500,6 +500,17 @@ object Graph {
       .distinct()
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint()
+    // fixpoint witness carried across rounds: relaxation is MONOTONE —
+    // nodes are only added and each node's dist only decreases — so
+    // unchanged (count, Σdist) ⇔ nothing moved. One scalar aggregate
+    // per round instead of a shuffle-heavy exceptAll set difference
+    // (the r16 review's finding: the difference roughly doubled
+    // per-round cost for callers whose bound never converges early).
+    def stats(df: DataFrame): (Long, Long) = {
+      val row = df.agg(count(lit(1)), sum(col("dist"))).head()
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+    var prev = stats(dist)
     var r = 0
     var done = false
     while (r < rounds && !done) {
@@ -510,9 +521,9 @@ object Graph {
         .unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
-      // relaxation is monotone non-increasing per node and can only
-      // add nodes, so "no new/changed rows" ⇒ fixpoint
-      done = next.exceptAll(dist).isEmpty
+      val cur = stats(next)
+      done = cur == prev
+      prev = cur
       releaseCheckpoint(dist)
       dist = next
       r += 1

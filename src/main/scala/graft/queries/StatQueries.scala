@@ -1394,8 +1394,10 @@ object StatQueries {
     // 3(n+1) — the ×2 carried through the closed form — then the
     // standard tie correction C = 1 − Σ(t³−t)/(n³−n), H' = H/C; the
     // doubles divide exactly-representable integers in one documented
-    // op order (n³ at sf0.1 exceeds 2⁵³ but int64→double rounding is
-    // IEEE-identical in both engines), rounded 6dp. Output: one row
+    // op order — n³ is computed IN DOUBLE exactly as the oracle does
+    // (a Long cube overflows past n = 2²¹, i.e. at the derived-sf1
+    // corpus; the double chain rounds the same true product once, so
+    // gated-SF bits are unchanged), rounded 6dp. Output: one row
     // per flag (n, mean rank) carrying the global H' — per-group
     // means make the direction readable, H' carries the test.
     "q352_kruskal_wallis" -> ((s, dir) => {
@@ -1426,8 +1428,15 @@ object StatQueries {
         (term(col("r2_r"), col("n_r")) + term(col("r2_a"), col("n_a")) +
           term(col("r2_n"), col("n_n"))) -
         lit(3.0) * (n + 1L).cast("double")
+      // n³ in DOUBLE (the oracle's own op order): a Long cube
+      // overflows at n ≥ 2²¹ — the derived-sf1 fact table (~6M rows)
+      // crosses that and ANSI mode would throw; the double chain
+      // rounds the same true product once, so the gated SFs are
+      // bit-identical to the old Long path (n² stays < 2⁵³ far past
+      // any fixture)
       val c = lit(1.0) - col("tcorr").cast("double") /
-        ((n * n * n).cast("double") - n.cast("double"))
+        (n.cast("double") * n.cast("double") * n.cast("double") -
+          n.cast("double"))
       val wide = agg.select(
         round(h / c, 6).as("h_adj"),
         col("r2_r"), col("r2_a"), col("r2_n"),
