@@ -354,6 +354,78 @@ object LlmQueries {
         .orderBy("stage")
     }),
 
+    // RANK-BIASED OVERLAP @15 (Webber, Moffat & Zobel 2010 — the
+    // top-weighted ranking-SIMILARITY metric; r16): q309's NDCG
+    // scores one ranking against relevance, THIS scores two rankings
+    // against EACH OTHER — the leaderboard-churn monitor ("did the
+    // revenue top-15 change?") every reporting pipeline wants.
+    // Rankings: BRAND-revenue top-15 (25-brand bounded domain) in the
+    // fixture calendar's first half vs second half (split 1998-06-01;
+    // rank by exact decimal revenue desc, brand — total order; the
+    // first cut ranked PARTS and the two leaderboards were DISJOINT
+    // at sf0.01 — overlap@15 = 0, RBO = 0, caught by the
+    // vacuous-branch inspection). Truncated RBO =
+    // (1−p)·Σ_{d≤15} p^{d−1}·|A_d ∩ B_d|/d at p = 0.9, with the
+    // p-powers carried as EXACT integer rationals 9^{d−1}/10^{d−1}
+    // (a literal 15-row table — libm pow() is not correctly rounded
+    // and would be an engine-parity hazard; 9¹⁴ < 2⁵³ so the one
+    // division per row is exact-input IEEE). overlap@d = common
+    // pairs with max(rank_a, rank_b) ≤ d over the ≤15-row
+    // intersection (15×15 broadcast grid); terms quantized to
+    // DECIMAL(18,6) before the order-free sum (q334's discipline).
+    // Ranks ride a ≤15-row window after TakeOrdered (q309's class).
+    // Inspected post-fix: overlap@15 = 14/13/13 with a PERMUTED
+    // order, RBO 0.58/0.56/0.71 across the three SFs — real, graded
+    // churn measured, neither 0 nor 1.
+    "q362_rbo_rank_stability" -> ((s, dir) => {
+      val cut = lit("1998-06-01").cast("date")
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          round(col("l_extendedprice"), 2).cast("decimal(18,2)").as("rev"),
+          (to_date(col("o_orderdate")) < cut).as("first_half"))
+      import org.apache.spark.sql.expressions.Window
+      def top15(half: Boolean) = {
+        val w = Window.orderBy(desc("rev"), col("brand"))
+        li.filter(col("first_half") === half)
+          .groupBy(col("brand")).agg(sum(col("rev")).as("rev"))
+          .orderBy(desc("rev"), col("brand")).limit(15)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+      }
+      val common = top15(true).select(col("brand"), col("rnk").as("ra"))
+        .join(top15(false).select(col("brand"), col("rnk").as("rb")),
+          Seq("brand"))
+        .select(greatest(col("ra"), col("rb")).as("dmin"))
+      val pw = s.createDataFrame(Seq(
+        (1L, 1L, 1L), (2L, 9L, 10L), (3L, 81L, 100L), (4L, 729L, 1000L),
+        (5L, 6561L, 10000L), (6L, 59049L, 100000L),
+        (7L, 531441L, 1000000L), (8L, 4782969L, 10000000L),
+        (9L, 43046721L, 100000000L), (10L, 387420489L, 1000000000L),
+        (11L, 3486784401L, 10000000000L), (12L, 31381059609L, 100000000000L),
+        (13L, 282429536481L, 1000000000000L),
+        (14L, 2541865828329L, 10000000000000L),
+        (15L, 22876792454961L, 100000000000000L)))
+        .toDF("d", "pnum", "pden")
+      val ov = pw.join(broadcast(common), col("dmin") <= col("d"), "left")
+        .groupBy(col("d"), col("pnum"), col("pden"))
+        .agg(sum(when(col("dmin").isNotNull, 1L).otherwise(0L))
+          .as("overlap_d"))
+      val terms = ov.withColumn("term",
+        round(col("pnum").cast("double") / col("pden").cast("double") *
+          col("overlap_d").cast("double") / col("d").cast("double") *
+          lit(0.1), 6))
+        .withColumn("term_q", col("term").cast("decimal(18,6)"))
+      val rbo = terms.agg(sum(col("term_q")).as("r"))
+        .select(col("r").cast("double").as("rbo"))
+      terms.crossJoin(broadcast(rbo))
+        .select(col("d"), col("overlap_d"), col("term"), col("rbo"))
+        .orderBy("d")
+    }),
+
     // NDCG@10 + MRR RETRIEVAL EVAL (Järvelin & Kekäläinen 2002) of
     // the q140 BM25 ranker — the GRADED-relevance eval the retrieval
     // family lacked (q117 recall@k is binary, q288/q291 classify):
@@ -3112,6 +3184,63 @@ object LlmQueries {
         |SELECT 4, 'decontaminated_train', CAST(count(*) AS BIGINT),
         |       CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s4
         |ORDER BY stage""".stripMargin,
+    // same two half-calendar top-15s, same exact-rational p-powers,
+    // same quantized term sum
+    "q362_rbo_rank_stability" ->
+      """WITH li AS (
+        |  SELECT p_brand AS brand,
+        |         CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS rev,
+        |         CAST(o_orderdate AS DATE) < DATE '1998-06-01' AS fh
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |                 JOIN part ON l_partkey = p_partkey),
+        |ta AS (
+        |  SELECT brand,
+        |         CAST(row_number() OVER (ORDER BY rev DESC, brand)
+        |           AS BIGINT) AS ra
+        |  FROM (SELECT brand, sum(rev) AS rev FROM li WHERE fh
+        |        GROUP BY 1)
+        |  ORDER BY rev DESC, brand LIMIT 15),
+        |tb AS (
+        |  SELECT brand,
+        |         CAST(row_number() OVER (ORDER BY rev DESC, brand)
+        |           AS BIGINT) AS rb
+        |  FROM (SELECT brand, sum(rev) AS rev FROM li WHERE NOT fh
+        |        GROUP BY 1)
+        |  ORDER BY rev DESC, brand LIMIT 15),
+        |common AS (
+        |  SELECT greatest(ta.ra, tb.rb) AS dmin
+        |  FROM ta JOIN tb USING (brand)),
+        |pw(d, pnum, pden) AS (VALUES
+        |  (1, 1, 1),
+        |  (2, 9, 10),
+        |  (3, 81, 100),
+        |  (4, 729, 1000),
+        |  (5, 6561, 10000),
+        |  (6, 59049, 100000),
+        |  (7, 531441, 1000000),
+        |  (8, 4782969, 10000000),
+        |  (9, 43046721, 100000000),
+        |  (10, 387420489, 1000000000),
+        |  (11, 3486784401, 10000000000),
+        |  (12, 31381059609, 100000000000),
+        |  (13, 282429536481, 1000000000000),
+        |  (14, 2541865828329, 10000000000000),
+        |  (15, 22876792454961, 100000000000000)),
+        |ov AS (
+        |  SELECT d, pnum, pden,
+        |         CAST(sum(CASE WHEN dmin IS NOT NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS overlap_d
+        |  FROM pw LEFT JOIN common ON dmin <= d
+        |  GROUP BY d, pnum, pden),
+        |t AS (
+        |  SELECT CAST(d AS BIGINT) AS d, overlap_d,
+        |         round(CAST(pnum AS DOUBLE) / pden * overlap_d / d * 0.1, 6)
+        |           AS term
+        |  FROM ov),
+        |r AS (SELECT CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
+        |        AS rbo FROM t)
+        |SELECT t.d, t.overlap_d, t.term, r.rbo FROM t, r
+        |ORDER BY t.d""".stripMargin,
     "q309_ndcg_eval" ->
       """WITH dl AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

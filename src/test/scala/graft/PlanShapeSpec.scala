@@ -545,6 +545,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     "q186_rrf_fusion" -> "query-term-selective candidate set, top-50 per ranker",
     "q260_zipf_slope" -> "top-200 vocab spectrum",
     "q309_ndcg_eval" -> "≤10-row window after TakeOrdered top-10",
+    "q362_rbo_rank_stability" -> "two ≤15-row windows after TakeOrdered top-15",
     "q332_priority_sample" -> "(k+1)=101-row frame after TakeOrdered (prioritySample's declared bound)",
     // partition-count offset tables (the two-phase range machinery
     // itself: Profile.runningTotalByRange's __pid window is ≤ the
