@@ -96,14 +96,14 @@ object Bench {
         }
       val dt = (System.nanoTime() - t0) / 1e9
       acc.foreach { a =>
-        // drain straggler task-end events before reading the counters.
-        // Failed queries emit NO metrics row: a crash's partial
-        // counters would read as a real measurement, and its aborted
-        // stages' zombie tasks can bleed task-end events past this
-        // drain into the NEXT query's counters — the reset below is
-        // best-effort against that; a failed[] entry tells the reader
-        // to distrust its neighbor's metrics row.
-        Thread.sleep(300)
+        // drain straggler task-end events before reading the counters —
+        // tracked, not slept (ADVICE r16): the listener counts
+        // outstanding tasks and we spin until every started task has
+        // posted its end event (5 s timeout). Failed queries emit NO
+        // metrics row: a crash's partial counters would read as a real
+        // measurement; their zombie tasks keep `outstanding` positive
+        // so the NEXT query's drain absorbs them before its window.
+        a.drain()
         if (ok)
           metricRows += s""""$name":{"shuffle_read_mb":${a.shufRead.get / 1e6},""" +
             s""""disk_spill_mb":${a.diskSpill.get / 1e6},""" +
@@ -121,7 +121,19 @@ object Bench {
     val metricsJson = if (acc.isDefined)
       metricRows.mkString(""","metrics":{""", ",", "}") else ""
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$metricsJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$metricsJson,"sf":"$sfDir"}"""
+    println(json)
+    // ALSO persist the full JSON to a file (VERDICT r16 #6: the
+    // driver's stdout capture truncated BENCH_r16.json to the last
+    // ~55 queries — the artifact survived only as a builder-preserved
+    // copy). Default lands in the repo cwd; override with
+    // SPARK_GRAFT_BENCH_OUT.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")),
+      json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH: could not persist JSON: $e") }
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
 
 /** Shared task-metrics listener for the measurement harnesses (Bench
   * metrics mode, GraphBucketProbe, ScaleProbe, ClusterScaleProbe) —
@@ -19,6 +19,17 @@ final class MetricsAcc extends SparkListener {
   val shufWrite = new java.util.concurrent.atomic.AtomicLong
   val diskSpill = new java.util.concurrent.atomic.AtomicLong
   val memSpill = new java.util.concurrent.atomic.AtomicLong
+  // started-but-not-ended tasks as seen THROUGH THE LISTENER BUS —
+  // the drain condition (ADVICE r16: a fixed sleep let a straggling
+  // task from query N post its end event into query N+1's window).
+  // Deliberately NOT zeroed by reset(): a zombie task from an aborted
+  // stage keeps the counter positive so the next drain waits for its
+  // end event instead of absorbing it.
+  val outstanding = new java.util.concurrent.atomic.AtomicLong
+
+  override def onTaskStart(e: SparkListenerTaskStart): Unit = {
+    outstanding.incrementAndGet(); ()
+  }
 
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
     val m = e.taskMetrics
@@ -28,6 +39,23 @@ final class MetricsAcc extends SparkListener {
       diskSpill.addAndGet(m.diskBytesSpilled)
       memSpill.addAndGet(m.memoryBytesSpilled)
     }
+    outstanding.decrementAndGet(); ()
+  }
+
+  /** Spin until every started task has posted its task-end event,
+    * observed stable twice 20 ms apart (start/end events ride the
+    * same ordered bus queue, but a pair not yet DELIVERED leaves the
+    * counter at zero — the second observation closes most of that
+    * window), or until the timeout. Returns whether the drain
+    * completed; a false return means counters may undercount. */
+  def drain(timeoutMs: Long = 5000): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var stable = 0
+    while (stable < 2 && System.nanoTime() < deadline) {
+      if (outstanding.get() == 0) { stable += 1; Thread.sleep(20) }
+      else { stable = 0; Thread.sleep(5) }
+    }
+    stable >= 2
   }
 
   def reset(): Unit = {

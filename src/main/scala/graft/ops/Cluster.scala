@@ -37,7 +37,9 @@ object Cluster {
     *
     * Coordinates must be NON-NEGATIVE Longs (content-addressed grids
     * are; `div` truncates toward zero, so negative coords would split
-    * cells at the origin). ε-pairs are localCheckpointed once — three
+    * cells at the origin — ENFORCED with a raise_error guard since
+    * r17: violation fails loudly instead of mislabeling).
+    * ε-pairs are localCheckpointed once — three
     * consumers (degree, core edges, border assignment) read them, and
     * the checkpoint stays persisted because the RETURNED frame reads
     * from it (the ccStar r15 postmortem rule).
@@ -52,7 +54,17 @@ object Cluster {
   def dbscan(points: DataFrame, eps: Long, minPts: Int): DataFrame = {
     require(eps > 0, "eps must be positive")
     require(minPts >= 1, "minPts must be >= 1")
-    val pts = points.select(col("id"), col("x"), col("y"))
+    // non-negativity ENFORCED, not comment-only (ADVICE r16): a
+    // negative coordinate would silently split grid cells at the
+    // origin (div truncates toward zero) and drop ε-pairs — fail
+    // loudly instead; the guard rides the existing scan, one
+    // comparison per row.
+    val pts = points.select(col("id"),
+      when(col("x") < 0 || col("y") < 0, raise_error(lit(
+        "dbscan: coordinates must be non-negative (grid cells would split at the origin)"))
+        .cast("long"))
+        .otherwise(col("x")).as("x"),
+      col("y"))
     val cells = pts
       .withColumn("cx", expr(s"x div ${eps}L"))
       .withColumn("cy", expr(s"y div ${eps}L"))

@@ -492,9 +492,18 @@ object Graph {
     * nodes absent, seeds at 0. */
   def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")
+    // the non-negativity precondition is ENFORCED, not just documented
+    // (ADVICE r16): a negative weight silently changes the semantics
+    // (min over walks, not paths) — raise_error rides the one existing
+    // checkpoint materialization, zero extra jobs.
     val e = edges.select(col("src"), col("dst"), col("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("w").isNotNull)
+      .select(col("src"), col("dst"),
+        when(col("w") < 0, raise_error(lit(
+          "sssp: negative edge weight (min-plus requires w >= 0)"))
+          .cast("long"))
+          .otherwise(col("w")).as("w"))
       .localCheckpoint()
     var dist = seeds.select(col("node")).filter(col("node").isNotNull)
       .distinct()
@@ -551,51 +560,81 @@ object Graph {
     * minimum id; labels read off as min(Γ(node) ∪ {node}). Both steps
     * are one symmetrize + one min groupBy + one broadcast-sized join
     * per round — and every step's output is node-bounded ∪ edge-
-    * bounded, never a fan-out. Convergence is detected on the
-    * CANONICAL (unordered, distinct) edge set; each round
+    * bounded, never a fan-out. Convergence is detected by the
+    * star-forest witness on the CANONICAL (unordered, distinct) edge
+    * set — see ccIsStarForest; each round
     * localCheckpoints (the kCore lineage discipline). Everything is
     * integer min arithmetic — engine-replayable, so the whole
     * iterated build hash-gates against a WITH RECURSIVE closure
     * (q343). Input: (u, v) pairs, u ≠ v rows tolerated either order;
     * isolated nodes don't appear (the connectedComponents contract).
     * Output: (node, comp). */
-  def ccStar(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
-    def canon(df: DataFrame): DataFrame =
-      df.filter(col("u") =!= col("v"))
-        .select(least(col("u"), col("v")).as("u"),
-          greatest(col("u"), col("v")).as("v"))
-        .distinct()
-    def sym(df: DataFrame): DataFrame =
-      df.unionByName(df.select(col("v").as("u"), col("u").as("v")))
-    def mins(nbrs: DataFrame): DataFrame =
-      nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-    def star(e: DataFrame, large: Boolean): DataFrame = {
-      val nbrs = sym(e)
-      val j = nbrs.join(mins(nbrs), Seq("u"))
-      if (large)
-        j.filter(col("v") > col("u"))
-          .select(col("v").as("u"), col("m").as("v"))
-      else {
-        val moved = j.filter(col("v") < col("u") && col("v") =!= col("m"))
-          .select(col("v").as("u"), col("m").as("v"))
-        val self = mins(nbrs).filter(col("u") =!= col("m"))
-          .select(col("u"), col("m").as("v"))
-        moved.unionByName(self)
-      }
+  private[graft] def ccCanon(df: DataFrame): DataFrame =
+    df.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+  private def ccSym(df: DataFrame): DataFrame =
+    df.unionByName(df.select(col("v").as("u"), col("u").as("v")))
+  private def ccMins(nbrs: DataFrame): DataFrame =
+    nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+  private def ccStarStep(e: DataFrame, large: Boolean): DataFrame = {
+    val nbrs = ccSym(e)
+    val j = nbrs.join(ccMins(nbrs), Seq("u"))
+    if (large)
+      j.filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    else {
+      val moved = j.filter(col("v") < col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val self = ccMins(nbrs).filter(col("u") =!= col("m"))
+        .select(col("u"), col("m").as("v"))
+      moved.unionByName(self)
     }
-    var e = canon(pairs.select(col("u"), col("v"))
+  }
+  /** One alternation round: large-star, then small-star, re-canonicalized. */
+  private[graft] def ccRound(e: DataFrame): DataFrame =
+    ccCanon(ccStarStep(ccStarStep(e, large = true), large = false))
+  /** Convergence witness (r17 — the sssp scalar-witness treatment):
+    * a canonical edge set is a FIXPOINT of the large-star/small-star
+    * alternation ⟺ it is a STAR FOREST rooted at component minima
+    * (Kiveris et al. 2014 prove the alternation's fixpoints are
+    * exactly the min-rooted star forests — Thm 2 convergence + the
+    * star-roundup argument), and star-forest-ness is ONE
+    * edge-bounded filter-count instead of the former count +
+    * exceptAll set-difference (three jobs, one a full shuffle
+    * compare of both edge sets). Per directed symmetrized row
+    * (w → x) with m(w) = min(Γ(w) ∪ {w}):
+    *   - x > w (w is the smaller endpoint): w must be its star's
+    *     root, i.e. m(w) = w;
+    *   - x < w (w is the larger endpoint): x must be w's root AND
+    *     only smaller neighbor, i.e. m(w) = x (a second smaller
+    *     neighbor z ≠ x makes one of the two rows violate).
+    * Violations empty ⇒ every edge is root↔leaf with the root the
+    * minimum of its star ⇒ both star steps are the identity (large:
+    * leaves re-attach to m(root) = root; small: leaves' m = root,
+    * self rows reproduce existing edges). The converse direction —
+    * a fixpoint must be such a forest — is the cited theorem, so
+    * this witness stops at exactly the round the set-equality probe
+    * did. GraphSpec pins witness ⇔ set-equality per round on
+    * adversarial shapes (cycle, star, long path). */
+  private[graft] def ccIsStarForest(e: DataFrame): Boolean = {
+    val nbrs = ccSym(e)
+    nbrs.join(ccMins(nbrs), Seq("u"))
+      .filter((col("v") > col("u") && col("m") =!= col("u")) ||
+        (col("v") < col("u") && col("m") =!= col("v")))
+      .isEmpty
+  }
+  def ccStar(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    var e = ccCanon(pairs.select(col("u"), col("v"))
         .filter(col("u").isNotNull && col("v").isNotNull))
       .localCheckpoint(true)
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
-      val next = canon(star(star(e, large = true), large = false))
-        .localCheckpoint(true)
-      // set equality: both sides are DISTINCT canonical pairs, so
-      // equal counts + empty one-way difference ⇒ equal sets (two
-      // scalar jobs per round over the pair-bounded edge table)
-      done = next.count() == e.count() && next.exceptAll(e).isEmpty
+      val next = ccRound(e).localCheckpoint(true)
+      done = ccIsStarForest(next)
       releaseCheckpoint(e)
       e = next
       rounds += 1
@@ -606,8 +645,117 @@ object Graph {
     // frame reads from it (the kCore lineage discipline — releasing
     // it here truncates lineage and every later execution dies with
     // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
-    sym(e).groupBy(col("u")).agg(min(col("v")).as("mn"))
+    ccSym(e).groupBy(col("u")).agg(min(col("v")).as("mn"))
       .select(col("u").as("node"), least(col("mn"), col("u")).as("comp"))
+  }
+
+  /** ONE-LEVEL LOUVAIN REFINEMENT (Blondel et al. 2008's local-move
+    * phase, parallelized with the LOCALLY-DOMINANT move selection of
+    * distributed-Louvain practice — cf. Ghosh et al. 2018): given an
+    * initial community assignment (e.g. hashmin labels), run a fixed
+    * number of rounds where nodes greedily re-attach to the NEIGHBOR
+    * community with the best exact-integer modularity gain. This is
+    * the OPTIMIZER the q358 metric was missing: q358 scores a
+    * partition, this improves one.
+    *
+    * Exact-integer ΔQ (the q358 fraction, differentiated): moving
+    * node i (degree dᵢ) from community a to neighbor community b
+    * changes 4m²·Q by
+    *
+    *   Δ = 4m·(k_ib − k_ia) − 2dᵢ·(d_b − d_a + dᵢ)
+    *
+    * where k_ic = i's edges into c, d_c = Σ degree over c's members
+    * (pre-move), m = undirected edge count — all Longs, so the whole
+    * build replays in DuckDB CTEs (overflow bound: |Δ| ≤ 8m·d_max,
+    * loud under ANSI far before 2⁶³; fine to m·d_max < 10¹⁸).
+    *
+    * Round structure (each step one join/groupBy, node- or
+    * edge-bounded — the labelPropagate envelope):
+    *   1. k_ic: edges ⋈ labels on dst, groupBy (src, nb_lab);
+    *   2. candidate moves: k ⋈ labels ⋈ deg ⋈ d_c (twice), Δ > 0
+    *      only, NEIGHBOR communities only (the Blondel scan);
+    *   3. best move per node: row_number over (Δ desc, target asc) —
+    *      deterministic total order;
+    *   4. LOCALLY-DOMINANT selection: a move applies iff it is the
+    *      best move INCIDENT to both its source and target community
+    *      (each candidate exploded to its two endpoint communities,
+    *      ranked per community by (Δ desc, node, target), kept iff it
+    *      wins both partitions). Applied moves therefore touch
+    *      PAIRWISE-DISJOINT communities, so their ΔQ are exactly
+    *      additive and Q STRICTLY INCREASES by Σ Δ each round that
+    *      applies any move (k_ib can't shift under a concurrent move:
+    *      a neighbor entering/leaving b would share community b —
+    *      excluded; degrees never change). The global-best move wins
+    *      both its partitions, so progress is guaranteed while any
+    *      positive move exists — this is the symmetric-swap
+    *      oscillation fix, proven not assumed.
+    *   5. apply: labels ⟕ applied, coalesce.
+    * Rounds are FIXED (caller-bounded, replayed verbatim by the
+    * oracle); a round with no positive move is the identity in both
+    * engines. Labels localCheckpoint per round (kCore lifetime rule:
+    * the final round's checkpoint backs the returned frame).
+    *
+    * Input: edges (src, dst) SYMMETRIZED, no self-loops (the
+    * labelPropagate precondition); labels (node, label) covering
+    * every src. Output: (node, label) refined. */
+  def louvainRefine(edges: DataFrame, labels: DataFrame,
+                    rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, "rounds must be positive")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint()
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d")).localCheckpoint()
+    val mm = e.count() / 2 // undirected edge count (symmetrized input)
+    var lbl = labels.select(col("node"), col("label").as("lab"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val k = e
+        .join(lbl.select(col("node").as("dst"), col("lab").as("nb_lab")),
+          Seq("dst"))
+        .groupBy(col("src").as("node"), col("nb_lab"))
+        .agg(count(lit(1)).as("k"))
+      val dc = lbl.join(deg, Seq("node"))
+        .groupBy(col("lab")).agg(sum(col("d")).as("dlab"))
+      val cand = k
+        .join(lbl, Seq("node"))
+        .filter(col("nb_lab") =!= col("lab"))
+        .join(deg, Seq("node"))
+        .join(dc.select(col("lab"), col("dlab").as("da")), Seq("lab"))
+        .join(dc.select(col("lab").as("nb_lab"), col("dlab").as("db")),
+          Seq("nb_lab"))
+        .join(k.select(col("node"), col("nb_lab").as("lab"),
+          col("k").as("ka")), Seq("node", "lab"), "left")
+        .select(col("node"), col("lab").as("a"), col("nb_lab").as("b"),
+          (lit(4L) * mm * (col("k") - coalesce(col("ka"), lit(0L))) -
+            lit(2L) * col("d") * (col("db") - col("da") + col("d")))
+            .as("dq"))
+        .filter(col("dq") > 0)
+      val best = cand
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("node").orderBy(desc("dq"), col("b"))))
+        .filter(col("rn") === 1).drop("rn")
+      val ex = best.select(col("a").as("comm"), col("node"), col("b"),
+          col("dq"))
+        .unionByName(best.select(col("b").as("comm"), col("node"),
+          col("b"), col("dq")))
+      val applied = ex
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("comm")
+            .orderBy(desc("dq"), col("node"), col("b"))))
+        .groupBy(col("node"), col("b")).agg(max(col("rk")).as("mrk"))
+        .filter(col("mrk") === 1)
+        .select(col("node"), col("b"))
+      val next = lbl.join(applied, Seq("node"), "left")
+        .select(col("node"), coalesce(col("b"), col("lab")).as("lab"))
+        .localCheckpoint()
+      releaseCheckpoint(lbl)
+      lbl = next
+    }
+    releaseCheckpoint(e)
+    releaseCheckpoint(deg)
+    lbl.select(col("node"), col("lab").as("label"))
   }
 
   /** Free a localCheckpoint's block-manager storage (best-effort):

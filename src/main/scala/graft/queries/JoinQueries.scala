@@ -796,9 +796,14 @@ object JoinQueries {
       val sym = co.select(col("p"), col("q"), col("n_co"))
         .unionByName(co.select(col("q").as("p"), col("p").as("q"),
           col("n_co")))
+      // deg is part-domain (one row per part) — parts grow with SF, so
+      // it must NOT be hint-broadcast (the q102/q119 discipline: at
+      // fixture scale AQE broadcasts it by SIZE, at 100 TB part
+      // cardinality it shuffle-joins; a forced broadcast OOMs the
+      // driver). Plan-pinned in PlanShapeSpec (r17).
       val scored = sym
-        .join(broadcast(deg.select(col("p"), col("d").as("dp"))), Seq("p"))
-        .join(broadcast(deg.select(col("p").as("q"), col("d").as("dq"))),
+        .join(deg.select(col("p"), col("d").as("dp")), Seq("p"))
+        .join(deg.select(col("p").as("q"), col("d").as("dq")),
           Seq("q"))
         .select(col("p").as("item"), col("q").as("other"), col("n_co"),
           round(col("n_co").cast("double") /
@@ -838,11 +843,14 @@ object JoinQueries {
           col("q").as("consequent"), col("n_co"))
         .unionByName(co.select(col("q").as("antecedent"),
           col("p").as("consequent"), col("n_co")))
+      // deg joins deliberately UNHINTED (part-domain scales with SF —
+      // the q102/q119 AQE discipline; see q350's note). tot stays a
+      // forced broadcast: it is ONE row at any scale.
       sym.filter(col("n_co") >= 2)
-        .join(broadcast(deg.select(col("p").as("antecedent"),
-          col("d").as("da"))), Seq("antecedent"))
-        .join(broadcast(deg.select(col("p").as("consequent"),
-          col("d").as("dc"))), Seq("consequent"))
+        .join(deg.select(col("p").as("antecedent"),
+          col("d").as("da")), Seq("antecedent"))
+        .join(deg.select(col("p").as("consequent"),
+          col("d").as("dc")), Seq("consequent"))
         .crossJoin(broadcast(tot))
         .select(col("antecedent"), col("consequent"), col("n_co"),
           round(col("n_co").cast("double") / col("da").cast("double"), 6)
@@ -940,6 +948,56 @@ object JoinQueries {
           (col("m2").cast("double") * col("sxx").cast("double") -
             col("sx").cast("double") * col("sx").cast("double")), 6)
           .as("r_assort"))
+    }),
+
+    // ONE-LEVEL LOUVAIN REFINEMENT (Blondel et al. 2008's local-move
+    // phase with locally-dominant parallel selection; r17 — VERDICT
+    // r16 missing #3): the OPTIMIZER for the q358 metric. Same
+    // quantity=1 trade graph, same 3-superstep hashmin init as
+    // q212/q358; two bounded rounds of exact-integer best-move
+    // refinement (Graph.louvainRefine — every applied move strictly
+    // increases Q, proven in the scaladoc via disjoint-community
+    // selection). Output: every node's refined community plus the
+    // CONSTANT before/after modularity columns (q358's exact-integer
+    // fraction, one rounded double each) — the hash gates the full
+    // assignment AND the improvement claim in one artifact.
+    // Non-vacuity inspected: q_refined > q_init at every SF (moves
+    // actually apply), and both Q values replay in the oracle.
+    "q363_louvain_refine" -> ((s, dir) => {
+      val eb = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") === 1)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s1"))
+        .distinct()
+      val edges = eb.select(col("c").as("src"), col("s1").as("dst"))
+        .unionByName(eb.select(col("s1").as("src"), col("c").as("dst")))
+      val init = graft.ops.Graph.labelPropagate(edges, supersteps = 3)
+      val refined = graft.ops.Graph.louvainRefine(edges, init, rounds = 2)
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+      def qOf(l: org.apache.spark.sql.DataFrame) = {
+        val mE = eb
+          .join(l.select(col("node").as("c"), col("label").as("lc")),
+            Seq("c"))
+          .join(l.select(col("node").as("s1"), col("label").as("ls")),
+            Seq("s1"))
+          .agg(count(lit(1)).as("m"),
+            sum(when(col("lc") === col("ls"), 1L).otherwise(0L)).as("e_in"))
+        val d2 = deg.join(l, Seq("node"))
+          .groupBy(col("label")).agg(sum(col("d")).as("dc"))
+          .agg(sum(col("dc") * col("dc")).as("d2"))
+        mE.crossJoin(broadcast(d2))
+          .select(round(
+            (lit(4L) * col("m") * col("e_in") - col("d2")).cast("double")
+              / (lit(4L) * col("m") * col("m")).cast("double"), 6).as("q"))
+      }
+      refined.select(col("node"), col("label").as("community"))
+        .crossJoin(broadcast(qOf(init).select(col("q").as("q_init"))))
+        .crossJoin(broadcast(qOf(refined).select(col("q").as("q_refined"))))
+        .orderBy("node")
     }),
 
     // TRIANGLE COUNTING (ops.Graph.triangleCounts) on the part
@@ -2070,6 +2128,126 @@ object JoinQueries {
         |       round(CAST(4 * me.m * me.e_in - st.d2 AS DOUBLE) /
         |         (4 * me.m * me.m), 6) AS q_modularity
         |FROM me CROSS JOIN st""".stripMargin,
+    // the same 3 hashmin supersteps, then BOTH louvain rounds
+    // unrolled: per round the neighbor-community counts, community
+    // degrees, exact-integer ΔQ candidates, per-node best move, the
+    // locally-dominant two-endpoint rank filter, and the label apply —
+    // then q358's modularity fraction computed over the INIT and the
+    // REFINED labels (one rounded double each)
+    "q363_louvain_refine" ->
+      """WITH eb AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s1
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_quantity = 1),
+        |e AS MATERIALIZED (SELECT c AS src, s1 AS dst FROM eb
+        |      UNION ALL SELECT s1, c FROM eb),
+        |deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        |        FROM e GROUP BY 1),
+        |mt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS mm FROM eb),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        |l1 AS (
+        |  SELECT l.node, least(l.label, coalesce(m.nbr_min, l.label)) AS label
+        |  FROM l0 l LEFT JOIN (
+        |    SELECT e.dst, min(l.label) AS nbr_min
+        |    FROM e JOIN l0 l ON e.src = l.node GROUP BY e.dst) m
+        |  ON l.node = m.dst),
+        |l2 AS (
+        |  SELECT l.node, least(l.label, coalesce(m.nbr_min, l.label)) AS label
+        |  FROM l1 l LEFT JOIN (
+        |    SELECT e.dst, min(l.label) AS nbr_min
+        |    FROM e JOIN l1 l ON e.src = l.node GROUP BY e.dst) m
+        |  ON l.node = m.dst),
+        |r0 AS MATERIALIZED (
+        |  SELECT l.node, least(l.label, coalesce(m.nbr_min, l.label)) AS lab
+        |  FROM l2 l LEFT JOIN (
+        |    SELECT e.dst, min(l.label) AS nbr_min
+        |    FROM e JOIN l2 l ON e.src = l.node GROUP BY e.dst) m
+        |  ON l.node = m.dst),
+        |k1 AS MATERIALIZED (SELECT e.src AS node, l.lab AS nb_lab,
+        |              CAST(count(*) AS BIGINT) AS k
+        |       FROM e JOIN r0 l ON e.dst = l.node GROUP BY 1, 2),
+        |dc1 AS MATERIALIZED (SELECT l.lab, CAST(sum(d.d) AS BIGINT) AS dlab
+        |        FROM r0 l JOIN deg d ON l.node = d.node GROUP BY 1),
+        |cand1 AS (
+        |  SELECT k.node, cur.lab AS a, k.nb_lab AS b,
+        |         4 * mt.mm * (k.k - coalesce(ka.k, 0)) -
+        |         2 * d.d * (db.dlab - da.dlab + d.d) AS dq
+        |  FROM k1 k
+        |  JOIN r0 cur ON k.node = cur.node
+        |  JOIN deg d ON k.node = d.node
+        |  JOIN dc1 da ON cur.lab = da.lab
+        |  JOIN dc1 db ON k.nb_lab = db.lab
+        |  LEFT JOIN k1 ka ON ka.node = k.node AND ka.nb_lab = cur.lab
+        |  CROSS JOIN mt
+        |  WHERE k.nb_lab <> cur.lab),
+        |best1 AS (SELECT node, a, b, dq FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY node
+        |              ORDER BY dq DESC, b) AS rn
+        |    FROM cand1 WHERE dq > 0) WHERE rn = 1),
+        |ex1 AS (SELECT a AS comm, node, b, dq FROM best1
+        |        UNION ALL SELECT b, node, b, dq FROM best1),
+        |app1 AS (SELECT node, b FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY comm
+        |              ORDER BY dq DESC, node, b) AS rk
+        |    FROM ex1) GROUP BY node, b HAVING max(rk) = 1),
+        |r1 AS MATERIALIZED (SELECT l.node, coalesce(a.b, l.lab) AS lab
+        |       FROM r0 l LEFT JOIN app1 a ON l.node = a.node),
+        |k2 AS MATERIALIZED (SELECT e.src AS node, l.lab AS nb_lab,
+        |              CAST(count(*) AS BIGINT) AS k
+        |       FROM e JOIN r1 l ON e.dst = l.node GROUP BY 1, 2),
+        |dc2 AS MATERIALIZED (SELECT l.lab, CAST(sum(d.d) AS BIGINT) AS dlab
+        |        FROM r1 l JOIN deg d ON l.node = d.node GROUP BY 1),
+        |cand2 AS (
+        |  SELECT k.node, cur.lab AS a, k.nb_lab AS b,
+        |         4 * mt.mm * (k.k - coalesce(ka.k, 0)) -
+        |         2 * d.d * (db.dlab - da.dlab + d.d) AS dq
+        |  FROM k2 k
+        |  JOIN r1 cur ON k.node = cur.node
+        |  JOIN deg d ON k.node = d.node
+        |  JOIN dc2 da ON cur.lab = da.lab
+        |  JOIN dc2 db ON k.nb_lab = db.lab
+        |  LEFT JOIN k2 ka ON ka.node = k.node AND ka.nb_lab = cur.lab
+        |  CROSS JOIN mt
+        |  WHERE k.nb_lab <> cur.lab),
+        |best2 AS (SELECT node, a, b, dq FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY node
+        |              ORDER BY dq DESC, b) AS rn
+        |    FROM cand2 WHERE dq > 0) WHERE rn = 1),
+        |ex2 AS (SELECT a AS comm, node, b, dq FROM best2
+        |        UNION ALL SELECT b, node, b, dq FROM best2),
+        |app2 AS (SELECT node, b FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY comm
+        |              ORDER BY dq DESC, node, b) AS rk
+        |    FROM ex2) GROUP BY node, b HAVING max(rk) = 1),
+        |r2 AS MATERIALIZED (SELECT l.node, coalesce(a.b, l.lab) AS lab
+        |       FROM r1 l LEFT JOIN app2 a ON l.node = a.node),
+        |qi AS (
+        |  SELECT round(CAST(4 * me.m * me.e_in - st.d2 AS DOUBLE) /
+        |         (4 * me.m * me.m), 6) AS q
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS m,
+        |               CAST(sum(CASE WHEN lc.lab = ls.lab THEN 1 ELSE 0 END)
+        |                 AS BIGINT) AS e_in
+        |        FROM eb JOIN r0 lc ON eb.c = lc.node
+        |                JOIN r0 ls ON eb.s1 = ls.node) me
+        |  CROSS JOIN (SELECT CAST(sum(dc * dc) AS BIGINT) AS d2
+        |              FROM (SELECT l.lab, CAST(sum(d.d) AS BIGINT) AS dc
+        |                    FROM deg d JOIN r0 l ON d.node = l.node
+        |                    GROUP BY l.lab)) st),
+        |qr AS (
+        |  SELECT round(CAST(4 * me.m * me.e_in - st.d2 AS DOUBLE) /
+        |         (4 * me.m * me.m), 6) AS q
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS m,
+        |               CAST(sum(CASE WHEN lc.lab = ls.lab THEN 1 ELSE 0 END)
+        |                 AS BIGINT) AS e_in
+        |        FROM eb JOIN r2 lc ON eb.c = lc.node
+        |                JOIN r2 ls ON eb.s1 = ls.node) me
+        |  CROSS JOIN (SELECT CAST(sum(dc * dc) AS BIGINT) AS d2
+        |              FROM (SELECT l.lab, CAST(sum(d.d) AS BIGINT) AS dc
+        |                    FROM deg d JOIN r2 l ON d.node = l.node
+        |                    GROUP BY l.lab)) st)
+        |SELECT r2.node, r2.lab AS community, qi.q AS q_init, qr.q AS q_refined
+        |FROM r2 CROSS JOIN qi CROSS JOIN qr
+        |ORDER BY node""".stripMargin,
     // the same wedge counts + cosine + window top-3, ranked by the
     // identically-rounded score — the independent window form gates
     // the GroupedTopK physical operator's third consumer

@@ -1535,10 +1535,16 @@ object StatQueries {
       val m0 = m.agg(min(col("mi")).as("m0"))
       val p = m.crossJoin(broadcast(m0))
         .select(col("seg"), col("mi"),
+          // FURNITURE's planted −1%/month factor clamps at 1 (ADVICE
+          // r16): past month 100 the raw factor goes zero/negative and
+          // silently flips revenue signs — the clamp never fires on
+          // the shipped ≤84-month calendars (min factor 1700, hashes
+          // unchanged) but a wider calendar now saturates instead of
+          // inverting; mirrored GREATEST(1, ...) in the oracle.
           (col("rev") * when(col("seg") === "BUILDING",
             lit(10000) + (col("mi") - col("m0")) * 100)
             .when(col("seg") === "FURNITURE",
-              lit(10000) - (col("mi") - col("m0")) * 100)
+              greatest(lit(1), lit(10000) - (col("mi") - col("m0")) * 100))
             .otherwise(lit(10000))).as("v"))
       val a = p.select(col("seg"), col("mi").as("ma"), col("v").as("va"))
       val b = p.select(col("seg"), col("mi").as("mb"), col("v").as("vb"))
@@ -1664,7 +1670,7 @@ object StatQueries {
         |        rev * (CASE WHEN seg = 'BUILDING'
         |                 THEN 10000 + (mi - m0) * 100
         |               WHEN seg = 'FURNITURE'
-        |                 THEN 10000 - (mi - m0) * 100
+        |                 THEN GREATEST(1, 10000 - (mi - m0) * 100)
         |               ELSE 10000 END) AS v
         |      FROM m, m0),
         |s AS (SELECT a.seg,

@@ -107,4 +107,16 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
       .map(r => r._1 -> (r._2, r._3)).toMap
     assert(rep === ref)
   }
+
+  test("dbscan fails loudly on negative coordinates (grid precondition guard)") {
+    // ADVICE r16: negative coords silently split grid cells at the
+    // origin and drop ε-pairs — must error, not mislabel.
+    val pts = Seq((1L, 5L, 5L), (2L, -3L, 5L), (3L, 7L, 7L))
+    val e = intercept[Exception] {
+      Cluster.dbscan(pts.toDF("id", "x", "y"), 10L, 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("non-negative")), s"wrong error: $e")
+  }
 }

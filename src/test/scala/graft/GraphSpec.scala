@@ -317,6 +317,45 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(got.length === 200 && got.forall(_._2 == 1L))
   }
 
+  test("ccStar witness: star-forest check ⇔ alternation fixpoint, round by round") {
+    // r17 replaced the per-round count+exceptAll set-equality probe
+    // with the star-forest scalar witness (Graph.ccIsStarForest). The
+    // scaladoc's claim is: witness(E) ⟺ E is a FIXPOINT of the
+    // alternation (ccRound(E) = E as sets). Pin exactly that, at
+    // EVERY round, on the adversarial shapes the verdict names —
+    // cycle, star, 200-node path (the deep-doubling case), mixed.
+    // (Note the witness may stop one round EARLIER than the old
+    // predecessor-equality probe — when next ≠ e but next is already
+    // a star forest — which is a pure win: the old code's extra
+    // round was the identity, so the read-off labels are unchanged.)
+    val shapes = Seq(
+      ("cycle", Seq((30L, 31L), (31L, 32L), (32L, 30L))),
+      ("star", Seq((40L, 41L), (40L, 42L), (40L, 43L))),
+      ("path200", (1L until 200L).map(i => (i, i + 1)).toSeq),
+      ("mixed", (1L to 19L).map(i => (i, i + 1)).toSeq ++
+        Seq((30L, 31L), (31L, 32L), (32L, 30L), (50L, 51L))))
+    for ((name, pairs) <- shapes) {
+      // localCheckpoint per round keeps the composed-round lineage
+      // shallow (the production loop does the same)
+      var e = Graph.ccCanon(pairs.toDF("u", "v")).localCheckpoint()
+      var done = false
+      var rounds = 0
+      while (!done && rounds < 30) {
+        val next = Graph.ccRound(e).localCheckpoint()
+        val witness = Graph.ccIsStarForest(next)
+        val again = Graph.ccRound(next).localCheckpoint()
+        val isFixpoint = again.count() == next.count() &&
+          again.exceptAll(next).isEmpty
+        assert(witness === isFixpoint,
+          s"$name round $rounds: witness=$witness fixpoint=$isFixpoint")
+        done = witness
+        e = next
+        rounds += 1
+      }
+      assert(done, s"$name did not converge in 30 rounds")
+    }
+  }
+
   test("ccStar is partition-invariant and matches a random-graph reference") {
     val rnd = new scala.util.Random(13)
     val edges = Seq.fill(150)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
@@ -338,6 +377,104 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     val got = Graph.sssp(edges, Seq(1L).toDF("node"), rounds = 4)
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 10L, 4L -> 2L))
+  }
+
+  /** Sequential Louvain-refinement reference: the same best-move +
+    * locally-dominant rules in plain Scala collections (shares no
+    * code with the DataFrame side). */
+  private def refLouvain(edges: Seq[(Long, Long)], init: Map[Long, Long],
+                         rounds: Int): Map[Long, Long] = {
+    val nbrs = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = nbrs.view.mapValues(_.size.toLong).toMap
+    val mm = edges.size / 2
+    var lab = init
+    for (_ <- 1 to rounds) {
+      val dc = lab.toSeq.groupBy(_._2).view
+        .mapValues(_.map(x => deg.getOrElse(x._1, 0L)).sum).toMap
+      val best = nbrs.keys.toSeq.sorted.flatMap { i =>
+        val a = lab(i)
+        val k = nbrs(i).groupBy(lab).view.mapValues(_.size.toLong).toMap
+        val ka = k.getOrElse(a, 0L)
+        val cands = k.keys.filter(_ != a).map { b =>
+          (i, a, b, 4L * mm * (k(b) - ka) -
+            2L * deg(i) * (dc(b) - dc(a) + deg(i)))
+        }.filter(_._4 > 0).toSeq
+        if (cands.isEmpty) None else Some(cands.minBy(c => (-c._4, c._3)))
+      }
+      val byComm = best.flatMap(mv => Seq((mv._2, mv), (mv._3, mv)))
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).minBy(m => (-m._4, m._1, m._3))).toMap
+      val applied = best.filter(mv =>
+        byComm(mv._2) == mv && byComm(mv._3) == mv)
+      lab = lab ++ applied.map(mv => mv._1 -> mv._3)
+    }
+    lab
+  }
+
+  /** 4m²·Q as an exact integer (the q358 fraction's numerator over a
+    * fixed denominator — enough to compare two labelings exactly). */
+  private def qNum(edges: Seq[(Long, Long)], lab: Map[Long, Long]): Long = {
+    val und = edges.filter { case (u, v) => u < v }
+    val mm = und.size.toLong
+    val eIn = und.count { case (u, v) => lab(u) == lab(v) }.toLong
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val d2 = lab.toSeq.groupBy(_._2).values
+      .map(c => { val d = c.map(x => deg.getOrElse(x._1, 0L)).sum; d * d })
+      .sum
+    4L * mm * eIn - d2
+  }
+
+  test("louvainRefine ≡ sequential reference; Q strictly improves a bad init; partition-invariant") {
+    // two 4-cliques joined by one bridge edge, initialized at
+    // SINGLETONS (the classic Louvain start — local moves can only
+    // join EXISTING neighbor communities, so a too-coarse init like
+    // parity could never separate the cliques): refinement must
+    // discover the clique communities and strictly raise Q.
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val edges = (clique(1L to 4L) ++ clique(5L to 8L) ++
+      Seq((4L, 5L), (5L, 4L))).toSeq
+    val init = (1L to 8L).map(i => i -> i).toMap
+    val ref = refLouvain(edges, init, 6)
+    val got = graft.ops.Graph.louvainRefine(
+        edges.toDF("src", "dst"),
+        init.toSeq.toDF("node", "label"), rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got === ref)
+    assert(qNum(edges, got) > qNum(edges, init), "Q did not improve")
+    // the cliques end up as two communities (the bridge stays cut)
+    assert((1L to 4L).map(got).toSet.size === 1)
+    assert((5L to 8L).map(got).toSet.size === 1)
+    assert(got(1L) !== got(5L))
+    // random graph: reference equality + partition invariance
+    val rnd = new scala.util.Random(29)
+    val re = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val sym = (re ++ re.map(_.swap)).distinct
+    val rInit = sym.map(_._1).distinct.map(n => n -> (n % 3)).toMap
+    val rRef = refLouvain(sym, rInit, 2)
+    val rGot = graft.ops.Graph.louvainRefine(
+        sym.toDF("src", "dst"), rInit.toSeq.toDF("node", "label"), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(rGot === rRef)
+    assert(qNum(sym, rGot) >= qNum(sym, rInit))
+    val rRep = graft.ops.Graph.louvainRefine(
+        sym.toDF("src", "dst").repartition(7),
+        rInit.toSeq.toDF("node", "label").repartition(3), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(rRep === rRef)
+  }
+
+  test("sssp fails loudly on a negative edge weight (min-plus precondition guard)") {
+    // ADVICE r16: a negative weight silently changes the semantics
+    // (min over walks, not paths) — must error, not mis-route.
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, -1L)).toDF("src", "dst", "w")
+    val e = intercept[Exception] {
+      Graph.sssp(edges, Seq(1L).toDF("node"), rounds = 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("negative edge weight")), s"wrong error: $e")
   }
 
   test("sssp: bounded-hop semantics — round r holds the exact best ≤r-edge path") {

@@ -77,4 +77,17 @@ class LinalgSpec extends AnyFunSuite with SparkFixture {
     // 1-iteration result differs from 3 (the iterate actually moves)
     assert(run(vecs, 1) !== base)
   }
+
+  test("topComponent fails loudly on an all-zero corpus (mx = 0 guard)") {
+    // ADVICE r16: without the guard the rescale divides by zero and
+    // silently emits null/NaN loadings.
+    val zeros = (1L to 5L).map(i => i -> Seq(0.0f, 0.0f, 0.0f))
+    val e = intercept[Exception] {
+      Linalg.topComponent(zeros.toDF("id", "vec"), "id", "vec", 2)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("max|u| = 0")), s"wrong error: $e")
+  }
 }

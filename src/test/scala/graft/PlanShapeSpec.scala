@@ -648,6 +648,32 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Window"), s"q350 still plans a window:\n$p")
   }
 
+  /** VERDICT r16 #1: q350/q357's `deg` is PART-DOMAIN (one row per
+    * part — grows with SF; at 100 TB part cardinality a forced
+    * broadcast OOMs the driver), so per the q102/q119 discipline the
+    * deg joins must carry NO hint: under threshold=-1 + AQE off no
+    * BroadcastExchange may remain (q357 keeps exactly ONE — the 1-row
+    * global-count `tot`, bounded at any scale), while at fixture scale
+    * AQE must still pick the broadcast BY SIZE in the final adaptive
+    * plan. */
+  test("q350/q357 deg joins are unhinted: size-based broadcast at fixture scale, none forced") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val cf = plan("q350_item_cf")
+      assert(!cf.contains("BroadcastExchange"),
+        s"q350 still force-broadcasts a part-domain side:\n$cf")
+      val ar = plan("q357_assoc_rules")
+      assert("BroadcastExchange".r.findAllIn(ar).size == 1,
+        s"q357 may force exactly ONE broadcast (the 1-row tot):\n$ar")
+    }
+    val df = SparkEntry.queries("q350_item_cf")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("BroadcastHashJoin"),
+      s"AQE did not size-broadcast deg at fixture scale:\n$fin")
+  }
+
   /** q351's scale contract: the embedding corpus is scanned ONCE (at
     * Gram-matrix construction, behind the checkpoint) — the returned
     * plan iterates on the dim²-bounded grid only, so it must contain
@@ -658,6 +684,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"q351 re-scans the corpus inside the iteration plan:\n$p")
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
       s"expected the checkpointed Gram scan:\n$p")
+  }
+
+  /** VERDICT r16 #4: the Gram build generates the d² pair terms
+    * ROW-LOCALLY (double posexplode inside the row) — the plan must
+    * show exactly ONE corpus scan and NO Exchange keyed on the row id
+    * (the old x⋈x self-join shuffled the exploded frame twice on
+    * __id); the only exchange allowed is the d²-bounded aggregate's. */
+  test("q351 Gram build: one corpus scan, no row-id Exchange, no join") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = graft.ops.Linalg.gram(emb, "embedding")
+      .queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n$p")
+    assert(!p.contains("hashpartitioning(__id"),
+      s"Gram build still shuffles on the row id:\n$p")
+    assert(!p.contains("Join"), s"Gram build still self-joins:\n$p")
   }
 
   test("q236 existence test plans as a LEFT SEMI join, not inner+distinct") {
