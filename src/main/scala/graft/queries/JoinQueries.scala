@@ -1000,6 +1000,53 @@ object JoinQueries {
         .orderBy("node")
     }),
 
+    // K-TRUSS PEELING (Cohen 2008 — the triangle-dense subgraph
+    // beside q240's k-core: core peels on DEGREE, truss peels on
+    // EDGE SUPPORT = common-neighbor count, the community-detection
+    // primitive that survives hub noise; r17): 3 BOUNDED peel rounds
+    // at k = 6 (drop edges in < 4 triangles) over the Brand#2x
+    // co-purchase graph — brand-family restriction keeps the wedge
+    // volume 1/25th of q171's while the peel stays LIVE at every SF
+    // (718→713 / 8907→213 / 95575→2593 edges, inspected — both the
+    // survive and peel branches fire). Support = one wedge join per
+    // round (the q171 kernel: adjacency ⋈ adjacency on the shared
+    // endpoint, closed by the third edge — output-sized, never
+    // parts³); rounds are FIXED like sssp's (the gateable bounded
+    // prefix of the fixpoint — converged rounds are no-ops); final
+    // support recomputed on the surviving graph with left+coalesce
+    // so a 0-support survivor reads honestly. At 100 TB: q171's
+    // degree-oriented enumeration + bucket-on-src apply per round
+    // unchanged.
+    "q365_ktruss" -> ((s, dir) => {
+      val pk = Tables.part(s, dir).filter(col("p_brand").like("Brand#2%"))
+        .select(col("p_partkey"))
+      val ib = Tables.lineitem(s, dir)
+        .join(pk, col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      def support(ed: org.apache.spark.sql.DataFrame) = {
+        val adj = ed.select(col("u").as("s1"), col("v").as("t1"))
+          .unionByName(ed.select(col("v").as("s1"), col("u").as("t1")))
+        val tri = ed
+          .join(adj, col("u") === col("s1"))
+          .select(col("u"), col("v"), col("t1").as("w"))
+          .filter(col("w") =!= col("v"))
+          .join(adj.select(col("s1").as("v"), col("t1").as("w")),
+            Seq("v", "w"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+        ed.join(tri, Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
+            coalesce(col("sup"), lit(0L)).as("sup"))
+      }
+      var e = ib.as("a").join(ib.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      for (_ <- 1 to 3)
+        e = support(e).filter(col("sup") >= 4).select(col("u"), col("v"))
+      support(e).orderBy("u", "v")
+    }),
+
     // TRIANGLE COUNTING (ops.Graph.triangleCounts) on the part
     // co-purchase graph (parts bought together in an order) — the
     // clustering/community primitive. The Spark side runs the
@@ -2128,6 +2175,59 @@ object JoinQueries {
         |       round(CAST(4 * me.m * me.e_in - st.d2 AS DOUBLE) /
         |         (4 * me.m * me.m), 6) AS q_modularity
         |FROM me CROSS JOIN st""".stripMargin,
+    // same three peel rounds unrolled (each round: symmetrized
+    // adjacency, wedge-closed support count, threshold filter), then
+    // the final left-joined support readout
+    "q365_ktruss" ->
+      """WITH pk AS (SELECT p_partkey FROM part
+        |            WHERE p_brand LIKE 'Brand#2%'),
+        |ib AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |       WHERE l_partkey IN (SELECT p_partkey FROM pk)),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM ib a JOIN ib b ON a.l_orderkey = b.l_orderkey
+        |                     AND a.l_partkey < b.l_partkey),
+        |a0 AS MATERIALIZED (SELECT u AS s, v AS t FROM e0
+        |                    UNION ALL SELECT v, u FROM e0),
+        |s0 AS MATERIALIZED (
+        |  SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup
+        |  FROM e0 e JOIN a0 x ON e.u = x.s AND x.t <> e.v
+        |            JOIN a0 y ON y.s = e.v AND y.t = x.t
+        |  GROUP BY e.u, e.v),
+        |e1 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e0 e
+        |  JOIN s0 s ON e.u = s.u AND e.v = s.v WHERE s.sup >= 4),
+        |a1 AS MATERIALIZED (SELECT u AS s, v AS t FROM e1
+        |                    UNION ALL SELECT v, u FROM e1),
+        |s1 AS MATERIALIZED (
+        |  SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup
+        |  FROM e1 e JOIN a1 x ON e.u = x.s AND x.t <> e.v
+        |            JOIN a1 y ON y.s = e.v AND y.t = x.t
+        |  GROUP BY e.u, e.v),
+        |e2 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e1 e
+        |  JOIN s1 s ON e.u = s.u AND e.v = s.v WHERE s.sup >= 4),
+        |a2 AS MATERIALIZED (SELECT u AS s, v AS t FROM e2
+        |                    UNION ALL SELECT v, u FROM e2),
+        |s2 AS MATERIALIZED (
+        |  SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup
+        |  FROM e2 e JOIN a2 x ON e.u = x.s AND x.t <> e.v
+        |            JOIN a2 y ON y.s = e.v AND y.t = x.t
+        |  GROUP BY e.u, e.v),
+        |e3 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e2 e
+        |  JOIN s2 s ON e.u = s.u AND e.v = s.v WHERE s.sup >= 4),
+        |a3 AS MATERIALIZED (SELECT u AS s, v AS t FROM e3
+        |                    UNION ALL SELECT v, u FROM e3),
+        |s3 AS MATERIALIZED (
+        |  SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup
+        |  FROM e3 e JOIN a3 x ON e.u = x.s AND x.t <> e.v
+        |            JOIN a3 y ON y.s = e.v AND y.t = x.t
+        |  GROUP BY e.u, e.v)
+        |SELECT e.u, e.v, coalesce(s.sup, CAST(0 AS BIGINT)) AS sup
+        |FROM e3 e LEFT JOIN s3 s ON e.u = s.u AND e.v = s.v
+        |ORDER BY e.u, e.v""".stripMargin,
+
     // the same 3 hashmin supersteps, then BOTH louvain rounds
     // unrolled: per round the neighbor-community counts, community
     // degrees, exact-integer ΔQ candidates, per-node best move, the

@@ -1515,6 +1515,62 @@ object StatQueries {
     // would be vacuous): BUILDING's series is scaled by the monotone
     // integer factor 10000 + 100·(month − first) — +1%/month,
     // multiplicative on the exact decimal so ranks are replayable —
+    // THEIL–SEN SLOPE (Theil 1950 / Sen 1968 — the robust trend
+    // ESTIMATOR beside q349's Mann–Kendall trend TEST: MK says
+    // whether a series trends, THIS says how fast, immune to
+    // outliers because it is the MEDIAN of all pairwise slopes).
+    // Series = monthly ORDER COUNTS per segment scaled by q349's
+    // planted ±1%/month factors (counts, not revenue, keep every
+    // value ≤ ~2e10 so the slope's double cast is EXACT — the
+    // decimal×factor product would cross 2⁵³ and silently round).
+    // Pairs ride the MONTH DOMAIN (≤ 84²/2 per segment — the q296
+    // reduction); slope_r = round((vb−va)/(mb−ma), 6) is one
+    // exact-input IEEE division + round (the q140 discipline); the
+    // median is the LOWER median by the (slope_r, ma, mb) total
+    // order — deterministic in both engines, no interpolation
+    // (interpolated medians average two doubles — engine-divergence
+    // risk for zero expressiveness gain). Non-vacuity inspected:
+    // BUILDING's median slope reads strongly positive, FURNITURE's
+    // strongly negative, unplanted segments near zero — all three
+    // regimes live at every SF.
+    "q364_theil_sen" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("mi"))
+        .agg(count(lit(1)).as("cnt"))
+      val m0 = m.agg(min(col("mi")).as("m0"))
+      val p = m.crossJoin(broadcast(m0))
+        .select(col("seg"), col("mi"),
+          (col("cnt") * when(col("seg") === "BUILDING",
+            lit(10000) + (col("mi") - col("m0")) * 100)
+            .when(col("seg") === "FURNITURE",
+              greatest(lit(1), lit(10000) - (col("mi") - col("m0")) * 100))
+            .otherwise(lit(10000))).as("v"))
+      val a = p.select(col("seg"), col("mi").as("ma"), col("v").as("va"))
+      val b = p.select(col("seg"), col("mi").as("mb"), col("v").as("vb"))
+      val slopes = a.join(broadcast(b), Seq("seg"))
+        .filter(col("ma") < col("mb"))
+        .select(col("seg"), col("ma"), col("mb"),
+          round((col("vb") - col("va")).cast("double") /
+            (col("mb") - col("ma")).cast("double"), 6).as("slope_r"))
+      val w = Window.partitionBy("seg")
+        .orderBy(col("slope_r"), col("ma"), col("mb"))
+      slopes
+        .withColumn("rn", row_number().over(w))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy("seg")))
+        // integer div, NOT `/` (Spark int / int is DOUBLE — rn would
+        // never equal x.5 for even pair counts)
+        .filter(col("rn") === expr("(np + 1) div 2"))
+        .select(col("seg"), col("np").as("n_pairs"),
+          col("slope_r").as("ts_slope"))
+        .orderBy("seg")
+    }),
+
     // giving z ≈ +7 for BUILDING; FURNITURE carries the MIRRORED
     // −1%/month factor (still positive through month 83: 10000 −
     // 8300), so 'increasing', 'decreasing', and 'none' are ALL live
@@ -1656,6 +1712,34 @@ object StatQueries {
         |         sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE) *
         |              CAST(n_days * syy - sy * sy AS DOUBLE)), 6) AS r
         |FROM m ORDER BY lag""".stripMargin,
+
+    // same month-domain pair frame, same planted factors; lower
+    // median picked by the identical (slope_r, ma, mb) row_number
+    "q364_theil_sen" ->
+      """WITH m AS (
+        |  SELECT c_mktsegment AS seg,
+        |         year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |m0 AS (SELECT min(mi) AS m0 FROM m),
+        |p AS (SELECT seg, mi,
+        |        cnt * (CASE WHEN seg = 'BUILDING'
+        |                 THEN 10000 + (mi - m0) * 100
+        |               WHEN seg = 'FURNITURE'
+        |                 THEN GREATEST(1, 10000 - (mi - m0) * 100)
+        |               ELSE 10000 END) AS v
+        |      FROM m, m0),
+        |sl AS (SELECT a.seg, a.mi AS ma, b.mi AS mb,
+        |         round((b.v - a.v) / CAST(b.mi - a.mi AS DOUBLE), 6)
+        |           AS slope_r
+        |       FROM p a JOIN p b ON a.seg = b.seg AND a.mi < b.mi),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY seg
+        |         ORDER BY slope_r, ma, mb) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS np
+        |      FROM sl)
+        |SELECT seg, np AS n_pairs, slope_r AS ts_slope
+        |FROM r WHERE rn = (np + 1) // 2 ORDER BY seg""".stripMargin,
 
     "q349_mann_kendall" ->
       """WITH m AS (
