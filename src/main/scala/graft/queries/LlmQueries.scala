@@ -223,6 +223,52 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // CLUSTER-AWARE TRAIN/VAL/TEST SPLIT (r17 — the leakage-free
+    // split every training pipeline needs: split by md5 coin on the
+    // DOC and near-identical copies land on both sides of the
+    // train/eval boundary, the classic contamination bug q108 audits
+    // after the fact; split by the CONTENT-GROUP hash and leakage is
+    // impossible BY CONSTRUCTION — the coin is a function of the
+    // q83-normalized content, so every copy of a text shares a
+    // split). 80/10/10 via one md5 nibble-pair on the group hash;
+    // output = per-(lang, split) doc count, distinct-group count and
+    // a membership CHECKSUM (Σ md5-prefix per doc) pinning WHICH
+    // docs landed where. The shipped corpus has ZERO normalized
+    // duplicates (checked — the first cut's n_docs = n_groups
+    // everywhere, the q361 vacuity shape), so 1-in-7 copies are
+    // PLANTED by md5 coin with pure-ASCII whitespace variation
+    // ('  '+text+' ' — unicode casefolding is an engine-parity
+    // hazard): normalization is exercised, n_docs > n_groups in
+    // planted cells (inspected), and the checksum OBSERVES each copy
+    // landing in its original's split. At 100 TB:
+    // the only shuffle is 32-byte hashes + the map-side-combined
+    // rollup; text never moves, assignment is row-local.
+    "q366_cluster_split" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val copies = base
+        .filter(conv(substring(md5(concat(lit("dup:"),
+          col("doc_id").cast("string"))), 1, 4), 16, 10)
+          .cast("long") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+          concat(lit("  "), col("text"), lit(" ")).as("text"))
+      val d = base.unionByName(copies)
+        .select(col("doc_id"), col("lang"),
+          md5(TextAnalysis.normalizeForDedup(col("text"))).as("ghash"))
+      val coin = conv(substring(md5(concat(lit("split:"), col("ghash"))),
+        1, 4), 16, 10).cast("long") % 10
+      d.select(col("doc_id"), col("lang"), col("ghash"),
+          when(coin <= 7, "train").when(coin === 8, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("ghash")).as("n_groups"),
+          sum(conv(substring(md5(concat(lit("m:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+            .as("member_checksum"))
+        .orderBy("lang", "split")
+    }),
+
     // brute-force cosine/dot top-k: query vector = vec_id 0, scored
     // against the rest of the corpus. One broadcast row + a
     // TakeOrderedAndProject — no global sort, no all-pairs.
@@ -3827,6 +3873,35 @@ object LlmQueries {
         |       count(*) AS n_copies
         |FROM documents
         |GROUP BY 2 ORDER BY doc_id""".stripMargin,
+    // same planted copies, same group hash, same split coin, same
+    // membership checksum
+    "q366_cluster_split" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, lang, '  ' || text || ' '
+        |  FROM documents
+        |  WHERE CAST(('0x' || substr(md5('dup:' || doc_id), 1, 4))
+        |          AS BIGINT) % 7 = 0),
+        |d AS (
+        |  SELECT doc_id, lang,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |           AS ghash
+        |  FROM base),
+        |sp AS (
+        |  SELECT doc_id, lang, ghash,
+        |         CASE WHEN coin <= 7 THEN 'train'
+        |              WHEN coin = 8 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM (SELECT *,
+        |          CAST(('0x' || substr(md5('split:' || ghash), 1, 4))
+        |            AS BIGINT) % 10 AS coin
+        |        FROM d))
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT ghash) AS BIGINT) AS n_groups,
+        |       CAST(sum(CAST(('0x' || substr(md5('m:' || doc_id), 1, 8))
+        |         AS BIGINT)) AS BIGINT) AS member_checksum
+        |FROM sp GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "q51_similarity_topk" ->
       """SELECT vec_id, round(raw_sim, 4) AS sim FROM (
         |  SELECT e.vec_id,
