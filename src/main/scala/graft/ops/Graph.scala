@@ -711,11 +711,15 @@ object Graph {
     var lbl = labels.select(col("node"), col("label").as("lab"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
+      // k is read twice (neighbor-community gain + own-community
+      // subtraction) — checkpoint per round so the edge⋈label groupBy
+      // runs once, released once `next` materializes
       val k = e
         .join(lbl.select(col("node").as("dst"), col("lab").as("nb_lab")),
           Seq("dst"))
         .groupBy(col("src").as("node"), col("nb_lab"))
         .agg(count(lit(1)).as("k"))
+        .localCheckpoint()
       val dc = lbl.join(deg, Seq("node"))
         .groupBy(col("lab")).agg(sum(col("d")).as("dlab"))
       val cand = k
@@ -732,10 +736,14 @@ object Graph {
             lit(2L) * col("d") * (col("db") - col("da") + col("d")))
             .as("dq"))
         .filter(col("dq") > 0)
+      // best is read twice (once per endpoint community in the
+      // dominant-selection explode) — checkpoint so the candidate
+      // join tree + window run once per round
       val best = cand
         .withColumn("rn", row_number().over(
           Window.partitionBy("node").orderBy(desc("dq"), col("b"))))
         .filter(col("rn") === 1).drop("rn")
+        .localCheckpoint()
       val ex = best.select(col("a").as("comm"), col("node"), col("b"),
           col("dq"))
         .unionByName(best.select(col("b").as("comm"), col("node"),
@@ -750,6 +758,8 @@ object Graph {
       val next = lbl.join(applied, Seq("node"), "left")
         .select(col("node"), coalesce(col("b"), col("lab")).as("lab"))
         .localCheckpoint()
+      releaseCheckpoint(k)
+      releaseCheckpoint(best)
       releaseCheckpoint(lbl)
       lbl = next
     }

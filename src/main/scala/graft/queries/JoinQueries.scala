@@ -964,6 +964,12 @@ object JoinQueries {
     // Non-vacuity inspected: q_refined > q_init at every SF (moves
     // actually apply), and both Q values replay in the oracle.
     "q363_louvain_refine" -> ((s, dir) => {
+      // eb / init / deg each feed MULTIPLE consumers (refinement +
+      // both Q computations) — checkpoint once so labelPropagate and
+      // the base trade-graph join don't replay per consumer (they
+      // did: 27 s isolated at sf0.1 before, the q365 lazy-chain
+      // lesson applied here too). Leak-accepted node/edge-bounded
+      // frames, the kCore rule.
       val eb = Tables.lineitem(s, dir)
         .filter(col("l_quantity") === 1)
         .select(col("l_orderkey"), col("l_suppkey"))
@@ -972,12 +978,15 @@ object JoinQueries {
         .select((col("o_custkey") * 2).as("c"),
           (col("l_suppkey") * 2 + 1).as("s1"))
         .distinct()
+        .localCheckpoint()
       val edges = eb.select(col("c").as("src"), col("s1").as("dst"))
         .unionByName(eb.select(col("s1").as("src"), col("c").as("dst")))
       val init = graft.ops.Graph.labelPropagate(edges, supersteps = 3)
+        .localCheckpoint()
       val refined = graft.ops.Graph.louvainRefine(edges, init, rounds = 2)
       val deg = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("d"))
+        .localCheckpoint()
       def qOf(l: org.apache.spark.sql.DataFrame) = {
         val mE = eb
           .join(l.select(col("node").as("c"), col("label").as("lc")),
@@ -1037,13 +1046,22 @@ object JoinQueries {
           .select(col("u"), col("v"),
             coalesce(col("sup"), lit(0L)).as("sup"))
       }
+      // each peel round localCheckpoints (the ccStar lineage rule —
+      // without it round r recomputes rounds 1..r−1 and support()
+      // references its input three times, so the lazy chain re-ran
+      // the base wedge join ~3⁴ times: 413 s at sf0.1, measured).
+      // Checkpoints are edge-bounded (≤ ~100k × 2 longs) and
+      // leak-accepted like kCore's: the final round's backs the
+      // returned frame.
       var e = ib.as("a").join(ib.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
         .distinct()
+        .localCheckpoint()
       for (_ <- 1 to 3)
         e = support(e).filter(col("sup") >= 4).select(col("u"), col("v"))
+          .localCheckpoint()
       support(e).orderBy("u", "v")
     }),
 
