@@ -1515,163 +1515,6 @@ object StatQueries {
     // would be vacuous): BUILDING's series is scaled by the monotone
     // integer factor 10000 + 100·(month − first) — +1%/month,
     // multiplicative on the exact decimal so ranks are replayable —
-    // BENFORD FIRST-DIGIT AUDIT (Benford 1938; the fraud/data-quality
-    // screen — r17): observed leading-digit distribution of
-    // o_totalprice vs the Benford expectation, scored by chi².
-    // Engine-parity by construction: the digit comes from the CENTS
-    // Long's decimal string (a double's string render differs across
-    // engines; a Long's never does); the Benford probabilities are
-    // 6dp LITERALS (log10 is libm — not correctly rounded, the q362
-    // rule); each chi² term is rounded 6dp and DECIMAL-quantized
-    // before the ORDER-FREE decimal sum (double sums are
-    // accumulation-order-dependent across engines). Digit domain
-    // completed 1–9 by literal table so an absent digit contributes
-    // its n·p term honestly. The honest fixture reading: TPC-H
-    // totalprice is range-bound (~1k–500k), NOT Benford — chi² is
-    // enormous, which is exactly what the audit is FOR.
-    "q367_benford" -> ((s, dir) => {
-      val cents = Tables.orders(s, dir)
-        .select((col("o_totalprice").cast("decimal(18,2)") * 100)
-          .cast("long").as("c"))
-      val obs = cents
-        .select(substring(col("c").cast("string"), 1, 1).cast("int")
-          .as("digit"))
-        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
-      val bp = Seq(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
-        4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
-        8 -> 0.051153, 9 -> 0.045757)
-      import s.implicits._
-      val dom = bp.toDF("digit", "expected_p")
-      val n = cents.agg(count(lit(1)).as("n"))
-      val terms = dom.join(obs, Seq("digit"), "left")
-        .select(col("digit"), col("expected_p"),
-          coalesce(col("n_obs"), lit(0L)).as("n_obs"))
-        .crossJoin(broadcast(n))
-        .withColumn("term", round(
-          (col("n_obs").cast("double") -
-            col("n").cast("double") * col("expected_p")) *
-          (col("n_obs").cast("double") -
-            col("n").cast("double") * col("expected_p")) /
-          (col("n").cast("double") * col("expected_p")), 6)
-          .cast("decimal(18,6)"))
-      terms.crossJoin(broadcast(
-          terms.agg(sum(col("term")).cast("decimal(18,6)").as("chi2"))))
-        .select(col("digit"), col("n_obs"), col("expected_p"),
-          // decimal kept internal (order-free sum); OUTPUT as double —
-          // the driver's pandas compare reads parquet decimal as
-          // object vs DuckDB's float64 (dtype-strict mismatch), and
-          // decimal→double is correctly-rounded single-step in both
-          // engines
-          col("term").cast("double").as("term"),
-          col("chi2").cast("double").as("chi2"))
-        .orderBy("digit")
-    }),
-
-    // MAD OUTLIER MONTHS (Hampel 1974's robust z — r17): flag months
-    // whose revenue-proxy deviates from the segment median by more
-    // than 3× the Median Absolute Deviation — the robust sibling of
-    // a σ-rule (one planted 3× spike would inflate a stddev, never a
-    // MAD). FULLY INTEGER: series = monthly order counts with 3×
-    // spikes PLANTED on ~1/17 months by md5 coin (trendless fixture
-    // counts would flag only noise — the q349 planting discipline);
-    // both medians are LOWER medians by (value, mi) row_number (the
-    // q364 rule, no interpolation); deviation, MAD, and the
-    // 3·MAD compare are exact Longs — no doubles anywhere. Output
-    // every month with its flag; planted spikes read is_outlier =
-    // true, typical months false (both live, inspected).
-    "q368_mad_outliers" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val m = Tables.orders(s, dir)
-        .join(Tables.customer(s, dir)
-          .select(col("c_custkey"), col("c_mktsegment")),
-          col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment").as("seg"),
-          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
-            .as("mi"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(col("seg"), col("mi"),
-          (col("cnt") * when(conv(substring(md5(concat_ws(":",
-            lit("spk"), col("seg"), col("mi"))), 1, 4), 16, 10)
-            .cast("long") % 17 === 0, 3L).otherwise(1L)).as("v"))
-      val wMed = Window.partitionBy("seg").orderBy(col("v"), col("mi"))
-      val wCnt = Window.partitionBy("seg")
-      val med = m
-        .withColumn("rn", row_number().over(wMed))
-        .withColumn("nm", count(lit(1)).over(wCnt))
-        .filter(col("rn") === expr("(nm + 1) div 2"))
-        .select(col("seg"), col("v").as("med"))
-      val dev = m.join(med, Seq("seg"))
-        .select(col("seg"), col("mi"), col("v"),
-          abs(col("v") - col("med")).as("dev"), col("med"))
-      val wMad = Window.partitionBy("seg").orderBy(col("dev"), col("mi"))
-      val mad = dev
-        .withColumn("rn", row_number().over(wMad))
-        .withColumn("nm", count(lit(1)).over(wCnt))
-        .filter(col("rn") === expr("(nm + 1) div 2"))
-        .select(col("seg"), col("dev").as("mad"))
-      dev.join(mad, Seq("seg"))
-        .select(col("seg"), col("mi").cast("long").as("mi"), col("v"),
-          col("med"), col("dev"), col("mad"),
-          (col("dev") > col("mad") * 3).as("is_outlier"))
-        .orderBy("seg", "mi")
-    }),
-
-    // THEIL–SEN SLOPE (Theil 1950 / Sen 1968 — the robust trend
-    // ESTIMATOR beside q349's Mann–Kendall trend TEST: MK says
-    // whether a series trends, THIS says how fast, immune to
-    // outliers because it is the MEDIAN of all pairwise slopes).
-    // Series = monthly ORDER COUNTS per segment scaled by q349's
-    // planted ±1%/month factors (counts, not revenue, keep every
-    // value ≤ ~2e10 so the slope's double cast is EXACT — the
-    // decimal×factor product would cross 2⁵³ and silently round).
-    // Pairs ride the MONTH DOMAIN (≤ 84²/2 per segment — the q296
-    // reduction); slope_r = round((vb−va)/(mb−ma), 6) is one
-    // exact-input IEEE division + round (the q140 discipline); the
-    // median is the LOWER median by the (slope_r, ma, mb) total
-    // order — deterministic in both engines, no interpolation
-    // (interpolated medians average two doubles — engine-divergence
-    // risk for zero expressiveness gain). Non-vacuity inspected:
-    // BUILDING's median slope reads strongly positive, FURNITURE's
-    // strongly negative, unplanted segments near zero — all three
-    // regimes live at every SF.
-    "q364_theil_sen" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val m = Tables.orders(s, dir)
-        .join(Tables.customer(s, dir)
-          .select(col("c_custkey"), col("c_mktsegment")),
-          col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment").as("seg"),
-          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
-            .as("mi"))
-        .agg(count(lit(1)).as("cnt"))
-      val m0 = m.agg(min(col("mi")).as("m0"))
-      val p = m.crossJoin(broadcast(m0))
-        .select(col("seg"), col("mi"),
-          (col("cnt") * when(col("seg") === "BUILDING",
-            lit(10000) + (col("mi") - col("m0")) * 100)
-            .when(col("seg") === "FURNITURE",
-              greatest(lit(1), lit(10000) - (col("mi") - col("m0")) * 100))
-            .otherwise(lit(10000))).as("v"))
-      val a = p.select(col("seg"), col("mi").as("ma"), col("v").as("va"))
-      val b = p.select(col("seg"), col("mi").as("mb"), col("v").as("vb"))
-      val slopes = a.join(broadcast(b), Seq("seg"))
-        .filter(col("ma") < col("mb"))
-        .select(col("seg"), col("ma"), col("mb"),
-          round((col("vb") - col("va")).cast("double") /
-            (col("mb") - col("ma")).cast("double"), 6).as("slope_r"))
-      val w = Window.partitionBy("seg")
-        .orderBy(col("slope_r"), col("ma"), col("mb"))
-      slopes
-        .withColumn("rn", row_number().over(w))
-        .withColumn("np", count(lit(1)).over(Window.partitionBy("seg")))
-        // integer div, NOT `/` (Spark int / int is DOUBLE — rn would
-        // never equal x.5 for even pair counts)
-        .filter(col("rn") === expr("(np + 1) div 2"))
-        .select(col("seg"), col("np").as("n_pairs"),
-          col("slope_r").as("ts_slope"))
-        .orderBy("seg")
-    }),
-
     // giving z ≈ +7 for BUILDING; FURNITURE carries the MIRRORED
     // −1%/month factor (still positive through month 83: 10000 −
     // 8300), so 'increasing', 'decreasing', and 'none' are ALL live
@@ -1813,100 +1656,6 @@ object StatQueries {
         |         sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE) *
         |              CAST(n_days * syy - sy * sy AS DOUBLE)), 6) AS r
         |FROM m ORDER BY lag""".stripMargin,
-
-    // same cents-string digit, same literal Benford table, same
-    // quantized terms, same order-free decimal sum
-    "q367_benford" ->
-      """WITH cents AS (
-        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-        |           AS BIGINT) AS c
-        |  FROM orders),
-        |obs AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
-        |               AS digit,
-        |               CAST(count(*) AS BIGINT) AS n_obs
-        |        FROM cents GROUP BY 1),
-        |dom AS (SELECT * FROM (VALUES
-        |  (1, CAST(0.301030 AS DOUBLE)), (2, CAST(0.176091 AS DOUBLE)),
-        |  (3, CAST(0.124939 AS DOUBLE)), (4, CAST(0.096910 AS DOUBLE)),
-        |  (5, CAST(0.079181 AS DOUBLE)), (6, CAST(0.066947 AS DOUBLE)),
-        |  (7, CAST(0.057992 AS DOUBLE)), (8, CAST(0.051153 AS DOUBLE)),
-        |  (9, CAST(0.045757 AS DOUBLE))) t(digit, expected_p)),
-        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cents),
-        |terms AS (
-        |  SELECT d.digit, d.expected_p,
-        |         coalesce(o.n_obs, CAST(0 AS BIGINT)) AS n_obs,
-        |         CAST(round(
-        |           (coalesce(o.n_obs, 0) - nt.n * d.expected_p) *
-        |           (coalesce(o.n_obs, 0) - nt.n * d.expected_p) /
-        |           (nt.n * d.expected_p), 6) AS DECIMAL(18,6)) AS term
-        |  FROM dom d LEFT JOIN obs o ON d.digit = o.digit CROSS JOIN nt)
-        |SELECT t.digit, t.n_obs, t.expected_p,
-        |       CAST(t.term AS DOUBLE) AS term,
-        |       CAST(s.chi2 AS DOUBLE) AS chi2
-        |FROM terms t CROSS JOIN
-        |  (SELECT CAST(sum(term) AS DECIMAL(18,6)) AS chi2 FROM terms) s
-        |ORDER BY digit""".stripMargin,
-
-    // same planted spikes, same two lower medians, same integer
-    // 3-MAD compare
-    "q368_mad_outliers" ->
-      """WITH m AS (
-        |  SELECT c_mktsegment AS seg,
-        |         year(o_orderdate) * 12 + month(o_orderdate) AS mi,
-        |         CAST(count(*) AS BIGINT) AS cnt
-        |  FROM orders JOIN customer ON o_custkey = c_custkey
-        |  GROUP BY 1, 2),
-        |v AS (SELECT seg, mi,
-        |        cnt * (CASE WHEN CAST(('0x' ||
-        |            substr(md5('spk:' || seg || ':' || mi), 1, 4))
-        |            AS BIGINT) % 17 = 0
-        |          THEN 3 ELSE 1 END) AS v
-        |      FROM m),
-        |med AS (SELECT seg, v AS med FROM (
-        |    SELECT seg, v, row_number() OVER (PARTITION BY seg
-        |             ORDER BY v, mi) AS rn,
-        |           count(*) OVER (PARTITION BY seg) AS nm FROM v)
-        |  WHERE rn = (nm + 1) // 2),
-        |d AS (SELECT v.seg, v.mi, v.v, med.med,
-        |             abs(v.v - med.med) AS dev
-        |      FROM v JOIN med ON v.seg = med.seg),
-        |mad AS (SELECT seg, dev AS mad FROM (
-        |    SELECT seg, dev, row_number() OVER (PARTITION BY seg
-        |             ORDER BY dev, mi) AS rn,
-        |           count(*) OVER (PARTITION BY seg) AS nm FROM d)
-        |  WHERE rn = (nm + 1) // 2)
-        |SELECT d.seg, d.mi, d.v, d.med, d.dev, mad.mad,
-        |       (d.dev > mad.mad * 3) AS is_outlier
-        |FROM d JOIN mad ON d.seg = mad.seg
-        |ORDER BY d.seg, d.mi""".stripMargin,
-
-    // same month-domain pair frame, same planted factors; lower
-    // median picked by the identical (slope_r, ma, mb) row_number
-    "q364_theil_sen" ->
-      """WITH m AS (
-        |  SELECT c_mktsegment AS seg,
-        |         year(o_orderdate) * 12 + month(o_orderdate) AS mi,
-        |         CAST(count(*) AS BIGINT) AS cnt
-        |  FROM orders JOIN customer ON o_custkey = c_custkey
-        |  GROUP BY 1, 2),
-        |m0 AS (SELECT min(mi) AS m0 FROM m),
-        |p AS (SELECT seg, mi,
-        |        cnt * (CASE WHEN seg = 'BUILDING'
-        |                 THEN 10000 + (mi - m0) * 100
-        |               WHEN seg = 'FURNITURE'
-        |                 THEN GREATEST(1, 10000 - (mi - m0) * 100)
-        |               ELSE 10000 END) AS v
-        |      FROM m, m0),
-        |sl AS (SELECT a.seg, a.mi AS ma, b.mi AS mb,
-        |         round((b.v - a.v) / CAST(b.mi - a.mi AS DOUBLE), 6)
-        |           AS slope_r
-        |       FROM p a JOIN p b ON a.seg = b.seg AND a.mi < b.mi),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY seg
-        |         ORDER BY slope_r, ma, mb) AS rn,
-        |        CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS np
-        |      FROM sl)
-        |SELECT seg, np AS n_pairs, slope_r AS ts_slope
-        |FROM r WHERE rn = (np + 1) // 2 ORDER BY seg""".stripMargin,
 
     "q349_mann_kendall" ->
       """WITH m AS (
