@@ -615,10 +615,13 @@ object Graph {
     * minimum of its star ⇒ both star steps are the identity (large:
     * leaves re-attach to m(root) = root; small: leaves' m = root,
     * self rows reproduce existing edges). The converse direction —
-    * a fixpoint must be such a forest — is the cited theorem, so
-    * this witness stops at exactly the round the set-equality probe
-    * did. GraphSpec pins witness ⇔ set-equality per round on
-    * adversarial shapes (cycle, star, long path). */
+    * a fixpoint must be such a forest — is the cited theorem. The
+    * witness can stop one round EARLIER than the old
+    * predecessor-equality probe (when next ≠ e but next is already a
+    * star forest) — a pure win: the old extra round was the identity,
+    * so the read-off labels are unchanged. GraphSpec pins witness ⇔
+    * FIXPOINT (ccRound(next) set-equals next) at every round on
+    * adversarial shapes (cycle, star, 200-path, mixed). */
   private[graft] def ccIsStarForest(e: DataFrame): Boolean = {
     val nbrs = ccSym(e)
     nbrs.join(ccMins(nbrs), Seq("u"))
