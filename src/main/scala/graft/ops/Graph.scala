@@ -541,6 +541,73 @@ object Graph {
     dist
   }
 
+  /** EARLIEST-ARRIVAL TEMPORAL REACHABILITY (Wu et al. 2014, "Path
+    * Problems in Temporal Graphs") — the TIME-RESPECTING sibling of
+    * `bfs` (hops) and `sssp` (weights): an edge (u, v, t) can only be
+    * taken if t ≥ the time you ARRIVED at u, and arr(v) is the
+    * earliest such time over all ≤`rounds`-edge time-respecting
+    * paths:
+    *
+    *   arr'(v) = min(arr(v), min over (u,v,t) with t ≥ arr(u) of t)
+    *
+    * This is NOT bfs-with-a-min-t decoration: a hop-shorter path can
+    * be temporally USELESS (its edges run backward in time) while a
+    * longer path arrives — the q-gate fixture exercises exactly that.
+    * Walks can't beat paths for EARLIEST arrival (arrival times only
+    * grow along a walk, so revisiting never improves a first
+    * arrival), so the bounded-round result is exact for ≤r-edge
+    * time-respecting paths. All arithmetic is integer min —
+    * engine-replayable (the sssp discipline; the oracle unrolls the
+    * rounds as CTEs).
+    *
+    * Early exit via the sssp scalar witness: relaxation is MONOTONE
+    * (nodes only added, each arr only decreases), so an unchanged
+    * (count, Σarr) ⇔ a fixpoint round. Scale shape per round: one
+    * equi-join of the node-sized arrival table against the edge list
+    * + one map-side-combined min groupBy — the sssp envelope; bucket
+    * edges on src at 100 TB. Per-round localCheckpoint, predecessors
+    * released, the final checkpoint backs the returned frame.
+    *
+    * Input: edges (src, dst, t — integer timestamps, e.g. yyyymmdd
+    * Longs), seeds (node). Output: (node, arr) for nodes reachable
+    * within `rounds` time-respecting edges; seeds at `startT`. */
+  def earliestArrival(edges: DataFrame, seeds: DataFrame, startT: Long,
+                      rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val e = edges.select(col("src"), col("dst"), col("t"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("t").isNotNull)
+      .localCheckpoint()
+    var arr = seeds.select(col("node")).filter(col("node").isNotNull)
+      .distinct()
+      .select(col("node"), lit(startT).as("arr"))
+      .localCheckpoint()
+    def stats(df: DataFrame): (Long, Long) = {
+      val row = df.agg(count(lit(1)), sum(col("arr"))).head()
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+    var prev = stats(arr)
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val relaxed = arr.join(e, col("node") === col("src"))
+        .filter(col("t") >= col("arr"))
+        .select(col("dst").as("node"), col("t").as("arr"))
+      val next = arr.select(col("node"), col("arr"))
+        .unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("arr")).as("arr"))
+        .localCheckpoint()
+      val cur = stats(next)
+      done = cur == prev
+      prev = cur
+      releaseCheckpoint(arr)
+      arr = next
+      r += 1
+    }
+    releaseCheckpoint(e)
+    arr
+  }
+
   /** CONNECTED COMPONENTS via alternating LARGE-STAR / SMALL-STAR
     * (Kiveris et al. 2014, "Connected Components in MapReduce and
     * Beyond") — the O(log n)-ROUND CC that replaces the O(diameter)

@@ -1009,6 +1009,42 @@ object JoinQueries {
         .orderBy("node")
     }),
 
+    // EARLIEST-ARRIVAL TEMPORAL REACHABILITY (Wu et al. 2014 — r17):
+    // the TIME-RESPECTING traversal beside q342 BFS (hops) and q347
+    // SSSP (weights): an edge is usable only at-or-after your arrival
+    // at its source, so a hop-shorter path can be temporally USELESS
+    // (its edges run backward in time) while a longer one arrives.
+    // Graph = the customer↔supplier trade edges STAMPED with their
+    // order date as a yyyymmdd Long (year/month/day arithmetic — the
+    // q349 parity class; ordering = chronology); seed = the minimum
+    // customer node at t = 0; 4 relaxation rounds, integer min-plus
+    // style, per-round checkpoint + the sssp (count, Σarr) scalar
+    // early-exit witness. Non-vacuity inspected: the constraint
+    // BINDS on VALUES — the dense trade graph reaches every node in
+    // 4 hops either way, but 233 of 1600 nodes at sf0.01 arrive
+    // STRICTLY LATER than the unconstrained min-timestamp decoration
+    // would claim (their early edges run backward in time).
+    "q364_temporal_reach" -> ((s, dir) => {
+      val eb = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s1"),
+          (year(col("o_orderdate")) * 10000 +
+            month(col("o_orderdate")) * 100 +
+            dayofmonth(col("o_orderdate"))).cast("long").as("t"))
+        .distinct()
+      val edges = eb.select(col("c").as("src"), col("s1").as("dst"),
+          col("t"))
+        .unionByName(eb.select(col("s1").as("src"), col("c").as("dst"),
+          col("t")))
+      val seed = eb.agg(min(col("c")).as("node"))
+      graft.ops.Graph.earliestArrival(edges, seed, 0L, rounds = 4)
+        .orderBy("node")
+    }),
+
     // K-TRUSS PEELING (Cohen 2008 — the triangle-dense subgraph
     // beside q240's k-core: core peels on DEGREE, truss peels on
     // EDGE SUPPORT = common-neighbor count, the community-detection
@@ -2193,6 +2229,49 @@ object JoinQueries {
         |       round(CAST(4 * me.m * me.e_in - st.d2 AS DOUBLE) /
         |         (4 * me.m * me.m), 6) AS q_modularity
         |FROM me CROSS JOIN st""".stripMargin,
+    // the same 4 time-respecting relaxation rounds unrolled; the
+    // t >= arr(u) constraint rides the join predicate
+    "q364_temporal_reach" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+        |         CAST(year(o_orderdate) * 10000 +
+        |              month(o_orderdate) * 100 +
+        |              day(o_orderdate) AS BIGINT) AS t
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (SELECT c AS src, s AS dst, t FROM eb
+        |     UNION ALL SELECT s, c, t FROM eb),
+        |a0 AS MATERIALIZED (
+        |  SELECT min(c) AS node, CAST(0 AS BIGINT) AS arr FROM eb),
+        |a1 AS MATERIALIZED (
+        |  SELECT node, min(arr) AS arr FROM (
+        |    SELECT node, arr FROM a0
+        |    UNION ALL
+        |    SELECT e.dst AS node, e.t AS arr
+        |    FROM a0 JOIN e ON a0.node = e.src AND e.t >= a0.arr)
+        |  GROUP BY node),
+        |a2 AS MATERIALIZED (
+        |  SELECT node, min(arr) AS arr FROM (
+        |    SELECT node, arr FROM a1
+        |    UNION ALL
+        |    SELECT e.dst AS node, e.t AS arr
+        |    FROM a1 JOIN e ON a1.node = e.src AND e.t >= a1.arr)
+        |  GROUP BY node),
+        |a3 AS MATERIALIZED (
+        |  SELECT node, min(arr) AS arr FROM (
+        |    SELECT node, arr FROM a2
+        |    UNION ALL
+        |    SELECT e.dst AS node, e.t AS arr
+        |    FROM a2 JOIN e ON a2.node = e.src AND e.t >= a2.arr)
+        |  GROUP BY node),
+        |a4 AS (
+        |  SELECT node, min(arr) AS arr FROM (
+        |    SELECT node, arr FROM a3
+        |    UNION ALL
+        |    SELECT e.dst AS node, e.t AS arr
+        |    FROM a3 JOIN e ON a3.node = e.src AND e.t >= a3.arr)
+        |  GROUP BY node)
+        |SELECT node, arr FROM a4 ORDER BY node""".stripMargin,
+
     // same three peel rounds unrolled (each round: symmetrized
     // adjacency, wedge-closed support count, threshold filter), then
     // the final left-joined support readout

@@ -465,6 +465,30 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(rRep === rRef)
   }
 
+  test("earliestArrival: time-respecting constraint binds — hop-shortest but temporally-backward paths lose") {
+    // 1→2 @5 then 2→4 @3: NOT time-respecting (3 < 5) — that 2-hop
+    // route must NOT reach 4. 1→3 @1 then 3→4 @10 arrives at 10;
+    // the direct 1→4 @20 is later. Expected arr(4) = 10.
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 4L, 3L), (1L, 3L, 1L), (3L, 4L, 10L),
+      (1L, 4L, 20L)).toDF("src", "dst", "t")
+    val got = Graph.earliestArrival(edges, Seq(1L).toDF("node"),
+        startT = 0L, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 5L, 3L -> 1L, 4L -> 10L))
+    // a LATER start makes early edges unusable: from t=2 the 1→3 @1
+    // edge is dead, so 4 is only reachable via the direct @20 edge
+    val late = Graph.earliestArrival(edges, Seq(1L).toDF("node"),
+        startT = 2L, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(late === Map(1L -> 2L, 2L -> 5L, 4L -> 20L))
+    // partition invariance + extra rounds are no-ops (witness exit)
+    val rep = Graph.earliestArrival(edges.repartition(7),
+        Seq(1L).toDF("node").repartition(3), 0L, rounds = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(rep === got)
+  }
+
   test("sssp fails loudly on a negative edge weight (min-plus precondition guard)") {
     // ADVICE r16: a negative weight silently changes the semantics
     // (min over walks, not paths) — must error, not mis-route.
