@@ -1036,6 +1036,8 @@ object JoinQueries {
             month(col("o_orderdate")) * 100 +
             dayofmonth(col("o_orderdate"))).cast("long").as("t"))
         .distinct()
+        // two consumers (edge build + seed min) — checkpoint once
+        .localCheckpoint()
       val edges = eb.select(col("c").as("src"), col("s1").as("dst"),
           col("t"))
         .unionByName(eb.select(col("s1").as("src"), col("c").as("dst"),
