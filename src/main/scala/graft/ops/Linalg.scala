@@ -78,15 +78,18 @@ object Linalg {
       val u = m.join(broadcast(v), Seq("j"))
         .groupBy(col("i")).agg(sum(col("m") * col("vj")).as("u"))
       val mx = u.agg(max(abs(col("u"))).as("mx"))
-      // mx = 0 (all-zero or empty corpus) would turn every rescale
-      // into 0/0 and silently emit null/NaN loadings — fail loudly
-      // instead (ADVICE r16): raise_error rides the same plan, costs
-      // one comparison.
+      // mx = 0 (all-zero corpus) would turn every rescale into 0/0
+      // and silently emit null/NaN loadings — fail loudly instead
+      // (ADVICE r16): raise_error rides the same plan, costs one
+      // comparison. An EMPTY corpus never reaches this guard (u has
+      // no rows, so the crossJoin is empty) and returns an empty
+      // frame — that silent-empty contract is deliberate and the
+      // message no longer claims otherwise (ADVICE r17).
       v = u.crossJoin(broadcast(mx))
         .select(col("i").as("j"),
           round(col("u").cast("double") /
             when(col("mx") === 0, raise_error(lit(
-              "topComponent: max|u| = 0 (all-zero or empty corpus)"))
+              "topComponent: max|u| = 0 (all-zero corpus)"))
               .cast("long"))
               .otherwise(col("mx")).cast("double") * 1000, 0)
             .cast("long").as("vj"))

@@ -250,7 +250,18 @@ object LlmQueries {
         .filter(conv(substring(md5(concat(lit("dup:"),
           col("doc_id").cast("string"))), 1, 4), 16, 10)
           .cast("long") % 7 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+        // planted ids live at doc_id + 10⁷, DOCUMENTED DISJOINT from
+        // the real id space — and enforced (ADVICE r17): a corpus
+        // whose ids reach 10⁷ would collide a planted id with a real
+        // doc and silently double-count n_docs/member_checksum, so
+        // the guard fails loudly instead. Rides the copies branch
+        // (every planted row evaluates it); never fires on the
+        // shipped fixtures, so gate hashes are untouched.
+        .select(when(col("doc_id") >= 10000000L, raise_error(lit(
+            "q366: doc_id >= 10^7 collides with the planted-copy id " +
+              "range")).cast("long"))
+            .otherwise(col("doc_id") + 10000000L).as("doc_id"),
+          col("lang"),
           concat(lit("  "), col("text"), lit(" ")).as("text"))
       val d = base.unionByName(copies)
         .select(col("doc_id"), col("lang"),
