@@ -627,6 +627,70 @@ object Graph {
     arr
   }
 
+  /** LATEST-DEPARTURE temporal reachability (Wu et al. 2014's
+    * latest-departure path problem) — earliestArrival's TIME-REVERSED
+    * dual, and a genuinely different answer, not a mirror: ld(u) =
+    * the latest time you can still BE at u and reach a target by the
+    * deadline, where an edge (u, v, t) is usable iff you are at u no
+    * later than t AND t ≤ ld(v) (traversal at time t must still make
+    * v's own departure). Relaxation is the reverse-edge MAX form of
+    * earliestArrival's forward MIN:
+    *
+    *   ld(u) = max{ t ∈ times(u→v) : t ≤ ld(v) }  over out-edges,
+    *
+    * seeded with ld(target) = deadline. Same temporal-multiplicity
+    * compression (the q364 scale lever): parallel (u, v, t…) edges
+    * collapse to one (u, v, sorted times) row and the relax picks
+    * max{t ≤ ld} ROW-LOCALLY with an array HOF, so every round
+    * shuffles the node-pair-sized table. MONOTONE in the opposite
+    * direction (nodes only added, each ld only INCREASES), so the
+    * scalar witness is the same (count, Σld) fixpoint test. Per-round
+    * localCheckpoint + release; the final checkpoint backs the
+    * returned frame (the kCore lineage rule).
+    *
+    * Input: edges (src, dst, t — integer timestamps), targets (node).
+    * Output: (node, ld) for nodes that can still reach a target
+    * within `rounds` time-respecting edges; targets at `deadline`. */
+  def latestDeparture(edges: DataFrame, targets: DataFrame,
+                      deadline: Long, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val e = edges.select(col("src"), col("dst"), col("t"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("t").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(sort_array(collect_list(col("t"))).as("ts"))
+      .localCheckpoint()
+    var ld = targets.select(col("node")).filter(col("node").isNotNull)
+      .distinct()
+      .select(col("node"), lit(deadline).as("ld"))
+      .localCheckpoint()
+    def stats(df: DataFrame): (Long, Long) = {
+      val row = df.agg(count(lit(1)), sum(col("ld"))).head()
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+    var prev = stats(ld)
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val relaxed = ld.join(e, col("node") === col("dst"))
+        .select(col("src").as("node"),
+          array_max(filter(col("ts"), t => t <= col("ld"))).as("ld"))
+        .filter(col("ld").isNotNull)
+      val next = ld.select(col("node"), col("ld"))
+        .unionByName(relaxed)
+        .groupBy(col("node")).agg(max(col("ld")).as("ld"))
+        .localCheckpoint()
+      val cur = stats(next)
+      done = cur == prev
+      prev = cur
+      releaseCheckpoint(ld)
+      ld = next
+      r += 1
+    }
+    releaseCheckpoint(e)
+    ld
+  }
+
   /** CONNECTED COMPONENTS via alternating LARGE-STAR / SMALL-STAR
     * (Kiveris et al. 2014, "Connected Components in MapReduce and
     * Beyond") — the O(log n)-ROUND CC that replaces the O(diameter)

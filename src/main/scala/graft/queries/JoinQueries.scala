@@ -1009,6 +1009,84 @@ object JoinQueries {
         .orderBy("node")
     }),
 
+    // LOUVAIN LEVEL 2 — the FULL Blondel pyramid step (Blondel et al.
+    // 2008 phase 2 + a second phase 1; r18, VERDICT r17 next #3):
+    // q363 stops where single-NODE moves stop paying; the pyramid's
+    // next rung contracts each level-1 community to a super-node
+    // (Graph.louvainContract — inter-community weights, intra as
+    // self-loops, Q preserved EXACTLY by the louvainMove weight
+    // conventions) and re-runs the local-move phase on the WEIGHTED
+    // super-graph (Graph.louvainMove), where one move now relocates a
+    // whole community. Same exact-integer ΔQ (2·M₂ scale), same
+    // locally-dominant selection, so Q still strictly increases per
+    // applying round — and the super-graph is COMMUNITY-sized, so
+    // level 2 costs a fraction of level 1 at any scale. Output: every
+    // node's level-2 community (super labels expanded back through
+    // the level-1 assignment) + the CONSTANT q_level1/q_level2
+    // modularity columns (computed on the BASE graph both times — the
+    // contraction-exactness claim is thereby gated, not assumed).
+    // Non-vacuity inspected: q_level2 > q_level1 at every SF (whole-
+    // community merges apply where q363's node moves had dried up).
+    "q367_louvain_level2" -> ((s, dir) => {
+      // same base graph, init, and level-1 refinement as q363 (the
+      // pyramid's lower rung is shared machinery, not a re-derivation)
+      val eb = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") === 1)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s1"))
+        .distinct()
+        .localCheckpoint()
+      val edges = eb.select(col("c").as("src"), col("s1").as("dst"))
+        .unionByName(eb.select(col("s1").as("src"), col("c").as("dst")))
+      val init = graft.ops.Graph.labelPropagate(edges, supersteps = 3)
+      // ONE level-1 round (vs q363's two): the pyramid's division of
+      // labor — a finer level-1 partition leaves the coarse merge
+      // work to level 2, which is where this query's new machinery
+      // lives; with two level-1 rounds the sf0.001 super-graph was
+      // already merge-optimal and level 2 was the identity (vacuous —
+      // caught by inspection, the q366 lesson)
+      val lvl1 = graft.ops.Graph.louvainRefine(edges, init, rounds = 1)
+        .localCheckpoint()
+      // contract to the weighted super-graph and re-run the move
+      // phase with each community starting as its own super-community
+      val sup = graft.ops.Graph.louvainContract(
+        edges.withColumn("w", lit(1L)), lvl1).localCheckpoint()
+      val supInit = sup.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      val moved = graft.ops.Graph.louvainMove(sup, supInit, rounds = 2)
+      val lvl2 = lvl1
+        .join(moved.select(col("label").as("l2"), col("node").as("label")),
+          Seq("label"))
+        .select(col("node"), col("l2").as("label"))
+        .localCheckpoint()
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+        .localCheckpoint()
+      def qOf(l: org.apache.spark.sql.DataFrame) = {
+        val mE = eb
+          .join(l.select(col("node").as("c"), col("label").as("lc")),
+            Seq("c"))
+          .join(l.select(col("node").as("s1"), col("label").as("ls")),
+            Seq("s1"))
+          .agg(count(lit(1)).as("m"),
+            sum(when(col("lc") === col("ls"), 1L).otherwise(0L)).as("e_in"))
+        val d2 = deg.join(l, Seq("node"))
+          .groupBy(col("label")).agg(sum(col("d")).as("dc"))
+          .agg(sum(col("dc") * col("dc")).as("d2"))
+        mE.crossJoin(broadcast(d2))
+          .select(round(
+            (lit(4L) * col("m") * col("e_in") - col("d2")).cast("double")
+              / (lit(4L) * col("m") * col("m")).cast("double"), 6).as("q"))
+      }
+      lvl2.select(col("node"), col("label").as("community"))
+        .crossJoin(broadcast(qOf(lvl1).select(col("q").as("q_level1"))))
+        .crossJoin(broadcast(qOf(lvl2).select(col("q").as("q_level2"))))
+        .orderBy("node")
+    }),
+
     // EARLIEST-ARRIVAL TEMPORAL REACHABILITY (Wu et al. 2014 — r17):
     // the TIME-RESPECTING traversal beside q342 BFS (hops) and q347
     // SSSP (weights): an edge is usable only at-or-after your arrival
@@ -1044,6 +1122,47 @@ object JoinQueries {
           col("t")))
       val seed = eb.agg(min(col("c")).as("node"))
       graft.ops.Graph.earliestArrival(edges, seed, 0L, rounds = 4)
+        .orderBy("node")
+    }),
+
+    // LATEST-DEPARTURE temporal reachability (Wu et al. 2014; r18,
+    // VERDICT r17 next #4): q364's time-REVERSED dual on the same
+    // machinery — ld(u) = the latest time you can still be at u and
+    // reach the TARGET by the deadline; an edge is usable iff its
+    // timestamp also makes the downstream node's own departure
+    // (t ≤ ld(v)). Same dated trade graph; target = the minimum
+    // customer node; deadline = 1997-01-01 as a yyyymmdd Long —
+    // INSIDE the corpus's 1992–1998 date range, so the deadline
+    // itself prunes (every post-deadline edge is unusable). 4
+    // reverse max-relaxation rounds, per-round checkpoint + the
+    // (count, Σld) scalar witness (monotone UP here). NOT a mirror
+    // of q364's answer: GraphSpec's diamond pins a graph where the
+    // earliest-arrival route (through the early middle edge) and the
+    // latest-departure route (the late direct edge) differ. Non-
+    // vacuity inspected: the t ≤ ld(v) constraint binds on VALUES —
+    // nodes whose unconstrained max-usable-edge decoration would
+    // claim a later departure hold a strictly earlier ld (their late
+    // edges lead only to nodes already past their own departure).
+    "q368_latest_departure" -> ((s, dir) => {
+      val eb = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s1"),
+          (year(col("o_orderdate")) * 10000 +
+            month(col("o_orderdate")) * 100 +
+            dayofmonth(col("o_orderdate"))).cast("long").as("t"))
+        .distinct()
+        .localCheckpoint()
+      val edges = eb.select(col("c").as("src"), col("s1").as("dst"),
+          col("t"))
+        .unionByName(eb.select(col("s1").as("src"), col("c").as("dst"),
+          col("t")))
+      val target = eb.agg(min(col("c")).as("node"))
+      graft.ops.Graph.latestDeparture(edges, target, 19970101L,
+          rounds = 4)
         .orderBy("node")
     }),
 
@@ -2274,6 +2393,49 @@ object JoinQueries {
         |  GROUP BY node)
         |SELECT node, arr FROM a4 ORDER BY node""".stripMargin,
 
+    // q364's dual, reversed: 4 max-relaxation rounds against the
+    // REVERSE edges, the t <= ld constraint riding the join predicate
+    "q368_latest_departure" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+        |         CAST(year(o_orderdate) * 10000 +
+        |              month(o_orderdate) * 100 +
+        |              day(o_orderdate) AS BIGINT) AS t
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (SELECT c AS src, s AS dst, t FROM eb
+        |     UNION ALL SELECT s, c, t FROM eb),
+        |d0 AS MATERIALIZED (
+        |  SELECT min(c) AS node, CAST(19970101 AS BIGINT) AS ld FROM eb),
+        |d1 AS MATERIALIZED (
+        |  SELECT node, max(ld) AS ld FROM (
+        |    SELECT node, ld FROM d0
+        |    UNION ALL
+        |    SELECT e.src AS node, e.t AS ld
+        |    FROM d0 JOIN e ON d0.node = e.dst AND e.t <= d0.ld)
+        |  GROUP BY node),
+        |d2 AS MATERIALIZED (
+        |  SELECT node, max(ld) AS ld FROM (
+        |    SELECT node, ld FROM d1
+        |    UNION ALL
+        |    SELECT e.src AS node, e.t AS ld
+        |    FROM d1 JOIN e ON d1.node = e.dst AND e.t <= d1.ld)
+        |  GROUP BY node),
+        |d3 AS MATERIALIZED (
+        |  SELECT node, max(ld) AS ld FROM (
+        |    SELECT node, ld FROM d2
+        |    UNION ALL
+        |    SELECT e.src AS node, e.t AS ld
+        |    FROM d2 JOIN e ON d2.node = e.dst AND e.t <= d2.ld)
+        |  GROUP BY node),
+        |d4 AS (
+        |  SELECT node, max(ld) AS ld FROM (
+        |    SELECT node, ld FROM d3
+        |    UNION ALL
+        |    SELECT e.src AS node, e.t AS ld
+        |    FROM d3 JOIN e ON d3.node = e.dst AND e.t <= d3.ld)
+        |  GROUP BY node)
+        |SELECT node, ld FROM d4 ORDER BY node""".stripMargin,
+
     // same three peel rounds unrolled (each round: symmetrized
     // adjacency, wedge-closed support count, threshold filter), then
     // the final left-joined support readout
@@ -2446,6 +2608,170 @@ object JoinQueries {
         |                    GROUP BY l.lab)) st)
         |SELECT r2.node, r2.lab AS community, qi.q AS q_init, qr.q AS q_refined
         |FROM r2 CROSS JOIN qi CROSS JOIN qr
+        |ORDER BY node""".stripMargin,
+
+    // q363's verified unroll through r2 (same init + both level-1
+    // move rounds), then the pyramid step: contraction to the
+    // weighted super-graph (inter weights both directions, intra as
+    // single self-loops), TWO weighted move rounds (gain scale
+    // 2·M₂ = Σw; self-loops excluded from k, included in degree),
+    // label expansion, and the base-graph modularity of both levels
+    "q367_louvain_level2" ->
+      """WITH eb AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s1
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_quantity = 1),
+        |e AS MATERIALIZED (SELECT c AS src, s1 AS dst FROM eb
+        |      UNION ALL SELECT s1, c FROM eb),
+        |deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        |        FROM e GROUP BY 1),
+        |mt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS mm FROM eb),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        |l1 AS (
+        |  SELECT l.node, least(l.label, coalesce(m.nbr_min, l.label)) AS label
+        |  FROM l0 l LEFT JOIN (
+        |    SELECT e.dst, min(l.label) AS nbr_min
+        |    FROM e JOIN l0 l ON e.src = l.node GROUP BY e.dst) m
+        |  ON l.node = m.dst),
+        |l2 AS (
+        |  SELECT l.node, least(l.label, coalesce(m.nbr_min, l.label)) AS label
+        |  FROM l1 l LEFT JOIN (
+        |    SELECT e.dst, min(l.label) AS nbr_min
+        |    FROM e JOIN l1 l ON e.src = l.node GROUP BY e.dst) m
+        |  ON l.node = m.dst),
+        |r0 AS MATERIALIZED (
+        |  SELECT l.node, least(l.label, coalesce(m.nbr_min, l.label)) AS lab
+        |  FROM l2 l LEFT JOIN (
+        |    SELECT e.dst, min(l.label) AS nbr_min
+        |    FROM e JOIN l2 l ON e.src = l.node GROUP BY e.dst) m
+        |  ON l.node = m.dst),
+        |k1 AS MATERIALIZED (SELECT e.src AS node, l.lab AS nb_lab,
+        |              CAST(count(*) AS BIGINT) AS k
+        |       FROM e JOIN r0 l ON e.dst = l.node GROUP BY 1, 2),
+        |dc1 AS MATERIALIZED (SELECT l.lab, CAST(sum(d.d) AS BIGINT) AS dlab
+        |        FROM r0 l JOIN deg d ON l.node = d.node GROUP BY 1),
+        |cand1 AS (
+        |  SELECT k.node, cur.lab AS a, k.nb_lab AS b,
+        |         4 * mt.mm * (k.k - coalesce(ka.k, 0)) -
+        |         2 * d.d * (db.dlab - da.dlab + d.d) AS dq
+        |  FROM k1 k
+        |  JOIN r0 cur ON k.node = cur.node
+        |  JOIN deg d ON k.node = d.node
+        |  JOIN dc1 da ON cur.lab = da.lab
+        |  JOIN dc1 db ON k.nb_lab = db.lab
+        |  LEFT JOIN k1 ka ON ka.node = k.node AND ka.nb_lab = cur.lab
+        |  CROSS JOIN mt
+        |  WHERE k.nb_lab <> cur.lab),
+        |best1 AS (SELECT node, a, b, dq FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY node
+        |              ORDER BY dq DESC, b) AS rn
+        |    FROM cand1 WHERE dq > 0) WHERE rn = 1),
+        |ex1 AS (SELECT a AS comm, node, b, dq FROM best1
+        |        UNION ALL SELECT b, node, b, dq FROM best1),
+        |app1 AS (SELECT node, b FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY comm
+        |              ORDER BY dq DESC, node, b) AS rk
+        |    FROM ex1) GROUP BY node, b HAVING max(rk) = 1),
+        |r1 AS MATERIALIZED (SELECT l.node, coalesce(a.b, l.lab) AS lab
+        |       FROM r0 l LEFT JOIN app1 a ON l.node = a.node),
+        |sup AS MATERIALIZED (
+        |  SELECT la.lab AS src, lb.lab AS dst, CAST(count(*) AS BIGINT) AS w
+        |  FROM e JOIN r1 la ON e.src = la.node
+        |         JOIN r1 lb ON e.dst = lb.node
+        |  GROUP BY 1, 2),
+        |sdeg AS MATERIALIZED (SELECT src AS node, CAST(sum(w) AS BIGINT) AS d
+        |        FROM sup GROUP BY 1),
+        |sm AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM sup),
+        |s0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM sup),
+        |sk1 AS MATERIALIZED (
+        |  SELECT s.src AS node, l.lab AS nb_lab, CAST(sum(s.w) AS BIGINT) AS k
+        |  FROM sup s JOIN s0 l ON s.dst = l.node
+        |  WHERE s.src <> s.dst GROUP BY 1, 2),
+        |sdc1 AS MATERIALIZED (SELECT l.lab, CAST(sum(d.d) AS BIGINT) AS dlab
+        |        FROM s0 l JOIN sdeg d ON l.node = d.node GROUP BY 1),
+        |scand1 AS (
+        |  SELECT k.node, cur.lab AS a, k.nb_lab AS b,
+        |         2 * sm.m2 * (k.k - coalesce(ka.k, 0)) -
+        |         2 * d.d * (db.dlab - da.dlab + d.d) AS dq
+        |  FROM sk1 k
+        |  JOIN s0 cur ON k.node = cur.node
+        |  JOIN sdeg d ON k.node = d.node
+        |  JOIN sdc1 da ON cur.lab = da.lab
+        |  JOIN sdc1 db ON k.nb_lab = db.lab
+        |  LEFT JOIN sk1 ka ON ka.node = k.node AND ka.nb_lab = cur.lab
+        |  CROSS JOIN sm
+        |  WHERE k.nb_lab <> cur.lab),
+        |sbest1 AS (SELECT node, a, b, dq FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY node
+        |              ORDER BY dq DESC, b) AS rn
+        |    FROM scand1 WHERE dq > 0) WHERE rn = 1),
+        |sex1 AS (SELECT a AS comm, node, b, dq FROM sbest1
+        |         UNION ALL SELECT b, node, b, dq FROM sbest1),
+        |sapp1 AS (SELECT node, b FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY comm
+        |              ORDER BY dq DESC, node, b) AS rk
+        |    FROM sex1) GROUP BY node, b HAVING max(rk) = 1),
+        |s1f AS MATERIALIZED (SELECT l.node, coalesce(a.b, l.lab) AS lab
+        |       FROM s0 l LEFT JOIN sapp1 a ON l.node = a.node),
+        |sk2 AS MATERIALIZED (
+        |  SELECT s.src AS node, l.lab AS nb_lab, CAST(sum(s.w) AS BIGINT) AS k
+        |  FROM sup s JOIN s1f l ON s.dst = l.node
+        |  WHERE s.src <> s.dst GROUP BY 1, 2),
+        |sdc2 AS MATERIALIZED (SELECT l.lab, CAST(sum(d.d) AS BIGINT) AS dlab
+        |        FROM s1f l JOIN sdeg d ON l.node = d.node GROUP BY 1),
+        |scand2 AS (
+        |  SELECT k.node, cur.lab AS a, k.nb_lab AS b,
+        |         2 * sm.m2 * (k.k - coalesce(ka.k, 0)) -
+        |         2 * d.d * (db.dlab - da.dlab + d.d) AS dq
+        |  FROM sk2 k
+        |  JOIN s1f cur ON k.node = cur.node
+        |  JOIN sdeg d ON k.node = d.node
+        |  JOIN sdc2 da ON cur.lab = da.lab
+        |  JOIN sdc2 db ON k.nb_lab = db.lab
+        |  LEFT JOIN sk2 ka ON ka.node = k.node AND ka.nb_lab = cur.lab
+        |  CROSS JOIN sm
+        |  WHERE k.nb_lab <> cur.lab),
+        |sbest2 AS (SELECT node, a, b, dq FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY node
+        |              ORDER BY dq DESC, b) AS rn
+        |    FROM scand2 WHERE dq > 0) WHERE rn = 1),
+        |sex2 AS (SELECT a AS comm, node, b, dq FROM sbest2
+        |         UNION ALL SELECT b, node, b, dq FROM sbest2),
+        |sapp2 AS (SELECT node, b FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY comm
+        |              ORDER BY dq DESC, node, b) AS rk
+        |    FROM sex2) GROUP BY node, b HAVING max(rk) = 1),
+        |s2f AS MATERIALIZED (SELECT l.node, coalesce(a.b, l.lab) AS lab
+        |       FROM s1f l LEFT JOIN sapp2 a ON l.node = a.node),
+        |lv2 AS MATERIALIZED (
+        |  SELECT r.node, s.lab FROM r1 r JOIN s2f s ON r.lab = s.node),
+        |q1 AS (
+        |  SELECT round(CAST(4 * me.m * me.e_in - st.d2 AS DOUBLE) /
+        |         (4 * me.m * me.m), 6) AS q
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS m,
+        |               CAST(sum(CASE WHEN lc.lab = ls.lab THEN 1 ELSE 0 END)
+        |                 AS BIGINT) AS e_in
+        |        FROM eb JOIN r1 lc ON eb.c = lc.node
+        |                JOIN r1 ls ON eb.s1 = ls.node) me
+        |  CROSS JOIN (SELECT CAST(sum(dc * dc) AS BIGINT) AS d2
+        |              FROM (SELECT l.lab, CAST(sum(d.d) AS BIGINT) AS dc
+        |                    FROM deg d JOIN r1 l ON d.node = l.node
+        |                    GROUP BY l.lab)) st),
+        |q2 AS (
+        |  SELECT round(CAST(4 * me.m * me.e_in - st.d2 AS DOUBLE) /
+        |         (4 * me.m * me.m), 6) AS q
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS m,
+        |               CAST(sum(CASE WHEN lc.lab = ls.lab THEN 1 ELSE 0 END)
+        |                 AS BIGINT) AS e_in
+        |        FROM eb JOIN lv2 lc ON eb.c = lc.node
+        |                JOIN lv2 ls ON eb.s1 = ls.node) me
+        |  CROSS JOIN (SELECT CAST(sum(dc * dc) AS BIGINT) AS d2
+        |              FROM (SELECT l.lab, CAST(sum(d.d) AS BIGINT) AS dc
+        |                    FROM deg d JOIN lv2 l ON d.node = l.node
+        |                    GROUP BY l.lab)) st)
+        |SELECT lv2.node, lv2.lab AS community, q1.q AS q_level1,
+        |       q2.q AS q_level2
+        |FROM lv2 CROSS JOIN q1 CROSS JOIN q2
         |ORDER BY node""".stripMargin,
     // the same wedge counts + cosine + window top-3, ranked by the
     // identically-rounded score — the independent window form gates

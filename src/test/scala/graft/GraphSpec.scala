@@ -489,6 +489,42 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(rep === got)
   }
 
+  test("latestDeparture: time-reversed dual differs from earliest-arrival on the same diamond; deadline binds") {
+    // Same diamond as the earliestArrival test, target 4, deadline 30.
+    // The EA winner into 4 was the middle route (arr = 10 via 3→4);
+    // the LD winner out of 1 is the DIRECT late edge: ld(1) = 20 —
+    // the dual is a different answer, not a mirror. ld(2) = 3 (its
+    // only out-edge 2→4 @3 still makes the deadline), ld(3) = 10.
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 4L, 3L), (1L, 3L, 1L), (3L, 4L, 10L),
+      (1L, 4L, 20L)).toDF("src", "dst", "t")
+    val got = Graph.latestDeparture(edges, Seq(4L).toDF("node"),
+        deadline = 30L, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(4L -> 30L, 2L -> 3L, 3L -> 10L, 1L -> 20L))
+    // an EARLIER deadline kills the direct @20 edge: 1 must now leave
+    // by t=1 (via 3) — the t ≤ ld(v) constraint composes with the
+    // deadline, it isn't just an edge filter at the target
+    val tight = Graph.latestDeparture(edges, Seq(4L).toDF("node"),
+        deadline = 15L, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(tight === Map(4L -> 15L, 2L -> 3L, 3L -> 10L, 1L -> 1L))
+    // constraint vs plain reverse reachability: under deadline 8 the
+    // unconstrained reverse-BFS decoration would claim ld(1) = 5 via
+    // 1→2 @5 (2 IS in the answer set) — but 5 > ld(2) = 3, and every
+    // other route misses the deadline, so node 1 drops out ENTIRELY
+    // (as does 3: its only out-edge @10 is past the deadline)
+    val viaMid = Graph.latestDeparture(edges, Seq(4L).toDF("node"),
+        deadline = 8L, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(viaMid === Map(4L -> 8L, 2L -> 3L))
+    // partition invariance + extra rounds are no-ops (witness exit)
+    val rep = Graph.latestDeparture(edges.repartition(7),
+        Seq(4L).toDF("node").repartition(3), 30L, rounds = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(rep === got)
+  }
+
   test("sssp fails loudly on a negative edge weight (min-plus precondition guard)") {
     // ADVICE r16: a negative weight silently changes the semantics
     // (min over walks, not paths) — must error, not mis-route.
