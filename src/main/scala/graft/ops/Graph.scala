@@ -691,6 +691,93 @@ object Graph {
     ld
   }
 
+  /** FASTEST (duration-minimal) time-respecting journeys (Wu et al.
+    * 2014's fastest-path problem) — the third member of the temporal
+    * trio: earliestArrival minimizes WHEN you get there,
+    * latestDeparture maximizes when you must LEAVE, this minimizes
+    * TIME IN TRANSIT (arr − dep), and the three genuinely disagree:
+    * the duration-minimal journey may depart LATE on a slow-looking
+    * route (GraphSpec pins a diamond where EA's answer departs early
+    * and arrives at 3 while the fastest journey departs at 10 and
+    * arrives instantly).
+    *
+    * State = (node, dep, arr): a time-respecting journey leaving a
+    * seed at `dep` reaches `node` by `arr`. Init: one state per
+    * DISTINCT seed out-edge time t₀ — (seed, t₀, t₀). Any journey's
+    * first hop departs at one of those times, so the per-(node, dep)
+    * MIN-arr relaxation (earliestArrival's relax, carried per dep
+    * stratum) covers every journey at its own dep and the final
+    * min(arr − dep) per node is EXACT; the same journey counted
+    * under an earlier dep can only read a longer duration and never
+    * wins the min. Relaxation reuses the temporal-multiplicity
+    * compression (per-pair sorted times, row-local array HOF).
+    *
+    * Scale: state is nodes × |distinct seed out-times| — bounded by
+    * the seed's temporal out-degree, NOT the graph (document the
+    * bound at the call site; a hub seed with thousands of distinct
+    * out-times wants its dep strata batched). Monotone (pairs only
+    * added, each arr only decreases), so (count, Σarr) is a fixpoint
+    * witness; per-round localCheckpoint + release, final checkpoint
+    * backs the returned frame.
+    *
+    * Input: edges (src, dst, t — integer timestamps on a COMMON
+    * LINEAR SCALE, e.g. epoch days: arr − dep must be a meaningful
+    * duration, unlike the yyyymmdd ORDER-only encoding q364/q368
+    * use), seeds (node). Output: one row per reachable node —
+    * (node, dep, arr, dur) of its duration-minimal journey within
+    * `rounds` hops, ties broken by (dur, dep, arr) lexicographic
+    * min. Seeds appear with dur = 0 at their earliest out-time. */
+  def fastestJourney(edges: DataFrame, seeds: DataFrame,
+                     rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val raw = edges.select(col("src"), col("dst"), col("t"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("t").isNotNull)
+      .localCheckpoint()
+    val e = raw
+      .groupBy(col("src"), col("dst"))
+      .agg(sort_array(collect_list(col("t"))).as("ts"))
+      .localCheckpoint()
+    val sd = seeds.select(col("node")).filter(col("node").isNotNull)
+      .distinct()
+    var f = raw.join(sd, raw("src") === sd("node"))
+      .select(col("node"), col("t").as("dep"), col("t").as("arr"))
+      .distinct()
+      .localCheckpoint()
+    releaseCheckpoint(raw)
+    def stats(df: DataFrame): (Long, Long) = {
+      val row = df.agg(count(lit(1)), sum(col("arr"))).head()
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+    var prev = stats(f)
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val relaxed = f.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), col("dep"),
+          array_min(filter(col("ts"), t => t >= col("arr"))).as("arr"))
+        .filter(col("arr").isNotNull)
+      val next = f.select(col("node"), col("dep"), col("arr"))
+        .unionByName(relaxed)
+        .groupBy(col("node"), col("dep")).agg(min(col("arr")).as("arr"))
+        .localCheckpoint()
+      val cur = stats(next)
+      done = cur == prev
+      prev = cur
+      releaseCheckpoint(f)
+      f = next
+      r += 1
+    }
+    releaseCheckpoint(e)
+    // duration-minimal journey per node, deterministic tie-break —
+    // a min-struct aggregate (the r18 louvainMove selection idiom)
+    f.groupBy(col("node"))
+      .agg(min(struct((col("arr") - col("dep")).as("dur"), col("dep"),
+        col("arr"))).as("j"))
+      .select(col("node"), col("j.dep").as("dep"), col("j.arr").as("arr"),
+        col("j.dur").as("dur"))
+  }
+
   /** CONNECTED COMPONENTS via alternating LARGE-STAR / SMALL-STAR
     * (Kiveris et al. 2014, "Connected Components in MapReduce and
     * Beyond") — the O(log n)-ROUND CC that replaces the O(diameter)

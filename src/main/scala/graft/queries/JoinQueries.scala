@@ -1166,6 +1166,46 @@ object JoinQueries {
         .orderBy("node")
     }),
 
+    // FASTEST (duration-minimal) JOURNEY (Wu et al. 2014; r18): the
+    // third temporal objective on the q364/q368 machinery — not WHEN
+    // you arrive (q364) or when you must leave (q368) but how long
+    // you're IN TRANSIT, and the answers disagree: the fastest
+    // journey may depart LATE on a route earliest-arrival ignores.
+    // Timestamps are EPOCH DAYS here (datediff from 1970-01-01), not
+    // q364's yyyymmdd encoding: yyyymmdd is order-isomorphic (fine
+    // for min/max objectives) but its differences aren't durations,
+    // and this query's objective IS a difference. State = (node, dep,
+    // arr) per distinct seed out-time — the dep-stratified
+    // earliest-arrival relax, exact by the first-hop argument in the
+    // scaladoc; seed out-degree bounds the strata (12 distinct
+    // out-dates at sf0.01, inspected — node-linear state). 4 rounds,
+    // per-round checkpoint, (count, Σarr) witness. Non-vacuity
+    // inspected: departing later PAYS on values — at sf0.01, 1416 of
+    // 1600 reachable nodes pick a journey departing strictly after
+    // the seed's earliest out-time, every one of them beating the
+    // earliest-departure stratum's transit to the same node outright
+    // (141 of 160 at sf0.001, likewise all strict wins).
+    "q369_fastest_journey" -> ((s, dir) => {
+      val eb = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s1"),
+          datediff(col("o_orderdate"), lit("1970-01-01"))
+            .cast("long").as("t"))
+        .distinct()
+        .localCheckpoint()
+      val edges = eb.select(col("c").as("src"), col("s1").as("dst"),
+          col("t"))
+        .unionByName(eb.select(col("s1").as("src"), col("c").as("dst"),
+          col("t")))
+      val seed = eb.agg(min(col("c")).as("node"))
+      graft.ops.Graph.fastestJourney(edges, seed, rounds = 4)
+        .orderBy("node")
+    }),
+
     // K-TRUSS PEELING (Cohen 2008 — the triangle-dense subgraph
     // beside q240's k-core: core peels on DEGREE, truss peels on
     // EDGE SUPPORT = common-neighbor count, the community-detection
@@ -2435,6 +2475,58 @@ object JoinQueries {
         |    FROM d3 JOIN e ON d3.node = e.dst AND e.t <= d3.ld)
         |  GROUP BY node)
         |SELECT node, ld FROM d4 ORDER BY node""".stripMargin,
+
+    // the dep-stratified earliest-arrival relax unrolled 4 rounds
+    // (state keyed (node, dep); the t >= arr constraint in the join
+    // predicate), then the duration argmin with (dur, dep) tie-break
+    "q369_fastest_journey" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+        |         CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+        |           AS BIGINT) AS t
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (SELECT c AS src, s AS dst, t FROM eb
+        |     UNION ALL SELECT s, c, t FROM eb),
+        |sd AS (SELECT min(c) AS node FROM eb),
+        |f0 AS MATERIALIZED (
+        |  SELECT DISTINCT sd.node, e.t AS dep, e.t AS arr
+        |  FROM sd JOIN e ON e.src = sd.node),
+        |f1 AS MATERIALIZED (
+        |  SELECT node, dep, min(arr) AS arr FROM (
+        |    SELECT node, dep, arr FROM f0
+        |    UNION ALL
+        |    SELECT e.dst AS node, f.dep, e.t AS arr
+        |    FROM f0 f JOIN e ON f.node = e.src AND e.t >= f.arr)
+        |  GROUP BY node, dep),
+        |f2 AS MATERIALIZED (
+        |  SELECT node, dep, min(arr) AS arr FROM (
+        |    SELECT node, dep, arr FROM f1
+        |    UNION ALL
+        |    SELECT e.dst AS node, f.dep, e.t AS arr
+        |    FROM f1 f JOIN e ON f.node = e.src AND e.t >= f.arr)
+        |  GROUP BY node, dep),
+        |f3 AS MATERIALIZED (
+        |  SELECT node, dep, min(arr) AS arr FROM (
+        |    SELECT node, dep, arr FROM f2
+        |    UNION ALL
+        |    SELECT e.dst AS node, f.dep, e.t AS arr
+        |    FROM f2 f JOIN e ON f.node = e.src AND e.t >= f.arr)
+        |  GROUP BY node, dep),
+        |f4 AS MATERIALIZED (
+        |  SELECT node, dep, min(arr) AS arr FROM (
+        |    SELECT node, dep, arr FROM f3
+        |    UNION ALL
+        |    SELECT e.dst AS node, f.dep, e.t AS arr
+        |    FROM f3 f JOIN e ON f.node = e.src AND e.t >= f.arr)
+        |  GROUP BY node, dep),
+        |res AS (SELECT node, dep, arr, arr - dep AS dur FROM f4),
+        |best AS (SELECT node, min(dur) AS dur FROM res GROUP BY node),
+        |pick AS (
+        |  SELECT r.node, r.dur, min(r.dep) AS dep
+        |  FROM res r JOIN best b ON r.node = b.node AND r.dur = b.dur
+        |  GROUP BY r.node, r.dur)
+        |SELECT node, dep, dep + dur AS arr, dur
+        |FROM pick ORDER BY node""".stripMargin,
 
     // same three peel rounds unrolled (each round: symmetrized
     // adjacency, wedge-closed support count, threshold filter), then

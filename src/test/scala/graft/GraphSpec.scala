@@ -525,6 +525,44 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(rep === got)
   }
 
+  test("fastestJourney: duration-minimal journey departs LATE where earliest-arrival departs early") {
+    // Two routes 1→4: early 1→2 @2 then 2→4 @3 (dep 2, arr 3, one
+    // day in transit) vs late 1→3 @10 then 3→4 @10 (dep 10, arr 10,
+    // INSTANT). Earliest-arrival's answer is 3 (the early route);
+    // the fastest journey is the late one with dur 0 — the two
+    // objectives pick DIFFERENT journeys on the same graph.
+    val edges = Seq(
+      (1L, 2L, 2L), (2L, 4L, 3L), (1L, 3L, 10L), (3L, 4L, 10L))
+      .toDF("src", "dst", "t")
+    val ea = Graph.earliestArrival(edges, Seq(1L).toDF("node"),
+        startT = 0L, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(ea(4L) === 3L)
+    val got = Graph.fastestJourney(edges, Seq(1L).toDF("node"),
+        rounds = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(4L) === ((10L, 10L, 0L))) // dep, arr, dur
+    assert(got(2L) === ((2L, 2L, 0L)))   // seed's own out-time strata
+    assert(got(3L) === ((10L, 10L, 0L)))
+    assert(got(1L)._3 === 0L)            // a seed is 0 days in transit
+    // tie-break: equal durations resolve to the EARLIEST departure —
+    // add a second instant route 1→5 @4, 5→4 @4: dur 0 at dep 4 < 10
+    val edges2 = edges.unionByName(
+      Seq((1L, 5L, 4L), (5L, 4L, 4L)).toDF("src", "dst", "t"))
+    val got2 = Graph.fastestJourney(edges2, Seq(1L).toDF("node"),
+        rounds = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got2(4L) === ((4L, 4L, 0L)))
+    // partition invariance + extra rounds are no-ops (witness exit)
+    val rep = Graph.fastestJourney(edges.repartition(7),
+        Seq(1L).toDF("node").repartition(3), rounds = 20)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rep === got)
+  }
+
   test("sssp fails loudly on a negative edge weight (min-plus precondition guard)") {
     // ADVICE r16: a negative weight silently changes the semantics
     // (min over walks, not paths) — must error, not mis-route.
