@@ -563,6 +563,72 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(rep === got)
   }
 
+  test("temporal trio ≡ exhaustive path enumeration on a seeded random graph") {
+    // The independent route: enumerate EVERY time-respecting path of
+    // ≤ 4 edges (no per-(node, dep) min-arr pruning — so this also
+    // validates the pruning-losslessness argument in the
+    // fastestJourney scaladoc: for fixed dep a smaller arr permits a
+    // superset of continuations, hence pruning never loses a
+    // duration) and reduce each objective by brute force.
+    val rnd = new scala.util.Random(7)
+    val n = 14
+    val raw = Seq.fill(90)((rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L,
+        rnd.nextInt(30) + 1L))
+      .filter(e => e._1 != e._2).distinct
+    val edges = raw.toDF("src", "dst", "t")
+    val bySrc = raw.groupBy(_._1).withDefaultValue(Seq.empty)
+    val byDst = raw.groupBy(_._2).withDefaultValue(Seq.empty)
+    val seed = 1L
+    // earliest arrival from seed at t = 0: states (node, arr)
+    var eaFr = Seq((seed, 0L))
+    var eaAll = eaFr.toSet
+    for (_ <- 1 to 4) {
+      eaFr = eaFr.flatMap { case (v, arr) =>
+        bySrc(v).collect { case (_, w, t) if t >= arr => (w, t) } }.distinct
+      eaAll ++= eaFr
+    }
+    val eaRef = eaAll.groupBy(_._1).map { case (k, s) => k -> s.map(_._2).min }
+    val eaGot = Graph.earliestArrival(edges, Seq(seed).toDF("node"),
+        startT = 0L, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(eaGot === eaRef)
+    // latest departure to target by a mid-range deadline: states
+    // (node, firstT) built by BACKWARD prepending
+    val target = 2L
+    val deadline = 20L
+    var ldFr = byDst(target).collect {
+      case (u, _, t) if t <= deadline => (u, t) }.distinct
+    var ldAll = ldFr.toSet
+    for (_ <- 1 to 3) { // 4 edges total: 1 base prepend + 3 more
+      ldFr = ldFr.flatMap { case (x, f) =>
+        byDst(x).collect { case (u, _, t) if t <= f => (u, t) } }.distinct
+      ldAll ++= ldFr
+    }
+    val ldRef = ldAll.groupBy(_._1).map { case (k, s) => k -> s.map(_._2).max }
+      .updated(target, deadline) // the target holds the deadline itself
+    val ldGot = Graph.latestDeparture(edges, Seq(target).toDF("node"),
+        deadline = deadline, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(ldGot === ldRef)
+    // fastest journey from seed: states (node, dep, arr), dep = the
+    // FIRST hop's time; reduce by (dur, dep) lexicographic min
+    var fjFr = bySrc(seed).map { case (_, _, t) => (seed, t, t) }.distinct
+    var fjAll = fjFr.toSet
+    for (_ <- 1 to 4) {
+      fjFr = fjFr.flatMap { case (v, dep, arr) =>
+        bySrc(v).collect { case (_, w, t) if t >= arr => (w, dep, t) } }
+        .distinct
+      fjAll ++= fjFr
+    }
+    val fjRef = fjAll.groupBy(_._1).map { case (k, s) =>
+      k -> s.map { case (_, dep, arr) => (arr - dep, dep, arr) }.min }
+    val fjGot = Graph.fastestJourney(edges, Seq(seed).toDF("node"),
+        rounds = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._4, r._2, r._3))).toMap
+    assert(fjGot === fjRef)
+  }
+
   test("sssp fails loudly on a negative edge weight (min-plus precondition guard)") {
     // ADVICE r16: a negative weight silently changes the semantics
     // (min over walks, not paths) — must error, not mis-route.
