@@ -2,6 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // sampled FIRST — the load the run LAUNCHED into, before this
+    // process's own warmup inflates it (VERDICT r18 #5)
+    val launchEpoch = System.currentTimeMillis() / 1000L
+    val launchLoad1m = try scala.io.Source.fromFile("/proc/loadavg")
+      .mkString.split("\\s+")(0).toDouble catch { case _: Throwable => -1.0 }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_SHUFFLE_PARTITIONS decouples partition count from
@@ -82,6 +87,12 @@ object Bench {
       Some(a)
     } else None
     val metricRows = scala.collection.mutable.ArrayBuffer[String]()
+    // sticky dirty-neighbor flag (ADVICE r18): MetricsAcc.drain
+    // RE-ZEROES the outstanding counter on timeout, so a straggler
+    // task that outlives the 5 s drain posts its bytes into the
+    // FOLLOWING query's counters — the dirty window is the untagged
+    // neighbor, not just the timed-out row. Tag BOTH rows.
+    var stickyDirty = false
     val results = selected.map { case (name, fn) =>
       acc.foreach(_.reset())
       val t0 = System.nanoTime()
@@ -101,11 +112,13 @@ object Bench {
         // outstanding tasks and we spin until every started task has
         // posted its end event (5 s timeout). Failed queries emit NO
         // metrics row: a crash's partial counters would read as a real
-        // measurement; their zombie tasks keep `outstanding` positive
-        // so the NEXT query's drain absorbs them before its window.
-        // A timed-out drain is TAGGED on the row (ADVICE r17): the
-        // counters may undercount or absorb a neighbor's stragglers,
-        // and an untagged row is indistinguishable from a clean one.
+        // measurement. A clean (non-timeout) drain absorbs any zombie
+        // tasks before the next window; a TIMED-OUT drain re-zeros
+        // the counter (MetricsAcc r18), so a straggler outliving the
+        // timeout posts into the NEXT query's counters instead. Both
+        // windows are therefore tagged (ADVICE r17 + r18): the
+        // timed-out row as `drain_timeout`, its successor as
+        // `dirty_neighbor` — an untagged row is a clean one.
         val drained = a.drain()
         if (!drained)
           System.err.println(s"BENCH: metrics drain timed out for $name")
@@ -113,7 +126,9 @@ object Bench {
           metricRows += s""""$name":{"shuffle_read_mb":${a.shufRead.get / 1e6},""" +
             s""""disk_spill_mb":${a.diskSpill.get / 1e6},""" +
             s""""mem_spill_mb":${a.memSpill.get / 1e6},""" +
-            s""""drain_timeout":${!drained}}"""
+            s""""drain_timeout":${!drained},""" +
+            s""""dirty_neighbor":$stickyDirty}"""
+        stickyDirty = !drained
       }
       // outside the timed span: free this query's rankedByRange
       // checkpoint blocks (dead once the noop write materialized)
@@ -127,7 +142,39 @@ object Bench {
     val metricsJson = if (acc.isDefined)
       metricRows.mkString(""","metrics":{""", ",", "}") else ""
     val total = results.collect { case (_, v, true) => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$metricsJson,"sf":"$sfDir"}"""
+    // host self-adjudication block (VERDICT r18 #5): same-code idle
+    // runs drift monotonically within a host session (BASELINE.md
+    // r17/r18: 1.027→1.125→1.135), and reconstructing run order has
+    // cost three rounds of adjudication prose. Stamp each run with
+    // the 1-min load sampled AT LAUNCH, its rank within the host
+    // session (sessions keyed by boot epoch; a reboot resets), and
+    // minutes since the session's first bench run — a drifted row
+    // now self-identifies as "session_rank > 1, N minutes deep".
+    // State: one line `boot firstRun runs` in .bench_sessionlog
+    // (SPARK_GRAFT_SESSIONLOG overrides; ±300 s boot tolerance
+    // because boot = now − /proc/uptime jitters a second per read).
+    val hostJson = try {
+      val now = System.currentTimeMillis() / 1000L
+      val boot = now - scala.io.Source.fromFile("/proc/uptime")
+        .mkString.split("\\s+")(0).toDouble.toLong
+      val logPath = java.nio.file.Path.of(
+        sys.env.getOrElse("SPARK_GRAFT_SESSIONLOG", ".bench_sessionlog"))
+      val prior = try {
+        val parts = java.nio.file.Files.readString(logPath)
+          .trim.split("\\s+").map(_.toLong)
+        if (parts.length == 3 && math.abs(parts(0) - boot) <= 300)
+          Some((parts(1), parts(2))) else None
+      } catch { case _: Throwable => None }
+      val (firstRun, rank) = prior match {
+        case Some((f, r)) => (f, r + 1)
+        case None         => (launchEpoch, 1L)
+      }
+      java.nio.file.Files.writeString(logPath, s"$boot $firstRun $rank\n")
+      val mins = (launchEpoch - firstRun) / 60.0
+      s""","host":{"session_rank":$rank,"mins_since_session_start":$mins,"load_1m_at_launch":$launchLoad1m}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH: host metadata unavailable: $e"); "" }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$metricsJson$hostJson,"sf":"$sfDir"}"""
     println(json)
     // ALSO persist the full JSON to a file (VERDICT r16 #6: the
     // driver's stdout capture truncated BENCH_r16.json to the last

@@ -726,7 +726,13 @@ object Graph {
     * use), seeds (node). Output: one row per reachable node —
     * (node, dep, arr, dur) of its duration-minimal journey within
     * `rounds` hops, ties broken by (dur, dep, arr) lexicographic
-    * min. Seeds appear with dur = 0 at their earliest out-time. */
+    * min. A seed WITH at least one (non-null-t) out-edge appears
+    * with dur = 0 at its earliest out-time; a seed with NO out-edges
+    * (or only null-t edges) seeds no dep stratum and is ABSENT from
+    * the output — unlike earliestArrival, which emits every seed at
+    * startT. Callers must not read a missing seed row as a bug:
+    * "reachable" here means "has a journey", and a journey needs a
+    * first-hop departure time. */
   def fastestJourney(edges: DataFrame, seeds: DataFrame,
                      rounds: Int): DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")

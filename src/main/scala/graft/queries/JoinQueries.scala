@@ -2702,8 +2702,10 @@ object JoinQueries {
         |FROM r2 CROSS JOIN qi CROSS JOIN qr
         |ORDER BY node""".stripMargin,
 
-    // q363's verified unroll through r2 (same init + both level-1
-    // move rounds), then the pyramid step: contraction to the
+    // q363's verified init + ONE level-1 move round (r1 only —
+    // q367 intentionally stops level 1 early so level 2 has coarse
+    // merge work; see the DataFrame-side comment; q363's own unroll
+    // runs two rounds), then the pyramid step: contraction to the
     // weighted super-graph (inter weights both directions, intra as
     // single self-loops), TWO weighted move rounds (gain scale
     // 2·M₂ = Σw; self-loops excluded from k, included in degree),

@@ -244,23 +244,25 @@ object LlmQueries {
     // the only shuffle is 32-byte hashes + the map-side-combined
     // rollup; text never moves, assignment is row-local.
     "q366_cluster_split" -> ((s, dir) => {
+      // planted ids live at doc_id + 10⁷, DOCUMENTED DISJOINT from
+      // the real id space — and enforced on the BASE scan (ADVICE
+      // r18 tightened r17's copies-branch guard: a sampled copy of
+      // doc k lands at k + 10⁷, which could collide with an
+      // UNSAMPLED real doc's id, so every base doc_id must be
+      // < 10⁷, not just the md5%7-sampled ones). Every row of both
+      // union branches projects through this guard; it never fires
+      // on the shipped fixtures, so gate hashes are untouched.
       val base = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("text"))
+        .select(when(col("doc_id") >= 10000000L, raise_error(lit(
+            "q366: doc_id >= 10^7 collides with the planted-copy id " +
+              "range")).cast("long"))
+            .otherwise(col("doc_id")).as("doc_id"),
+          col("lang"), col("text"))
       val copies = base
         .filter(conv(substring(md5(concat(lit("dup:"),
           col("doc_id").cast("string"))), 1, 4), 16, 10)
           .cast("long") % 7 === 0)
-        // planted ids live at doc_id + 10⁷, DOCUMENTED DISJOINT from
-        // the real id space — and enforced (ADVICE r17): a corpus
-        // whose ids reach 10⁷ would collide a planted id with a real
-        // doc and silently double-count n_docs/member_checksum, so
-        // the guard fails loudly instead. Rides the copies branch
-        // (every planted row evaluates it); never fires on the
-        // shipped fixtures, so gate hashes are untouched.
-        .select(when(col("doc_id") >= 10000000L, raise_error(lit(
-            "q366: doc_id >= 10^7 collides with the planted-copy id " +
-              "range")).cast("long"))
-            .otherwise(col("doc_id") + 10000000L).as("doc_id"),
+        .select((col("doc_id") + 10000000L).as("doc_id"),
           col("lang"),
           concat(lit("  "), col("text"), lit(" ")).as("text"))
       val d = base.unionByName(copies)
