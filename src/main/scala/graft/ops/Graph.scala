@@ -784,6 +784,201 @@ object Graph {
         col("j.dur").as("dur"))
   }
 
+  /** SHORTEST (minimum-HOP) time-respecting JOURNEY (Wu et al. 2014's
+    * shortest-path distance in a temporal graph) — the FOURTH and
+    * final objective of the temporal family: earliestArrival
+    * minimizes arrival TIME, latestDeparture maximizes departure,
+    * fastestJourney minimizes transit, THIS minimizes EDGE COUNT.
+    * hops(v) is NOT static BFS distance: the hop-shortest static
+    * path may run backward in time while a longer detour respects it
+    * (GraphSpec pins a diamond where the four objectives pick four
+    * different routes).
+    *
+    * EXACTNESS of the arrival-dominance recursion: if any ≤h-hop
+    * time-respecting journey reaches v, the earliest ≤i-hop arrival
+    * at its i-th prefix node dominates (is ≤) the journey's own
+    * arrival there, so every later edge the journey takes stays
+    * usable from the earliest-arrival state — tracking ONE (earliest)
+    * arrival per node per round loses no reachability, and hops(v) =
+    * the first round v enters the table. The loop IS
+    * earliestArrival's (same temporal-multiplicity compression, same
+    * row-local array-HOF relax, same monotone (count, Σarr) witness)
+    * with a min(hops) column riding the same groupBy: existing nodes
+    * keep their first-seen round (old hops ≤ current round), fresh
+    * nodes enter at round r. Same per-round localCheckpoint +
+    * release; the final checkpoint backs the returned frame.
+    *
+    * Input: edges (src, dst, t — integer timestamps), seeds (node).
+    * Output: (node, hops, arr) — fewest time-respecting hops within
+    * `rounds`, plus the earliest ≤rounds-hop arrival (the q364
+    * decoration — NOT necessarily achieved BY a hops-minimal
+    * journey); seeds at (0, startT). */
+  def shortestJourney(edges: DataFrame, seeds: DataFrame, startT: Long,
+                      rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val e = edges.select(col("src"), col("dst"), col("t"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("t").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(sort_array(collect_list(col("t"))).as("ts"))
+      .localCheckpoint()
+    var f = seeds.select(col("node")).filter(col("node").isNotNull)
+      .distinct()
+      .select(col("node"), lit(0L).as("hops"), lit(startT).as("arr"))
+      .localCheckpoint()
+    def stats(df: DataFrame): (Long, Long) = {
+      val row = df.agg(count(lit(1)), sum(col("arr"))).head()
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+    var prev = stats(f)
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      val relaxed = f.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(r.toLong).as("hops"),
+          array_min(filter(col("ts"), t => t >= col("arr"))).as("arr"))
+        .filter(col("arr").isNotNull)
+      val next = f.select(col("node"), col("hops"), col("arr"))
+        .unionByName(relaxed)
+        .groupBy(col("node"))
+        .agg(min(col("hops")).as("hops"), min(col("arr")).as("arr"))
+        .localCheckpoint()
+      val cur = stats(next)
+      done = cur == prev
+      prev = cur
+      releaseCheckpoint(f)
+      f = next
+    }
+    releaseCheckpoint(e)
+    f
+  }
+
+  /** BETWEENNESS CENTRALITY over ≤`maxHops`-hop shortest paths,
+    * sampled-source Brandes (Brandes 2001, "A Faster Algorithm for
+    * Betweenness Centrality"; sampling estimator per Brandes & Pich
+    * 2007): BC(v) = Σ_{s∈S, v≠s} δ_s(v), where σ_s(w) counts
+    * shortest s→w paths and the dependency accumulates backward over
+    * the shortest-path DAG,
+    *
+    *   δ_s(v) = Σ_{w : v ∈ pred_s(w)} σ_s(v)/σ_s(w) · (1 + δ_s(w)).
+    *
+    * Exact all-sources BC is O(V·E); the estimator runs Brandes from
+    * a deterministic SAMPLE of sources — callers pass it. The hop
+    * bound makes the bounded-round form gateable (the sssp
+    * discipline): BC w.r.t. shortest paths of ≤maxHops edges, exact
+    * when maxHops ≥ the sampled eccentricities.
+    *
+    * VECTORIZED over sources: both passes carry (s, node) state, so
+    * one round serves every source. Forward = level-synchronous BFS
+    * accumulating σ (exact Long path counts: sum over preds) with an
+    * anti-join against the settled set; backward = one
+    * level⋈edges⋈deeper-level join per depth, deepest first, over
+    * the recorded per-level frames (pred(w) = {v : depth(v) =
+    * depth(w)−1 ∧ v→w} — the DAG is implicit, never materialized).
+    *
+    * Cross-engine exactness (the repo's no-libm rule): the rational
+    * σ_v/σ_w terms are NOT summed as doubles (order-dependent
+    * rounding) — each term is quantized to integer `scale` units by
+    * ONE truncating division, term = (σ_v · (scale + δ_w)) div σ_w,
+    * so δ stays an exact Long and any 64-bit engine replays the
+    * accumulation bit-identically (the pageRank fixed-point
+    * discipline). Each division truncates < 1 unit = 1e-6 of a path
+    * share at the default scale — immaterial against the sampling
+    * error the estimator already carries. Overflow guards ride the
+    * hot columns (raise_error, the sssp guard discipline): σ ≤ 1e7
+    * and δ ≤ 1e11 keep σ·(scale+δ) ≤ ~1e18 < 2^63; a graph past
+    * either bound fails LOUDLY and needs a wider-scale story.
+    *
+    * Scale shape: |S| is fixed, state is |S|×nodes — linear, never
+    * quadratic; sampling IS the scale lever. Forward round = one
+    * frontier⋈edges equi-join + map-side-combined sum + anti-join;
+    * backward round = one join per depth. Per-level localCheckpoint,
+    * released as the backward pass consumes each level; bucket edges
+    * on src at 100 TB.
+    *
+    * Input: edges (src, dst) — directed rows, symmetrize for
+    * undirected BC; sources (node). Output: (node, bc_scaled) —
+    * Σ_s δ_s(v)·scale over v ≠ s, positive rows only. */
+  def betweenness(edges: DataFrame, sources: DataFrame, maxHops: Int,
+                  scale: Long = 1000000L, sigmaCap: Long = 10000000L,
+                  deltaCap: Long = 100000000000L): DataFrame = {
+    require(maxHops >= 1, "maxHops must be positive")
+    require(scale >= 1L, "scale must be positive")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val f0 = sources.select(col("node")).filter(col("node").isNotNull)
+      .distinct()
+      .select(col("node").as("s"), col("node"), lit(1L).as("sig"))
+      .localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer(f0)
+    var settled = f0.select(col("s"), col("node")).localCheckpoint()
+    var frontier = f0
+    var d = 0
+    while (d < maxHops && frontier.head(1).nonEmpty) {
+      val nxt = frontier.join(e, col("node") === col("src"))
+        .groupBy(col("s"), col("dst"))
+        .agg(sum(col("sig")).as("sig"))
+        .select(col("s"), col("dst").as("node"),
+          when(col("sig") > sigmaCap, raise_error(lit(
+            s"betweenness: sigma > $sigmaCap (scaled-term overflow " +
+              "bound - widen the quantization before trusting this " +
+              "graph)")).cast("long"))
+            .otherwise(col("sig")).as("sig"))
+        .join(settled, Seq("s", "node"), "left_anti")
+        .localCheckpoint()
+      val grown = settled.unionByName(nxt.select(col("s"), col("node")))
+        .localCheckpoint()
+      releaseCheckpoint(settled)
+      settled = grown
+      levels += nxt
+      frontier = nxt
+      d += 1
+    }
+    releaseCheckpoint(settled)
+    // backward: δ over the implicit shortest-path DAG, deepest first.
+    // The deepest recorded level has no deeper successors → δ = 0.
+    var deeper = levels.last
+      .select(col("s"), col("node"), col("sig"), lit(0L).as("dl"))
+      .localCheckpoint()
+    releaseCheckpoint(levels.last)
+    var acc = deeper.select(col("s"), col("node"), col("dl"))
+      .localCheckpoint()
+    for (i <- levels.length - 2 to 0 by -1) {
+      val terms = levels(i).join(e, col("node") === col("src"))
+        .join(deeper.select(col("s"), col("node").as("dst"),
+          col("sig").as("sw"),
+          when(col("dl") > deltaCap, raise_error(lit(
+            s"betweenness: delta > $deltaCap (scaled-term overflow " +
+              "bound)")).cast("long")).otherwise(col("dl")).as("dw")),
+          Seq("s", "dst"))
+        .select(col("s"), col("node"),
+          expr(s"(sig * (${scale}L + dw)) div sw").as("term"))
+        .groupBy(col("s"), col("node")).agg(sum(col("term")).as("dl"))
+      val lvlD = levels(i).join(terms, Seq("s", "node"), "left")
+        .select(col("s"), col("node"), col("sig"),
+          coalesce(col("dl"), lit(0L)).as("dl"))
+        .localCheckpoint()
+      val accGrown = acc.unionByName(
+        lvlD.select(col("s"), col("node"), col("dl"))).localCheckpoint()
+      releaseCheckpoint(acc)
+      releaseCheckpoint(deeper)
+      releaseCheckpoint(levels(i))
+      acc = accGrown
+      deeper = lvlD
+    }
+    releaseCheckpoint(deeper)
+    val out = acc.filter(col("node") =!= col("s"))
+      .groupBy(col("node")).agg(sum(col("dl")).as("bc_scaled"))
+      .filter(col("bc_scaled") > 0)
+      .localCheckpoint()
+    releaseCheckpoint(acc)
+    releaseCheckpoint(e)
+    out
+  }
+
   /** CONNECTED COMPONENTS via alternating LARGE-STAR / SMALL-STAR
     * (Kiveris et al. 2014, "Connected Components in MapReduce and
     * Beyond") — the O(log n)-ROUND CC that replaces the O(diameter)
@@ -1090,6 +1285,74 @@ object Graph {
         Seq("dst"))
       .groupBy(col("la").as("src"), col("lb").as("dst"))
       .agg(sum(col("w")).as("w"))
+
+  /** FULL MULTI-LEVEL BLONDEL PYRAMID (Blondel et al. 2008 — the
+    * complete two-phase algorithm; q367 gates ONE contract+move
+    * step of it): repeat
+    *   phase 1: louvainMove on the current (super-)graph, every
+    *            (super-)node starting as its own community;
+    *   phase 2: louvainContract to the community super-graph;
+    * for `levels` levels, expanding each level's labels back to BASE
+    * nodes. STOPS EARLY when a level applies no move: identity
+    * labels contract to the same graph, so every later level would
+    * replay the identical computation — the early exit is a pure
+    * optimization (the sssp converged-round contract), and an oracle
+    * that unrolls all `levels` levels sees identity CTEs for the
+    * converged tail.
+    *
+    * Exactness: each level is louvainMove + louvainContract, whose
+    * integer weight conventions (inter weights both directions,
+    * intra as one self-loop row of 2×intra; loops out of k, in d)
+    * make d'_a = Σ dᵢ, 2m' = 2m and Q(super, identity) =
+    * Q(base, expanded) hold EXACTLY — so per-level modularity audits
+    * need only the base graph, and the whole pyramid replays
+    * integer-for-integer in a SQL oracle.
+    *
+    * Scale: level L's move runs on a graph whose node count is level
+    * L−1's COMMUNITY count — cost collapses geometrically past level
+    * 1 (why Blondel et al. report near-linear behavior on billion-
+    * edge graphs). Per-level localCheckpoint + release; every
+    * RETURNED frame is backed by its own checkpoint (caller owns
+    * their lifetime).
+    *
+    * Input: edges (src, dst, w) in louvainMove's convention
+    * (symmetrized non-loops both directions, self-loops once).
+    * Output: one frame PER LEVEL, (node, label) over BASE nodes;
+    * converged levels repeat the last assignment (same frame). */
+  def louvainPyramid(edges: DataFrame, levels: Int,
+                     moveRounds: Int): Seq[DataFrame] = {
+    require(levels >= 1, "levels must be positive")
+    var cur = edges.select(col("src"), col("dst"), col("w"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var stopped = false
+    for (_ <- 1 to levels) {
+      if (stopped) out += out.last
+      else {
+        val init = cur.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("label"))
+        val moved = louvainMove(cur, init, moveRounds).localCheckpoint()
+        val anyMove = moved.filter(col("node") =!= col("label"))
+          .head(1).nonEmpty
+        val expanded =
+          if (out.isEmpty) moved
+          else out.last
+            .join(moved.select(col("node").as("label"),
+              col("label").as("l2")), Seq("label"))
+            .select(col("node"), col("l2").as("label"))
+            .localCheckpoint()
+        out += expanded
+        if (anyMove) {
+          val nxt = louvainContract(cur, moved).localCheckpoint()
+          releaseCheckpoint(cur)
+          cur = nxt
+        } else stopped = true
+        if (!(expanded eq moved)) releaseCheckpoint(moved)
+      }
+    }
+    releaseCheckpoint(cur)
+    out.toSeq
+  }
 
   /** Free a localCheckpoint's block-manager storage (best-effort):
     * the checkpointed RDD sits behind the LogicalRDD node the

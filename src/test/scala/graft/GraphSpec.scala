@@ -678,4 +678,246 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long)].collect().toMap
     assert(re === ref)
   }
+
+  test("shortestJourney: temporal hops differ from static BFS; arr is the EA decoration") {
+    // seed 1 at startT = 10.
+    // node 4: static BFS says 1 hop (edge 1→4 @5) — but 5 < 10 is
+    //   temporally DEAD; the detour 1→2 @12 → 2→4 @15 respects time,
+    //   so hops = 2 (MORE than static — the q327 metric disagrees).
+    // node 9: the direct 1→9 @30 gives hops = 1, but the 2-hop route
+    //   1→5 @11 → 5→9 @12 arrives earlier: the output must read
+    //   (hops = 1, arr = 12) — the arr column is the earliest
+    //   ≤rounds-hop arrival, NOT the hop-minimal journey's own
+    //   arrival (the scaladoc decoration contract, pinned here).
+    val edges = Seq(
+      (1L, 4L, 5L), (1L, 2L, 12L), (2L, 4L, 15L),
+      (1L, 9L, 30L), (1L, 5L, 11L), (5L, 9L, 12L)).toDF("src", "dst", "t")
+    val got = Graph.shortestJourney(edges, Seq(1L).toDF("node"),
+        startT = 10L, rounds = 4)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> ((0L, 10L)), 2L -> ((1L, 12L)), 5L -> ((1L, 11L)),
+      4L -> ((2L, 15L)), 9L -> ((1L, 12L))))
+  }
+
+  test("shortestJourney ≡ exhaustive enumeration (min hops + EA arr) on the trio's seeded graph") {
+    // same seeded graph as the temporal-trio test, now enumerating
+    // (node, arr, HOPS) states with no pruning — validating both the
+    // min-hop claim and the arrival-dominance argument (pruned EA
+    // state loses no reachability at any hop count).
+    val rnd = new scala.util.Random(7)
+    val n = 14
+    val raw = Seq.fill(90)((rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L,
+        rnd.nextInt(30) + 1L))
+      .filter(e => e._1 != e._2).distinct
+    val edges = raw.toDF("src", "dst", "t")
+    val bySrc = raw.groupBy(_._1).withDefaultValue(Seq.empty)
+    val seed = 1L
+    var fr = Seq((seed, 0L, 0L))
+    var all = fr.toSet
+    for (_ <- 1 to 5) {
+      fr = fr.flatMap { case (v, arr, hops) =>
+        bySrc(v).collect { case (_, w, t) if t >= arr => (w, t, hops + 1L) } }
+        .distinct
+      all ++= fr
+    }
+    val ref = all.groupBy(_._1).map { case (k, s) =>
+      k -> ((s.map(_._3).min, s.map(_._2).min)) }
+    val got = Graph.shortestJourney(edges, Seq(seed).toDF("node"),
+        startT = 0L, rounds = 5)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === ref)
+  }
+
+  /** sequential Brandes with the SAME integer quantization as
+    * Graph.betweenness: term = (σ_v·(scale+δ_w)) / σ_w truncating. */
+  private def refBetweenness(edges: Seq[(Long, Long)], sources: Seq[Long],
+                             maxHops: Int, scale: Long): Map[Long, Long] = {
+    val adj = edges.distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct).toMap.withDefaultValue(Seq.empty)
+    val bc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for (s <- sources) {
+      var levels = Vector(Map(s -> 1L))
+      var settled = Set(s)
+      var frontier = levels.head
+      var d = 0
+      while (d < maxHops && frontier.nonEmpty) {
+        val nxt = frontier.toSeq
+          .flatMap { case (v, sig) => adj(v).map(w => (w, sig)) }
+          .filter { case (w, _) => !settled(w) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        settled ++= nxt.keys
+        levels :+= nxt
+        frontier = nxt
+        d += 1
+      }
+      var delta = levels.last.map { case (v, _) => v -> 0L }
+      for (i <- levels.length - 2 to 0 by -1) {
+        val deepSig = levels(i + 1)
+        val dl = levels(i).map { case (v, sig) =>
+          v -> adj(v).filter(deepSig.contains).map { w =>
+            (sig * (scale + delta(w))) / deepSig(w) }.sum }
+        dl.foreach { case (v, x) => if (v != s) bc(v) += x }
+        delta = dl
+      }
+    }
+    bc.filter(_._2 > 0).toMap
+  }
+
+  test("betweenness: hand-checked path and diamond; the σ-split quantizes exactly") {
+    // undirected path 1-2-3, source 1: δ(2) = σ2/σ3·(1+δ(3)) = 1 →
+    // one full scaled path share; endpoints carry none.
+    val path = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val g1 = Graph.betweenness(path, Seq(1L).toDF("node"), maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(g1 === Map(2L -> 1000000L))
+    // both endpoints as sources: the bridge counts once per source
+    val g2 = Graph.betweenness(path, Seq(1L, 3L).toDF("node"), maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(g2 === Map(2L -> 2000000L))
+    // diamond 1-2-4 / 1-3-4: σ(4) = 2, so each middle node carries
+    // HALF a share — (1·(1e6+0)) div 2 = 500000, the σ-split exact
+    val dia = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val sym = (dia ++ dia.map(_.swap)).toDF("src", "dst")
+    val g3 = Graph.betweenness(sym, Seq(1L).toDF("node"), maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(g3 === Map(2L -> 500000L, 3L -> 500000L))
+  }
+
+  test("betweenness ≡ sequential quantized Brandes on a random graph; partition-invariant") {
+    val rnd = new scala.util.Random(43)
+    val re = Seq.fill(140)((rnd.nextInt(24).toLong, rnd.nextInt(24).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val sym = (re ++ re.map(_.swap)).distinct
+    val sources = Seq(1L, 5L, 9L, 17L)
+    val ref = refBetweenness(sym, sources, maxHops = 4, scale = 1000000L)
+    val got = Graph.betweenness(sym.toDF("src", "dst"),
+        sources.toDF("node"), maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === ref)
+    assert(got.values.exists(_ % 1000000L != 0L),
+      "no fractional σ-split exercised — vacuous fixture")
+    val rep = Graph.betweenness(sym.toDF("src", "dst").repartition(7),
+        sources.toDF("node").repartition(2), maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(rep === ref)
+  }
+
+  test("betweenness fails loudly past the sigma cap (scaled-term overflow guard)") {
+    val dia = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val sym = (dia ++ dia.map(_.swap)).toDF("src", "dst")
+    val e = intercept[Exception] {
+      Graph.betweenness(sym, Seq(1L).toDF("node"), maxHops = 4,
+        sigmaCap = 1L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("sigma")), s"wrong error: $e")
+  }
+
+  /** sequential WEIGHTED louvainMove (louvainMove's conventions:
+    * self-loops out of k, in d; gain scale 2·M₂ = Σw). */
+  private def refMoveW(edges: Seq[(Long, Long, Long)],
+                       init: Map[Long, Long],
+                       rounds: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val m2 = edges.map(_._3).sum
+    val nl = edges.filter(e => e._1 != e._2).groupBy(_._1)
+      .withDefaultValue(Seq.empty)
+    var lab = init
+    for (_ <- 1 to rounds) {
+      val dc = lab.toSeq.groupBy(_._2).view
+        .mapValues(_.map(x => deg.getOrElse(x._1, 0L)).sum).toMap
+      val cur = lab
+      val best = deg.keys.toSeq.sorted.flatMap { i =>
+        val a = cur(i)
+        val k = nl(i).groupBy(e => cur(e._2)).view
+          .mapValues(_.map(_._3).sum).toMap
+        val ka = k.getOrElse(a, 0L)
+        val cands = k.keys.filter(_ != a).map { b =>
+          (i, a, b, 2L * m2 * (k(b) - ka) -
+            2L * deg(i) * (dc(b) - dc(a) + deg(i)))
+        }.filter(_._4 > 0).toSeq
+        if (cands.isEmpty) None else Some(cands.minBy(c => (-c._4, c._3)))
+      }
+      val byComm = best.flatMap(mv => Seq((mv._2, mv), (mv._3, mv)))
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).minBy(m => (-m._4, m._1, m._3))).toMap
+      val applied = best.filter(mv =>
+        byComm(mv._2) == mv && byComm(mv._3) == mv)
+      lab = lab ++ applied.map(mv => mv._1 -> mv._3)
+    }
+    lab
+  }
+
+  /** sequential multi-level Blondel: singleton init per level, one
+    * refMoveW pass, contraction, expansion — louvainPyramid's twin. */
+  private def refPyramid(edges: Seq[(Long, Long, Long)], levels: Int,
+                         moveRounds: Int): Seq[Map[Long, Long]] = {
+    var cur = edges
+    val out = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    var stopped = false
+    for (_ <- 1 to levels) {
+      if (stopped) out += out.last
+      else {
+        val init = cur.map(_._1).distinct.map(n => n -> n).toMap
+        val moved = refMoveW(cur, init, moveRounds)
+        val anyMove = moved.exists { case (nd, l) => nd != l }
+        out += (if (out.isEmpty) moved
+                else out.last.view.mapValues(moved).toMap)
+        if (anyMove)
+          cur = cur.groupBy(e => (moved(e._1), moved(e._2))).toSeq
+            .map { case ((a, b), es) => (a, b, es.map(_._3).sum) }
+        else stopped = true
+      }
+    }
+    out.toSeq
+  }
+
+  test("louvainPyramid ≡ sequential multi-level reference; Q non-decreasing per level; converged tail repeats") {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val pairs = (clique(1L to 4L) ++ clique(5L to 8L) ++
+      Seq((4L, 5L), (5L, 4L))).toSeq
+    val ref = refPyramid(pairs.map { case (a, b) => (a, b, 1L) },
+      levels = 3, moveRounds = 1)
+    val got = Graph.louvainPyramid(
+        pairs.toDF("src", "dst").withColumn("w", lit(1L)),
+        levels = 3, moveRounds = 1)
+      .map(_.as[(Long, Long)].collect().toMap)
+    assert(got.size === 3)
+    (0 until 3).foreach(i => assert(got(i) === ref(i), s"level ${i + 1}"))
+    val qs = got.map(l => qNum(pairs, l))
+    assert(qs === qs.sorted, s"Q decreased across levels: $qs")
+    // single-edge graph: level 1 merges the pair; the contracted
+    // graph is one self-loop super-node — no further move is
+    // possible, and the converged tail repeats level 1's assignment
+    val gotOne = Graph.louvainPyramid(
+        Seq((1L, 2L), (2L, 1L)).toDF("src", "dst").withColumn("w", lit(1L)),
+        levels = 3, moveRounds = 1)
+      .map(_.as[(Long, Long)].collect().toMap)
+    assert(gotOne(0) === Map(1L -> 2L, 2L -> 2L))
+    assert(gotOne(1) === gotOne(0))
+    assert(gotOne(2) === gotOne(0))
+    // random graph: reference equality + partition invariance
+    val rnd = new scala.util.Random(31)
+    val re = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val sym = (re ++ re.map(_.swap)).distinct
+    val rRef = refPyramid(sym.map { case (a, b) => (a, b, 1L) },
+      levels = 3, moveRounds = 1)
+    val rGot = Graph.louvainPyramid(
+        sym.toDF("src", "dst").withColumn("w", lit(1L)),
+        levels = 3, moveRounds = 1)
+      .map(_.as[(Long, Long)].collect().toMap)
+    (0 until 3).foreach(i =>
+      assert(rGot(i) === rRef(i), s"rnd level ${i + 1}"))
+    val rRep = Graph.louvainPyramid(
+        sym.toDF("src", "dst").repartition(7).withColumn("w", lit(1L)),
+        levels = 3, moveRounds = 1)
+      .map(_.as[(Long, Long)].collect().toMap)
+    (0 until 3).foreach(i => assert(rRep(i) === rRef(i)))
+  }
 }
