@@ -1309,16 +1309,20 @@ object JoinQueries {
     // when you arrive, when you leave, or how long you ride, but how
     // many EDGES you need. NOT static BFS distance (q327's metric):
     // the hop-shortest static route can run backward in time while a
-    // longer detour respects it — at sf0.01, inspected, a strict
-    // majority of reachable nodes need MORE hops temporally than
-    // statically from the same seed. Same dated trade graph as q364
-    // (yyyymmdd Longs — hop counts need only the ORDER, so the q349
-    // parity encoding is safe here, unlike q369's durations); seed =
-    // the minimum SUPPLIER node (q364 seeds the min customer —
-    // decorrelated fixtures); 5 rounds, per-round checkpoint, the
-    // (count, Σarr) monotone witness. Output also carries the
-    // earliest ≤5-hop arrival (the q364 decoration riding the same
-    // groupBy).
+    // longer detour respects it. The constraint only BINDS from a
+    // LATE start (inspected — from t=0 the dense trade graph realizes
+    // every static shortest path chronologically and the two metrics
+    // coincide everywhere, the vacuous first cut): seeding at
+    // 1997-10-01 (late in the 1992–1998 corpus range) forces 179 of
+    // 1600 sf0.01 nodes (20/160 at sf0.001) to take STRICTLY more
+    // hops than static BFS and drops 6 sf0.01 nodes entirely. Same
+    // dated trade graph as q364 (yyyymmdd Longs — hop counts need
+    // only the ORDER, so the q349 parity encoding is safe here,
+    // unlike q369's durations); seed = the minimum SUPPLIER node
+    // (q364 seeds the min customer — decorrelated fixtures); 5
+    // rounds, per-round checkpoint, the (count, Σarr) monotone
+    // witness. Output also carries the earliest ≤5-hop arrival (the
+    // q364 decoration riding the same groupBy).
     "q372_shortest_journey" -> ((s, dir) => {
       val eb = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"))
@@ -1337,7 +1341,7 @@ object JoinQueries {
         .unionByName(eb.select(col("s1").as("src"), col("c").as("dst"),
           col("t")))
       val seed = eb.agg(min(col("s1")).as("node"))
-      graft.ops.Graph.shortestJourney(edges, seed, 0L, rounds = 5)
+      graft.ops.Graph.shortestJourney(edges, seed, 19971001L, rounds = 5)
         .orderBy("node")
     }),
 
@@ -2666,7 +2670,7 @@ object JoinQueries {
     // q364's unroll with a first-seen-round column riding the same
     // per-round min-groupBy (fresh candidates enter at hop literal r,
     // survivors keep their smaller first-seen round), seeded at the
-    // min SUPPLIER, 5 rounds
+    // min SUPPLIER with the late 1997-10-01 start, 5 rounds
     "q372_shortest_journey" ->
       """WITH eb AS (
         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
@@ -2678,7 +2682,7 @@ object JoinQueries {
         |     UNION ALL SELECT s, c, t FROM eb),
         |a0 AS MATERIALIZED (
         |  SELECT min(s) AS node, CAST(0 AS BIGINT) AS hops,
-        |         CAST(0 AS BIGINT) AS arr FROM eb),
+        |         CAST(19971001 AS BIGINT) AS arr FROM eb),
         |a1 AS MATERIALIZED (
         |  SELECT node, min(hops) AS hops, min(arr) AS arr FROM (
         |    SELECT node, hops, arr FROM a0
