@@ -1354,6 +1354,225 @@ object Graph {
     out.toSeq
   }
 
+  /** HARMONIC CENTRALITY from a sampled source set (Marchiori &
+    * Latora 2000; Boldi & Vigna 2014, "Axioms for Centrality" — the
+    * closeness variant that stays finite on disconnected graphs):
+    *
+    *   HC(v) = Σ_{s∈S, s≠v, d(s,v)≤maxHops} 1 / d(s,v),
+    *
+    * estimated from caller-supplied sources exactly like
+    * `betweenness` (Brandes & Pich 2007 sampling — |S| fixed, state
+    * |S|×nodes, sampling is the scale lever). Unreachable and
+    * beyond-horizon pairs contribute 0 — harmonic's defining property
+    * vs classic closeness, whose 1/Σd collapses to 0 whenever ANY
+    * pair is unreachable.
+    *
+    * Cross-engine exactness (the no-libm rule): each 1/d term is
+    * quantized to integer `scale` units by ONE truncating division
+    * (`scale div d` — positive operands, so DuckDB `//` replays it
+    * bit-identically), and HC accumulates as an exact BIGINT sum.
+    * No overflow guard needed: each term ≤ scale = 1e6 and the sum
+    * is bounded by |S|·scale ≤ 8e6 per node at the gated sample.
+    *
+    * Scale shape per round: one frontier⋈edges equi-join + anti-join
+    * against the settled set (the `bfs` kernel, vectorized over
+    * sources) — map-side combine on (s, node); bucket edges on src
+    * at 100 TB. Per-round localCheckpoint, released as settled grows.
+    *
+    * Input: edges (src, dst) — directed rows, symmetrize for the
+    * undirected metric; sources (node). Output: (node, hc_scaled)
+    * — Σ_s (scale div d(s,v)) over s ≠ v, positive rows only (a node
+    * reached by NO sampled source is absent, like betweenness). */
+  def harmonicCentrality(edges: DataFrame, sources: DataFrame,
+                         maxHops: Int,
+                         scale: Long = 1000000L): DataFrame = {
+    require(maxHops >= 1, "maxHops must be positive")
+    require(scale >= 1L, "scale must be positive")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val f0 = sources.select(col("node")).filter(col("node").isNotNull)
+      .distinct()
+      .select(col("node").as("s"), col("node"))
+      .localCheckpoint()
+    var settled = f0
+    var frontier = f0
+    // acc holds (node, hc) partial sums; starts empty (d=0 is self).
+    var acc: DataFrame = null
+    var d = 0
+    while (d < maxHops && frontier.head(1).nonEmpty) {
+      d += 1
+      val nxt = frontier.join(e, col("node") === col("src"))
+        .select(col("s"), col("dst").as("node"))
+        .distinct()
+        .join(settled, Seq("s", "node"), "left_anti")
+        .localCheckpoint()
+      val grown = settled.unionByName(nxt).localCheckpoint()
+      releaseCheckpoint(settled)
+      if (frontier ne f0) releaseCheckpoint(frontier)
+      settled = grown
+      frontier = nxt
+      val contrib = nxt.groupBy(col("node"))
+        .agg((count(lit(1)) * lit(scale / d)).as("hc"))
+      val accGrown =
+        (if (acc == null) contrib
+         else acc.unionByName(contrib)
+           .groupBy(col("node")).agg(sum(col("hc")).as("hc")))
+          .localCheckpoint()
+      if (acc != null) releaseCheckpoint(acc)
+      acc = accGrown
+    }
+    releaseCheckpoint(settled)
+    if (frontier ne f0) releaseCheckpoint(frontier)
+    releaseCheckpoint(f0)
+    releaseCheckpoint(e)
+    if (acc == null)
+      // no source had any out-edge: empty (node, hc_scaled) frame
+      e.select(col("src").as("node"), col("dst").cast("long")
+        .as("hc_scaled")).limit(0)
+    else {
+      val out = acc.filter(col("hc") > 0)
+        .select(col("node"), col("hc").as("hc_scaled"))
+        .localCheckpoint()
+      releaseCheckpoint(acc)
+      out
+    }
+  }
+
+  /** SAMPLED ECCENTRICITY and the diameter lower bound it carries
+    * (Magnien, Latapy & Habib 2009, "Fast computation of empirically
+    * tight bounds for the diameter of massive graphs"): per sampled
+    * source s, ecc(s) = max_v d(s, v) over the ≤maxHops-hop horizon,
+    * with the count of reached nodes and an honesty flag.
+    * max_s ecc(s) lower-bounds the diameter; the BFS-sampling scheme
+    * is the standard massive-graph diameter estimator (iFUB's
+    * starting point).
+    *
+    * Horizon honesty: `is_exact` = 1 iff the source's frontier
+    * EMPTIED strictly before the hop bound — its BFS ran to
+    * exhaustion and ecc is that source's true eccentricity (on its
+    * reachable component). A source whose level-maxHops frontier is
+    * nonempty reports is_exact = 0: its ecc row is a LOWER bound
+    * (nodes past the horizon would only raise it). All-integer
+    * output — no arithmetic beyond max/count, trivially exact
+    * cross-engine.
+    *
+    * Scale shape: the `bfs` kernel vectorized over sources — one
+    * frontier⋈edges equi-join + DISTINCT + anti-join per round,
+    * state |S|×nodes. Per-round localCheckpoint, released as settled
+    * grows; bucket edges on src at 100 TB.
+    *
+    * Input: edges (src, dst) — directed rows, symmetrize for the
+    * undirected metric; sources (node). Output: (node, ecc,
+    * n_reached, is_exact) — one row per source that reaches at least
+    * one OTHER node; a source with no out-edges (ecc undefined on an
+    * empty reach set) is absent, the fastestJourney omission
+    * contract. */
+  def eccentricity(edges: DataFrame, sources: DataFrame,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be positive")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val f0 = sources.select(col("node")).filter(col("node").isNotNull)
+      .distinct()
+      .select(col("node").as("s"), col("node"))
+      .localCheckpoint()
+    var settled = f0
+    var frontier = f0
+    // per-source running stats: (s, ecc, n_reached) over levels so far
+    var acc: DataFrame = null
+    var d = 0
+    while (d < maxHops && frontier.head(1).nonEmpty) {
+      d += 1
+      val nxt = frontier.join(e, col("node") === col("src"))
+        .select(col("s"), col("dst").as("node"))
+        .distinct()
+        .join(settled, Seq("s", "node"), "left_anti")
+        .localCheckpoint()
+      val grown = settled.unionByName(nxt).localCheckpoint()
+      releaseCheckpoint(settled)
+      if (frontier ne f0) releaseCheckpoint(frontier)
+      settled = grown
+      frontier = nxt
+      val lvl = nxt.groupBy(col("s"))
+        .agg(lit(d.toLong).as("ecc"), count(lit(1)).as("n_reached"))
+      val accGrown =
+        (if (acc == null) lvl
+         else acc.unionByName(lvl).groupBy(col("s"))
+           .agg(max(col("ecc")).as("ecc"),
+             sum(col("n_reached")).as("n_reached")))
+          .localCheckpoint()
+      if (acc != null) releaseCheckpoint(acc)
+      acc = accGrown
+    }
+    // a source is exact iff its frontier died before the bound: no
+    // (s, ·) row survives in the FINAL frontier.
+    val unfinished = frontier.select(col("s")).distinct()
+    releaseCheckpoint(settled)
+    releaseCheckpoint(f0)
+    releaseCheckpoint(e)
+    if (acc == null)
+      e.select(col("src").as("node"), col("dst").as("ecc"),
+        col("dst").as("n_reached"), col("dst").as("is_exact")).limit(0)
+    else {
+      val out = acc
+        .join(unfinished.withColumn("unf", lit(1L)), Seq("s"), "left")
+        .select(col("s").as("node"), col("ecc"), col("n_reached"),
+          when(col("unf").isNull, lit(1L)).otherwise(lit(0L))
+            .as("is_exact"))
+        .localCheckpoint()
+      releaseCheckpoint(acc)
+      if (frontier ne f0) releaseCheckpoint(frontier)
+      out
+    }
+  }
+
+  /** LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998, "Collective
+    * dynamics of 'small-world' networks"): per node,
+    *
+    *   C(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
+    *
+    * the fraction of a node's neighbor pairs that are themselves
+    * adjacent — the micro-scale community signal beside the registry's
+    * global triangle count (q171), k-core (q240) and k-truss (q365).
+    *
+    * tri(v) rides `triangleCounts` (degree-oriented compact-forward
+    * enumeration — hub fan-out bounded by arboricity); deg(v) is one
+    * symmetrized groupBy. The ratio is quantized to integer `scale`
+    * units by ONE truncating division (positive operands — DuckDB
+    * `//` ≡ Spark `div`), so the output is exact BIGINTs end to end.
+    * Nodes with deg ≤ 1 have no neighbor pair and are emitted with
+    * lcc_scaled = 0 (not dropped — a degree-1 leaf is structurally
+    * interesting), tri = 0 via left join + coalesce.
+    *
+    * Input: edges (u, v) — undirected, one row per edge, u ≠ v
+    * (orientation not required; triangleCounts symmetrizes). Output:
+    * (node, deg, tri, lcc_scaled). Overflow: 2·tri·scale ≤ 2e6·tri —
+    * safe while tri < 4.6e12 (any fixture's wedge count is far
+    * below). */
+  def localClustering(edges: DataFrame,
+                      scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L, "scale must be positive")
+    val e = edges.select(col("u"), col("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(e)
+    deg.join(tri.select(col("node"), col("n_triangles").as("tri")),
+        Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc_scaled",
+        when(col("deg") <= 1, lit(0L))
+          .otherwise(expr(s"(2 * tri * ${scale}L) div (deg * (deg - 1))")))
+  }
+
   /** Free a localCheckpoint's block-manager storage (best-effort):
     * the checkpointed RDD sits behind the LogicalRDD node the
     * checkpoint call returned; Dataset.unpersist only covers

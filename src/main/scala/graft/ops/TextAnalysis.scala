@@ -492,4 +492,5 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("n_instances"), sum(col("wc")).as("occurrences"))
   }
+
 }

@@ -1345,6 +1345,164 @@ object JoinQueries {
         .orderBy("node")
     }),
 
+    // HARMONIC CENTRALITY, sampled sources (Marchiori & Latora 2000;
+    // Boldi & Vigna 2014 — r19): the closeness-family metric the
+    // registry lacked beside q371's betweenness — "how NEAR is v to
+    // everyone" vs betweenness's "how often is v ON the way". The
+    // harmonic form (Σ 1/d, not 1/Σd) stays finite per-pair on
+    // disconnected graphs, so the ≤4-hop horizon degrades it
+    // gracefully (beyond-horizon pairs contribute 0) instead of
+    // zeroing whole nodes. Same symmetrized trade graph as q371;
+    // sources = the 8 customers winning the md5('hc:'||node) total
+    // order — a DIFFERENT salt from q371's 'bc:', so the two
+    // centralities sample decorrelated source sets. 1/d terms are
+    // quantized to 1e-6 units by ONE truncating division per
+    // (source-distance) class (scale div d — DuckDB `//` replays it),
+    // summed as exact BIGINTs. Non-vacuity inspected: per-level
+    // frontier sizes 78/1192/2/0 at sf0.001 (the dense trade graph
+    // exhausts inside 3 hops — the d=4 round fires and finds nothing,
+    // the honest horizon case) and 253/11962/547/30 at sf0.01 (all
+    // four distance classes realized, so every quantized 1/d constant
+    // reaches the hash).
+    "q373_harmonic" -> ((s, dir) => {
+      val eb = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s1"))
+        .distinct()
+        .localCheckpoint()
+      val edges = eb.select(col("c").as("src"), col("s1").as("dst"))
+        .unionByName(eb.select(col("s1").as("src"), col("c").as("dst")))
+      val srcs = eb.select(col("c").as("node")).distinct()
+        .orderBy(md5(concat(lit("hc:"), col("node").cast("string"))),
+          col("node"))
+        .limit(8)
+      graft.ops.Graph.harmonicCentrality(edges, srcs, maxHops = 4)
+        .orderBy("node")
+    }),
+
+    // RECIPROCITY of a directed graph (Garlaschelli & Loffredo 2004,
+    // "Patterns of Link Reciprocity in Directed Networks" — r19): the
+    // fraction r = L↔/L of directed edges whose reverse also exists,
+    // plus the density-corrected ρ = (r − ā)/(1 − ā) that separates
+    // genuinely reciprocal wiring from what density alone predicts
+    // (ρ > 0 reciprocal, < 0 anti-reciprocal). The registry's graph
+    // metrics were all on SYMMETRIZED graphs — q374 is the first
+    // direction-sensitive structure summary. Digraph: within-order
+    // purchase SEQUENCE — u→v iff some order lists part u on a lower
+    // l_linenumber than part v (TPC-H linenumbers give each order a
+    // deterministic item sequence); a reverse edge appears only when
+    // another order bought the pair in the OPPOSITE sequence, so r
+    // measures cross-order ordering consistency. Exact BIGINTs: L,
+    // L↔ (self-join on the transposed edge), n; r/ā/ρ are IEEE
+    // double expressions over those exact integers with ONE rounding
+    // each at 6dp (both engines replay the identical op sequence).
+    // Non-vacuity inspected — and the honest reading is the POINT of
+    // ρ: r = 0.228508 (sf0.001) vs 0.025595 (sf0.01) looks like
+    // reciprocity collapsing, but ā tracks it (0.225628/0.025291)
+    // and ρ = +0.003719/+0.000312 — the sequence digraph is as
+    // reciprocal as its density predicts (random pairing), exactly
+    // the null case Garlaschelli & Loffredo built ρ to expose; raw r
+    // alone would have claimed 23% "reciprocity" at sf0.001. All six
+    // output cells are live (m_recip = 2052/2588 — the probe finds
+    // real reverse pairs). At 100 TB: edge build = one self-join per
+    // order (basket²-bounded like q171), the reciprocity probe = one
+    // equi self-join on (u,v); all shuffles key on part pairs.
+    "q374_reciprocity" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_linenumber") < col("b.l_linenumber") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+        .localCheckpoint()
+      val recip = e.join(e.select(col("v").as("u"), col("u").as("v")),
+        Seq("u", "v"), "left_semi")
+      val nodes = e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node")))
+        .agg(countDistinct(col("node")).as("n"))
+      e.agg(count(lit(1)).as("m")).crossJoin(
+          recip.agg(count(lit(1)).as("m_recip")))
+        .crossJoin(nodes)
+        .select(col("n"), col("m"), col("m_recip"),
+          round(col("m_recip").cast("double") / col("m").cast("double"),
+            6).as("r_recip"),
+          round(col("m").cast("double") /
+            (col("n") * (col("n") - 1)).cast("double"), 6).as("density"),
+          round((col("m_recip").cast("double") / col("m").cast("double") -
+            col("m").cast("double") /
+              (col("n") * (col("n") - 1)).cast("double")) /
+            (lit(1.0) - col("m").cast("double") /
+              (col("n") * (col("n") - 1)).cast("double")), 6).as("rho"))
+    }),
+
+    // LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998 — r19):
+    // per-node C(v) = 2·tri/(deg·(deg−1)) on the full part
+    // co-purchase graph — the micro-scale "are my neighbors
+    // neighbors" signal beside q171's raw triangle counts (same
+    // canonical graph, so the two gates cross-check: q375's tri
+    // column must replay q171 exactly where both emit). Degree-1
+    // nodes emit lcc_scaled = 0 rather than dropping (a leaf is
+    // structurally meaningful); the ratio is ONE truncating integer
+    // division into 1e-6 units (DuckDB `//`), so the whole output is
+    // exact BIGINTs. Spark side enumerates degree-oriented
+    // compact-forward (arboricity-bounded); the oracle re-derives
+    // per-corner counts from the INDEPENDENT id-ordered triple join.
+    // Non-vacuity: 1733 distinct lcc values spanning [0.0756, 0.1364]
+    // at sf0.01 (196 in [0.441, 0.516] at sf0.001 — denser small
+    // graph, higher clustering); the fixture has no deg ≤ 1 node, so
+    // that branch is pinned by GraphSpec, not the gate.
+    "q375_local_clustering" -> ((s, dir) => {
+      val ib = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = ib.as("a")
+        .join(ib.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      graft.ops.Graph.localClustering(edges).orderBy("node")
+    }),
+
+    // SAMPLED ECCENTRICITY / diameter lower bound (Magnien, Latapy &
+    // Habib 2009 — r19): the global-extent metric beside q373's
+    // harmonic (how NEAR a node is on average) — how FAR the worst
+    // case is. Same symmetrized trade graph; sources = the 8
+    // customers winning the md5('ecc:'||node) order (third
+    // decorrelated salt beside 'bc:'/'hc:'); maxHops = 4. Per source:
+    // ecc = deepest realized BFS level, n_reached, and the HONESTY
+    // flag — is_exact = 1 iff that source's frontier emptied strictly
+    // before the bound (its BFS exhausted; ecc is the true
+    // eccentricity of its component), else the row is a lower bound.
+    // max(ecc) lower-bounds the graph diameter. All-integer output —
+    // max/count only, nothing to quantize. Non-vacuity inspected:
+    // sf0.001 exhausts every source (7 exact at ecc 2, 1 at ecc 3 —
+    // n_reached 159 = the whole component, diameter ≥ 3); sf0.01
+    // realizes BOTH flag values (3 exact at ecc 3, 5 horizon-bounded
+    // at ecc 4), so the exhaustion and lower-bound branches both
+    // reach the hash; GraphSpec pins both branches by hand as well.
+    "q376_eccentricity" -> ((s, dir) => {
+      val eb = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s1"))
+        .distinct()
+        .localCheckpoint()
+      val edges = eb.select(col("c").as("src"), col("s1").as("dst"))
+        .unionByName(eb.select(col("s1").as("src"), col("c").as("dst")))
+      val srcs = eb.select(col("c").as("node")).distinct()
+        .orderBy(md5(concat(lit("ecc:"), col("node").cast("string"))),
+          col("node"))
+        .limit(8)
+      graft.ops.Graph.eccentricity(edges, srcs, maxHops = 4)
+        .orderBy("node")
+    }),
+
     // K-TRUSS PEELING (Cohen 2008 — the triangle-dense subgraph
     // beside q240's k-core: core peels on DEGREE, truss peels on
     // EDGE SUPPORT = common-neighbor count, the community-detection
@@ -2719,6 +2877,168 @@ object JoinQueries {
         |    FROM a4 JOIN e ON a4.node = e.src AND e.t >= a4.arr)
         |  GROUP BY node)
         |SELECT node, hops, arr FROM a5 ORDER BY node""".stripMargin,
+
+    // sampled-source harmonic centrality unrolled: md5('hc:')-ordered
+    // 8-source sample, 4 DISTINCT-frontier BFS levels (NOT EXISTS
+    // anti against the settled union), each level's per-node source
+    // count weighted by the truncated 1000000 // d — the same
+    // constants the Spark loop's `scale div d` produces
+    "q373_harmonic" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (SELECT c AS src, s AS dst FROM eb
+        |     UNION ALL SELECT s, c FROM eb),
+        |srcs AS (SELECT c AS node FROM (SELECT DISTINCT c FROM eb)
+        |         ORDER BY md5('hc:' || c), c LIMIT 8),
+        |f0 AS MATERIALIZED (SELECT node AS s, node FROM srcs),
+        |set0 AS MATERIALIZED (SELECT s, node FROM f0),
+        |f1 AS MATERIALIZED (
+        |  SELECT DISTINCT f.s, e.dst AS node
+        |  FROM f0 f JOIN e ON f.node = e.src
+        |  WHERE NOT EXISTS (SELECT 1 FROM set0 p
+        |                    WHERE p.s = f.s AND p.node = e.dst)),
+        |set1 AS MATERIALIZED (SELECT * FROM set0
+        |        UNION ALL SELECT s, node FROM f1),
+        |f2 AS MATERIALIZED (
+        |  SELECT DISTINCT f.s, e.dst AS node
+        |  FROM f1 f JOIN e ON f.node = e.src
+        |  WHERE NOT EXISTS (SELECT 1 FROM set1 p
+        |                    WHERE p.s = f.s AND p.node = e.dst)),
+        |set2 AS MATERIALIZED (SELECT * FROM set1
+        |        UNION ALL SELECT s, node FROM f2),
+        |f3 AS MATERIALIZED (
+        |  SELECT DISTINCT f.s, e.dst AS node
+        |  FROM f2 f JOIN e ON f.node = e.src
+        |  WHERE NOT EXISTS (SELECT 1 FROM set2 p
+        |                    WHERE p.s = f.s AND p.node = e.dst)),
+        |set3 AS MATERIALIZED (SELECT * FROM set2
+        |        UNION ALL SELECT s, node FROM f3),
+        |f4 AS MATERIALIZED (
+        |  SELECT DISTINCT f.s, e.dst AS node
+        |  FROM f3 f JOIN e ON f.node = e.src
+        |  WHERE NOT EXISTS (SELECT 1 FROM set3 p
+        |                    WHERE p.s = f.s AND p.node = e.dst))
+        |SELECT node, CAST(sum(hc) AS BIGINT) AS hc_scaled FROM (
+        |  SELECT node, count(*) * (1000000 // 1) AS hc FROM f1 GROUP BY node
+        |  UNION ALL
+        |  SELECT node, count(*) * (1000000 // 2) AS hc FROM f2 GROUP BY node
+        |  UNION ALL
+        |  SELECT node, count(*) * (1000000 // 3) AS hc FROM f3 GROUP BY node
+        |  UNION ALL
+        |  SELECT node, count(*) * (1000000 // 4) AS hc FROM f4 GROUP BY node)
+        |GROUP BY node HAVING sum(hc) > 0 ORDER BY node""".stripMargin,
+
+    // same 4-level unrolled BFS under the 'ecc:' salt; per-source max
+    // realized level + reach count, exactness = absence from the
+    // level-4 frontier
+    "q376_eccentricity" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (SELECT c AS src, s AS dst FROM eb
+        |     UNION ALL SELECT s, c FROM eb),
+        |srcs AS (SELECT c AS node FROM (SELECT DISTINCT c FROM eb)
+        |         ORDER BY md5('ecc:' || c), c LIMIT 8),
+        |f0 AS MATERIALIZED (SELECT node AS s, node FROM srcs),
+        |set0 AS MATERIALIZED (SELECT s, node FROM f0),
+        |f1 AS MATERIALIZED (
+        |  SELECT DISTINCT f.s, e.dst AS node
+        |  FROM f0 f JOIN e ON f.node = e.src
+        |  WHERE NOT EXISTS (SELECT 1 FROM set0 p
+        |                    WHERE p.s = f.s AND p.node = e.dst)),
+        |set1 AS MATERIALIZED (SELECT * FROM set0
+        |        UNION ALL SELECT s, node FROM f1),
+        |f2 AS MATERIALIZED (
+        |  SELECT DISTINCT f.s, e.dst AS node
+        |  FROM f1 f JOIN e ON f.node = e.src
+        |  WHERE NOT EXISTS (SELECT 1 FROM set1 p
+        |                    WHERE p.s = f.s AND p.node = e.dst)),
+        |set2 AS MATERIALIZED (SELECT * FROM set1
+        |        UNION ALL SELECT s, node FROM f2),
+        |f3 AS MATERIALIZED (
+        |  SELECT DISTINCT f.s, e.dst AS node
+        |  FROM f2 f JOIN e ON f.node = e.src
+        |  WHERE NOT EXISTS (SELECT 1 FROM set2 p
+        |                    WHERE p.s = f.s AND p.node = e.dst)),
+        |set3 AS MATERIALIZED (SELECT * FROM set2
+        |        UNION ALL SELECT s, node FROM f3),
+        |f4 AS MATERIALIZED (
+        |  SELECT DISTINCT f.s, e.dst AS node
+        |  FROM f3 f JOIN e ON f.node = e.src
+        |  WHERE NOT EXISTS (SELECT 1 FROM set3 p
+        |                    WHERE p.s = f.s AND p.node = e.dst)),
+        |lv AS (
+        |  SELECT s, CAST(1 AS BIGINT) AS d, count(*) AS c FROM f1 GROUP BY s
+        |  UNION ALL
+        |  SELECT s, CAST(2 AS BIGINT), count(*) FROM f2 GROUP BY s
+        |  UNION ALL
+        |  SELECT s, CAST(3 AS BIGINT), count(*) FROM f3 GROUP BY s
+        |  UNION ALL
+        |  SELECT s, CAST(4 AS BIGINT), count(*) FROM f4 GROUP BY s),
+        |unf AS (SELECT DISTINCT s FROM f4)
+        |SELECT lv.s AS node, max(lv.d) AS ecc,
+        |       CAST(sum(lv.c) AS BIGINT) AS n_reached,
+        |       CAST(CASE WHEN unf.s IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |         AS is_exact
+        |FROM lv LEFT JOIN unf ON lv.s = unf.s
+        |GROUP BY lv.s, unf.s ORDER BY node""".stripMargin,
+
+    // same sequence digraph, L↔ via the transposed semi-join, the
+    // identical IEEE expression tree for r/density/rho (exact BIGINT
+    // operands, one 6dp rounding each)
+    "q374_reciprocity" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_linenumber < b.l_linenumber
+        |   AND a.l_partkey <> b.l_partkey),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |mr AS (SELECT CAST(count(*) AS BIGINT) AS m_recip FROM e
+        |       WHERE EXISTS (SELECT 1 FROM e r
+        |                     WHERE r.u = e.v AND r.v = e.u)),
+        |nn AS (SELECT CAST(count(DISTINCT node) AS BIGINT) AS n FROM (
+        |         SELECT u AS node FROM e UNION ALL SELECT v FROM e))
+        |SELECT n, m, m_recip,
+        |       round(CAST(m_recip AS DOUBLE) / CAST(m AS DOUBLE), 6)
+        |         AS r_recip,
+        |       round(CAST(m AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6)
+        |         AS density,
+        |       round((CAST(m_recip AS DOUBLE) / CAST(m AS DOUBLE) -
+        |              CAST(m AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) /
+        |             (1.0 - CAST(m AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)),
+        |             6) AS rho
+        |FROM mm, mr, nn""".stripMargin,
+
+    // per-node Watts-Strogatz clustering: degree from the symmetrized
+    // ends, per-corner triangle counts from the INDEPENDENT
+    // id-ordered triple join (q171's oracle kernel), ratio by one
+    // floor division into 1e-6 units
+    "q375_local_clustering" ->
+      """WITH ib AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM ib a JOIN ib b ON a.l_orderkey = b.l_orderkey
+        |                     AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY node),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1
+        |        JOIN e e2 ON e1.v = e2.u
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (SELECT a AS node FROM tri
+        |            UNION ALL SELECT b FROM tri
+        |            UNION ALL SELECT c FROM tri),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS tri
+        |       FROM corners GROUP BY node)
+        |SELECT d.node, d.deg, coalesce(tc.tri, 0) AS tri,
+        |       CASE WHEN d.deg <= 1 THEN 0
+        |            ELSE (2 * coalesce(tc.tri, 0) * 1000000)
+        |                 // (d.deg * (d.deg - 1)) END AS lcc_scaled
+        |FROM deg d LEFT JOIN tc ON d.node = tc.node
+        |ORDER BY d.node""".stripMargin,
 
     // sampled-source Brandes unrolled: md5-ordered 8-source sample,
     // 4 forward BFS levels keyed (s, node) accumulating exact BIGINT

@@ -920,4 +920,93 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       .map(_.as[(Long, Long)].collect().toMap)
     (0 until 3).foreach(i => assert(rRep(i) === rRef(i)))
   }
+
+  test("harmonicCentrality: hand-worked path + disconnected pair, horizon and unreachability") {
+    // path 1-2-3-4-5-6 (symmetrized) plus isolated pair 7-8;
+    // sources {1, 7}, maxHops = 3.
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (7L, 8L))
+    val edges = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    val srcs = Seq(1L, 7L).toDF("node")
+    val got = Graph.harmonicCentrality(edges, srcs, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    // from 1: d(2)=1, d(3)=2, d(4)=3; 5 and 6 beyond the horizon.
+    // from 7: d(8)=1. Sources see each other NEVER (disconnected) —
+    // nodes 1 and 7 are absent, like 5/6: absence IS the contract.
+    assert(got === Map(
+      2L -> 1000000L, 3L -> 500000L, 4L -> 333333L, 8L -> 1000000L))
+  }
+
+  test("harmonicCentrality: overlapping sources sum; an edgeless source contributes nothing") {
+    // triangle 1-2-3, sources {1, 2, 9} — 9 appears in no edge row.
+    val raw = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    val got = Graph.harmonicCentrality(
+        edges, Seq(1L, 2L, 9L).toDF("node"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    // 3 is at distance 1 from BOTH live sources; 1 and 2 each see the
+    // other source at distance 1; 9 reaches nothing and nothing
+    // reaches anyone FROM 9.
+    assert(got === Map(
+      1L -> 1000000L, 2L -> 1000000L, 3L -> 2000000L))
+  }
+
+  test("eccentricity: horizon-bounded vs exhausted sources, edgeless source absent") {
+    // path 1-2-3-4-5-6 (symmetrized) + isolated pair 7-8; sources
+    // {1, 7, 9} with 9 in no edge row.
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (7L, 8L))
+    val edges = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    val srcs = Seq(1L, 7L, 9L).toDF("node")
+    val at3 = Graph.eccentricity(edges, srcs, maxHops = 3)
+      .select(col("node"), col("ecc"), col("n_reached"), col("is_exact"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(at3 === Map(
+      // 1's level-3 frontier {4} is nonempty: ecc 3 is a LOWER bound
+      1L -> ((3L, 3L, 0L)),
+      // 7 exhausted its pair at level 1: exact
+      7L -> ((1L, 1L, 1L))))
+    val at10 = Graph.eccentricity(edges, srcs, maxHops = 10)
+      .select(col("node"), col("ecc"), col("n_reached"), col("is_exact"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // a bound past the true eccentricity turns the same row exact
+    assert(at10 === Map(1L -> ((5L, 5L, 1L)), 7L -> ((1L, 1L, 1L))))
+  }
+
+  test("localClustering: triangle + leaf + isolated edge covers every branch") {
+    // triangle 1-2-3, leaf 4 on 1, isolated edge 5-6 (one row per
+    // undirected edge — the operator symmetrizes internally).
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("u", "v")
+    val got = Graph.localClustering(edges)
+      .select(col("node"), col("deg"), col("tri"), col("lcc_scaled"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      // node 1: deg 3, 1 triangle of 3 possible pairs -> 1/3
+      1L -> ((3L, 1L, 333333L)),
+      2L -> ((2L, 1L, 1000000L)),
+      3L -> ((2L, 1L, 1000000L)),
+      // deg-1 leaves: emitted with lcc 0, never dropped
+      4L -> ((1L, 0L, 0L)),
+      5L -> ((1L, 0L, 0L)),
+      6L -> ((1L, 0L, 0L))))
+  }
+
+  test("localClustering: replays q171's triangle counts on its own edges") {
+    val rnd = new scala.util.Random(47)
+    val re = Seq.fill(80)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a < b }.distinct
+    val edges = re.toDF("u", "v")
+    val tri = Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    val lcc = Graph.localClustering(edges)
+      .select(col("node"), col("tri")).as[(Long, Long)].collect().toMap
+    // every triangle corner agrees; lcc-only rows are tri = 0
+    tri.foreach { case (n, t) => assert(lcc(n) === t, s"node $n") }
+    lcc.filterNot { case (n, _) => tri.contains(n) }
+      .foreach { case (n, t) => assert(t === 0L, s"node $n") }
+  }
 }

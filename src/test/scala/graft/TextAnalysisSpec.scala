@@ -339,4 +339,5 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long, Double)].head()
     assert(r === ((0L, 0L, 0.0)))
   }
+
 }
