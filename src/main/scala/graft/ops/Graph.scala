@@ -1573,6 +1573,144 @@ object Graph {
           .otherwise(expr(s"(2 * tri * ${scale}L) div (deg * (deg - 1))")))
   }
 
+  /** BUTTERFLY COUNTING — the 2×2-biclique motif census of a
+    * BIPARTITE graph (Sanei-Mehri, Sariyüce & Tirthapura 2018,
+    * "Butterfly Counting in Bipartite Networks"; distributed
+    * vertex-priority variant in Wang et al. 2019): a butterfly is
+    * two left vertices sharing two right vertices — the smallest
+    * cohesion unit a bipartite graph admits (it has NO triangles, so
+    * the whole q171/q365/q375 motif stack reads zero on it; this is
+    * the bipartite replacement).
+    *
+    * Counted by wedge aggregation pivoting on the LEFT side: for
+    * every right pair (r1, r2) sharing a left vertex, w = the number
+    * of shared left vertices; each pair contributes C(w, 2)
+    * butterflies, and each of r1/r2 participates in all of them.
+    * Per-right-vertex count: b(r) = Σ_{r' ≠ r} C(w(r,r'), 2).
+    * Exact integer arithmetic end to end (C(w,2) = w·(w−1) div 2 —
+    * even product, the division is exact; any 64-bit engine
+    * replays it).
+    *
+    * PIVOT CHOICE IS THE SCALE LEVER: wedge volume = Σ_l deg(l)² over
+    * the pivot side — callers put the LOW-degree side on the left
+    * (`l`). On the trade fixture that is customers (deg ≈ 30 at any
+    * SF) vs suppliers (deg grows with SF); the same rule at 100 TB
+    * keeps the wedge join output-bounded the way q171's degree
+    * orientation does. Shuffles: one self-join of edges on l
+    * (bucket on l at scale), one map-side-combined groupBy on the
+    * (r1, r2) pair, one explode-free re-aggregation per right vertex.
+    *
+    * Input: edges (l, r) — one row per bipartite edge, distinct.
+    * Output: (node, bf) — right-side vertices with ≥ 1 butterfly
+    * (w ≥ 2 pairs only; a right vertex in no butterfly is absent). */
+  def butterflyCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("l"), col("r")).distinct()
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.l") === col("b.l") && col("a.r") < col("b.r"))
+      .select(col("a.r").as("r1"), col("b.r").as("r2"))
+      .groupBy(col("r1"), col("r2")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("r1"), col("r2"),
+        expr("(w * (w - 1)) div 2").as("bf"))
+    pairs.select(col("r1").as("node"), col("bf"))
+      .unionByName(pairs.select(col("r2").as("node"), col("bf")))
+      .groupBy(col("node")).agg(sum(col("bf")).as("bf"))
+  }
+
+  /** DETERMINISTIC MAXIMAL-INDEPENDENT-SET rounds — Luby's algorithm
+    * (Luby 1986, "A Simple Parallel Algorithm for the Maximal
+    * Independent Set Problem") with the random priorities replaced by
+    * a content-addressed md5 total order (the repo's md5-sampling
+    * discipline): node v enters the MIS in round i iff its priority
+    * md5(salt‖v) is strictly smaller than every LIVE neighbor's;
+    * v and its neighbors then leave the live set. Priorities are
+    * distinct with md5-collision probability, so the minimum is
+    * unique and every round is deterministic — any engine with md5 +
+    * string comparison replays the full trajectory (both Spark and
+    * DuckDB emit lowercase-hex md5; ASCII compare agrees).
+    *
+    * BOUNDED-ROUND contract (the sssp/k-truss gateable-prefix
+    * discipline): exactly `rounds` rounds run; output labels every
+    * node `mis` (with the round it joined), `removed` (neighbor of a
+    * joiner, with the round), or `live` (undecided at the bound,
+    * round = 0). Luby's analysis gives O(log n) expected rounds to
+    * empty the live set; a caller wanting the certified-maximal set
+    * checks no `live` rows remain.
+    *
+    * INDEPENDENCE is exact at ANY bound: two adjacent nodes can
+    * never join (one's priority beats the other's in the round both
+    * are live; joining removes the loser). Per round: one
+    * frontier⋈edges join + min-groupBy for the neighbor-minimum, one
+    * anti-join to shrink the live set — all map-side-combinable;
+    * bucket edges on src at 100 TB.
+    *
+    * Input: edges (src, dst) — symmetrize for undirected MIS (the
+    * neighbor minimum reads OUT-edges); salt for the priority hash.
+    * Output: (node, status, round). */
+  def luby(edges: DataFrame, rounds: Int,
+           salt: String = "mis:"): DataFrame = {
+    require(rounds >= 1, "rounds must be positive")
+    val prio = md5(concat(lit(salt), col("node").cast("string")))
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var live = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .select(col("node"), prio.as("p"))
+      .localCheckpoint()
+    var decided: DataFrame = null
+    var i = 0
+    while (i < rounds && live.head(1).nonEmpty) {
+      i += 1
+      // neighbor minimum over LIVE neighbors only
+      val nbrMin = live.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), col("p"))
+        .join(live.select(col("node")), Seq("node"), "left_semi")
+        .groupBy(col("node")).agg(min(col("p")).as("np"))
+      val joiners = live.join(nbrMin, Seq("node"), "left")
+        .filter(col("np").isNull || col("p") < col("np"))
+        .select(col("node"), lit("mis").as("status"),
+          lit(i.toLong).as("round"))
+        .localCheckpoint()
+      // a joiner is never adjacent to a joiner (the smaller priority
+      // would have blocked the other), so removed ∩ joiners = ∅ by
+      // construction — no anti-join needed
+      val removed = joiners.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(live.select(col("node")), Seq("node"), "left_semi")
+        .select(col("node"), lit("removed").as("status"),
+          lit(i.toLong).as("round"))
+        .localCheckpoint()
+      val newDecided =
+        (if (decided == null) joiners.unionByName(removed)
+         else decided.unionByName(joiners).unionByName(removed))
+          .localCheckpoint()
+      if (decided != null) releaseCheckpoint(decided)
+      decided = newDecided
+      val shrunk = live
+        .join(newDecided.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      releaseCheckpoint(live)
+      releaseCheckpoint(joiners)
+      releaseCheckpoint(removed)
+      live = shrunk
+    }
+    val out = (if (decided == null) live.select(col("node"),
+        lit("live").as("status"), lit(0L).as("round")).limit(0)
+      else decided)
+      .unionByName(live.select(col("node"), lit("live").as("status"),
+        lit(0L).as("round")))
+      .localCheckpoint()
+    if (decided != null) releaseCheckpoint(decided)
+    releaseCheckpoint(live)
+    releaseCheckpoint(e)
+    out
+  }
+
   /** Free a localCheckpoint's block-manager storage (best-effort):
     * the checkpointed RDD sits behind the LogicalRDD node the
     * checkpoint call returned; Dataset.unpersist only covers

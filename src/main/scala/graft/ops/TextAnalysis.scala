@@ -493,4 +493,53 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_instances"), sum(col("wc")).as("occurrences"))
   }
 
+  /** READABILITY SCORING — Flesch reading ease and Flesch–Kincaid
+    * grade level (Flesch 1948; Kincaid et al. 1975), the classic
+    * surface-form readability pair every text-quality pipeline
+    * reports beside length/punctuation heuristics:
+    *
+    *   ease  = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)
+    *   grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59
+    *
+    * Counting rules (all row-local, all exact integers):
+    * W = whitespace tokens; S = max(1, runs of [.!?]); Syl = per
+    * token max(1, lowercase [aeiouy]+ vowel-group runs) summed — the
+    * standard regex syllable heuristic (a vowel run approximates a
+    * nucleus; vowelless tokens count one syllable, per the FK
+    * convention that every word has ≥ 1).
+    *
+    * Cross-engine determinism: the three counts are exact BIGINTs;
+    * each score is ONE fixed IEEE double expression over them
+    * (literal constants, two divisions, rounded once at 4dp) — both
+    * engines replay the identical op tree. The per-token max(1, ·)
+    * needs no explode: Syl = (vowel-group runs in the whole text)
+    * + (W − tokens containing a vowel), three regexp/split counts —
+    * codegen'd, zero shuffle until the caller aggregates. The
+    * vowel-bearing-token pattern `[^ ]*[aeiouy][^ ]*` consumes a
+    * whole space-delimited token per match (greedy, cannot span the
+    * space), so its match count IS the token count — and it is
+    * lookaround-free on purpose: DuckDB's RE2 oracle has no
+    * lookbehind.
+    *
+    * Input: a text Column; returns a struct (n_words, n_sentences,
+    * n_syllables, ease, grade). */
+  def readability(text: Column): Column = {
+    val w = size(split(text, " ")).cast("long")
+    val s = greatest(lit(1L),
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long"))
+    val low = lower(text)
+    val vowelTokens = size(regexp_extract_all(low,
+      lit("[^ ]*[aeiouy][^ ]*"), lit(0))).cast("long")
+    val syl = size(regexp_extract_all(low, lit("[aeiouy]+"), lit(0)))
+      .cast("long") + (w - vowelTokens)
+    val wps = w.cast("double") / s.cast("double")
+    val spw = syl.cast("double") / w.cast("double")
+    struct(
+      w.as("n_words"), s.as("n_sentences"), syl.as("n_syllables"),
+      round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4)
+        .as("ease"),
+      round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4)
+        .as("grade"))
+  }
+
 }

@@ -1503,6 +1503,61 @@ object JoinQueries {
         .orderBy("node")
     }),
 
+    // BUTTERFLY COUNTING (Sanei-Mehri et al. 2018 — r19): the 2×2-
+    // biclique census of the NATIVE customer–supplier bipartite
+    // graph. Every motif gate so far (q171 triangles, q365 truss,
+    // q375 clustering) works the PROJECTED co-purchase graph because
+    // bipartite graphs have no triangles at all; the butterfly is the
+    // smallest cohesion motif that exists on the bipartite original —
+    // two customers sharing two suppliers. Per-supplier counts via
+    // wedge aggregation pivoting on the CUSTOMER side (deg ≈ 30 at
+    // every SF, while supplier degree grows with SF — the pivot
+    // choice is the scale lever, same logic as q171's degree
+    // orientation); C(w,2) = w·(w−1) div 2 is exact (even product),
+    // BIGINT end to end. Non-vacuity inspected: wedge multiplicities
+    // reach w = 144/215 at sf0.001/sf0.01 with 45/4950 pairs past the
+    // w=2 floor (the quadratic C(w,2) term dominates, not the floor),
+    // and every supplier lands in ≥1 butterfly at both gated SFs.
+    "q377_butterfly" -> ((s, dir) => {
+      val eb = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("l"), col("l_suppkey").as("r"))
+        .distinct()
+      graft.ops.Graph.butterflyCounts(eb).orderBy("node")
+    }),
+
+    // DETERMINISTIC LUBY MIS (Luby 1986 — r19): parallel maximal-
+    // independent-set rounds with md5 priorities — the symmetry-
+    // breaking primitive (matching, coloring, scheduling all reduce
+    // to it) the registry lacked; also the first gate whose ITERATION
+    // is driven by content-addressed randomness rather than graph
+    // values. 3 bounded rounds on the part co-purchase graph (the
+    // sssp gateable-prefix discipline); output labels joiners by
+    // round, removed neighbors by round, and the still-live remainder
+    // honestly. Independence is exact at any bound (adjacent joiners
+    // are impossible — the smaller md5 blocks the larger); maximality
+    // holds only when no live rows remain, which the fixture does NOT
+    // reach in 3 rounds at either SF — the live branch is a real
+    // output, not dead code. Non-vacuity inspected: all three
+    // statuses populated at both gated SFs and joiners arrive in
+    // EVERY round (sf0.001: mis 2/1/3 by round, removed 157/21/14,
+    // live 2; sf0.01: mis 16/10/15, removed 1218/314/258, live 169).
+    "q379_mis" -> ((s, dir) => {
+      val ib = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val und = ib.as("a")
+        .join(ib.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val edges = und.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+      graft.ops.Graph.luby(edges, rounds = 3)
+        .orderBy("node")
+    }),
+
     // K-TRUSS PEELING (Cohen 2008 — the triangle-dense subgraph
     // beside q240's k-core: core peels on DEGREE, truss peels on
     // EDGE SUPPORT = common-neighbor count, the community-detection
@@ -2983,6 +3038,90 @@ object JoinQueries {
         |         AS is_exact
         |FROM lv LEFT JOIN unf ON lv.s = unf.s
         |GROUP BY lv.s, unf.s ORDER BY node""".stripMargin,
+
+    // same customer-pivoted wedge aggregation; C(w,2) by the exact
+    // even-product floor division
+    "q377_butterfly" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT o_custkey AS l, l_suppkey AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |p AS MATERIALIZED (
+        |  SELECT a.r AS r1, b.r AS r2, CAST(count(*) AS BIGINT) AS w
+        |  FROM eb a JOIN eb b ON a.l = b.l AND a.r < b.r
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |bfp AS (SELECT r1, r2, (w * (w - 1)) // 2 AS bf FROM p)
+        |SELECT node, CAST(sum(bf) AS BIGINT) AS bf FROM (
+        |  SELECT r1 AS node, bf FROM bfp
+        |  UNION ALL SELECT r2, bf FROM bfp)
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    // three Luby rounds unrolled: md5 priorities, per-round live-
+    // neighbor minimum, joiner test (no live neighbor OR strictly
+    // smallest), neighbor removal, live-set shrink
+    "q379_mis" ->
+      """WITH ib AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |        FROM ib a JOIN ib b ON a.l_orderkey = b.l_orderkey
+        |                           AND a.l_partkey < b.l_partkey),
+        |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+        |     UNION ALL SELECT v, u FROM und),
+        |l0 AS MATERIALIZED (
+        |  SELECT node, md5('mis:' || node) AS p
+        |  FROM (SELECT DISTINCT src AS node FROM e)),
+        |nm1 AS (SELECT e.dst AS node, min(l.p) AS np
+        |        FROM l0 l JOIN e ON l.node = e.src
+        |        WHERE e.dst IN (SELECT node FROM l0)
+        |        GROUP BY e.dst),
+        |m1 AS MATERIALIZED (
+        |  SELECT l.node FROM l0 l LEFT JOIN nm1 ON l.node = nm1.node
+        |  WHERE nm1.np IS NULL OR l.p < nm1.np),
+        |r1 AS MATERIALIZED (
+        |  SELECT DISTINCT e.dst AS node
+        |  FROM m1 JOIN e ON m1.node = e.src
+        |  WHERE e.dst IN (SELECT node FROM l0)),
+        |l1 AS MATERIALIZED (
+        |  SELECT node, p FROM l0
+        |  WHERE node NOT IN (SELECT node FROM m1)
+        |    AND node NOT IN (SELECT node FROM r1)),
+        |nm2 AS (SELECT e.dst AS node, min(l.p) AS np
+        |        FROM l1 l JOIN e ON l.node = e.src
+        |        WHERE e.dst IN (SELECT node FROM l1)
+        |        GROUP BY e.dst),
+        |m2 AS MATERIALIZED (
+        |  SELECT l.node FROM l1 l LEFT JOIN nm2 ON l.node = nm2.node
+        |  WHERE nm2.np IS NULL OR l.p < nm2.np),
+        |r2 AS MATERIALIZED (
+        |  SELECT DISTINCT e.dst AS node
+        |  FROM m2 JOIN e ON m2.node = e.src
+        |  WHERE e.dst IN (SELECT node FROM l1)),
+        |l2 AS MATERIALIZED (
+        |  SELECT node, p FROM l1
+        |  WHERE node NOT IN (SELECT node FROM m2)
+        |    AND node NOT IN (SELECT node FROM r2)),
+        |nm3 AS (SELECT e.dst AS node, min(l.p) AS np
+        |        FROM l2 l JOIN e ON l.node = e.src
+        |        WHERE e.dst IN (SELECT node FROM l2)
+        |        GROUP BY e.dst),
+        |m3 AS MATERIALIZED (
+        |  SELECT l.node FROM l2 l LEFT JOIN nm3 ON l.node = nm3.node
+        |  WHERE nm3.np IS NULL OR l.p < nm3.np),
+        |r3 AS MATERIALIZED (
+        |  SELECT DISTINCT e.dst AS node
+        |  FROM m3 JOIN e ON m3.node = e.src
+        |  WHERE e.dst IN (SELECT node FROM l2)),
+        |l3 AS (
+        |  SELECT node FROM l2
+        |  WHERE node NOT IN (SELECT node FROM m3)
+        |    AND node NOT IN (SELECT node FROM r3))
+        |SELECT node, status, round FROM (
+        |  SELECT node, 'mis' AS status, CAST(1 AS BIGINT) AS round FROM m1
+        |  UNION ALL SELECT node, 'removed', CAST(1 AS BIGINT) FROM r1
+        |  UNION ALL SELECT node, 'mis', CAST(2 AS BIGINT) FROM m2
+        |  UNION ALL SELECT node, 'removed', CAST(2 AS BIGINT) FROM r2
+        |  UNION ALL SELECT node, 'mis', CAST(3 AS BIGINT) FROM m3
+        |  UNION ALL SELECT node, 'removed', CAST(3 AS BIGINT) FROM r3
+        |  UNION ALL SELECT node, 'live', CAST(0 AS BIGINT) FROM l3)
+        |ORDER BY node""".stripMargin,
 
     // same sequence digraph, L↔ via the transposed semi-join, the
     // identical IEEE expression tree for r/density/rho (exact BIGINT

@@ -202,6 +202,33 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // READABILITY SCORING (Flesch 1948; Kincaid et al. 1975 — r19):
+    // Flesch reading ease + FK grade level per doc — the standard
+    // surface-form readability pair, a DIFFERENT quality axis from
+    // q55's ratio heuristics (those measure token diversity and
+    // punctuation density; FK measures sentence and word LENGTH
+    // structure via the regex syllable approximation). Entirely
+    // row-local and codegen'd (three counts + two fixed IEEE
+    // expressions, one 4dp rounding each — both engines replay the
+    // identical op tree; the syllable regexes are lookaround-free
+    // because the DuckDB oracle runs RE2). Non-vacuity inspected:
+    // ease spans −20.98 → 96.02 and grade 2.6 → 40.8 at sf0.01 (a
+    // real corpus spread, both formulas far from constant). The
+    // vowelless-token correction (W − vowel-bearing tokens) is
+    // FIXTURE-DEAD — every shipped token carries a vowel at both
+    // gated SFs — so that branch is pinned by TextAnalysisSpec's
+    // hand case, not the gate (the q375 deg≤1 convention).
+    "q378_readability" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.readability(col("text")).as("rd"))
+        .select(col("doc_id"), col("rd.n_words").as("n_words"),
+          col("rd.n_sentences").as("n_sentences"),
+          col("rd.n_syllables").as("n_syllables"),
+          col("rd.ease").as("ease"), col("rd.grade").as("grade"))
+        .orderBy("doc_id")
+    }),
+
     // exact dedup via content hash: group keys are 32-byte hashes, not
     // raw text (the 100 TB shuffle-payload design).
     "q50_exact_dedup" -> ((s, dir) => {
@@ -3877,6 +3904,30 @@ object LlmQueries {
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // same three RE2-safe counts, same IEEE expression trees: W from
+    // string_split, S = max(1, [.!?]+ runs), Syl = vowel-group runs
+    // + vowelless tokens (W − whole-token vowel-bearing matches)
+    "q378_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |         greatest(CAST(1 AS BIGINT),
+        |           CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        |           AS s,
+        |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |           AS BIGINT) AS vruns,
+        |         CAST(len(regexp_extract_all(lower(text),
+        |           '[^ ]*[aeiouy][^ ]*')) AS BIGINT) AS vtoks
+        |  FROM documents),
+        |k AS (SELECT doc_id, w, s, vruns + (w - vtoks) AS syl FROM c)
+        |SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,
+        |       round(206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |             - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)), 4)
+        |         AS ease,
+        |       round(0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |             + 11.8 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))
+        |             - 15.59, 4) AS grade
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q50_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,

@@ -975,6 +975,83 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(at10 === Map(1L -> ((5L, 5L, 1L)), 7L -> ((1L, 1L, 1L))))
   }
 
+  test("butterflyCounts: hand-worked bipartite graph and K(2,2)") {
+    // L = {1,2,3}, R = {10,20,30}: 10 and 20 share lefts {1,2,3}
+    // (w = 3 -> C(3,2) = 3 butterflies); 30 shares only {3} with
+    // each (w = 1, filtered) -> absent.
+    val e = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 30L)).toDF("l", "r")
+    val got = Graph.butterflyCounts(e)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 3L, 20L -> 3L))
+    // the single K(2,2) is exactly one butterfly on each right vertex
+    val k22 = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L))
+      .toDF("l", "r")
+    assert(Graph.butterflyCounts(k22).as[(Long, Long)].collect().toMap
+      === Map(10L -> 1L, 20L -> 1L))
+  }
+
+  test("butterflyCounts: matches brute-force 4-cycle enumeration on a random bipartite graph") {
+    val rnd = new scala.util.Random(53)
+    val es = Seq.fill(150)((rnd.nextInt(12).toLong, 100L + rnd.nextInt(10)))
+      .distinct
+    val got = Graph.butterflyCounts(es.toDF("l", "r"))
+      .as[(Long, Long)].collect().toMap
+    // brute force: for each right pair, count shared lefts
+    val byR = es.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val ref = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val rs = byR.keys.toSeq.sorted
+    for (i <- rs.indices; j <- i + 1 until rs.length) {
+      val w = (byR(rs(i)) & byR(rs(j))).size.toLong
+      if (w >= 2) { val bf = w * (w - 1) / 2
+        ref(rs(i)) += bf; ref(rs(j)) += bf }
+    }
+    assert(got === ref.toMap)
+  }
+
+  test("luby: matches a sequential reference, independence and maximality at convergence") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val rnd = new scala.util.Random(59)
+    val re = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val sym = (re ++ re.map(_.swap)).distinct
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // sequential reference of the deterministic rounds
+    val prio = adj.keys.map(n => n -> md5hex("mis:" + n)).toMap
+    var live = adj.keySet
+    val ref = scala.collection.mutable.Map[Long, (String, Long)]()
+    for (i <- 1 to 10 if live.nonEmpty) {
+      val joiners = live.filter(v =>
+        (adj(v) & live).forall(u => prio(v) < prio(u)))
+      val removed = joiners.flatMap(adj) & live &~ joiners
+      joiners.foreach(v => ref(v) = ("mis", i.toLong))
+      removed.foreach(v => ref(v) = ("removed", i.toLong))
+      live = live &~ joiners &~ removed
+    }
+    live.foreach(v => ref(v) = ("live", 0L))
+    val got = Graph.luby(sym.toDF("src", "dst"), rounds = 10)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === ref.toMap)
+    // converged at 10 rounds on 25 nodes: no live rows, so the MIS
+    // must be independent AND maximal
+    assert(!got.values.exists(_._1 == "live"))
+    val mis = got.collect { case (n, ("mis", _)) => n }.toSet
+    sym.foreach { case (u, v) =>
+      assert(!(mis(u) && mis(v)), s"adjacent MIS pair $u-$v") }
+    got.collect { case (n, (st, _)) if st != "mis" => n }.foreach { n =>
+      assert((adj(n) & mis).nonEmpty, s"non-MIS node $n has no MIS neighbor") }
+    // partition invariance
+    val rep = Graph.luby(sym.toDF("src", "dst").repartition(7), rounds = 10)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rep === ref.toMap)
+  }
+
   test("localClustering: triangle + leaf + isolated edge covers every branch") {
     // triangle 1-2-3, leaf 4 on 1, isolated edge 5-6 (one row per
     // undirected edge — the operator symmetrizes internally).

@@ -340,4 +340,39 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(r === ((0L, 0L, 0.0)))
   }
 
+  test("readability: hand-worked counts and both formulas") {
+    // W = 7; S = 2 ('.' and '!'); every token has one vowel run ->
+    // Syl = 7. ease = 206.835 - 1.015*(7/2) - 84.6*(7/7) = 118.6825;
+    // grade = 0.39*3.5 + 11.8*1 - 15.59 = -2.425.
+    val got = Seq("the cat sat. it is a hat!").toDF("text")
+      .select(TextAnalysis.readability(col("text")).as("rd"))
+      .select(col("rd.n_words"), col("rd.n_sentences"),
+        col("rd.n_syllables"), col("rd.ease"), col("rd.grade"))
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(got === ((7L, 2L, 7L, 118.6825, -2.425)))
+  }
+
+  test("readability: vowelless tokens count one syllable; y is a vowel; sentence floor") {
+    // '7 xz grr': zero vowel runs, all three tokens vowelless ->
+    // Syl = 3; no sentence punctuation -> S floors at 1.
+    val a = Seq("7 xz grr").toDF("text")
+      .select(TextAnalysis.readability(col("text")).as("rd"))
+      .select(col("rd.n_words"), col("rd.n_sentences"),
+        col("rd.n_syllables")).as[(Long, Long, Long)].head()
+    assert(a === ((3L, 1L, 3L)))
+    // 'my rhythm': y-runs make both tokens vowel-bearing -> Syl = 2
+    val b = Seq("my rhythm").toDF("text")
+      .select(TextAnalysis.readability(col("text")).as("rd"))
+      .select(col("rd.n_words"), col("rd.n_sentences"),
+        col("rd.n_syllables")).as[(Long, Long, Long)].head()
+    assert(b === ((2L, 1L, 2L)))
+    // mixed: one vowelless token among vowel-bearing ones
+    val c = Seq("see the 99 geese...").toDF("text")
+      .select(TextAnalysis.readability(col("text")).as("rd"))
+      .select(col("rd.n_words"), col("rd.n_sentences"),
+        col("rd.n_syllables")).as[(Long, Long, Long)].head()
+    // vowel runs: see(ee), the(e), geese(ee, e) = 4; '99' vowelless
+    // adds 1 -> Syl = 5; one '...' run -> S = 1
+    assert(c === ((4L, 1L, 5L)))
+  }
 }
