@@ -1459,6 +1459,14 @@ object JoinQueries {
     "q375_local_clustering" -> ((s, dir) => {
       val ib = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // deliberately NOT checkpointed (unlike q365's peel loop): the
+      // operator references the edge frame five times, but every
+      // reference reads the SAME distinct-exchange output, so shuffle
+      // reuse already dedups the basket² build — measured at sf0.1:
+      // q375 = 15.5 s / 562 MB vs q171 alone = 17.7 s / 531 MB (the
+      // degree+ratio add ~30 MB); a localCheckpoint moved neither
+      // number (15.9 s / 573 MB) and would only take the plan out of
+      // the lazy end-to-end form the hash oracle gates
       val edges = ib.as("a")
         .join(ib.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
