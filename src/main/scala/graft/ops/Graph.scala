@@ -1573,6 +1573,83 @@ object Graph {
           .otherwise(expr(s"(2 * tri * ${scale}L) div (deg * (deg - 1))")))
   }
 
+  /** KATZ CENTRALITY, bounded-horizon form (Katz 1953, "A new status
+    * index derived from sociometric analysis"):
+    *
+    *   katz(v) = Σ_{k=1..K} α^k · |walks of length k ending at v|,
+    *
+    * the walk-count centrality between degree (K = 1) and eigenvector
+    * centrality (K → ∞) — unlike PageRank it does NOT normalize by
+    * out-degree, so prolific hubs radiate full influence. The K-term
+    * truncation is the gateable bounded prefix (the sssp discipline);
+    * with α = 1/attenuation ≤ 1/λ_max it is also the convergent
+    * series' dominant head.
+    *
+    * Exact-integer discipline (the pageRank fixed-point rules):
+    * v_0 = scale per node; v_{k+1}(n) = (Σ_{u→n} v_k(u)) div
+    * attenuation — ONE truncating division per node per level
+    * (after the exact Long sum, so the floor leak is < 1 unit per
+    * node-level, not per edge); katz_fp = Σ v_k, k ≥ 1. Any 64-bit
+    * engine replays it. Overflow: each level multiplies by ≤
+    * (max_indeg / attenuation); a raise_error cap at 1e17 per level
+    * value fails loudly before 4 levels of Σ can reach 2^63 (cap ·
+    * levels · nodes-per-sum bounded by the guard itself).
+    *
+    * Per level: one edges⋈vector equi-join + map-side-combined sum —
+    * the Pregel superstep, same scale story as pageRank (bucket
+    * edges on dst at 100 TB; the vector is node-sized).
+    *
+    * Input: edges (src, dst), directed; symmetrize for undirected
+    * Katz. Output: (node, katz_fp) for nodes with ≥ 1 in-walk —
+    * katz_fp / scale is the score. */
+  def katz(edges: DataFrame, levels: Int, attenuation: Long = 8L,
+           scale: Long = 1000000000L,
+           levelCap: Long = 100000000000000000L): DataFrame = {
+    require(levels >= 1, "levels must be positive")
+    require(attenuation >= 2, "attenuation must be >= 2")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var v = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .select(col("node"), lit(scale).as("v"))
+      .localCheckpoint()
+    var acc: DataFrame = null
+    for (_ <- 1 to levels) {
+      val nxt = v.join(e, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("v")).as("sv"))
+        // integer `div`, NOT `/` (long / long is DOUBLE division in
+        // Spark SQL — the one-ulp hazard the fixed-point rules exist
+        // to keep out)
+        .select(col("dst").as("node"),
+          expr(s"sv div ${attenuation}L").as("v"))
+        .select(col("node"),
+          when(col("v") > levelCap, raise_error(lit(
+            "katz: level value > cap - walk growth outruns the " +
+              "attenuation; raise it or lower levels")).cast("long"))
+            .otherwise(col("v")).as("v"))
+        .localCheckpoint()
+      releaseCheckpoint(v)
+      v = nxt
+      val accGrown =
+        (if (acc == null) nxt
+         else acc.unionByName(nxt).groupBy(col("node"))
+           .agg(sum(col("v")).as("v")))
+          .localCheckpoint()
+      if (acc != null) releaseCheckpoint(acc)
+      acc = accGrown
+    }
+    releaseCheckpoint(v)
+    releaseCheckpoint(e)
+    val out = acc.select(col("node"), col("v").as("katz_fp"))
+      .localCheckpoint()
+    releaseCheckpoint(acc)
+    out
+  }
+
   /** BUTTERFLY COUNTING — the 2×2-biclique motif census of a
     * BIPARTITE graph (Sanei-Mehri, Sariyüce & Tirthapura 2018,
     * "Butterfly Counting in Bipartite Networks"; distributed

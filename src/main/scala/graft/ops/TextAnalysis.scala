@@ -493,6 +493,84 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_instances"), sum(col("wc")).as("occurrences"))
   }
 
+  /** SPAN CORRUPTION — the T5 denoising objective's example builder
+    * (Raffel et al. 2020, "Exploring the Limits of Transfer Learning
+    * …", §3.1.4): mask contiguous token spans, replace each masked
+    * RUN in the input with one sentinel, and emit the dropped spans
+    * (each introduced by its sentinel) as the target —
+    *
+    *   tokens:  the cat [sat on] the mat [today]
+    *   input:   the cat <extra_id_0> the mat <extra_id_1>
+    *   target:  <extra_id_0> sat on <extra_id_1> today
+    *
+    * DETERMINISTIC noise (the q124 content-addressed-coin idiom):
+    * position i of doc d is a span START iff the first 16 bits of
+    * md5(salt‖d‖':'‖i) ≡ 0 (mod startDenom); a start masks positions
+    * i … i+spanLen−1. Overlapping/adjacent spans MERGE into one run
+    * (exactly T5's behavior — sentinels count runs, not starts), so
+    * expected corruption ≈ spanLen/startDenom. Any engine with md5
+    * replays the same examples — no RNG state, no seed tables.
+    * Deviation from the paper, documented: T5 appends a terminal
+    * sentinel after the last target span; this builder stops at the
+    * last dropped token (the pair is self-delimiting either way).
+    *
+    * Plan shape: posexplode, ONE hash-partition shuffle on the doc id
+    * for the three stacked windows (mask-extend over spanLen−1
+    * preceding starts, run-start lag, running sentinel number — all
+    * share (doc, pos) partitioning/order so Spark plans one Window
+    * over one Exchange), then one groupBy(doc) whose ordered
+    * reassembly is array_sort(collect_list(struct)) — pos-sorted,
+    * collect order irrelevant. Per-doc state is sequence-bounded; at
+    * 100 TB this is the standard sequence-labeling shuffle (text
+    * moves ONCE, as (doc, pos, token) triples).
+    *
+    * Output: (doc_id, n_tokens, n_masked, n_spans, input_text,
+    * target_text). A doc whose coins produce no span keeps
+    * input_text = the original text, target_text = '' (kept, not
+    * dropped — the training set preserves corpus membership). */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+                  startDenom: Int = 20, spanLen: Int = 3,
+                  salt: String = "sc:"): DataFrame = {
+    require(startDenom >= 1, "startDenom must be positive")
+    require(spanLen >= 1, "spanLen must be positive")
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+    val coin = conv(substring(md5(concat(lit(salt),
+      col(idCol).cast("string"), lit(":"), col("pos").cast("string"))),
+      1, 4), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val flagged = toks
+      .withColumn("start", (coin % startDenom === 0).cast("int"))
+      .withColumn("masked",
+        max(col("start")).over(w.rowsBetween(-(spanLen - 1), 0)))
+      .withColumn("run_start",
+        (col("masked") === 1 &&
+          coalesce(lag(col("masked"), 1).over(w), lit(0)) === 0)
+          .cast("int"))
+      .withColumn("sid", sum(col("run_start")).over(w))
+    val sentinel = concat(lit("<extra_id_"), (col("sid") - 1), lit(">"))
+    val pieces = flagged
+      .withColumn("in_piece",
+        when(col("masked") === 0, col("token"))
+          .when(col("run_start") === 1, sentinel))
+      .withColumn("tgt_piece",
+        when(col("run_start") === 1,
+          concat(sentinel, lit(" "), col("token")))
+          .when(col("masked") === 1, col("token")))
+    def joinPieces(c: String) = array_join(
+      transform(
+        filter(array_sort(collect_list(struct(col("pos"), col(c)))),
+          s => s.getField(c).isNotNull),
+        s => s.getField(c)), " ")
+    pieces.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("masked")).cast("long").as("n_masked"),
+        sum(col("run_start")).cast("long").as("n_spans"),
+        joinPieces("in_piece").as("input_text"),
+        joinPieces("tgt_piece").as("target_text"))
+  }
+
   /** READABILITY SCORING — Flesch reading ease and Flesch–Kincaid
     * grade level (Flesch 1948; Kincaid et al. 1975), the classic
     * surface-form readability pair every text-quality pipeline

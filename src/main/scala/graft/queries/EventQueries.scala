@@ -359,6 +359,106 @@ object EventQueries {
         .orderBy("src_type", "dst_type")
     }),
 
+    // INTER-ARRIVAL DISPERSION — the point-process burstiness test
+    // (index of dispersion / Fano factor; Cox & Lewis 1966 — r19):
+    // per event type, the variance-to-mean ratio of the per-user
+    // inter-arrival gaps. D = 1 is the Poisson null (memoryless
+    // arrivals); D > 1 is bursty clustering, D < 1 regular pacing —
+    // the first-order diagnostic behind every retry-storm and
+    // session-burst alert, and a distribution-SHAPE test the
+    // registry's rate/changepoint/CUSUM rows don't cover. Gaps in
+    // whole MINUTES (one truncating div 60 per gap — deterministic,
+    // and it keeps Σgap² inside 2^53 at every gated SF; past ~1e9
+    // gaps/type shard the moments into DECIMAL partials, noted for
+    // the 100 TB reader). Output: exact BIGINT moments (n, Σg, Σg²)
+    // plus mean and D as fixed IEEE expressions over them, one 6dp
+    // rounding each. Non-vacuity inspected, honest reading: EVERY
+    // type is massively overdispersed (D = 2559–3563 at sf0.001,
+    // 2787–3163 at sf0.01 — per-user-per-type gaps mix day-scale
+    // idle stretches with minute-scale bursts, so D ≫ 1 everywhere);
+    // what varies and what the gate pins is the BETWEEN-TYPE spread —
+    // the D < 1 regular-pacing regime is fixture-absent, stated
+    // rather than claimed.
+    "q384_interarrival" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      val gaps = Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .filter(col("prev_ts").isNotNull)
+        .select(col("event_type"),
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+            .as("d"))
+        .select(col("event_type"), expr("d div 60000000L").as("g"))
+      gaps.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("g")).as("sum_g"),
+          sum(col("g") * col("g")).as("sum_g2"))
+        .select(col("event_type"), col("n_gaps"), col("sum_g"),
+          col("sum_g2"),
+          round(col("sum_g").cast("double") /
+            col("n_gaps").cast("double"), 6).as("mean_gap_min"),
+          round((col("sum_g2").cast("double") /
+            col("n_gaps").cast("double") -
+            (col("sum_g").cast("double") / col("n_gaps").cast("double")) *
+              (col("sum_g").cast("double") / col("n_gaps").cast("double"))) /
+            (col("sum_g").cast("double") / col("n_gaps").cast("double")),
+            6).as("dispersion"))
+        .orderBy("event_type")
+    }),
+
+    // STATIONARY DISTRIBUTION of the event-type Markov chain (the
+    // steady state q115's one-step matrix converges to — r19): three
+    // power-iteration steps π ← πP from uniform, the long-run
+    // behavioral mix a session simulator samples from. Exact-integer
+    // (pageRank fixed-point discipline): π in 1e-12 units, each term
+    // (π(src)·n(src→dst)) div tot(src) — exact Long product and sum,
+    // ONE truncating division per (src, dst) cell; floor leak < 1
+    // unit per cell per step. PRECONDITION (holds on the fixture,
+    // inspected: every event type occurs as a transition SOURCE at
+    // every SF): no absorbing-but-sourceless type, else its mass
+    // exits the chain un-renormalized. The matrix is |types|² —
+    // broadcast-tiny at ANY scale; the only corpus-sized work is
+    // q115's lead() pair build (one user-partition window), and the
+    // iterations run on the aggregated matrix alone. Non-vacuity:
+    // π_3 ≠ π_0 (uniform) AND ≠ the empirical source marginal at
+    // both gated SFs (sf0.001: click 0.2112 vs marginal 0.2102 vs
+    // uniform 0.2000; view 0.1907 vs 0.1888) — the near-uniform
+    // fixture chain moves little, but the iteration provably moves
+    // and the exact-integer gate pins all 12 decimal places, not the
+    // rounded display. Integer envelope: π·n ≤ 1e12·n — past n ≈
+    // 9e6 transitions per cell, pre-normalize n/tot to fixed point
+    // before the product (noted for the 100 TB reader).
+    "q382_stationary" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val counted = Tables.events(s, dir)
+        .withColumn("dst_type", lead("event_type", 1).over(w))
+        .filter(col("dst_type").isNotNull)
+        .select(col("event_type").as("src_type"), col("dst_type"))
+        .groupBy("src_type", "dst_type")
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val tot = counted.groupBy(col("src_type"))
+        .agg(sum(col("n")).as("tot"))
+      val m = counted.join(tot, Seq("src_type"))
+      val nTypes = counted.select(col("src_type")).distinct().count()
+      var pi = counted.select(col("src_type").as("event_type")).distinct()
+        .select(col("event_type"),
+          lit(1000000000000L / nTypes).as("pi_fp"))
+      for (_ <- 1 to 3) {
+        pi = m.join(pi, col("src_type") === col("event_type"))
+          .select(col("dst_type"),
+            expr("(pi_fp * n) div tot").as("term"))
+          .groupBy(col("dst_type"))
+          .agg(sum(col("term")).as("pi_fp"))
+          .select(col("dst_type").as("event_type"), col("pi_fp"))
+      }
+      pi.orderBy("event_type")
+    }),
+
     // TIME-SERIES GAP FILL (LOCF — last observation carried forward):
     // resample each user's irregular observations onto a regular
     // hourly grid, carrying the latest value at-or-before each grid
@@ -2739,6 +2839,65 @@ object EventQueries {
         |SELECT first_touch, count(*) AS n_sessions,
         |       CAST(sum(pv) AS DOUBLE) AS attributed_value
         |FROM g GROUP BY first_touch ORDER BY first_touch""".stripMargin,
+    // same per-(user, type) lag, same minute floor-div, exact BIGINT
+    // moments, the identical IEEE mean/dispersion trees
+    "q384_interarrival" ->
+      """WITH gaps AS (
+        |  SELECT event_type,
+        |         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |            PARTITION BY user_id, event_type
+        |            ORDER BY ts, event_id)) // 60000000 AS g
+        |  FROM events),
+        |mo AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |         CAST(sum(g) AS BIGINT) AS sum_g,
+        |         CAST(sum(g * g) AS BIGINT) AS sum_g2
+        |  FROM gaps WHERE g IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n_gaps, sum_g, sum_g2,
+        |       round(CAST(sum_g AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6)
+        |         AS mean_gap_min,
+        |       round((CAST(sum_g2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |              - (CAST(sum_g AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |                * (CAST(sum_g AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+        |             / (CAST(sum_g AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6)
+        |         AS dispersion
+        |FROM mo ORDER BY event_type""".stripMargin,
+
+    // same lead() pair build, uniform 1e-12 start over the source
+    // types, three unrolled pi <- piP steps with the (pi*n)//tot
+    // per-cell truncation
+    "q382_stationary" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS src_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS dst_type
+        |  FROM events),
+        |counted AS (
+        |  SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs WHERE dst_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src_type, CAST(sum(n) AS BIGINT) AS tot
+        |        FROM counted GROUP BY 1),
+        |nt AS (SELECT count(DISTINCT src_type) AS k FROM counted),
+        |p0 AS (SELECT DISTINCT src_type AS event_type,
+        |              CAST(1000000000000 // k AS BIGINT) AS pi_fp
+        |       FROM counted, nt),
+        |p1 AS (SELECT c.dst_type AS event_type,
+        |              CAST(sum((p.pi_fp * c.n) // t.tot) AS BIGINT) AS pi_fp
+        |       FROM counted c JOIN tot t USING (src_type)
+        |            JOIN p0 p ON p.event_type = c.src_type
+        |       GROUP BY 1),
+        |p2 AS (SELECT c.dst_type AS event_type,
+        |              CAST(sum((p.pi_fp * c.n) // t.tot) AS BIGINT) AS pi_fp
+        |       FROM counted c JOIN tot t USING (src_type)
+        |            JOIN p1 p ON p.event_type = c.src_type
+        |       GROUP BY 1),
+        |p3 AS (SELECT c.dst_type AS event_type,
+        |              CAST(sum((p.pi_fp * c.n) // t.tot) AS BIGINT) AS pi_fp
+        |       FROM counted c JOIN tot t USING (src_type)
+        |            JOIN p2 p ON p.event_type = c.src_type
+        |       GROUP BY 1)
+        |SELECT event_type, pi_fp FROM p3 ORDER BY event_type""".stripMargin,
+
     "q115_transitions" ->
       """WITH pairs AS (
         |  SELECT event_type AS src_type,

@@ -1511,6 +1511,39 @@ object JoinQueries {
         .orderBy("node")
     }),
 
+    // KATZ CENTRALITY (Katz 1953 — r19): attenuated walk-COUNT
+    // centrality, the classic index between degree and eigenvector
+    // centrality — distinct from PageRank (q212) in exactly one
+    // structural way: no out-degree normalization, so a prolific hub
+    // radiates full influence along every edge instead of splitting
+    // it. 4 bounded levels at α = 1/8 on the symmetrized trade graph
+    // (the sssp gateable-prefix discipline); v_{k+1} = (Σ in-walk
+    // mass) div 8 — exact Long sums, ONE truncating division per
+    // node-level, the pageRank fixed-point rules; loud cap at 1e17
+    // (measured envelope: max degree 679 at EVERY fixture incl.
+    // derived sf1 — disjoint-key copies preserve degree — gives
+    // v4 ≤ 5.2e16 even in the all-max over-bound). Non-vacuity
+    // inspected, and the measurement is the interesting part: at
+    // sf0.001 the Katz top-10 IS the degree top-10 (all suppliers),
+    // but at sf0.01 the overlap is 0/10 and the top-10 is ALL
+    // CUSTOMERS — on a bipartite graph the dominant k=4 even-walk
+    // term is side-balanced (Σ walks alternates sides), so the raw
+    // walk mass genuinely re-ranks instead of rescaling degree; Katz
+    // is measurably NOT a degree/PageRank monotone on this fixture.
+    "q381_katz" -> ((s, dir) => {
+      val eb = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s1"))
+        .distinct()
+        .localCheckpoint()
+      val edges = eb.select(col("c").as("src"), col("s1").as("dst"))
+        .unionByName(eb.select(col("s1").as("src"), col("c").as("dst")))
+      graft.ops.Graph.katz(edges, levels = 4).orderBy("node")
+    }),
+
     // BUTTERFLY COUNTING (Sanei-Mehri et al. 2018 — r19): the 2×2-
     // biclique census of the NATIVE customer–supplier bipartite
     // graph. Every motif gate so far (q171 triangles, q365 truss,
@@ -3046,6 +3079,35 @@ object JoinQueries {
         |         AS is_exact
         |FROM lv LEFT JOIN unf ON lv.s = unf.s
         |GROUP BY lv.s, unf.s ORDER BY node""".stripMargin,
+
+    // four unrolled mat-vec levels: exact sums, one // 8 per
+    // node-level, running total
+    "q381_katz" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (SELECT c AS src, s AS dst FROM eb
+        |     UNION ALL SELECT s, c FROM eb),
+        |v0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS v FROM (
+        |         SELECT DISTINCT src AS node FROM e)),
+        |v1 AS MATERIALIZED (
+        |  SELECT e.dst AS node, CAST(sum(v.v) AS BIGINT) // 8 AS v
+        |  FROM v0 v JOIN e ON v.node = e.src GROUP BY e.dst),
+        |v2 AS MATERIALIZED (
+        |  SELECT e.dst AS node, CAST(sum(v.v) AS BIGINT) // 8 AS v
+        |  FROM v1 v JOIN e ON v.node = e.src GROUP BY e.dst),
+        |v3 AS MATERIALIZED (
+        |  SELECT e.dst AS node, CAST(sum(v.v) AS BIGINT) // 8 AS v
+        |  FROM v2 v JOIN e ON v.node = e.src GROUP BY e.dst),
+        |v4 AS MATERIALIZED (
+        |  SELECT e.dst AS node, CAST(sum(v.v) AS BIGINT) // 8 AS v
+        |  FROM v3 v JOIN e ON v.node = e.src GROUP BY e.dst)
+        |SELECT node, CAST(sum(v) AS BIGINT) AS katz_fp FROM (
+        |  SELECT node, v FROM v1
+        |  UNION ALL SELECT node, v FROM v2
+        |  UNION ALL SELECT node, v FROM v3
+        |  UNION ALL SELECT node, v FROM v4)
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     // same customer-pivoted wedge aggregation; C(w,2) by the exact
     // even-product floor division

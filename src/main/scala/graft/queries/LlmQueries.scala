@@ -229,6 +229,61 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // TEXTRANK KEYWORD EXTRACTION (Mihalcea & Tarau 2004, "TextRank:
+    // Bringing Order into Text" — r19): the classic unsupervised
+    // keyword ranker — PageRank over the word co-occurrence graph —
+    // and the registry's first GRAPH-composition over TEXT (the graph
+    // stack and the text stack never met before). Variant pinned
+    // down: window w = 2 (adjacent tokens via the q101 row-local
+    // bigram kernel — no token self-join), unweighted distinct
+    // edges, symmetrized, self-pairs dropped; 3 exact-integer
+    // pageRank supersteps (q163's machinery verbatim — the 1e-12
+    // fixed-point discipline, deg ≥ 1 guaranteed by symmetrization);
+    // top 20 by (pr_fp DESC, token) — a rounded-free total order, so
+    // the LIMIT is deterministic. Scale: the graph is VOCAB-sized
+    // (all iterations run on it); only the bigram explode is
+    // corpus-sized, and it shuffles 2-token strings, never text.
+    // Non-vacuity inspected: the top-20 keyword set differs from the
+    // top-20 raw-frequency tokens at both gated SFs — 9 displaced at
+    // sf0.001, 6 at sf0.01 (TextRank promotes tokens adjacent to
+    // MANY DISTINCT neighbors over tokens repeated in few contexts).
+    "q383_textrank" -> ((s, dir) => {
+      val pairs = Tables.documents(s, dir)
+        .select(TextAnalysis.rawBigramsOf(
+          TextAnalysis.tokens(col("text"))).as("bgs"))
+        .select(explode(col("bgs")).as("bg"))
+        .select(split(col("bg"), " ").getItem(0).as("w1"),
+          split(col("bg"), " ").getItem(1).as("w2"))
+        .filter(col("w1") =!= col("w2"))
+        .distinct()
+      val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"))
+        .unionByName(pairs.select(col("w2").as("src"), col("w1").as("dst")))
+        .distinct()
+      graft.ops.Graph.pageRank(edges, iterations = 3)
+        .orderBy(col("pr_fp").desc, col("node"))
+        .limit(20)
+    }),
+
+    // SPAN CORRUPTION example builder (Raffel et al. 2020 §3.1.4 —
+    // r19): the T5 denoising objective's (input, target) pair
+    // construction — the registry packs, shuffles, dedups, scores and
+    // splits training text, but had no OBJECTIVE-construction op.
+    // Deterministic md5 coins pick span starts (the q124 idiom), runs
+    // merge exactly as T5 merges them, sentinels number RUNS; see the
+    // spanCorrupt scaladoc for the one documented deviation (no
+    // terminal sentinel). Non-vacuity inspected: at startDenom = 20 /
+    // spanLen = 3 the corpus masks 14.0/13.9% of tokens
+    // (sf0.001/sf0.01 — the spanLen/startDenom = 15% expectation
+    // minus boundary loss), runs MERGE in 31/34 docs (n_masked <
+    // 3·n_spans strictly — the T5 run-merge branch is live), and
+    // 58/54 docs draw NO span (input = original text, target = '' —
+    // the kept-clean branch is live too, not dead code). Every
+    // branch of the piece CASE reaches the hash.
+    "q380_span_corruption" -> ((s, dir) => {
+      TextAnalysis.spanCorrupt(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // exact dedup via content hash: group keys are 32-byte hashes, not
     // raw text (the 100 TB shuffle-payload design).
     "q50_exact_dedup" -> ((s, dir) => {
@@ -3928,6 +3983,102 @@ object LlmQueries {
         |             + 11.8 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))
         |             - 15.59, 4) AS grade
         |FROM k ORDER BY doc_id""".stripMargin,
+    // same bigram graph, q163's 3-superstep integer-pageRank unroll,
+    // same (pr_fp DESC, node) total-order cut
+    "q383_textrank" ->
+      """WITH parts AS (
+        |  SELECT string_split(text, ' ') AS p FROM documents),
+        |idx AS (
+        |  SELECT p, unnest(range(len(p) - 1)) AS i FROM parts
+        |  WHERE len(p) >= 2),
+        |pr0 AS (
+        |  SELECT DISTINCT p[i + 1] AS w1, p[i + 2] AS w2 FROM idx
+        |  WHERE p[i + 1] <> p[i + 2]),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT w1 AS src, w2 AS dst FROM pr0
+        |    UNION ALL SELECT w2, w1 FROM pr0)),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |n AS (SELECT count(*) AS nn FROM d),
+        |r0 AS (SELECT d.src AS node, d.deg,
+        |              1000000000000 // n.nn AS pr_fp
+        |       FROM d CROSS JOIN n),
+        |c1 AS (SELECT e.dst, r.pr_fp // r.deg AS cb
+        |       FROM e JOIN r0 r ON e.src = r.node),
+        |s1x AS (SELECT dst, sum(cb) AS sm FROM c1 GROUP BY dst),
+        |r1 AS (SELECT d.src AS node, d.deg,
+        |              (15 * 1000000000000) // (100 * n.nn)
+        |              + (85 * coalesce(s1x.sm, 0)) // 100 AS pr_fp
+        |       FROM d LEFT JOIN s1x ON d.src = s1x.dst CROSS JOIN n),
+        |c2 AS (SELECT e.dst, r.pr_fp // r.deg AS cb
+        |       FROM e JOIN r1 r ON e.src = r.node),
+        |s2x AS (SELECT dst, sum(cb) AS sm FROM c2 GROUP BY dst),
+        |r2 AS (SELECT d.src AS node, d.deg,
+        |              (15 * 1000000000000) // (100 * n.nn)
+        |              + (85 * coalesce(s2x.sm, 0)) // 100 AS pr_fp
+        |       FROM d LEFT JOIN s2x ON d.src = s2x.dst CROSS JOIN n),
+        |c3 AS (SELECT e.dst, r.pr_fp // r.deg AS cb
+        |       FROM e JOIN r2 r ON e.src = r.node),
+        |s3x AS (SELECT dst, sum(cb) AS sm FROM c3 GROUP BY dst),
+        |r3 AS (SELECT d.src AS node, d.deg,
+        |              (15 * 1000000000000) // (100 * n.nn)
+        |              + (85 * coalesce(s3x.sm, 0)) // 100 AS pr_fp
+        |       FROM d LEFT JOIN s3x ON d.src = s3x.dst CROSS JOIN n)
+        |SELECT node, deg, CAST(pr_fp AS BIGINT) AS pr_fp
+        |FROM r3 ORDER BY pr_fp DESC, node LIMIT 20""".stripMargin,
+
+    // same md5 coin (16-bit hex-parse % 20), same 3-token mask
+    // extension / run-start lag / running sentinel number over one
+    // (doc, pos) window stack, ordered reassembly via string_agg
+    "q380_span_corruption" ->
+      """WITH parts AS (
+        |  SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+        |idx AS (
+        |  SELECT doc_id, p, unnest(range(len(p))) AS i FROM parts),
+        |toks AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, p[i + 1] AS tok
+        |  FROM idx),
+        |flags AS (
+        |  SELECT doc_id, pos, tok,
+        |         CASE WHEN CAST(('0x' || substr(md5('sc:' || doc_id || ':' || pos), 1, 4))
+        |                    AS BIGINT) % 20 = 0 THEN 1 ELSE 0 END AS start
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id, pos, tok,
+        |         max(start) OVER (PARTITION BY doc_id ORDER BY pos
+        |                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |           AS masked
+        |  FROM flags),
+        |rs AS (
+        |  SELECT doc_id, pos, tok, masked,
+        |         CASE WHEN masked = 1 AND
+        |                   coalesce(lag(masked) OVER (PARTITION BY doc_id
+        |                     ORDER BY pos), 0) = 0
+        |              THEN 1 ELSE 0 END AS run_start
+        |  FROM m),
+        |sids AS (
+        |  SELECT doc_id, pos, tok, masked, run_start,
+        |         sum(run_start) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           AS sid
+        |  FROM rs),
+        |pieces AS (
+        |  SELECT doc_id, pos, masked, run_start,
+        |         CASE WHEN masked = 0 THEN tok
+        |              WHEN run_start = 1
+        |                THEN '<extra_id_' || (sid - 1) || '>' END AS in_piece,
+        |         CASE WHEN run_start = 1
+        |                THEN '<extra_id_' || (sid - 1) || '> ' || tok
+        |              WHEN masked = 1 THEN tok END AS tgt_piece
+        |  FROM sids)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(masked) AS BIGINT) AS n_masked,
+        |       CAST(sum(run_start) AS BIGINT) AS n_spans,
+        |       coalesce(string_agg(in_piece, ' ' ORDER BY pos), '')
+        |         AS input_text,
+        |       coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '')
+        |         AS target_text
+        |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q50_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,

@@ -975,6 +975,39 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(at10 === Map(1L -> ((5L, 5L, 1L)), 7L -> ((1L, 1L, 1L))))
   }
 
+  test("katz: hand-worked directed path and symmetrized star") {
+    // path 1 -> 2 -> 3, levels 4, attenuation 8, scale 1e9:
+    // v1 = {2: 125e6, 3: 125e6}; v2 = {3: 15625000}; v3, v4 empty.
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val gotP = Graph.katz(path, levels = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(gotP === Map(2L -> 125000000L, 3L -> 140625000L))
+    // star hub 1 with leaves 2..5 (symmetrized), levels 2:
+    // v1(1) = 4e9 div 8 = 5e8, v1(leaf) = 125e6;
+    // v2(1) = (4*125e6) div 8 = 62.5e6, v2(leaf) = 5e8 div 8.
+    val raw = (2L to 5L).map(l => (1L, l))
+    val star = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    val gotS = Graph.katz(star, levels = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(gotS === Map(
+      1L -> 562500000L, 2L -> 187500000L, 3L -> 187500000L,
+      4L -> 187500000L, 5L -> 187500000L))
+  }
+
+  test("katz: the level cap fails loudly instead of overflowing") {
+    val raw = (2L to 5L).map(l => (1L, l))
+    val star = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    val e = intercept[Exception] {
+      Graph.katz(star, levels = 2, levelCap = 10L)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("katz: level value > cap")),
+      s"unexpected: ${messages(e)}")
+  }
+
   test("butterflyCounts: hand-worked bipartite graph and K(2,2)") {
     // L = {1,2,3}, R = {10,20,30}: 10 and 20 share lefts {1,2,3}
     // (w = 3 -> C(3,2) = 3 butterflies); 30 shares only {3} with

@@ -340,6 +340,75 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(r === ((0L, 0L, 0.0)))
   }
 
+  test("spanCorrupt: matches a sequential reference; partition invariance") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    // sequential replay of the documented algorithm
+    def ref(docId: Long, text: String, denom: Int, spanLen: Int)
+        : (Long, Long, Long, String, String) = {
+      val toks = text.split(" ", -1)
+      val start = toks.indices.map(i =>
+        java.lang.Long.parseLong(
+          md5hex(s"sc:$docId:$i").substring(0, 4), 16) % denom == 0)
+      val masked = toks.indices.map(i =>
+        (math.max(0, i - spanLen + 1) to i).exists(start))
+      val runStart = toks.indices.map(i =>
+        masked(i) && (i == 0 || !masked(i - 1)))
+      val sid = runStart.scanLeft(0)((a, b) => a + (if (b) 1 else 0)).tail
+      val in = toks.indices.flatMap { i =>
+        if (!masked(i)) Some(toks(i))
+        else if (runStart(i)) Some(s"<extra_id_${sid(i) - 1}>")
+        else None
+      }.mkString(" ")
+      val tgt = toks.indices.flatMap { i =>
+        if (runStart(i)) Some(s"<extra_id_${sid(i) - 1}> ${toks(i)}")
+        else if (masked(i)) Some(toks(i))
+        else None
+      }.mkString(" ")
+      (toks.length.toLong, masked.count(identity).toLong,
+        runStart.count(identity).toLong, in, tgt)
+    }
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (2L, "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen"))
+    // denom 4 makes spans dense enough that merges occur on 20 tokens
+    val got = TextAnalysis.spanCorrupt(docs.toDF("doc_id", "text"),
+        "doc_id", "text", startDenom = 4, spanLen = 3)
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+        col("n_spans"), col("input_text"), col("target_text"))
+      .as[(Long, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    docs.foreach { case (id, text) =>
+      val (w, m, sp, in, tgt) = ref(id, text, 4, 3)
+      assert(got(id) === ((w, m, sp, in, tgt)), s"doc $id")
+      // the reference must itself be non-vacuous on this fixture
+      assert(m > 0L && sp > 0L, s"doc $id drew no span at denom 4")
+    }
+    val rep = TextAnalysis.spanCorrupt(
+        docs.toDF("doc_id", "text").repartition(7),
+        "doc_id", "text", startDenom = 4, spanLen = 3)
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+        col("n_spans"), col("input_text"), col("target_text"))
+      .as[(Long, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(rep === got)
+  }
+
+  test("spanCorrupt: denom 1 masks everything into ONE merged span") {
+    val got = TextAnalysis.spanCorrupt(
+        Seq((5L, "a b c d")).toDF("doc_id", "text"),
+        "doc_id", "text", startDenom = 1, spanLen = 3)
+      .select(col("n_tokens"), col("n_masked"), col("n_spans"),
+        col("input_text"), col("target_text"))
+      .as[(Long, Long, Long, String, String)].head()
+    assert(got === ((4L, 4L, 1L, "<extra_id_0>", "<extra_id_0> a b c d")))
+  }
+
   test("readability: hand-worked counts and both formulas") {
     // W = 7; S = 2 ('.' and '!'); every token has one vowel run ->
     // Syl = 7. ease = 206.835 - 1.015*(7/2) - 84.6*(7/7) = 118.6825;
