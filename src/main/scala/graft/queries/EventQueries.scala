@@ -359,6 +359,112 @@ object EventQueries {
         .orderBy("src_type", "dst_type")
     }),
 
+    // LENGTH-3 SEQUENTIAL PATTERNS (GSP; Agrawal & Srikant 1995,
+    // "Mining Sequential Patterns" — r19): support census of every
+    // type triple ⟨a, b, c⟩ over per-user event streams — a user
+    // supports the pattern iff events of types a, b, c occur at
+    // strictly increasing times (gaps allowed). The length-3 step
+    // q282's strictly-later PAIRS don't reach, and a genuinely
+    // different kernel: existence is decided by the GREEDY-EARLIEST
+    // embedding (t1 = first a; t2 = first b after t1; t3 = any c
+    // after t2), which is exact — taking the earliest feasible
+    // prefix only ever enlarges the feasible suffix, so greedy finds
+    // an embedding iff one exists. Ties at equal timestamps resolve
+    // by the STRICT > on time alone (a b c at one instant supports
+    // nothing — the conservative reading, stated). Census runs over
+    // each user's FIRST 8 events (one row_number window) — the
+    // onboarding-path framing, and the lesson of this query's first
+    // cut: over FULL streams (~40 uniform events/user) EVERY user
+    // supported EVERY triple at every SF (support ≡ user count, 125
+    // identical rows — the q367 vacuity shape, caught by inspection);
+    // the 8-event prefix makes orderings scarce. Three joins, each
+    // keyed on user_id and output-bounded by |types|^k per user; the
+    // candidate space is |types|³ = 125 — output-tiny at any scale.
+    // Non-vacuity measured on the prefix form: supports span 1–8
+    // with 3 triples entirely absent at sf0.001, and 17–42 (23
+    // distinct values, all 125 present) at sf0.01.
+    "q385_gsp3" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val wrn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = Tables.events(s, dir)
+        .withColumn("rn", row_number().over(wrn))
+        .filter(col("rn") <= 8)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+        .localCheckpoint()
+      val firstA = ev.groupBy(col("user_id"), col("event_type").as("a"))
+        .agg(min(col("t")).as("t1"))
+      val firstAB = firstA
+        .join(ev.select(col("user_id"), col("event_type").as("b"),
+          col("t").as("tb")), Seq("user_id"))
+        .filter(col("tb") > col("t1"))
+        .groupBy(col("user_id"), col("a"), col("b"))
+        .agg(min(col("tb")).as("t2"))
+      val supp = firstAB
+        .join(ev.select(col("user_id"), col("event_type").as("c"),
+          col("t").as("tc")), Seq("user_id"))
+        .filter(col("tc") > col("t2"))
+        .select(col("a"), col("b"), col("c"), col("user_id"))
+        .distinct()
+        .groupBy(col("a"), col("b"), col("c"))
+        .agg(count(lit(1)).as("support"))
+      supp.orderBy("a", "b", "c")
+    }),
+
+    // TWO-PROPORTION z-TEST (the A/B conversion comparison — r19):
+    // users split into two arms by the house md5 coin ('ab:' salt),
+    // conversion = ≥ 14 purchase events (the corpus median — EVERY
+    // user has ≥ 1 purchase at sf0.001, so the naive predicate made
+    // p̂ = 1 and the pooled variance 0: ANSI division-by-zero, caught
+    // by the gate; the median cut keeps 0 < p̂ < 1 at all three SFs —
+    // inspected: 3/6 vs 5/9 converts at sf0.001, 363/753 vs 334/747
+    // at sf0.1); z = (p1 − p2) /
+    // sqrt(p̂(1−p̂)(1/n1 + 1/n2)) with the pooled p̂ — the
+    // first-contact significance test every experimentation pipeline
+    // runs, beside the registry's rank tests (q257/q352 compare
+    // DISTRIBUTIONS; this compares binomial rates). Counts are exact
+    // BIGINTs; z is one fixed IEEE tree over them (sqrt is
+    // correctly-rounded per IEEE 754, both engines), rounded once at
+    // 6dp; the verdict compares the ROUNDED z to ±1.96 so both
+    // engines judge the same number. Honest reading: the md5 split
+    // is an A/A test BY CONSTRUCTION — z = −0.211289 (sf0.001) /
+    // −0.314571 (sf0.01), verdict 'retain' everywhere; the reject
+    // branch is fixture-absent by design (a correct test MUST fail
+    // to reject its own null split) and stated rather than claimed.
+    "q386_two_proportion" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val users = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 14, 1L).otherwise(0L).as("converted"))
+        .withColumn("arm",
+          conv(substring(md5(concat(lit("ab:"),
+            col("user_id").cast("string"))), 1, 4), 16, 10)
+            .cast("long") % 2)
+      val agg = users.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+      val a0 = agg.filter(col("arm") === 0)
+        .select(col("n").as("n1"), col("x").as("x1"))
+      val a1 = agg.filter(col("arm") === 1)
+        .select(col("n").as("n2"), col("x").as("x2"))
+      val p1 = col("x1").cast("double") / col("n1").cast("double")
+      val p2 = col("x2").cast("double") / col("n2").cast("double")
+      val pp = (col("x1") + col("x2")).cast("double") /
+        (col("n1") + col("n2")).cast("double")
+      val z = (p1 - p2) /
+        sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n1").cast("double") +
+            lit(1.0) / col("n2").cast("double")))
+      a0.crossJoin(a1)
+        .select(col("n1"), col("x1"), col("n2"), col("x2"),
+          round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+          round(z, 6).as("z"))
+        .withColumn("verdict",
+          when(col("z") > 1.96 || col("z") < -1.96, lit("reject"))
+            .otherwise(lit("retain")))
+    }),
+
     // INTER-ARRIVAL DISPERSION — the point-process burstiness test
     // (index of dispersion / Fano factor; Cox & Lewis 1966 — r19):
     // per event type, the variance-to-mean ratio of the per-user
@@ -2839,6 +2945,63 @@ object EventQueries {
         |SELECT first_touch, count(*) AS n_sessions,
         |       CAST(sum(pv) AS DOUBLE) AS attributed_value
         |FROM g GROUP BY first_touch ORDER BY first_touch""".stripMargin,
+    // same first-8-events prefix, same greedy-earliest embedding:
+    // first-a, earliest-b-after, any-c-after, DISTINCT user
+    // attribution
+    "q385_gsp3" ->
+      """WITH ev0 AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |ev AS (SELECT user_id, event_type, t FROM ev0 WHERE rn <= 8),
+        |fa AS (SELECT user_id, event_type AS a, min(t) AS t1
+        |       FROM ev GROUP BY 1, 2),
+        |fab AS (SELECT f.user_id, f.a, e.event_type AS b, min(e.t) AS t2
+        |        FROM fa f JOIN ev e ON f.user_id = e.user_id
+        |                           AND e.t > f.t1
+        |        GROUP BY 1, 2, 3),
+        |sup AS (SELECT DISTINCT f.a, f.b, e.event_type AS c, f.user_id
+        |        FROM fab f JOIN ev e ON f.user_id = e.user_id
+        |                            AND e.t > f.t2)
+        |SELECT a, b, c, CAST(count(*) AS BIGINT) AS support
+        |FROM sup GROUP BY 1, 2, 3 ORDER BY a, b, c""".stripMargin,
+
+    // same md5 arm coin, exact counts, identical IEEE z tree; the
+    // verdict reads the ROUNDED z on both sides
+    "q386_two_proportion" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |                            THEN 1 ELSE 0 END) >= 14
+        |              THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY 1),
+        |arms AS (
+        |  SELECT CAST(('0x' || substr(md5('ab:' || user_id), 1, 4))
+        |              AS BIGINT) % 2 AS arm, conv
+        |  FROM u),
+        |agg AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(conv) AS BIGINT) AS x
+        |        FROM arms GROUP BY arm),
+        |a0 AS (SELECT n AS n1, x AS x1 FROM agg WHERE arm = 0),
+        |a1 AS (SELECT n AS n2, x AS x2 FROM agg WHERE arm = 1),
+        |res AS (
+        |  SELECT n1, x1, n2, x2,
+        |         round(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+        |         round(CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS p2,
+        |         round((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |                - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+        |               sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        |                    * (1.0 - CAST(x1 + x2 AS DOUBLE)
+        |                             / CAST(n1 + n2 AS DOUBLE))
+        |                    * (1.0 / CAST(n1 AS DOUBLE)
+        |                       + 1.0 / CAST(n2 AS DOUBLE))), 6) AS z
+        |  FROM a0, a1)
+        |SELECT n1, x1, n2, x2, p1, p2, z,
+        |       CASE WHEN z > 1.96 OR z < -1.96 THEN 'reject'
+        |            ELSE 'retain' END AS verdict
+        |FROM res""".stripMargin,
+
     // same per-(user, type) lag, same minute floor-div, exact BIGINT
     // moments, the identical IEEE mean/dispersion trees
     "q384_interarrival" ->
