@@ -1650,6 +1650,73 @@ object Graph {
     out
   }
 
+  /** DETERMINISTIC RANDOM-WALK CORPUS (the DeepWalk/node2vec data-
+    * prep step — Perozzi, Al-Rfou & Skiena 2014): one walk of
+    * `length` steps from EVERY node, the token-sequence corpus a
+    * skip-gram embedder trains on. The walk's randomness is
+    * content-addressed (the q124/luby md5 discipline): at step i the
+    * walk at start s moves to the out-neighbor minimizing
+    * md5(salt‖s‖':'‖i‖':'‖dst) — per-(start, step) re-salting makes
+    * consecutive steps independent draws, md5 distinctness makes the
+    * argmin unique, and any engine with md5 replays the corpus
+    * byte-identically: no RNG state, no seed table, restart-safe.
+    *
+    * Per step: one frontier⋈edges equi-join + ONE map-side-combined
+    * min(struct(coin, dst)) groupBy — the argmin rides lexicographic
+    * struct ordering (coin first; md5 keys cannot tie, and dst
+    * breaks a hypothetical tie deterministically), so no second
+    * join-back pass over the coin frame (measured at derived sf1:
+    * the join-back form read 14.6 GB shuffle, this reads half). The
+    * coin payload is the full 32-hex md5 — truncating it would
+    * admit argmin ties; the width is the price of replayability.
+    * State is one row per start — |V| rows at every step.
+    * Walks STOP at a sink (no out-edges): the row simply doesn't
+    * extend — symmetrize the edge list to guarantee full-length
+    * walks. Bucket edges on src at 100 TB; the walk table is
+    * node-sized.
+    *
+    * Input: edges (src, dst); salt. Output: (start, step, node) —
+    * step 0 is the start itself. */
+  def deterministicWalks(edges: DataFrame, length: Int,
+                         salt: String = "dw:"): DataFrame = {
+    require(length >= 1, "length must be positive")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val starts = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .select(col("node").as("start"), col("node"))
+      .localCheckpoint()
+    var out = starts.select(col("start"), lit(0L).as("step"), col("node"))
+      .localCheckpoint()
+    var cur = starts
+    for (i <- 1 to length) {
+      val nxt = cur.join(e, col("node") === col("src"))
+        .select(col("start"),
+          struct(
+            md5(concat(lit(salt), col("start").cast("string"), lit(":"),
+              lit(i.toString), lit(":"), col("dst").cast("string")))
+              .as("coin"),
+            col("dst")).as("cd"))
+        .groupBy(col("start")).agg(min(col("cd")).as("cd"))
+        .select(col("start"), col("cd.dst").as("node"))
+        .localCheckpoint()
+      if (cur ne starts) releaseCheckpoint(cur)
+      cur = nxt
+      val grown = out.unionByName(
+        nxt.select(col("start"), lit(i.toLong).as("step"), col("node")))
+        .localCheckpoint()
+      releaseCheckpoint(out)
+      out = grown
+    }
+    if (cur ne starts) releaseCheckpoint(cur)
+    releaseCheckpoint(starts)
+    releaseCheckpoint(e)
+    out
+  }
+
   /** BUTTERFLY COUNTING — the 2×2-biclique motif census of a
     * BIPARTITE graph (Sanei-Mehri, Sariyüce & Tirthapura 2018,
     * "Butterfly Counting in Bipartite Networks"; distributed
@@ -1785,6 +1852,103 @@ object Graph {
     if (decided != null) releaseCheckpoint(decided)
     releaseCheckpoint(live)
     releaseCheckpoint(e)
+    out
+  }
+
+  /** CLOSED-TRIAD CENSUS of a directed graph (the connected-triple
+    * slice of the Davis & Leinhardt 1972 triad census; the motif
+    * spectrum of Milo et al. 2002): classify every triangle of the
+    * UNDERLYING undirected graph by its arc configuration —
+    *
+    *   030T  three single arcs, transitive (a source, a middle, a sink)
+    *   030C  three single arcs, cyclic (u→v→w→u)
+    *   120_in    one mutual pair + both single arcs INTO it   (≙ 120D)
+    *   120_out   one mutual pair + both single arcs OUT of it (≙ 120U)
+    *   120_mixed one mutual pair + one arc in, one out        (≙ 120C)
+    *   210   two mutual pairs
+    *   300   three mutual pairs
+    *
+    * (names after the ≙ are the sociometric D/U/C codes; the
+    * descriptive labels are emitted to keep the orientation
+    * convention self-documenting). Open triads (the 0xx/1xx classes
+    * with non-adjacent pairs) are out of scope — they count via
+    * degree/dyad arithmetic, not enumeration, and the closed census
+    * is what motif analysis reads.
+    *
+    * Enumeration rides the id-ordered triple join on the
+    * symmetrized-and-canonicalized pair set (u < v < w — each
+    * triangle once, the q171 oracle kernel); each pair carries its
+    * arc state ('f' = low→high only, 'r' = high→low only, 'bi' =
+    * both), and the class is a pure CASE over the three states —
+    * row-local, exact, engine-portable. Cost = triangle enumeration
+    * (wedge-bounded); everything after is output-sized.
+    *
+    * Input: directed edges (u, v), u ≠ v (duplicates tolerated).
+    * Output: (triad_class, n) — one row per REALIZED class. */
+  def triadCensus(edges: DataFrame): DataFrame = {
+    val de = edges.select(col("u"), col("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val und = de.select(least(col("u"), col("v")).as("x"),
+        greatest(col("u"), col("v")).as("y"))
+      .distinct()
+    val ps = und
+      .join(de.select(col("u").as("x"), col("v").as("y"),
+        lit(1).as("fwd")), Seq("x", "y"), "left")
+      .join(de.select(col("v").as("x"), col("u").as("y"),
+        lit(1).as("rev")), Seq("x", "y"), "left")
+      .select(col("x"), col("y"),
+        when(col("fwd").isNotNull && col("rev").isNotNull, lit("bi"))
+          .when(col("fwd").isNotNull, lit("f"))
+          .otherwise(lit("r")).as("st"))
+      .localCheckpoint()
+    val e1 = ps.select(col("x").as("u"), col("y").as("v"),
+      col("st").as("s_uv"))
+    val e2 = ps.select(col("x").as("v"), col("y").as("w"),
+      col("st").as("s_vw"))
+    val e3 = ps.select(col("x").as("u"), col("y").as("w"),
+      col("st").as("s_uw"))
+    val tri = e1.join(e2, Seq("v")).join(e3, Seq("u", "w"))
+    val nbi = Seq("s_uv", "s_vw", "s_uw")
+      .map(c => when(col(c) === "bi", 1).otherwise(0))
+      .reduce(_ + _)
+    // single-arc directions, remembering states are on ORDERED pairs
+    // (u < v < w): 'f' on (u,v) means u→v, 'r' means v→u, etc.
+    val cls = when(nbi === 3, lit("300"))
+      .when(nbi === 2, lit("210"))
+      .when(nbi === 0,
+        when((col("s_uv") === "f" && col("s_vw") === "f" &&
+          col("s_uw") === "r") ||
+          (col("s_uv") === "r" && col("s_vw") === "r" &&
+            col("s_uw") === "f"), lit("030C"))
+          .otherwise(lit("030T")))
+      // exactly one mutual pair: classify the two single arcs
+      // relative to it (into / out of / mixed)
+      .when(col("s_uv") === "bi",
+        // third node w; arcs on (u,w) and (v,w): 'r' = w→·  (into)
+        when(col("s_uw") === "r" && col("s_vw") === "r", lit("120_in"))
+          .when(col("s_uw") === "f" && col("s_vw") === "f",
+            lit("120_out"))
+          .otherwise(lit("120_mixed")))
+      .when(col("s_uw") === "bi",
+        // third node v; (u,v): 'r' = v→u (into); (v,w): 'f' = v→w (into)
+        when(col("s_uv") === "r" && col("s_vw") === "f", lit("120_in"))
+          .when(col("s_uv") === "f" && col("s_vw") === "r",
+            lit("120_out"))
+          .otherwise(lit("120_mixed")))
+      .otherwise(
+        // s_vw = 'bi'; third node u; (u,v) and (u,w): 'f' = u→· (into)
+        when(col("s_uv") === "f" && col("s_uw") === "f", lit("120_in"))
+          .when(col("s_uv") === "r" && col("s_uw") === "r",
+            lit("120_out"))
+          .otherwise(lit("120_mixed")))
+    val out = tri.select(cls.as("triad_class"))
+      .groupBy(col("triad_class")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    releaseCheckpoint(ps)
+    releaseCheckpoint(de)
     out
   }
 

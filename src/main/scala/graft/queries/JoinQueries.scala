@@ -1511,6 +1511,66 @@ object JoinQueries {
         .orderBy("node")
     }),
 
+    // DETERMINISTIC RANDOM-WALK CORPUS (DeepWalk — Perozzi et al.
+    // 2014; r19): the graph-embedding DATA-PREP step — one 5-step
+    // walk from every node of the symmetrized trade graph, the
+    // token-sequence corpus a skip-gram embedder consumes. Walk
+    // randomness is content-addressed (md5 argmin per step, the
+    // q124/q379 coin discipline) so the corpus replays byte-identical
+    // in any engine — no RNG state, restart-safe, and the gate can
+    // hash it. Non-vacuity inspected: walks genuinely wander (98.8%
+    // / 99.7% of step-2 positions differ from the start at
+    // sf0.001/sf0.01 — on the bipartite graph step 2 returns to the
+    // start's side, so equality is POSSIBLE and its rarity is the
+    // signal) and every walk reaches full length (the symmetrized
+    // graph has no sink; the sink-stop branch is spec-pinned).
+    "q387_walk_corpus" -> ((s, dir) => {
+      val eb = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s1"))
+        .distinct()
+        .localCheckpoint()
+      val edges = eb.select(col("c").as("src"), col("s1").as("dst"))
+        .unionByName(eb.select(col("s1").as("src"), col("c").as("dst")))
+      graft.ops.Graph.deterministicWalks(edges, length = 5)
+        .orderBy("start", "step")
+    }),
+
+    // CLOSED-TRIAD CENSUS (Davis & Leinhardt 1972; Milo et al. 2002
+    // — r19): the directed-motif spectrum of the Brand#2%
+    // purchase-SEQUENCE digraph (q374's direction-sensitive graph,
+    // q365's brand restriction to keep the triangle enumeration
+    // wedge-bounded at sf1) — q171/q375 count triangles, this
+    // classifies their ORIENTATIONS into the seven closed classes
+    // (transitive vs cyclic singles, the three one-mutual 120s, 210,
+    // 300). The class CASE is pinned semantically by GraphSpec
+    // hand-built triads of every class (cross-engine hash agreement
+    // alone can't catch a mislabeled branch — both sides replay the
+    // same CASE). Non-vacuity inspected: all SEVEN classes realized
+    // at sf0.001 (030T 1197, 030C 319, the three 120s 175–334, 210
+    // 83, 300 5); sf0.01 realizes SIX — the sparser brand digraph
+    // has no triple-mutual triangle (300 fixture-absent there;
+    // pinned at sf0.001 and by the spec's hand-built case).
+    // Transitive dominates cyclic ~4–5:1 at both SFs — the Milo
+    // feedforward-over-feedback signature an ordering-derived
+    // digraph should show.
+    "q388_triad_census" -> ((s, dir) => {
+      val pk = Tables.part(s, dir).filter(col("p_brand").like("Brand#2%"))
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, dir)
+        .join(pk, col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      val de = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_linenumber") < col("b.l_linenumber") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      graft.ops.Graph.triadCensus(de).orderBy("triad_class")
+    }),
+
     // KATZ CENTRALITY (Katz 1953 — r19): attenuated walk-COUNT
     // centrality, the classic index between degree and eigenvector
     // centrality — distinct from PageRank (q212) in exactly one
@@ -3079,6 +3139,123 @@ object JoinQueries {
         |         AS is_exact
         |FROM lv LEFT JOIN unf ON lv.s = unf.s
         |GROUP BY lv.s, unf.s ORDER BY node""".stripMargin,
+
+    // five unrolled argmin steps: per-step coin join, min(coin)
+    // groupBy, equality join back
+    "q387_walk_corpus" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (SELECT c AS src, s AS dst FROM eb
+        |     UNION ALL SELECT s, c FROM eb),
+        |w0 AS (SELECT node AS start, node FROM (
+        |         SELECT DISTINCT src AS node FROM e)),
+        |c1 AS MATERIALIZED (
+        |  SELECT w.start, e.dst,
+        |         md5('dw:' || w.start || ':1:' || e.dst) AS coin
+        |  FROM w0 w JOIN e ON w.node = e.src),
+        |w1 AS MATERIALIZED (
+        |  SELECT c.start, c.dst AS node FROM c1 c
+        |  JOIN (SELECT start, min(coin) AS coin FROM c1 GROUP BY start) m
+        |    USING (start, coin)),
+        |c2 AS MATERIALIZED (
+        |  SELECT w.start, e.dst,
+        |         md5('dw:' || w.start || ':2:' || e.dst) AS coin
+        |  FROM w1 w JOIN e ON w.node = e.src),
+        |w2 AS MATERIALIZED (
+        |  SELECT c.start, c.dst AS node FROM c2 c
+        |  JOIN (SELECT start, min(coin) AS coin FROM c2 GROUP BY start) m
+        |    USING (start, coin)),
+        |c3 AS MATERIALIZED (
+        |  SELECT w.start, e.dst,
+        |         md5('dw:' || w.start || ':3:' || e.dst) AS coin
+        |  FROM w2 w JOIN e ON w.node = e.src),
+        |w3 AS MATERIALIZED (
+        |  SELECT c.start, c.dst AS node FROM c3 c
+        |  JOIN (SELECT start, min(coin) AS coin FROM c3 GROUP BY start) m
+        |    USING (start, coin)),
+        |c4 AS MATERIALIZED (
+        |  SELECT w.start, e.dst,
+        |         md5('dw:' || w.start || ':4:' || e.dst) AS coin
+        |  FROM w3 w JOIN e ON w.node = e.src),
+        |w4 AS MATERIALIZED (
+        |  SELECT c.start, c.dst AS node FROM c4 c
+        |  JOIN (SELECT start, min(coin) AS coin FROM c4 GROUP BY start) m
+        |    USING (start, coin)),
+        |c5 AS MATERIALIZED (
+        |  SELECT w.start, e.dst,
+        |         md5('dw:' || w.start || ':5:' || e.dst) AS coin
+        |  FROM w4 w JOIN e ON w.node = e.src),
+        |w5 AS MATERIALIZED (
+        |  SELECT c.start, c.dst AS node FROM c5 c
+        |  JOIN (SELECT start, min(coin) AS coin FROM c5 GROUP BY start) m
+        |    USING (start, coin))
+        |SELECT start, step, node FROM (
+        |  SELECT start, CAST(0 AS BIGINT) AS step, node FROM w0
+        |  UNION ALL SELECT start, CAST(1 AS BIGINT), node FROM w1
+        |  UNION ALL SELECT start, CAST(2 AS BIGINT), node FROM w2
+        |  UNION ALL SELECT start, CAST(3 AS BIGINT), node FROM w3
+        |  UNION ALL SELECT start, CAST(4 AS BIGINT), node FROM w4
+        |  UNION ALL SELECT start, CAST(5 AS BIGINT), node FROM w5)
+        |ORDER BY start, step""".stripMargin,
+
+    // same canonical pair states over the sequence digraph, same
+    // id-ordered triple join, the identical class CASE tree
+    "q388_triad_census" ->
+      """WITH pk AS (SELECT p_partkey FROM part
+        |            WHERE p_brand LIKE 'Brand#2%'),
+        |li AS (SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+        |       WHERE l_partkey IN (SELECT p_partkey FROM pk)),
+        |de AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                     AND a.l_linenumber < b.l_linenumber
+        |                     AND a.l_partkey <> b.l_partkey),
+        |und AS (SELECT DISTINCT least(u, v) AS x, greatest(u, v) AS y
+        |        FROM de),
+        |ps AS MATERIALIZED (
+        |  SELECT und.x, und.y,
+        |         CASE WHEN f.u IS NOT NULL AND r.u IS NOT NULL THEN 'bi'
+        |              WHEN f.u IS NOT NULL THEN 'f'
+        |              ELSE 'r' END AS st
+        |  FROM und
+        |  LEFT JOIN de f ON f.u = und.x AND f.v = und.y
+        |  LEFT JOIN de r ON r.u = und.y AND r.v = und.x),
+        |tri AS (
+        |  SELECT e1.st AS s_uv, e2.st AS s_vw, e3.st AS s_uw
+        |  FROM ps e1
+        |  JOIN ps e2 ON e1.y = e2.x
+        |  JOIN ps e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |cls AS (
+        |  SELECT CASE
+        |    WHEN (CASE WHEN s_uv = 'bi' THEN 1 ELSE 0 END +
+        |          CASE WHEN s_vw = 'bi' THEN 1 ELSE 0 END +
+        |          CASE WHEN s_uw = 'bi' THEN 1 ELSE 0 END) = 3 THEN '300'
+        |    WHEN (CASE WHEN s_uv = 'bi' THEN 1 ELSE 0 END +
+        |          CASE WHEN s_vw = 'bi' THEN 1 ELSE 0 END +
+        |          CASE WHEN s_uw = 'bi' THEN 1 ELSE 0 END) = 2 THEN '210'
+        |    WHEN (CASE WHEN s_uv = 'bi' THEN 1 ELSE 0 END +
+        |          CASE WHEN s_vw = 'bi' THEN 1 ELSE 0 END +
+        |          CASE WHEN s_uw = 'bi' THEN 1 ELSE 0 END) = 0 THEN
+        |      CASE WHEN (s_uv = 'f' AND s_vw = 'f' AND s_uw = 'r')
+        |             OR (s_uv = 'r' AND s_vw = 'r' AND s_uw = 'f')
+        |           THEN '030C' ELSE '030T' END
+        |    WHEN s_uv = 'bi' THEN
+        |      CASE WHEN s_uw = 'r' AND s_vw = 'r' THEN '120_in'
+        |           WHEN s_uw = 'f' AND s_vw = 'f' THEN '120_out'
+        |           ELSE '120_mixed' END
+        |    WHEN s_uw = 'bi' THEN
+        |      CASE WHEN s_uv = 'r' AND s_vw = 'f' THEN '120_in'
+        |           WHEN s_uv = 'f' AND s_vw = 'r' THEN '120_out'
+        |           ELSE '120_mixed' END
+        |    ELSE
+        |      CASE WHEN s_uv = 'f' AND s_uw = 'f' THEN '120_in'
+        |           WHEN s_uv = 'r' AND s_uw = 'r' THEN '120_out'
+        |           ELSE '120_mixed' END
+        |    END AS triad_class
+        |  FROM tri)
+        |SELECT triad_class, CAST(count(*) AS BIGINT) AS n
+        |FROM cls GROUP BY triad_class ORDER BY triad_class""".stripMargin,
 
     // four unrolled mat-vec levels: exact sums, one // 8 per
     // node-level, running total

@@ -1085,6 +1085,69 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(rep === ref.toMap)
   }
 
+  test("triadCensus: one hand-built triangle per class, every CASE branch") {
+    val edges = Seq(
+      // 030T: 1->2, 2->3, 1->3 (source, middle, sink)
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      // 030C: 11->12->13->11
+      (11L, 12L), (12L, 13L), (13L, 11L),
+      // 120_in, bi on (u,v): 21<->22, 23->21, 23->22
+      (21L, 22L), (22L, 21L), (23L, 21L), (23L, 22L),
+      // 120_out, bi on (u,v): 31<->32, 31->33, 32->33
+      (31L, 32L), (32L, 31L), (31L, 33L), (32L, 33L),
+      // 120_mixed, bi on (u,v): 41<->42, 41->43, 43->42
+      (41L, 42L), (42L, 41L), (41L, 43L), (43L, 42L),
+      // 210: 51<->52, 51<->53, 52->53
+      (51L, 52L), (52L, 51L), (51L, 53L), (53L, 51L), (52L, 53L),
+      // 300: all six arcs
+      (61L, 62L), (62L, 61L), (61L, 63L), (63L, 61L),
+      (62L, 63L), (63L, 62L),
+      // 120_in with the bi pair on (u,w): 71<->73, 72->71, 72->73
+      (71L, 73L), (73L, 71L), (72L, 71L), (72L, 73L),
+      // 120_out with the bi pair on (v,w): 82<->83, 82->81, 83->81
+      (82L, 83L), (83L, 82L), (82L, 81L), (83L, 81L)
+    ).toDF("u", "v")
+    val got = Graph.triadCensus(edges)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map(
+      "030T" -> 1L, "030C" -> 1L, "120_in" -> 2L, "120_out" -> 2L,
+      "120_mixed" -> 1L, "210" -> 1L, "300" -> 1L))
+  }
+
+  test("deterministicWalks: matches a sequential md5-argmin reference; sinks stop walks") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val rnd = new scala.util.Random(61)
+    val re = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val sym = (re ++ re.map(_.swap)).distinct
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ref = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    adj.keys.foreach { s =>
+      var cur = s
+      ref += ((s, 0L, s))
+      for (i <- 1 to 4) {
+        val nxt = adj(cur).minBy(d => md5hex(s"dw:$s:$i:$d"))
+        ref += ((s, i.toLong, nxt))
+        cur = nxt
+      }
+    }
+    val got = Graph.deterministicWalks(sym.toDF("src", "dst"), length = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === ref.toSet)
+    // sink stop: directed path 1 -> 2 -> 3, walks truncate at 3
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = Graph.deterministicWalks(path, length = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(p === Set(
+      (1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 3L),
+      (2L, 0L, 2L), (2L, 1L, 3L),
+      (3L, 0L, 3L)))
+  }
+
   test("localClustering: triangle + leaf + isolated edge covers every branch") {
     // triangle 1-2-3, leaf 4 on 1, isolated edge 5-6 (one row per
     // undirected edge — the operator symmetrizes internally).
