@@ -1511,6 +1511,49 @@ object JoinQueries {
         .orderBy("node")
     }),
 
+    // SAMPLED ARTICULATION-POINT TEST (cut vertices; Tarjan 1972's
+    // notion, per-candidate BFS instead of the sequential DFS — r19):
+    // the connectivity-ROBUSTNESS question beside q376's extent
+    // (eccentricity) and q373's nearness — "does the component hang
+    // on this node". Graph = the QUANTITY-1 trade graph (q212's
+    // sparse fixture — the full trade graph is min-degree-3 dense
+    // with no cut vertices at all, inspected; the quantity filter
+    // leaves 52/521 degree-1 leaves whose suppliers really do cut).
+    // Candidates = the 4 md5('ap:')-lowest suppliers + 4 lowest
+    // customers (per-side sampling so BOTH verdicts realize:
+    // suppliers own leaf customers ⇒ articulation; leaf/low-degree
+    // customers don't cut). maxHops = 8 with the refined honesty
+    // contract (see the scaladoc: all-reached is definitive at ANY
+    // bound, unreached needs exhaustion). Non-vacuity inspected:
+    // verdicts split 4/4 (suppliers cut, customers don't) at ALL
+    // THREE SFs, and every contract shape reaches the hash —
+    // definitive negatives everywhere, definitive positives
+    // (exhausted BFS), and at sf0.01 exactly one supplier row lands
+    // is_exact = 0 (frontier still alive at the bound: an UNPROVEN
+    // positive — the honesty flag genuinely fires on the fixture,
+    // not just in the spec).
+    "q389_articulation" -> ((s, dir) => {
+      val eb = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") === 1)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s1"))
+        .distinct()
+        .localCheckpoint()
+      val edges = eb.select(col("c").as("src"), col("s1").as("dst"))
+        .unionByName(eb.select(col("s1").as("src"), col("c").as("dst")))
+      def side(c: org.apache.spark.sql.Column, tag: String) =
+        eb.select(c.as("node")).distinct()
+          .orderBy(md5(concat(lit(tag), col("node").cast("string"))),
+            col("node"))
+          .limit(4)
+      val cands = side(col("s1"), "ap:").unionByName(side(col("c"), "ap:"))
+      graft.ops.Graph.articulation(edges, cands, maxHops = 8)
+        .orderBy("node")
+    }),
+
     // DETERMINISTIC RANDOM-WALK CORPUS (DeepWalk — Perozzi et al.
     // 2014; r19): the graph-embedding DATA-PREP step — one 5-step
     // walk from every node of the symmetrized trade graph, the
@@ -3139,6 +3182,115 @@ object JoinQueries {
         |         AS is_exact
         |FROM lv LEFT JOIN unf ON lv.s = unf.s
         |GROUP BY lv.s, unf.s ORDER BY node""".stripMargin,
+
+    // same 4+4 per-side md5 sample; 8 unrolled G−v BFS levels
+    // (dst <> cand exclusion, NOT EXISTS anti), neighbor-reach
+    // counts, exhaustion from the level-8 frontier, the same
+    // definitive-vs-unproven verdict CASE
+    "q389_articulation" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_quantity = 1),
+        |e AS MATERIALIZED (SELECT c AS src, s AS dst FROM eb
+        |     UNION ALL SELECT s, c FROM eb),
+        |cands AS (
+        |  SELECT node FROM (
+        |    SELECT s AS node FROM (SELECT DISTINCT s FROM eb)
+        |    ORDER BY md5('ap:' || s), s LIMIT 4)
+        |  UNION ALL
+        |  SELECT node FROM (
+        |    SELECT c AS node FROM (SELECT DISTINCT c FROM eb)
+        |    ORDER BY md5('ap:' || c), c LIMIT 4)),
+        |nbrs AS MATERIALIZED (
+        |  SELECT DISTINCT cands.node AS cand, e.dst AS nbr
+        |  FROM cands JOIN e ON cands.node = e.src),
+        |nc AS (SELECT cand, CAST(count(*) AS BIGINT) AS n_neighbors
+        |       FROM nbrs GROUP BY cand),
+        |f0 AS MATERIALIZED (
+        |  SELECT cand, min(nbr) AS node FROM nbrs GROUP BY cand),
+        |set0 AS MATERIALIZED (SELECT cand, node FROM f0),
+        |f1 AS MATERIALIZED (
+        |  SELECT DISTINCT f.cand, e.dst AS node
+        |  FROM f0 f JOIN e ON f.node = e.src
+        |  WHERE e.dst <> f.cand
+        |    AND NOT EXISTS (SELECT 1 FROM set0 p
+        |                    WHERE p.cand = f.cand AND p.node = e.dst)),
+        |set1 AS MATERIALIZED (SELECT * FROM set0
+        |        UNION ALL SELECT cand, node FROM f1),
+        |f2 AS MATERIALIZED (
+        |  SELECT DISTINCT f.cand, e.dst AS node
+        |  FROM f1 f JOIN e ON f.node = e.src
+        |  WHERE e.dst <> f.cand
+        |    AND NOT EXISTS (SELECT 1 FROM set1 p
+        |                    WHERE p.cand = f.cand AND p.node = e.dst)),
+        |set2 AS MATERIALIZED (SELECT * FROM set1
+        |        UNION ALL SELECT cand, node FROM f2),
+        |f3 AS MATERIALIZED (
+        |  SELECT DISTINCT f.cand, e.dst AS node
+        |  FROM f2 f JOIN e ON f.node = e.src
+        |  WHERE e.dst <> f.cand
+        |    AND NOT EXISTS (SELECT 1 FROM set2 p
+        |                    WHERE p.cand = f.cand AND p.node = e.dst)),
+        |set3 AS MATERIALIZED (SELECT * FROM set2
+        |        UNION ALL SELECT cand, node FROM f3),
+        |f4 AS MATERIALIZED (
+        |  SELECT DISTINCT f.cand, e.dst AS node
+        |  FROM f3 f JOIN e ON f.node = e.src
+        |  WHERE e.dst <> f.cand
+        |    AND NOT EXISTS (SELECT 1 FROM set3 p
+        |                    WHERE p.cand = f.cand AND p.node = e.dst)),
+        |set4 AS MATERIALIZED (SELECT * FROM set3
+        |        UNION ALL SELECT cand, node FROM f4),
+        |f5 AS MATERIALIZED (
+        |  SELECT DISTINCT f.cand, e.dst AS node
+        |  FROM f4 f JOIN e ON f.node = e.src
+        |  WHERE e.dst <> f.cand
+        |    AND NOT EXISTS (SELECT 1 FROM set4 p
+        |                    WHERE p.cand = f.cand AND p.node = e.dst)),
+        |set5 AS MATERIALIZED (SELECT * FROM set4
+        |        UNION ALL SELECT cand, node FROM f5),
+        |f6 AS MATERIALIZED (
+        |  SELECT DISTINCT f.cand, e.dst AS node
+        |  FROM f5 f JOIN e ON f.node = e.src
+        |  WHERE e.dst <> f.cand
+        |    AND NOT EXISTS (SELECT 1 FROM set5 p
+        |                    WHERE p.cand = f.cand AND p.node = e.dst)),
+        |set6 AS MATERIALIZED (SELECT * FROM set5
+        |        UNION ALL SELECT cand, node FROM f6),
+        |f7 AS MATERIALIZED (
+        |  SELECT DISTINCT f.cand, e.dst AS node
+        |  FROM f6 f JOIN e ON f.node = e.src
+        |  WHERE e.dst <> f.cand
+        |    AND NOT EXISTS (SELECT 1 FROM set6 p
+        |                    WHERE p.cand = f.cand AND p.node = e.dst)),
+        |set7 AS MATERIALIZED (SELECT * FROM set6
+        |        UNION ALL SELECT cand, node FROM f7),
+        |f8 AS MATERIALIZED (
+        |  SELECT DISTINCT f.cand, e.dst AS node
+        |  FROM f7 f JOIN e ON f.node = e.src
+        |  WHERE e.dst <> f.cand
+        |    AND NOT EXISTS (SELECT 1 FROM set7 p
+        |                    WHERE p.cand = f.cand AND p.node = e.dst)),
+        |set8 AS MATERIALIZED (SELECT * FROM set7
+        |        UNION ALL SELECT cand, node FROM f8),
+        |unf AS (SELECT DISTINCT cand FROM f8),
+        |reach AS (
+        |  SELECT n.cand, CAST(count(*) AS BIGINT) AS n_reached
+        |  FROM nbrs n
+        |  WHERE EXISTS (SELECT 1 FROM set8 s
+        |                WHERE s.cand = n.cand AND s.node = n.nbr)
+        |  GROUP BY n.cand)
+        |SELECT nc.cand AS node, nc.n_neighbors,
+        |       coalesce(reach.n_reached, 0) AS n_reached,
+        |       CAST(CASE WHEN coalesce(reach.n_reached, 0) < nc.n_neighbors
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_articulation,
+        |       CAST(CASE WHEN coalesce(reach.n_reached, 0) = nc.n_neighbors
+        |                   OR unf.cand IS NULL
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_exact
+        |FROM nc LEFT JOIN reach ON nc.cand = reach.cand
+        |        LEFT JOIN unf ON nc.cand = unf.cand
+        |ORDER BY node""".stripMargin,
 
     // five unrolled argmin steps: per-step coin join, min(coin)
     // groupBy, equality join back

@@ -1085,6 +1085,42 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(rep === ref.toMap)
   }
 
+  test("articulation: bridge node cuts, cycle node doesn't, horizon leaves a claim unproven") {
+    // path 1-2-3 (2 is a cut vertex) + 4-cycle 10-11-12-13 (no cut
+    // vertices), symmetrized.
+    val raw = Seq((1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val edges = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    val got = Graph.articulation(edges,
+        Seq(2L, 11L).toDF("node"), maxHops = 8)
+      .select(col("node"), col("n_neighbors"), col("n_reached"),
+        col("is_articulation"), col("is_exact"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === Map(
+      // removing 2 strands 3 from 1: articulation, proven (exhausted)
+      2L -> ((2L, 1L, 1L, 1L)),
+      // the cycle reroutes around 11: not articulation, definitive
+      11L -> ((2L, 2L, 0L, 1L))))
+    // horizon honesty: on a 8-cycle at maxHops 2, the far neighbor
+    // of a candidate is unreached but the frontier is still alive —
+    // the positive is UNPROVEN (is_exact = 0), not asserted
+    val cyc = (0L to 7L).map(i => (20L + i, 20L + (i + 1) % 8))
+    val cedges = (cyc ++ cyc.map(_.swap)).toDF("src", "dst")
+    val h = Graph.articulation(cedges, Seq(20L).toDF("node"), maxHops = 2)
+      .select(col("n_neighbors"), col("n_reached"),
+        col("is_articulation"), col("is_exact"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(h === ((2L, 1L, 1L, 0L)))
+    // the same cycle at maxHops 8 exhausts and flips to a definitive
+    // negative
+    val h8 = Graph.articulation(cedges, Seq(20L).toDF("node"), maxHops = 8)
+      .select(col("n_neighbors"), col("n_reached"),
+        col("is_articulation"), col("is_exact"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(h8 === ((2L, 2L, 0L, 1L)))
+  }
+
   test("triadCensus: one hand-built triangle per class, every CASE branch") {
     val edges = Seq(
       // 030T: 1->2, 2->3, 1->3 (source, middle, sink)
