@@ -571,6 +571,117 @@ object TextAnalysis {
         joinPieces("tgt_piece").as("target_text"))
   }
 
+  /** MLM MASKING — BERT's masked-language-model example builder
+    * (Devlin et al. 2019 §3.1): select ~15% of token positions as
+    * prediction targets and rewrite each selected position by the
+    * 80/10/10 rule — 80% become the [MASK] sentinel, 10% a random
+    * token, 10% stay verbatim (the model must still predict them).
+    *
+    * Deterministic noise (the q124/q380 coin discipline): position i
+    * of doc d hashes once — h = md5(salt‖d‖':'‖i) — and each
+    * decision reads its OWN hex slice (no arithmetic coupling, no
+    * integer division anywhere): hex[1..4] mod 100 < 15 selects,
+    * hex[5..8] mod 10 picks the 80/10/10 branch, hex[9..14] mod n
+    * indexes the random replacement — the doc's OWN token, a
+    * DOCUMENTED DEVIATION from BERT's
+    * corpus-vocab draw: the in-doc draw keeps the op row-local
+    * (zero shuffle); the corpus-vocab draw needs a vocab-indexed
+    * join at scale and buys little for a demonstrably unbiased
+    * sentinel pipeline. Replay: any engine with md5 rebuilds the
+    * exact example set.
+    *
+    * Plan shape: ONE projection — tokens, three array HOFs
+    * (transform over the position sequence, filter, join) — fully
+    * codegen'd, text never shuffles at all.
+    *
+    * Output: (doc_id, n_tokens, n_masked, n_sentinel, n_random,
+    * n_kept, masked_text, labels) — labels = 'pos:original' pairs
+    * for every selected position, space-joined. */
+  def mlmMask(docs: DataFrame, idCol: String, textCol: String,
+              salt: String = "mlm:"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val marked = transform(sequence(lit(0), n - 1), i => {
+      val h = md5(concat(lit(salt), col(idCol).cast("string"),
+        lit(":"), i.cast("string")))
+      def bits(start: Int, len: Int) =
+        conv(substring(h, start, len), 16, 10).cast("long")
+      val sel = bits(1, 4) % 100 < 15
+      val branch = bits(5, 4) % 10
+      val rnd = element_at(toks, (bits(9, 6) % n + 1).cast("int"))
+      val tok = element_at(toks, (i + 1).cast("int"))
+      struct(
+        i.as("pos"), tok.as("orig"), sel.as("sel"),
+        when(!sel, tok)
+          .when(branch < 8, lit("[MASK]"))
+          .when(branch === 8, rnd)
+          .otherwise(tok).as("out"),
+        when(sel, branch).as("br"))
+    })
+    docs.select(col(idCol), marked.as("m"), n.as("n_tokens"))
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        size(filter(col("m"), s => s.getField("sel")))
+          .cast("long").as("n_masked"),
+        size(filter(col("m"), s => s.getField("br") < 8))
+          .cast("long").as("n_sentinel"),
+        size(filter(col("m"), s => s.getField("br") === 8))
+          .cast("long").as("n_random"),
+        size(filter(col("m"), s => s.getField("br") === 9))
+          .cast("long").as("n_kept"),
+        array_join(transform(col("m"), s => s.getField("out")), " ")
+          .as("masked_text"),
+        array_join(transform(filter(col("m"), s => s.getField("sel")),
+          s => concat(s.getField("pos").cast("string"), lit(":"),
+            s.getField("orig"))), " ").as("labels"))
+  }
+
+  /** FILL-IN-THE-MIDDLE transform — the code-LLM pretraining
+    * objective (Bavarian et al. 2022, "Efficient Training of
+    * Language Models to Fill in the Middle"): split each document at
+    * two deterministic cut points into (prefix, middle, suffix) and
+    * emit the PSM rearrangement
+    *
+    *   <PRE> prefix <SUF> suffix <MID> middle
+    *
+    * — the model learns infilling from an autoregressive corpus by
+    * moving the middle to the end. Cuts are content-addressed
+    * (md5‖doc‖cut-index mod n+1, sorted), so cut1 ≤ cut2 and every
+    * segment — including EMPTY prefixes/middles/suffixes when coins
+    * collide or hit the ends — is well-defined; any engine replays
+    * the corpus exactly. Entirely row-local (tokens + two slices +
+    * concat), zero shuffle; the q380/q390 objective-builder family's
+    * third member.
+    *
+    * Output: (doc_id, n_tokens, cut1, cut2, fim_text). */
+  def fim(docs: DataFrame, idCol: String, textCol: String,
+          salt: String = "fim:"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    def cut(k: Int) = conv(substring(md5(concat(lit(salt),
+      col(idCol).cast("string"), lit(s":$k"))), 1, 8), 16, 10)
+      .cast("long") % (n + 1).cast("long")
+    val a = cut(1)
+    val b = cut(2)
+    val c1 = least(a, b)
+    val c2 = greatest(a, b)
+    docs.select(col(idCol), toks.as("t"), n.as("nn"),
+        c1.as("cut1"), c2.as("cut2"))
+      .select(col(idCol), col("nn").cast("long").as("n_tokens"),
+        col("cut1"), col("cut2"),
+        // explicit concat, NOT concat_ws: DuckDB's concat_ws drops
+        // empty strings while Spark's keeps them — an empty segment
+        // must render the same (two spaces) on both engines
+        concat(lit("<PRE> "),
+          array_join(slice(col("t"), lit(1), col("cut1").cast("int")), " "),
+          lit(" <SUF> "),
+          array_join(slice(col("t"), (col("cut2") + 1).cast("int"),
+            (col("nn") - col("cut2")).cast("int")), " "),
+          lit(" <MID> "),
+          array_join(slice(col("t"), (col("cut1") + 1).cast("int"),
+            (col("cut2") - col("cut1")).cast("int")), " "))
+          .as("fim_text"))
+  }
+
   /** READABILITY SCORING — Flesch reading ease and Flesch–Kincaid
     * grade level (Flesch 1948; Kincaid et al. 1975), the classic
     * surface-form readability pair every text-quality pipeline

@@ -264,6 +264,40 @@ object LlmQueries {
         .limit(20)
     }),
 
+    // MLM MASKING example builder (Devlin et al. 2019 §3.1 — r19):
+    // BERT's 15% / 80-10-10 masking as the second member of the
+    // objective-builder family q380 opened (T5 spans → BERT tokens;
+    // q391 adds FIM). One row-local projection — three array HOFs,
+    // zero shuffle, text never moves; each position reads its own
+    // md5 hex slices for the three decisions (see the mlmMask
+    // scaladoc, incl. the documented in-doc random-draw deviation).
+    // Non-vacuity inspected: all three 80/10/10 branches live at
+    // both gated SFs — sentinel/random/kept = 3351/421/413 of 4185
+    // selected at sf0.001 (3251/396/414 of 4061 at sf0.01, both
+    // within binomial noise of 80/10/10), and the masked rate is
+    // 15.0/14.9% of ~28k tokens.
+    "q390_mlm_mask" -> ((s, dir) => {
+      TextAnalysis.mlmMask(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // FILL-IN-THE-MIDDLE transform (Bavarian et al. 2022 — r19): the
+    // code-LLM infilling objective — two content-addressed cuts,
+    // PSM rearrangement <PRE> p <SUF> s <MID> m; third member of the
+    // q380/q390 objective-builder family, entirely row-local (two
+    // md5 coins + three slices + one concat). Non-vacuity inspected:
+    // 422/429 distinct (cut1, cut2) pairs over 500 docs at
+    // sf0.001/sf0.01, and every empty-segment edge case realizes on
+    // the fixture — 23/19 empty prefixes (cut1 = 0), 18/15 empty
+    // middles (cut1 = cut2), 26/17 empty suffixes (cut2 = n); the
+    // DuckDB NULL-on-empty-slice hazard those cases exposed is why
+    // the oracle coalesces each segment (caught at the sf0.001
+    // gate).
+    "q391_fim" -> ((s, dir) => {
+      TextAnalysis.fim(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // SPAN CORRUPTION example builder (Raffel et al. 2020 §3.1.4 —
     // r19): the T5 denoising objective's (input, target) pair
     // construction — the registry packs, shuffles, dedups, scores and
@@ -3983,6 +4017,75 @@ object LlmQueries {
         |             + 11.8 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))
         |             - 15.59, 4) AS grade
         |FROM k ORDER BY doc_id""".stripMargin,
+    // same per-position hex slices (select / branch / random index),
+    // the same in-doc random draw, string_agg reassembly
+    "q390_mlm_mask" ->
+      """WITH parts AS (
+        |  SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+        |idx AS (
+        |  SELECT doc_id, p, unnest(range(len(p))) AS i FROM parts),
+        |dec AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, p[i + 1] AS orig,
+        |         CAST(len(p) AS BIGINT) AS n,
+        |         CAST(('0x' || substr(md5('mlm:' || doc_id || ':' || i), 1, 4))
+        |              AS BIGINT) % 100 < 15 AS sel,
+        |         CAST(('0x' || substr(md5('mlm:' || doc_id || ':' || i), 5, 4))
+        |              AS BIGINT) % 10 AS br,
+        |         p[CAST(CAST(('0x' || substr(md5('mlm:' || doc_id || ':' || i), 9, 6))
+        |                     AS BIGINT) % len(p) + 1 AS BIGINT)] AS rnd
+        |  FROM idx),
+        |pieces AS (
+        |  SELECT doc_id, pos, orig, sel, n,
+        |         CASE WHEN sel THEN br END AS brs,
+        |         CASE WHEN NOT sel THEN orig
+        |              WHEN br < 8 THEN '[MASK]'
+        |              WHEN br = 8 THEN rnd
+        |              ELSE orig END AS outp
+        |  FROM dec)
+        |SELECT doc_id, max(n) AS n_tokens,
+        |       CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_masked,
+        |       CAST(sum(CASE WHEN brs < 8 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_sentinel,
+        |       CAST(sum(CASE WHEN brs = 8 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_random,
+        |       CAST(sum(CASE WHEN brs = 9 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept,
+        |       string_agg(outp, ' ' ORDER BY pos) AS masked_text,
+        |       coalesce(string_agg(CASE WHEN sel
+        |           THEN pos || ':' || orig END, ' ' ORDER BY pos), '')
+        |         AS labels
+        |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same two coins, same sorted cuts, explicit || concat (NOT
+    // concat_ws — DuckDB's drops empty strings, Spark's keeps them)
+    "q391_fim" ->
+      """WITH parts AS (
+        |  SELECT doc_id, string_split(text, ' ') AS p,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |cuts AS (
+        |  SELECT doc_id, p, n,
+        |         CAST(('0x' || substr(md5('fim:' || doc_id || ':1'), 1, 8))
+        |              AS BIGINT) % (n + 1) AS a,
+        |         CAST(('0x' || substr(md5('fim:' || doc_id || ':2'), 1, 8))
+        |              AS BIGINT) % (n + 1) AS b
+        |  FROM parts)
+        |SELECT doc_id, n AS n_tokens,
+        |       least(a, b) AS cut1, greatest(a, b) AS cut2,
+        |       '<PRE> ' ||
+        |         coalesce(array_to_string(p[1 : CAST(least(a, b) AS INT)],
+        |                                  ' '), '') ||
+        |       ' <SUF> ' ||
+        |         coalesce(array_to_string(p[CAST(greatest(a, b) + 1 AS INT) :
+        |                                     CAST(n AS INT)], ' '), '') ||
+        |       ' <MID> ' ||
+        |         coalesce(array_to_string(p[CAST(least(a, b) + 1 AS INT) :
+        |                                     CAST(greatest(a, b) AS INT)],
+        |                                  ' '), '')
+        |         AS fim_text
+        |FROM cuts ORDER BY doc_id""".stripMargin,
+
     // same bigram graph, q163's 3-superstep integer-pageRank unroll,
     // same (pr_fp DESC, node) total-order cut
     "q383_textrank" ->

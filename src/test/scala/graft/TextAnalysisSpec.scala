@@ -409,6 +409,94 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(got === ((4L, 4L, 1L, "<extra_id_0>", "<extra_id_0> a b c d")))
   }
 
+  test("mlmMask: matches a sequential hex-slice reference; branches and rates behave") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def ref(docId: Long, text: String)
+        : (Long, Long, Long, Long, Long, String, String) = {
+      val toks = text.split(" ", -1)
+      val n = toks.length
+      case class P(pos: Int, orig: String, sel: Boolean, out: String,
+                   br: Long)
+      val ps = toks.indices.map { i =>
+        val h = md5hex(s"mlm:$docId:$i")
+        def bits(start: Int, len: Int) =
+          java.lang.Long.parseLong(h.substring(start - 1, start - 1 + len), 16)
+        val sel = bits(1, 4) % 100 < 15
+        val br = bits(5, 4) % 10
+        val out =
+          if (!sel) toks(i)
+          else if (br < 8) "[MASK]"
+          else if (br == 8) toks((bits(9, 6) % n).toInt)
+          else toks(i)
+        P(i, toks(i), sel, out, br)
+      }
+      val s2 = ps.filter(_.sel)
+      (n.toLong, s2.size.toLong, s2.count(_.br < 8).toLong,
+        s2.count(_.br == 8).toLong, s2.count(_.br == 9).toLong,
+        ps.map(_.out).mkString(" "),
+        s2.map(p => s"${p.pos}:${p.orig}").mkString(" "))
+    }
+    // 120 tokens so every 80/10/10 branch realizes deterministically
+    val text1 = (1 to 120).map(i => s"w$i").mkString(" ")
+    val text2 = (1 to 60).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, text1), (2L, text2))
+    val got = TextAnalysis.mlmMask(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+        col("n_sentinel"), col("n_random"), col("n_kept"),
+        col("masked_text"), col("labels"))
+      .as[(Long, Long, Long, Long, Long, Long, String, String)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8)))
+      .toMap
+    var sent = 0L; var rnd = 0L; var kept = 0L
+    docs.foreach { case (id, text) =>
+      val (n, m, s2, r2, k, out, lab) = ref(id, text)
+      assert(got(id) === ((n, m, s2, r2, k, out, lab)), s"doc $id")
+      sent += s2; rnd += r2; kept += k
+    }
+    // the deterministic fixture must exercise every branch
+    assert(sent > 0 && rnd > 0 && kept > 0,
+      s"branch starvation: $sent/$rnd/$kept")
+  }
+
+  test("fim: matches a sequential reference; empty segments render with their separators") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def ref(docId: Long, text: String): (Long, Long, Long, String) = {
+      val toks = text.split(" ", -1)
+      val n = toks.length
+      def cut(k: Int) = java.lang.Long.parseLong(
+        md5hex(s"fim:$docId:$k").substring(0, 8), 16) % (n + 1)
+      val (c1, c2) = (math.min(cut(1), cut(2)), math.max(cut(1), cut(2)))
+      val pre = toks.slice(0, c1.toInt).mkString(" ")
+      val suf = toks.slice(c2.toInt, n).mkString(" ")
+      val mid = toks.slice(c1.toInt, c2.toInt).mkString(" ")
+      (c1, c2, n.toLong, s"<PRE> $pre <SUF> $suf <MID> $mid")
+    }
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")),
+      (2L, "solo"),
+      (3L, "a b"))
+    val got = TextAnalysis.fim(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("cut1"), col("cut2"),
+        col("fim_text"))
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    docs.foreach { case (id, text) =>
+      val (c1, c2, n, s) = ref(id, text)
+      assert(got(id) === ((n, c1, c2, s)), s"doc $id")
+    }
+  }
+
   test("readability: hand-worked counts and both formulas") {
     // W = 7; S = 2 ('.' and '!'); every token has one vowel run ->
     // Syl = 7. ease = 206.835 - 1.015*(7/2) - 84.6*(7/7) = 118.6825;
