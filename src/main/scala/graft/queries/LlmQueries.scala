@@ -233,7 +233,13 @@ object LlmQueries {
     // Bringing Order into Text" — r19): the classic unsupervised
     // keyword ranker — PageRank over the word co-occurrence graph —
     // and the registry's first GRAPH-composition over TEXT (the graph
-    // stack and the text stack never met before). Variant pinned
+    // stack and the text stack never met before). Relationship to
+    // q276 (RAKE), stated up front: same deliverable FAMILY
+    // (unsupervised keyword extraction), disjoint machinery and
+    // output — RAKE segments each doc at stopwords and deg/freq-
+    // scores multi-word PHRASES per doc; TextRank ranks single
+    // tokens CORPUS-wide by co-occurrence centrality. The two
+    // disagree productively (see the non-vacuity note). Variant pinned
     // down: window w = 2 (adjacent tokens via the q101 row-local
     // bigram kernel — no token self-join), unweighted distinct
     // edges, symmetrized, self-pairs dropped; 3 exact-integer
