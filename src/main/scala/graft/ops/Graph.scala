@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 
 /** Iterative graph algorithms as dataframe loops (the q121 k-means
   * discipline applied to link analysis). Spark has no built-in graph
@@ -10,6 +11,21 @@ import org.apache.spark.sql.functions._
   * join + groupBy per superstep.
   */
 object Graph {
+
+  /** Schema-explicit empty result frame: (node: nodeType, …: LONG).
+    * The sampled-source centrality ops return this when the
+    * accumulator never produced a row. Deriving a limit(0) from the
+    * already-released localCheckpoint `e` would make correctness
+    * hinge on the OptimizeLimitZero rule never executing the
+    * released plan — an optimizer dependency, not a contract — and
+    * would type the LONG columns as the reused edge column's type
+    * (ADVICE r19). */
+  private def emptyResult(like: DataFrame, nodeType: DataType,
+                          longCols: String*): DataFrame =
+    like.sparkSession.createDataFrame(
+      java.util.Collections.emptyList[Row](),
+      StructType(StructField("node", nodeType) +:
+        longCols.map(c => StructField(c, LongType))))
 
   /** FIXED-POINT PAGERANK, fixed iteration count, on an edge list
     * (src, dst): r'(v) = (1-d)/N + d·Σ_{u→v} r(u)/deg(u) from 1/N.
@@ -1429,8 +1445,7 @@ object Graph {
     releaseCheckpoint(e)
     if (acc == null)
       // no source had any out-edge: empty (node, hc_scaled) frame
-      e.select(col("src").as("node"), col("dst").cast("long")
-        .as("hc_scaled")).limit(0)
+      emptyResult(edges, e.schema("src").dataType, "hc_scaled")
     else {
       val out = acc.filter(col("hc") > 0)
         .select(col("node"), col("hc").as("hc_scaled"))
@@ -1515,8 +1530,8 @@ object Graph {
     releaseCheckpoint(f0)
     releaseCheckpoint(e)
     if (acc == null)
-      e.select(col("src").as("node"), col("dst").as("ecc"),
-        col("dst").as("n_reached"), col("dst").as("is_exact")).limit(0)
+      emptyResult(edges, e.schema("src").dataType,
+        "ecc", "n_reached", "is_exact")
     else {
       val out = acc
         .join(unfinished.withColumn("unf", lit(1L)), Seq("s"), "left")
@@ -1591,9 +1606,12 @@ object Graph {
     * (after the exact Long sum, so the floor leak is < 1 unit per
     * node-level, not per edge); katz_fp = Σ v_k, k ≥ 1. Any 64-bit
     * engine replays it. Overflow: each level multiplies by ≤
-    * (max_indeg / attenuation); a raise_error cap at 1e17 per level
-    * value fails loudly before 4 levels of Σ can reach 2^63 (cap ·
-    * levels · nodes-per-sum bounded by the guard itself).
+    * (max_indeg / attenuation); a raise_error cap at 1e17 bounds
+    * each PER-LEVEL value, and the constructor requires
+    * levels ≤ Long.MaxValue/levelCap so the cross-level accumulator
+    * Σ v_k ≤ levels·levelCap stays below 2^63 — the per-level cap
+    * alone does not bound the sum (ADVICE r19: levels ≥ 93 at the
+    * default cap would silently wrap).
     *
     * Per level: one edges⋈vector equi-join + map-side-combined sum —
     * the Pregel superstep, same scale story as pageRank (bucket
@@ -1607,6 +1625,9 @@ object Graph {
            levelCap: Long = 100000000000000000L): DataFrame = {
     require(levels >= 1, "levels must be positive")
     require(attenuation >= 2, "attenuation must be >= 2")
+    require(levelCap >= 1L && levels <= Long.MaxValue / levelCap,
+      s"levels ($levels) * levelCap ($levelCap) must stay below 2^63: " +
+        "the per-level cap bounds each term, this product bounds the sum")
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()

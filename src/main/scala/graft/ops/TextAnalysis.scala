@@ -601,7 +601,7 @@ object TextAnalysis {
               salt: String = "mlm:"): DataFrame = {
     val toks = tokens(col(textCol))
     val n = size(toks)
-    val marked = transform(sequence(lit(0), n - 1), i => {
+    val markedRaw = transform(sequence(lit(0), n - 1), i => {
       val h = md5(concat(lit(salt), col(idCol).cast("string"),
         lit(":"), i.cast("string")))
       def bits(start: Int, len: Int) =
@@ -618,6 +618,12 @@ object TextAnalysis {
           .otherwise(tok).as("out"),
         when(sel, branch).as("br"))
     })
+    // rawBigramsOf convention: the position sequence is only built
+    // when n >= 1 — null text (size ⇒ null) and empty token arrays
+    // (sequence(0, -1) would DESCEND) both fall to the empty array,
+    // keeping the op total over arbitrary doc frames.
+    val marked = when(n >= 1, markedRaw).otherwise(array().cast(
+      "array<struct<pos:int,orig:string,sel:boolean,out:string,br:bigint>>"))
     docs.select(col(idCol), marked.as("m"), n.as("n_tokens"))
       .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
         size(filter(col("m"), s => s.getField("sel")))
