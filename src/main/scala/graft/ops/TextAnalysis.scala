@@ -688,6 +688,139 @@ object TextAnalysis {
           .as("fim_text"))
   }
 
+  /** INSTRUCTION-PAIR SYNTHESIS — the supervised-fine-tuning example
+    * builder (the self-instruct/templated-SFT data-prep step — Wei
+    * et al. 2022 "Finetuned Language Models are Zero-Shot Learners"
+    * build instruction corpora exactly this way: a template bank
+    * applied over existing documents): each document becomes ONE
+    * (instruction, response) training pair, the template drawn by a
+    * content-addressed coin (the q124/q380 md5 idiom — one md5 of
+    * salt‖doc_id, first 16 bits mod 4; any engine replays the same
+    * corpus, no RNG state).
+    *
+    * The four templates ground the RESPONSE in the document itself,
+    * so every pair is machine-checkable (no free-text generation):
+    *   0 head12       — repeat the first 12 words
+    *   1 word_count   — the whitespace token count, as a string
+    *   2 longest_word — argmax by (length, token): ties break toward
+    *                    the alphabetically LAST word, pinned so both
+    *                    engines agree (Spark array_max over
+    *                    struct(len, tok) ≡ ORDER BY len DESC, tok
+    *                    DESC LIMIT 1)
+    *   3 first_last   — first and last word, space-joined
+    *
+    * Plan shape: ONE row-local projection — the coin, a CASE over
+    * four array expressions — fully codegen'd, zero shuffle; text
+    * never leaves its scan partition. At 100 TB this is a map-only
+    * pass, the same class as q380/q390/q391.
+    *
+    * Output: (doc_id, template, instruction, response); instruction
+    * = template prompt + '\n' + the document text. */
+  def instructionPairs(docs: DataFrame, idCol: String, textCol: String,
+                       salt: String = "sft:"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val coin = conv(substring(md5(concat(lit(salt),
+      col(idCol).cast("string"))), 1, 4), 16, 10).cast("long") % 4
+    val longest = array_max(transform(toks,
+      t => struct(length(t).as("l"), t.as("t")))).getField("t")
+    val template = when(coin === 0, lit("head12"))
+      .when(coin === 1, lit("word_count"))
+      .when(coin === 2, lit("longest_word"))
+      .otherwise(lit("first_last"))
+    val prompt = when(coin === 0,
+        lit("Repeat the first 12 words of the passage below."))
+      .when(coin === 1,
+        lit("How many words does the passage below contain?"))
+      .when(coin === 2,
+        lit("What is the longest word in the passage below? " +
+          "Break length ties toward the alphabetically last word."))
+      .otherwise(
+        lit("Give the first and the last word of the passage below."))
+    val response = when(coin === 0, array_join(slice(toks, 1, 12), " "))
+      .when(coin === 1, size(toks).cast("string"))
+      .when(coin === 2, longest)
+      .otherwise(concat(element_at(toks, 1), lit(" "),
+        element_at(toks, -1)))
+    docs.select(col(idCol), template.as("template"),
+      concat(prompt, lit("\n"), col(textCol)).as("instruction"),
+      response.as("response"))
+  }
+
+  /** UL2 MIXTURE-OF-DENOISERS selector (Tay et al. 2022, "UL2:
+    * Unifying Language Learning Paradigms" §3.1): ONE per-doc
+    * content-addressed coin routes each document to a denoising
+    * objective, and the three builders this family already ships
+    * compose into a single objective-tagged example stream —
+    *
+    *   R (regular, rRegular%):     spanCorrupt denom 20 / span 3
+    *                               (~15% corruption — the T5 default)
+    *   S (sequential, rSequential%): PrefixLM — one md5 cut in
+    *                               [1, n−1]; input = prefix, target =
+    *                               suffix (Tay §3.1's S-denoiser)
+    *   X (extreme, remainder):     spanCorrupt denom 8 / span 4
+    *                               (~50% corruption, long spans —
+    *                               the X-denoiser regime)
+    *
+    * This is the operator that turns the three builders into a
+    * PIPELINE: the routing coin (md5(salt‖doc_id) mod 100) is
+    * independent of every per-position coin (different salts), the
+    * three subsets are disjoint filters over ONE scan, and each
+    * branch re-salts its own noise (salt‖r:/s:/x:) so R and X
+    * examples of the same corpus never share span starts.
+    *
+    * Plan shape: the S branch is row-local; R and X each pay
+    * spanCorrupt's one (doc, pos) window shuffle on their ~rR%/~rX%
+    * subset — the filter sits under the exchange, so at 100 TB the
+    * shuffled volume is exactly the routed fraction, never the whole
+    * corpus twice. Union is a no-shuffle concat.
+    *
+    * S-denoiser edges: a 1-token doc (no interior cut) keeps cut = 1
+    * — input = the whole doc, target = '', n_spans = 0 (membership
+    * preserved, the q380 kept-clean contract).
+    *
+    * Output: (doc_id, objective, n_tokens, n_masked, n_spans,
+    * input_text, target_text) — one row per input doc. */
+  def denoiserMix(docs: DataFrame, idCol: String, textCol: String,
+                  salt: String = "ul2:",
+                  rRegular: Int = 50, rSequential: Int = 25): DataFrame = {
+    require(rRegular >= 1 && rSequential >= 1 &&
+      rRegular + rSequential <= 99,
+      "rates must be positive with rRegular + rSequential <= 99 " +
+        "(the remainder is the X-denoiser share)")
+    val coin = conv(substring(md5(concat(lit(salt),
+      col(idCol).cast("string"))), 1, 4), 16, 10).cast("long") % 100
+    val rDocs = docs.filter(coin < rRegular)
+    val sDocs = docs.filter(coin >= rRegular &&
+      coin < rRegular + rSequential)
+    val xDocs = docs.filter(coin >= rRegular + rSequential)
+    val r = spanCorrupt(rDocs, idCol, textCol, 20, 3, salt + "r:")
+      .withColumn("objective", lit("R"))
+    val x = spanCorrupt(xDocs, idCol, textCol, 8, 4, salt + "x:")
+      .withColumn("objective", lit("X"))
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val cut = when(n >= 2,
+      conv(substring(md5(concat(lit(salt + "s:"),
+        col(idCol).cast("string"))), 1, 6), 16, 10).cast("long")
+        % (n - 1).cast("long") + 1L)
+      .otherwise(lit(1L))
+    val s = sDocs
+      .select(col(idCol), toks.as("tk"), n.as("nn"), cut.as("cut"))
+      .select(col(idCol),
+        col("nn").cast("long").as("n_tokens"),
+        (col("nn") - col("cut")).cast("long").as("n_masked"),
+        when(col("nn") > col("cut"), 1L).otherwise(0L).as("n_spans"),
+        array_join(slice(col("tk"), lit(1), col("cut").cast("int")), " ")
+          .as("input_text"),
+        array_join(slice(col("tk"), (col("cut") + 1).cast("int"),
+          (col("nn") - col("cut")).cast("int")), " ").as("target_text"))
+      .withColumn("objective", lit("S"))
+    r.unionByName(x).unionByName(s)
+      .select(col(idCol), col("objective"), col("n_tokens"),
+        col("n_masked"), col("n_spans"),
+        col("input_text"), col("target_text"))
+  }
+
   /** READABILITY SCORING — Flesch reading ease and Flesch–Kincaid
     * grade level (Flesch 1948; Kincaid et al. 1975), the classic
     * surface-form readability pair every text-quality pipeline

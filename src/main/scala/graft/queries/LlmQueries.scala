@@ -324,6 +324,41 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // INSTRUCTION-PAIR SYNTHESIS (Wei et al. 2022 — r20): the SFT
+    // example builder — each doc becomes ONE (instruction, response)
+    // pair, template drawn by a content-addressed md5 coin from a
+    // 4-template bank whose responses are all grounded in the doc
+    // itself (machine-checkable, no generation). Row-local single
+    // projection, zero shuffle. Non-vacuity inspected: all four
+    // templates live (head12/word_count/longest_word/first_last =
+    // 121/124/150/105 on the 500-doc corpus, binomial-consistent
+    // with mod 4), and the longest-word length-TIE branch is real on
+    // the fixture — 24/30 of the 150 longest-word docs (sf0.001/
+    // sf0.01) have ≥ 2 distinct max-length tokens, so the
+    // alphabetically-last tie-break is load-bearing at the hash gate
+    // (and pinned by the spec's three-way-tie case).
+    "q392_instruction_pairs" -> ((s, dir) => {
+      TextAnalysis.instructionPairs(Tables.documents(s, dir),
+        "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // UL2 MIXTURE-OF-DENOISERS selector (Tay et al. 2022 §3.1 —
+    // r20): one md5 routing coin sends each doc to the R (15% span
+    // corruption), S (PrefixLM cut) or X (50% extreme corruption)
+    // objective — the operator that composes q380's builder family
+    // into one objective-tagged example stream. The routing filter
+    // sits UNDER each spanCorrupt exchange, so only the routed
+    // fraction shuffles. Non-vacuity inspected: all three objectives
+    // live (R/S/X = 251/123/126 of 500 — binomial ~50/25/25), the X
+    // regime is genuinely extreme (masks 42.1/41.0% of its tokens vs
+    // R's 14.6/14.5% at sf0.001/sf0.01 — ~2.9×, spans merge hard at
+    // denom 8), and S cuts span the interior (57/55 distinct suffix
+    // lengths, min 1, max 85/82).
+    "q393_denoiser_mix" -> ((s, dir) => {
+      TextAnalysis.denoiserMix(Tables.documents(s, dir),
+        "doc_id", "text").orderBy("doc_id")
+    }),
+
     // exact dedup via content hash: group keys are 32-byte hashes, not
     // raw text (the 100 TB shuffle-payload design).
     "q50_exact_dedup" -> ((s, dir) => {
@@ -4188,6 +4223,170 @@ object LlmQueries {
         |       coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '')
         |         AS target_text
         |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same template coin, same 4-template bank; the longest-word
+    // argmax replays as ORDER BY (length DESC, tok DESC) LIMIT 1 —
+    // the documented tie-break (Spark struct-max ≡ this order)
+    "q392_instruction_pairs" ->
+      """WITH parts AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS p
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, p,
+        |         CAST(('0x' || substr(md5('sft:' || doc_id), 1, 4))
+        |           AS BIGINT) % 4 AS coin
+        |  FROM parts),
+        |lw AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, tok,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY length(tok) DESC, tok DESC) AS rn
+        |    FROM (SELECT doc_id, unnest(p) AS tok FROM parts))
+        |  WHERE rn = 1)
+        |SELECT c.doc_id,
+        |       CASE coin WHEN 0 THEN 'head12' WHEN 1 THEN 'word_count'
+        |            WHEN 2 THEN 'longest_word'
+        |            ELSE 'first_last' END AS template,
+        |       (CASE coin
+        |          WHEN 0 THEN 'Repeat the first 12 words of the passage below.'
+        |          WHEN 1 THEN 'How many words does the passage below contain?'
+        |          WHEN 2 THEN 'What is the longest word in the passage below? Break length ties toward the alphabetically last word.'
+        |          ELSE 'Give the first and the last word of the passage below.'
+        |        END || chr(10) || text) AS instruction,
+        |       CASE coin
+        |         WHEN 0 THEN array_to_string(p[1:12], ' ')
+        |         WHEN 1 THEN CAST(len(p) AS VARCHAR)
+        |         WHEN 2 THEN lw.tok
+        |         ELSE p[1] || ' ' || p[-1] END AS response
+        |FROM c JOIN lw USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the q380 pipeline twice (R: denom 20 / 2-PRECEDING window, X:
+    // denom 8 / 3-PRECEDING) on coin-disjoint doc subsets + the
+    // row-local S PrefixLM cut; empty list slices coalesce (the
+    // q391 lesson: DuckDB renders them NULL, Spark '')
+    "q393_denoiser_mix" ->
+      """WITH routed AS (
+        |  SELECT doc_id, text,
+        |         CAST(('0x' || substr(md5('ul2:' || doc_id), 1, 4))
+        |           AS BIGINT) % 100 AS coin
+        |  FROM documents),
+        |rtoks AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, p[i + 1] AS tok
+        |  FROM (SELECT doc_id, p, unnest(range(len(p))) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS p
+        |              FROM routed WHERE coin < 50))),
+        |rflags AS (
+        |  SELECT doc_id, pos, tok,
+        |         CASE WHEN CAST(('0x' || substr(md5('ul2:r:' || doc_id
+        |                    || ':' || pos), 1, 4)) AS BIGINT) % 20 = 0
+        |              THEN 1 ELSE 0 END AS start
+        |  FROM rtoks),
+        |rm AS (
+        |  SELECT doc_id, pos, tok,
+        |         max(start) OVER (PARTITION BY doc_id ORDER BY pos
+        |                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |           AS masked
+        |  FROM rflags),
+        |rrs AS (
+        |  SELECT doc_id, pos, tok, masked,
+        |         CASE WHEN masked = 1 AND
+        |                   coalesce(lag(masked) OVER (PARTITION BY doc_id
+        |                     ORDER BY pos), 0) = 0
+        |              THEN 1 ELSE 0 END AS run_start
+        |  FROM rm),
+        |rsids AS (
+        |  SELECT doc_id, pos, tok, masked, run_start,
+        |         sum(run_start) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           AS sid
+        |  FROM rrs),
+        |rpieces AS (
+        |  SELECT doc_id, pos, masked, run_start,
+        |         CASE WHEN masked = 0 THEN tok
+        |              WHEN run_start = 1
+        |                THEN '<extra_id_' || (sid - 1) || '>' END AS in_piece,
+        |         CASE WHEN run_start = 1
+        |                THEN '<extra_id_' || (sid - 1) || '> ' || tok
+        |              WHEN masked = 1 THEN tok END AS tgt_piece
+        |  FROM rsids),
+        |rbranch AS (
+        |  SELECT doc_id, 'R' AS objective,
+        |         CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(masked) AS BIGINT) AS n_masked,
+        |         CAST(sum(run_start) AS BIGINT) AS n_spans,
+        |         coalesce(string_agg(in_piece, ' ' ORDER BY pos), '')
+        |           AS input_text,
+        |         coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '')
+        |           AS target_text
+        |  FROM rpieces GROUP BY doc_id),
+        |xtoks AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, p[i + 1] AS tok
+        |  FROM (SELECT doc_id, p, unnest(range(len(p))) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS p
+        |              FROM routed WHERE coin >= 75))),
+        |xflags AS (
+        |  SELECT doc_id, pos, tok,
+        |         CASE WHEN CAST(('0x' || substr(md5('ul2:x:' || doc_id
+        |                    || ':' || pos), 1, 4)) AS BIGINT) % 8 = 0
+        |              THEN 1 ELSE 0 END AS start
+        |  FROM xtoks),
+        |xm AS (
+        |  SELECT doc_id, pos, tok,
+        |         max(start) OVER (PARTITION BY doc_id ORDER BY pos
+        |                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |           AS masked
+        |  FROM xflags),
+        |xrs AS (
+        |  SELECT doc_id, pos, tok, masked,
+        |         CASE WHEN masked = 1 AND
+        |                   coalesce(lag(masked) OVER (PARTITION BY doc_id
+        |                     ORDER BY pos), 0) = 0
+        |              THEN 1 ELSE 0 END AS run_start
+        |  FROM xm),
+        |xsids AS (
+        |  SELECT doc_id, pos, tok, masked, run_start,
+        |         sum(run_start) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           AS sid
+        |  FROM xrs),
+        |xpieces AS (
+        |  SELECT doc_id, pos, masked, run_start,
+        |         CASE WHEN masked = 0 THEN tok
+        |              WHEN run_start = 1
+        |                THEN '<extra_id_' || (sid - 1) || '>' END AS in_piece,
+        |         CASE WHEN run_start = 1
+        |                THEN '<extra_id_' || (sid - 1) || '> ' || tok
+        |              WHEN masked = 1 THEN tok END AS tgt_piece
+        |  FROM xsids),
+        |xbranch AS (
+        |  SELECT doc_id, 'X' AS objective,
+        |         CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(masked) AS BIGINT) AS n_masked,
+        |         CAST(sum(run_start) AS BIGINT) AS n_spans,
+        |         coalesce(string_agg(in_piece, ' ' ORDER BY pos), '')
+        |           AS input_text,
+        |         coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '')
+        |           AS target_text
+        |  FROM xpieces GROUP BY doc_id),
+        |scut AS (
+        |  SELECT doc_id, p, len(p) AS nn,
+        |         CASE WHEN len(p) >= 2
+        |              THEN CAST(('0x' || substr(md5('ul2:s:' || doc_id),
+        |                     1, 6)) AS BIGINT) % (len(p) - 1) + 1
+        |              ELSE 1 END AS cut
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS p
+        |        FROM routed WHERE coin >= 50 AND coin < 75)),
+        |sbranch AS (
+        |  SELECT doc_id, 'S' AS objective,
+        |         CAST(nn AS BIGINT) AS n_tokens,
+        |         CAST(nn - cut AS BIGINT) AS n_masked,
+        |         CAST(CASE WHEN nn > cut THEN 1 ELSE 0 END AS BIGINT)
+        |           AS n_spans,
+        |         coalesce(array_to_string(list_slice(p, 1, cut), ' '), '')
+        |           AS input_text,
+        |         coalesce(array_to_string(list_slice(p, cut + 1, nn), ' '), '')
+        |           AS target_text
+        |  FROM scut)
+        |SELECT * FROM rbranch
+        |UNION ALL SELECT * FROM xbranch
+        |UNION ALL SELECT * FROM sbranch
+        |ORDER BY doc_id""".stripMargin,
     "q50_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,

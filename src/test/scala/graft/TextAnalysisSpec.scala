@@ -532,4 +532,126 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     // adds 1 -> Syl = 5; one '...' run -> S = 1
     assert(c === ((4L, 1L, 5L)))
   }
+
+  test("instructionPairs: matches a sequential template-bank reference; longest-word tie pinned") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def coin(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"sft:$id").substring(0, 4), 16) % 4
+    // one doc per template: search ids until each coin value realizes
+    val ids = (0L to 3L).map(t => (1L to 400L).find(coin(_) == t).get)
+    val texts = Map(
+      0L -> (1 to 20).map(i => s"h$i").mkString(" "), // > 12 words
+      1L -> "one two three four five",
+      2L -> "bb aa zz c", // three-way length tie -> 'zz' (alpha-last)
+      3L -> "alpha mid omega")
+    val docs = ids.zipWithIndex.map { case (id, t) => (id, texts(t.toLong)) }
+    val prompts = Map(
+      0L -> "Repeat the first 12 words of the passage below.",
+      1L -> "How many words does the passage below contain?",
+      2L -> ("What is the longest word in the passage below? " +
+        "Break length ties toward the alphabetically last word."),
+      3L -> "Give the first and the last word of the passage below.")
+    val names = Map(0L -> "head12", 1L -> "word_count",
+      2L -> "longest_word", 3L -> "first_last")
+    def ref(id: Long, text: String): (String, String, String) = {
+      val toks = text.split(" ", -1)
+      val t = coin(id)
+      val resp = t match {
+        case 0L => toks.take(12).mkString(" ")
+        case 1L => toks.length.toString
+        case 2L => toks.maxBy(w => (w.length, w)) // len, then alpha-LAST
+        case _ => s"${toks.head} ${toks.last}"
+      }
+      (names(t), s"${prompts(t)}\n$text", resp)
+    }
+    val got = TextAnalysis.instructionPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select(col("doc_id"), col("template"), col("instruction"),
+        col("response"))
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size === 4)
+    docs.foreach { case (id, text) =>
+      val (tn, instr, resp) = ref(id, text)
+      assert(got(id) === ((tn, instr, resp)), s"doc $id")
+    }
+    // each fixture doc landed on a distinct template (no starvation)
+    assert(got.values.map(_._1).toSet === names.values.toSet)
+  }
+
+  test("denoiserMix: coin routing, S prefix/suffix reference, R/X ≡ spanCorrupt on routed subsets") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def rcoin(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"ul2:$id").substring(0, 4), 16) % 100
+    // a 1-token doc routed to S pins the no-interior-cut edge
+    val soloId = (1L to 400L)
+      .find(id => rcoin(id) >= 50 && rcoin(id) < 75).get
+    val docs = (1L to 60L).filter(_ != soloId).map(id =>
+        (id, (1 to 30).map(i => s"w${id}_$i").mkString(" "))) :+
+      (soloId, "solo")
+    val df = docs.toDF("doc_id", "text")
+    val got = TextAnalysis.denoiserMix(df, "doc_id", "text")
+      .select(col("doc_id"), col("objective"), col("n_tokens"),
+        col("n_masked"), col("n_spans"), col("input_text"),
+        col("target_text"))
+      .as[(Long, String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got.size === docs.size) // one row per doc, none dropped
+    // 1. routing replays the JVM coin; all three objectives live
+    docs.foreach { case (id, _) =>
+      val c = rcoin(id)
+      val exp = if (c < 50) "R" else if (c < 75) "S" else "X"
+      assert(got(id)._1 === exp, s"doc $id coin $c")
+    }
+    assert(got.values.map(_._1).toSet === Set("R", "S", "X"))
+    // 2. S rows match the sequential prefix/suffix reference
+    docs.filter { case (id, _) => got(id)._1 == "S" }.foreach {
+      case (id, text) =>
+        val toks = text.split(" ", -1)
+        val n = toks.length
+        val cut = if (n >= 2)
+          java.lang.Long.parseLong(
+            md5hex(s"ul2:s:$id").substring(0, 6), 16) % (n - 1) + 1
+        else 1L
+        val exp = ("S", n.toLong, n - cut, if (n > cut) 1L else 0L,
+          toks.take(cut.toInt).mkString(" "),
+          toks.drop(cut.toInt).mkString(" "))
+        assert(got(id) === exp, s"S doc $id")
+    }
+    // the solo doc realizes the empty-target edge: kept, 0 spans
+    assert(got(soloId) === (("S", 1L, 0L, 0L, "solo", "")))
+    // 3. R and X rows ≡ spanCorrupt driven directly on the routed
+    //    subset with the branch salt/params
+    def direct(objective: String, denom: Int, span: Int) = {
+      val ids = docs.collect {
+        case (id, _) if got(id)._1 == objective => id }
+      val sub = df.filter(col("doc_id").isin(ids: _*))
+      TextAnalysis.spanCorrupt(sub, "doc_id", "text", denom, span,
+          s"ul2:${objective.toLowerCase}:")
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+          col("n_spans"), col("input_text"), col("target_text"))
+        .as[(Long, Long, Long, Long, String, String)].collect()
+        .map(r => r._1 -> ((objective, r._2, r._3, r._4, r._5, r._6)))
+        .toMap
+    }
+    (direct("R", 20, 3) ++ direct("X", 8, 4)).foreach {
+      case (id, exp) => assert(got(id) === exp, s"direct doc $id")
+    }
+    // 4. X corrupts strictly more than R on this fixture (the
+    //    extreme-denoiser regime is real, not a relabeled R)
+    def frac(obj: String) = {
+      val rs = got.values.filter(_._1 == obj)
+      rs.map(_._3).sum.toDouble / rs.map(_._2).sum
+    }
+    assert(frac("X") > 2 * frac("R"),
+      s"X ${frac("X")} vs R ${frac("R")}")
+  }
 }
