@@ -161,6 +161,37 @@ object GraphBucketProbe {
           graft.ops.Graph.hits(spark.table(hitsTbl), 2), s"$sf hits")
         println(bLine)
       } finally spark.sql(s"DROP TABLE IF EXISTS $hitsTbl")
+
+      // ---- q387 walks: the symmetrized trade graph (VERDICT r19 #5:
+      // the new family's largest shuffle — 5.4 GB at derived sf1 —
+      // has never had the bucket A/B run). The bucketed leg writes
+      // the NORMALIZED edge set (distinct — what deterministicWalks
+      // derives internally) bucketed on src, then runs the Prepared
+      // variant that trusts the layout: every one of the `length`
+      // frontier⋈edges joins should drop its edge-sided Exchange.
+      val wEdges = edges // the q333 symmetrized trade graph = q387's
+      timed(s"dir=$sf q=walks layout=raw") {
+        run(graft.ops.Graph.deterministicWalks(wEdges, 5))
+      }
+      val walkTbl = s"graft_probe_walks_${sf.replace('.', '_')}"
+      timed(s"dir=$sf q=walks layout=bucketed-write") {
+        graft.pipeline.Warehouse.writeBucketed(
+          wEdges.select(col("src"), col("dst"))
+            .filter(col("src").isNotNull && col("dst").isNotNull)
+            .distinct(),
+          walkTbl, "src", buckets)
+      }
+      try {
+        val bLine = timedLine(s"dir=$sf q=walks layout=bucketed") {
+          run(graft.ops.Graph.deterministicWalksPrepared(
+            spark.table(walkTbl), 5))
+        }
+        assertSame(graft.ops.Graph.deterministicWalks(wEdges, 5),
+          graft.ops.Graph.deterministicWalksPrepared(
+            spark.table(walkTbl), 5),
+          s"$sf walks")
+        println(bLine)
+      } finally spark.sql(s"DROP TABLE IF EXISTS $walkTbl")
     }
     spark.stop()
   }

@@ -980,4 +980,74 @@ object Dedup {
         min(col("id")).as("first_doc"),
         min(length(col("chunk"))).as("chunk_len"))
   }
+
+  /** DUPLICATED-n-GRAM RATE per document (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * duplicated-substring fraction their ExactSubstr analysis reports
+    * per example; the standard memorization-risk filter signal beside
+    * doc-level dedup): for every document, the fraction of its
+    * OVERLAPPING n-gram POSITIONS whose n-gram occurs ≥ 2 times in
+    * the whole corpus (any position, any document — within-doc
+    * repetition counts, matching the substring-duplication semantics,
+    * not just cross-doc copies).
+    *
+    * Relationship to siblings (distinct concepts): q50/q83 dedup
+    * whole documents, q106 dedups fixed segments, q182 dedups CDC
+    * chunks — all RETURN dedup groups; q100 flags overlap against an
+    * EVAL slice (decontamination); q101 measures WITHIN-doc
+    * repetition only. This op returns a corpus-wide per-doc SCORE for
+    * threshold filtering — the "how much of this doc is boilerplate
+    * the corpus already has" signal.
+    *
+    * Plan shape (the 100 TB design): grams leave the scan as 32-hex
+    * md5 payloads — document text NEVER shuffles (the q50
+    * discipline). Pass 1 pre-aggregates (gram, doc) occurrence counts
+    * — the map-side combine that caps a hot gram's fan-in at one row
+    * per (doc, partition) before anything moves. Pass 2 is a window
+    * SUM over the gram key on those pre-aggregated rows (corpus total
+    * per gram WITHOUT a join-back over the wide frame — the q387
+    * argmin lesson applied to counting), then a doc-keyed rollup.
+    * Hot-gram skew at extreme scale salts the gram key in pass 1
+    * (sub-aggregate, then combine) — documented lever, not needed at
+    * fixture SFs.
+    *
+    * Short documents (< n tokens) have no gram positions: n_grams =
+    * 0, dup_frac = NULL (the honest value — membership preserved).
+    *
+    * Output: (doc_id, n_grams, n_dup, dup_frac) — n_dup = duplicated
+    * positions, dup_frac rounded once at 4dp. */
+  def dupGramScore(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 8): DataFrame = {
+    require(n >= 2, "gram order must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(col(idCol), split(col(textCol), " ").as("__tk"))
+      .select(col(idCol), col("__tk"),
+        greatest(size(col("__tk")) - (n - 1), lit(0)).cast("long")
+          .as("n_grams"))
+    // positional (NON-distinct, unlike shingles) grams, hashed at
+    // the scan — the shuffle payload is 32 hex chars per position
+    val grams = base.filter(col("n_grams") >= 1)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("__tk")) - n),
+          i => md5(concat_ws(" ",
+            (1 to n).map(j => element_at(col("__tk"), i + lit(j))): _*))))
+          .as("gh"))
+    val perDocGram = grams.groupBy(col("gh"), col(idCol))
+      .agg(count(lit(1)).as("c"))
+    val dupPerDoc = perDocGram
+      .withColumn("__tot", sum(col("c")).over(Window.partitionBy("gh")))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("__tot") >= 2, col("c")).otherwise(0L))
+        .as("n_dup"))
+    base.select(col(idCol), col("n_grams"))
+      .join(dupPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .select(col(idCol), col("n_grams"), col("n_dup"),
+        when(col("n_grams") >= 1,
+          round(col("n_dup").cast("double") /
+            col("n_grams").cast("double"), 4))
+          .otherwise(lit(null).cast("double")).as("dup_frac"))
+  }
 }

@@ -318,6 +318,62 @@ object Similarity {
       .select(col(idCol), col("cell_id"))
   }
 
+  /** HARD-NEGATIVE MINING for embedding/reranker training (Karpukhin
+    * et al. 2020 "Dense Passage Retrieval" §4.2 — hard negatives from
+    * the retriever's own index beat random negatives; Xiong et al.
+    * 2021 ANCE makes the ANN index the negative sampler): for every
+    * anchor vector, the `k` most-similar CELL-MATES whose similarity
+    * stays BELOW `posThreshold` — close enough to confuse the model
+    * (that is what makes them hard), but below the near-duplicate /
+    * positive band that q109's semantic dedup would merge (a
+    * near-copy labeled "negative" would poison the contrastive loss).
+    *
+    * Relationship to siblings (distinct concepts, same family): q183
+    * draws its negatives from a content-addressed RING — uniformly
+    * random pairing, the easy-negative baseline; this op draws them
+    * from the IVF candidate structure — similarity-RANKED, the
+    * hard-negative refinement. q109 uses the same cell self-join to
+    * DROP the ≥-threshold band; this op mines the band just under it.
+    *
+    * Plan shape (the 100 TB design): candidates come ONLY from the
+    * anchor's own IVF cell — the pair join is cell-co-partitioned and
+    * costs Σ|cell|², never n² (the q109/q71 bound); the per-anchor
+    * top-k is a window over cell-mate rows (≤ |cell| per anchor). At
+    * scale the cells are trained k-means centroids (q121) and a
+    * production run re-splits oversized cells before pairing — the
+    * same skew cap semanticDedupKeep documents. Ranking is on the RAW
+    * double dot (deterministic fold order both engines), ties broken
+    * by neg_id; the reported sim rounds once at 4dp on output (the
+    * q71 convention).
+    *
+    * Input is an ALREADY-ASSIGNED frame (idCol, vecCol, cell_id) —
+    * assignCells/the persisted IVF index output — so the assignment
+    * pass is paid once and shared, not re-derived per consumer.
+    *
+    * Output: (anchor_id, neg_id, rank, sim), rank 1..≤k per anchor;
+    * anchors whose cell offers no sub-threshold mate emit no rows
+    * (the honest result — production widens to nProbe cells before
+    * relaxing the threshold). */
+  def hardNegatives(indexed: DataFrame, idCol: String, vecCol: String,
+                    k: Int, posThreshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = indexed.select(col("cell_id"), col(idCol).as("anchor_id"),
+      col(vecCol).as("__av"))
+    val b = indexed.select(col("cell_id"), col(idCol).as("neg_id"),
+      col(vecCol).as("__bv"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(desc("__sim"), col("neg_id"))
+    a.join(b, Seq("cell_id"))
+      .filter(col("anchor_id") =!= col("neg_id"))
+      .select(col("anchor_id"), col("neg_id"),
+        dot(col("__av"), col("__bv")).as("__sim"))
+      .filter(col("__sim") < posThreshold)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("neg_id"), col("rank"),
+        round(col("__sim"), 4).as("sim"))
+  }
+
   /** PRODUCT-QUANTIZATION codebook training (Jégou et al. 2011, TPAMI
     * "Product quantization for nearest neighbor search"): split the
     * `dims`-dim space into `m` contiguous subspaces of dims/m and run

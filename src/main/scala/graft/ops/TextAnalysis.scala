@@ -821,6 +821,75 @@ object TextAnalysis {
         col("input_text"), col("target_text"))
   }
 
+  /** DPO PREFERENCE-PAIR builder (Rafailov et al. 2023, "Direct
+    * Preference Optimization" — the (prompt, chosen, rejected) triple
+    * every preference-tuning recipe consumes; also the RLHF
+    * comparison-data shape of Ouyang et al. 2022 §3.2). Builds on
+    * [[instructionPairs]]: the template bank supplies the prompt and
+    * the GROUND-TRUTH response (= `chosen` — machine-checkable, no
+    * generation), and a content-addressed corruption of that response
+    * supplies `rejected`, so chosen ≻ rejected holds by construction.
+    *
+    * Corruption bank (coin = md5(salt‖doc_id) mod 3), each branch
+    * TOTAL and provably ≠ chosen:
+    *   0 repeat_first — chosen ⧺ " " ⧺ first word of chosen
+    *                    (strictly longer, always valid);
+    *   1 uppercase    — upper(chosen), valid iff it differs (a
+    *                    digit-only word_count answer is unchanged by
+    *                    upper — falls back);
+    *   2 head_half    — first ⌈n/2⌉ words, valid iff chosen has ≥ 2
+    *                    words (then strictly shorter — falls back
+    *                    otherwise).
+    * Invalid draws fall back to repeat_first and the emitted
+    * `corruption` column records the APPLIED corruption, so
+    * rejected ≠ chosen on every row — no degenerate ties reach the
+    * trainer. (Fixture text is ASCII; `upper` agrees across engines
+    * there — the validity test is `upper(chosen) ≠ chosen`, engine-
+    * local either way.)
+    *
+    * Relationship to the registry's other preference/pair ops —
+    * DISTINCT concepts, documented as siblings: q258 Bradley–Terry
+    * FITS a rating model FROM observed preference pairs (this op
+    * CONSTRUCTS the pairs); q183 builds contrastive pairs for
+    * EMBEDDING training (doc↔doc, label ∈ {0,1}); this builds policy-
+    * training triples (prompt, chosen ≻ rejected) — the DPO dataset.
+    *
+    * Plan shape: one row-local projection over [[instructionPairs]]'
+    * projection — zero shuffle, full codegen; at 100 TB this is a
+    * map-only pass like q380/q390/q391.
+    *
+    * Output: (doc_id, template, instruction, chosen, rejected,
+    * corruption) — one triple per document. */
+  def preferencePairs(docs: DataFrame, idCol: String, textCol: String,
+                      salt: String = "dpo:"): DataFrame = {
+    val base = instructionPairs(docs, idCol, textCol)
+      .select(col(idCol), col("template"), col("instruction"),
+        col("response").as("chosen"))
+      // materialize the chosen-token array ONCE (the ...Of
+      // discipline: element_at/size/slice reference it 4×)
+      .select(col(idCol), col("template"), col("instruction"),
+        col("chosen"), split(col("chosen"), " ").as("__ct"))
+    val coin = conv(substring(md5(concat(lit(salt),
+      col(idCol).cast("string"))), 1, 4), 16, 10).cast("long") % 3
+    val nc = size(col("__ct"))
+    val upperC = upper(col("chosen"))
+    val corruption = when(coin === 1 && upperC =!= col("chosen"),
+        lit("uppercase"))
+      .when(coin === 2 && nc >= 2, lit("head_half"))
+      .otherwise(lit("repeat_first"))
+    // ⌈n/2⌉ via truncation of a positive double — exact for any
+    // realistic n, mirrors DuckDB's (len+1)//2
+    val halfLen = ((nc + lit(1)) / lit(2)).cast("int")
+    val rejected = when(corruption === "uppercase", upperC)
+      .when(corruption === "head_half",
+        array_join(slice(col("__ct"), lit(1), halfLen), " "))
+      .otherwise(concat(col("chosen"), lit(" "),
+        element_at(col("__ct"), 1)))
+    base.select(col(idCol), col("template"), col("instruction"),
+      col("chosen"), rejected.as("rejected"),
+      corruption.as("corruption"))
+  }
+
   /** READABILITY SCORING — Flesch reading ease and Flesch–Kincaid
     * grade level (Flesch 1948; Kincaid et al. 1975), the classic
     * surface-form readability pair every text-quality pipeline

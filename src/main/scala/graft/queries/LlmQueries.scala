@@ -359,6 +359,75 @@ object LlmQueries {
         "doc_id", "text").orderBy("doc_id")
     }),
 
+    // DPO PREFERENCE-PAIR synthesis (Rafailov et al. 2023 — r20):
+    // (prompt, chosen, rejected) triples with chosen ≻ rejected BY
+    // CONSTRUCTION — q392's template bank supplies prompt + ground-
+    // truth chosen; a 3-way content-addressed corruption coin
+    // (repeat_first / uppercase / head_half, total fallback to
+    // repeat_first) supplies rejected. Siblings documented in the
+    // scaladoc: q258 FITS ratings from pairs, q183 pairs docs for
+    // embeddings; this CONSTRUCTS the policy-training triples. One
+    // row-local projection, zero shuffle. Non-vacuity inspected at
+    // the gate (both gated SFs, identical 500-doc corpus): all three
+    // corruption branches live (repeat_first/uppercase/head_half =
+    // 307/120/73) AND both fallback edges real — 86 word_count docs
+    // bounce off uppercase (digit answers) or head_half (one-token
+    // answers) and 58 longest_word docs bounce off head_half
+    // (one-word chosen); rejected ≠ chosen on every one of the 500
+    // rows (0 degenerate ties, counted).
+    "q394_dpo_pairs" -> ((s, dir) => {
+      TextAnalysis.preferencePairs(Tables.documents(s, dir),
+        "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // HARD-NEGATIVE MINING (Karpukhin et al. 2020 DPR; Xiong et al.
+    // 2021 ANCE — r20): for every anchor vector the 2 most-similar
+    // cell-mates BELOW the positive threshold — similarity-RANKED
+    // negatives from the IVF candidate structure, vs q183's ring
+    // (uniform) negatives; q109 drops the ≥-threshold band, this
+    // mines just under it. Cell-co-partitioned self-join (Σ|cell|²,
+    // never n²) + per-anchor window; ranking on the raw double dot,
+    // reported sim rounded once (q71 conventions). Threshold 0.4,
+    // MEASURED against the fixture's pair-sim distribution (max pair
+    // dot ≈ 0.5 — a 0.9 near-dup band is fixture-absent, so 0.9
+    // would be a dead filter at the hash gate): at 0.4 the filter is
+    // load-bearing — 38/40/524 pairs covering 34/38/453 anchors are
+    // excised at sf0.001/sf0.01/sf0.1 (inspected) — while EVERY
+    // anchor still emits both ranks (500/500/2000).
+    "q395_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("c_vec"))
+      val indexed = Similarity.assignCells(e, "vec_id", "embedding",
+        centroids)
+      Similarity.hardNegatives(indexed, "vec_id", "embedding",
+          k = 2, posThreshold = 0.4)
+        .orderBy("anchor_id", "rank")
+    }),
+
+    // DUPLICATED-8-GRAM RATE (Lee et al. 2022 — r20): per-doc
+    // fraction of overlapping 8-gram positions whose gram occurs ≥ 2
+    // times anywhere in the corpus — the memorization-risk /
+    // boilerplate filter score. Distinct from q50/q83/q106/q182
+    // (dedup GROUPS), q100 (overlap vs an EVAL slice) and q101
+    // (WITHIN-doc repetition): this is the corpus-wide per-doc score.
+    // Text never shuffles (grams leave the scan as md5 hex); (gram,
+    // doc) pre-agg = map-side combine before the gram-keyed window
+    // SUM (no join-back over the wide frame — the q387 lesson). The
+    // DuckDB oracle works on RAW gram strings — an independent
+    // formulation that also proves the 128-bit hash is collision-
+    // free on the fixture. Non-vacuity inspected: all three score
+    // regimes live at both gated SFs (zero / interior / exactly-1 =
+    // 455/21/24 at sf0.001, 453/23/24 at sf0.01 — the planted
+    // near-dup docs read 1.0, the fixture's shared spans put 0.0884
+    // mean duplication on the rest); the <n-token NULL edge is
+    // fixture-absent (every doc has ≥ 8 tokens) and is pinned by the
+    // DedupSpec short-doc case instead.
+    "q396_dup_ngram_rate" -> ((s, dir) => {
+      Dedup.dupGramScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // exact dedup via content hash: group keys are 32-byte hashes, not
     // raw text (the 100 TB shuffle-payload design).
     "q50_exact_dedup" -> ((s, dir) => {
@@ -4386,6 +4455,125 @@ object LlmQueries {
         |SELECT * FROM rbranch
         |UNION ALL SELECT * FROM xbranch
         |UNION ALL SELECT * FROM sbranch
+        |ORDER BY doc_id""".stripMargin,
+    // q392's oracle CTEs verbatim (chosen = its response), then the
+    // corruption coin + the applied-corruption CASE; ⌈n/2⌉ is
+    // (len+1)//2 both engines (Spark truncates the positive double)
+    "q394_dpo_pairs" ->
+      """WITH parts AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS p
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, p,
+        |         CAST(('0x' || substr(md5('sft:' || doc_id), 1, 4))
+        |           AS BIGINT) % 4 AS coin
+        |  FROM parts),
+        |lw AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, tok,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY length(tok) DESC, tok DESC) AS rn
+        |    FROM (SELECT doc_id, unnest(p) AS tok FROM parts))
+        |  WHERE rn = 1),
+        |base AS (
+        |  SELECT c.doc_id,
+        |       CASE coin WHEN 0 THEN 'head12' WHEN 1 THEN 'word_count'
+        |            WHEN 2 THEN 'longest_word'
+        |            ELSE 'first_last' END AS template,
+        |       (CASE coin
+        |          WHEN 0 THEN 'Repeat the first 12 words of the passage below.'
+        |          WHEN 1 THEN 'How many words does the passage below contain?'
+        |          WHEN 2 THEN 'What is the longest word in the passage below? Break length ties toward the alphabetically last word.'
+        |          ELSE 'Give the first and the last word of the passage below.'
+        |        END || chr(10) || text) AS instruction,
+        |       CASE coin
+        |         WHEN 0 THEN array_to_string(p[1:12], ' ')
+        |         WHEN 1 THEN CAST(len(p) AS VARCHAR)
+        |         WHEN 2 THEN lw.tok
+        |         ELSE p[1] || ' ' || p[-1] END AS chosen
+        |  FROM c JOIN lw USING (doc_id)),
+        |x AS (
+        |  SELECT doc_id, template, instruction, chosen,
+        |         string_split(chosen, ' ') AS ct,
+        |         CAST(('0x' || substr(md5('dpo:' || doc_id), 1, 4))
+        |           AS BIGINT) % 3 AS k
+        |  FROM base),
+        |y AS (
+        |  SELECT doc_id, template, instruction, chosen, ct,
+        |         CASE WHEN k = 1 AND upper(chosen) <> chosen
+        |                THEN 'uppercase'
+        |              WHEN k = 2 AND len(ct) >= 2 THEN 'head_half'
+        |              ELSE 'repeat_first' END AS corruption
+        |  FROM x)
+        |SELECT doc_id, template, instruction, chosen,
+        |       CASE corruption WHEN 'uppercase' THEN upper(chosen)
+        |            WHEN 'head_half'
+        |              THEN array_to_string(ct[1:(len(ct) + 1) // 2], ' ')
+        |            ELSE chosen || ' ' || ct[1] END AS rejected,
+        |       corruption
+        |FROM y ORDER BY doc_id""".stripMargin,
+    // q80's assignment CTE (row_number ≡ max_by's (score, -cell)
+    // tie-break), the cell self-join, the sub-threshold filter on the
+    // RAW dot, per-anchor row_number, rounding once on output
+    "q395_hard_negatives" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |assigned AS (
+        |  SELECT vec_id, v, cell_id FROM (
+        |    SELECT c.vec_id, c.v, ct.cell_id,
+        |           row_number() OVER (PARTITION BY c.vec_id
+        |             ORDER BY list_dot_product(c.v, ct.cv) DESC,
+        |                      ct.cell_id) AS rn
+        |    FROM corpus c CROSS JOIN cents ct) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+        |         list_dot_product(a.v, b.v) AS s
+        |  FROM assigned a JOIN assigned b USING (cell_id)
+        |  WHERE a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT anchor_id, neg_id, s,
+        |         row_number() OVER (PARTITION BY anchor_id
+        |           ORDER BY s DESC, neg_id) AS rk
+        |  FROM pairs WHERE s < 0.4)
+        |SELECT anchor_id, neg_id, CAST(rk AS INT) AS "rank",
+        |       round(s, 4) AS sim
+        |FROM ranked WHERE rk <= 2
+        |ORDER BY anchor_id, "rank"""".stripMargin,
+    // independent formulation on RAW gram strings (no hashing) — a
+    // hash-match additionally proves md5 collision-freedom on the
+    // fixture gram population
+    "q396_dup_ngram_rate" ->
+      """WITH parts AS (
+        |  SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+        |base AS (
+        |  SELECT doc_id, p,
+        |         CAST(greatest(len(p) - 7, 0) AS BIGINT) AS n_grams
+        |  FROM parts),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(p[i + 1:i + 8], ' ') AS g
+        |  FROM (SELECT doc_id, p, unnest(range(len(p) - 7)) AS i
+        |        FROM base WHERE n_grams >= 1)),
+        |pg AS (
+        |  SELECT g, doc_id, count(*) AS c FROM grams
+        |  GROUP BY g, doc_id),
+        |tg AS (
+        |  SELECT g, doc_id, c, sum(c) OVER (PARTITION BY g) AS tot
+        |  FROM pg),
+        |dd AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN tot >= 2 THEN c ELSE 0 END)
+        |           AS BIGINT) AS n_dup
+        |  FROM tg GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_grams,
+        |       CAST(coalesce(dd.n_dup, 0) AS BIGINT) AS n_dup,
+        |       CASE WHEN b.n_grams >= 1
+        |            THEN round(coalesce(dd.n_dup, 0) / b.n_grams, 4)
+        |       END AS dup_frac
+        |FROM base b LEFT JOIN dd USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q50_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash, count(*) AS n_copies

@@ -595,4 +595,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(chunks.agg(sum(col("chunk_len") * col("n_copies")))
       .as[Long].head() === text.length.toLong)
   }
+
+  test("dupGramScore: corpus-wide positional duplication rate; within-doc repeats count; short docs NULL") {
+    val docs = Seq(
+      (1L, "a b c d"), // grams: "a b" (dup via doc 2), "b c", "c d"
+      (2L, "a b x"),   // grams: "a b" (dup), "b x"
+      (3L, "z"),       // < n tokens: no gram positions
+      (4L, "q q q"))   // "q q" twice WITHIN one doc -> both dup
+      .toDF("doc_id", "text")
+    val got = Dedup.dupGramScore(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 1L, Some(0.3333)),
+      (2L, 2L, 1L, Some(0.5)),
+      (3L, 0L, 0L, None),
+      (4L, 2L, 2L, Some(1.0))))
+    // partition invariance (no order-dependent state anywhere)
+    val again = Dedup.dupGramScore(docs.repartition(7), "doc_id",
+        "text", n = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(again === got)
+  }
 }

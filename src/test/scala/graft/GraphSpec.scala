@@ -1182,6 +1182,12 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       (1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 3L),
       (2L, 0L, 2L), (2L, 1L, 3L),
       (3L, 0L, 3L)))
+    // the prepared (bucket-on-src read path) variant is output-
+    // identical on an already-normalized edge set
+    val prep = Graph.deterministicWalksPrepared(
+        sym.toDF("src", "dst"), length = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(prep === got)
   }
 
   test("localClustering: triangle + leaf + isolated edge covers every branch") {

@@ -329,4 +329,39 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val recall = (ann intersect truth).size / 10.0
     assert(recall >= 0.3, s"ivf-pq recall@10 = $recall")
   }
+
+  test("hardNegatives: cell-bounded candidates, threshold excises the positive band, rank ties break on neg_id") {
+    val cents = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(-1.0f, 0.0f)))
+      .toDF("cell_id", "c_vec")
+    val vecs = Seq(
+      1L -> Seq(1.0f, 0.0f), 2L -> Seq(0.9f, 0.1f),
+      3L -> Seq(0.8f, 0.0f), 7L -> Seq(0.8f, 0.0f), // 3/7: exact tie
+      4L -> Seq(0.0f, 1.0f), 5L -> Seq(0.1f, 0.9f),
+      6L -> Seq(0.0f, 0.8f), 8L -> Seq(0.0f, 0.95f),
+      9L -> Seq(-1.0f, 0.0f), 10L -> Seq(-0.99f, 0.0f))
+      .toDF("vec_id", "embedding")
+    val indexed = Similarity.assignCells(vecs, "vec_id", "embedding",
+      cents)
+    val got = Similarity.hardNegatives(indexed, "vec_id", "embedding",
+        k = 2, posThreshold = 0.85)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val exp = Set(
+      // cell 0: the 1↔2 pair (0.9) is positive-band -> excluded;
+      // anchor 1's two 0.8 candidates tie -> neg_id order (3 then 7)
+      (1L, 3L, 1, 0.8), (1L, 7L, 2, 0.8),
+      (2L, 3L, 1, 0.72), (2L, 7L, 2, 0.72),
+      (3L, 1L, 1, 0.8), (3L, 2L, 2, 0.72),
+      (7L, 1L, 1, 0.8), (7L, 2L, 2, 0.72),
+      // cell 1: 4↔5 (0.9), 4↔8 (0.95), 5↔8 (0.855) all excluded
+      (4L, 6L, 1, 0.8),
+      (5L, 6L, 1, 0.72),
+      (6L, 4L, 1, 0.8), (6L, 8L, 2, 0.76),
+      (8L, 6L, 1, 0.76))
+    assert(got === exp)
+    // cell 2 holds only a near-dup pair (0.99): no row may label a
+    // near-duplicate as a negative
+    assert(!got.exists(r => r._1 == 9L || r._1 == 10L))
+  }
 }

@@ -654,4 +654,65 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(frac("X") > 2 * frac("R"),
       s"X ${frac("X")} vs R ${frac("R")}")
   }
+
+  test("preferencePairs: corruption bank matches a sequential reference; rejected always differs from chosen") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def sftCoin(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"sft:$id").substring(0, 4), 16) % 4
+    def dpoCoin(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"dpo:$id").substring(0, 4), 16) % 3
+    def findId(t: Long, k: Long): Long =
+      (1L to 4000L).find(id => sftCoin(id) == t && dpoCoin(id) == k).get
+    // one doc per corruption path, including BOTH fallback edges
+    val cases = Seq(
+      (findId(3, 0), "alpha beta gamma"),    // repeat_first direct
+      (findId(0, 1), "one two three"),       // uppercase applies
+      (findId(1, 1), "one two three four"),  // digit chosen -> fallback
+      (findId(0, 2), "aa bb cc dd ee"),      // head_half applies (5 -> 3)
+      (findId(2, 2), "tiny mightiest word")) // 1-word chosen -> fallback
+    val docs = cases.toDF("doc_id", "text")
+    // sequential reference over the full template + corruption bank
+    def ref(id: Long, text: String): (String, String, String, String) = {
+      val toks = text.split(" ", -1)
+      val chosen = sftCoin(id) match {
+        case 0L => toks.take(12).mkString(" ")
+        case 1L => toks.length.toString
+        case 2L => toks.maxBy(w => (w.length, w))
+        case _ => s"${toks.head} ${toks.last}"
+      }
+      val ct = chosen.split(" ", -1)
+      val corruption = dpoCoin(id) match {
+        case 1L if chosen.toUpperCase != chosen => "uppercase"
+        case 2L if ct.length >= 2 => "head_half"
+        case _ => "repeat_first"
+      }
+      val rejected = corruption match {
+        case "uppercase" => chosen.toUpperCase
+        case "head_half" => ct.take((ct.length + 1) / 2).mkString(" ")
+        case _ => s"$chosen ${ct.head}"
+      }
+      (chosen, rejected, corruption, text)
+    }
+    val got = TextAnalysis.preferencePairs(docs, "doc_id", "text")
+      .select(col("doc_id"), col("chosen"), col("rejected"),
+        col("corruption"))
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size === cases.size)
+    cases.foreach { case (id, text) =>
+      val (chosen, rejected, corruption, _) = ref(id, text)
+      assert(got(id) === ((chosen, rejected, corruption)), s"doc $id")
+      assert(got(id)._2 != got(id)._1, s"doc $id rejected == chosen")
+    }
+    // all three corruption branches fired, and both fallbacks landed
+    // on repeat_first (no dead branch, no degenerate tie)
+    assert(got.values.map(_._3).toSet ===
+      Set("repeat_first", "uppercase", "head_half"))
+    assert(got(cases(2)._1)._3 === "repeat_first") // digit fallback
+    assert(got(cases(4)._1)._3 === "repeat_first") // 1-word fallback
+  }
 }
