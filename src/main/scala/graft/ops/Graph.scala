@@ -234,10 +234,22 @@ object Graph {
     * table). The wedge self-join keys on `s` — an s-bucketed layout
     * runs it with no Exchange below the join. */
   def triangleCountsOriented(oriented: DataFrame): DataFrame = {
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
+    // Join strategy is chosen DELIBERATELY (r21, guide §3.1): both
+    // joins hint SHUFFLE_HASH with the edge list as build side. The
+    // default sort-merge plan SORTED the wedge stream — Σ outdeg²
+    // rows, the largest intermediate in the whole query — on (b, c)
+    // before the closing join, and sorted the oriented edges twice
+    // for the self-join; hashing builds on the edge-sized side and
+    // STREAMS the wedges unsorted instead. Per-partition build = the
+    // edge list over the shuffle partition count, which is exactly
+    // the quantity partitions-∝-data keeps bounded at scale (SCALE.md
+    // bucket-on-src note), so the hint survives the 100 TB regime.
+    // Measured at sf0.1 (OPTIMIZATION_r21.md): q171+q375 A/B.
+    val wedges = oriented.as("e1").join(oriented.as("e2").hint("shuffle_hash"),
         col("e1.s") === col("e2.s") && col("e1.kt") < col("e2.kt"))
       .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
-    val tris = wedges.join(oriented.select(col("s").as("b"), col("t").as("c")),
+    val tris = wedges.join(
+      oriented.select(col("s").as("b"), col("t").as("c")).hint("shuffle_hash"),
       Seq("b", "c"))
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))

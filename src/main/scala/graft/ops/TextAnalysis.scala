@@ -590,20 +590,44 @@ object TextAnalysis {
     * sentinel pipeline. Replay: any engine with md5 rebuilds the
     * exact example set.
     *
-    * Plan shape: ONE projection — tokens, three array HOFs
-    * (transform over the position sequence, filter, join) — fully
-    * codegen'd, text never shuffles at all.
+    * Plan shape: TWO stacked projections — the token array
+    * materializes in the first (so the per-position lambda reads a
+    * BoundReference, never re-splits), the three array HOFs
+    * (transform over the position sequence, filter, join) run in the
+    * second — fully codegen'd, text never shuffles at all.
     *
     * Output: (doc_id, n_tokens, n_masked, n_sentinel, n_random,
     * n_kept, masked_text, labels) — labels = 'pos:original' pairs
     * for every selected position, space-joined. */
   def mlmMask(docs: DataFrame, idCol: String, textCol: String,
               salt: String = "mlm:"): DataFrame = {
-    val toks = tokens(col(textCol))
+    // Materialize the token array ONCE before the per-position lambda
+    // (the q57/q100 CSE trap, which this op used to pay quadratically:
+    // `tokens(text)` inlined into the transform body re-evaluates the
+    // split per ELEMENT — two element_at references plus the `% n`
+    // bound made each doc split O(n) times, O(n²) token work per doc.
+    // A materialized column is a BoundReference inside the lambda; the
+    // ≥5 references below keep CollapseProject from re-inlining it.
+    // Measured at sf0.1 isolated, with the hash-array split below:
+    // 7.9 s → 2.4 s (OPTIMIZATION_r21.md).)
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
     val n = size(toks)
-    val markedRaw = transform(sequence(lit(0), n - 1), i => {
-      val h = md5(concat(lit(salt), col(idCol).cast("string"),
-        lit(":"), i.cast("string")))
+    // The position hash ALSO materializes once per position (HOF
+    // lambdas are interpreted — no subexpression elimination, and the
+    // old single-lambda form evaluated the same md5 up to 6× per
+    // element for sel/branch/out/br). The hash array is built by one
+    // transform; the decision lambda then reads its element as a
+    // cheap bound reference via transform's (elem, index) form.
+    // rawBigramsOf convention: the position sequence is only built
+    // when n >= 1 — null text (size ⇒ null) and empty token arrays
+    // (sequence(0, -1) would DESCEND) both fall to the empty array,
+    // keeping the op total over arbitrary doc frames.
+    val hsRaw = transform(sequence(lit(0), n - 1), i =>
+      md5(concat(lit(salt), col(idCol).cast("string"),
+        lit(":"), i.cast("string"))))
+    val hs = when(n >= 1, hsRaw).otherwise(array().cast("array<string>"))
+    val marked = transform(hs, (h, i) => {
       def bits(start: Int, len: Int) =
         conv(substring(h, start, len), 16, 10).cast("long")
       val sel = bits(1, 4) % 100 < 15
@@ -618,13 +642,7 @@ object TextAnalysis {
           .otherwise(tok).as("out"),
         when(sel, branch).as("br"))
     })
-    // rawBigramsOf convention: the position sequence is only built
-    // when n >= 1 — null text (size ⇒ null) and empty token arrays
-    // (sequence(0, -1) would DESCEND) both fall to the empty array,
-    // keeping the op total over arbitrary doc frames.
-    val marked = when(n >= 1, markedRaw).otherwise(array().cast(
-      "array<struct<pos:int,orig:string,sel:boolean,out:string,br:bigint>>"))
-    docs.select(col(idCol), marked.as("m"), n.as("n_tokens"))
+    base.select(col(idCol), marked.as("m"), n.as("n_tokens"))
       .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
         size(filter(col("m"), s => s.getField("sel")))
           .cast("long").as("n_masked"),

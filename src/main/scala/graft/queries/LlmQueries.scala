@@ -254,12 +254,23 @@ object LlmQueries {
     // sf0.001, 6 at sf0.01 (TextRank promotes tokens adjacent to
     // MANY DISTINCT neighbors over tokens repeated in few contexts).
     "q383_textrank" -> ((s, dir) => {
+      // r21: tokens materialize in their OWN projection (the q57/q100
+      // CSE trap — rawBigramsOf over an inline split() re-evaluated
+      // the split per ELEMENT, O(n²) per doc), and the explode is
+      // explode_outer (plain explode let InferFiltersFromGenerate
+      // push `size(bgs) > 0 AND isnotnull(bgs)` below the projection
+      // with the whole bigram lambda INLINED — the before plan's
+      // Filter(2) evaluated it twice more per doc). Output identical:
+      // empty/null bigram arrays died at explode before, the null row
+      // explode_outer emits dies at the isNotNull filter now.
       val pairs = Tables.documents(s, dir)
-        .select(TextAnalysis.rawBigramsOf(
-          TextAnalysis.tokens(col("text"))).as("bgs"))
-        .select(explode(col("bgs")).as("bg"))
-        .select(split(col("bg"), " ").getItem(0).as("w1"),
-          split(col("bg"), " ").getItem(1).as("w2"))
+        .select(TextAnalysis.tokens(col("text")).as("toks"))
+        .select(TextAnalysis.rawBigramsOf(col("toks")).as("bgs"))
+        .select(explode_outer(col("bgs")).as("bg"))
+        .filter(col("bg").isNotNull)
+        .select(split(col("bg"), " ").as("sp"))
+        .select(col("sp").getItem(0).as("w1"),
+          col("sp").getItem(1).as("w2"))
         .filter(col("w1") =!= col("w2"))
         .distinct()
       val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"))
@@ -1886,10 +1897,19 @@ object LlmQueries {
     // bigrams and drop (inner-join semantics, like q102 drops nothing
     // only because every fixture doc tokenizes non-empty).
     "q326_bigram_logprob" -> ((s, dir) => {
+      // r21: same two-trap fix as q383 — tokens then bigrams each
+      // materialize in their own projection (no per-element re-split)
+      // and the corpus explode is the explode_outer + isNotNull form
+      // (no inferred filter re-evaluating the bigram lambda below the
+      // Generate). Row set unchanged: <2-token docs had no bigrams
+      // and dropped at the inner joins before; their null rows die at
+      // the isNotNull filter now.
       val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          explode(TextAnalysis.rawBigramsOf(TextAnalysis.tokens(col("text"))))
-            .as("bigram"))
+          TextAnalysis.rawBigramsOf(col("toks")).as("bgs"))
+        .select(col("doc_id"), explode_outer(col("bgs")).as("bigram"))
+        .filter(col("bigram").isNotNull)
       val bc = grams.groupBy("bigram").agg(count(lit(1)).as("cb"))
       val ctx = grams.select(substring_index(col("bigram"), " ", 1).as("w1"))
         .groupBy("w1").agg(count(lit(1)).as("cw"))
