@@ -458,33 +458,35 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint()
-    var dist = seeds.select(col("node")).filter(col("node").isNotNull)
+    val d0 = seeds.select(col("node")).filter(col("node").isNotNull)
       .distinct()
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint()
-    var frontier = dist
+    // r21 accumulator restructure (guide §1.2): the distance table
+    // used to re-checkpoint a growing union every level (O(levels²)
+    // copied rows + one extra job per level). Each level is already
+    // checkpointed, so the anti-join now reads the LAZY union of the
+    // level checkpoints in place, and the returned frame is that
+    // union — the level checkpoints back it and stay persisted (the
+    // kCore leak-accepted rule).
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](d0)
+    var frontier = d0
     var level = 0L
     var n = frontier.count()
     while (level < maxHops && n > 0) {
       level += 1
+      val dist = levels.reduce(_ unionByName _)
       val next = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(level).as("dist"))
         .localCheckpoint()
       n = next.count()
-      val grown = dist.unionByName(next).localCheckpoint()
-      // Both the superseded distance table and the consumed frontier
-      // are dead once `grown` has materialized (at level 1 they are
-      // the SAME checkpoint — release once).
-      if (!(frontier eq dist)) releaseCheckpoint(frontier)
-      releaseCheckpoint(dist)
-      dist = grown
+      levels += next
       frontier = next
     }
-    if (!(frontier eq dist)) releaseCheckpoint(frontier)
     releaseCheckpoint(e)
-    dist
+    levels.reduce(_ unionByName _)
   }
 
   /** WEIGHTED SINGLE-SOURCE SHORTEST PATHS, bounded-hop Bellman–Ford
@@ -941,11 +943,19 @@ object Graph {
       .distinct()
       .select(col("node").as("s"), col("node"), lit(1L).as("sig"))
       .localCheckpoint()
+    // r21 accumulator restructure (guide §1.2, the harmonicCentrality
+    // comment): the forward settled set is a LAZY union of the level
+    // checkpoints (no per-round growing re-checkpoint), and the
+    // backward δ accumulator collects the per-level checkpointed
+    // frames and aggregates ONCE at the end (integer sum —
+    // associative). Level checkpoints back the returned frame.
     val levels = scala.collection.mutable.ArrayBuffer(f0)
-    var settled = f0.select(col("s"), col("node")).localCheckpoint()
     var frontier = f0
     var d = 0
     while (d < maxHops && frontier.head(1).nonEmpty) {
+      val settled = levels
+        .map(_.select(col("s"), col("node")))
+        .reduce(_ unionByName _)
       val nxt = frontier.join(e, col("node") === col("src"))
         .groupBy(col("s"), col("dst"))
         .agg(sum(col("sig")).as("sig"))
@@ -957,23 +967,16 @@ object Graph {
             .otherwise(col("sig")).as("sig"))
         .join(settled, Seq("s", "node"), "left_anti")
         .localCheckpoint()
-      val grown = settled.unionByName(nxt.select(col("s"), col("node")))
-        .localCheckpoint()
-      releaseCheckpoint(settled)
-      settled = grown
       levels += nxt
       frontier = nxt
       d += 1
     }
-    releaseCheckpoint(settled)
     // backward: δ over the implicit shortest-path DAG, deepest first.
     // The deepest recorded level has no deeper successors → δ = 0.
     var deeper = levels.last
       .select(col("s"), col("node"), col("sig"), lit(0L).as("dl"))
-      .localCheckpoint()
-    releaseCheckpoint(levels.last)
-    var acc = deeper.select(col("s"), col("node"), col("dl"))
-      .localCheckpoint()
+    val accPieces = scala.collection.mutable.ArrayBuffer(
+      deeper.select(col("s"), col("node"), col("dl")))
     for (i <- levels.length - 2 to 0 by -1) {
       val terms = levels(i).join(e, col("node") === col("src"))
         .join(deeper.select(col("s"), col("node").as("dst"),
@@ -989,22 +992,17 @@ object Graph {
         .select(col("s"), col("node"), col("sig"),
           coalesce(col("dl"), lit(0L)).as("dl"))
         .localCheckpoint()
-      val accGrown = acc.unionByName(
-        lvlD.select(col("s"), col("node"), col("dl"))).localCheckpoint()
-      releaseCheckpoint(acc)
-      releaseCheckpoint(deeper)
+      // levels(i) is superseded by lvlD (an eager checkpoint); only
+      // levels.last stays — accPieces(0) reads it lazily
       releaseCheckpoint(levels(i))
-      acc = accGrown
+      accPieces += lvlD.select(col("s"), col("node"), col("dl"))
       deeper = lvlD
     }
-    releaseCheckpoint(deeper)
-    val out = acc.filter(col("node") =!= col("s"))
+    releaseCheckpoint(e)
+    accPieces.reduce(_ unionByName _)
+      .filter(col("node") =!= col("s"))
       .groupBy(col("node")).agg(sum(col("dl")).as("bc_scaled"))
       .filter(col("bc_scaled") > 0)
-      .localCheckpoint()
-    releaseCheckpoint(acc)
-    releaseCheckpoint(e)
-    out
   }
 
   /** CONNECTED COMPONENTS via alternating LARGE-STAR / SMALL-STAR
@@ -1424,46 +1422,46 @@ object Graph {
       .distinct()
       .select(col("node").as("s"), col("node"))
       .localCheckpoint()
-    var settled = f0
+    // r21 accumulator restructure (guide §1.2 — fewer passes): the
+    // settled set and the hc partial sums used to re-checkpoint a
+    // GROWING union every round (O(rounds²) copied rows plus two
+    // materialization jobs per round). Every per-round frontier is
+    // already checkpointed, so both accumulators are now LAZY unions
+    // over those checkpoints: the anti-join reads them in place, and
+    // the harmonic sum aggregates ONCE at the end (integer sum —
+    // associative, so the merged-per-round and summed-once results
+    // are identical). The level checkpoints back the returned frame
+    // and stay persisted (the kCore leak-accepted rule).
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](f0)
+    val contribs = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var frontier = f0
-    // acc holds (node, hc) partial sums; starts empty (d=0 is self).
-    var acc: DataFrame = null
     var d = 0
     while (d < maxHops && frontier.head(1).nonEmpty) {
       d += 1
+      val settled = levels.reduce(_ unionByName _)
       val nxt = frontier.join(e, col("node") === col("src"))
         .select(col("s"), col("dst").as("node"))
         .distinct()
         .join(settled, Seq("s", "node"), "left_anti")
         .localCheckpoint()
-      val grown = settled.unionByName(nxt).localCheckpoint()
-      releaseCheckpoint(settled)
-      if (frontier ne f0) releaseCheckpoint(frontier)
-      settled = grown
+      levels += nxt
       frontier = nxt
-      val contrib = nxt.groupBy(col("node"))
+      contribs += nxt.groupBy(col("node"))
         .agg((count(lit(1)) * lit(scale / d)).as("hc"))
-      val accGrown =
-        (if (acc == null) contrib
-         else acc.unionByName(contrib)
-           .groupBy(col("node")).agg(sum(col("hc")).as("hc")))
-          .localCheckpoint()
-      if (acc != null) releaseCheckpoint(acc)
-      acc = accGrown
     }
-    releaseCheckpoint(settled)
-    if (frontier ne f0) releaseCheckpoint(frontier)
-    releaseCheckpoint(f0)
     releaseCheckpoint(e)
-    if (acc == null)
+    if (contribs.isEmpty) {
+      releaseCheckpoint(f0)
       // no source had any out-edge: empty (node, hc_scaled) frame
-      emptyResult(edges, e.schema("src").dataType, "hc_scaled")
-    else {
-      val out = acc.filter(col("hc") > 0)
+      emptyResult(edges, edges.schema("src").dataType, "hc_scaled")
+    } else {
+      // f0 fed only the round-1 anti-join; the output reads the
+      // per-round checkpoints, so its blocks are dead here
+      releaseCheckpoint(f0)
+      contribs.reduce(_ unionByName _)
+        .groupBy(col("node")).agg(sum(col("hc")).as("hc"))
+        .filter(col("hc") > 0)
         .select(col("node"), col("hc").as("hc_scaled"))
-        .localCheckpoint()
-      releaseCheckpoint(acc)
-      out
     }
   }
 
@@ -1507,53 +1505,47 @@ object Graph {
       .distinct()
       .select(col("node").as("s"), col("node"))
       .localCheckpoint()
-    var settled = f0
+    // r21 accumulator restructure (guide §1.2, the harmonicCentrality
+    // comment): settled = lazy union of the per-round checkpoints for
+    // the anti-join; the per-source (ecc, n_reached) stats union once
+    // at the END into one max/sum aggregate (both associative, so the
+    // merged-per-round and aggregated-once results are identical).
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](f0)
+    val lvls = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var frontier = f0
-    // per-source running stats: (s, ecc, n_reached) over levels so far
-    var acc: DataFrame = null
     var d = 0
     while (d < maxHops && frontier.head(1).nonEmpty) {
       d += 1
+      val settled = levels.reduce(_ unionByName _)
       val nxt = frontier.join(e, col("node") === col("src"))
         .select(col("s"), col("dst").as("node"))
         .distinct()
         .join(settled, Seq("s", "node"), "left_anti")
         .localCheckpoint()
-      val grown = settled.unionByName(nxt).localCheckpoint()
-      releaseCheckpoint(settled)
-      if (frontier ne f0) releaseCheckpoint(frontier)
-      settled = grown
+      levels += nxt
       frontier = nxt
-      val lvl = nxt.groupBy(col("s"))
+      lvls += nxt.groupBy(col("s"))
         .agg(lit(d.toLong).as("ecc"), count(lit(1)).as("n_reached"))
-      val accGrown =
-        (if (acc == null) lvl
-         else acc.unionByName(lvl).groupBy(col("s"))
-           .agg(max(col("ecc")).as("ecc"),
-             sum(col("n_reached")).as("n_reached")))
-          .localCheckpoint()
-      if (acc != null) releaseCheckpoint(acc)
-      acc = accGrown
     }
     // a source is exact iff its frontier died before the bound: no
     // (s, ·) row survives in the FINAL frontier.
     val unfinished = frontier.select(col("s")).distinct()
-    releaseCheckpoint(settled)
-    releaseCheckpoint(f0)
     releaseCheckpoint(e)
-    if (acc == null)
-      emptyResult(edges, e.schema("src").dataType,
+    if (lvls.isEmpty) {
+      releaseCheckpoint(f0)
+      emptyResult(edges, edges.schema("src").dataType,
         "ecc", "n_reached", "is_exact")
-    else {
-      val out = acc
+    } else {
+      // f0 fed only the round-1 anti-join; the output reads the
+      // per-round checkpoints (unfinished reads the LAST one)
+      releaseCheckpoint(f0)
+      lvls.reduce(_ unionByName _).groupBy(col("s"))
+        .agg(max(col("ecc")).as("ecc"),
+          sum(col("n_reached")).as("n_reached"))
         .join(unfinished.withColumn("unf", lit(1L)), Seq("s"), "left")
         .select(col("s").as("node"), col("ecc"), col("n_reached"),
           when(col("unf").isNull, lit(1L)).otherwise(lit(0L))
             .as("is_exact"))
-        .localCheckpoint()
-      releaseCheckpoint(acc)
-      if (frontier ne f0) releaseCheckpoint(frontier)
-      out
     }
   }
 
@@ -1649,7 +1641,14 @@ object Graph {
       .distinct()
       .select(col("node"), lit(scale).as("v"))
       .localCheckpoint()
-    var acc: DataFrame = null
+    // r21 accumulator restructure (guide §1.2, the harmonicCentrality
+    // comment): the cross-level accumulator used to re-checkpoint a
+    // growing union + re-aggregate EVERY level; each level's vector is
+    // already checkpointed for the next superstep, so the Σ_k v_k sum
+    // now aggregates ONCE at the end over the lazy union of the level
+    // checkpoints (exact Long sum — associative). The level
+    // checkpoints back the returned frame and stay persisted.
+    val lvls = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (_ <- 1 to levels) {
       val nxt = v.join(e, col("node") === col("src"))
         .groupBy(col("dst"))
@@ -1665,22 +1664,14 @@ object Graph {
               "attenuation; raise it or lower levels")).cast("long"))
             .otherwise(col("v")).as("v"))
         .localCheckpoint()
-      releaseCheckpoint(v)
+      if (lvls.isEmpty) releaseCheckpoint(v) // the init vector only
       v = nxt
-      val accGrown =
-        (if (acc == null) nxt
-         else acc.unionByName(nxt).groupBy(col("node"))
-           .agg(sum(col("v")).as("v")))
-          .localCheckpoint()
-      if (acc != null) releaseCheckpoint(acc)
-      acc = accGrown
+      lvls += nxt
     }
-    releaseCheckpoint(v)
     releaseCheckpoint(e)
-    val out = acc.select(col("node"), col("v").as("katz_fp"))
-      .localCheckpoint()
-    releaseCheckpoint(acc)
-    out
+    lvls.reduce(_ unionByName _)
+      .groupBy(col("node")).agg(sum(col("v")).as("v"))
+      .select(col("node"), col("v").as("katz_fp"))
   }
 
   /** DETERMINISTIC RANDOM-WALK CORPUS (the DeepWalk/node2vec data-
@@ -1741,8 +1732,15 @@ object Graph {
       .distinct()
       .select(col("node").as("start"), col("node"))
       .localCheckpoint()
-    var out = starts.select(col("start"), lit(0L).as("step"), col("node"))
-      .localCheckpoint()
+    // r21 accumulator restructure (guide §1.2): the walk table used to
+    // re-checkpoint the GROWING (start, step, node) union every step —
+    // O(length²) copied rows and one extra materialization job per
+    // step. Each step's frontier is already checkpointed for the next
+    // join, so the output is now the LAZY union of per-step selects
+    // over those checkpoints; they back the returned frame and stay
+    // persisted (the kCore leak-accepted rule).
+    val pieces = scala.collection.mutable.ArrayBuffer[DataFrame](
+      starts.select(col("start"), lit(0L).as("step"), col("node")))
     var cur = starts
     for (i <- 1 to length) {
       val nxt = cur.join(e, col("node") === col("src"))
@@ -1755,17 +1753,11 @@ object Graph {
         .groupBy(col("start")).agg(min(col("cd")).as("cd"))
         .select(col("start"), col("cd.dst").as("node"))
         .localCheckpoint()
-      if (cur ne starts) releaseCheckpoint(cur)
       cur = nxt
-      val grown = out.unionByName(
-        nxt.select(col("start"), lit(i.toLong).as("step"), col("node")))
-        .localCheckpoint()
-      releaseCheckpoint(out)
-      out = grown
+      pieces += nxt.select(col("start"), lit(i.toLong).as("step"),
+        col("node"))
     }
-    if (cur ne starts) releaseCheckpoint(cur)
-    releaseCheckpoint(starts)
-    out
+    pieces.reduce(_ unionByName _)
   }
 
   /** BUTTERFLY COUNTING — the 2×2-biclique motif census of a
@@ -1856,7 +1848,14 @@ object Graph {
       .distinct()
       .select(col("node"), prio.as("p"))
       .localCheckpoint()
-    var decided: DataFrame = null
+    // r21 accumulator restructure (guide §1.2, the harmonicCentrality
+    // comment): the decided set used to re-checkpoint a growing union
+    // every round. The live set already excludes every PRIOR round's
+    // decided nodes, so the shrink anti-join only needs THIS round's
+    // joiners ∪ removed — the cross-round accumulator is assembled
+    // once at the end as the lazy union of the per-round checkpoints,
+    // which back the returned frame and stay persisted.
+    val pieces = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var i = 0
     while (i < rounds && live.head(1).nonEmpty) {
       i += 1
@@ -1880,30 +1879,20 @@ object Graph {
         .select(col("node"), lit("removed").as("status"),
           lit(i.toLong).as("round"))
         .localCheckpoint()
-      val newDecided =
-        (if (decided == null) joiners.unionByName(removed)
-         else decided.unionByName(joiners).unionByName(removed))
-          .localCheckpoint()
-      if (decided != null) releaseCheckpoint(decided)
-      decided = newDecided
       val shrunk = live
-        .join(newDecided.select(col("node")), Seq("node"), "left_anti")
+        .join(joiners.select(col("node"))
+          .unionByName(removed.select(col("node"))),
+          Seq("node"), "left_anti")
         .localCheckpoint()
       releaseCheckpoint(live)
-      releaseCheckpoint(joiners)
-      releaseCheckpoint(removed)
+      pieces += joiners
+      pieces += removed
       live = shrunk
     }
-    val out = (if (decided == null) live.select(col("node"),
-        lit("live").as("status"), lit(0L).as("round")).limit(0)
-      else decided)
-      .unionByName(live.select(col("node"), lit("live").as("status"),
-        lit(0L).as("round")))
-      .localCheckpoint()
-    if (decided != null) releaseCheckpoint(decided)
-    releaseCheckpoint(live)
     releaseCheckpoint(e)
-    out
+    (pieces :+ live.select(col("node"), lit("live").as("status"),
+      lit(0L).as("round")))
+      .reduce(_ unionByName _)
   }
 
   /** SAMPLED ARTICULATION-POINT TEST (cut vertices — Tarjan 1972's
@@ -1952,30 +1941,34 @@ object Graph {
       .agg(count(lit(1)).as("n_neighbors"))
     val f0 = nbrs.groupBy(col("cand")).agg(min(col("nbr")).as("node"))
       .localCheckpoint()
-    var settled = f0
+    // r21 accumulator restructure (guide §1.2, the harmonicCentrality
+    // comment): settled = lazy union of the per-round checkpoints —
+    // no growing re-checkpoint per round; the level checkpoints back
+    // the returned frame and stay persisted.
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](f0)
     var frontier = f0
     var d = 0
     while (d < maxHops && frontier.head(1).nonEmpty) {
       d += 1
+      val settled = levels.reduce(_ unionByName _)
       val nxt = frontier.join(e, col("node") === col("src"))
         .filter(col("dst") =!= col("cand") && col("src") =!= col("cand"))
         .select(col("cand"), col("dst").as("node"))
         .distinct()
         .join(settled, Seq("cand", "node"), "left_anti")
         .localCheckpoint()
-      val grown = settled.unionByName(nxt).localCheckpoint()
-      releaseCheckpoint(settled)
-      if (frontier ne f0) releaseCheckpoint(frontier)
-      settled = grown
+      levels += nxt
       frontier = nxt
     }
     val unfinished = frontier.select(col("cand")).distinct()
       .withColumn("unf", lit(1L))
     val reached = nbrs
-      .join(settled.select(col("cand"), col("node").as("nbr")),
+      .join(levels.reduce(_ unionByName _)
+        .select(col("cand"), col("node").as("nbr")),
         Seq("cand", "nbr"), "left_semi")
       .groupBy(col("cand")).agg(count(lit(1)).as("n_reached"))
-    val out = nCounts
+    releaseCheckpoint(e)
+    nCounts
       .join(reached, Seq("cand"), "left")
       .join(unfinished, Seq("cand"), "left")
       .select(col("cand").as("node"), col("n_neighbors"),
@@ -1984,13 +1977,6 @@ object Graph {
           lit(1L)).otherwise(lit(0L)).as("is_articulation"),
         when(coalesce(col("n_reached"), lit(0L)) === col("n_neighbors") ||
           col("unf").isNull, lit(1L)).otherwise(lit(0L)).as("is_exact"))
-      .localCheckpoint()
-    releaseCheckpoint(settled)
-    if (frontier ne f0) releaseCheckpoint(frontier)
-    releaseCheckpoint(f0)
-    releaseCheckpoint(nbrs)
-    releaseCheckpoint(e)
-    out
   }
 
   /** CLOSED-TRIAD CENSUS of a directed graph (the connected-triple
