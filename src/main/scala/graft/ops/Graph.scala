@@ -1724,9 +1724,15 @@ object Graph {
     * edge-sized Exchange — GraphBucketProbe's walks leg measures the
     * delta and asserts output identity. Same output contract as
     * deterministicWalks on the same edge set. */
-  def deterministicWalksPrepared(e: DataFrame, length: Int,
+  def deterministicWalksPrepared(eRaw: DataFrame, length: Int,
                                  salt: String = "dw:"): DataFrame = {
     require(length >= 1, "length must be positive")
+    // ADVICE r20: null src/dst would silently seed a null start row
+    // and diverge from deterministicWalks — guard here too. A filter
+    // preserves a bucketed layout, so the Exchange-free bucket read
+    // path is unaffected; the DISTINCT precondition stays caller-
+    // owned (min-argmin is idempotent under duplicates anyway).
+    val e = eRaw.filter(col("src").isNotNull && col("dst").isNotNull)
     val starts = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
