@@ -858,12 +858,6 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(wId))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("id"), col("tok"))
-      // r21: persisted like toks — the candidate self-join reads the
-      // prefix twice (a/b sides) and each side re-ran the df join +
-      // the two windows over the full token table (the before plan
-      // carries the Window pair twice); one materialization, two
-      // cheap reads. Same shared-pass reasoning as the toks persist.
-      .persist()
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
