@@ -1466,7 +1466,9 @@ object JoinQueries {
       // q375 = 15.5 s / 562 MB vs q171 alone = 17.7 s / 531 MB (the
       // degree+ratio add ~30 MB); a localCheckpoint moved neither
       // number (15.9 s / 573 MB) and would only take the plan out of
-      // the lazy end-to-end form the hash oracle gates
+      // the lazy end-to-end form the hash oracle gates. (r21: both
+      // wedge joins inside triangleCounts now run SHUFFLE_HASH — see
+      // triangleCountsOriented; sf1 wall 843 → 69.5 s at zero spill.)
       val edges = ib.as("a")
         .join(ib.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
