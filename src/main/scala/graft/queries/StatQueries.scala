@@ -1150,6 +1150,12 @@ object StatQueries {
             1, 6), 16, 10).cast("long") % 5)
         .select(col("p_brand"), col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice").as("y"), col("__coin"))
+        // r21: checkpointed — the broadcast-joined + md5-coined split
+        // base feeds FOUR branches (model, calib, test, and calib's
+        // rank pass) and a broadcast join leaves no Exchange to
+        // reuse, so each branch re-ran the scan + join + md5
+        // (A/B in OPTIMIZATION_r21.md)
+        .localCheckpoint()
       val model = li.filter(col("__coin") <= 2)
         .groupBy("p_brand")
         .agg(sum(col("y").cast("decimal(18,2)")).as("ts"),
